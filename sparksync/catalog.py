@@ -1,0 +1,171 @@
+"""SchemaExtractor: the catalog layer.
+
+Against a real Oracle source this runs the reference's dictionary
+queries through spark.read.jdbc (they are plain SELECTs producing tiny
+DataFrames — S1/S6/S7/S9-S16 in SURVEY section 2.1, e.g. the
+USER_TAB_COLUMNS join at /root/reference/cmd/tablemeta.go:74).
+
+Against the parquet fixtures there is no Oracle, so `FixtureCatalog`
+fabricates the same Oracle-typed view of every table from its parquet
+schema (the mapping FIXTURES.md documents per column), letting the
+type-mapping/DDL layer run end-to-end without a live database.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .typemap import OracleColumn, TableSpec
+
+CORE_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+#: parquet columns that FIXTURES.md types as decimal(12,2) on the Oracle side
+_DECIMAL_COLS = {
+    "c_acctbal",
+    "s_acctbal",
+    "p_retailprice",
+    "o_totalprice",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+    "value",
+}
+#: parquet string columns that are CLOB on the Oracle side
+_CLOB_COLS = {"props", "text"}
+#: char-typed columns: name -> length
+_CHAR_COLS = {
+    "c_mktsegment": 10,
+    "p_brand": 10,
+    "o_orderstatus": 1,
+    "l_returnflag": 1,
+    "l_linestatus": 1,
+    "lang": 2,
+}
+
+
+def fabricate_oracle_column(field: T.StructField, ordinal: int) -> OracleColumn:
+    """Invert FIXTURES.md: parquet field -> the Oracle catalog row the
+    reference would have seen for it."""
+    name = field.name
+    dt = field.dataType
+    if name in _DECIMAL_COLS:
+        return OracleColumn(name, "NUMBER", precision=12, scale=2, ordinal=ordinal)
+    if name in _CLOB_COLS:
+        return OracleColumn(name, "CLOB", ordinal=ordinal)
+    if name in _CHAR_COLS:
+        return OracleColumn(name, "CHAR", char_length=_CHAR_COLS[name], ordinal=ordinal)
+    if isinstance(dt, T.IntegerType):
+        # avg_col_len < 6 -> int (tablemeta.go:142-143)
+        return OracleColumn(name, "NUMBER", precision=10, scale=0, avg_col_len=4, ordinal=ordinal)
+    if isinstance(dt, T.LongType):
+        # avg_col_len >= 6 -> bigint (tablemeta.go:140-141)
+        return OracleColumn(name, "NUMBER", precision=19, scale=0, avg_col_len=7, ordinal=ordinal)
+    if isinstance(dt, T.DoubleType):
+        return OracleColumn(name, "NUMBER", precision=12, scale=2, ordinal=ordinal)
+    if isinstance(dt, T.TimestampType):
+        # orders/lineitem dates are Oracle DATE; events.ts is TIMESTAMP
+        if name == "ts":
+            return OracleColumn(name, "TIMESTAMP", scale=6, ordinal=ordinal)
+        return OracleColumn(name, "DATE", ordinal=ordinal)
+    if isinstance(dt, T.StringType):
+        return OracleColumn(name, "VARCHAR2", char_length=255, ordinal=ordinal)
+    if isinstance(dt, T.BinaryType):
+        return OracleColumn(name, "BLOB", ordinal=ordinal)
+    if isinstance(dt, T.ArrayType):
+        # embeddings.embedding — no Oracle analogue; treated as an
+        # extension-only column (SURVEY 1.4 note).
+        return OracleColumn(name, "ARRAY<FLOAT>", ordinal=ordinal)
+    return OracleColumn(name, str(dt).upper(), ordinal=ordinal)
+
+
+class FixtureCatalog:
+    """Catalog over a directory of parquet tables (the test stand-in for
+    Oracle's data dictionary)."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+
+    def list_tables(self, exclude: list[str] | None = None) -> list[str]:
+        """S1 (cmd/root.go:209-262): table list minus exclude list."""
+        excl = {e.lower() for e in (exclude or [])}
+        names = [
+            f[: -len(".parquet")]
+            for f in sorted(os.listdir(self.sf_dir))
+            if f.endswith(".parquet")
+        ]
+        return [n for n in names if n.lower() not in excl]
+
+    def load(self, table: str) -> DataFrame:
+        from .source import load_table
+
+        return load_table(self.spark, self.sf_dir, table)
+
+    def table_spec(self, table: str) -> TableSpec:
+        """S6/S8: column metadata; here fabricated from the parquet
+        schema (a zero-row read — schema only, no data scan)."""
+        schema = self.load(table).schema
+        cols = [fabricate_oracle_column(f, i + 1) for i, f in enumerate(schema.fields)]
+        return TableSpec(name=table, columns=cols)
+
+    def column_metadata_df(self, table: str) -> DataFrame:
+        """The S6 dictionary join as a DataFrame (what
+        `spark.read.jdbc(USER_TAB_COLUMNS ...)` would return)."""
+        spec = self.table_spec(table)
+        rows = [
+            (
+                table.upper(),
+                c.name.upper(),
+                c.data_type,
+                c.char_length,
+                c.precision,
+                c.scale,
+                "Y" if c.nullable else "N",
+                c.default,
+                c.comment,
+                c.avg_col_len,
+                c.ordinal,
+            )
+            for c in spec.columns
+        ]
+        schema = (
+            "table_name string, column_name string, data_type string,"
+            "char_length int, data_precision int, data_scale int,"
+            "nullable string, data_default string, comments string,"
+            "avg_col_len int, column_id int"
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+    def ordered_column_list(self, table: str) -> str:
+        """S5 (cmd/root.go:313-317): the ordered, quoted projection list
+        the reference builds with xmlagg — here via the Spark
+        ordered-string-agg recipe (SURVEY Q7) over the metadata DF."""
+        df = self.column_metadata_df(table)
+        out = df.agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("column_id"), F.col("column_name")))
+                    ),
+                    lambda s: F.concat(F.lit('"'), s["column_name"], F.lit('"')),
+                ),
+                ",",
+            ).alias("cols")
+        ).collect()[0][0]
+        return out

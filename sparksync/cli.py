@@ -1,0 +1,93 @@
+"""CLI: the reference's cobra subcommands (full migration default cmd,
+createTable, onlyData, compareDb, -m dump — /root/reference/cmd/) as
+argparse subcommands over the library."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .session import get_spark
+from .sync import SyncJob
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="sparksync")
+    p.add_argument("--src", required=True, help="source dir (parquet) or jdbc url")
+    p.add_argument("--dest", required=True, help="dest dir (parquet) or jdbc url")
+    p.add_argument("--page-size", type=int, default=100_000)
+    p.add_argument("--max-parallel", type=int, default=8)
+    p.add_argument(
+        "--exclude",
+        default="",
+        help="comma-separated table names to skip (the reference's exclude list)",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("full-sync")  # EP1
+    sub.add_parser("create-tables")  # EP3 createTable
+    sub.add_parser("sync-data")  # EP3 onlyData
+    cmp_p = sub.add_parser("compare")  # EP2
+    cmp_p.add_argument("--checksum", action="store_true")
+    dump = sub.add_parser("dump-ddl")  # -m mode
+    dump.add_argument("--out", default="createSql.log")
+    args = p.parse_args(argv)
+
+    spark = get_spark("sparksync-cli")
+    job = SyncJob(
+        spark,
+        args.src,
+        args.dest,
+        page_size=args.page_size,
+        max_parallel=args.max_parallel,
+        exclude=[e for e in args.exclude.split(",") if e],
+    )
+    tables = job.plan()
+    if args.cmd == "full-sync":
+        rep = job.run()
+        _print_report(rep)
+        return 0 if rep.ok() else 1
+    if args.cmd == "create-tables":
+        rep = job.ddl_phase(tables)
+        print(json.dumps(rep.__dict__))
+        return 0 if rep.failed == 0 else 1
+    if args.cmd == "sync-data":
+        rep = job.data_phase(tables)
+        print(json.dumps(rep.__dict__))
+        return 0 if rep.failed == 0 else 1
+    if args.cmd == "compare":
+        results = job.compare_phase(tables, checksum=args.checksum)
+        for r in results:
+            print(
+                json.dumps(
+                    {
+                        "table": r.table,
+                        "src": r.src_count,
+                        "dst": r.dst_count,
+                        "ok": r.is_ok,
+                    }
+                )
+            )
+        return 0 if all(r.is_ok for r in results) else 1
+    if args.cmd == "dump-ddl":
+        from .sink import SqlScriptSink
+
+        with SqlScriptSink(args.out) as s:
+            rep = job.ddl_phase(tables, s)
+        print(json.dumps(rep.__dict__))
+        return 0 if rep.failed == 0 else 1
+    return 2
+
+
+def _print_report(rep) -> None:
+    for ph in rep.phases:
+        print(
+            f"{ph.phase:>14}: tables={ph.tables} failed={ph.failed} "
+            f"elapsed={ph.elapsed_s:.3f}s"
+        )
+    for c in rep.compare:
+        print(f"{'compare':>14}: {c.table} src={c.src_count} dst={c.dst_count} ok={c.is_ok}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

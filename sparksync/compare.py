@@ -1,0 +1,79 @@
+"""Source<->target verification.
+
+The reference's compareDb is per-table count(*) equality with goroutines
+appending to an unsynchronized slice (/root/reference/cmd/compare.go:102-132
+— SURVEY notes the data race at compare.go:15,130). We keep the count
+mode and add two stronger modes the reference lacks:
+
+- checksum: order-insensitive full-row digest (count + min/max sha2 +
+  xor-folded hash) — one shuffle-free aggregate per side; scales to any
+  row count because nothing is collected but a single row per table.
+- diff: exceptAll both ways — exact row-level delta, shuffle-heavy, for
+  drill-down after a checksum mismatch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class CompareResult:
+    table: str
+    src_count: int
+    dst_count: int
+    dest_exists: bool = True
+    checksum_ok: bool | None = None
+
+    @property
+    def is_ok(self) -> bool:
+        ok = self.dest_exists and self.src_count == self.dst_count
+        if self.checksum_ok is not None:
+            ok = ok and self.checksum_ok
+        return ok
+
+
+def _row_digest(df: DataFrame) -> F.Column:
+    """sha2 over all columns rendered to string with a unit separator;
+    NULLs render as a sentinel so (NULL,'a') != ('a',NULL)."""
+    cols = [F.coalesce(F.col(c).cast("string"), F.lit(chr(0))) for c in df.columns]
+    return F.sha2(F.concat_ws("\x1f", *cols), 256)
+
+
+def table_checksum(df: DataFrame) -> dict:
+    """Order-insensitive digest: count + min/max of per-row sha2 + a
+    commutative fold (sum of the first 15 hex chars as a bigint). A
+    single partial-aggregable pass — at 100 TB this is one map-side
+    combine + a 1-row reduce, no shuffle of data rows."""
+    h = _row_digest(df)
+    row = df.select(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(h).alias("hmin"),
+        F.max(h).alias("hmax"),
+        F.sum(F.conv(F.substring(h, 1, 15), 16, 10).cast("decimal(38,0)")).alias("hsum"),
+    ).collect()[0]
+    return {"cnt": row["cnt"], "hmin": row["hmin"], "hmax": row["hmax"], "hsum": row["hsum"]}
+
+
+def compare_counts(src: DataFrame, dst: DataFrame, table: str) -> CompareResult:
+    """EP2 semantics (compare.go:102-132): two pushed-down counts."""
+    return CompareResult(table=table, src_count=src.count(), dst_count=dst.count())
+
+
+def compare_checksum(src: DataFrame, dst: DataFrame, table: str) -> CompareResult:
+    cs, cd = table_checksum(src), table_checksum(dst)
+    return CompareResult(
+        table=table,
+        src_count=cs["cnt"],
+        dst_count=cd["cnt"],
+        checksum_ok=(cs == cd),
+    )
+
+
+def row_diff(src: DataFrame, dst: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(missing_in_dst, extra_in_dst) via exceptAll both ways."""
+    dst_aligned = dst.select(*src.columns)
+    return src.exceptAll(dst_aligned), dst_aligned.exceptAll(src)

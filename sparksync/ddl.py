@@ -1,0 +1,173 @@
+"""DDL synthesis + dialect rewrites (pure Python, no Spark needed).
+
+Reproduces the reference's generators:
+- CREATE TABLE           (/root/reference/cmd/tablemeta.go:52-188)
+- index / PK / UK        (tablemeta.go:194-215, the giant S9 SQL's CASE arms)
+- foreign keys           (tablemeta.go:289-310)
+- sequence-trigger -> AUTO_INCREMENT (tablemeta.go:233-276)
+- table/column comments  (tablemeta.go:160-165, 367-388)
+- view dialect rewrite   (tablemeta.go:417-427)
+
+Everything here is driver-side string work — the reference did it in Go,
+we do it in Python; Spark is not involved until the DDL is executed on a
+sink connection (sink.py) or the data moves (sync.py).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from .typemap import TableSpec
+
+
+def q_mysql(name: str) -> str:
+    """MySQL backquote quoting (reference uses `t` on the target side,
+    cmd/root.go:268,364)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def q_oracle(name: str) -> str:
+    """Oracle double-quote quoting (cmd/root.go:279,336)."""
+    return '"' + name.replace('"', '""') + '"'
+
+
+def create_table_sql(spec: TableSpec, if_not_exists: bool = False) -> str:
+    """CREATE TABLE text per tablemeta.go:62,165-185 (drop handled
+    separately so dump-ddl mode can emit both)."""
+    cols = []
+    for mc in spec.mapped():
+        cols.append(f"  {q_mysql(mc.name)} {mc.mysql_type}{mc.comment_clause}")
+    ine = "if not exists " if if_not_exists else ""
+    body = ",\n".join(cols)
+    tail = ""
+    if spec.comment:
+        esc = spec.comment.replace("'", "''")
+        tail = f" comment='{esc}'"
+    return f"create table {ine}{q_mysql(spec.name.lower())} (\n{body}\n){tail};"
+
+
+def drop_table_sql(table: str) -> str:
+    """tablemeta.go:174: drop table if exists `t` cascade."""
+    return f"drop table if exists {q_mysql(table.lower())};"
+
+
+@dataclass
+class IndexSpec:
+    table: str
+    index_name: str
+    columns: list[str]  # in column_position order
+    uniqueness: str = "NONUNIQUE"  # UNIQUE | NONUNIQUE
+    constraint_type: str | None = None  # P | U | R | None
+
+
+def index_sql(ix: IndexSpec) -> str:
+    """The CASE arms of the S9 catalog SQL (tablemeta.go:194): primary
+    key, unique constraint, unique index, plain index."""
+    t = q_mysql(ix.table.lower())
+    cols = ",".join(q_mysql(c.lower()) for c in ix.columns)
+    if ix.constraint_type == "P":
+        return f"alter table {t} add primary key ({cols});"
+    if ix.constraint_type == "U" or ix.uniqueness == "UNIQUE":
+        return f"create unique index {q_mysql(ix.index_name.lower())} on {t} ({cols});"
+    return f"create index {q_mysql(ix.index_name.lower())} on {t} ({cols});"
+
+
+@dataclass
+class FkSpec:
+    table: str
+    constraint_name: str
+    columns: list[str]
+    ref_table: str
+    ref_columns: list[str]
+    delete_rule: str | None = None  # CASCADE | SET NULL | NO ACTION
+
+
+def fk_sql(fk: FkSpec) -> str:
+    """FK DDL equivalent to the correlated-subquery builder at
+    tablemeta.go:289-310."""
+    t = q_mysql(fk.table.lower())
+    cols = ",".join(q_mysql(c.lower()) for c in fk.columns)
+    rt = q_mysql(fk.ref_table.lower())
+    rcols = ",".join(q_mysql(c.lower()) for c in fk.ref_columns)
+    rule = ""
+    if fk.delete_rule and fk.delete_rule.upper() in ("CASCADE", "SET NULL"):
+        rule = f" on delete {fk.delete_rule.lower()}"
+    return (
+        f"alter table {t} add constraint {q_mysql(fk.constraint_name.lower())}"
+        f" foreign key ({cols}) references {rt} ({rcols}){rule};"
+    )
+
+
+# --- sequence-trigger -> AUTO_INCREMENT (R1, tablemeta.go:233-276) ---
+
+_NEXTVAL_RE = re.compile(r"SELECT\s+(.*?)\.NEXTVAL\s+INTO\s*:NEW\.", re.S)
+_NEWCOL_RE = re.compile(r":NEW\.(\w+)")
+
+
+def normalize_trigger_body(body: str) -> str:
+    """tablemeta.go:239-243: INTO: -> INTO :, SYS.DUAL -> DUAL, strip
+    newlines, upcase."""
+    s = body.replace("\n", " ").replace("\r", " ")
+    s = s.upper()
+    s = s.replace("INTO:", "INTO :")
+    s = s.replace("SYS.DUAL", "DUAL")
+    return s
+
+
+def auto_increment_sql(table: str, trigger_body: str) -> list[str]:
+    """Detect `SELECT seq.NEXTVAL INTO :NEW.col` and emit the reference's
+    two DDLs (tablemeta.go:254,266): a helper index then the column
+    promotion to bigint auto_increment. Returns [] when the trigger is
+    not an auto-increment pattern."""
+    norm = normalize_trigger_body(trigger_body)
+    if not _NEXTVAL_RE.search(norm):
+        return []
+    m = _NEWCOL_RE.search(norm[_NEXTVAL_RE.search(norm).start():])
+    if not m:
+        return []
+    col = m.group(1).lower()
+    t = table.lower()
+    return [
+        f"create index {q_mysql(f'ids_{t}_{col}_i')} on {q_mysql(t)} ({q_mysql(col)});",
+        f"alter table {q_mysql(t)} modify {q_mysql(col)} bigint auto_increment;",
+    ]
+
+
+# --- view dialect rewrite (R2, tablemeta.go:417-427) ---
+
+
+def rewrite_view_text(text: str) -> str:
+    """Oracle view text -> MySQL-ish dialect: upcase, comment-guard,
+    quote flip, NVL->IFNULL, UNISTR escapes."""
+    s = text.upper()
+    s = s.replace("--", "-- -- ")
+    s = s.replace('"', "`")
+    s = s.replace("NVL(", "IFNULL(")
+    s = re.sub(r"UNISTR\('\\00(\d\d)'\)", lambda m: str(int(m.group(1))), s)
+    return s
+
+
+def create_view_sql(view_name: str, text: str) -> str:
+    return f"create or replace view {q_mysql(view_name.lower())} as {rewrite_view_text(text)};"
+
+
+def table_comment_sql(table: str, comment: str) -> str:
+    """tablemeta.go:367-388."""
+    esc = comment.replace("'", "''")
+    return f"alter table {q_mysql(table.lower())} comment = '{esc}';"
+
+
+def clean_function_index_ddl(ddl: str) -> str:
+    """R3 (tablemeta.go:339): strip storage clauses, owner prefixes,
+    double quotes and newlines from a DBMS_METADATA index DDL."""
+    s = ddl
+    cut = s.find(" PCTFREE")
+    if cut > 0:
+        s = s[:cut]
+    s = s.replace('"', "")
+    s = re.sub(r"\b[A-Z_][A-Z0-9_$]*\.", "", s, count=1)
+    s = s.replace("\n", " ").strip()
+    if not s.endswith(";"):
+        s += ";"
+    return s

@@ -1,0 +1,182 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale posture (100 TB):
+- exact_dedup: one hash-partitioned groupBy on the dedup key — the
+  minimum possible shuffle; AQE handles skewed keys.
+- jaccard_pairs: exact all-pairs via shingle inverted index. Quadratic
+  in posting-list length — it is the *correctness oracle* at small SF;
+  the scale path is minhash_dedup_pairs below.
+- minhash_dedup_pairs: MinHash signatures + banded LSH. Cost is linear
+  in corpus size (K min-aggregations map-side) plus a bucket join whose
+  fan-out is controlled by band width; candidates are then verified with
+  exact Jaccard, so results equal jaccard_pairs whenever LSH recall
+  catches the threshold (r=4, b=32 -> P(catch | j=0.8) > 0.9999).
+- simhash: narrow map + one groupBy; Hamming-bucket join left for a
+  later round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textops import tokens
+
+SHINGLE_N = 3
+MINHASH_K = 128
+LSH_BANDS = 32
+LSH_ROWS = 4  # K = bands * rows
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep the lowest id per duplicate group — deterministic, unlike a
+    bare dropDuplicates. One shuffle on the dedup key."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count")
+    )
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, shingle) distinct pairs; docs shorter than SHINGLE_N tokens
+    drop out (no shingle -> never a candidate), matching the oracle."""
+    toks = tokens(text_col)
+    with_t = df.select(F.col(id_col), toks.alias("toks")).where(
+        F.size("toks") >= SHINGLE_N
+    )
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - SHINGLE_N),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("toks"), i + 1),
+                F.element_at(F.col("toks"), i + 2),
+                F.element_at(F.col("toks"), i + 3),
+            ),
+        )
+    )
+    return with_t.select(F.col(id_col), F.explode(sh).alias("shingle"))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact shingle-set Jaccard >= threshold via inverted-index
+    self-join. Output: (d1, d2, jacc), d1 < d2."""
+    sh = shingles(df, id_col, text_col).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col(id_col).alias("d1"), "shingle")
+    b = sh.select(F.col(id_col).alias("d2"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    na = sizes.select(F.col(id_col).alias("d1"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("d2"), F.col("n").alias("nb"))
+    jacc = F.col("c").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("c")
+    ).cast("double")
+    return (
+        common.join(F.broadcast(na), "d1")
+        .join(F.broadcast(nb), "d2")
+        .select("d1", "d2", jacc.alias("jacc"))
+        .where(F.col("jacc") >= threshold)
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str = "doc_id", k: int = MINHASH_K
+) -> DataFrame:
+    """K minhash values per doc: h_i = min over shingles of
+    xxhash64(i, shingle). One groupBy over the shingle explosion; the K
+    mins are map-side partial aggregates (no extra shuffle per hash)."""
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*mins)
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """LSH candidates -> exact-Jaccard verification. The scale path: at
+    100 TB the bucket join touches only colliding signatures instead of
+    every shingle posting list."""
+    sh = shingles(df, id_col, text_col).cache()
+    sig = minhash_signatures(sh, id_col, k=bands * rows)
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select(F.col(id_col), F.explode(band_keys).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    l = buckets.select(F.col(id_col).alias("d1"), "band", "key")
+    r = buckets.select(F.col(id_col).alias("d2"), "band", "key")
+    cand = (
+        l.join(r, ["band", "key"])
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    # verify candidates exactly
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col(id_col).alias("d1"), "shingle")
+    b = sh.select(F.col(id_col).alias("d2"), "shingle")
+    common = (
+        cand.join(a, "d1")
+        .join(b.withColumnRenamed("shingle", "shingle2"), "d2")
+        .where(F.col("shingle") == F.col("shingle2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    na = sizes.select(F.col(id_col).alias("d1"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("d2"), F.col("n").alias("nb"))
+    jacc = F.col("c").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("c")
+    ).cast("double")
+    return (
+        common.join(F.broadcast(na), "d1")
+        .join(F.broadcast(nb), "d2")
+        .select("d1", "d2", jacc.alias("jacc"))
+        .where(F.col("jacc") >= threshold)
+    )
+
+
+SIMHASH_BITS = 48  # stay within positive signed-64 range when assembling
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Token-level SimHash fingerprint: per-bit +1/-1 majority over
+    xxhash64(token). Narrow map + one groupBy(doc) — no join."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    ).withColumn("h", F.xxhash64(F.col("tok")))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp + term
+    return agg.select(F.col(id_col), fp.alias("simhash"))

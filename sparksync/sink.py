@@ -1,0 +1,134 @@
+"""Sinks: parquet (fixtures) and JDBC (MySQL-family), plus the sink-side
+DDL executor and the dump-ddl mode.
+
+The reference hand-builds multi-row INSERTs inside page transactions
+(/root/reference/cmd/root.go:362-465) with a 65535-placeholder clamp
+(cmd/root.go:376). Spark's JDBC writer already batches via
+addBatch/executeBatch (no placeholder explosion), keeps one transaction
+per partition, and `truncate=true` reproduces truncate-before-load
+(cmd/root.go:265-273) without dropping target DDL.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class DdlResult:
+    executed: list[str] = field(default_factory=list)
+    failed: list[tuple[str, str]] = field(default_factory=list)  # (sql, error)
+
+    @property
+    def failed_count(self) -> int:
+        # mirrors the per-object failure counters the reference renders
+        # (cmd/tablemeta.go:14,184; cmd/root.go:188-200)
+        return len(self.failed)
+
+
+class ParquetSink:
+    """Fixture sink. `truncate`/overwrite semantics map to parquet
+    overwrite; append maps to append."""
+
+    def __init__(self, spark: SparkSession, out_dir: str):
+        self.spark = spark
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.out_dir, f"{table}.parquet")
+
+    def write(self, df: DataFrame, table: str, mode: str = "overwrite") -> None:
+        df.write.mode(mode).parquet(self.path(table))
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(table))
+
+    def exists(self, table: str) -> bool:
+        return os.path.exists(self.path(table))
+
+
+class SqlScriptSink:
+    """Dump-ddl mode (K6, flag -m at cmd/root.go:540): write every DDL to
+    a .sql script, execute nothing (LogOutput, cmd/app.go:132-152)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._fh = None
+
+    def __enter__(self):
+        self._fh = open(self.path, "a", encoding="utf-8")
+        return self
+
+    def __exit__(self, *exc):
+        if self._fh:
+            self._fh.close()
+
+    def execute(self, sql: str) -> None:
+        assert self._fh is not None, "use as context manager"
+        self._fh.write(sql.rstrip() + "\n")
+
+
+class JdbcSink:
+    """MySQL-family sink. Data path uses Spark's JDBC writer; DDL path
+    needs a raw connection because Spark's writer can't express defaults,
+    comments, indexes or FKs (SURVEY K4/K5) — we reuse the JVM's
+    DriverManager through the gateway so no extra Python driver is
+    required. Untested in this container (no MySQL); unit tests cover the
+    SQL generation, integration is gated on a reachable URL."""
+
+    def __init__(self, spark: SparkSession, url: str, user: str, password: str):
+        self.spark = spark
+        self.url = url
+        self.user = user
+        self.password = password
+
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        mode: str = "append",
+        truncate: bool = True,
+        batchsize: int = 1000,
+        num_partitions: int | None = None,
+    ) -> None:
+        """K1/K2/K3: batched load. `batchsize` maps the reference's
+        batchRowSize (example.yml:15); `truncate` with overwrite keeps
+        the target DDL (cmd/root.go:268)."""
+        w = (
+            df.write.format("jdbc")
+            .option("url", self.url)
+            .option("dbtable", f"`{table.lower()}`")
+            .option("user", self.user)
+            .option("password", self.password)
+            .option("batchsize", str(batchsize))
+            .option("isolationLevel", "READ_COMMITTED")
+        )
+        if num_partitions:
+            w = w.option("numPartitions", str(num_partitions))
+        if mode == "overwrite" and truncate:
+            w = w.option("truncate", "true")
+        w.mode(mode).save()
+
+    def execute_ddl(self, statements: list[str]) -> DdlResult:
+        """K4/K5: run DDL on a raw JDBC connection via the JVM gateway;
+        capture per-statement failures instead of aborting (matches the
+        reference's count-and-continue, tablemeta.go:209-215)."""
+        res = DdlResult()
+        jvm = self.spark._jvm  # noqa: SLF001 — Py4J gateway access is the point
+        conn = jvm.java.sql.DriverManager.getConnection(self.url, self.user, self.password)
+        try:
+            stmt = conn.createStatement()
+            for sql in statements:
+                try:
+                    stmt.execute(sql)
+                    res.executed.append(sql)
+                except Exception as e:  # noqa: BLE001 — per-object error capture
+                    res.failed.append((sql, str(e)))
+            stmt.close()
+        finally:
+            conn.close()
+        return res

@@ -1,0 +1,164 @@
+"""Partitioned sources: JDBC (Oracle) and parquet (fixtures).
+
+The reference parallelizes reads by slicing each table into ROWNUM
+windows of `pageSize` rows and running one goroutine per window
+(/root/reference/cmd/root.go:308-340). Spark's native equivalents:
+
+- parquet: the scan is already split by file/rowgroup
+  (spark.sql.files.maxPartitionBytes); nothing to do.
+- JDBC with a numeric key: partitionColumn/lowerBound/upperBound/
+  numPartitions — each executor issues its own range query.
+- JDBC without a usable key: explicit ROWNUM `predicates` built with the
+  same ceil(count/pageSize) math (S4, cmd/root.go:320-322). ROWNUM
+  windows are unordered across queries, so this is only exact on a
+  quiesced source — same caveat the reference silently accepts
+  (SURVEY section 7 "What's hard" #4).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Handles the events.ts TIMESTAMP(NANOS)
+    column, which Spark 4 only reads as a raw long
+    (spark.sql.legacy.parquet.nanosAsLong in session.py): convert
+    ns -> us with integer division — ns-since-epoch exceeds double
+    precision, so `div`, never `/`."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if "ts" in df.columns and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+@dataclass
+class PagePlan:
+    """The reference's per-table page list (`tableMap`, cmd/root.go:209-262)
+    re-expressed: one (lo, hi) ROWNUM window per partition."""
+
+    table: str
+    row_count: int
+    page_size: int
+
+    @property
+    def num_pages(self) -> int:
+        # ceil(count/pageSize); an empty table still gets one page so the
+        # zero-row probe runs and DDL is exercised (cmd/root.go:250-252).
+        return max(1, math.ceil(self.row_count / self.page_size))
+
+    def windows(self) -> list[tuple[int, int]]:
+        """1-based inclusive (lo, hi) bounds per page (cmd/root.go:328-335)."""
+        return [
+            (i * self.page_size + 1, min((i + 1) * self.page_size, self.row_count))
+            for i in range(self.num_pages)
+        ]
+
+    def rownum_predicates(self) -> list[str]:
+        """Predicate strings for spark.read.jdbc(predicates=...) against a
+        source exposing ROWNUM-style numbering."""
+        return [f"rn >= {lo} and rn <= {hi}" for lo, hi in self.windows()]
+
+
+def plan_pages(df_count: int, table: str, page_size: int = 100_000) -> PagePlan:
+    return PagePlan(table=table, row_count=df_count, page_size=page_size)
+
+
+class ParquetSource:
+    """Fixture source; stands in for Oracle in every test."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+
+    def read(self, table: str) -> DataFrame:
+        return load_table(self.spark, self.sf_dir, table)
+
+    def read_sql(self, sql: str) -> DataFrame:
+        """Table-as-SQL mode (-s, cmd/root.go:84-85): the user supplies a
+        SELECT; on fixtures we register the tables and run it in Spark."""
+        return self.spark.sql(sql)
+
+    def probe_schema(self, table: str):
+        """S8 zero-row probe (cmd/root.go:277-296): schema without data."""
+        return self.read(table).limit(0).schema
+
+
+class JdbcSource:
+    """Oracle via spark.read.jdbc. Untested in this container (no Oracle,
+    no JDBC driver jar) but the full partitioning logic is exercised via
+    PagePlan unit tests."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        url: str,
+        user: str,
+        password: str,
+        fetchsize: int = 10_000,
+    ):
+        self.spark = spark
+        self.url = url
+        self.props = {"user": user, "password": password, "fetchsize": str(fetchsize)}
+
+    def _reader(self):
+        r = self.spark.read.format("jdbc").option("url", self.url)
+        for k, v in self.props.items():
+            r = r.option(k, v)
+        return r
+
+    def count(self, table: str) -> int:
+        """S4: pushed-down count(*) — one scalar row over JDBC."""
+        q = f'select count(*) as cnt from "{table.upper()}"'
+        return self._reader().option("query", q).load().collect()[0][0]
+
+    def read(
+        self,
+        table: str,
+        partition_column: str | None = None,
+        page_size: int = 100_000,
+        max_partitions: int = 256,
+    ) -> DataFrame:
+        """Partitioned read. Preference order (SURVEY section 4):
+        1. numeric PK partitionColumn with min/max bounds,
+        2. ROWNUM predicates sized by the reference's page math,
+        3. single-partition scan for tiny tables."""
+        n = self.count(table)
+        plan = plan_pages(n, table, page_size)
+        if plan.num_pages <= 1:
+            return self._reader().option("dbtable", f'"{table.upper()}"').load()
+        nparts = min(plan.num_pages, max_partitions)
+        if partition_column:
+            bounds = (
+                self._reader()
+                .option(
+                    "query",
+                    f'select min("{partition_column}") lo, max("{partition_column}") hi '
+                    f'from "{table.upper()}"',
+                )
+                .load()
+                .collect()[0]
+            )
+            return (
+                self._reader()
+                .option("dbtable", f'"{table.upper()}"')
+                .option("partitionColumn", partition_column)
+                .option("lowerBound", str(bounds[0]))
+                .option("upperBound", str(bounds[1]))
+                .option("numPartitions", str(nparts))
+                .load()
+            )
+        # PK-less fallback: ROWNUM windows as explicit predicates; each
+        # partition runs the reference's nested-ROWNUM page query shape
+        # (cmd/root.go:336).
+        inner = f'(select a.*, rownum rn from "{table.upper()}" a)'
+        return self.spark.read.jdbc(
+            url=self.url,
+            table=inner,
+            predicates=plan.rownum_predicates(),
+            properties=self.props,
+        )
