@@ -1,0 +1,96 @@
+"""Benchmark harness: headline queries + the sync pipeline at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+`value` is total wall time of the headline set. Per-query times let
+BENCH_r{N}.json diffs show which operator regressed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    # ported surface
+    "q01_pricing_summary",
+    "q07_index_synthesis",
+    "q09_count_compare",
+    "q10_checksum",
+    "q11_topk_window",
+    "q16_shipping_priority",
+    "q17_local_supplier",
+    # LLM-pipeline extensions (scale paths: LSH, not exact-pairs)
+    "q18_dedup_exact",
+    "q20_dedup_minhash",
+    "q22_knn_cosine",
+    "q25_quality_score",
+    "q27_fingerprint",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    from sparksync.queries import QUERIES
+    from sparksync.session import get_spark
+    from sparksync.sync import SyncJob
+
+    spark = get_spark("sparksync-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    times: dict[str, float] = {}
+    # warm the JVM/session on the smallest SF so startup cost isn't
+    # attributed to the first query
+    QUERIES["q09_count_compare"](spark, "/root/testdata/sf0.001").collect()
+
+    for name in HEADLINE:
+        t0 = time.time()
+        df = QUERIES[name](spark, sf_dir)
+        n = df.count() if name != "q01_pricing_summary" else len(df.collect())
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+
+    # end-to-end sync + checksum compare of the two biggest tables —
+    # the reference's own workload shape (EP1 + EP2)
+    out = "/tmp/sparksync_bench_out"
+    t0 = time.time()
+    job = SyncJob(
+        spark,
+        sf_dir,
+        out,
+        max_parallel=4,
+        exclude=[
+            "region", "nation", "customer", "supplier", "part",
+            "documents", "embeddings", "events",
+        ],
+    )
+    tables = job.plan()
+    job.data_phase(tables)
+    results = job.compare_phase(tables, checksum=True)
+    assert all(r.is_ok for r in results), [r.table for r in results if not r.is_ok]
+    times["sync_lineitem_orders"] = round(time.time() - t0, 3)
+    print(f"# sync_lineitem_orders: {times['sync_lineitem_orders']}s", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_plus_sync_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

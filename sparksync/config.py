@@ -53,38 +53,53 @@ class Config:
 
 
 def parse_simple_yaml(text: str) -> dict:
-    """Flat YAML subset: `k: v`, one-level nested maps, `- item` lists."""
+    """Flat YAML subset: `k: v`, one-level nested maps, `- item` lists —
+    exactly the shape of the reference's example.yml. A key with no
+    value stays *pending* until the next line reveals whether it holds a
+    map (`k: v` children), a list (`- item` children), or nothing."""
     root: dict = {}
     stack: list[tuple[int, dict]] = [(0, root)]
-    last_key: str | None = None
+    pending: tuple[dict, str, int] | None = None  # (parent, key, key_indent)
     for raw in text.splitlines():
         if not raw.strip() or raw.strip().startswith("#"):
             continue
         indent = len(raw) - len(raw.lstrip())
         line = raw.strip()
-        while stack and indent < stack[-1][0]:
+        if pending is not None and indent <= pending[2]:
+            parent, key, _ = pending
+            parent.setdefault(key, {})
+            pending = None
+        while len(stack) > 1 and indent < stack[-1][0]:
             stack.pop()
         cur = stack[-1][1]
         if line.startswith("- "):
             item = line[2:].strip().strip("'\"")
-            if last_key is not None and not isinstance(cur.get(last_key), list):
-                cur[last_key] = []
-            cur[last_key].append(item)
+            if pending is not None:
+                parent, key, _ = pending
+                lst = parent.setdefault(key, [])
+                if not isinstance(lst, list):
+                    lst = parent[key] = []
+                lst.append(item)
             continue
         if ":" in line:
+            if pending is not None and indent > pending[2]:
+                parent, key, _ = pending
+                child = parent.setdefault(key, {})
+                if not isinstance(child, dict):
+                    child = parent[key] = {}
+                stack.append((indent, child))
+                pending = None
+            cur = stack[-1][1]
             k, _, v = line.partition(":")
             k, v = k.strip(), v.strip()
             if v == "":
-                cur[k] = {}
-                stack.append((indent + 1, cur[k]))
-                last_key = None
+                pending = (cur, k, indent)
             else:
                 v = v.strip("'\"")
-                if v.isdigit():
-                    cur[k] = int(v)
-                else:
-                    cur[k] = v
-                last_key = k
+                cur[k] = int(v) if v.isdigit() else v
+    if pending is not None:
+        parent, key, _ = pending
+        parent.setdefault(key, {})
     return root
 
 

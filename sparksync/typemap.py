@@ -112,7 +112,10 @@ def map_type(col: OracleColumn) -> tuple[str, T.DataType]:
     return dt.lower(), T.StringType()
 
 
-_NUMERIC_DEFAULT_RE = re.compile(r"[\d.]+")
+# the reference uses bare [\d.]+ (tablemeta.go:109-117), which would
+# accept a lone '.' from e.g. 'seq.nextval'; we require at least one
+# digit (SURVEY 1.4: validate instead of passing through junk)
+_NUMERIC_DEFAULT_RE = re.compile(r"\d+(?:\.\d+)?|\.\d+")
 
 
 def normalize_default(col: OracleColumn) -> str:

@@ -1,0 +1,89 @@
+"""Extension-operator invariants beyond the oracle harness:
+- minhash LSH result == exact jaccard result (recall proof at fixture SF)
+- simhash: near-dup pairs have small hamming distance
+- ivf_search recall vs brute force
+- multimodal mapInPandas plumbing with stubbed decode
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparksync.ext import dedup, multimodal, similarity
+from sparksync.source import load_table
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMOKE, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_SMOKE, "embeddings").cache()
+
+
+def test_minhash_equals_exact_jaccard(docs):
+    exact = {tuple(r) for r in dedup.jaccard_pairs(docs, 0.8).collect()}
+    lsh = {tuple(r) for r in dedup.minhash_dedup_pairs(docs, 0.8).collect()}
+    assert exact == lsh
+    assert len(exact) > 0  # fixtures contain planted near-dups
+
+
+def test_simhash_close_on_near_dups(spark, docs):
+    pairs = dedup.jaccard_pairs(docs, 0.9).select("d1", "d2")
+    sh = dedup.simhash(docs)
+    a = sh.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("h1"))
+    b = sh.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("h2"))
+    joined = pairs.join(a, "d1").join(b, "d2")
+    ham = joined.select(
+        F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).alias("d")
+    )
+    rows = ham.collect()
+    assert rows, "expected near-dup pairs"
+    # >=0.9-jaccard docs should agree on the vast majority of simhash bits
+    assert max(r["d"] for r in rows) <= 12
+
+
+def test_ivf_recall(emb):
+    brute = [r["neighbor_id"] for r in
+             similarity.knn_brute(emb, query_id=0, k=10).orderBy("rnk").collect()]
+    ivf = [r["neighbor_id"] for r in
+           similarity.ivf_search(emb, query_id=0, k=10, nprobe=4).orderBy("rnk").collect()]
+    # ANN with 4/8 clusters probed should keep most of the true top-10
+    overlap = len(set(brute) & set(ivf))
+    assert overlap >= 5, (brute, ivf)
+
+
+def test_multimodal_stub_plumbing(spark):
+    rows = [
+        (1, "image", b"fakejpegbytes", 8, 8),
+        (2, "video", b"x" * 5000, 16, 16),
+        (3, "image", None, 0, 0),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = multimodal.extract_features(df, fake=True).collect()
+    by_id = {r["media_id"]: r for r in feats}
+    assert by_id[1]["n_bytes"] == len(b"fakejpegbytes")
+    assert len(by_id[1]["features"]) == multimodal.FEATURE_DIM
+    assert by_id[3]["n_bytes"] == 0
+    # deterministic: same bytes -> same features
+    feats2 = multimodal.extract_features(df, fake=True).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, feats2))
+    # real decode is an explicit stub
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"x", fake=False)
+    plan = multimodal.frame_sample_plan(df, every_n=2)
+    assert plan.where("media_id = 2").count() == 3  # frames 0,2,4 of 5
+
+
+def test_exact_dedup_deterministic(spark):
+    df = spark.createDataFrame(
+        [(10, "same"), (3, "same"), (7, "other")], "doc_id long, text string"
+    )
+    out = {(r["doc_id"], r["dup_count"]) for r in
+           dedup.exact_dedup(df, ["text"], "doc_id").collect()}
+    assert out == {(3, 2), (7, 1)}
