@@ -14,10 +14,14 @@ from .sync import SyncJob
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="sparksync")
-    p.add_argument("--src", required=True, help="source dir (parquet) or jdbc url")
-    p.add_argument("--dest", required=True, help="dest dir (parquet) or jdbc url")
-    p.add_argument("--page-size", type=int, default=100_000)
-    p.add_argument("--max-parallel", type=int, default=8)
+    p.add_argument("--src", help="source dir (parquet) or jdbc url")
+    p.add_argument("--dest", help="dest dir (parquet) or jdbc url")
+    p.add_argument(
+        "--config",
+        help="YAML config (the reference's -f config.yml); CLI flags override it",
+    )
+    p.add_argument("--page-size", type=int, default=None)
+    p.add_argument("--max-parallel", type=int, default=None)
     p.add_argument(
         "--exclude",
         default="",
@@ -33,14 +37,27 @@ def main(argv: list[str] | None = None) -> int:
     dump.add_argument("--out", default="createSql.log")
     args = p.parse_args(argv)
 
+    cfg = None
+    if args.config:
+        from .config import load_config
+
+        cfg = load_config(args.config)
+    src = args.src or (cfg and cfg.src.host) or None
+    dest = args.dest or (cfg and cfg.dest.host) or None
+    if not src or not dest:
+        p.error("--src/--dest required (directly or via --config)")
+    page_size = args.page_size or (cfg.page_size if cfg else 100_000)
+    max_parallel = args.max_parallel or (min(cfg.max_parallel, 32) if cfg else 8)
+    exclude = [e for e in args.exclude.split(",") if e] or (cfg.exclude if cfg else [])
+
     spark = get_spark("sparksync-cli")
     job = SyncJob(
         spark,
-        args.src,
-        args.dest,
-        page_size=args.page_size,
-        max_parallel=args.max_parallel,
-        exclude=[e for e in args.exclude.split(",") if e],
+        src,
+        dest,
+        page_size=page_size,
+        max_parallel=max_parallel,
+        exclude=exclude,
     )
     tables = job.plan()
     if args.cmd == "full-sync":

@@ -1,0 +1,86 @@
+"""As-of join and sessionization — temporal operators Spark lacks as
+built-ins, composed from existing DataFrame ops (no UDFs).
+
+asof_join: for each left row, the most recent right row with
+right_ts <= left_ts within the same key — implemented as the classic
+union + running last_value(ignorenulls) window, which is a single
+shuffle on (key) and a sort within partitions; no range cross-join.
+At 100 TB this beats an inequality join by orders of magnitude because
+it never materializes candidate pairs.
+
+sessionize: gap-based session ids per key — lag + cumulative sum of
+gap-breaks over one (key, ts) window; single shuffle on key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: list[str],
+) -> DataFrame:
+    """left + for each right_val column, its value from the latest right
+    row at-or-before the left row's timestamp (NULL if none)."""
+    lt = left.select(
+        F.col(key),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        *[F.lit(None).cast(right.schema[v].dataType).alias(f"_r_{v}") for v in right_vals],
+        F.struct(*left.columns).alias("_row"),
+    )
+    rt = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        *[F.col(v).alias(f"_r_{v}") for v in right_vals],
+        F.lit(None).cast(lt.schema["_row"].dataType).alias("_row"),
+    )
+    # right rows sort before left rows at equal timestamps so an exact-
+    # timestamp match is visible to the left row ("at or before")
+    u = lt.unionByName(rt)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_ts"), F.col("_is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        "*",
+        *[
+            F.last(F.col(f"_r_{v}"), ignorenulls=True).over(w).alias(f"_f_{v}")
+            for v in right_vals
+        ],
+    ).where(F.col("_is_left") == 1)
+    return filled.select(
+        F.col("_row.*"),
+        *[F.col(f"_f_{v}").alias(f"asof_{v}") for v in right_vals],
+    )
+
+
+def sessionize(
+    df: DataFrame, key: str, ts: str, gap_minutes: int = 30
+) -> DataFrame:
+    """df + session_id (1-based per key): a new session starts when the
+    gap from the previous event exceeds gap_minutes."""
+    w = Window.partitionBy(key).orderBy(ts)
+    prev = F.lag(F.col(ts)).over(w)
+    # microsecond-exact gap (second-truncation would misclassify
+    # boundary gaps and diverge from the DuckDB oracle's epoch_us)
+    gap_us = F.unix_micros(F.col(ts)) - F.unix_micros(prev)
+    new_sess = F.when(
+        prev.isNull() | (gap_us > gap_minutes * 60 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    return df.withColumn(
+        "session_id",
+        F.sum(new_sess).over(
+            Window.partitionBy(key)
+            .orderBy(ts)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long"),
+    )

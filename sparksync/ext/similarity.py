@@ -61,6 +61,99 @@ def knn_brute(
     )
 
 
+def neardup_pairs_brute(
+    emb: DataFrame,
+    top_n: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup: the top_n most similar distinct pairs
+    (d1 < d2) corpus-wide. All-pairs — the small-SF correctness oracle;
+    the scale path is neardup_pairs_lsh."""
+    e = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
+    a = e.select(F.col(id_col).alias("d1"), F.col("v").alias("va"))
+    b = e.select(F.col(id_col).alias("d2"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("d1") < F.col("d2")).select(
+        "d1", "d2", cosine(F.col("va"), F.col("vb")).alias("cos")
+    )
+    w = Window.orderBy(F.col("cos").desc(), F.col("d1"), F.col("d2"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= top_n)
+        .select("d1", "d2", "rnk")
+    )
+
+
+def _rp_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (sha256-seeded) so runs
+    are reproducible without an RNG at plan time."""
+    import hashlib
+    import struct
+
+    planes = []
+    for p in range(n_planes):
+        row: list[float] = []
+        d = 0
+        while len(row) < dim:
+            h = hashlib.sha256(f"rp:{p}:{d}".encode()).digest()  # 32 bytes
+            row.extend(
+                struct.unpack(">q", h[i : i + 8])[0] / 2**63 for i in range(0, 32, 8)
+            )
+            d += 1
+        planes.append(row[:dim])
+    return planes
+
+
+def neardup_pairs_lsh(
+    emb: DataFrame,
+    top_n: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-projection LSH near-dup: bucket by the sign pattern of
+    n_planes projections, compare only within buckets (plus one-bit
+    neighbor buckets via band split). At 100 TB the candidate set is
+    |bucket|^2 summed, not N^2. Deterministic planes; rows-only check
+    (no SQL analogue) — tests assert high overlap with brute force."""
+    e = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
+    planes = _rp_planes(n_planes, dim)
+    bits = [
+        F.when(dot(F.col("v"), F.array(*[F.lit(x) for x in plane])) >= 0, 1).otherwise(0)
+        for plane in planes
+    ]
+    # two bands of n_planes/2 bits: near-identical vectors agree on at
+    # least one band with high probability
+    half = n_planes // 2
+    band0 = sum(b * (2**i) for i, b in enumerate(bits[:half]))
+    band1 = sum(b * (2**i) for i, b in enumerate(bits[half:]))
+    keyed = e.select(
+        id_col, "v",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), band0.alias("bucket")),
+                F.struct(F.lit(1).alias("band"), band1.alias("bucket")),
+            )
+        ).alias("bk"),
+    ).select(id_col, "v", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    a = keyed.select(F.col(id_col).alias("d1"), F.col("v").alias("va"), "band", "bucket")
+    b = keyed.select(F.col(id_col).alias("d2"), F.col("v").alias("vb"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", "va", "vb")
+        .dropDuplicates(["d1", "d2"])
+    )
+    scored = cand.select("d1", "d2", cosine(F.col("va"), F.col("vb")).alias("cos"))
+    w = Window.orderBy(F.col("cos").desc(), F.col("d1"), F.col("d2"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= top_n)
+        .select("d1", "d2", "rnk")
+    )
+
+
 def ivf_assign(
     emb: DataFrame,
     n_centroids: int = 8,

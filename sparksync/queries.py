@@ -22,7 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .ext import dedup, jsonops, similarity, textops
+from .ext import asof, dedup, jsonops, similarity, textops
 from .source import plan_pages
 
 Tables = (
@@ -665,6 +665,126 @@ from documents
 """
 
 
+def q28_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (ext/asof.asof_join): each event picks up the value of
+    the latest signup at-or-before it for the same user — union + running
+    last_value, one shuffle on user_id, no inequality cross-join."""
+    e = load(spark, sf_dir, "events")
+    right = e.where(F.col("event_type") == "signup").withColumn(
+        "signup_value", _dec("value")
+    )
+    joined = asof.asof_join(
+        e, right, key="user_id", left_ts="ts", right_ts="ts",
+        right_vals=["signup_value"],
+    )
+    return joined.select(
+        "event_id", "user_id", F.col("asof_signup_value").alias("asof_value")
+    )
+
+
+ORACLE_Q28 = """
+with tagged as (
+  select event_id, user_id, ts, 1 as is_left,
+         cast(null as decimal(12,2)) as rv
+  from events
+  union all
+  select null, user_id, ts, 0, cast(value as decimal(12,2))
+  from events where event_type = 'signup'),
+filled as (
+  select event_id, user_id, is_left,
+    last_value(rv ignore nulls) over (
+      partition by user_id order by ts, is_left
+      rows between unbounded preceding and current row) as asof_value
+  from tagged)
+select event_id, user_id, asof_value from filled where is_left = 1
+"""
+
+
+def q29_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (ext/asof.sessionize, 30-min gap):
+    sessions and events per user."""
+    s = asof.sessionize(load(spark, sf_dir, "events"), "user_id", "ts", 30)
+    return s.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+ORACLE_Q29 = """
+with g as (
+  select user_id, ts,
+    case when lag(ts) over w is null
+              or (epoch_us(ts) - epoch_us(lag(ts) over w)) > 1800000000
+         then 1 else 0 end as brk
+  from events window w as (partition by user_id order by ts)),
+s as (
+  select user_id,
+    sum(brk) over (partition by user_id order by ts
+                   rows between unbounded preceding and current row) as session_id
+  from g)
+select user_id, max(session_id) as n_sessions, count(*) as n_events
+from s group by user_id
+"""
+
+
+def q30_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation: distinct customers per order priority."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+ORACLE_Q30 = """
+select o_orderpriority, count(distinct o_custkey) as n_cust,
+       count(*) as n_orders
+from orders group by o_orderpriority
+"""
+
+
+def q31_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: top-5 most similar pairs corpus-wide,
+    exact all-pairs (ext/similarity.neardup_pairs_brute). Scale path is
+    q32 (RP-LSH buckets)."""
+    return similarity.neardup_pairs_brute(load(spark, sf_dir, "embeddings"), top_n=5)
+
+
+ORACLE_Q31 = """
+with e as (select vec_id,
+                  list_transform(embedding, x -> cast(x as double)) as v
+           from embeddings),
+p as (select a.vec_id as d1, b.vec_id as d2,
+             list_cosine_similarity(a.v, b.v) as cos
+      from e a join e b on a.vec_id < b.vec_id)
+select d1, d2, row_number() over (order by cos desc, d1, d2) as rnk
+from p order by cos desc, d1, d2 limit 5
+"""
+
+
+def q32_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RP-LSH bucketed near-dup (ext/similarity.neardup_pairs_lsh) —
+    rows-only (deterministic sha-seeded planes have no SQL analogue);
+    test_ext.py asserts overlap with q31."""
+    return similarity.neardup_pairs_lsh(load(spark, sf_dir, "embeddings"), top_n=5)
+
+
+def q33_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) — full grouping-sets lattice."""
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(_dec("o_totalprice")).cast("decimal(38,2)").alias("sum_price"),
+    )
+
+
+ORACLE_Q33 = """
+select o_orderstatus, o_orderpriority, count(*) as cnt,
+  cast(sum(cast(o_totalprice as decimal(12,2))) as decimal(38,2)) as sum_price
+from orders group by cube (o_orderstatus, o_orderpriority)
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -695,6 +815,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q25_quality_score": q25_quality_score,
     "q26_token_count": q26_token_count,
     "q27_fingerprint": q27_fingerprint,
+    "q28_asof_join": q28_asof_join,
+    "q29_sessionize": q29_sessionize,
+    "q30_distinct_agg": q30_distinct_agg,
+    "q31_embedding_neardup": q31_embedding_neardup,
+    "q32_embedding_neardup_lsh": q32_embedding_neardup_lsh,
+    "q33_cube": q33_cube,
 }
 
 ORACLES: dict[str, str] = {
@@ -725,4 +851,10 @@ ORACLES: dict[str, str] = {
     "q25_quality_score": ORACLE_Q25,
     "q26_token_count": ORACLE_Q26,
     "q27_fingerprint": ORACLE_Q27,
+    "q28_asof_join": ORACLE_Q28,
+    "q29_sessionize": ORACLE_Q29,
+    "q30_distinct_agg": ORACLE_Q30,
+    "q31_embedding_neardup": ORACLE_Q31,
+    # q32 rows-only: sha-seeded RP planes have no SQL analogue
+    "q33_cube": ORACLE_Q33,
 }

@@ -66,8 +66,9 @@ def norm_cell(v):
 
 def rows_to_multiset(columns, rows):
     order = sorted(range(len(columns)), key=lambda i: columns[i])
+    # repr as sort key: NULLs and mixed types have no natural order
     out = sorted(
-        tuple(norm_cell(r[i]) for i in order) for r in rows
+        (tuple(norm_cell(r[i]) for i in order) for r in rows), key=repr
     )
     return [columns[i] for i in order], out
 

@@ -58,6 +58,35 @@ def test_ivf_recall(emb):
     assert overlap >= 5, (brute, ivf)
 
 
+def test_rp_lsh_overlaps_brute(emb):
+    brute = {(r["d1"], r["d2"]) for r in
+             similarity.neardup_pairs_brute(emb, top_n=5).collect()}
+    lsh = {(r["d1"], r["d2"]) for r in
+           similarity.neardup_pairs_lsh(emb, top_n=5).collect()}
+    # RP-LSH with 2 bands of 4 bits keeps most of the true top pairs
+    assert len(brute & lsh) >= 2, (sorted(brute), sorted(lsh))
+
+
+def test_asof_join_semantics(spark):
+    from sparksync.ext.asof import asof_join, sessionize
+
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 200, "b"), (2, 50, "c")], "k long, t long, who string"
+    ).withColumn("t", F.timestamp_micros(F.col("t") * 1_000_000))
+    right = spark.createDataFrame(
+        [(1, 100, 10.0), (1, 150, 20.0), (2, 60, 30.0)], "k long, t long, v double"
+    ).withColumn("t", F.timestamp_micros(F.col("t") * 1_000_000))
+    out = {
+        r["who"]: r["asof_v"]
+        for r in asof_join(left, right, "k", "t", "t", ["v"]).collect()
+    }
+    assert out == {"a": 10.0, "b": 20.0, "c": None}  # exact-ts matches; no future rows
+
+    sess = sessionize(left, "k", "t", gap_minutes=1)
+    got = {(r["who"], r["session_id"]) for r in sess.collect()}
+    assert got == {("a", 1), ("b", 2), ("c", 1)}  # 100s gap > 1min splits
+
+
 def test_multimodal_stub_plumbing(spark):
     rows = [
         (1, "image", b"fakejpegbytes", 8, 8),
