@@ -78,8 +78,10 @@ def fabricate_oracle_column(field: T.StructField, ordinal: int) -> OracleColumn:
         return OracleColumn(name, "NUMBER", precision=19, scale=0, avg_col_len=7, ordinal=ordinal)
     if isinstance(dt, T.DoubleType):
         return OracleColumn(name, "NUMBER", precision=12, scale=2, ordinal=ordinal)
-    if isinstance(dt, T.TimestampType):
-        # orders/lineitem dates are Oracle DATE; events.ts is TIMESTAMP
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        # orders/lineitem dates are Oracle DATE; events.ts is TIMESTAMP.
+        # Spark 4 reads tz-naive parquet timestamps as TimestampNTZType
+        # (inferTimestampNTZ), so both flavors must land here.
         if name == "ts":
             return OracleColumn(name, "TIMESTAMP", scale=6, ordinal=ordinal)
         return OracleColumn(name, "DATE", ordinal=ordinal)

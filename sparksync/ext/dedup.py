@@ -23,8 +23,12 @@ from pyspark.sql import functions as F
 from .textops import tokens
 
 SHINGLE_N = 3
-MINHASH_K = 128
-LSH_BANDS = 32
+# 16 bands x 4 rows = 64 hashes: P(candidate | j=0.8) = 1-(1-0.8^4)^16
+# ~ 0.9998, and candidates are verified exactly afterwards, so the only
+# risk is a vanishing false-negative rate; halving K from 128 halves
+# both the signature aggregation width and plan-compile cost.
+MINHASH_K = 64
+LSH_BANDS = 16
 LSH_ROWS = 4  # K = bands * rows
 
 
@@ -91,13 +95,26 @@ def jaccard_pairs(
 def minhash_signatures(
     sh: DataFrame, id_col: str = "doc_id", k: int = MINHASH_K
 ) -> DataFrame:
-    """K minhash values per doc: h_i = min over shingles of
-    xxhash64(i, shingle). One groupBy over the shingle explosion; the K
-    mins are map-side partial aggregates (no extra shuffle per hash)."""
+    """K minhash values per doc via double hashing: h_i(s) = a(s) + i*b(s)
+    with a,b two independent xxhash64 seeds — 2 hash evaluations per
+    shingle instead of K (the standard Kirsch-Mitzenmacher construction),
+    then K map-side partial min aggregates in one groupBy pass."""
+    mask32 = F.lit(0xFFFFFFFF)
+    base = sh.select(
+        F.col(id_col),
+        # 32-bit ranges keep a + K*b far from int64 overflow (ANSI mode
+        # throws on wraparound); 32-bit minhash resolution is ample
+        F.xxhash64(F.lit("a"), F.col("shingle")).bitwiseAND(mask32).alias("_ha"),
+        # force b odd so the stride never degenerates to 0
+        F.xxhash64(F.lit("b"), F.col("shingle"))
+        .bitwiseAND(mask32)
+        .bitwiseOR(F.lit(1))
+        .alias("_hb"),
+    )
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(k)
+        F.min(F.col("_ha") + F.lit(i) * F.col("_hb")).alias(f"h{i}") for i in range(k)
     ]
-    return sh.groupBy(id_col).agg(*mins)
+    return base.groupBy(id_col).agg(*mins)
 
 
 def minhash_dedup_pairs(

@@ -43,6 +43,43 @@ def windowed_counts(events: DataFrame, window: str = "1 hour", late: str = "2 ho
     )
 
 
+RUNNING_STATS_SCHEMA = "user_id long, events_seen long, value_sum double"
+_STATE_SCHEMA = "events_seen long, value_sum double"
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count + value sum maintained across micro-batches.
+    This is the escape hatch for semantics windowed aggs can't express
+    (the state lives between triggers); Arrow-batched so the Python hop
+    is amortized. State size is O(distinct users) — bounded, and a
+    production deployment adds a state timeout."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        seen, vsum = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            seen += len(pdf)
+            vsum += float(pdf["value"].sum())
+        state.update((seen, vsum))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "events_seen": [seen], "value_sum": [vsum]}
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=RUNNING_STATS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def incremental_sync(
     events: DataFrame,
     out_dir: str,

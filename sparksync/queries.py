@@ -785,6 +785,53 @@ from orders group by cube (o_orderstatus, o_orderpriority)
 """
 
 
+def q34_ddl_typemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-mapping parity check (tablemeta.go:133-158 via typemap.py):
+    the engine's fabricated-catalog -> MySQL/Spark type decisions for
+    five tables, as data. The oracle is a hand-written golden VALUES
+    list derived from FIXTURES.md — independent of this code path."""
+    from .catalog import FixtureCatalog
+
+    cat = FixtureCatalog(spark, sf_dir)
+    rows = []
+    for t in ("region", "customer", "orders", "events", "documents"):
+        for mc in cat.table_spec(t).mapped():
+            rows.append((t, mc.name, mc.mysql_type, mc.spark_type.simpleString()))
+    return spark.createDataFrame(
+        rows, "table_name string, column_name string, mysql_type string, spark_type string"
+    )
+
+
+ORACLE_Q34 = """
+select * from (values
+  ('region','r_regionkey','int','int'),
+  ('region','r_name','varchar(255)','string'),
+  ('customer','c_custkey','bigint','bigint'),
+  ('customer','c_name','varchar(255)','string'),
+  ('customer','c_nationkey','int','int'),
+  ('customer','c_acctbal','decimal(12,2)','decimal(12,2)'),
+  ('customer','c_mktsegment','char(10)','string'),
+  ('orders','o_orderkey','bigint','bigint'),
+  ('orders','o_custkey','bigint','bigint'),
+  ('orders','o_orderstatus','char(1)','string'),
+  ('orders','o_totalprice','decimal(12,2)','decimal(12,2)'),
+  ('orders','o_orderdate','datetime','timestamp'),
+  ('orders','o_orderpriority','varchar(255)','string'),
+  ('events','event_id','bigint','bigint'),
+  ('events','ts','datetime(6)','timestamp'),
+  ('events','user_id','bigint','bigint'),
+  ('events','event_type','varchar(255)','string'),
+  ('events','value','decimal(12,2)','decimal(12,2)'),
+  ('events','props','longtext','string'),
+  ('documents','doc_id','bigint','bigint'),
+  ('documents','text','longtext','string'),
+  ('documents','lang','char(2)','string'),
+  ('documents','source','varchar(255)','string'),
+  ('documents','n_chars','bigint','bigint')
+) as t(table_name, column_name, mysql_type, spark_type)
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -821,6 +868,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q31_embedding_neardup": q31_embedding_neardup,
     "q32_embedding_neardup_lsh": q32_embedding_neardup_lsh,
     "q33_cube": q33_cube,
+    "q34_ddl_typemap": q34_ddl_typemap,
 }
 
 ORACLES: dict[str, str] = {
@@ -857,4 +905,5 @@ ORACLES: dict[str, str] = {
     "q31_embedding_neardup": ORACLE_Q31,
     # q32 rows-only: sha-seeded RP planes have no SQL analogue
     "q33_cube": ORACLE_Q33,
+    "q34_ddl_typemap": ORACLE_Q34,
 }

@@ -88,10 +88,11 @@ class SyncJob:
         return rep
 
     def _sync_one(self, table: str) -> None:
+        # no count() here: on parquet the scan is already split by
+        # rowgroup; the page plan (plan_pages) only matters on the JDBC
+        # path where source.py derives read predicates from it — an
+        # extra count() per table would be a full second scan
         df = self.source.read(table)
-        # the page plan is informational on parquet (the scan is already
-        # split by rowgroup); on JDBC it drives predicates (source.py)
-        plan_pages(df.count(), table, self.page_size)
         self.sink.write(df, table, mode="overwrite")
 
     def data_phase(self, tables: list[str]) -> PhaseReport:

@@ -35,6 +35,57 @@ def test_incremental_sync_two_batches(spark, tmp_path):
     assert got.select("event_id").distinct().count() == events.count()
 
 
+def test_stateful_running_stats(spark, tmp_path):
+    """applyInPandasWithState: state persists across two availableNow
+    drains — the second run's counts include the first run's events."""
+    events = load_table(spark, SF_SMOKE, "events")
+    src = str(tmp_path / "in3")
+    out = str(tmp_path / "stats")
+    ckpt = str(tmp_path / "ckpt3")
+    events.where("event_id < 500").write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def drain():
+        s = stream.read_event_stream(spark, src, schema, max_files=10)
+
+        def sink(batch, _bid):
+            # parquet has no update-mode sink; foreachBatch appends the
+            # per-trigger update rows instead
+            batch.write.mode("append").parquet(out)
+
+        q = (
+            stream.running_user_stats(s)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    events.where("event_id >= 500").write.mode("append").parquet(src)
+    drain()
+    got = spark.read.parquet(out)
+    # last emission per user must equal the full-batch totals
+    from pyspark.sql import functions as F
+
+    final = {
+        r["user_id"]: (r["events_seen"], round(r["value_sum"], 2))
+        for r in got.groupBy("user_id")
+        .agg(F.max("events_seen").alias("events_seen"),
+             F.max("value_sum").alias("value_sum"))
+        .collect()
+    }
+    batch = {
+        r["user_id"]: (r["cnt"], round(r["s"], 2))
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert final == batch
+
+
 def test_windowed_counts_match_batch(spark, tmp_path):
     events = load_table(spark, SF_SMOKE, "events")
     src = str(tmp_path / "in2")
