@@ -71,8 +71,10 @@ def sessionize(
     w = Window.partitionBy(key).orderBy(ts)
     prev = F.lag(F.col(ts)).over(w)
     # microsecond-exact gap (second-truncation would misclassify
-    # boundary gaps and diverge from the DuckDB oracle's epoch_us)
-    gap_us = F.unix_micros(F.col(ts)) - F.unix_micros(prev)
+    # boundary gaps and diverge from the DuckDB oracle's epoch_us);
+    # timestampdiff works on both TIMESTAMP and TIMESTAMP_NTZ, which
+    # matters because the fixture's nanos column loads as NTZ
+    gap_us = F.timestamp_diff("MICROSECOND", prev, F.col(ts))
     new_sess = F.when(
         prev.isNull() | (gap_us > gap_minutes * 60 * 1_000_000), F.lit(1)
     ).otherwise(F.lit(0))

@@ -29,6 +29,17 @@ def read_event_stream(
 def windowed_counts(events: DataFrame, window: str = "1 hour", late: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window counts per event_type — late rows
     beyond `late` are dropped, bounding state at scale."""
+    # Watermarks require TIMESTAMP (an instant); the batch loader emits
+    # NTZ for the fixture's naive nanos column. Pin wall-clock == UTC via
+    # epoch arithmetic — a plain cast would route through session tz.
+    if dict(events.dtypes).get("ts") == "timestamp_ntz":
+        events = events.withColumn(
+            "ts",
+            F.expr(
+                "timestamp_micros(timestampdiff(MICROSECOND,"
+                " timestamp_ntz '1970-01-01 00:00:00', ts))"
+            ),
+        )
     return (
         events.withWatermark("ts", late)
         .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))

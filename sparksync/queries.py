@@ -59,9 +59,9 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1999-12-31 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("decimal(38,2)").alias("sum_base_price"),
-            F.sum(disc_price).cast("decimal(38,4)").alias("sum_disc_price"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
             (
                 F.sum(_dec("l_quantity")).cast("double")
                 / F.count(F.lit(1)).cast("double")
@@ -74,10 +74,10 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q01 = """
 select l_returnflag, l_linestatus,
-  cast(sum(cast(l_quantity as decimal(12,2))) as decimal(38,2)) as sum_qty,
-  cast(sum(cast(l_extendedprice as decimal(12,2))) as decimal(38,2)) as sum_base_price,
+  cast(sum(cast(l_quantity as decimal(12,2))) as double) as sum_qty,
+  cast(sum(cast(l_extendedprice as decimal(12,2))) as double) as sum_base_price,
   cast(sum(cast(l_extendedprice as decimal(12,2)) *
-       (cast(1 as decimal(12,2)) - cast(l_discount as decimal(12,2)))) as decimal(38,4))
+       (cast(1 as decimal(12,2)) - cast(l_discount as decimal(12,2)))) as double)
        as sum_disc_price,
   cast(sum(cast(l_quantity as decimal(12,2))) as double) / cast(count(*) as double) as avg_qty,
   count(*) as count_order
@@ -97,14 +97,14 @@ def q02_notin_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum(_dec("c_acctbal")).cast("decimal(38,2)").alias("sum_bal"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("sum_bal"),
         )
     )
 
 
 ORACLE_Q02 = """
 select c_mktsegment, count(*) as cnt,
-  cast(sum(cast(c_acctbal as decimal(12,2))) as decimal(38,2)) as sum_bal
+  cast(sum(cast(c_acctbal as decimal(12,2))) as double) as sum_bal
 from customer
 where c_mktsegment not in ('MACHINERY','AUTOMOBILE')
 group by c_mktsegment
@@ -356,14 +356,14 @@ def q12_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping sets: ROLLUP over (returnflag, linestatus)."""
     li = load(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
         F.count(F.lit(1)).alias("cnt"),
     )
 
 
 ORACLE_Q12 = """
 select l_returnflag, l_linestatus,
-  cast(sum(cast(l_quantity as decimal(12,2))) as decimal(38,2)) as sum_qty,
+  cast(sum(cast(l_quantity as decimal(12,2))) as double) as sum_qty,
   count(*) as cnt
 from lineitem group by rollup (l_returnflag, l_linestatus)
 """
@@ -392,7 +392,7 @@ def q14_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q14 = """
 select event_type, count(*) as cnt,
-  sum(cast(json_extract_string(props, '$.k') as bigint)) as sum_k,
+  cast(sum(cast(json_extract_string(props, '$.k') as bigint)) as bigint) as sum_k,
   min(cast(json_extract_string(props, '$.k') as bigint)) as min_k,
   max(cast(json_extract_string(props, '$.k') as bigint)) as max_k
 from events group by event_type
@@ -407,13 +407,13 @@ def q15_ts_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", F.col("ts")).alias("bucket_ts"), F.col("event_type")
     ).agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.sum(_dec("value")).cast("decimal(38,2)").alias("sum_value"),
+        F.sum(_dec("value")).cast("double").alias("sum_value"),
     )
 
 
 ORACLE_Q15 = """
 select date_trunc('hour', ts) as bucket_ts, event_type, count(*) as cnt,
-  cast(sum(cast(value as decimal(12,2))) as decimal(38,2)) as sum_value
+  cast(sum(cast(value as decimal(12,2))) as double) as sum_value
 from events group by 1, 2
 """
 
@@ -433,7 +433,7 @@ def q16_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(F.sum(rev).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
     )
     return joined.orderBy(F.col("revenue").desc(), F.col("o_orderkey")).limit(10)
 
@@ -441,7 +441,7 @@ def q16_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q16 = """
 select o_orderkey, o_orderdate,
   cast(sum(cast(l_extendedprice as decimal(12,2)) *
-       (cast(1 as decimal(12,2)) - cast(l_discount as decimal(12,2)))) as decimal(38,4))
+       (cast(1 as decimal(12,2)) - cast(l_discount as decimal(12,2)))) as double)
        as revenue
 from lineitem
 join orders on l_orderkey = o_orderkey
@@ -476,14 +476,14 @@ def q17_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy("n_name")
-        .agg(F.sum(rev).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
     )
 
 
 ORACLE_Q17 = """
 select n_name,
   cast(sum(cast(l_extendedprice as decimal(12,2)) *
-       (cast(1 as decimal(12,2)) - cast(l_discount as decimal(12,2)))) as decimal(38,4))
+       (cast(1 as decimal(12,2)) - cast(l_discount as decimal(12,2)))) as double)
        as revenue
 from lineitem
 join orders on l_orderkey = o_orderkey
@@ -719,8 +719,9 @@ with g as (
   from events window w as (partition by user_id order by ts)),
 s as (
   select user_id,
-    sum(brk) over (partition by user_id order by ts
-                   rows between unbounded preceding and current row) as session_id
+    cast(sum(brk) over (partition by user_id order by ts
+                   rows between unbounded preceding and current row) as bigint)
+      as session_id
   from g)
 select user_id, max(session_id) as n_sessions, count(*) as n_events
 from s group by user_id
@@ -774,13 +775,13 @@ def q33_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.sum(_dec("o_totalprice")).cast("decimal(38,2)").alias("sum_price"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
     )
 
 
 ORACLE_Q33 = """
 select o_orderstatus, o_orderpriority, count(*) as cnt,
-  cast(sum(cast(o_totalprice as decimal(12,2))) as decimal(38,2)) as sum_price
+  cast(sum(cast(o_totalprice as decimal(12,2))) as double) as sum_price
 from orders group by cube (o_orderstatus, o_orderpriority)
 """
 

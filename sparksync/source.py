@@ -30,9 +30,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (spark.sql.legacy.parquet.nanosAsLong in session.py): convert
     ns -> us with integer division — ns-since-epoch exceeds double
     precision, so `div`, never `/`."""
+    try:
+        # Must hold in *any* caller-supplied session (the driver's harness
+        # builds its own), not just our session.py builder. Runtime-settable
+        # on PySpark 4.x; guarded for Sparks without the legacy knob.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if "ts" in df.columns and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        # NTZ, not LTZ: the parquet column is TIMESTAMP(NANOS, adjusted=false)
+        # i.e. a wall-clock value, and Spark reads the sibling MILLIS/MICROS
+        # columns as TIMESTAMP_NTZ — keep the engine timezone-independent.
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000,"
+                " timestamp_ntz '1970-01-01 00:00:00')"
+            ),
+        )
     return df
 
 

@@ -116,11 +116,23 @@ class SyncJob:
         compare.go:15,130)."""
         out: list[CompareResult] = []
         fn = compare_checksum if checksum else compare_counts
+
+        def one(t: str) -> CompareResult:
+            # count-and-continue like the reference's compareDb: a missing
+            # or unreadable destination is a per-table failure, not a crash
+            try:
+                src = self.source.read(t)
+            except Exception:  # noqa: BLE001
+                return CompareResult(table=t, src_count=0, dst_count=0, dest_exists=False)
+            try:
+                return fn(src, self.sink.read(t), t)
+            except Exception:  # noqa: BLE001
+                return CompareResult(
+                    table=t, src_count=src.count(), dst_count=0, dest_exists=False
+                )
+
         with ThreadPoolExecutor(max_workers=self.max_parallel) as ex:
-            futs = [
-                ex.submit(fn, self.source.read(t), self.sink.read(t), t) for t in tables
-            ]
-            for f in futs:
+            for f in [ex.submit(one, t) for t in tables]:
                 out.append(f.result())
         return out
 
