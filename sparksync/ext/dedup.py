@@ -69,7 +69,10 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact shingle-set Jaccard >= threshold via inverted-index
     self-join. Output: (d1, d2, jacc), d1 < d2."""
-    sh = shingles(df, id_col, text_col).cache()
+    # no .cache(): shingles are a narrow recompute from the scan, and
+    # pinning a ~10x-text-size exploded set in executor memory is the
+    # wrong trade at 100 TB (and leaks across calls in one session)
+    sh = shingles(df, id_col, text_col)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col(id_col).alias("d1"), "shingle")
     b = sh.select(F.col(id_col).alias("d2"), "shingle")
@@ -128,7 +131,7 @@ def minhash_dedup_pairs(
     """LSH candidates -> exact-Jaccard verification. The scale path: at
     100 TB the bucket join touches only colliding signatures instead of
     every shingle posting list."""
-    sh = shingles(df, id_col, text_col).cache()
+    sh = shingles(df, id_col, text_col)
     sig = minhash_signatures(sh, id_col, k=bands * rows)
     band_keys = F.array(
         *[

@@ -37,6 +37,18 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+
+def _ranked_topk(scored: DataFrame, k: int, order: list[Column], out) -> DataFrame:
+    """Parallel top-k: orderBy().limit(k) compiles to TakeOrderedAndProject
+    (per-partition heap top-k + a k*partitions driver merge) — never the
+    single-partition Exchange a global Window would force at 100 TB. The
+    row_number stamp runs on the <=k survivors only, so its one-partition
+    window is k rows, not the corpus."""
+    top = scored.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return top.withColumn("rnk", F.row_number().over(w).cast("long")).select(*out)
+
+
 def knn_brute(
     emb: DataFrame,
     query_id: int,
@@ -53,11 +65,10 @@ def knn_brute(
         .crossJoin(F.broadcast(q))
         .select(F.col(id_col), cosine(F.col("v"), F.col("qv")).alias("cos"))
     )
-    w = Window.orderBy(F.col("cos").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= k)
-        .select(F.col(id_col).alias("neighbor_id"), "rnk")
+    return _ranked_topk(
+        scored, k,
+        [F.col("cos").desc(), F.col(id_col)],
+        [F.col(id_col).alias("neighbor_id"), "rnk"],
     )
 
 
@@ -76,11 +87,10 @@ def neardup_pairs_brute(
     pairs = a.join(b, F.col("d1") < F.col("d2")).select(
         "d1", "d2", cosine(F.col("va"), F.col("vb")).alias("cos")
     )
-    w = Window.orderBy(F.col("cos").desc(), F.col("d1"), F.col("d2"))
-    return (
-        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= top_n)
-        .select("d1", "d2", "rnk")
+    return _ranked_topk(
+        pairs, top_n,
+        [F.col("cos").desc(), F.col("d1"), F.col("d2")],
+        ["d1", "d2", "rnk"],
     )
 
 
@@ -107,36 +117,65 @@ def _rp_planes(n_planes: int, dim: int) -> list[list[float]]:
 def neardup_pairs_lsh(
     emb: DataFrame,
     top_n: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 16,
+    n_bands: int = 4,
     dim: int = 64,
+    bucket_cap: int | None = 10_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Random-projection LSH near-dup: bucket by the sign pattern of
-    n_planes projections, compare only within buckets (plus one-bit
-    neighbor buckets via band split). At 100 TB the candidate set is
-    |bucket|^2 summed, not N^2. Deterministic planes; rows-only check
-    (no SQL analogue) — tests assert high overlap with brute force."""
+    sign projections, compare only within buckets. n_bands bands of
+    n_planes/n_bands bits each: a pair is a candidate if it agrees on
+    any one band, so recall stays high while each band's join is
+    bucketed. At 100 TB the candidate set is sum(|bucket|^2), not N^2.
+
+    bucket_cap bounds the quadratic term: any (band, bucket) holding
+    more than bucket_cap vectors is re-split by appending the next
+    band's bits (16-way), trading recall inside oversized buckets for a
+    bounded join. The cap check is one map-side-combinable count over
+    the keys plus a broadcast join — no extra shuffle of vectors.
+    Deterministic planes; rows-only gate check (no SQL analogue) —
+    tests assert overlap with brute force."""
+    if n_planes % n_bands:
+        raise ValueError("n_planes must divide evenly into n_bands")
+    width = n_planes // n_bands
     e = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
     planes = _rp_planes(n_planes, dim)
     bits = [
         F.when(dot(F.col("v"), F.array(*[F.lit(x) for x in plane])) >= 0, 1).otherwise(0)
         for plane in planes
     ]
-    # two bands of n_planes/2 bits: near-identical vectors agree on at
-    # least one band with high probability
-    half = n_planes // 2
-    band0 = sum(b * (2**i) for i, b in enumerate(bits[:half]))
-    band1 = sum(b * (2**i) for i, b in enumerate(bits[half:]))
+    band_vals = [
+        sum(b * (2**i) for i, b in enumerate(bits[bi * width : (bi + 1) * width]))
+        for bi in range(n_bands)
+    ]
     keyed = e.select(
-        id_col, "v",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("band"), band0.alias("bucket")),
-                F.struct(F.lit(1).alias("band"), band1.alias("bucket")),
+        id_col,
+        "v",
+        F.array(*[v.cast("long") for v in band_vals]).alias("_bands"),
+    ).select(
+        id_col,
+        "v",
+        "_bands",
+        F.posexplode(F.col("_bands")).alias("band", "bucket"),
+    )
+    if bucket_cap is not None:
+        sizes = keyed.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
+        nxt = F.element_at(F.col("_bands"), ((F.col("band") + 1) % n_bands) + 1)
+        keyed = keyed.join(F.broadcast(sizes), ["band", "bucket"]).select(
+            id_col,
+            "v",
+            "band",
+            # +2^width offset keeps refined keys disjoint from the
+            # un-refined [0, 2^width) key range
+            F.when(
+                F.col("_n") > bucket_cap,
+                (F.col("bucket") + 1) * (2**width) + nxt,
             )
-        ).alias("bk"),
-    ).select(id_col, "v", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+            .otherwise(F.col("bucket"))
+            .alias("bucket"),
+        )
     a = keyed.select(F.col(id_col).alias("d1"), F.col("v").alias("va"), "band", "bucket")
     b = keyed.select(F.col(id_col).alias("d2"), F.col("v").alias("vb"), "band", "bucket")
     cand = (
@@ -146,11 +185,10 @@ def neardup_pairs_lsh(
         .dropDuplicates(["d1", "d2"])
     )
     scored = cand.select("d1", "d2", cosine(F.col("va"), F.col("vb")).alias("cos"))
-    w = Window.orderBy(F.col("cos").desc(), F.col("d1"), F.col("d2"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= top_n)
-        .select("d1", "d2", "rnk")
+    return _ranked_topk(
+        scored, top_n,
+        [F.col("cos").desc(), F.col("d1"), F.col("d2")],
+        ["d1", "d2", "rnk"],
     )
 
 
@@ -211,9 +249,8 @@ def ivf_search(
         .crossJoin(F.broadcast(q))
         .select(F.col(id_col), cosine(F.col("v"), F.col("qv")).alias("cos"))
     )
-    w = Window.orderBy(F.col("cos").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= k)
-        .select(F.col(id_col).alias("neighbor_id"), "rnk")
+    return _ranked_topk(
+        scored, k,
+        [F.col("cos").desc(), F.col(id_col)],
+        [F.col(id_col).alias("neighbor_id"), "rnk"],
     )

@@ -199,7 +199,3 @@ class TableSpec:
     def mapped(self) -> list[MappedColumn]:
         return [map_column(c) for c in sorted(self.columns, key=lambda c: c.ordinal)]
 
-
-def spark_type_from_parquet(dt: T.DataType) -> OracleColumn | None:
-    """Inverse direction used by the fixture catalog: see catalog.py."""
-    return None
