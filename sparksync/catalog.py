@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .ddl import FkSpec, IndexSpec
 from .typemap import OracleColumn, TableSpec
 
 CORE_TABLES = [
@@ -56,6 +57,80 @@ _CHAR_COLS = {
     "l_returnflag": 1,
     "l_linestatus": 1,
     "lang": 2,
+}
+
+
+# --------------------------------------------------------------------------
+# Fixture object catalog: what USER_INDEXES / USER_CONSTRAINTS /
+# USER_TRIGGERS / USER_VIEWS / USER_TAB_COMMENTS would hold for an Oracle
+# schema containing these tables (the dictionary scans at
+# /root/reference/cmd/tablemeta.go:194-310,367-427 return exactly these
+# shapes). Keyed lowercase; names follow the TPC-H relationships.
+# --------------------------------------------------------------------------
+
+FIXTURE_PRIMARY_KEYS: dict[str, list[str]] = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey", "l_linenumber"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+FIXTURE_SECONDARY_INDEXES: list[IndexSpec] = [
+    IndexSpec("nation", "idx_nation_regionkey", ["n_regionkey"]),
+    IndexSpec("nation", "uk_nation_name", ["n_name"], uniqueness="UNIQUE"),
+    IndexSpec("customer", "idx_customer_nationkey", ["c_nationkey"]),
+    IndexSpec("orders", "idx_orders_custkey", ["o_custkey"]),
+    IndexSpec("lineitem", "idx_lineitem_part_supp", ["l_partkey", "l_suppkey"]),
+    IndexSpec("events", "idx_events_user_ts", ["user_id", "ts"]),
+]
+
+FIXTURE_FOREIGN_KEYS: list[FkSpec] = [
+    FkSpec("nation", "fk_nation_region", ["n_regionkey"], "region", ["r_regionkey"]),
+    FkSpec("customer", "fk_customer_nation", ["c_nationkey"], "nation", ["n_nationkey"]),
+    FkSpec("supplier", "fk_supplier_nation", ["s_nationkey"], "nation", ["n_nationkey"]),
+    FkSpec("orders", "fk_orders_customer", ["o_custkey"], "customer", ["c_custkey"]),
+    FkSpec(
+        "lineitem", "fk_lineitem_orders", ["l_orderkey"], "orders", ["o_orderkey"],
+        delete_rule="CASCADE",
+    ),
+    FkSpec("lineitem", "fk_lineitem_part", ["l_partkey"], "part", ["p_partkey"]),
+    FkSpec("lineitem", "fk_lineitem_supplier", ["l_suppkey"], "supplier", ["s_suppkey"]),
+    FkSpec("embeddings", "fk_embeddings_doc", ["vec_id"], "documents", ["doc_id"]),
+]
+
+FIXTURE_TABLE_COMMENTS: dict[str, str] = {
+    "region": "TPC-H region dimension",
+    "orders": "order headers, one row per order",
+    "documents": "raw text corpus for the LLM-pipeline operators",
+}
+
+#: trigger bodies as USER_TRIGGERS.trigger_body returns them
+#: (tablemeta.go:233-276 detects the seq.NEXTVAL auto-increment pattern)
+FIXTURE_TRIGGERS: dict[str, list[str]] = {
+    "events": [
+        "BEGIN\n  SELECT EVENTS_SEQ.NEXTVAL INTO:NEW.EVENT_ID FROM SYS.DUAL;\nEND;"
+    ],
+}
+
+#: view name -> Oracle view text (USER_VIEWS.text), rewritten by R2
+FIXTURE_VIEWS: dict[str, str] = {
+    "v_order_revenue": (
+        'select o_orderkey, nvl(o_totalprice, 0) as revenue from "orders"'
+    ),
+}
+
+#: raw DBMS_METADATA.GET_DDL output for function-based indexes (R3 input)
+FIXTURE_FUNCTION_INDEX_DDLS: dict[str, list[str]] = {
+    "documents": [
+        'CREATE INDEX "APP"."IDX_DOCUMENTS_LANG_UP" ON "DOCUMENTS" '
+        '(UPPER("LANG"))\n  PCTFREE 10 INITRANS 2 MAXTRANS 255 COMPUTE STATISTICS'
+    ],
 }
 
 
@@ -153,6 +228,48 @@ class FixtureCatalog:
             "avg_col_len int, column_id int"
         )
         return self.spark.createDataFrame(rows, schema)
+
+    def current_user(self) -> str:
+        """S16 (cmd/tablemeta.go:322): the reference prints `select user
+        from dual`; Spark's analogue is the session's current_user()."""
+        return self.spark.sql("select current_user() as u").collect()[0][0]
+
+    # -- object scans (S9/S10/S11/S13/S14), fabricated like the columns --
+
+    def indexes(self, table: str) -> list[IndexSpec]:
+        """S9 (tablemeta.go:194-215): PK first, then secondary indexes in
+        name order — the ORDER BY of the reference's catalog SQL."""
+        out: list[IndexSpec] = []
+        pk = FIXTURE_PRIMARY_KEYS.get(table.lower())
+        if pk:
+            out.append(
+                IndexSpec(table, f"pk_{table.lower()}", pk, "UNIQUE", constraint_type="P")
+            )
+        out.extend(
+            ix for ix in sorted(FIXTURE_SECONDARY_INDEXES, key=lambda i: i.index_name)
+            if ix.table == table.lower()
+        )
+        return out
+
+    def foreign_keys(self, table: str) -> list[FkSpec]:
+        """S11 (tablemeta.go:289-310)."""
+        return [fk for fk in FIXTURE_FOREIGN_KEYS if fk.table == table.lower()]
+
+    def trigger_bodies(self, table: str) -> list[str]:
+        """S10 (tablemeta.go:233-276)."""
+        return FIXTURE_TRIGGERS.get(table.lower(), [])
+
+    def table_comment(self, table: str) -> str | None:
+        """S13 (tablemeta.go:367-388)."""
+        return FIXTURE_TABLE_COMMENTS.get(table.lower())
+
+    def function_index_ddls(self, table: str) -> list[str]:
+        """S12 (tablemeta.go:339): raw DBMS_METADATA DDL needing cleanup."""
+        return FIXTURE_FUNCTION_INDEX_DDLS.get(table.lower(), [])
+
+    def views(self) -> dict[str, str]:
+        """S14 (tablemeta.go:417-427)."""
+        return dict(FIXTURE_VIEWS)
 
     def ordered_column_list(self, table: str) -> str:
         """S5 (cmd/root.go:313-317): the ordered, quoted projection list

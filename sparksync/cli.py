@@ -6,16 +6,22 @@ from __future__ import annotations
 
 import argparse
 import json
+import signal
 import sys
 
 from .session import get_spark
-from .sync import SyncJob
+from .sync import SyncJob, render_report, write_report
 
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="sparksync")
-    p.add_argument("--src", help="source dir (parquet) or jdbc url")
-    p.add_argument("--dest", help="dest dir (parquet) or jdbc url")
+    p.add_argument("--src", help="source parquet dir (JDBC endpoints plug in via the library)")
+    p.add_argument("--dest", help="dest parquet dir")
+    p.add_argument(
+        "--log-dir",
+        help="per-run log dir (the reference's run log folder, cmd/root.go:52-67): "
+        "writes run_NNNN/summary.txt + report.json",
+    )
     p.add_argument(
         "--config",
         help="YAML config (the reference's -f config.yml); CLI flags override it",
@@ -46,6 +52,11 @@ def main(argv: list[str] | None = None) -> int:
     dest = args.dest or (cfg and cfg.dest.host) or None
     if not src or not dest:
         p.error("--src/--dest required (directly or via --config)")
+    if str(src).startswith("jdbc:") or str(dest).startswith("jdbc:"):
+        # JdbcSource/JdbcSink exist in the library but this CLI drives the
+        # parquet fixture pair only — fail loudly instead of treating a
+        # jdbc url as a local directory
+        p.error("jdbc: endpoints are not wired into this CLI; use the library API")
     page_size = args.page_size or (cfg.page_size if cfg else 100_000)
     max_parallel = args.max_parallel or (min(cfg.max_parallel, 32) if cfg else 8)
     exclude = [e for e in args.exclude.split(",") if e] or (cfg.exclude if cfg else [])
@@ -58,11 +69,25 @@ def main(argv: list[str] | None = None) -> int:
         page_size=page_size,
         max_parallel=max_parallel,
         exclude=exclude,
+        table_sql=(cfg.tables if cfg else None),
     )
+
+    # C3 graceful cancel (cmd/app.go:213-243): first Ctrl-C revokes every
+    # job in the sync's job group, then exits 130
+    def _on_sigint(_sig, _frame):
+        print("cancelling sparksync jobs ...", file=sys.stderr)
+        job.cancel()
+        sys.exit(130)
+
+    signal.signal(signal.SIGINT, _on_sigint)
+
     tables = job.plan()
     if args.cmd == "full-sync":
         rep = job.run()
         _print_report(rep)
+        if args.log_dir:
+            run_dir = write_report(rep, args.log_dir)
+            print(f"{'log dir':>14}: {run_dir}")
         return 0 if rep.ok() else 1
     if args.cmd == "create-tables":
         rep = job.ddl_phase(tables)
@@ -91,8 +116,10 @@ def main(argv: list[str] | None = None) -> int:
 
         with SqlScriptSink(args.out) as s:
             rep = job.ddl_phase(tables, s)
-        print(json.dumps(rep.__dict__))
-        return 0 if rep.failed == 0 else 1
+            obj_reps = job.objects_phase(tables, s)
+        for r in [rep, *obj_reps]:
+            print(json.dumps(r.__dict__))
+        return 0 if rep.failed == 0 and all(r.failed == 0 for r in obj_reps) else 1
     return 2
 
 

@@ -835,6 +835,58 @@ select * from (values
 
 # --------------------------------------------------------------------------
 
+def q35_objects_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Objects-phase parity (EP1 IdxCreate/SeqCreate/FkCreate/NormalIdx/
+    CommentCreate/ViewCreate, cmd/root.go:146-175): every post-data DDL
+    the engine synthesizes for the fixture catalog, as data. The oracle
+    is a golden VALUES list pinned at review time — any drift in the
+    generators or the fixture object catalog breaks the hash."""
+    from .sync import SyncJob
+
+    job = SyncJob(spark, sf_dir, sf_dir + "/_unused_out")
+    rows = job.synthesize_objects(job.plan())
+    return spark.createDataFrame(
+        rows, "object_class string, object_name string, stmt string"
+    )
+
+
+ORACLE_Q35 = """
+select * from (values
+  ('index','pk_customer','alter table `customer` add primary key (`c_custkey`);'),
+  ('index','idx_customer_nationkey','create index `idx_customer_nationkey` on `customer` (`c_nationkey`);'),
+  ('index','pk_documents','alter table `documents` add primary key (`doc_id`);'),
+  ('index','pk_embeddings','alter table `embeddings` add primary key (`vec_id`);'),
+  ('index','pk_events','alter table `events` add primary key (`event_id`);'),
+  ('index','idx_events_user_ts','create index `idx_events_user_ts` on `events` (`user_id`,`ts`);'),
+  ('index','pk_lineitem','alter table `lineitem` add primary key (`l_orderkey`,`l_linenumber`);'),
+  ('index','idx_lineitem_part_supp','create index `idx_lineitem_part_supp` on `lineitem` (`l_partkey`,`l_suppkey`);'),
+  ('index','pk_nation','alter table `nation` add primary key (`n_nationkey`);'),
+  ('index','idx_nation_regionkey','create index `idx_nation_regionkey` on `nation` (`n_regionkey`);'),
+  ('index','uk_nation_name','create unique index `uk_nation_name` on `nation` (`n_name`);'),
+  ('index','pk_orders','alter table `orders` add primary key (`o_orderkey`);'),
+  ('index','idx_orders_custkey','create index `idx_orders_custkey` on `orders` (`o_custkey`);'),
+  ('index','pk_part','alter table `part` add primary key (`p_partkey`);'),
+  ('index','pk_region','alter table `region` add primary key (`r_regionkey`);'),
+  ('index','pk_supplier','alter table `supplier` add primary key (`s_suppkey`);'),
+  ('sequence','events_autoinc_0','create index `ids_events_event_id_i` on `events` (`event_id`);'),
+  ('sequence','events_autoinc_1','alter table `events` modify `event_id` bigint auto_increment;'),
+  ('fk','fk_customer_nation','alter table `customer` add constraint `fk_customer_nation` foreign key (`c_nationkey`) references `nation` (`n_nationkey`);'),
+  ('fk','fk_embeddings_doc','alter table `embeddings` add constraint `fk_embeddings_doc` foreign key (`vec_id`) references `documents` (`doc_id`);'),
+  ('fk','fk_lineitem_orders','alter table `lineitem` add constraint `fk_lineitem_orders` foreign key (`l_orderkey`) references `orders` (`o_orderkey`) on delete cascade;'),
+  ('fk','fk_lineitem_part','alter table `lineitem` add constraint `fk_lineitem_part` foreign key (`l_partkey`) references `part` (`p_partkey`);'),
+  ('fk','fk_lineitem_supplier','alter table `lineitem` add constraint `fk_lineitem_supplier` foreign key (`l_suppkey`) references `supplier` (`s_suppkey`);'),
+  ('fk','fk_nation_region','alter table `nation` add constraint `fk_nation_region` foreign key (`n_regionkey`) references `region` (`r_regionkey`);'),
+  ('fk','fk_orders_customer','alter table `orders` add constraint `fk_orders_customer` foreign key (`o_custkey`) references `customer` (`c_custkey`);'),
+  ('fk','fk_supplier_nation','alter table `supplier` add constraint `fk_supplier_nation` foreign key (`s_nationkey`) references `nation` (`n_nationkey`);'),
+  ('function_index','documents','CREATE INDEX IDX_DOCUMENTS_LANG_UP ON DOCUMENTS (UPPER(LANG));'),
+  ('comment','documents','alter table `documents` comment = ''raw text corpus for the LLM-pipeline operators'';'),
+  ('comment','orders','alter table `orders` comment = ''order headers, one row per order'';'),
+  ('comment','region','alter table `region` comment = ''TPC-H region dimension'';'),
+  ('view','v_order_revenue','create or replace view `v_order_revenue` as SELECT O_ORDERKEY, IFNULL(O_TOTALPRICE, 0) AS REVENUE FROM `ORDERS`;')
+) as t(object_class, object_name, stmt)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -870,6 +922,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q32_embedding_neardup_lsh": q32_embedding_neardup_lsh,
     "q33_cube": q33_cube,
     "q34_ddl_typemap": q34_ddl_typemap,
+    "q35_objects_ddl": q35_objects_ddl,
 }
 
 ORACLES: dict[str, str] = {
@@ -907,4 +960,5 @@ ORACLES: dict[str, str] = {
     # q32 rows-only: sha-seeded RP planes have no SQL analogue
     "q33_cube": ORACLE_Q33,
     "q34_ddl_typemap": ORACLE_Q34,
+    "q35_objects_ddl": ORACLE_Q35,
 }

@@ -96,7 +96,14 @@ class ParquetSource:
 
     def read_sql(self, sql: str) -> DataFrame:
         """Table-as-SQL mode (-s, cmd/root.go:84-85): the user supplies a
-        SELECT; on fixtures we register the tables and run it in Spark."""
+        SELECT; on fixtures we register every table as a temp view first
+        (schema-only — no scan until the plan executes)."""
+        import os
+
+        for f in os.listdir(self.sf_dir):
+            if f.endswith(".parquet"):
+                t = f[: -len(".parquet")]
+                load_table(self.spark, self.sf_dir, t).createOrReplaceTempView(t)
         return self.spark.sql(sql)
 
     def probe_schema(self, table: str):

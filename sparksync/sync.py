@@ -18,7 +18,16 @@ from pyspark.sql import SparkSession
 
 from .catalog import FixtureCatalog
 from .compare import CompareResult, compare_checksum, compare_counts
-from .ddl import create_table_sql, drop_table_sql
+from .ddl import (
+    auto_increment_sql,
+    clean_function_index_ddl,
+    create_table_sql,
+    create_view_sql,
+    drop_table_sql,
+    fk_sql,
+    index_sql,
+    table_comment_sql,
+)
 from .sink import ParquetSink, SqlScriptSink
 from .source import ParquetSource, plan_pages
 
@@ -45,9 +54,70 @@ class SyncReport:
         )
 
 
+def render_report(report: "SyncReport") -> str:
+    """The per-object-class summary table the reference renders at exit
+    (cmd/root.go:140-200, readme.md:127-132), as text."""
+    lines = [f"{'phase':>16} | {'objects':>7} | {'failed':>6} | {'elapsed_s':>9}"]
+    lines.append("-" * len(lines[0]))
+    for p in report.phases:
+        lines.append(
+            f"{p.phase:>16} | {p.tables:>7} | {p.failed:>6} | {p.elapsed_s:>9.3f}"
+        )
+    if report.compare:
+        lines.append("")
+        lines.append(f"{'table':>16} | {'src':>9} | {'dst':>9} | ok")
+        for c in report.compare:
+            lines.append(
+                f"{c.table:>16} | {c.src_count:>9} | {c.dst_count:>9} | {c.is_ok}"
+            )
+    lines.append("")
+    lines.append(f"result: {'ok' if report.ok() else 'FAILED'}")
+    return "\n".join(lines)
+
+
+def write_report(report: "SyncReport", log_dir: str) -> str:
+    """C4 per-run log dir (cmd/root.go:52-67): summary.txt + report.json
+    under a fresh run_<n> directory; returns the directory path."""
+    import json
+    import os
+
+    n = 0
+    while True:
+        run_dir = os.path.join(log_dir, f"run_{n:04d}")
+        try:
+            os.makedirs(run_dir)
+            break
+        except FileExistsError:
+            n += 1
+    with open(os.path.join(run_dir, "summary.txt"), "w", encoding="utf-8") as fh:
+        fh.write(render_report(report) + "\n")
+    payload = {
+        "phases": [p.__dict__ for p in report.phases],
+        "compare": [
+            {
+                "table": c.table,
+                "src": c.src_count,
+                "dst": c.dst_count,
+                "dest_exists": c.dest_exists,
+                "ok": c.is_ok,
+            }
+            for c in report.compare
+        ],
+        "ok": report.ok(),
+    }
+    with open(os.path.join(run_dir, "report.json"), "w", encoding="utf-8") as fh:
+        json.dump(payload, fh, indent=2)
+    return run_dir
+
+
 class SyncJob:
     """parquet->parquet sync used by tests and bench; JDBC endpoints plug
     in by swapping source/sink (same orchestration)."""
+
+    #: job-group tag, the analogue of the reference's `/* goapp */` session
+    #: marker it kills on exit (cmd/app.go:213-243, S17/C3): every Spark job
+    #: this SyncJob submits carries the group so cancel() can revoke them.
+    JOB_GROUP = "sparksync"
 
     def __init__(
         self,
@@ -57,6 +127,7 @@ class SyncJob:
         page_size: int = 100_000,
         max_parallel: int = 8,
         exclude: list[str] | None = None,
+        table_sql: dict[str, str] | None = None,
     ):
         self.spark = spark
         self.catalog = FixtureCatalog(spark, sf_dir)
@@ -65,6 +136,25 @@ class SyncJob:
         self.page_size = page_size
         self.max_parallel = max_parallel
         self.exclude = exclude or []
+        # table-as-SQL map (-s mode, cmd/root.go:84-85): table name ->
+        # custom SELECT replacing the full-table read for that table
+        self.table_sql = {k.upper(): v for k, v in (table_sql or {}).items()}
+
+    def _tag_jobs(self, desc: str) -> None:
+        """Job groups are per-thread; each pool worker tags its own."""
+        self.spark.sparkContext.setJobGroup(self.JOB_GROUP, desc, interruptOnCancel=True)
+
+    def cancel(self) -> None:
+        """C3 graceful cancel: revoke every running job this sync
+        submitted — the Spark analogue of the reference's tag-and-kill
+        loop over v\\$session (cmd/app.go:213-243)."""
+        self.spark.sparkContext.cancelJobGroup(self.JOB_GROUP)
+
+    def _read_source(self, table: str):
+        sql = self.table_sql.get(table.upper())
+        if sql is not None:
+            return self.source.read_sql(sql)
+        return self.source.read(table)
 
     def plan(self) -> list[str]:
         """Phase 1 (fetchTableMap, cmd/root.go:209-262)."""
@@ -92,7 +182,8 @@ class SyncJob:
         # rowgroup; the page plan (plan_pages) only matters on the JDBC
         # path where source.py derives read predicates from it — an
         # extra count() per table would be a full second scan
-        df = self.source.read(table)
+        self._tag_jobs(f"data sync {table}")
+        df = self._read_source(table)
         self.sink.write(df, table, mode="overwrite")
 
     def data_phase(self, tables: list[str]) -> PhaseReport:
@@ -110,6 +201,59 @@ class SyncJob:
         rep.elapsed_s = time.time() - t0
         return rep
 
+    def synthesize_objects(self, tables: list[str]) -> list[tuple[str, str, str]]:
+        """(object_class, object_name, ddl) for every post-data object, in
+        the reference's EP1 execution order (cmd/root.go:146-175):
+        IdxCreate -> SeqCreate -> FkCreate -> NormalIdx(function-index
+        cleanup) -> CommentCreate -> ViewCreate. Deterministic: tables in
+        input order, objects in catalog order."""
+        cat = self.catalog
+        out: list[tuple[str, str, str]] = []
+        for t in tables:
+            for ix in cat.indexes(t):
+                out.append(("index", ix.index_name, index_sql(ix)))
+        for t in tables:
+            for body in cat.trigger_bodies(t):
+                for i, stmt in enumerate(auto_increment_sql(t, body)):
+                    out.append(("sequence", f"{t}_autoinc_{i}", stmt))
+        for t in tables:
+            for fk in cat.foreign_keys(t):
+                out.append(("fk", fk.constraint_name, fk_sql(fk)))
+        for t in tables:
+            for raw in cat.function_index_ddls(t):
+                cleaned = clean_function_index_ddl(raw)
+                out.append(("function_index", t, cleaned))
+        for t in tables:
+            c = cat.table_comment(t)
+            if c:
+                out.append(("comment", t, table_comment_sql(t, c)))
+        for name, text in cat.views().items():
+            out.append(("view", name, create_view_sql(name, text)))
+        return out
+
+    def objects_phase(
+        self, tables: list[str], script: SqlScriptSink | None = None
+    ) -> list[PhaseReport]:
+        """Phase 4 (EP1 objects, cmd/root.go:146-175): one report row per
+        object class, count-and-continue like the reference's per-object
+        failure counters."""
+        reports: dict[str, PhaseReport] = {}
+        t0 = time.time()
+        for cls, _name, stmt in self.synthesize_objects(tables):
+            rep = reports.setdefault(cls, PhaseReport(phase=f"{cls} create"))
+            rep.tables += 1
+            try:
+                if script is not None:
+                    script.execute(stmt)
+                # parquet sink: indexes/FKs/comments have no physical
+                # analogue; synthesis itself is the checked work (a JDBC
+                # sink executes each stmt here)
+            except Exception:  # noqa: BLE001
+                rep.failed += 1
+        for rep in reports.values():
+            rep.elapsed_s = time.time() - t0
+        return list(reports.values())
+
     def compare_phase(self, tables: list[str], checksum: bool = False) -> list[CompareResult]:
         """EP2 (compareDb) over the synced pairs — count or checksum mode;
         results collected thread-safely (fixes the reference's race at
@@ -120,8 +264,9 @@ class SyncJob:
         def one(t: str) -> CompareResult:
             # count-and-continue like the reference's compareDb: a missing
             # or unreadable destination is a per-table failure, not a crash
+            self._tag_jobs(f"compare {t}")
             try:
-                src = self.source.read(t)
+                src = self._read_source(t)
             except Exception:  # noqa: BLE001
                 return CompareResult(table=t, src_count=0, dst_count=0, dest_exists=False)
             try:
@@ -142,8 +287,11 @@ class SyncJob:
         if ddl_script:
             with SqlScriptSink(ddl_script) as s:
                 report.phases.append(self.ddl_phase(tables, s))
+                report.phases.append(self.data_phase(tables))
+                report.phases.extend(self.objects_phase(tables, s))
         else:
             report.phases.append(self.ddl_phase(tables))
-        report.phases.append(self.data_phase(tables))
+            report.phases.append(self.data_phase(tables))
+            report.phases.extend(self.objects_phase(tables))
         report.compare = self.compare_phase(tables, checksum=checksum)
         return report

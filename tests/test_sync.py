@@ -88,3 +88,97 @@ def test_fixture_catalog(spark):
     # S5 ordered projection list through the Spark string-agg recipe
     cols = cat.ordered_column_list("region")
     assert cols == '"R_REGIONKEY","R_NAME"'
+
+
+def test_objects_phase_synthesis(spark, tmp_path):
+    """EP1 objects (cmd/root.go:146-175): every object class present,
+    reference execution order, count-and-continue reporting."""
+    job = SyncJob(spark, SF_SMOKE, str(tmp_path / "out"))
+    objs = job.synthesize_objects(job.plan())
+    classes = [c for c, _, _ in objs]
+    # reference order: indexes -> sequences -> FKs -> function-index
+    # cleanup -> comments -> views
+    order = ["index", "sequence", "fk", "function_index", "comment", "view"]
+    assert [c for c in order if c in classes] == order
+    firsts = {c: classes.index(c) for c in order}
+    assert sorted(firsts, key=firsts.get) == order
+    stmts = {c: [s for cc, _, s in objs if cc == c] for c in order}
+    assert any("add primary key" in s for s in stmts["index"])
+    assert any("create unique index" in s for s in stmts["index"])
+    assert any("auto_increment" in s for s in stmts["sequence"])
+    assert all("foreign key" in s for s in stmts["fk"])
+    assert all("PCTFREE" not in s for s in stmts["function_index"])
+    assert all("comment = " in s for s in stmts["comment"])
+    assert any("IFNULL" in s for s in stmts["view"])
+
+    reports = job.objects_phase(job.plan())
+    assert {r.phase for r in reports} == {f"{c} create" for c in order}
+    assert all(r.failed == 0 for r in reports)
+
+
+def test_full_sync_runs_objects_and_dumps_ddl(spark, tmp_path):
+    out = str(tmp_path / "out")
+    script = str(tmp_path / "createSql.log")
+    job = SyncJob(spark, SF_SMOKE, out, max_parallel=4)
+    rep = job.run(ddl_script=script)
+    assert rep.ok()
+    phases = {p.phase for p in rep.phases}
+    assert {"create table", "data sync", "index create", "fk create",
+            "view create"} <= phases
+    text = open(script).read()
+    for needle in ("create table", "add primary key", "foreign key",
+                   "auto_increment", "create or replace view"):
+        assert needle in text, needle
+
+
+def test_table_as_sql_mode(spark, tmp_path):
+    """-s mode (cmd/root.go:84-85): a YAML-mapped SELECT replaces the
+    full-table read for that table, on both sync and compare."""
+    out = str(tmp_path / "out")
+    job = SyncJob(
+        spark, SF_SMOKE, out, max_parallel=2,
+        exclude=[t for t in
+                 "region nation customer supplier part lineitem events documents embeddings".split()],
+        table_sql={"orders": "select * from orders where o_orderkey <= 100"},
+    )
+    rep = job.run()
+    assert rep.ok(), [p.__dict__ for p in rep.phases]
+    synced = spark.read.parquet(f"{out}/orders.parquet")
+    assert synced.count() == synced.where("o_orderkey <= 100").count()
+    assert 0 < synced.count() < 1500  # the predicate actually applied
+
+
+def test_cancel_sets_job_group(spark, tmp_path):
+    """C3: every sync job runs tagged so cancel() can revoke it
+    (cmd/app.go:213-243 analogue)."""
+    job = SyncJob(spark, SF_SMOKE, str(tmp_path / "out"))
+    job._tag_jobs("probe")
+    sc = spark.sparkContext
+    assert sc.getLocalProperty("spark.jobGroup.id") == SyncJob.JOB_GROUP
+    assert sc.getLocalProperty("spark.job.interruptOnCancel") == "true"
+    job.cancel()  # no running jobs: must be a no-op, not an error
+    sc.setJobGroup("", "")
+
+
+def test_write_report(spark, tmp_path):
+    import json
+
+    from sparksync.sync import render_report, write_report
+
+    job = SyncJob(spark, SF_SMOKE, str(tmp_path / "out"), max_parallel=4,
+                  exclude=["lineitem", "events", "documents", "embeddings"])
+    rep = job.run()
+    txt = render_report(rep)
+    assert "create table" in txt and "result: ok" in txt
+    d1 = write_report(rep, str(tmp_path / "logs"))
+    d2 = write_report(rep, str(tmp_path / "logs"))
+    assert d1.endswith("run_0000") and d2.endswith("run_0001")
+    payload = json.loads(open(f"{d1}/report.json").read())
+    assert payload["ok"] is True and payload["phases"]
+
+
+def test_current_user(spark):
+    from sparksync.catalog import FixtureCatalog
+
+    u = FixtureCatalog(spark, SF_SMOKE).current_user()
+    assert isinstance(u, str) and u
