@@ -11,8 +11,10 @@ Scale posture (100 TB):
   fan-out is controlled by band width; candidates are then verified with
   exact Jaccard, so results equal jaccard_pairs whenever LSH recall
   catches the threshold (r=4, b=32 -> P(catch | j=0.8) > 0.9999).
-- simhash: narrow map + one groupBy; Hamming-bucket join left for a
-  later round.
+- simhash: narrow map + one groupBy.
+- simhash_pairs: pigeonhole band join — any pair within max_hamming bit
+  flips agrees exactly on one of max_hamming+1 bands, so candidates come
+  from an equi-join, and bit_count(xor) verifies in codegen.
 """
 
 from __future__ import annotations
@@ -178,6 +180,7 @@ def minhash_dedup_pairs(
 
 
 SIMHASH_BITS = 48  # stay within positive signed-64 range when assembling
+SIMHASH_MAX_HAMMING = 3
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -200,3 +203,53 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
         )
         fp = term if fp is None else fp + term
     return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup pairs: (d1, d2, hamming) with hamming <=
+    max_hamming, d1 < d2.
+
+    Scale path: split the fingerprint into max_hamming+1 bands — by
+    pigeonhole, any pair within max_hamming bit flips agrees exactly on
+    at least one band — then equi-join on (band, band_value) and verify
+    with bit_count(xor). The join touches only band-colliding rows, so
+    cost is sum(|bucket|^2) over 2^width-value buckets, not N^2; the
+    verify is pure codegen (no Python, no shuffle beyond the bucket
+    join)."""
+    n_bands = max_hamming + 1
+    width = SIMHASH_BITS // n_bands
+    fp = simhash(df, id_col, text_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    keyed = fp.select(
+        F.col(id_col), F.col("simhash"), F.explode(bands).alias("bk")
+    ).select(
+        id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = keyed.select(F.col(id_col).alias("d1"), F.col("simhash").alias("f1"), "band", "key")
+    b = keyed.select(F.col(id_col).alias("d2"), F.col("simhash").alias("f2"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("d1") < F.col("d2"))
+        .dropDuplicates(["d1", "d2"])
+        .select(
+            "d1",
+            "d2",
+            F.bit_count(F.col("f1").bitwiseXOR(F.col("f2"))).cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -887,6 +887,14 @@ select * from (values
 """
 
 
+def q36_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-bucket near-dup join (ext/dedup.simhash_pairs):
+    pigeonhole band equi-join + bit_count(xor) verify. Rows-only gate
+    (xxhash64 fingerprints have no DuckDB analogue); test_ext.py asserts
+    high overlap with the exact-Jaccard pairs."""
+    return dedup.simhash_pairs(load(spark, sf_dir, "documents"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -923,6 +931,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_cube": q33_cube,
     "q34_ddl_typemap": q34_ddl_typemap,
     "q35_objects_ddl": q35_objects_ddl,
+    "q36_simhash_pairs": q36_simhash_pairs,
 }
 
 ORACLES: dict[str, str] = {

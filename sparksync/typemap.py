@@ -136,12 +136,13 @@ def normalize_default(col: OracleColumn) -> str:
     # (tablemeta.go:103-104)
     if up.startswith("SYS_GUID") or up == "USER":
         return " default null"
-    # string defaults: keep quotes, strip surrounding parens
-    # (tablemeta.go:106)
-    if v.startswith("'") or (v.startswith("('") and v.endswith(")")):
-        s = v
-        if s.startswith("(") and s.endswith(")"):
-            s = s[1:-1]
+    # string defaults: keep quotes, strip ALL surrounding parens and
+    # whitespace — the reference strips every paren (ReplaceAll,
+    # tablemeta.go:106), so "( 'user' )" must become 'user'
+    s = v
+    while s.startswith("(") and s.endswith(")"):
+        s = s[1:-1].strip()
+    if s.startswith("'"):
         return f" default {s}"
     # NUMBER defaults: regex-extract the numeric literal, else null
     # (tablemeta.go:109-117)

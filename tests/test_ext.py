@@ -116,3 +116,13 @@ def test_exact_dedup_deterministic(spark):
     out = {(r["doc_id"], r["dup_count"]) for r in
            dedup.exact_dedup(df, ["text"], "doc_id").collect()}
     assert out == {(3, 2), (7, 1)}
+
+
+def test_simhash_pairs_overlap_jaccard(docs):
+    """Hamming<=3 simhash pairs recover nearly all exact-Jaccard>=0.8
+    pairs (both find the planted near-duplicates)."""
+    jac = {(r["d1"], r["d2"]) for r in dedup.jaccard_pairs(docs, 0.8).collect()}
+    sim = {(r["d1"], r["d2"]) for r in dedup.simhash_pairs(docs).collect()}
+    assert jac, "fixture should contain near-duplicates"
+    assert len(jac & sim) >= len(jac) * 0.7, (sorted(jac - sim), len(sim))
+    assert all(r["hamming"] <= 3 for r in dedup.simhash_pairs(docs).collect())

@@ -68,6 +68,9 @@ def test_scale_clamp():
         # string defaults keep quotes, strip parens (106)
         ("VARCHAR2", "'abc'", None, " default 'abc'"),
         ("VARCHAR2", "('abc')", None, " default 'abc'"),
+        # inner spaces / nested parens still strip (ReplaceAll semantics)
+        ("VARCHAR2", "( 'user' )", None, " default 'user'"),
+        ("VARCHAR2", "(('x'))", None, " default 'x'"),
         # NUMBER: numeric extraction else null (109-117)
         ("NUMBER", "(42)", None, " default 42"),
         ("NUMBER", "3.14 ", None, " default 3.14"),
