@@ -25,12 +25,16 @@ HEADLINE = [
     "q11_topk_window",
     "q16_shipping_priority",
     "q17_local_supplier",
+    # temporal operators over events (nanos-parquet path)
+    "q28_asof_join",
+    "q29_sessionize",
     # LLM-pipeline extensions (scale paths: LSH, not exact-pairs)
     "q18_dedup_exact",
     "q20_dedup_minhash",
     "q22_knn_cosine",
     "q25_quality_score",
     "q27_fingerprint",
+    "q36_simhash_pairs",
 ]
 
 
