@@ -26,6 +26,12 @@ def main(argv: list[str] | None = None) -> int:
         "--config",
         help="YAML config (the reference's -f config.yml); CLI flags override it",
     )
+    p.add_argument(
+        "--dest-flavor",
+        default=None,
+        help="target MySQL-family flavor (mysql/percona/polardb/mariadb/"
+        "oceanbase/tidb/gaussdb); also settable as dest.dbType in YAML",
+    )
     p.add_argument("--page-size", type=int, default=None)
     p.add_argument("--max-parallel", type=int, default=None)
     p.add_argument(
@@ -70,6 +76,7 @@ def main(argv: list[str] | None = None) -> int:
         max_parallel=max_parallel,
         exclude=exclude,
         table_sql=(cfg.tables if cfg else None),
+        dest_flavor=args.dest_flavor or (cfg.dest.db_type if cfg else "mysql"),
     )
 
     # C3 graceful cancel (cmd/app.go:213-243): first Ctrl-C revokes every

@@ -16,22 +16,26 @@ from dataclasses import dataclass, field
 
 @dataclass
 class ConnInfo:
-    """connect/connect.go:4-16."""
+    """connect/connect.go:4-16 plus the target-flavor knob (the
+    reference's readme lists 7 MySQL-family targets; dbType selects
+    port/URL/DDL behavior via dialect.py)."""
 
     host: str = ""
     port: int = 0
     username: str = ""
     password: str = ""
     database: str = ""
+    db_type: str = "mysql"
 
     def oracle_url(self) -> str:
         return f"jdbc:oracle:thin:@//{self.host}:{self.port}/{self.database}"
 
     def mysql_url(self) -> str:
-        return (
-            f"jdbc:mysql://{self.host}:{self.port}/{self.database}"
-            "?rewriteBatchedStatements=true&useSSL=false"
-        )
+        from .dialect import get_dialect
+
+        d = get_dialect(self.db_type)
+        port = self.port or d.default_port
+        return f"jdbc:mysql://{self.host}:{port}/{self.database}?{d.url_params}"
 
 
 @dataclass
@@ -110,6 +114,7 @@ def _conn(d: dict) -> ConnInfo:
         username=str(d.get("username", d.get("user", ""))),
         password=str(d.get("password", "")),
         database=str(d.get("database", d.get("dbname", ""))),
+        db_type=str(d.get("dbType", d.get("dbtype", "mysql"))),
     )
 
 

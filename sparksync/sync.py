@@ -128,7 +128,10 @@ class SyncJob:
         max_parallel: int = 8,
         exclude: list[str] | None = None,
         table_sql: dict[str, str] | None = None,
+        dest_flavor: str = "mysql",
     ):
+        from .dialect import get_dialect
+
         self.spark = spark
         self.catalog = FixtureCatalog(spark, sf_dir)
         self.source = ParquetSource(spark, sf_dir)
@@ -136,6 +139,7 @@ class SyncJob:
         self.page_size = page_size
         self.max_parallel = max_parallel
         self.exclude = exclude or []
+        self.dialect = get_dialect(dest_flavor)
         # table-as-SQL map (-s mode, cmd/root.go:84-85): table name ->
         # custom SELECT replacing the full-table read for that table
         self.table_sql = {k.upper(): v for k, v in (table_sql or {}).items()}
@@ -207,18 +211,25 @@ class SyncJob:
         IdxCreate -> SeqCreate -> FkCreate -> NormalIdx(function-index
         cleanup) -> CommentCreate -> ViewCreate. Deterministic: tables in
         input order, objects in catalog order."""
+        import dataclasses
+
         cat = self.catalog
+        d = self.dialect
         out: list[tuple[str, str, str]] = []
         for t in tables:
             for ix in cat.indexes(t):
                 out.append(("index", ix.index_name, index_sql(ix)))
-        for t in tables:
-            for body in cat.trigger_bodies(t):
-                for i, stmt in enumerate(auto_increment_sql(t, body)):
-                    out.append(("sequence", f"{t}_autoinc_{i}", stmt))
-        for t in tables:
-            for fk in cat.foreign_keys(t):
-                out.append(("fk", fk.constraint_name, fk_sql(fk)))
+        if d.supports_autoinc_rewrite:
+            for t in tables:
+                for body in cat.trigger_bodies(t):
+                    for i, stmt in enumerate(auto_increment_sql(t, body)):
+                        out.append(("sequence", f"{t}_autoinc_{i}", stmt))
+        if d.supports_fk:
+            for t in tables:
+                for fk in cat.foreign_keys(t):
+                    if fk.delete_rule and not d.supports_fk_cascade:
+                        fk = dataclasses.replace(fk, delete_rule=None)
+                    out.append(("fk", fk.constraint_name, fk_sql(fk)))
         for t in tables:
             for raw in cat.function_index_ddls(t):
                 cleaned = clean_function_index_ddl(raw)

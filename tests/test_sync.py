@@ -182,3 +182,31 @@ def test_current_user(spark):
 
     u = FixtureCatalog(spark, SF_SMOKE).current_user()
     assert isinstance(u, str) and u
+
+
+def test_dialect_knobs(spark, tmp_path):
+    """7 MySQL-family flavors (readme.md:10): URL shape + object-class
+    capability differences actually change the emitted plan."""
+    from sparksync.config import ConnInfo
+    from sparksync.dialect import DIALECTS, get_dialect
+
+    assert len(DIALECTS) == 7
+    assert "4000" in ConnInfo(host="h", database="d", db_type="tidb").mysql_url()
+    assert "2881" in ConnInfo(host="h", database="d", db_type="oceanbase").mysql_url()
+    assert "3306" in ConnInfo(host="h", database="d").mysql_url()
+
+    mysql_job = SyncJob(spark, SF_SMOKE, str(tmp_path / "a"))
+    tidb_job = SyncJob(spark, SF_SMOKE, str(tmp_path / "b"), dest_flavor="tidb")
+    tables = mysql_job.plan()
+    m = mysql_job.synthesize_objects(tables)
+    t = tidb_job.synthesize_objects(tables)
+    m_classes = {c for c, _, _ in m}
+    t_classes = {c for c, _, _ in t}
+    assert "fk" in m_classes and "sequence" in m_classes
+    assert "fk" not in t_classes and "sequence" not in t_classes
+    assert "index" in t_classes and "view" in t_classes
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        get_dialect("oracle")
