@@ -86,3 +86,64 @@ def sessionize(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ).cast("long"),
     )
+
+
+def _epoch_us(df: DataFrame, col: str) -> F.Column:
+    """Microseconds since epoch for TIMESTAMP or TIMESTAMP_NTZ columns
+    (the fixture's naive parquet timestamps load as NTZ)."""
+    if dict(df.dtypes).get(col) == "timestamp_ntz":
+        return F.timestamp_diff(
+            "MICROSECOND", F.expr("timestamp_ntz '1970-01-01 00:00:00'"), F.col(col)
+        )
+    return F.unix_micros(F.col(col))
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 30 * 86400,
+) -> DataFrame:
+    """Interval join: every (point, interval) pair with
+    start <= point < end — the operator Spark would otherwise plan as a
+    broadcast-nested-loop over an inequality predicate.
+
+    Scale path: quantize time into bucket_seconds cells (a long, via
+    integer division of epoch micros), explode each interval into the
+    cells it covers, equi-join points to cells, then apply the exact
+    range predicate. Both sides shuffle on hash(cell) — co-partitioned —
+    and the candidate set is sum over cells of |points_in_cell| x
+    |intervals_covering_cell|, never |points| x |intervals|. Choose
+    bucket_seconds >= the typical interval length so each interval lands
+    in O(1) cells; cell alignment affects only candidate count, never
+    correctness (the exact predicate runs after the join)."""
+    bucket_us = bucket_seconds * 1_000_000
+    # integer `div`, not float `/`: epoch micros exceed double precision
+    p = (
+        points.withColumn("_eus", _epoch_us(points, point_col))
+        .withColumn("_cell", F.expr(f"_eus div {bucket_us}"))
+        .drop("_eus")
+    )
+    i = (
+        intervals.withColumn("_s", _epoch_us(intervals, start_col))
+        .withColumn("_e", _epoch_us(intervals, end_col))
+        .withColumn(
+            "_cell",
+            F.explode(
+                F.sequence(
+                    F.expr(f"_s div {bucket_us}"), F.expr(f"_e div {bucket_us}")
+                )
+            ),
+        )
+        .drop("_s", "_e")
+    )
+    return (
+        p.join(i, "_cell")
+        .where(
+            (F.col(start_col) <= F.col(point_col))
+            & (F.col(point_col) < F.col(end_col))
+        )
+        .drop("_cell")
+    )

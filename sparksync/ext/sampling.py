@@ -1,0 +1,108 @@
+"""Deterministic dataset splitting and sampling for training-data
+pipelines: train/val/test assignment, stratified sampling, and weighted
+corpus interleaving — all hash-based, join-free, and reproducible
+across runs and cluster sizes (unlike df.sample, whose output depends
+on partitioning).
+
+Two hash methods:
+- "xxhash64" (default): 64-bit mix of (salt, id) — the scale path for
+  arbitrary-width keys; no SQL oracle (xxhash64 is Spark-specific).
+- "knuth": multiplicative hashing pmod(id * 2654435761, 10000)
+  (Knuth's A * 2^32 with A the golden-ratio fraction) — exact in any
+  engine's int64 for ids < ~3.5e9, so DuckDB can replay it; used by the
+  oracle-checked gate queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 10_000
+_KNUTH_A = 2654435761
+
+
+def _bucket(id_col: str, method: str, salt: str) -> F.Column:
+    if method == "knuth":
+        return F.pmod(F.col(id_col) * F.lit(_KNUTH_A), F.lit(BUCKETS))
+    if method == "xxhash64":
+        return F.pmod(F.xxhash64(F.lit(salt), F.col(id_col)), F.lit(BUCKETS))
+    raise ValueError(f"unknown hash method {method!r}")
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float] | None = None,
+    method: str = "xxhash64",
+    salt: str = "split",
+) -> DataFrame:
+    """df + a `split` column assigning each row to a named split by
+    hash bucket. Fractions must sum to <= 1; any remainder falls into
+    the last split. Pure narrow map — no shuffle, no state, and the
+    assignment of a given id never changes as the corpus grows (the
+    property df.randomSplit lacks)."""
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    if not fractions or sum(fractions.values()) > 1.0 + 1e-9:
+        raise ValueError("fractions must be non-empty and sum to <= 1")
+    b = _bucket(id_col, method, salt)
+    expr = None
+    hi = 0
+    names = list(fractions)
+    for name in names[:-1]:
+        hi += int(round(fractions[name] * BUCKETS))
+        cond = b < hi
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str,
+    default_fraction: float = 0.0,
+    method: str = "xxhash64",
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its hash
+    bucket falls under its stratum's fraction. Unlike df.sampleBy, the
+    kept set is a pure function of (id, stratum), so reruns and
+    incremental loads agree. Narrow map, no shuffle; the fractions map
+    is compiled into a literal CASE (no join)."""
+    b = _bucket(id_col, method, salt)
+    thresh = None
+    for k, frac in fractions.items():
+        cond = F.col(strata_col) == k
+        lim = F.lit(int(round(frac * BUCKETS)))
+        thresh = F.when(cond, lim) if thresh is None else thresh.when(cond, lim)
+    thresh = (
+        F.lit(int(round(default_fraction * BUCKETS)))
+        if thresh is None
+        else thresh.otherwise(F.lit(int(round(default_fraction * BUCKETS))))
+    )
+    return df.where(b < thresh)
+
+
+def interleave(
+    sources: list[tuple[DataFrame, float]],
+    id_col: str,
+    method: str = "xxhash64",
+    salt: str = "mix",
+) -> DataFrame:
+    """Weighted corpus mixing: downsample each source to its weight and
+    union — the standard way to rebalance heterogeneous training
+    corpora. Each source is sampled independently (narrow), the union
+    is metadata-only; nothing shuffles until a downstream op asks."""
+    parts = []
+    for i, (df, w) in enumerate(sources):
+        if not 0.0 <= w <= 1.0:
+            raise ValueError("weights must be in [0, 1]")
+        b = _bucket(id_col, method, f"{salt}:{i}")
+        parts.append(df.where(b < int(round(w * BUCKETS))))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -77,14 +77,20 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+def token_counts(
+    df: DataFrame, text_col: str = "text", keep: list[str] | None = None
+) -> DataFrame:
     """Whitespace token count + a BPE-ish regex token count (letter runs,
     digit runs, single other chars) — the cheap proxy for tokenizer cost
-    used when sizing training corpora."""
+    used when sizing training corpora. `keep` carries extra columns
+    through (e.g. n_chars for histogramming)."""
     t = F.col(text_col)
     ws = F.size(tokens(text_col)).cast("long")
     bpe = F.regexp_count(t, F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long")
-    return df.select(F.col("doc_id"), ws.alias("ws_tokens"), bpe.alias("bpe_tokens"))
+    extra = [F.col(c) for c in (keep or [])]
+    return df.select(
+        F.col("doc_id"), ws.alias("ws_tokens"), bpe.alias("bpe_tokens"), *extra
+    )
 
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -22,7 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .ext import asof, dedup, jsonops, similarity, textops
+from .ext import asof, dedup, jsonops, sampling, similarity, textops
 from .source import plan_pages
 
 Tables = (
@@ -895,6 +895,112 @@ def q36_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(load(spark, sf_dir, "documents"))
 
 
+def q37_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized interval join (ext/asof.range_join): shipments within
+    30 days of an urgent order's date, counted per order. The Spark plan
+    is an equi-join on quantized time cells + exact predicate — never
+    the broadcast-nested-loop an inequality join would produce."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where("l_returnflag = 'R'")
+        .select("l_orderkey", "l_shipdate")
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .where("o_orderpriority = '1-URGENT'")
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.expr("o_orderdate + interval 30 days").alias("o_end"),
+        )
+    )
+    j = asof.range_join(li, o, "l_shipdate", "o_orderdate", "o_end")
+    return j.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n_shipments"))
+
+
+ORACLE_Q37 = """
+select o_orderkey, count(*) as n_shipments
+from orders join lineitem
+  on o_orderdate <= l_shipdate and l_shipdate < o_orderdate + interval 30 day
+where o_orderpriority = '1-URGENT' and l_returnflag = 'R'
+group by o_orderkey
+"""
+
+
+def q38_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (ext/sampling.split_assign,
+    knuth method so DuckDB can replay the hash): split sizes per lang."""
+    d = sampling.split_assign(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        method="knuth",
+    )
+    return d.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+ORACLE_Q38 = """
+select case when mod(doc_id * 2654435761, 10000) < 8000 then 'train'
+            when mod(doc_id * 2654435761, 10000) < 9000 then 'val'
+            else 'test' end as split,
+       lang, count(*) as cnt
+from documents group by 1, 2
+"""
+
+
+def q39_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (ext/sampling.stratified_sample):
+    keep 50% of 'en' docs, 10% of everything else; count per lang."""
+    d = sampling.stratified_sample(
+        load(spark, sf_dir, "documents"),
+        "lang",
+        {"en": 0.5},
+        "doc_id",
+        default_fraction=0.1,
+        method="knuth",
+    )
+    return d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+ORACLE_Q39 = """
+select lang, count(*) as cnt from documents
+where mod(doc_id * 2654435761, 10000)
+      < case when lang = 'en' then 5000 else 1000 end
+group by lang
+"""
+
+
+def q40_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length histogram: 100-char buckets over documents.n_chars
+    with per-bucket token stats — the one-pass corpus profile a data
+    pipeline runs before filtering."""
+    d = textops.token_counts(load(spark, sf_dir, "documents"), keep=["n_chars"])
+    return (
+        d.withColumn("bucket", F.expr("n_chars div 100"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("ws_tokens").alias("sum_ws_tokens"),
+            F.max("bpe_tokens").alias("max_bpe_tokens"),
+        )
+    )
+
+
+ORACLE_Q40 = """
+with t as (
+  select n_chars // 100 as bucket,
+    cast(len(list_filter(string_split(trim(text), ' '), x -> x <> '')) as bigint)
+      as ws_tokens,
+    cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) as bigint)
+      as bpe_tokens
+  from documents)
+select bucket, count(*) as cnt,
+  cast(sum(ws_tokens) as bigint) as sum_ws_tokens,
+  max(bpe_tokens) as max_bpe_tokens
+from t group by bucket
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -932,6 +1038,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q34_ddl_typemap": q34_ddl_typemap,
     "q35_objects_ddl": q35_objects_ddl,
     "q36_simhash_pairs": q36_simhash_pairs,
+    "q37_range_join": q37_range_join,
+    "q38_train_split": q38_train_split,
+    "q39_stratified_sample": q39_stratified_sample,
+    "q40_length_histogram": q40_length_histogram,
 }
 
 ORACLES: dict[str, str] = {
@@ -970,4 +1080,8 @@ ORACLES: dict[str, str] = {
     "q33_cube": ORACLE_Q33,
     "q34_ddl_typemap": ORACLE_Q34,
     "q35_objects_ddl": ORACLE_Q35,
+    "q37_range_join": ORACLE_Q37,
+    "q38_train_split": ORACLE_Q38,
+    "q39_stratified_sample": ORACLE_Q39,
+    "q40_length_histogram": ORACLE_Q40,
 }

@@ -126,3 +126,84 @@ def test_simhash_pairs_overlap_jaccard(docs):
     assert jac, "fixture should contain near-duplicates"
     assert len(jac & sim) >= len(jac) * 0.7, (sorted(jac - sim), len(sim))
     assert all(r["hamming"] <= 3 for r in dedup.simhash_pairs(docs).collect())
+
+
+def test_split_assign_deterministic(docs):
+    from sparksync.ext import sampling
+
+    s1 = sampling.split_assign(docs, "doc_id")
+    s2 = sampling.split_assign(docs.repartition(7), "doc_id")
+    m1 = {r["doc_id"]: r["split"] for r in s1.collect()}
+    m2 = {r["doc_id"]: r["split"] for r in s2.collect()}
+    # assignment is a pure function of id: partitioning must not matter
+    assert m1 == m2
+    from collections import Counter
+
+    c = Counter(m1.values())
+    assert set(c) <= {"train", "val", "test"}
+    assert c["train"] > c["val"] and c["train"] > c["test"]
+    # every row assigned, none dropped
+    assert sum(c.values()) == docs.count()
+
+
+def test_split_assign_validates():
+    from sparksync.ext import sampling
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sampling.split_assign(None, "id", {"a": 0.9, "b": 0.2})
+    with _pytest.raises(ValueError):
+        sampling._bucket("id", "md5", "s")
+
+
+def test_stratified_sample_fractions(docs):
+    from sparksync.ext import sampling
+
+    kept = sampling.stratified_sample(
+        docs, "lang", {"en": 1.0}, "doc_id", default_fraction=0.0
+    )
+    en_total = docs.where("lang = 'en'").count()
+    assert kept.count() == en_total
+    assert kept.where("lang <> 'en'").count() == 0
+
+
+def test_interleave_weights(docs):
+    from sparksync.ext import sampling
+
+    a = docs.where("lang = 'en'")
+    b = docs.where("lang <> 'en'")
+    mixed = sampling.interleave([(a, 1.0), (b, 0.0)], "doc_id")
+    assert mixed.count() == a.count()
+
+
+def test_range_join_matches_inequality_join(spark):
+    """Bucketized range join == the naive inequality join, including an
+    interval shorter than / longer than the bucket."""
+    from sparksync.ext import asof
+    from sparksync.source import load_table
+
+    li = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .where("l_returnflag = 'R'")
+        .select("l_orderkey", "l_shipdate")
+    )
+    from pyspark.sql import functions as F
+
+    for days, bucket_s in ((5, 30 * 86400), (90, 30 * 86400)):
+        o = (
+            load_table(spark, SF_SMOKE, "orders")
+            .where("o_orderpriority = '1-URGENT'")
+            .select(
+                "o_orderkey",
+                "o_orderdate",
+                F.expr(f"o_orderdate + interval {days} days").alias("o_end"),
+            )
+        )
+        fast = asof.range_join(li, o, "l_shipdate", "o_orderdate", "o_end", bucket_s)
+        naive = li.join(
+            o,
+            (o["o_orderdate"] <= li["l_shipdate"]) & (li["l_shipdate"] < o["o_end"]),
+        )
+        got = {(r["o_orderkey"], r["l_orderkey"], r["l_shipdate"]) for r in fast.collect()}
+        want = {(r["o_orderkey"], r["l_orderkey"], r["l_shipdate"]) for r in naive.collect()}
+        assert got == want, (days, len(got), len(want))
