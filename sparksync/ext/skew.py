@@ -1,0 +1,67 @@
+"""Skew mitigation: salted joins and two-stage distinct aggregation.
+
+AQE's skew-join splitting (on in session.py) handles sort-merge skew at
+runtime, but two shapes still need explicit salting at 100 TB:
+
+- a shuffle join where one hot key holds a large fraction of the rows
+  (AQE splits partitions, not single keys, when the build side can't
+  broadcast);
+- count_distinct over a hot group, where every distinct value of the
+  hot key must land in one task.
+
+Both helpers are exact — salting only changes the partitioning, never
+the result — and deterministic (salt = hash of the row's own key
+material, not rand()), so retried tasks produce identical output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt_from: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join left⋈right on `on` where `right` is small-ish per key
+    but too big to broadcast whole and `on` is skewed in `left`.
+
+    left rows scatter across n_salts sub-keys via hash(salt_from);
+    right rows replicate n_salts times. The shuffle key becomes
+    (on, salt), so a hot key spreads over n_salts tasks at the cost of
+    |right| * n_salts replicated rows — the standard trade."""
+    l_salt = F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salts))
+    r = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    lft = left.withColumn("_salt", l_salt)
+    return lft.join(r, [on, "_salt"], how).drop("_salt")
+
+
+def salted_distinct_count(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Exact count(distinct value) per group, skew-safe: stage 1 drops
+    duplicate (group, value) pairs within (group, salt(value)) —
+    the same value always salts identically, so cross-partition
+    duplicates cannot survive — stage 2 sums per-salt distinct counts.
+    The hot group's distinct set is processed by n_salts tasks instead
+    of one."""
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(value_col)), F.lit(n_salts))
+    )
+    stage1 = (
+        salted.groupBy(group_col, "_salt")
+        .agg(F.count_distinct(F.col(value_col)).alias("_part"))
+    )
+    return stage1.groupBy(group_col).agg(
+        F.sum("_part").cast("long").alias("distinct_count")
+    )

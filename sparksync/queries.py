@@ -22,7 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .ext import asof, dedup, jsonops, sampling, similarity, textops
+from .ext import asof, dedup, jsonops, sampling, similarity, skew, textops
 from .source import plan_pages
 
 Tables = (
@@ -1001,6 +1001,20 @@ from t group by bucket
 """
 
 
+def q41_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe exact distinct count (ext/skew.salted_distinct_count):
+    distinct suppliers per order via two-stage salted aggregation —
+    identical result to a plain count(distinct), but a hot key spreads
+    over n_salts tasks."""
+    li = load(spark, sf_dir, "lineitem")
+    return skew.salted_distinct_count(li, "l_orderkey", "l_suppkey")
+
+
+ORACLE_Q41 = """
+select l_orderkey, cast(count(distinct l_suppkey) as bigint) as distinct_count
+from lineitem group by l_orderkey
+"""
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -1042,6 +1056,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q38_train_split": q38_train_split,
     "q39_stratified_sample": q39_stratified_sample,
     "q40_length_histogram": q40_length_histogram,
+    "q41_salted_distinct": q41_salted_distinct,
 }
 
 ORACLES: dict[str, str] = {
@@ -1084,4 +1099,5 @@ ORACLES: dict[str, str] = {
     "q38_train_split": ORACLE_Q38,
     "q39_stratified_sample": ORACLE_Q39,
     "q40_length_histogram": ORACLE_Q40,
+    "q41_salted_distinct": ORACLE_Q41,
 }

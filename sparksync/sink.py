@@ -44,6 +44,33 @@ class ParquetSink:
     def write(self, df: DataFrame, table: str, mode: str = "overwrite") -> None:
         df.write.mode(mode).parquet(self.path(table))
 
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_cols: list[str],
+        n_buckets: int = 32,
+        mode: str = "overwrite",
+    ) -> None:
+        """Bucketed write: both sides of a recurring equi-join written
+        with the same (cols, n_buckets) join WITHOUT a shuffle — the
+        scan is already hash-partitioned on the join key. At 100 TB this
+        converts every downstream fact-fact join on the bucket key from
+        a full shuffle into a zipped scan. Requires a table catalog
+        (saveAsTable); the in-memory session catalog works locally, a
+        metastore persists it on a cluster."""
+        (
+            df.write.mode(mode)
+            .option("path", self.path(table) + ".bucketed")
+            .bucketBy(n_buckets, *bucket_cols)
+            .sortBy(*bucket_cols)
+            .format("parquet")
+            .saveAsTable(table)
+        )
+
+    def read_bucketed(self, table: str) -> DataFrame:
+        return self.spark.table(table)
+
     def read(self, table: str) -> DataFrame:
         return self.spark.read.parquet(self.path(table))
 

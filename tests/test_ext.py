@@ -207,3 +207,26 @@ def test_range_join_matches_inequality_join(spark):
         got = {(r["o_orderkey"], r["l_orderkey"], r["l_shipdate"]) for r in fast.collect()}
         want = {(r["o_orderkey"], r["l_orderkey"], r["l_shipdate"]) for r in naive.collect()}
         assert got == want, (days, len(got), len(want))
+
+
+def test_salted_join_and_distinct(spark):
+    from pyspark.sql import functions as F
+
+    from sparksync.ext import skew
+    from sparksync.source import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    o = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_orderpriority")
+    plain = li.join(o, li["l_orderkey"] == o["o_orderkey"]).groupBy(
+        "o_orderpriority"
+    ).count()
+    salted = skew.salted_join(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), o, "o_orderkey", "l_partkey"
+    ).groupBy("o_orderpriority").count()
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+
+    sd = skew.salted_distinct_count(li, "l_orderkey", "l_suppkey")
+    pd_ = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("distinct_count")
+    )
+    assert {tuple(r) for r in sd.collect()} == {tuple(r) for r in pd_.collect()}

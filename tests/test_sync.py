@@ -210,3 +210,40 @@ def test_dialect_knobs(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         get_dialect("oracle")
+
+
+def test_bucketed_write_joins_without_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key: the join plan has no
+    Exchange on either side — the 100 TB co-located-join path."""
+    from sparksync.sink import ParquetSink
+    from sparksync.source import load_table
+
+    sink = ParquetSink(spark, str(tmp_path / "out"))
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    o = load_table(spark, SF_SMOKE, "orders")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast: at fixture scale the dim side would
+        # broadcast, hiding the shuffle this test is about
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        sink.write_bucketed(li, "li_b", ["l_orderkey"], n_buckets=8)
+        sink.write_bucketed(
+            o.withColumnRenamed("o_orderkey", "l_orderkey"), "o_b",
+            ["l_orderkey"], n_buckets=8,
+        )
+        j = sink.read_bucketed("li_b").join(sink.read_bucketed("o_b"), "l_orderkey")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert j.count() == li.count()
+        # same join against the unbucketed write DOES shuffle
+        sink.write(li, "li_plain")
+        plain = sink.read("li_plain").join(
+            sink.read_bucketed("o_b"), "l_orderkey"
+        )
+        plan2 = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("drop table if exists li_b")
+        spark.sql("drop table if exists o_b")
