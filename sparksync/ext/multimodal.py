@@ -76,3 +76,45 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     return df.where(F.col("kind") == "video").select(
         "media_id", F.explode(idx).alias("frame_index")
     )
+
+
+def resize_image(content: bytes, width: int, height: int, fake: bool = False) -> bytes:
+    """STUB: real resize needs PIL (absent here). fake=True returns a
+    deterministic sha-derived byte string of length width*height//64 so
+    batch shapes and size accounting stay honest."""
+    if not fake:
+        raise NotImplementedError("image codecs not available in this environment")
+    seed = hashlib.sha256((content or b"") + f":{width}x{height}".encode()).digest()
+    n = max(1, width * height // 64)
+    return (seed * (n // len(seed) + 1))[:n]
+
+
+def resize(df: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
+    """mapInPandas resize: same MEDIA_SCHEMA out, content replaced by the
+    resized bytes and width/height updated — schema-stable so resized
+    media can re-enter any pipeline stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["content"] = pdf["content"].map(
+                lambda b: resize_image(b, width, height, fake=fake)
+            )
+            out["width"] = width
+            out["height"] = height
+            yield out
+
+    return df.mapInPandas(run, MEDIA_SCHEMA)
+
+
+def audio_chunk_plan(df: DataFrame, chunk_bytes: int = 4000) -> DataFrame:
+    """Audio chunking *plan*: (media_id, chunk_index, offset) rows sized
+    from the payload length without decoding — the relational frame the
+    stubbed decoder fills in."""
+    n_chunks = F.ceil(F.length(F.col("content")) / F.lit(chunk_bytes)).cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+    return (
+        df.where(F.col("kind") == "audio")
+        .select("media_id", F.explode(idx).alias("chunk_index"))
+        .withColumn("offset", F.col("chunk_index") * chunk_bytes)
+    )

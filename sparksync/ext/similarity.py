@@ -192,19 +192,19 @@ def neardup_pairs_lsh(
     )
 
 
-def ivf_assign(
-    emb: DataFrame,
-    n_centroids: int = 8,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Assign every vector to its nearest 'centroid' (deterministically
-    the first n_centroids vectors by id, standing in for trained k-means
-    centers). Output: (vec_id, centroid_id)."""
-    e = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
-    cent = e.where(F.col(id_col) < n_centroids).select(
+def _default_centroids(e: DataFrame, n_centroids: int, id_col: str) -> DataFrame:
+    """Deterministic seed centroids: the first n_centroids vectors by id
+    (k-means++-style seeding would also work; determinism matters more
+    here because the oracle replays the same choice)."""
+    return e.where(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cid"), F.col("v").alias("cv")
     )
+
+
+def _assign(e: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
+    """(id, centroid_id): argmax cosine against broadcast centroids,
+    deterministic tie-break on lowest centroid id. The per-id window is
+    partitioned — parallel, unlike a global window."""
     scored = e.crossJoin(F.broadcast(cent)).select(
         F.col(id_col), F.col("cid"), cosine(F.col("v"), F.col("cv")).alias("cos")
     )
@@ -216,6 +216,67 @@ def ivf_assign(
     )
 
 
+def ivf_train(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means (Lloyd's) over the corpus: assign by cosine,
+    recompute each centroid as the L2-normalized mean of its members via
+    applyInPandas (Arrow-batched — the mean-of-arrays aggregate Spark
+    lacks as a builtin). Centroids are tiny model state, so each
+    iteration collects them to the driver and rebroadcasts — the corpus
+    itself never moves beyond one assignment shuffle per iteration.
+    Output: (cid, cv) trained centroids."""
+    import pandas as pd
+
+    e = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
+    cent = _default_centroids(e, n_centroids, id_col)
+
+    def mean_vec(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        m = np.stack(pdf["v"].to_numpy()).mean(axis=0)
+        n = float(np.linalg.norm(m))
+        if n > 0:
+            m = m / n
+        return pd.DataFrame({"cid": [int(pdf["cid"].iloc[0])], "cv": [m.tolist()]})
+
+    for _ in range(n_iters):
+        assigned = _assign(e, cent, id_col)
+        members = e.join(assigned, id_col).select(
+            F.col("centroid_id").alias("cid"), "v"
+        )
+        new_rows = (
+            members.groupBy("cid")
+            .applyInPandas(mean_vec, "cid long, cv array<double>")
+            .collect()
+        )
+        spark = emb.sparkSession
+        cent = spark.createDataFrame(
+            [(r["cid"], r["cv"]) for r in new_rows], "cid long, cv array<double>"
+        )
+    return cent
+
+
+def ivf_assign(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (default: the
+    deterministic seed set, so the SQL oracle can replay it; pass
+    `centroids` from ivf_train for trained centers).
+    Output: (vec_id, centroid_id)."""
+    e = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
+    cent = centroids if centroids is not None else _default_centroids(e, n_centroids, id_col)
+    return _assign(e, cent, id_col)
+
+
 def ivf_search(
     emb: DataFrame,
     query_id: int,
@@ -224,14 +285,17 @@ def ivf_search(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """ANN search: restrict the scan to the nprobe clusters nearest the
     query, then exact top-k within them. Output: (neighbor_id, rnk)."""
-    assign = ivf_assign(emb, n_centroids, id_col, vec_col)
+    assign = ivf_assign(emb, n_centroids, id_col, vec_col, centroids=centroids)
     e = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
     q = e.where(F.col(id_col) == query_id).select(F.col("v").alias("qv"))
-    cent = e.where(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"), F.col("v").alias("cv")
+    cent = (
+        centroids
+        if centroids is not None
+        else _default_centroids(e, n_centroids, id_col)
     )
     probe = (
         cent.crossJoin(F.broadcast(q))

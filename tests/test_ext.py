@@ -230,3 +230,49 @@ def test_salted_join_and_distinct(spark):
         F.count_distinct("l_suppkey").alias("distinct_count")
     )
     assert {tuple(r) for r in sd.collect()} == {tuple(r) for r in pd_.collect()}
+
+
+def test_multimodal_resize_and_audio(spark):
+    rows = [
+        (1, "image", b"imgbytes", 64, 64),
+        (2, "audio", b"a" * 9500, 0, 0),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    rz = {r["media_id"]: r for r in multimodal.resize(df, 16, 16, fake=True).collect()}
+    assert rz[1]["width"] == 16 and rz[1]["height"] == 16
+    assert len(rz[1]["content"]) == 16 * 16 // 64
+    # schema-stable: output re-enters extract_features unchanged
+    again = multimodal.extract_features(
+        multimodal.resize(df, 16, 16, fake=True), fake=True
+    )
+    assert again.count() == 2
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_image(b"x", 4, 4, fake=False)
+    chunks = multimodal.audio_chunk_plan(df, chunk_bytes=4000)
+    got = [(r["chunk_index"], r["offset"]) for r in
+           chunks.orderBy("chunk_index").collect()]
+    assert got == [(0, 0), (1, 4000), (2, 8000)]
+
+
+def test_ivf_train_improves_fit(emb):
+    """Spherical k-means: mean cosine-to-assigned-centroid must improve
+    over the untrained seed centroids, and search stays functional with
+    trained centers."""
+    from pyspark.sql import functions as F
+
+    def inertia(cent):
+        e = emb.select("vec_id", similarity._to_double(F.col("embedding")).alias("v"))
+        c = cent if cent is not None else similarity._default_centroids(e, 8, "vec_id")
+        scored = e.crossJoin(F.broadcast(c)).select(
+            "vec_id", similarity.cosine(F.col("v"), F.col("cv")).alias("cos")
+        )
+        best = scored.groupBy("vec_id").agg(F.max("cos").alias("m"))
+        return best.agg(F.avg("m")).collect()[0][0]
+
+    base = inertia(None)
+    trained = similarity.ivf_train(emb, n_centroids=8, n_iters=3)
+    assert trained.count() == 8
+    after = inertia(trained)
+    assert after > base, (base, after)
+    res = similarity.ivf_search(emb, query_id=0, k=10, nprobe=4, centroids=trained)
+    assert res.count() == 10
