@@ -1015,6 +1015,31 @@ select l_orderkey, cast(count(distinct l_suppkey) as bigint) as distinct_count
 from lineitem group by l_orderkey
 """
 
+def q42_row_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level drill-down diff (compare.row_diff, the exceptAll
+    strengthening of EP2): source vs a filtered copy of orders; emits
+    each missing row's key with its multiplicity."""
+    from .compare import row_diff
+
+    src_df = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    dst_df = src_df.where("o_orderkey % 97 != 0")
+    missing, extra = row_diff(src_df, dst_df)
+    return (
+        missing.unionByName(extra)
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_Q42 = """
+with src as (select o_orderkey, o_custkey, o_orderstatus from orders),
+     dst as (select * from src where o_orderkey % 97 != 0),
+     d as (select * from src except all select * from dst)
+select o_orderkey, count(*) as n from d group by o_orderkey
+"""
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -1057,6 +1082,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q39_stratified_sample": q39_stratified_sample,
     "q40_length_histogram": q40_length_histogram,
     "q41_salted_distinct": q41_salted_distinct,
+    "q42_row_diff": q42_row_diff,
 }
 
 ORACLES: dict[str, str] = {
@@ -1100,4 +1126,5 @@ ORACLES: dict[str, str] = {
     "q39_stratified_sample": ORACLE_Q39,
     "q40_length_histogram": ORACLE_Q40,
     "q41_salted_distinct": ORACLE_Q41,
+    "q42_row_diff": ORACLE_Q42,
 }
