@@ -117,7 +117,7 @@ def _rp_planes(n_planes: int, dim: int) -> list[list[float]]:
 def neardup_pairs_lsh(
     emb: DataFrame,
     top_n: int = 5,
-    n_planes: int = 16,
+    n_planes: int = 32,
     n_bands: int = 4,
     dim: int = 64,
     bucket_cap: int | None = 10_000,
@@ -130,10 +130,15 @@ def neardup_pairs_lsh(
     any one band, so recall stays high while each band's join is
     bucketed. At 100 TB the candidate set is sum(|bucket|^2), not N^2.
 
+    Defaults (32 planes, 4 bands of 8 bits = 256 buckets/band) target
+    the near-duplicate regime: P(found | cos=0.95) ~ 0.89,
+    P(found | cos=0.98) ~ 0.97; genuinely dissimilar pairs (cos < 0.7)
+    almost never collide, which is what bounds the candidate set.
+
     bucket_cap bounds the quadratic term: any (band, bucket) holding
     more than bucket_cap vectors is re-split by appending the next
-    band's bits (16-way), trading recall inside oversized buckets for a
-    bounded join. The cap check is one map-side-combinable count over
+    band's bits (2^width-way), trading recall inside oversized buckets
+    for a bounded join. The cap check is one map-side-combinable count over
     the keys plus a broadcast join — no extra shuffle of vectors.
     Deterministic planes; rows-only gate check (no SQL analogue) —
     tests assert overlap with brute force."""
@@ -150,19 +155,31 @@ def neardup_pairs_lsh(
         sum(b * (2**i) for i, b in enumerate(bits[bi * width : (bi + 1) * width]))
         for bi in range(n_bands)
     ]
-    keyed = e.select(
+    # One struct per band carrying (band, bucket, nxt) where nxt is the
+    # NEXT band's value, used for bucket-cap re-splitting. The generator
+    # consumes the struct-array EXPRESSION directly — explode over an
+    # aliased attribute makes InferFiltersFromGenerate push a size()>0
+    # filter below the project, re-inlining every plane dot product into
+    # the filter (see the same fix in dedup.shingles).
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                band_vals[i].cast("long").alias("bucket"),
+                band_vals[(i + 1) % n_bands].cast("long").alias("nxt"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    keyed = e.select(id_col, "v", F.explode(cells).alias("bk")).select(
         id_col,
         "v",
-        F.array(*[v.cast("long") for v in band_vals]).alias("_bands"),
-    ).select(
-        id_col,
-        "v",
-        "_bands",
-        F.posexplode(F.col("_bands")).alias("band", "bucket"),
+        F.col("bk.band").alias("band"),
+        F.col("bk.bucket").alias("bucket"),
+        F.col("bk.nxt").alias("nxt"),
     )
     if bucket_cap is not None:
         sizes = keyed.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
-        nxt = F.element_at(F.col("_bands"), ((F.col("band") + 1) % n_bands) + 1)
         keyed = keyed.join(F.broadcast(sizes), ["band", "bucket"]).select(
             id_col,
             "v",
@@ -171,7 +188,7 @@ def neardup_pairs_lsh(
             # un-refined [0, 2^width) key range
             F.when(
                 F.col("_n") > bucket_cap,
-                (F.col("bucket") + 1) * (2**width) + nxt,
+                (F.col("bucket") + 1) * (2**width) + F.col("nxt"),
             )
             .otherwise(F.col("bucket"))
             .alias("bucket"),
