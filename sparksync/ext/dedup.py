@@ -304,11 +304,13 @@ def simhash_pairs(
     return (
         a.join(b, ["band", "key"])
         .where(F.col("d1") < F.col("d2"))
-        .dropDuplicates(["d1", "d2"])
         .select(
             "d1",
             "d2",
             F.bit_count(F.col("f1").bitwiseXOR(F.col("f2"))).cast("long").alias("hamming"),
         )
+        # verify BEFORE the dedup shuffle: bit_count is a few codegen
+        # instructions, so failing pairs never reach the exchange
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["d1", "d2"])
     )
