@@ -1040,6 +1040,145 @@ with src as (select o_orderkey, o_custkey, o_orderstatus from orders),
 select o_orderkey, count(*) as n from d group by o_orderkey
 """
 
+def q43_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window aggregation: 1-hour windows every 30
+    minutes over events — each event lands in 2 overlapping windows via
+    F.window, which Catalyst expands to a generator (no self-union).
+    The streaming variant is the same grouping under a watermark."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "cnt")
+    )
+
+
+ORACLE_Q43 = """
+with hopped as (
+  select time_bucket(interval 30 minute, ts) - interval 30 minute as win_start,
+         event_type from events
+  union all
+  select time_bucket(interval 30 minute, ts) as win_start, event_type from events)
+select win_start, event_type, count(*) as cnt
+from hopped group by win_start, event_type
+"""
+
+
+def q44_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per status x priority, statuses as columns.
+    Catalyst rewrites pivot into one pass of conditional aggregates —
+    the same shape the hand-written oracle uses."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("F"), F.lit(0)).alias("cnt_f"),
+            F.coalesce(F.col("O"), F.lit(0)).alias("cnt_o"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("cnt_p"),
+        )
+    )
+
+
+ORACLE_Q44 = """
+select o_orderpriority,
+  cast(count(*) filter (o_orderstatus = 'F') as bigint) as cnt_f,
+  cast(count(*) filter (o_orderstatus = 'O') as bigint) as cnt_o,
+  cast(count(*) filter (o_orderstatus = 'P') as bigint) as cnt_p
+from orders group by o_orderpriority
+"""
+
+
+def q45_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running order total (cumulative window frame) —
+    partitioned window, so every customer's frame is independent and
+    parallel."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_total"),
+    )
+
+
+ORACLE_Q45 = """
+select o_custkey, o_orderkey,
+  cast(sum(cast(o_totalprice as decimal(12,2)))
+       over (partition by o_custkey order by o_orderkey
+             rows between unbounded preceding and current row) as double)
+    as running_total
+from orders
+"""
+
+
+def q46_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile bucketing of customers by balance within each segment
+    (ntile window) + per-quartile aggregates."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("bal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.select("c_mktsegment", _dec("c_acctbal").alias("bal"), "c_custkey")
+        .withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("bal").cast("double").alias("min_bal"),
+        )
+    )
+
+
+ORACLE_Q46 = """
+with t as (
+  select c_mktsegment, cast(c_acctbal as decimal(12,2)) as bal,
+         ntile(4) over (partition by c_mktsegment
+                        order by cast(c_acctbal as decimal(12,2)) desc, c_custkey)
+           as quartile
+  from customer)
+select c_mktsegment, quartile, count(*) as cnt,
+       cast(min(bal) as double) as min_bal
+from t group by c_mktsegment, quartile
+"""
+
+
+def q47_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles of order totals per status (Spark `percentile`,
+    the exact sort-based aggregate; percentile_approx is the sketch
+    variant used at 100 TB, tested separately for closeness)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(cast(o_totalprice as double), 0.5)").alias("p50"),
+        F.expr("percentile(cast(o_totalprice as double), 0.95)").alias("p95"),
+    )
+
+
+ORACLE_Q47 = """
+select o_orderstatus,
+  quantile_cont(cast(o_totalprice as double), 0.5) as p50,
+  quantile_cont(cast(o_totalprice as double), 0.95) as p95
+from orders group by o_orderstatus
+"""
+
+
+def q48_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct users per event type — the sketch that
+    replaces exact distinct at 100 TB (mergeable, fixed memory).
+    Rows-only gate: the estimate is engine-specific; pytest asserts it
+    lands within 5% of exact."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -1083,6 +1222,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q40_length_histogram": q40_length_histogram,
     "q41_salted_distinct": q41_salted_distinct,
     "q42_row_diff": q42_row_diff,
+    "q43_hopping_window": q43_hopping_window,
+    "q44_pivot": q44_pivot,
+    "q45_running_total": q45_running_total,
+    "q46_ntile": q46_ntile,
+    "q47_percentiles": q47_percentiles,
+    "q48_approx_distinct": q48_approx_distinct,
 }
 
 ORACLES: dict[str, str] = {
@@ -1127,4 +1272,10 @@ ORACLES: dict[str, str] = {
     "q40_length_histogram": ORACLE_Q40,
     "q41_salted_distinct": ORACLE_Q41,
     "q42_row_diff": ORACLE_Q42,
+    "q43_hopping_window": ORACLE_Q43,
+    "q44_pivot": ORACLE_Q44,
+    "q45_running_total": ORACLE_Q45,
+    "q46_ntile": ORACLE_Q46,
+    "q47_percentiles": ORACLE_Q47,
+    # q48 rows-only: HLL estimates are engine-specific
 }

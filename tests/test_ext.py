@@ -296,3 +296,25 @@ def test_ivf_train_improves_fit(emb):
     assert after > base, (base, after)
     res = similarity.ivf_search(emb, query_id=0, k=10, nprobe=4, centroids=trained)
     assert res.count() == 10
+
+
+def test_approx_distinct_close_to_exact(spark):
+    from pyspark.sql import functions as F
+
+    from sparksync.source import load_table
+
+    e = load_table(spark, SF_SMOKE, "events")
+    approx = {
+        r["event_type"]: r["a"]
+        for r in e.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("a"))
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r["x"]
+        for r in e.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("x"))
+        .collect()
+    }
+    for k, x in exact.items():
+        assert abs(approx[k] - x) <= max(2, 0.05 * x), (k, approx[k], x)
