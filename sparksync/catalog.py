@@ -133,6 +133,24 @@ FIXTURE_FUNCTION_INDEX_DDLS: dict[str, list[str]] = {
     ],
 }
 
+#: code objects as DBMS_METADATA.GET_DDL(type, name) returns them — the
+#: reference dumps these to a flat file, never executes them
+#: (tablemeta.go:446, S15)
+FIXTURE_CODE_OBJECTS: list[tuple[str, str, str]] = [
+    (
+        "PROCEDURE",
+        "refresh_order_stats",
+        "CREATE OR REPLACE PROCEDURE refresh_order_stats AS\n"
+        "BEGIN\n  DBMS_STATS.GATHER_TABLE_STATS(USER, 'ORDERS');\nEND;",
+    ),
+    (
+        "FUNCTION",
+        "order_total_class",
+        "CREATE OR REPLACE FUNCTION order_total_class(p NUMBER) RETURN VARCHAR2 AS\n"
+        "BEGIN\n  RETURN CASE WHEN p > 100000 THEN 'BIG' ELSE 'SMALL' END;\nEND;",
+    ),
+]
+
 
 def fabricate_oracle_column(field: T.StructField, ordinal: int) -> OracleColumn:
     """Invert FIXTURES.md: parquet field -> the Oracle catalog row the
@@ -270,6 +288,10 @@ class FixtureCatalog:
     def views(self) -> dict[str, str]:
         """S14 (tablemeta.go:417-427)."""
         return dict(FIXTURE_VIEWS)
+
+    def code_objects(self) -> list[tuple[str, str, str]]:
+        """S15 (tablemeta.go:446): (type, name, ddl) dump-only objects."""
+        return list(FIXTURE_CODE_OBJECTS)
 
     def ordered_column_list(self, table: str) -> str:
         """S5 (cmd/root.go:313-317): the ordered, quoted projection list

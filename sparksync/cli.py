@@ -45,6 +45,9 @@ def main(argv: list[str] | None = None) -> int:
     sub.add_parser("sync-data")  # EP3 onlyData
     cmp_p = sub.add_parser("compare")  # EP2
     cmp_p.add_argument("--checksum", action="store_true")
+    diff_p = sub.add_parser("diff")  # EP2 drill-down (beyond the reference)
+    diff_p.add_argument("--table", required=True)
+    diff_p.add_argument("--max-rows", type=int, default=20)
     dump = sub.add_parser("dump-ddl")  # -m mode
     dump.add_argument("--out", default="createSql.log")
     args = p.parse_args(argv)
@@ -118,12 +121,28 @@ def main(argv: list[str] | None = None) -> int:
                 )
             )
         return 0 if all(r.is_ok for r in results) else 1
+    if args.cmd == "diff":
+        # row-level drill-down after a checksum mismatch (compare.row_diff):
+        # rendered with the reference's log formatting (app.go:158-211)
+        from .compare import row_diff
+        from .render import render_row
+
+        missing, extra = row_diff(
+            job._read_source(args.table), job.sink.read(args.table)
+        )
+        n_missing, n_extra = missing.count(), extra.count()
+        for label, df, n in (("missing", missing, n_missing), ("extra", extra, n_extra)):
+            print(f"{label}_in_dest: {n}")
+            for r in df.limit(args.max_rows).collect():
+                print(f"  {label}: {render_row(r)}")
+        return 0 if n_missing == 0 and n_extra == 0 else 1
     if args.cmd == "dump-ddl":
         from .sink import SqlScriptSink
 
         with SqlScriptSink(args.out) as s:
             rep = job.ddl_phase(tables, s)
             obj_reps = job.objects_phase(tables, s)
+            obj_reps.append(job.dump_code_objects(s))
         for r in [rep, *obj_reps]:
             print(json.dumps(r.__dict__))
         return 0 if rep.failed == 0 and all(r.failed == 0 for r in obj_reps) else 1

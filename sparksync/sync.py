@@ -265,6 +265,21 @@ class SyncJob:
             rep.elapsed_s = time.time() - t0
         return list(reports.values())
 
+    def dump_code_objects(self, script: SqlScriptSink) -> PhaseReport:
+        """S15 (tablemeta.go:446): PROCEDURE/FUNCTION/PACKAGE DDL goes to
+        the script file only — the reference never executes code objects
+        on the target, and neither do we."""
+        t0 = time.time()
+        rep = PhaseReport(phase="code_object dump")
+        for otype, name, ddl in self.catalog.code_objects():
+            rep.tables += 1
+            try:
+                script.execute(f"-- {otype} {name} (dump only, not executed)\n{ddl}")
+            except Exception:  # noqa: BLE001
+                rep.failed += 1
+        rep.elapsed_s = time.time() - t0
+        return rep
+
     def compare_phase(self, tables: list[str], checksum: bool = False) -> list[CompareResult]:
         """EP2 (compareDb) over the synced pairs — count or checksum mode;
         results collected thread-safely (fixes the reference's race at

@@ -247,3 +247,31 @@ def test_bucketed_write_joins_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("drop table if exists li_b")
         spark.sql("drop table if exists o_b")
+
+
+def test_render_value():
+    import datetime
+    import decimal
+
+    from sparksync.render import render_value
+
+    assert render_value(None) == "NULL"
+    assert render_value(True) == "true"
+    assert render_value(b"\x01\xff") == "0x01ff"
+    assert render_value(decimal.Decimal("17536.00")) == "17536.00"
+    assert render_value(1.5) == "1.5"
+    assert render_value(datetime.date(2024, 1, 2)) == "2024-01-02"
+    assert render_value([1, "a"]) == '[1,"a"]'
+
+
+def test_code_object_dump(spark, tmp_path):
+    from sparksync.sink import SqlScriptSink
+
+    job = SyncJob(spark, SF_SMOKE, str(tmp_path / "out"))
+    path = str(tmp_path / "code.sql")
+    with SqlScriptSink(path) as s:
+        rep = job.dump_code_objects(s)
+    assert rep.tables == 2 and rep.failed == 0
+    text = open(path).read()
+    assert "PROCEDURE refresh_order_stats" in text
+    assert "dump only, not executed" in text
