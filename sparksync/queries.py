@@ -1179,6 +1179,48 @@ def q48_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q49_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact-Jaccard near-dup pairs
+    (ext/graph.connected_components): transitive duplicate groups,
+    each doc labeled with its canonical (minimum) member. Iterative
+    min-label propagation — the oracle replays it as a recursive CTE."""
+    from .ext import graph
+
+    pairs = dedup.jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
+    return graph.dedup_groups(pairs)
+
+
+ORACLE_Q49 = """
+with recursive
+docs as (
+  select doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') as toks
+  from documents),
+docs3 as (select * from docs where len(toks) >= 3),
+sh as (
+  select distinct doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] as shingle
+  from docs3, unnest(range(1, len(toks) - 1)) t(i)),
+sizes as (select doc_id, count(*) as n from sh group by doc_id),
+common as (
+  select a.doc_id as d1, b.doc_id as d2, count(*) as c
+  from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+  group by 1, 2),
+pairs as (
+  select d1, d2 from common
+  join sizes na on na.doc_id = d1
+  join sizes nb on nb.doc_id = d2
+  where cast(c as double) / cast(na.n + nb.n - c as double) >= 0.8),
+edges as (select d1 as a, d2 as b from pairs
+          union all select d2, d1 from pairs),
+reach(a, b) as (
+  select a, b from edges
+  union
+  select r.a, e.b from reach r join edges e on r.b = e.a),
+nodes as (select distinct a as node from edges)
+select n.node as doc_id, least(n.node, min(r.b)) as keep_id
+from nodes n left join reach r on r.a = n.node
+group by n.node
+"""
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -1228,6 +1270,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q46_ntile": q46_ntile,
     "q47_percentiles": q47_percentiles,
     "q48_approx_distinct": q48_approx_distinct,
+    "q49_dedup_groups": q49_dedup_groups,
 }
 
 ORACLES: dict[str, str] = {
@@ -1278,4 +1321,5 @@ ORACLES: dict[str, str] = {
     "q46_ntile": ORACLE_Q46,
     "q47_percentiles": ORACLE_Q47,
     # q48 rows-only: HLL estimates are engine-specific
+    "q49_dedup_groups": ORACLE_Q49,
 }

@@ -318,3 +318,20 @@ def test_approx_distinct_close_to_exact(spark):
     }
     for k, x in exact.items():
         assert abs(approx[k] - x) <= max(2, 0.05 * x), (k, approx[k], x)
+
+
+def test_connected_components_multihop(spark):
+    """Chains and separate components resolve transitively: A-B, B-C,
+    C-D is ONE group labeled by its minimum, even though A never pairs
+    with D directly."""
+    from sparksync.ext import graph
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "d1 long, d2 long",
+    )
+    got = {r["node"]: r["component"] for r in
+           graph.connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
