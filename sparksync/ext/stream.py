@@ -111,3 +111,21 @@ def incremental_sync(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_stream(events: DataFrame, keys: list[str] | None = None, late: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: dropDuplicatesWithinWatermark keeps state
+    only for the watermark horizon, so distinct-key state is bounded —
+    the streaming counterpart of dedup.exact_dedup (which would need
+    unbounded state as a plain dropDuplicates on a stream)."""
+    if dict(events.dtypes).get("ts") == "timestamp_ntz":
+        events = events.withColumn(
+            "ts",
+            F.expr(
+                "timestamp_micros(timestampdiff(MICROSECOND,"
+                " timestamp_ntz '1970-01-01 00:00:00', ts))"
+            ),
+        )
+    return events.withWatermark("ts", late).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )

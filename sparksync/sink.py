@@ -71,6 +71,19 @@ class ParquetSink:
     def read_bucketed(self, table: str) -> DataFrame:
         return self.spark.table(table)
 
+    def write_partitioned(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_cols: list[str],
+        mode: str = "overwrite",
+    ) -> None:
+        """Hive-style partitioned layout (one directory per partition
+        value): time/tenant filters on downstream reads become partition
+        PRUNING — directories never opened — instead of row filters. The
+        layout choice for any append-mostly 100 TB fact table."""
+        df.write.mode(mode).partitionBy(*partition_cols).parquet(self.path(table))
+
     def read(self, table: str) -> DataFrame:
         return self.spark.read.parquet(self.path(table))
 

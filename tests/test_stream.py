@@ -118,3 +118,26 @@ def test_windowed_counts_match_batch(spark, tmp_path):
     assert got_m, "stream emitted nothing"
     for k, v in got_m.items():
         assert batch_m[k] == v
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Duplicated input files -> dedup_stream emits each event_id once."""
+    events = load_table(spark, SF_SMOKE, "events").limit(200)
+    src = str(tmp_path / "dup_in")
+    events.write.mode("append").parquet(src)
+    events.write.mode("append").parquet(src)  # every row duplicated
+    schema = spark.read.parquet(src).schema
+    s = stream.read_event_stream(spark, src, schema, max_files=10)
+    out = str(tmp_path / "dedup_out")
+    q = (
+        stream.dedup_stream(s)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == events.count()
+    assert got.select("event_id").distinct().count() == events.count()

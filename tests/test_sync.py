@@ -275,3 +275,26 @@ def test_code_object_dump(spark, tmp_path):
     text = open(path).read()
     assert "PROCEDURE refresh_order_stats" in text
     assert "dump only, not executed" in text
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sparksync.sink import ParquetSink
+    from sparksync.source import load_table
+
+    sink = ParquetSink(spark, str(tmp_path / "out"))
+    e = load_table(spark, SF_SMOKE, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    sink.write_partitioned(e, "events_byday", ["day"])
+    days = [r["day"] for r in
+            spark.read.parquet(sink.path("events_byday"))
+            .select("day").distinct().orderBy("day").collect()]
+    assert len(days) > 1
+    q = spark.read.parquet(sink.path("events_byday")).where(
+        F.col("day") == days[0]
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan, plan
+    assert q.count() > 0
