@@ -330,8 +330,11 @@ def test_connected_components_multihop(spark):
         [(2, 1), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
         "d1 long, d2 long",
     )
+    cached_before = len(spark.sparkContext._jsc.getPersistentRDDs())
     got = {r["node"]: r["component"] for r in
            graph.connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20}
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    # the loop's iteration caches must all be released (compare against
+    # the pre-call count: other suites may legitimately hold caches)
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= cached_before
