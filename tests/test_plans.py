@@ -1,0 +1,85 @@
+"""Physical-plan assertions: the 100 TB posture, checked per commit.
+
+Correctness tests prove the WHAT; these prove the HOW — filters reach
+the scan, dims broadcast, top-k never funnels through one partition,
+aggregation is partial. A regression here is invisible at sf0.01 and
+fatal at 100 TB, which is exactly why it gets its own suite.
+"""
+
+from __future__ import annotations
+
+from sparksync.queries import QUERIES
+from sparksync.source import load_table
+
+from .conftest import SF_SMOKE
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q01_filter_pushed_and_columns_pruned(spark):
+    plan = plan_of(QUERIES["q01_pricing_summary"](spark, SF_SMOKE))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # 6 needed columns, not all 11 (ReadSchema renders truncated, so
+    # assert the leading needed column and the absence of unneeded ones)
+    rs = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert rs.startswith("struct<l_quantity")
+    for col in ("l_orderkey", "l_partkey", "l_suppkey"):
+        assert col not in rs, rs
+    assert "HashAggregate" in plan  # partial+final, not sort-based
+
+
+def test_dim_joins_broadcast(spark):
+    for q in ("q16_shipping_priority", "q17_local_supplier"):
+        plan = plan_of(QUERIES[q](spark, SF_SMOKE))
+        assert "BroadcastHashJoin" in plan, q
+        assert "SortMergeJoin" not in plan, q
+
+
+def test_topk_is_take_ordered(spark):
+    for q in ("q22_knn_cosine", "q31_embedding_neardup"):
+        plan = plan_of(QUERIES[q](spark, SF_SMOKE))
+        assert "TakeOrderedAndProject" in plan, q
+
+
+def test_no_single_partition_exchange_in_scale_paths(spark):
+    """The scale-path operators must never plan Exchange SinglePartition
+    (q03's pagination window is the documented exception)."""
+    for q in (
+        "q18_dedup_exact",
+        "q20_dedup_minhash",
+        "q36_simhash_pairs",
+        "q24_lang_id",
+        "q29_sessionize",
+        "q37_range_join",
+        "q45_running_total",
+    ):
+        plan = plan_of(QUERIES[q](spark, SF_SMOKE))
+        assert "SinglePartition" not in plan, q
+
+
+def test_simhash_has_no_shuffle(spark):
+    from sparksync.ext import dedup
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = plan_of(dedup.simhash(docs))
+    assert "Exchange" not in plan, plan
+
+
+def test_sampling_is_narrow(spark):
+    from sparksync.ext import sampling
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = plan_of(sampling.split_assign(docs, "doc_id"))
+    assert "Exchange" not in plan
+    plan2 = plan_of(
+        sampling.stratified_sample(docs, "lang", {"en": 0.5}, "doc_id")
+    )
+    assert "Exchange" not in plan2
+
+
+def test_events_scan_prunes_columns(spark):
+    e = load_table(spark, SF_SMOKE, "events").select("event_id")
+    rs = plan_of(e).split("ReadSchema: ")[1].split("\n")[0]
+    assert "props" not in rs and "event_type" not in rs, rs
