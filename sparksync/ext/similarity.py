@@ -45,7 +45,10 @@ def _ranked_topk(scored: DataFrame, k: int, order: list[Column], out) -> DataFra
     row_number stamp runs on the <=k survivors only, so its one-partition
     window is k rows, not the corpus."""
     top = scored.orderBy(*order).limit(k)
-    w = Window.orderBy(*order)
+    # constant partition key: the window runs over the <=k survivors in
+    # one (tiny) partition by construction; naming the partition avoids
+    # WindowExec's global-window warning without changing the plan shape
+    w = Window.partitionBy(F.lit(1)).orderBy(*order)
     return top.withColumn("rnk", F.row_number().over(w).cast("long")).select(*out)
 
 

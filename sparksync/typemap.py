@@ -74,7 +74,11 @@ def map_type(col: OracleColumn) -> tuple[str, T.DataType]:
     if dt == "NUMBER":
         p = col.precision
         if p is not None and p > 0 and scale is not None and scale > 0:
-            # tablemeta.go:138-139 -> decimal(p,s)
+            # tablemeta.go:138-139 -> decimal(p,s). Oracle permits
+            # scale > precision (NUMBER(1,2) = values < 0.1 with 2 dp);
+            # MySQL and Spark both require s <= p, so widen precision —
+            # a pure widening, every source value still fits.
+            p = max(p, scale)
             return f"decimal({p},{scale})", T.DecimalType(p, scale)
         # integer-ish NUMBER: stats decide width (tablemeta.go:140-143)
         if col.avg_col_len is not None and col.avg_col_len < 6:

@@ -338,3 +338,28 @@ def test_connected_components_multihop(spark):
     # the loop's iteration caches must all be released (compare against
     # the pre-call count: other suites may legitimately hold caches)
     assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= cached_before
+
+
+def test_ops_handle_empty_inputs(spark):
+    """Every pipeline operator returns an empty (not crashing) result on
+    an empty corpus — the degenerate partition every real run contains."""
+    from pyspark.sql import functions as F
+
+    from sparksync.ext import asof, graph, sampling, skew, textops
+    from sparksync.source import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(0)
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(0)
+    ev = load_table(spark, SF_SMOKE, "events").limit(0)
+    assert dedup.exact_dedup(docs, ["text"], "doc_id").count() == 0
+    assert dedup.jaccard_pairs(docs).count() == 0
+    assert dedup.minhash_dedup_pairs(docs).count() == 0
+    assert dedup.simhash_pairs(docs).count() == 0
+    assert similarity.neardup_pairs_lsh(emb).count() == 0
+    assert textops.language_id(docs).count() == 0
+    assert textops.token_counts(docs).count() == 0
+    assert sampling.split_assign(docs, "doc_id").count() == 0
+    assert skew.salted_distinct_count(ev, "event_type", "user_id").count() == 0
+    assert asof.sessionize(ev, "user_id", "ts").count() == 0
+    edges = spark.createDataFrame([], "d1 long, d2 long")
+    assert graph.connected_components(edges).count() == 0

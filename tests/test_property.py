@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis) for the pure planning/translation
+layers — the reference's fiddliest string/math code paths, exercised
+over generated inputs rather than a handful of examples."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sparksync.render import render_value
+from sparksync.source import plan_pages
+from sparksync.typemap import OracleColumn, clamp_scale, map_type, normalize_default
+
+
+@given(count=st.integers(0, 200_000), page=st.integers(1, 1_000_000))
+@settings(max_examples=200, deadline=None)
+def test_page_windows_partition_rowspace(count, page):
+    """Windows are 1-based, contiguous, non-overlapping and cover
+    exactly [1, count] (ceil math, cmd/root.go:320-335)."""
+    plan = plan_pages(count, "t", page)
+    ws = plan.windows()
+    assert plan.num_pages == max(1, -(-count // page))
+    assert len(ws) == plan.num_pages
+    lo0, _ = ws[0]
+    assert lo0 == 1
+    covered = 0
+    prev_hi = 0
+    for lo, hi in ws:
+        assert lo == prev_hi + 1
+        assert hi <= count or count == 0
+        covered += max(0, hi - lo + 1)
+        prev_hi = hi
+    assert covered == count
+
+
+@given(
+    precision=st.one_of(st.none(), st.integers(0, 60)),
+    scale=st.one_of(st.none(), st.integers(-20, 60)),
+    avg_len=st.one_of(st.none(), st.integers(0, 30)),
+)
+@settings(max_examples=200)
+def test_number_mapping_total_and_valid(precision, scale, avg_len):
+    """Every NUMBER shape maps to a legal MySQL type: decimal scale is
+    clamped to [0, 30] and precision to <= 65 (tablemeta.go:74,133-158)."""
+    col = OracleColumn(
+        "c", "NUMBER", precision=precision, scale=scale, avg_col_len=avg_len
+    )
+    mysql, spark = map_type(col)
+    assert mysql
+    if mysql.startswith("decimal"):
+        p, s = mysql[len("decimal(") : -1].split(",")
+        assert 1 <= int(p) <= 65
+        assert 0 <= int(s) <= 30
+        assert int(s) <= int(p)
+
+
+@given(
+    precision=st.one_of(st.none(), st.integers(0, 60)),
+    scale=st.one_of(st.none(), st.integers(-100, 127)),
+)
+def test_clamp_scale_bounds(precision, scale):
+    out = clamp_scale(precision, scale)
+    if scale is None:
+        assert out is None
+    else:
+        assert out <= 30
+
+
+@given(
+    default=st.one_of(
+        st.none(),
+        st.text(max_size=40),
+        st.text(max_size=20).map(lambda s: f"('{s}')"),
+    )
+)
+@settings(max_examples=200)
+def test_normalize_default_never_raises_and_shapes(default):
+    col = OracleColumn("c", "VARCHAR2", default=default)
+    out = normalize_default(col)
+    assert out == "" or out.startswith(" default ")
+
+
+@given(
+    v=st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(),
+        st.floats(allow_nan=False),
+        st.text(max_size=50),
+        st.binary(max_size=20),
+        st.lists(st.integers(), max_size=5),
+    )
+)
+@settings(max_examples=200)
+def test_render_value_total(v):
+    out = render_value(v)
+    assert isinstance(out, str)
