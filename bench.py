@@ -35,6 +35,8 @@ HEADLINE = [
     "q25_quality_score",
     "q27_fingerprint",
     "q36_simhash_pairs",
+    # capstone: full corpus-prep pipeline (lang -> quality -> dedup -> split)
+    "q50_corpus_prep",
 ]
 
 

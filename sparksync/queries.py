@@ -1221,6 +1221,64 @@ from nodes n left join reach r on r.a = n.node
 group by n.node
 """
 
+def q50_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone: the full training-corpus preparation pipeline as ONE
+    lazy DataFrame graph — language filter (en) -> quality filter ->
+    exact dedup (keep min doc_id per text) -> deterministic train/val/
+    test split -> per-split counts and token totals. Catalyst fuses the
+    narrow stages (lang + quality + split are one map over the scan);
+    the only shuffles are the dedup groupBy and the final count."""
+    docs = load(spark, sf_dir, "documents")
+    lang = textops.language_id(docs).where(F.col("pred_lang") == "en")
+    qual = textops.quality_score(docs).where(F.col("keep") == 1)
+    kept = (
+        docs.join(lang.select("doc_id"), "doc_id")
+        .join(qual.select("doc_id", "n_tokens"), "doc_id")
+    )
+    deduped = kept.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.min("n_tokens").alias("n_tokens")
+    )
+    split = sampling.split_assign(
+        deduped, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, method="knuth"
+    )
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+ORACLE_Q50 = """
+with t as (
+  select doc_id, text,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') as toks
+  from documents),
+en as (
+  select doc_id from documents
+  where text like '% the %' or text like 'the %' or text like '% the'),
+q as (
+  select doc_id, cast(len(toks) as bigint) as n_tokens,
+         cast(len(list_filter(toks, x -> x in ('the','a','of'))) as bigint) as stop_cnt
+  from t),
+keepq as (
+  select doc_id, n_tokens from q
+  where n_tokens >= 20 and n_tokens <= 1000
+    and cast(stop_cnt as double) / cast(n_tokens as double) < 0.5),
+kept as (
+  select d.doc_id, d.text, k.n_tokens
+  from documents d join en using (doc_id) join keepq k using (doc_id)),
+dd as (
+  select min(doc_id) as doc_id, min(n_tokens) as n_tokens
+  from kept group by text),
+s as (
+  select case when mod(doc_id * 2654435761, 10000) < 8000 then 'train'
+              when mod(doc_id * 2654435761, 10000) < 9000 then 'val'
+              else 'test' end as split,
+         n_tokens
+  from dd)
+select split, count(*) as n_docs, cast(sum(n_tokens) as bigint) as n_tokens
+from s group by split
+"""
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -1271,6 +1329,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q47_percentiles": q47_percentiles,
     "q48_approx_distinct": q48_approx_distinct,
     "q49_dedup_groups": q49_dedup_groups,
+    "q50_corpus_prep": q50_corpus_prep,
 }
 
 ORACLES: dict[str, str] = {
@@ -1322,4 +1381,5 @@ ORACLES: dict[str, str] = {
     "q47_percentiles": ORACLE_Q47,
     # q48 rows-only: HLL estimates are engine-specific
     "q49_dedup_groups": ORACLE_Q49,
+    "q50_corpus_prep": ORACLE_Q50,
 }
