@@ -338,3 +338,35 @@ def ivf_search(
         [F.col("cos").desc(), F.col(id_col)],
         [F.col(id_col).alias("neighbor_id"), "rnk"],
     )
+
+
+def knn_batch(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k neighbors for MANY query vectors in one pass — the shape a
+    retrieval service actually runs. The query set broadcasts (it is
+    small by definition), the corpus is scanned once, and ranking is a
+    window PARTITIONED by query id, so every query's top-k is computed
+    in parallel with no global sort. Output: (query_id, neighbor_id,
+    rnk), deterministic (cos desc, id) tie-break."""
+    e = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
+    q = e.where(F.col(id_col).isin([int(x) for x in query_ids])).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id", F.col(id_col), cosine(F.col("v"), F.col("qv")).alias("cos")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "rnk")
+    )

@@ -1279,6 +1279,34 @@ select split, count(*) as n_docs, cast(sum(n_tokens) as bigint) as n_tokens
 from s group by split
 """
 
+def q51_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched kNN (ext/similarity.knn_batch): top-3 cosine neighbors
+    for five query vectors in one corpus scan; ranking windows partition
+    by query id, so no global sort exists anywhere in the plan."""
+    return similarity.knn_batch(
+        load(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=3
+    )
+
+
+ORACLE_Q51 = """
+with e as (
+  select vec_id, list_transform(embedding, x -> cast(x as double)) as v
+  from embeddings),
+q as (select vec_id as query_id, v as qv from e where vec_id in (0,1,2,3,4)),
+scored as (
+  select q.query_id, e.vec_id,
+    list_dot_product(e.v, q.qv) /
+      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+      as cos
+  from e cross join q where e.vec_id <> q.query_id),
+r as (
+  select query_id, vec_id as neighbor_id,
+         cast(row_number() over (partition by query_id
+                                 order by cos desc, vec_id) as bigint) as rnk
+  from scored)
+select query_id, neighbor_id, rnk from r where rnk <= 3
+"""
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -1330,6 +1358,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q48_approx_distinct": q48_approx_distinct,
     "q49_dedup_groups": q49_dedup_groups,
     "q50_corpus_prep": q50_corpus_prep,
+    "q51_batch_knn": q51_batch_knn,
 }
 
 ORACLES: dict[str, str] = {
@@ -1382,4 +1411,5 @@ ORACLES: dict[str, str] = {
     # q48 rows-only: HLL estimates are engine-specific
     "q49_dedup_groups": ORACLE_Q49,
     "q50_corpus_prep": ORACLE_Q50,
+    "q51_batch_knn": ORACLE_Q51,
 }

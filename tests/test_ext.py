@@ -363,3 +363,15 @@ def test_ops_handle_empty_inputs(spark):
     assert asof.sessionize(ev, "user_id", "ts").count() == 0
     edges = spark.createDataFrame([], "d1 long, d2 long")
     assert graph.connected_components(edges).count() == 0
+
+
+def test_knn_batch_matches_single(emb):
+    """Batched kNN per-query results equal the single-query operator."""
+    batch = similarity.knn_batch(emb, [0, 3], k=5)
+    got0 = [(r["neighbor_id"], r["rnk"]) for r in
+            batch.where("query_id = 0").orderBy("rnk").collect()]
+    single0 = [(r["neighbor_id"], r["rnk"]) for r in
+               similarity.knn_brute(emb, 0, k=5).orderBy("rnk").collect()]
+    assert got0 == single0
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
