@@ -247,6 +247,15 @@ class FixtureCatalog:
         )
         return self.spark.createDataFrame(rows, schema)
 
+    def column_count(self, table: str) -> int:
+        """S7 (tablemeta.go:64-72): the reference's existence probe /
+        loop bound (`select count(*) from user_tab_columns where
+        table_name=...`). Zero means the table does not exist."""
+        try:
+            return len(self.table_spec(table).columns)
+        except Exception:  # noqa: BLE001 — missing table probes as 0
+            return 0
+
     def current_user(self) -> str:
         """S16 (cmd/tablemeta.go:322): the reference prints `select user
         from dual`; Spark's analogue is the session's current_user()."""

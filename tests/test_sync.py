@@ -298,3 +298,9 @@ def test_partitioned_write_prunes(spark, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(day" in plan, plan
     assert q.count() > 0
+
+
+def test_column_count_probe(spark):
+    cat = FixtureCatalog(spark, SF_SMOKE)
+    assert cat.column_count("region") == 2
+    assert cat.column_count("no_such_table") == 0
