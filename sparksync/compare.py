@@ -36,24 +36,36 @@ class CompareResult:
         return ok
 
 
-def _row_digest(df: DataFrame) -> F.Column:
-    """sha2 over all columns rendered to string with a unit separator;
-    NULLs render as a sentinel so (NULL,'a') != ('a',NULL)."""
+def _row_digest(df: DataFrame, algo: str = "xxhash64") -> F.Column:
+    """Per-row digest over all columns rendered to string; NULLs render
+    as a sentinel so (NULL,'a') != ('a',NULL).
+
+    algo='xxhash64' (default): non-cryptographic, ~3x faster per scan —
+    the right trade for corruption/equality checking at 100 TB.
+    algo='sha2' when an adversarial-collision-resistant digest is
+    required (and for parity with external sha256 implementations)."""
     cols = [F.coalesce(F.col(c).cast("string"), F.lit(chr(0))) for c in df.columns]
+    if algo == "xxhash64":
+        return F.xxhash64(*cols)
     return F.sha2(F.concat_ws("\x1f", *cols), 256)
 
 
-def table_checksum(df: DataFrame) -> dict:
-    """Order-insensitive digest: count + min/max of per-row sha2 + a
-    commutative fold (sum of the first 15 hex chars as a bigint). A
-    single partial-aggregable pass — at 100 TB this is one map-side
-    combine + a 1-row reduce, no shuffle of data rows."""
-    h = _row_digest(df)
+def table_checksum(df: DataFrame, algo: str = "xxhash64") -> dict:
+    """Order-insensitive digest: count + min/max of per-row digest + a
+    commutative decimal(38,0) fold. A single partial-aggregable pass —
+    at 100 TB this is one map-side combine + a 1-row reduce, no shuffle
+    of data rows."""
+    h = _row_digest(df, algo)
+    fold = (
+        h.cast("decimal(38,0)")
+        if algo == "xxhash64"
+        else F.conv(F.substring(h, 1, 15), 16, 10).cast("decimal(38,0)")
+    )
     row = df.select(
         F.count(F.lit(1)).alias("cnt"),
         F.min(h).alias("hmin"),
         F.max(h).alias("hmax"),
-        F.sum(F.conv(F.substring(h, 1, 15), 16, 10).cast("decimal(38,0)")).alias("hsum"),
+        F.sum(fold).alias("hsum"),
     ).collect()[0]
     return {"cnt": row["cnt"], "hmin": row["hmin"], "hmax": row["hmax"], "hsum": row["hsum"]}
 
