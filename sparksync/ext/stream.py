@@ -129,3 +129,11 @@ def dedup_stream(events: DataFrame, keys: list[str] | None = None, late: str = "
     return events.withWatermark("ts", late).dropDuplicatesWithinWatermark(
         keys or ["event_id"]
     )
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame, key: str) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (broadcastable) dimension snapshot — no watermark or state needed,
+    and the dim can be re-read per trigger for slowly-changing lookups.
+    The standard shape for attaching reference data at ingest."""
+    return events.join(F.broadcast(dim), key, "left")

@@ -141,3 +141,29 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == events.count()
     assert got.select("event_id").distinct().count() == events.count()
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    events = load_table(spark, SF_SMOKE, "events").limit(300)
+    src = str(tmp_path / "enrich_in")
+    events.write.mode("append").parquet(src)
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("purchase", "revenue")],
+        "event_type string, category string",
+    )
+    schema = spark.read.parquet(src).schema
+    s = stream.read_event_stream(spark, src, schema, max_files=10)
+    out = str(tmp_path / "enriched")
+    q = (
+        stream.enrich_stream(s, dim, "event_type")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == events.count()
+    assert got.where("event_type = 'purchase' and category != 'revenue'").count() == 0
+    assert "category" in got.columns
