@@ -1307,6 +1307,33 @@ r as (
 select query_id, neighbor_id, rnk from r where rnk <= 3
 """
 
+def q52_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day partition digests of events (compare.partition_checksums,
+    md5 so DuckDB replays it bit-for-bit): the incremental-compare
+    primitive — a mismatching day is the only slice a re-sync touches."""
+    from .compare import partition_checksums
+
+    # day as a midnight timestamp, not DATE: result bridges normalize
+    # dates inconsistently (pandas renders one side date, one Timestamp)
+    e = load(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date").cast("timestamp_ntz")
+    )
+    return partition_checksums(
+        e.select("day", "event_id", "user_id", "event_type"),
+        ["day"],
+        algo="md5",
+    )
+
+
+ORACLE_Q52 = """
+select cast(cast(ts as date) as timestamp) as day, count(*) as cnt,
+  min(md5(concat_ws(chr(31), cast(event_id as varchar),
+                    cast(user_id as varchar), event_type))) as hmin,
+  max(md5(concat_ws(chr(31), cast(event_id as varchar),
+                    cast(user_id as varchar), event_type))) as hmax
+from events group by 1
+"""
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -1359,6 +1386,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q49_dedup_groups": q49_dedup_groups,
     "q50_corpus_prep": q50_corpus_prep,
     "q51_batch_knn": q51_batch_knn,
+    "q52_partition_checksums": q52_partition_checksums,
 }
 
 ORACLES: dict[str, str] = {
@@ -1412,4 +1440,5 @@ ORACLES: dict[str, str] = {
     "q49_dedup_groups": ORACLE_Q49,
     "q50_corpus_prep": ORACLE_Q50,
     "q51_batch_knn": ORACLE_Q51,
+    "q52_partition_checksums": ORACLE_Q52,
 }

@@ -44,6 +44,25 @@ class ParquetSink:
     def write(self, df: DataFrame, table: str, mode: str = "overwrite") -> None:
         df.write.mode(mode).parquet(self.path(table))
 
+    def align_to_target(self, df: DataFrame, table: str) -> DataFrame:
+        """Superset-target column matching (cmd/root.go:364,435 — the
+        reference always inserts BY COLUMN LIST so a target with extra
+        columns works): project the source columns in target order and
+        null-fill target-only columns. Raises when the target lacks a
+        source column — that is a real schema conflict, not evolution."""
+        from pyspark.sql import functions as F
+
+        target = self.read(table).schema
+        target_names = [f.name for f in target.fields]
+        missing = [c for c in df.columns if c not in target_names]
+        if missing:
+            raise ValueError(f"target {table} lacks source columns {missing}")
+        cols = [
+            F.col(f.name) if f.name in df.columns else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in target.fields
+        ]
+        return df.select(*cols)
+
     def write_bucketed(
         self,
         df: DataFrame,

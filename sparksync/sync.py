@@ -35,12 +35,14 @@ from .source import ParquetSource, plan_pages
 @dataclass
 class PhaseReport:
     """Per-phase begin/failed/elapsed rows, mirroring the summary table
-    the reference renders (cmd/root.go:140-200, readme.md:127-132)."""
+    the reference renders (cmd/root.go:140-200, readme.md:127-132);
+    `errors` carries the per-object detail (K7, sink.DdlResult shape)."""
 
     phase: str
     tables: int = 0
     failed: int = 0
     elapsed_s: float = 0.0
+    errors: list[str] = field(default_factory=list)
 
 
 @dataclass
@@ -176,8 +178,9 @@ class SyncJob:
                 ddl = drop_table_sql(t) + "\n" + create_table_sql(spec)
                 if script is not None:
                     script.execute(ddl)
-            except Exception:  # noqa: BLE001 — count-and-continue like the reference
+            except Exception as e:  # noqa: BLE001 — count-and-continue like the reference
                 rep.failed += 1
+                rep.errors.append(f"{t}: {type(e).__name__}: {e}"[:300])
         rep.elapsed_s = time.time() - t0
         return rep
 
@@ -197,11 +200,12 @@ class SyncJob:
         rep = PhaseReport(phase="data sync", tables=len(tables))
         with ThreadPoolExecutor(max_workers=self.max_parallel) as ex:
             futs = {ex.submit(self._sync_one, t): t for t in tables}
-            for f in futs:
+            for f, t in futs.items():
                 try:
                     f.result()
-                except Exception:  # noqa: BLE001
+                except Exception as e:  # noqa: BLE001
                     rep.failed += 1
+                    rep.errors.append(f"{t}: {type(e).__name__}: {e}"[:300])
         rep.elapsed_s = time.time() - t0
         return rep
 

@@ -304,3 +304,49 @@ def test_column_count_probe(spark):
     cat = FixtureCatalog(spark, SF_SMOKE)
     assert cat.column_count("region") == 2
     assert cat.column_count("no_such_table") == 0
+
+
+def test_align_to_target_superset(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sparksync.sink import ParquetSink
+    from sparksync.source import load_table
+
+    sink = ParquetSink(spark, str(tmp_path / "out"))
+    r = load_table(spark, SF_SMOKE, "region")
+    # target created with an EXTRA column
+    sink.write(r.withColumn("created_at", F.lit(None).cast("timestamp")), "region")
+    aligned = sink.align_to_target(r, "region")
+    assert aligned.columns == ["r_regionkey", "r_name", "created_at"]
+    assert aligned.where("created_at is not null").count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sink.align_to_target(r.withColumn("rogue", F.lit(1)), "region")
+
+
+def test_data_phase_error_detail(spark, tmp_path):
+    job = SyncJob(spark, SF_SMOKE, str(tmp_path / "out"))
+    rep = job.data_phase(["no_such_table"])
+    assert rep.failed == 1
+    assert rep.errors and "no_such_table" in rep.errors[0]
+
+
+def test_changed_partitions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sparksync.compare import changed_partitions
+    from sparksync.source import load_table
+
+    e = load_table(spark, SF_SMOKE, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    days = sorted(r["day"] for r in e.select("day").distinct().collect())
+    tampered = e.where(
+        ~((F.col("day") == days[0]) & (F.col("event_id") % 50 == 0))
+    )
+    got = sorted(
+        r["day"] for r in changed_partitions(e, tampered, ["day"]).collect()
+    )
+    assert got == [days[0]]
+    assert changed_partitions(e, e, ["day"]).count() == 0

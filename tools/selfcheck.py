@@ -53,6 +53,8 @@ def _norm(v):
         return ("ts", v.to_pydatetime().replace(tzinfo=None).isoformat())
     if isinstance(v, datetime.datetime):
         return ("ts", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, datetime.date):
+        return ("ts", v.isoformat() + "T00:00:00")
     if isinstance(v, (list, np.ndarray)):
         return tuple(_norm(x) for x in v)
     return v
