@@ -10,7 +10,7 @@ Scale posture (100 TB):
   in corpus size (K min-aggregations map-side) plus a bucket join whose
   fan-out is controlled by band width; candidates are then verified with
   exact Jaccard, so results equal jaccard_pairs whenever LSH recall
-  catches the threshold (r=4, b=32 -> P(catch | j=0.8) > 0.9999).
+  catches the threshold (r=4, b=16 -> P(catch | j=0.8) > 0.999).
 - simhash: narrow map + one groupBy.
 - simhash_pairs: pigeonhole band join — any pair within max_hamming bit
   flips agrees exactly on one of max_hamming+1 bands, so candidates come
@@ -177,14 +177,15 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """LSH candidates -> exact-Jaccard verification. The scale path:
 
-    - signatures come from array higher-order functions in ONE narrow
-      projection (hash each shingle twice, then K zip_with+array_min
-      passes) — no explode, no groupBy, no shuffle;
-    - the only corpus-wide shuffle is the banded bucket self-join over
+    - signatures are K map-side partial min aggregates over the shingle
+      rows (minhash_signatures) — the shuffle carries one K-wide row
+      per doc, never the shingles themselves;
+    - candidate discovery is the banded bucket self-join over
       (band, key) rows;
     - verification joins the candidate pairs back to the per-doc shingle
-      arrays and computes exact Jaccard via array_intersect — it ships
-      arrays for candidate docs only, never the full inverted index.
+      arrays (one pass, broadcast candidate ids, min_by/max_by pairing)
+      and computes exact Jaccard via array_intersect — it ships arrays
+      for candidate docs only, never the full inverted index.
     """
     arrs = shingle_arrays(df, id_col, text_col)
     sig = minhash_signatures(shingles(df, id_col, text_col), id_col, k=bands * rows)
@@ -313,4 +314,19 @@ def simhash_pairs(
         # instructions, so failing pairs never reach the exchange
         .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["d1", "d2"])
+    )
+
+
+def normalized_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup after text normalization (casefold + whitespace
+    collapse + trim) — catches trivially-reformatted copies that byte
+    dedup misses while staying a single hash groupBy. Output:
+    (norm_key_hash, doc_id=min, dup_count)."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), "\\s+", " ")))
+    return (
+        df.select(F.col(id_col), F.xxhash64(norm).alias("norm_key"))
+        .groupBy("norm_key")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
     )

@@ -1334,6 +1334,23 @@ select cast(cast(ts as date) as timestamp) as day, count(*) as cnt,
 from events group by 1
 """
 
+def q53_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup (ext/dedup.normalized_dedup):
+    casefold + whitespace collapse before hashing, so reformatted copies
+    collapse into one group. Output keyed by min doc id (the hash column
+    is engine-specific, so the gate compares the group structure)."""
+    d = dedup.normalized_dedup(load(spark, sf_dir, "documents"))
+    return d.select("doc_id", "dup_count")
+
+
+ORACLE_Q53 = """
+select min(doc_id) as doc_id, count(*) as dup_count
+from (select doc_id,
+        lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) as norm
+      from documents)
+group by norm
+"""
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -1387,6 +1404,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q50_corpus_prep": q50_corpus_prep,
     "q51_batch_knn": q51_batch_knn,
     "q52_partition_checksums": q52_partition_checksums,
+    "q53_normalized_dedup": q53_normalized_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -1441,4 +1459,5 @@ ORACLES: dict[str, str] = {
     "q50_corpus_prep": ORACLE_Q50,
     "q51_batch_knn": ORACLE_Q51,
     "q52_partition_checksums": ORACLE_Q52,
+    "q53_normalized_dedup": ORACLE_Q53,
 }
