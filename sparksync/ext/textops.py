@@ -93,6 +93,88 @@ def token_counts(
     )
 
 
+def _bigrams(toks: Column) -> Column:
+    """Adjacent-token 2-grams as an array column. Guarded for <2 tokens:
+    sequence(0, n-2) would *descend* when n < 2 and emit bogus indices."""
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition features (the Gopher-rules shape:
+    duplicate-token and duplicate-n-gram fractions) + a keep flag.
+
+    Everything is array math on the already-split token list — a narrow
+    map with zero shuffle, so at 100 TB this runs at scan speed alongside
+    quality_score in the same stage. The thresholds are corpus-tuned
+    constants (real pipelines sweep them per-source)."""
+    toks = tokens(text_col)
+    n = F.size(toks).cast("long")
+    uniq = F.size(F.array_distinct(toks)).cast("long")
+    grams = _bigrams(toks)
+    n2 = F.size(grams).cast("long")
+    uniq2 = F.size(F.array_distinct(grams)).cast("long")
+    dup_tok = F.when(
+        n > 0, F.lit(1.0) - uniq.cast("double") / n.cast("double")
+    ).otherwise(F.lit(0.0))
+    dup_2g = F.when(
+        n2 > 0, F.lit(1.0) - uniq2.cast("double") / n2.cast("double")
+    ).otherwise(F.lit(0.0))
+    keep = ((dup_tok <= 0.6) & (dup_2g <= 0.05)).cast("long")
+    return df.select(
+        F.col("doc_id"),
+        n.alias("n_tokens"),
+        uniq.alias("uniq_tokens"),
+        n2.alias("n_2grams"),
+        uniq2.alias("uniq_2grams"),
+        dup_tok.alias("dup_token_ratio"),
+        dup_2g.alias("dup_2gram_ratio"),
+        keep.alias("keep"),
+    )
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    min_docs: int = 2,
+    top_k: int = 20,
+) -> DataFrame:
+    """Cross-document boilerplate detection: 3-gram shingles ranked by
+    document frequency. The pipeline use is stripping headers/footers/
+    license blocks that repeat across a crawl.
+
+    Scale shape: per-doc *distinct* shingles (array_distinct before the
+    explode, so a shingle counts once per doc and the explode volume is
+    bounded by unique-shingles-per-doc), then one hash-partitioned
+    count with map-side partial aggregation, then top-k via
+    orderBy().limit() = TakeOrderedAndProject — no global-window
+    single-partition sort."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    tri = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(0), n - 3),
+            lambda i: F.concat_ws(
+                " ", F.get(toks, i), F.get(toks, i + 1), F.get(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(F.explode(F.array_distinct(tri)).alias("gram"))
+    freq = exploded.groupBy("gram").agg(F.count("*").cast("long").alias("doc_freq"))
+    return (
+        freq.where(F.col("doc_freq") >= min_docs)
+        .orderBy(F.desc("doc_freq"), "gram")
+        .limit(top_k)
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Order-sensitive polynomial rolling hash over tokens (mod 2^31-1):
     doc-level fingerprint for fast container-level dedup. Per-token code

@@ -1351,6 +1351,74 @@ from (select doc_id,
 group by norm
 """
 
+def q54_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition filter (ext/textops
+    .repetition_stats): duplicate-token + duplicate-2-gram fractions and
+    a keep flag, all narrow array math — scan-speed at 100 TB."""
+    return textops.repetition_stats(load(spark, sf_dir, "documents"))
+
+
+ORACLE_Q54 = """
+with t as (
+  select doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') toks
+  from documents),
+b as (
+  select doc_id,
+    len(toks)::bigint n_tokens,
+    len(list_distinct(toks))::bigint uniq_tokens,
+    case when len(toks) >= 2
+      then [toks[i] || ' ' || toks[i+1] for i in generate_series(1, len(toks)-1)]
+      else [] end grams
+  from t),
+c as (
+  select doc_id, n_tokens, uniq_tokens,
+    len(grams)::bigint n_2grams,
+    len(list_distinct(grams))::bigint uniq_2grams
+  from b),
+d as (
+  select *,
+    case when n_tokens > 0
+      then 1.0 - uniq_tokens / cast(n_tokens as double) else 0.0 end dup_token_ratio,
+    case when n_2grams > 0
+      then 1.0 - uniq_2grams / cast(n_2grams as double) else 0.0 end dup_2gram_ratio
+  from c)
+select doc_id, n_tokens, uniq_tokens, n_2grams, uniq_2grams,
+  dup_token_ratio, dup_2gram_ratio,
+  cast(case when dup_token_ratio <= 0.6 and dup_2gram_ratio <= 0.05
+       then 1 else 0 end as bigint) as keep
+from d
+"""
+
+
+def q55_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate 3-grams by doc frequency (ext/textops
+    .boilerplate_ngrams): per-doc distinct shingles -> one partial-agg
+    count -> TakeOrderedAndProject top-k."""
+    return textops.boilerplate_ngrams(
+        load(spark, sf_dir, "documents"), min_docs=2, top_k=20
+    )
+
+
+ORACLE_Q55 = """
+with t as (
+  select doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') toks
+  from documents),
+g as (
+  select doc_id,
+    list_distinct(case when len(toks) >= 3
+      then [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+            for i in generate_series(1, len(toks)-2)]
+      else [] end) grams
+  from t),
+e as (select unnest(grams) as gram from g)
+select gram, count(*)::bigint as doc_freq
+from e group by gram
+having count(*) >= 2
+order by doc_freq desc, gram
+limit 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -1405,6 +1473,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q51_batch_knn": q51_batch_knn,
     "q52_partition_checksums": q52_partition_checksums,
     "q53_normalized_dedup": q53_normalized_dedup,
+    "q54_repetition_stats": q54_repetition_stats,
+    "q55_boilerplate_ngrams": q55_boilerplate_ngrams,
 }
 
 ORACLES: dict[str, str] = {
@@ -1460,4 +1530,6 @@ ORACLES: dict[str, str] = {
     "q51_batch_knn": ORACLE_Q51,
     "q52_partition_checksums": ORACLE_Q52,
     "q53_normalized_dedup": ORACLE_Q53,
+    "q54_repetition_stats": ORACLE_Q54,
+    "q55_boilerplate_ngrams": ORACLE_Q55,
 }

@@ -358,6 +358,8 @@ def test_ops_handle_empty_inputs(spark):
     assert similarity.neardup_pairs_lsh(emb).count() == 0
     assert textops.language_id(docs).count() == 0
     assert textops.token_counts(docs).count() == 0
+    assert textops.repetition_stats(docs).count() == 0
+    assert textops.boilerplate_ngrams(docs).count() == 0
     assert sampling.split_assign(docs, "doc_id").count() == 0
     assert skew.salted_distinct_count(ev, "event_type", "user_id").count() == 0
     assert asof.sessionize(ev, "user_id", "ts").count() == 0
@@ -375,3 +377,46 @@ def test_knn_batch_matches_single(emb):
     assert got0 == single0
     plan = batch._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_repetition_stats_invariants(docs):
+    """Duplicate ratios are in [0,1], a doc of all-identical tokens maxes
+    the ratio, and a no-repeat doc scores 0 / keep=1."""
+    from sparksync.ext import textops
+
+    rows = {r["doc_id"]: r for r in textops.repetition_stats(docs).collect()}
+    assert len(rows) == docs.count()
+    for r in rows.values():
+        assert 0.0 <= r["dup_token_ratio"] <= 1.0
+        assert 0.0 <= r["dup_2gram_ratio"] <= 1.0
+        assert r["uniq_tokens"] <= r["n_tokens"]
+        assert r["uniq_2grams"] <= r["n_2grams"]
+
+    crafted = docs.sparkSession.createDataFrame(
+        [(1, "x x x x x x"), (2, "a b c d e f"), (3, "z")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in textops.repetition_stats(crafted).collect()}
+    assert got[1]["dup_token_ratio"] > 0.8 and got[1]["keep"] == 0
+    assert got[2]["dup_token_ratio"] == 0.0 and got[2]["keep"] == 1
+    # single token: no 2-grams, ratios well-defined (guarded sequence())
+    assert got[3]["n_2grams"] == 0 and got[3]["dup_2gram_ratio"] == 0.0
+
+
+def test_boilerplate_ngrams_counts_docs_not_occurrences(spark):
+    """A shingle repeated inside ONE doc counts once; across docs it
+    accumulates doc frequency."""
+    from sparksync.ext import textops
+
+    df = spark.createDataFrame(
+        [
+            (1, "the end block the end block"),   # twice in one doc -> 1
+            (2, "the end block appears here"),
+            (3, "the end block again"),
+            (4, "nothing shared at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["gram"]: r["doc_freq"] for r in
+           textops.boilerplate_ngrams(df, min_docs=3, top_k=10).collect()}
+    assert got == {"the end block": 3}

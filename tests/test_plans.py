@@ -38,7 +38,7 @@ def test_dim_joins_broadcast(spark):
 
 
 def test_topk_is_take_ordered(spark):
-    for q in ("q22_knn_cosine", "q31_embedding_neardup"):
+    for q in ("q22_knn_cosine", "q31_embedding_neardup", "q55_boilerplate_ngrams"):
         plan = plan_of(QUERIES[q](spark, SF_SMOKE))
         assert "TakeOrderedAndProject" in plan, q
 
