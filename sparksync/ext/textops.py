@@ -93,17 +93,22 @@ def token_counts(
     )
 
 
-def _bigrams(toks: Column) -> Column:
-    """Adjacent-token 2-grams as an array column. Guarded for <2 tokens:
-    sequence(0, n-2) would *descend* when n < 2 and emit bogus indices."""
-    n = F.size(toks)
+def _ngrams(toks: Column, n: int) -> Column:
+    """Adjacent-token n-grams as an array column. Guarded for <n tokens:
+    sequence(0, size-n) would *descend* when size < n and emit bogus
+    indices."""
+    size = F.size(toks)
     return F.when(
-        n >= 2,
+        size >= n,
         F.transform(
-            F.sequence(F.lit(0), n - 2),
-            lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1)),
+            F.sequence(F.lit(0), size - n),
+            lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def _bigrams(toks: Column) -> Column:
+    return _ngrams(toks, 2)
 
 
 def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -155,23 +160,57 @@ def boilerplate_ngrams(
     count with map-side partial aggregation, then top-k via
     orderBy().limit() = TakeOrderedAndProject — no global-window
     single-partition sort."""
-    toks = tokens(text_col)
-    n = F.size(toks)
-    tri = F.when(
-        n >= 3,
-        F.transform(
-            F.sequence(F.lit(0), n - 3),
-            lambda i: F.concat_ws(
-                " ", F.get(toks, i), F.get(toks, i + 1), F.get(toks, i + 2)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    tri = _ngrams(tokens(text_col), 3)
     exploded = df.select(F.explode(F.array_distinct(tri)).alias("gram"))
     freq = exploded.groupBy("gram").agg(F.count("*").cast("long").alias("doc_freq"))
     return (
         freq.where(F.col("doc_freq") >= min_docs)
         .orderBy(F.desc("doc_freq"), "gram")
         .limit(top_k)
+    )
+
+
+def contamination_flags(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing >=
+    `min_overlap` distinct n-gram shingles with a benchmark/eval set —
+    the standard pre-training leakage check.
+
+    Scale shape: the benchmark side is small by construction (eval sets
+    are KBs-MBs against a 100 TB corpus), so its distinct shingle set is
+    BROADCAST and the overlap count is a broadcast hash join on the
+    exploded corpus shingles — no shuffle of the corpus at all — followed
+    by a partial-agg count per doc_id and a broadcast join back onto the
+    (narrow) doc spine."""
+    tri = _ngrams(tokens(text_col), n)
+    doc_grams = df.select(
+        F.col("doc_id"), F.explode(F.array_distinct(tri)).alias("gram")
+    )
+    bench_tri = _ngrams(tokens(text_col), n)
+    bench_grams = (
+        benchmark.select(F.explode(F.array_distinct(bench_tri)).alias("gram"))
+        .distinct()
+    )
+    overlap = (
+        doc_grams.join(F.broadcast(bench_grams), "gram", "inner")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )
+    return (
+        df.select("doc_id")
+        .join(F.broadcast(overlap), "doc_id", "left")
+        .select(
+            F.col("doc_id"),
+            F.coalesce(F.col("n_overlap"), F.lit(0).cast("long")).alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) >= min_overlap)
+            .cast("long")
+            .alias("contaminated"),
+        )
     )
 
 

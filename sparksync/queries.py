@@ -1419,6 +1419,40 @@ limit 20
 """
 
 
+def q56_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (ext/textops.contamination_flags):
+    flag corpus docs sharing any distinct 3-gram with a (small,
+    broadcast) benchmark set — here the docs with doc_id < 20 stand in
+    for an eval set."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") < 20)
+    return textops.contamination_flags(docs, bench, min_overlap=1)
+
+
+ORACLE_Q56 = """
+with t as (
+  select doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') toks
+  from documents),
+g as (
+  select doc_id,
+    list_distinct(case when len(toks) >= 3
+      then [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+            for i in generate_series(1, len(toks)-2)]
+      else [] end) grams
+  from t),
+e as (select doc_id, unnest(grams) gram from g),
+bench as (select distinct gram from e where doc_id < 20),
+ov as (
+  select e.doc_id, count(*)::bigint n_overlap
+  from e join bench using (gram) group by e.doc_id)
+select t.doc_id,
+  cast(coalesce(ov.n_overlap, 0) as bigint) as n_overlap,
+  cast(case when coalesce(ov.n_overlap, 0) >= 1 then 1 else 0 end as bigint)
+    as contaminated
+from t left join ov using (doc_id)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -1475,6 +1509,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q53_normalized_dedup": q53_normalized_dedup,
     "q54_repetition_stats": q54_repetition_stats,
     "q55_boilerplate_ngrams": q55_boilerplate_ngrams,
+    "q56_decontamination": q56_decontamination,
 }
 
 ORACLES: dict[str, str] = {
@@ -1532,4 +1567,5 @@ ORACLES: dict[str, str] = {
     "q53_normalized_dedup": ORACLE_Q53,
     "q54_repetition_stats": ORACLE_Q54,
     "q55_boilerplate_ngrams": ORACLE_Q55,
+    "q56_decontamination": ORACLE_Q56,
 }

@@ -420,3 +420,29 @@ def test_boilerplate_ngrams_counts_docs_not_occurrences(spark):
     got = {r["gram"]: r["doc_freq"] for r in
            textops.boilerplate_ngrams(df, min_docs=3, top_k=10).collect()}
     assert got == {"the end block": 3}
+
+
+def test_contamination_flags_and_broadcast_plan(spark):
+    """Overlapping docs are flagged with the right overlap count,
+    disjoint docs are not, and the corpus-side joins are broadcast (no
+    corpus shuffle)."""
+    from sparksync.ext import textops
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),      # shares 'alpha beta gamma'
+            (2, "beta gamma delta epsilon"),    # shares 'beta gamma delta'
+            (3, "zeta eta theta iota"),         # disjoint
+            (4, "x y"),                         # too short for 3-grams
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    out = textops.contamination_flags(corpus, bench)
+    got = {r["doc_id"]: (r["n_overlap"], r["contaminated"]) for r in out.collect()}
+    assert got == {1: (2, 1), 2: (2, 1), 3: (0, 0), 4: (0, 0)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
