@@ -678,17 +678,21 @@ def q28_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_vals=["signup_value"],
     )
     return joined.select(
-        "event_id", "user_id", F.col("asof_signup_value").alias("asof_value")
+        "event_id",
+        "user_id",
+        # Cast decimal(12,2) -> double so the gate's value hash matches the
+        # DuckDB bridge (which yields float64); values are identical either way.
+        F.col("asof_signup_value").cast("double").alias("asof_value"),
     )
 
 
 ORACLE_Q28 = """
 with tagged as (
   select event_id, user_id, ts, 1 as is_left,
-         cast(null as decimal(12,2)) as rv
+         cast(null as double) as rv
   from events
   union all
-  select null, user_id, ts, 0, cast(value as decimal(12,2))
+  select null, user_id, ts, 0, cast(cast(value as decimal(12,2)) as double)
   from events where event_type = 'signup'),
 filled as (
   select event_id, user_id, is_left,

@@ -43,8 +43,11 @@ def _norm(v):
 
     if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT:
         return "NULL"
+    # Decimal is deliberately NOT normalized to float: the driver's hash
+    # distinguishes Decimal('1.00') from float 1.0, and this replica must be
+    # at least as strict (a Decimal-emitting query hash-fails at the driver).
     if isinstance(v, decimal.Decimal):
-        return ("f", float(v))
+        return ("d", str(v))
     if isinstance(v, (np.floating, float)):
         return ("f", float(v))
     if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
@@ -58,6 +61,17 @@ def _norm(v):
     if isinstance(v, (list, np.ndarray)):
         return tuple(_norm(x) for x in v)
     return v
+
+
+def _decimal_columns(df_pandas) -> list:
+    import decimal
+
+    out = []
+    for c in df_pandas.columns:
+        col = df_pandas[c].dropna()
+        if len(col) and isinstance(col.iloc[0], decimal.Decimal):
+            out.append(c)
+    return out
 
 
 def main() -> None:
@@ -85,6 +99,12 @@ def main() -> None:
             sdf = fn(spark, sf_dir).toPandas()
             sdf.columns = [c.lower() for c in sdf.columns]
             row["spark_rows"] = len(sdf)
+            dec_cols = _decimal_columns(sdf)
+            if dec_cols:
+                # Decimal-typed outputs hash-differently from DuckDB's float64
+                # bridge at the driver; flag them loudly even when values match.
+                row["decimal_cols"] = dec_cols
+                fails.append(name)
             if name in oracles:
                 ddf = con.execute(oracles[name]).df()
                 ddf.columns = [c.lower() for c in ddf.columns]
