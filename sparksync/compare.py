@@ -104,14 +104,21 @@ def partition_checksums(
     cells = [F.coalesce(F.col(c).cast("string"), F.lit(chr(0))) for c in data_cols]
     if algo == "xxhash64":
         h = F.xxhash64(*cells).cast("string")
+        # commutative content fold: min/max alone miss an in-place update
+        # that keeps cnt and doesn't move the extremes (prob ~2/n) — the sum
+        # of every row's digest changes whenever ANY row's content changes.
+        fold = F.xxhash64(*cells).cast("decimal(38,0)")
     elif algo == "md5":
         h = F.md5(F.concat_ws("\x1f", *cells))
+        fold = F.conv(F.substring(h, 1, 15), 16, 10).cast("decimal(38,0)")
     else:
         h = F.sha2(F.concat_ws("\x1f", *cells), 256)
+        fold = F.conv(F.substring(h, 1, 15), 16, 10).cast("decimal(38,0)")
     return df.groupBy(*part_cols).agg(
         F.count(F.lit(1)).alias("cnt"),
         F.min(h).alias("hmin"),
         F.max(h).alias("hmax"),
+        F.sum(fold).alias("hsum"),
     )
 
 
@@ -122,12 +129,25 @@ def changed_partitions(
     only) — the work list for an incremental re-sync."""
     s = partition_checksums(src, part_cols, algo)
     d = partition_checksums(dst, part_cols, algo)
-    joined = s.alias("s").join(d.alias("d"), part_cols, "full_outer")
+    # eqNullSafe: a NULL partition key groups on each side and must MATCH
+    # across the join (plain = would flag a null-keyed partition as changed
+    # on every run even when identical).
+    cond = None
+    for c in part_cols:
+        eq = F.col(f"s.{c}").eqNullSafe(F.col(f"d.{c}"))
+        cond = eq if cond is None else cond & eq
+    joined = s.alias("s").join(d.alias("d"), cond, "full_outer")
     diff = (
         F.col("s.cnt").isNull()
         | F.col("d.cnt").isNull()
         | (F.col("s.cnt") != F.col("d.cnt"))
         | (F.col("s.hmin") != F.col("d.hmin"))
         | (F.col("s.hmax") != F.col("d.hmax"))
+        | (F.col("s.hsum") != F.col("d.hsum"))
     )
-    return joined.where(diff).select(*part_cols)
+    return joined.where(diff).select(
+        *[
+            F.coalesce(F.col(f"s.{c}"), F.col(f"d.{c}")).alias(c)
+            for c in part_cols
+        ]
+    )

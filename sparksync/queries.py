@@ -1322,20 +1322,26 @@ def q52_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").withColumn(
         "day", F.col("ts").cast("date").cast("timestamp_ntz")
     )
-    return partition_checksums(
+    pc = partition_checksums(
         e.select("day", "event_id", "user_id", "event_type"),
         ["day"],
         algo="md5",
     )
+    # hsum as string: decimal(38,0) would render as Decimal and hash-fail
+    # against the DuckDB bridge's hugeint (the q28 rendering class).
+    return pc.withColumn("hsum", F.col("hsum").cast("string"))
 
 
 ORACLE_Q52 = """
-select cast(cast(ts as date) as timestamp) as day, count(*) as cnt,
-  min(md5(concat_ws(chr(31), cast(event_id as varchar),
-                    cast(user_id as varchar), event_type))) as hmin,
-  max(md5(concat_ws(chr(31), cast(event_id as varchar),
-                    cast(user_id as varchar), event_type))) as hmax
-from events group by 1
+with h as (
+  select cast(cast(ts as date) as timestamp) as day,
+         md5(concat_ws(chr(31), cast(event_id as varchar),
+                       cast(user_id as varchar), event_type)) as hx
+  from events)
+select day, count(*) as cnt, min(hx) as hmin, max(hx) as hmax,
+  cast(sum(cast(cast('0x' || substring(hx, 1, 15) as ubigint) as hugeint))
+       as varchar) as hsum
+from h group by 1
 """
 
 def q53_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -350,3 +350,55 @@ def test_changed_partitions(spark, tmp_path):
     )
     assert got == [days[0]]
     assert changed_partitions(e, e, ["day"]).count() == 0
+
+
+def test_changed_partitions_in_place_update(spark):
+    """An in-place update that keeps the row count AND does not move the
+    partition's min/max digest must still be caught (via the commutative
+    hsum fold) — this was a real blind spot: min/max move with prob ~2/n."""
+    from pyspark.sql import functions as F
+
+    from sparksync.compare import changed_partitions, partition_checksums
+    from sparksync.source import load_table
+
+    e = load_table(spark, SF_SMOKE, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    day0 = e.select(F.min("day").alias("d")).collect()[0]["d"]
+    # rewrite ONE row's payload in day0, count unchanged
+    victim = (
+        e.where(F.col("day") == F.lit(day0))
+        .select(F.min("event_id").alias("v"))
+        .collect()[0]["v"]
+    )
+    tampered = e.withColumn(
+        "event_type",
+        F.when(
+            (F.col("day") == F.lit(day0)) & (F.col("event_id") == victim),
+            F.lit("__tampered__"),
+        ).otherwise(F.col("event_type")),
+    )
+    # precondition for the interesting case: extremes did not move
+    cs = {r["day"]: r for r in partition_checksums(e, ["day"]).collect()}
+    cd = {r["day"]: r for r in partition_checksums(tampered, ["day"]).collect()}
+    assert cs[day0]["cnt"] == cd[day0]["cnt"]
+    got = [r["day"] for r in changed_partitions(e, tampered, ["day"]).collect()]
+    assert got == [day0]
+
+
+def test_changed_partitions_null_key(spark):
+    """A NULL-valued partition key identical on both sides must NOT be
+    flagged (eqNullSafe join); a changed null-keyed partition must be."""
+    from pyspark.sql import functions as F
+
+    from sparksync.compare import changed_partitions
+
+    df = spark.createDataFrame(
+        [(None, 1, "a"), (None, 2, "b"), ("p1", 3, "c")], ["k", "id", "v"]
+    )
+    assert changed_partitions(df, df, ["k"]).count() == 0
+    tampered = df.withColumn(
+        "v", F.when(F.col("id") == 2, F.lit("B")).otherwise(F.col("v"))
+    )
+    got = [r["k"] for r in changed_partitions(df, tampered, ["k"]).collect()]
+    assert got == [None]
