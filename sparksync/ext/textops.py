@@ -185,8 +185,11 @@ def contamination_flags(
     are KBs-MBs against a 100 TB corpus), so its distinct shingle set is
     BROADCAST and the overlap count is a broadcast hash join on the
     exploded corpus shingles — no shuffle of the corpus at all — followed
-    by a partial-agg count per doc_id and a broadcast join back onto the
-    (narrow) doc spine."""
+    by a partial-agg count per doc_id and a plain shuffle join back onto
+    the (narrow) doc spine. The overlap aggregate is deliberately NOT
+    broadcast: it has one row per contaminated document, which is
+    data-dependent (common 3-grams in the eval set can flag a large
+    fraction of the corpus) and could blow the broadcast limit."""
     tri = _ngrams(tokens(text_col), n)
     doc_grams = df.select(
         F.col("doc_id"), F.explode(F.array_distinct(tri)).alias("gram")
@@ -203,7 +206,7 @@ def contamination_flags(
     )
     return (
         df.select("doc_id")
-        .join(F.broadcast(overlap), "doc_id", "left")
+        .join(overlap, "doc_id", "left")
         .select(
             F.col("doc_id"),
             F.coalesce(F.col("n_overlap"), F.lit(0).cast("long")).alias("n_overlap"),

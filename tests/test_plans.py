@@ -79,6 +79,22 @@ def test_sampling_is_narrow(spark):
     assert "Exchange" not in plan2
 
 
+def test_contamination_broadcasts_only_the_eval_set(spark):
+    """contamination_flags must hint broadcast ONLY for the benchmark
+    shingle set (genuinely small); the per-doc overlap aggregate is
+    data-dependent (one row per contaminated doc) and must NOT carry a
+    broadcast hint — at 100 TB it can approach corpus size."""
+    from sparksync.ext import textops
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    bench = docs.limit(5)
+    df = textops.contamination_flags(docs, bench)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("UnresolvedHint broadcast") + analyzed.count(
+        "ResolvedHint (strategy=broadcast)"
+    ) == 1, analyzed
+
+
 def test_events_scan_prunes_columns(spark):
     e = load_table(spark, SF_SMOKE, "events").select("event_id")
     rs = plan_of(e).split("ReadSchema: ")[1].split("\n")[0]
