@@ -277,6 +277,7 @@ def simhash_pairs(
     max_hamming: int = SIMHASH_MAX_HAMMING,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bucket_cap: int | None = 10_000,
 ) -> DataFrame:
     """SimHash near-dup pairs: (d1, d2, hamming) with hamming <=
     max_hamming, d1 < d2.
@@ -287,17 +288,34 @@ def simhash_pairs(
     with bit_count(xor). The join touches only band-colliding rows, so
     cost is sum(|bucket|^2) over 2^width-value buckets, not N^2; the
     verify is pure codegen (no Python, no shuffle beyond the bucket
-    join)."""
+    join).
+
+    bucket_cap bounds the quadratic term at multi-billion-doc scale
+    (12-bit bands = only 4,096 buckets/band): any (band, key) bucket
+    larger than the cap is re-split by appending the NEXT band's bits
+    (same pattern as similarity.neardup_pairs_lsh). Inside a re-split
+    bucket the pigeonhole guarantee weakens to "agrees on this band AND
+    the next" — hamming-0 pairs always survive (identical fingerprints
+    share every band); near-cap pairs trade a little recall for a
+    bounded join. The cap check is one partial-agg count over at most
+    n_bands*2^width keys plus a broadcast join — no extra data shuffle."""
     n_bands = max_hamming + 1
     width = SIMHASH_BITS // n_bands
+
+    def band_val(b: int) -> F.Column:
+        return (
+            F.shiftright(F.col("simhash"), (b % n_bands) * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .cast("long")
+        )
+
     fp = simhash(df, id_col, text_col)
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftright(F.col("simhash"), b * width)
-                .bitwiseAND(F.lit((1 << width) - 1))
-                .alias("key"),
+                band_val(b).alias("key"),
+                band_val(b + 1).alias("nxt"),
             )
             for b in range(n_bands)
         ]
@@ -305,8 +323,27 @@ def simhash_pairs(
     keyed = fp.select(
         F.col(id_col), F.col("simhash"), F.explode(bands).alias("bk")
     ).select(
-        id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+        id_col,
+        "simhash",
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+        F.col("bk.nxt").alias("nxt"),
     )
+    if bucket_cap is not None:
+        sizes = keyed.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_n"))
+        keyed = keyed.join(F.broadcast(sizes), ["band", "key"]).select(
+            id_col,
+            "simhash",
+            "band",
+            # +2^width offset keeps refined keys disjoint from the
+            # un-refined [0, 2^width) key range
+            F.when(
+                F.col("_n") > bucket_cap,
+                (F.col("key") + 1) * (2**width) + F.col("nxt"),
+            )
+            .otherwise(F.col("key"))
+            .alias("key"),
+        )
     a = keyed.select(F.col(id_col).alias("d1"), F.col("simhash").alias("f1"), "band", "key")
     b = keyed.select(F.col(id_col).alias("d2"), F.col("simhash").alias("f2"), "band", "key")
     return (

@@ -148,6 +148,24 @@ def test_simhash_pairs_overlap_jaccard(docs):
     assert all(r["hamming"] <= 3 for r in dedup.simhash_pairs(docs).collect())
 
 
+def test_simhash_pairs_bucket_cap(docs):
+    """With an absurdly small bucket_cap every bucket re-splits; the
+    result must stay a subset of the uncapped pairs, and hamming-0 pairs
+    (identical fingerprints agree on every band) must always survive."""
+    uncapped = {(r["d1"], r["d2"]) for r in
+                dedup.simhash_pairs(docs, bucket_cap=None).collect()}
+    capped_rows = dedup.simhash_pairs(docs, bucket_cap=2).collect()
+    capped = {(r["d1"], r["d2"]) for r in capped_rows}
+    assert capped <= uncapped
+    zero = {(r["d1"], r["d2"])
+            for r in dedup.simhash_pairs(docs, bucket_cap=None).collect()
+            if r["hamming"] == 0}
+    assert zero <= capped
+    # the overwhelmingly common case: a sane cap changes nothing
+    assert {(r["d1"], r["d2"]) for r in
+            dedup.simhash_pairs(docs, bucket_cap=10_000).collect()} == uncapped
+
+
 def test_split_assign_deterministic(docs):
     from sparksync.ext import sampling
 
