@@ -7,12 +7,17 @@ Prints ONE JSON line:
 
 `value` is total wall time of the headline set. Per-query times let
 BENCH_r{N}.json diffs show which operator regressed.
+
+Each query runs $SPARK_GRAFT_BENCH_RUNS times (default 3) and reports
+the MEDIAN, so the ±6% ambient-load band documented in BASELINE.md
+stops reading as per-round regression. The sync stage also runs 3x.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -50,38 +55,53 @@ def main() -> int:
     spark = get_spark("sparksync-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     times: dict[str, float] = {}
     # warm the JVM/session on the smallest SF so startup cost isn't
     # attributed to the first query
     QUERIES["q09_count_compare"](spark, "/root/testdata/sf0.001").collect()
 
     for name in HEADLINE:
-        t0 = time.time()
-        df = QUERIES[name](spark, sf_dir)
-        n = df.count() if name != "q01_pricing_summary" else len(df.collect())
-        times[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+        samples = []
+        for _ in range(runs):
+            t0 = time.time()
+            df = QUERIES[name](spark, sf_dir)
+            n = df.count() if name != "q01_pricing_summary" else len(df.collect())
+            samples.append(time.time() - t0)
+        times[name] = round(statistics.median(samples), 3)
+        print(
+            f"# {name}: median {times[name]}s of "
+            f"{[round(s, 3) for s in samples]} ({n} rows)",
+            file=sys.stderr,
+        )
 
     # end-to-end sync + checksum compare of the two biggest tables —
     # the reference's own workload shape (EP1 + EP2)
     out = "/tmp/sparksync_bench_out"
-    t0 = time.time()
-    job = SyncJob(
-        spark,
-        sf_dir,
-        out,
-        max_parallel=4,
-        exclude=[
-            "region", "nation", "customer", "supplier", "part",
-            "documents", "embeddings", "events",
-        ],
+    samples = []
+    for _ in range(runs):
+        t0 = time.time()
+        job = SyncJob(
+            spark,
+            sf_dir,
+            out,
+            max_parallel=4,
+            exclude=[
+                "region", "nation", "customer", "supplier", "part",
+                "documents", "embeddings", "events",
+            ],
+        )
+        tables = job.plan()
+        job.data_phase(tables)
+        results = job.compare_phase(tables, checksum=True)
+        assert all(r.is_ok for r in results), [r.table for r in results if not r.is_ok]
+        samples.append(time.time() - t0)
+    times["sync_lineitem_orders"] = round(statistics.median(samples), 3)
+    print(
+        f"# sync_lineitem_orders: median {times['sync_lineitem_orders']}s of "
+        f"{[round(s, 3) for s in samples]}",
+        file=sys.stderr,
     )
-    tables = job.plan()
-    job.data_phase(tables)
-    results = job.compare_phase(tables, checksum=True)
-    assert all(r.is_ok for r in results), [r.table for r in results if not r.is_ok]
-    times["sync_lineitem_orders"] = round(time.time() - t0, 3)
-    print(f"# sync_lineitem_orders: {times['sync_lineitem_orders']}s", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
     print(

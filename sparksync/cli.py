@@ -61,16 +61,31 @@ def main(argv: list[str] | None = None) -> int:
     dest = args.dest or (cfg and cfg.dest.host) or None
     if not src or not dest:
         p.error("--src/--dest required (directly or via --config)")
-    if str(src).startswith("jdbc:") or str(dest).startswith("jdbc:"):
-        # JdbcSource/JdbcSink exist in the library but this CLI drives the
-        # parquet fixture pair only — fail loudly instead of treating a
-        # jdbc url as a local directory
-        p.error("jdbc: endpoints are not wired into this CLI; use the library API")
+    jdbc_src = str(src).startswith("jdbc:")
+    jdbc_dest = str(dest).startswith("jdbc:")
+    if (jdbc_src or jdbc_dest) and cfg is None:
+        # credentials only travel via --config, never argv (they'd leak
+        # into the process list — the reference reads them from yml too)
+        p.error("jdbc: endpoints need --config for username/password")
     page_size = args.page_size or (cfg.page_size if cfg else 100_000)
     max_parallel = args.max_parallel or (min(cfg.max_parallel, 32) if cfg else 8)
     exclude = [e for e in args.exclude.split(",") if e] or (cfg.exclude if cfg else [])
 
     spark = get_spark("sparksync-cli")
+    # jdbc: URLs swap in the JDBC endpoints (full-sync degrades to
+    # data+compare for a jdbc source — no catalog metadata to synthesize
+    # DDL from; a missing driver jar still fails loudly at first load)
+    source = sink = None
+    if jdbc_src:
+        from .source import JdbcSource
+
+        source = JdbcSource(spark, src, cfg.src.username, cfg.src.password)
+        src = None
+    if jdbc_dest:
+        from .sink import JdbcSink
+
+        sink = JdbcSink(spark, dest, cfg.dest.username, cfg.dest.password)
+        dest = None
     job = SyncJob(
         spark,
         src,
@@ -80,6 +95,8 @@ def main(argv: list[str] | None = None) -> int:
         exclude=exclude,
         table_sql=(cfg.tables if cfg else None),
         dest_flavor=args.dest_flavor or (cfg.dest.db_type if cfg else "mysql"),
+        source=source,
+        sink=sink,
     )
 
     # C3 graceful cancel (cmd/app.go:213-243): first Ctrl-C revokes every

@@ -237,15 +237,35 @@ SIMHASH_BITS = 48  # stay within positive signed-64 range when assembling
 SIMHASH_MAX_HAMMING = 3
 
 
-def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def md5_token_hash(t: F.Column) -> F.Column:
+    """Portable 60-bit token hash: the first 15 hex chars of md5, as a
+    long. Bit-replayable by any engine with md5 (DuckDB:
+    `cast('0x' || substring(md5(x),1,15) as ubigint)`), so fingerprints
+    built on it are cross-engine comparable — used by the q21 gate.
+    ~2-3x slower per token than xxhash64; keep xxhash64 in production."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn=None,
+) -> DataFrame:
     """Token-level SimHash fingerprint: per-bit majority over
-    xxhash64(token), computed entirely with higher-order array functions
+    hash(token), computed entirely with higher-order array functions
     inside one narrow projection — no explode, no groupBy, NO shuffle.
     (The explode+48-aggregate formulation produces identical bits but
     shuffles every token row; this one is embarrassingly parallel and
     measured ~3x faster at sf0.1.) Docs with zero tokens drop out,
-    matching the exploded formulation."""
-    hs = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
+    matching the exploded formulation.
+
+    hash_fn maps a token Column to a long Column; default xxhash64
+    (JVM-side, fastest). Pass `md5_token_hash` when the fingerprint must
+    be bit-replayable by an external engine."""
+    if hash_fn is None:
+        hash_fn = F.xxhash64
+    hs = F.transform(tokens(text_col), lambda t: hash_fn(t))
     base = df.select(F.col(id_col), hs.alias("_hs")).where(F.size("_hs") > 0)
     # 48 filter+size passes, one per bit (strict majority sets the bit,
     # ties -> 0 — the same rule as sum(+1/-1) > 0). Measured against a

@@ -8,10 +8,17 @@ node takes the minimum label among itself and its neighbors; rounds =
 graph diameter (near-dup clusters are shallow, so 2-4 in practice).
 
 Each round is one join + one groupBy, both shuffling on the node key;
-intermediate labels are cached and the previous round explicitly
-unpersisted, so state never accumulates. A convergence count() per
-round is the driver-side fixpoint test (it doubles as the action that
-materializes the cache).
+each round's labels are localCheckpoint'ed (eager) so the logical plan
+is truncated per round — without this the lineage doubles every round
+(the join and the union both embed the previous round's plan) and the
+driver OOMs just *printing* the plan past ~10 rounds. The previous
+round's blocks are explicitly unpersisted, so state never accumulates.
+A convergence count() per round is the driver-side fixpoint test.
+
+On a multi-node cluster localCheckpoint stores shuffle-output blocks on
+executors (lost with the executor); for very long-running jobs swap in
+`sc.setCheckpointDir` + `.checkpoint()` for fault-tolerant truncation —
+the loop structure is identical.
 """
 
 from __future__ import annotations
@@ -20,15 +27,39 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _release_checkpoint(df: DataFrame) -> None:
+    """Free a localCheckpoint'ed DataFrame's storage blocks NOW.
+
+    ``DataFrame.unpersist()`` only talks to the CacheManager and is a
+    no-op for checkpoint blocks (they are persisted directly on the
+    internal RDD), which would leave one labels-sized block set per
+    round until the ContextCleaner gets to them. The LogicalRDD at the
+    root of a checkpointed plan exposes that RDD; unpersisting it is
+    safe once the df is never read again. Best-effort: on any py4j /
+    plan-shape surprise we fall back to the (lazy) ContextCleaner."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        df.unpersist()
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "d1",
     dst: str = "d2",
     max_iter: int = 20,
+    strict: bool = True,
 ) -> DataFrame:
     """(node, component) for every node appearing in `edges`, where
     component is the smallest node id reachable through the undirected
-    edge set."""
+    edge set.
+
+    Label propagation converges in <= diameter rounds. If the loop
+    exhausts max_iter while labels are still changing the result is
+    WRONG (partially-merged components), so strict=True (default)
+    raises instead of silently returning it; strict=False logs a
+    warning and returns the non-converged labels for callers that
+    prefer partial merges over failure."""
     und = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -36,20 +67,22 @@ def connected_components(
         und.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
-    labels.count()
+    changed = 0
     for _ in range(max_iter):
         # message = neighbor's current label; new label = min(own, msgs)
         msgs = (
             und.join(labels, und["b"] == labels["node"])
             .select(F.col("a").alias("node"), F.col("label").alias("nl"))
         )
+        # eager localCheckpoint truncates lineage: each round's plan is
+        # flat (scan-of-blocks -> join -> agg), not 2^round deep
         new_labels = (
             labels.unionByName(msgs.withColumnRenamed("nl", "label"))
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .cache()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -57,15 +90,29 @@ def connected_components(
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
+        # old round's blocks are never read again (new_labels is already
+        # materialized), so dropping them is safe even though a
+        # checkpointed plan can't recompute
+        _release_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break
-    out = labels.select("node", F.col("label").alias("component"))
-    # hand ownership of the final cache to the caller's plan; the loop's
-    # intermediates are already unpersisted
-    labels.unpersist()
-    return out
+    if changed > 0:
+        msg = (
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) - graph diameter exceeds "
+            f"max_iter; labels are partially merged"
+        )
+        if strict:
+            _release_checkpoint(labels)
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=2)
+    # the final round's checkpoint blocks back the returned plan (a
+    # truncated lineage can't recompute), so they stay persisted; the
+    # ContextCleaner reclaims them once the caller drops the DataFrame
+    return labels.select("node", F.col("label").alias("component"))
 
 
 def dedup_groups(

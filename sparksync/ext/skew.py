@@ -34,7 +34,16 @@ def salted_join(
     left rows scatter across n_salts sub-keys via hash(salt_from);
     right rows replicate n_salts times. The shuffle key becomes
     (on, salt), so a hot key spreads over n_salts tasks at the cost of
-    |right| * n_salts replicated rows — the standard trade."""
+    |right| * n_salts replicated rows — the standard trade.
+
+    Only inner/left are correct here: with how='right' or 'full', an
+    unmatched right row survives once PER REPLICA (n_salts copies in
+    the output), so those modes are rejected."""
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi joins, got how={how!r}: "
+            "unmatched right rows would be duplicated n_salts times"
+        )
     l_salt = F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salts))
     r = right.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

@@ -548,8 +548,32 @@ def q20_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q21_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints (rows-only: xxhash64-based)."""
-    return dedup.simhash(load(spark, sf_dir, "documents"))
+    """SimHash fingerprints, oracle-checked: the gate parameterizes the
+    token hash to the portable md5-derived 60-bit value
+    (dedup.md5_token_hash) so DuckDB can replay the per-bit majority
+    bit-for-bit. Production default stays xxhash64 (q36 uses it)."""
+    return dedup.simhash(
+        load(spark, sf_dir, "documents"), hash_fn=dedup.md5_token_hash
+    )
+
+
+ORACLE_Q21 = """
+with toks as (
+  select doc_id,
+         unnest(list_filter(string_split(trim(text), ' '), x -> x <> '')) as tok
+  from documents),
+h as (
+  select doc_id,
+         cast(cast('0x' || substring(md5(tok), 1, 15) as ubigint) as bigint) as hv
+  from toks),
+bit as (
+  select doc_id, i,
+         case when 2 * count(*) filter (where (hv >> i) & 1 = 1) > count(*)
+              then 1::bigint << i else 0::bigint end as term
+  from h cross join (select unnest(range(48)) as i) g
+  group by doc_id, i)
+select doc_id, cast(sum(term) as bigint) as simhash from bit group by doc_id
+"""
 
 
 def q22_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1542,8 +1566,9 @@ ORACLES: dict[str, str] = {
     "q17_local_supplier": ORACLE_Q17,
     "q18_dedup_exact": ORACLE_Q18,
     "q19_dedup_jaccard": ORACLE_Q19,
-    # q20/q21 intentionally omitted: xxhash64-based, no DuckDB analogue
+    # q20 intentionally omitted: xxhash64-based, no DuckDB analogue
     # (rows-only check; test_ext.py proves q20 == q19 exactly).
+    "q21_simhash": ORACLE_Q21,
     "q22_knn_cosine": ORACLE_Q22,
     "q23_ivf_assign": ORACLE_Q23,
     "q24_lang_id": ORACLE_Q24,

@@ -145,6 +145,17 @@ class JdbcSink:
         self.user = user
         self.password = password
 
+    def read(self, table: str) -> DataFrame:
+        """Read the target table back (compare phase, EP2)."""
+        return (
+            self.spark.read.format("jdbc")
+            .option("url", self.url)
+            .option("dbtable", f"`{table.lower()}`")
+            .option("user", self.user)
+            .option("password", self.password)
+            .load()
+        )
+
     def write(
         self,
         df: DataFrame,

@@ -134,6 +134,14 @@ class JdbcSource:
             r = r.option(k, v)
         return r
 
+    def list_tables(self, exclude: list[str] | None = None) -> list[str]:
+        """S1 (fetchTableMap, cmd/root.go:209-262): the source schema's
+        table list from the Oracle dictionary, minus the exclude set."""
+        q = "select table_name from user_tables order by table_name"
+        rows = self._reader().option("query", q).load().collect()
+        ex = {e.upper() for e in (exclude or [])}
+        return [r[0].lower() for r in rows if r[0].upper() not in ex]
+
     def count(self, table: str) -> int:
         """S4: pushed-down count(*) — one scalar row over JDBC."""
         q = f'select count(*) as cnt from "{table.upper()}"'

@@ -113,8 +113,14 @@ def write_report(report: "SyncReport", log_dir: str) -> str:
 
 
 class SyncJob:
-    """parquet->parquet sync used by tests and bench; JDBC endpoints plug
-    in by swapping source/sink (same orchestration)."""
+    """Sync orchestration over pluggable endpoints. Defaults to the
+    parquet fixture pair (tests and bench); JDBC endpoints plug in via
+    `source=`/`sink=` (cli.py builds JdbcSource/JdbcSink from `jdbc:`
+    URLs). With a JDBC source there is no FixtureCatalog, so the table
+    list comes from the source's dictionary scan (`list_tables`) or an
+    explicit `tables=` list, and the DDL/objects phases — which need
+    catalog metadata — are skipped (run() degrades to data + compare,
+    the EP3-onlyData + EP2 shape)."""
 
     #: job-group tag, the analogue of the reference's `/* goapp */` session
     #: marker it kills on exit (cmd/app.go:213-243, S17/C3): every Spark job
@@ -124,23 +130,34 @@ class SyncJob:
     def __init__(
         self,
         spark: SparkSession,
-        sf_dir: str,
-        out_dir: str,
+        sf_dir: str | None,
+        out_dir: str | None,
         page_size: int = 100_000,
         max_parallel: int = 8,
         exclude: list[str] | None = None,
         table_sql: dict[str, str] | None = None,
         dest_flavor: str = "mysql",
+        source=None,
+        sink=None,
+        tables: list[str] | None = None,
     ):
         from .dialect import get_dialect
 
         self.spark = spark
-        self.catalog = FixtureCatalog(spark, sf_dir)
-        self.source = ParquetSource(spark, sf_dir)
-        self.sink = ParquetSink(spark, out_dir)
+        self.source = source if source is not None else ParquetSource(spark, sf_dir)
+        self.sink = sink if sink is not None else ParquetSink(spark, out_dir)
+        # catalog metadata (DDL/objects synthesis) only exists for the
+        # fixture source; a JDBC source would need the Oracle dictionary
+        # queries the reference issues (tablemeta.go) — out of scope here
+        self.catalog = (
+            FixtureCatalog(spark, sf_dir)
+            if source is None and sf_dir is not None
+            else None
+        )
         self.page_size = page_size
         self.max_parallel = max_parallel
         self.exclude = exclude or []
+        self._tables = tables
         self.dialect = get_dialect(dest_flavor)
         # table-as-SQL map (-s mode, cmd/root.go:84-85): table name ->
         # custom SELECT replacing the full-table read for that table
@@ -163,13 +180,20 @@ class SyncJob:
         return self.source.read(table)
 
     def plan(self) -> list[str]:
-        """Phase 1 (fetchTableMap, cmd/root.go:209-262)."""
-        return self.catalog.list_tables(exclude=self.exclude)
+        """Phase 1 (fetchTableMap, cmd/root.go:209-262): explicit list,
+        else catalog scan, else the source's own dictionary scan."""
+        if self._tables is not None:
+            ex = {e.upper() for e in self.exclude}
+            return [t for t in self._tables if t.upper() not in ex]
+        if self.catalog is not None:
+            return self.catalog.list_tables(exclude=self.exclude)
+        return self.source.list_tables(exclude=self.exclude)
 
     def ddl_phase(self, tables: list[str], script: SqlScriptSink | None = None) -> PhaseReport:
         """Phase 2 (TableCreate, tablemeta.go:52-188): synthesize DDL per
         table; in dump mode write to script, else (parquet sink) DDL is
         implicit in the parquet schema."""
+        self._require_catalog("ddl_phase")
         t0 = time.time()
         rep = PhaseReport(phase="create table", tables=len(tables))
         for t in tables:
@@ -178,11 +202,33 @@ class SyncJob:
                 ddl = drop_table_sql(t) + "\n" + create_table_sql(spec)
                 if script is not None:
                     script.execute(ddl)
+                else:
+                    self._execute_on_sink(ddl)
             except Exception as e:  # noqa: BLE001 — count-and-continue like the reference
                 rep.failed += 1
                 rep.errors.append(f"{t}: {type(e).__name__}: {e}"[:300])
         rep.elapsed_s = time.time() - t0
         return rep
+
+    def _require_catalog(self, phase: str) -> None:
+        if self.catalog is None:
+            raise RuntimeError(
+                f"{phase} needs catalog metadata, which the configured source "
+                "does not expose (JDBC-source DDL synthesis would need the "
+                "reference's Oracle dictionary queries); run data/compare "
+                "phases instead"
+            )
+
+    def _execute_on_sink(self, ddl: str) -> None:
+        """K5: a DDL-capable sink (JdbcSink.execute_ddl) runs the
+        statement on the target; the parquet sink has no DDL analogue —
+        synthesis itself is the checked work there."""
+        execute = getattr(self.sink, "execute_ddl", None)
+        if execute is None:
+            return
+        res = execute([ddl])
+        if res.failed:
+            raise RuntimeError(res.failed[0][1])
 
     def _sync_one(self, table: str) -> None:
         # no count() here: on parquet the scan is already split by
@@ -252,6 +298,7 @@ class SyncJob:
         """Phase 4 (EP1 objects, cmd/root.go:146-175): one report row per
         object class, count-and-continue like the reference's per-object
         failure counters."""
+        self._require_catalog("objects_phase")
         reports: dict[str, PhaseReport] = {}
         t0 = time.time()
         for cls, _name, stmt in self.synthesize_objects(tables):
@@ -260,9 +307,11 @@ class SyncJob:
             try:
                 if script is not None:
                     script.execute(stmt)
-                # parquet sink: indexes/FKs/comments have no physical
-                # analogue; synthesis itself is the checked work (a JDBC
-                # sink executes each stmt here)
+                else:
+                    # DDL-capable sink (JdbcSink) executes each stmt;
+                    # parquet sink has no physical analogue — synthesis
+                    # itself is the checked work there
+                    self._execute_on_sink(stmt)
             except Exception:  # noqa: BLE001
                 rep.failed += 1
         for rep in reports.values():
@@ -312,16 +361,27 @@ class SyncJob:
         return out
 
     def run(self, checksum: bool = False, ddl_script: str | None = None) -> SyncReport:
+        # -s (table-as-SQL) runs skip the objects phase entirely — a custom
+        # SELECT's result has no meaningful index/FK/trigger/view set to
+        # carry over (cmd/root.go:145: `if selFromYml != true`). A
+        # catalog-less (JDBC) source skips DDL+objects too: no metadata
+        # to synthesize from — run() degrades to onlyData + compare.
+        ddl = self.catalog is not None
+        objects = ddl and not self.table_sql
         report = SyncReport()
         tables = self.plan()
         if ddl_script:
             with SqlScriptSink(ddl_script) as s:
-                report.phases.append(self.ddl_phase(tables, s))
+                if ddl:
+                    report.phases.append(self.ddl_phase(tables, s))
                 report.phases.append(self.data_phase(tables))
-                report.phases.extend(self.objects_phase(tables, s))
+                if objects:
+                    report.phases.extend(self.objects_phase(tables, s))
         else:
-            report.phases.append(self.ddl_phase(tables))
+            if ddl:
+                report.phases.append(self.ddl_phase(tables))
             report.phases.append(self.data_phase(tables))
-            report.phases.extend(self.objects_phase(tables))
+            if objects:
+                report.phases.extend(self.objects_phase(tables))
         report.compare = self.compare_phase(tables, checksum=checksum)
         return report

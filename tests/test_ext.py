@@ -270,6 +270,40 @@ def test_salted_join_and_distinct(spark):
     assert {tuple(r) for r in sd.collect()} == {tuple(r) for r in pd_.collect()}
 
 
+def test_salted_join_rejects_right_and_full(spark):
+    """how='right'/'full' would multiply unmatched right rows by
+    n_salts; salted_join must refuse them up front."""
+    import pytest as _pytest
+
+    from sparksync.ext import skew
+
+    df = spark.range(3).withColumnRenamed("id", "k")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with _pytest.raises(ValueError, match="salted_join supports"):
+            skew.salted_join(df, df, "k", "k", how=how)
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A chain graph whose diameter exceeds max_iter must raise (strict,
+    default) or warn and return partial labels (strict=False) - never
+    silently return wrong components."""
+    import pytest as _pytest
+
+    from sparksync.ext import graph
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "d1 long, d2 long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        graph.connected_components(chain, max_iter=1).collect()
+    with _pytest.warns(UserWarning, match="did not converge"):
+        partial = graph.connected_components(chain, max_iter=1, strict=False)
+        assert partial.count() == 9
+    # enough rounds: one component rooted at node 0
+    full = graph.connected_components(chain, max_iter=10)
+    assert {r["component"] for r in full.collect()} == {0}
+
+
 def test_multimodal_resize_and_audio(spark):
     rows = [
         (1, "image", b"imgbytes", 64, 64),
@@ -353,9 +387,11 @@ def test_connected_components_multihop(spark):
            graph.connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20}
-    # the loop's iteration caches must all be released (compare against
-    # the pre-call count: other suites may legitimately hold caches)
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= cached_before
+    # the loop's per-round checkpoints must all be released; only the
+    # FINAL round's blocks may remain (they back the returned plan —
+    # a truncated lineage cannot recompute). Compare against the
+    # pre-call count: other suites may legitimately hold caches.
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= cached_before + 1
 
 
 def test_ops_handle_empty_inputs(spark):
@@ -441,9 +477,12 @@ def test_boilerplate_ngrams_counts_docs_not_occurrences(spark):
 
 
 def test_contamination_flags_and_broadcast_plan(spark):
-    """Overlapping docs are flagged with the right overlap count,
-    disjoint docs are not, and the corpus-side joins are broadcast (no
-    corpus shuffle)."""
+    """Overlapping docs are flagged with the right overlap count and
+    disjoint docs are not. Plan shape: the eval-set shingle join is
+    broadcast (eval sets are small by construction), but the per-doc
+    overlap aggregate joins back onto the doc spine WITHOUT a broadcast —
+    its size is data-dependent (one row per contaminated doc) and could
+    blow the broadcast limit on a dirty corpus."""
     from sparksync.ext import textops
 
     corpus = spark.createDataFrame(
@@ -459,8 +498,11 @@ def test_contamination_flags_and_broadcast_plan(spark):
         [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
     )
     out = textops.contamination_flags(corpus, bench)
+    # static plan, BEFORE execution: at runtime AQE may legitimately
+    # promote the tiny test-sized shuffle joins to broadcasts, but the
+    # *declared* plan must only ever broadcast the eval-set side
+    plan = out._jdf.queryExecution().sparkPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     got = {r["doc_id"]: (r["n_overlap"], r["contaminated"]) for r in out.collect()}
     assert got == {1: (2, 1), 2: (2, 1), 3: (0, 0), 4: (0, 0)}
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
