@@ -58,20 +58,34 @@ class SyncReport:
 
 def render_report(report: "SyncReport") -> str:
     """The per-object-class summary table the reference renders at exit
-    (cmd/root.go:140-200, readme.md:127-132), as text."""
+    (cmd/root.go:140-200, readme.md:127-132), as text. Compare results
+    render as the reference's TWO tables (cmd/compare.go:71-98): every
+    table, then a failures-only table — on a thousand-table run the
+    second is the one a human actually reads."""
     lines = [f"{'phase':>16} | {'objects':>7} | {'failed':>6} | {'elapsed_s':>9}"]
     lines.append("-" * len(lines[0]))
     for p in report.phases:
         lines.append(
             f"{p.phase:>16} | {p.tables:>7} | {p.failed:>6} | {p.elapsed_s:>9.3f}"
         )
+
+    def compare_table(rows) -> list[str]:
+        out = [f"{'table':>16} | {'src':>9} | {'dst':>9} | {'exists':>6} | ok"]
+        for c in rows:
+            out.append(
+                f"{c.table:>16} | {c.src_count:>9} | {c.dst_count:>9} | "
+                f"{str(c.dest_exists):>6} | {c.is_ok}"
+            )
+        return out
+
     if report.compare:
         lines.append("")
-        lines.append(f"{'table':>16} | {'src':>9} | {'dst':>9} | ok")
-        for c in report.compare:
-            lines.append(
-                f"{c.table:>16} | {c.src_count:>9} | {c.dst_count:>9} | {c.is_ok}"
-            )
+        lines.append("Table Compare Total Result")
+        lines.extend(compare_table(report.compare))
+        failed = [c for c in report.compare if not c.is_ok]
+        lines.append("")
+        lines.append("Table Compare Result (Only Not Ok Displayed)")
+        lines.extend(compare_table(failed))
     lines.append("")
     lines.append(f"result: {'ok' if report.ok() else 'FAILED'}")
     return "\n".join(lines)

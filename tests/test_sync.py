@@ -194,11 +194,26 @@ def test_write_report(spark, tmp_path):
     rep = job.run()
     txt = render_report(rep)
     assert "create table" in txt and "result: ok" in txt
+    # the reference's two compare tables (cmd/compare.go:71-98): all rows,
+    # then failures only — empty here since the run is green
+    assert "Table Compare Total Result" in txt
+    assert "Table Compare Result (Only Not Ok Displayed)" in txt
+    total_sec = txt.split("Table Compare Total Result")[1]
+    failed_sec = txt.split("Only Not Ok Displayed)")[1]
+    assert "region" in total_sec and "region" not in failed_sec
     d1 = write_report(rep, str(tmp_path / "logs"))
     d2 = write_report(rep, str(tmp_path / "logs"))
     assert d1.endswith("run_0000") and d2.endswith("run_0001")
     payload = json.loads(open(f"{d1}/report.json").read())
     assert payload["ok"] is True and payload["phases"]
+    # a failing row appears in BOTH compare tables and flips the result
+    from sparksync.compare import CompareResult
+
+    rep.compare.append(CompareResult(table="ghost", src_count=5, dst_count=0,
+                                     dest_exists=False))
+    txt2 = render_report(rep)
+    assert txt2.split("Only Not Ok Displayed)")[1].count("ghost") == 1
+    assert txt2.count("ghost") == 2 and "result: FAILED" in txt2
 
 
 def test_current_user(spark):
