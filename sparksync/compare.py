@@ -54,17 +54,20 @@ def table_checksum(df: DataFrame, algo: str = "xxhash64") -> dict:
     """Order-insensitive digest: count + min/max of per-row digest + a
     commutative decimal(38,0) fold. A single partial-aggregable pass —
     at 100 TB this is one map-side combine + a 1-row reduce, no shuffle
-    of data rows."""
-    h = _row_digest(df, algo)
+    of data rows. The digest is computed ONCE in a projection and both
+    the extremes and the fold derive from that column — never hand the
+    aggregate two copies of the hash expression and hope codegen
+    dedupes them (hashing every row twice is the dominant cost here)."""
+    proj = df.select(_row_digest(df, algo).alias("_h"))
     fold = (
-        h.cast("decimal(38,0)")
+        F.col("_h").cast("decimal(38,0)")
         if algo == "xxhash64"
-        else F.conv(F.substring(h, 1, 15), 16, 10).cast("decimal(38,0)")
+        else F.conv(F.substring("_h", 1, 15), 16, 10).cast("decimal(38,0)")
     )
-    row = df.select(
+    row = proj.select(
         F.count(F.lit(1)).alias("cnt"),
-        F.min(h).alias("hmin"),
-        F.max(h).alias("hmax"),
+        F.min("_h").alias("hmin"),
+        F.max("_h").alias("hmax"),
         F.sum(fold).alias("hsum"),
     ).collect()[0]
     return {"cnt": row["cnt"], "hmin": row["hmin"], "hmax": row["hmax"], "hsum": row["hsum"]}
@@ -102,19 +105,24 @@ def partition_checksums(
     bit-portable across engines (used by the oracle-checked gate)."""
     data_cols = [c for c in df.columns if c not in part_cols]
     cells = [F.coalesce(F.col(c).cast("string"), F.lit(chr(0))) for c in data_cols]
+    # hash once in a projection; extremes and the commutative fold both
+    # derive from the single "_h" column (two hash expressions in the
+    # aggregate would hash every row twice). The fold matters: min/max
+    # alone miss an in-place update that keeps cnt and doesn't move the
+    # extremes (prob ~2/n) — the sum of per-row digests changes whenever
+    # ANY row's content changes.
     if algo == "xxhash64":
-        h = F.xxhash64(*cells).cast("string")
-        # commutative content fold: min/max alone miss an in-place update
-        # that keeps cnt and doesn't move the extremes (prob ~2/n) — the sum
-        # of every row's digest changes whenever ANY row's content changes.
-        fold = F.xxhash64(*cells).cast("decimal(38,0)")
-    elif algo == "md5":
-        h = F.md5(F.concat_ws("\x1f", *cells))
-        fold = F.conv(F.substring(h, 1, 15), 16, 10).cast("decimal(38,0)")
+        raw = F.xxhash64(*cells)
+        proj = df.select(*part_cols, raw.alias("_raw"))
+        h = F.col("_raw").cast("string")
+        fold = F.col("_raw").cast("decimal(38,0)")
     else:
-        h = F.sha2(F.concat_ws("\x1f", *cells), 256)
-        fold = F.conv(F.substring(h, 1, 15), 16, 10).cast("decimal(38,0)")
-    return df.groupBy(*part_cols).agg(
+        concat = F.concat_ws("\x1f", *cells)
+        raw = F.md5(concat) if algo == "md5" else F.sha2(concat, 256)
+        proj = df.select(*part_cols, raw.alias("_raw"))
+        h = F.col("_raw")
+        fold = F.conv(F.substring("_raw", 1, 15), 16, 10).cast("decimal(38,0)")
+    return proj.groupBy(*part_cols).agg(
         F.count(F.lit(1)).alias("cnt"),
         F.min(h).alias("hmin"),
         F.max(h).alias("hmax"),
