@@ -381,6 +381,121 @@ def simhash_pairs(
     )
 
 
+def hamming_pairs(
+    df: DataFrame,
+    col: str = "text",
+    max_dist: int = 2,
+    id_col: str = "doc_id",
+    bucket_cap: int | None = 10_000,
+) -> DataFrame:
+    """Hamming near-dup pairs over a raw string column: (d1, d2, dist)
+    with dist <= max_dist and d1 < d2, where dist counts substituted
+    positions between EQUAL-LENGTH strings — the record-linkage /
+    typo-dedup primitive (ids, SKUs, names); for token-level structure
+    use simhash_pairs. NULL strings never pair.
+
+    Scale path (the PassJoin banding idea): split each string into
+    max_dist+1 contiguous segments. <= max_dist substitutions leave at
+    least one segment untouched (pigeonhole), so candidates are an
+    equi-join on (length, segment_idx, segment_text) and the verify is
+    a zip_with mismatch count — pure codegen, no Python, run BEFORE the
+    pair-dedup shuffle so failing candidates never reach the exchange.
+    Join cost is sum(|bucket|^2) over segment buckets, not N^2.
+
+    bucket_cap bounds the quadratic term when a segment is near-constant
+    across the corpus (shared prefixes — 'Supplier#' — are the common
+    case): oversized (length, band, segment) buckets are re-split by the
+    NEXT segment, weakening pigeonhole to "agrees on this segment AND
+    the next" inside those buckets only — dist-0 pairs always survive;
+    the same documented trade as simhash_pairs/neardup_pairs_lsh."""
+    n_bands = max_dist + 1
+    length = F.length(F.col(col))
+
+    def seg(b: int) -> F.Column:
+        # band b covers chars [floor(b*len/n), floor((b+1)*len/n))
+        lo = F.floor(length * b / n_bands)
+        hi = F.floor(length * (b + 1) / n_bands)
+        return F.substring(
+            F.col(col), (lo + 1).cast("int"), (hi - lo).cast("int")
+        )
+
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                seg(b).alias("seg"),
+                seg((b + 1) % n_bands).alias("nxt"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    keyed = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(col).alias("_s"),
+        length.alias("_len"),
+        F.explode(bands).alias("bk"),
+    ).select(
+        "_id",
+        "_s",
+        "_len",
+        F.col("bk.band").alias("band"),
+        F.col("bk.seg").alias("seg"),
+        F.col("bk.nxt").alias("nxt"),
+    )
+    if bucket_cap is not None:
+        # broadcast ONLY the oversized buckets: unlike simhash_pairs'
+        # bounded 2^width key space, segment values here are unbounded
+        # (the full sizes aggregate is ~corpus-sized for near-distinct
+        # segments); the oversized list is <= n/bucket_cap rows by
+        # construction, so it always fits a broadcast
+        oversized = (
+            keyed.groupBy("_len", "band", "seg")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > bucket_cap)
+            .select("_len", "band", "seg", F.lit(True).alias("_over"))
+        )
+        keyed = keyed.join(
+            F.broadcast(oversized), ["_len", "band", "seg"], "left"
+        ).select(
+            "_id",
+            "_s",
+            "_len",
+            "band",
+            # chr(30) never splits a segment boundary, so refined keys
+            # stay disjoint from un-refined ones
+            F.when(
+                F.col("_over"),
+                F.concat(F.col("seg"), F.lit(chr(30)), F.col("nxt")),
+            )
+            .otherwise(F.col("seg"))
+            .alias("seg"),
+        )
+    a = keyed.select(
+        F.col("_id").alias("d1"), F.col("_s").alias("s1"), "_len", "band", "seg"
+    )
+    b = keyed.select(
+        F.col("_id").alias("d2"), F.col("_s").alias("s2"), "_len", "band", "seg"
+    )
+    mism = F.size(
+        F.filter(
+            F.zip_with(
+                F.split(F.col("s1"), ""),
+                F.split(F.col("s2"), ""),
+                lambda x, y: x != y,
+            ),
+            lambda v: v,
+        )
+    ).cast("long")
+    return (
+        a.join(b, ["_len", "band", "seg"])
+        .where(F.col("d1") < F.col("d2"))
+        .withColumn("dist", mism)
+        .where(F.col("dist") <= max_dist)
+        .select("d1", "d2", "dist")
+        .dropDuplicates(["d1", "d2"])
+    )
+
+
 def normalized_dedup(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

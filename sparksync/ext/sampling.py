@@ -86,6 +86,44 @@ def stratified_sample(
     return df.where(b < thresh)
 
 
+def temperature_sample(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    method: str = "xxhash64",
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-based source rebalancing: downsample each source so
+    kept counts are proportional to n_i^alpha (alpha=1 keeps natural
+    proportions, alpha=0 equalizes sources) — the standard multilingual/
+    multi-corpus mixing rule. Per-source keep rate is
+    n_i^(alpha-1) / max_j n_j^(alpha-1), so the smallest source keeps
+    100% and nothing is upsampled.
+
+    Everything stays in the plan: per-source counts are one tiny partial
+    agg, the global normalizer is a one-row aggregate cross-joined back
+    (broadcast), and the keep test is the same deterministic hash bucket
+    as stratified_sample — no collect, no driver round-trip, and a given
+    id's fate is reproducible across runs and cluster sizes."""
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    raw = F.pow(F.col("_n").cast("double"), F.lit(alpha - 1.0))
+    rates = counts.select(F.col(source_col).alias("_src"), raw.alias("_raw"))
+    norm = rates.agg(F.max("_raw").alias("_mx"))
+    rates = rates.crossJoin(F.broadcast(norm)).select(
+        "_src",
+        F.floor(F.col("_raw") / F.col("_mx") * BUCKETS).alias("_keep_below"),
+    )
+    b = _bucket(id_col, method, salt)
+    # eqNullSafe: a NULL source is a stratum of its own and must keep its
+    # rows (a plain equi-join would silently drop them)
+    return (
+        df.join(F.broadcast(rates), F.col(source_col).eqNullSafe(F.col("_src")))
+        .where(b < F.col("_keep_below"))
+        .drop("_src", "_keep_below")
+    )
+
+
 def interleave(
     sources: list[tuple[DataFrame, float]],
     id_col: str,

@@ -8,7 +8,7 @@ map-side narrow transforms: no shuffle at all.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: stopword list used by the quality heuristic (kept tiny + explicit so
@@ -167,6 +167,47 @@ def boilerplate_ngrams(
         freq.where(F.col("doc_freq") >= min_docs)
         .orderBy(F.desc("doc_freq"), "gram")
         .limit(top_k)
+    )
+
+
+def vocab_topk(
+    df: DataFrame,
+    k: int = 10,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    n_salts: int = 32,
+) -> DataFrame:
+    """Per-language top-k vocabulary: (lang, tok, freq, rnk) for the k
+    most frequent tokens of each language, ties broken by token asc —
+    the corpus-stats primitive behind stopword lists, tokenizer vocab
+    sanity checks, and language-drift monitoring.
+
+    Scale shape: explode -> one hash-partitioned (lang, tok) count with
+    map-side combine, then top-k in TWO window phases: first within
+    (lang, hash(tok) % n_salts) — n_salts parallel partitions per
+    language — then a final rank over the surviving n_salts*k rows per
+    language. A single window partitioned by lang alone would sort every
+    language's entire vocabulary in ONE task (a few hot languages own
+    most of a web corpus); the salted pre-phase bounds the final sort's
+    input to n_salts*k rows regardless of vocabulary size."""
+    w_doc = Window.partitionBy(lang_col, "_salt").orderBy(
+        F.desc("freq"), F.col("tok")
+    )
+    w_lang = Window.partitionBy(lang_col).orderBy(F.desc("freq"), F.col("tok"))
+    freq = (
+        df.select(F.col(lang_col), F.explode(tokens(text_col)).alias("tok"))
+        .groupBy(lang_col, "tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pre = (
+        freq.withColumn("_salt", F.pmod(F.xxhash64("tok"), F.lit(n_salts)))
+        .withColumn("_r", F.row_number().over(w_doc))
+        .where(F.col("_r") <= k)
+    )
+    return (
+        pre.withColumn("rnk", F.row_number().over(w_lang).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select(lang_col, "tok", "freq", "rnk")
     )
 
 

@@ -1487,6 +1487,68 @@ from t left join ov using (doc_id)
 """
 
 
+def q57_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based rebalancing (ext/sampling.temperature_sample,
+    alpha=0.5) over the LANGUAGE strata — the fixtures' langs are skewed
+    (en dominates ~3:1) so the big ones really downsample; the smallest
+    keeps 100%. knuth hash so DuckDB replays the kept set exactly."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.temperature_sample(
+        d, "lang", "doc_id", alpha=0.5, method="knuth"
+    )
+
+
+ORACLE_Q57 = """
+with c as (select lang, count(*) as n from documents group by lang),
+r as (select lang, pow(cast(n as double), -0.5) as raw from c),
+k as (select max(raw) as mx from r),
+rt as (select lang, cast(floor(raw / mx * 10000) as bigint) as keep_below
+       from r cross join k)
+select d.doc_id, d.lang
+from documents d join rt using (lang)
+where (d.doc_id * 2654435761) % 10000 < rt.keep_below
+"""
+
+
+def q58_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-5 vocabulary (ext/textops.vocab_topk): two-phase
+    salted top-k so no task ever sorts a whole language's vocabulary."""
+    return textops.vocab_topk(load(spark, sf_dir, "documents"), k=5)
+
+
+ORACLE_Q58 = """
+with t as (
+  select lang,
+         unnest(list_filter(string_split(trim(text), ' '), x -> x <> '')) as tok
+  from documents),
+c as (select lang, tok, count(*) as freq from t group by 1, 2),
+r as (select lang, tok, freq,
+        row_number() over (partition by lang order by freq desc, tok) as rnk
+      from c)
+select lang, tok, freq, cast(rnk as bigint) as rnk from r where rnk <= 5
+"""
+
+
+def q59_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming near-dup join over supplier names (ext/dedup
+    .hamming_pairs, max_dist=2): PassJoin segment banding + codegen
+    mismatch verify; DuckDB's hamming() replays the semantics exactly."""
+    s = load(spark, sf_dir, "supplier")
+    return dedup.hamming_pairs(s, col="s_name", max_dist=2, id_col="s_suppkey")
+
+
+ORACLE_Q59 = """
+select a.s_suppkey as d1, b.s_suppkey as d2,
+       cast(hamming(a.s_name, b.s_name) as bigint) as dist
+from supplier a
+join supplier b
+  on a.s_suppkey < b.s_suppkey
+ and length(a.s_name) = length(b.s_name)
+where case when length(a.s_name) = length(b.s_name)
+           then hamming(a.s_name, b.s_name) else 3 end <= 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -1544,6 +1606,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q54_repetition_stats": q54_repetition_stats,
     "q55_boilerplate_ngrams": q55_boilerplate_ngrams,
     "q56_decontamination": q56_decontamination,
+    "q57_temperature_sample": q57_temperature_sample,
+    "q58_vocab_topk": q58_vocab_topk,
+    "q59_hamming_pairs": q59_hamming_pairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -1603,4 +1668,7 @@ ORACLES: dict[str, str] = {
     "q54_repetition_stats": ORACLE_Q54,
     "q55_boilerplate_ngrams": ORACLE_Q55,
     "q56_decontamination": ORACLE_Q56,
+    "q57_temperature_sample": ORACLE_Q57,
+    "q58_vocab_topk": ORACLE_Q58,
+    "q59_hamming_pairs": ORACLE_Q59,
 }

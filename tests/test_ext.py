@@ -506,3 +506,109 @@ def test_contamination_flags_and_broadcast_plan(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     got = {r["doc_id"]: (r["n_overlap"], r["contaminated"]) for r in out.collect()}
     assert got == {1: (2, 1), 2: (2, 1), 3: (0, 0), 4: (0, 0)}
+
+
+def test_temperature_sample(spark):
+    """alpha=0.5 keeps the smallest stratum whole and downsamples the
+    big one toward sqrt proportions; NULL strata survive (eqNullSafe
+    join); the kept set is deterministic across calls."""
+    from sparksync.ext import sampling
+
+    rows = (
+        [(i, "big") for i in range(400)]
+        + [(1000 + i, "small") for i in range(25)]
+        + [(2000 + i, None) for i in range(25)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = sampling.temperature_sample(df, "source", "doc_id", alpha=0.5)
+    by = {r["source"]: r["cnt"] for r in
+          kept.groupBy("source").agg(__import__("pyspark").sql.functions
+                                     .count("*").alias("cnt")).collect()}
+    assert by.get("small") == 25 and by.get(None) == 25  # rate 1.0 strata
+    # big: rate = sqrt(25/400) = 0.25 -> ~100 of 400 (hash-bucket exact,
+    # not binomial; wide tolerance for bucket clumping)
+    assert 60 <= by.get("big", 0) <= 140
+    again = sampling.temperature_sample(df, "source", "doc_id", alpha=0.5)
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    # alpha=1 keeps everything (natural proportions, max rate everywhere)
+    assert sampling.temperature_sample(df, "source", "doc_id", alpha=1.0).count() == 450
+    # the rates side is broadcast; the spine is never shuffled for the join
+    plan = kept._jdf.queryExecution().sparkPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_vocab_topk_matches_naive_window(spark):
+    """The salted two-phase top-k must equal the naive single-window
+    formulation exactly (same ordering: freq desc, token asc)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sparksync.ext import textops
+
+    df = spark.createDataFrame(
+        [(i, "a b c a b a", "en") for i in range(7)]
+        + [(100 + i, "x y x z", "fr") for i in range(3)],
+        "doc_id long, text string, lang string",
+    )
+    got = textops.vocab_topk(df, k=2)
+    naive = (
+        df.select(F.col("lang"), F.explode(textops.tokens("text")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(Window.partitionBy("lang").orderBy(F.desc("freq"), F.col("tok")))
+            .cast("long"),
+        )
+        .where(F.col("rnk") <= 2)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_hamming_pairs(spark):
+    """Substitution distance within max_dist pairs up; different
+    lengths, NULLs and far strings never pair; the banded candidate set
+    loses nothing at this scale (verified against brute force)."""
+    from pyspark.sql import functions as F
+
+    from sparksync.ext import dedup
+
+    df = spark.createDataFrame(
+        [(1, "abcdef"), (2, "abcxef"), (3, "abcxyf"), (4, "zzzzzz"),
+         (5, "abc"), (6, None), (7, "abd"), (8, "abcdeg")],
+        "doc_id long, text string",
+    )
+    got = sorted(map(tuple, dedup.hamming_pairs(df, max_dist=2).collect()))
+    # brute force over equal-length non-null pairs
+    rows = [(r["doc_id"], r["text"]) for r in df.collect() if r["text"]]
+    brute = []
+    for i, (d1, s1) in enumerate(rows):
+        for d2, s2 in rows[i + 1:]:
+            if len(s1) == len(s2):
+                dist = sum(a != b for a, b in zip(s1, s2))
+                if dist <= 2:
+                    brute.append(tuple(sorted((d1, d2))) + (dist,))
+    assert got == sorted(brute)
+    assert (1, 2, 1) in got and (5, 7, 1) in got
+
+
+def test_hamming_pairs_bucket_cap_resplit(spark):
+    """With a tiny bucket_cap the near-constant shared-prefix segment
+    re-splits by the next segment: identical strings (dist 0) always
+    survive, and no pair beyond max_dist ever appears."""
+    from sparksync.ext import dedup
+
+    # 30 strings sharing the first two segments; two exact dups
+    rows = [(i, f"PFX-{i:03d}") for i in range(30)] + [(100, "PFX-001"), (101, "PFX-002")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = sorted(map(tuple, dedup.hamming_pairs(
+        df, max_dist=1, bucket_cap=5).collect()))
+    assert (1, 100, 0) in capped and (2, 101, 0) in capped
+    assert all(d <= 1 for _, _, d in capped)
+    uncapped = sorted(map(tuple, dedup.hamming_pairs(
+        df, max_dist=1, bucket_cap=None).collect()))
+    # re-splitting may drop cross-segment-boundary pairs but never adds
+    assert set(capped) <= set(uncapped)

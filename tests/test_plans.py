@@ -99,3 +99,41 @@ def test_events_scan_prunes_columns(spark):
     e = load_table(spark, SF_SMOKE, "events").select("event_id")
     rs = plan_of(e).split("ReadSchema: ")[1].split("\n")[0]
     assert "props" not in rs and "event_type" not in rs, rs
+
+
+def test_temperature_sample_broadcasts_rates(spark):
+    """temperature_sample's rates side (a per-stratum aggregate, at most
+    |strata| rows) must broadcast; the corpus spine must not shuffle for
+    the join. Static plan — AQE small-size promotions don't count."""
+    from sparksync.ext import sampling
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    df = sampling.temperature_sample(docs, "lang", "doc_id")
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_vocab_topk_two_phase_windows(spark):
+    """vocab_topk must plan BOTH window phases (salted pre-rank + final
+    per-lang rank): a single per-lang window would sort a whole
+    language's vocabulary in one task."""
+    from sparksync.ext import textops
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = docs.transform(lambda d: textops.vocab_topk(d, k=3))._jdf \
+        .queryExecution().sparkPlan().toString()
+    assert plan.count("RunningWindowFunction") + plan.count("Window") >= 2
+    assert "SinglePartition" not in plan
+
+
+def test_hamming_pairs_no_cartesian(spark):
+    """hamming_pairs candidates come from the banded equi-join — never a
+    cartesian/broadcast-nested-loop over the corpus."""
+    from sparksync.ext import dedup
+
+    sup = load_table(spark, SF_SMOKE, "supplier")
+    df = dedup.hamming_pairs(sup, col="s_name", max_dist=2, id_col="s_suppkey")
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
