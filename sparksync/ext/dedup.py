@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .textops import tokens
 
@@ -186,9 +187,18 @@ def minhash_dedup_pairs(
       arrays (one pass, broadcast candidate ids, min_by/max_by pairing)
       and computes exact Jaccard via array_intersect — it ships arrays
       for candidate docs only, never the full inverted index.
+
+    The signature table is PERSISTED before the banded self-join: both
+    join sides read it, and each read would otherwise re-run the whole
+    tokenize -> shingle -> K-min aggregation (scan + shuffle) from
+    scratch. At ~8*K bytes/doc (~520 B at K=64) signatures for 10^9 docs
+    are ~0.5 TB — MEMORY_AND_DISK spills the tail while still saving a
+    second full corpus scan + shuffle.
     """
     arrs = shingle_arrays(df, id_col, text_col)
-    sig = minhash_signatures(shingles(df, id_col, text_col), id_col, k=bands * rows)
+    sig = minhash_signatures(
+        shingles(df, id_col, text_col), id_col, k=bands * rows
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     band_keys = F.array(
         *[
             F.struct(
@@ -318,7 +328,14 @@ def simhash_pairs(
     the next" — hamming-0 pairs always survive (identical fingerprints
     share every band); near-cap pairs trade a little recall for a
     bounded join. The cap check is one partial-agg count over at most
-    n_bands*2^width keys plus a broadcast join — no extra data shuffle."""
+    n_bands*2^width keys plus a broadcast join — no extra data shuffle.
+
+    The fingerprint table is PERSISTED before fan-out: the plan reads it
+    three times (size census + both join sides) and each read would
+    otherwise re-run the 48-bit-filter scan over the full corpus
+    (measured 3x fingerprint cost at sf0.1). At 16 bytes/doc the cache
+    is ~16 GB per 10^9 docs — a 100 TB corpus caches its fingerprints in
+    a sliver of cluster memory, vs. three full text scans."""
     n_bands = max_hamming + 1
     width = SIMHASH_BITS // n_bands
 
@@ -329,7 +346,7 @@ def simhash_pairs(
             .cast("long")
         )
 
-    fp = simhash(df, id_col, text_col)
+    fp = simhash(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     bands = F.array(
         *[
             F.struct(
@@ -429,11 +446,21 @@ def hamming_pairs(
             for b in range(n_bands)
         ]
     )
-    keyed = df.select(
+    # persist the narrow pre-explode projection: the size census (when
+    # capped) and both join sides read it, and each read would otherwise
+    # re-scan the source; the cached row is id + string + its segment
+    # tiling (~3-4x the string), fine for record-linkage-sized columns
+    base = df.select(
         F.col(id_col).alias("_id"),
         F.col(col).alias("_s"),
         length.alias("_len"),
-        F.explode(bands).alias("bk"),
+        bands.alias("_bands"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    keyed = base.select(
+        "_id",
+        "_s",
+        "_len",
+        F.explode("_bands").alias("bk"),
     ).select(
         "_id",
         "_s",

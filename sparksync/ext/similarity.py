@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def _to_double(col: Column) -> Column:
@@ -159,11 +160,12 @@ def neardup_pairs_lsh(
         for bi in range(n_bands)
     ]
     # One struct per band carrying (band, bucket, nxt) where nxt is the
-    # NEXT band's value, used for bucket-cap re-splitting. The generator
-    # consumes the struct-array EXPRESSION directly — explode over an
-    # aliased attribute makes InferFiltersFromGenerate push a size()>0
-    # filter below the project, re-inlining every plane dot product into
-    # the filter (see the same fix in dedup.shingles).
+    # NEXT band's value, used for bucket-cap re-splitting. The projected
+    # (id, v, cells) row is PERSISTED before fan-out: the size census and
+    # both join sides read it, and each read would otherwise re-run all
+    # n_planes dot products over the full corpus (measured 3x projection
+    # cost at sf0.1). Cache row = vector + n_bands longs, i.e. barely
+    # more than the input the executors already hold.
     cells = F.array(
         *[
             F.struct(
@@ -174,7 +176,10 @@ def neardup_pairs_lsh(
             for i in range(n_bands)
         ]
     )
-    keyed = e.select(id_col, "v", F.explode(cells).alias("bk")).select(
+    hashed = e.select(id_col, "v", cells.alias("_cells")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    keyed = hashed.select(id_col, "v", F.explode("_cells").alias("bk")).select(
         id_col,
         "v",
         F.col("bk.band").alias("band"),
