@@ -252,7 +252,9 @@ def md5_token_hash(t: F.Column) -> F.Column:
     long. Bit-replayable by any engine with md5 (DuckDB:
     `cast('0x' || substring(md5(x),1,15) as ubigint)`), so fingerprints
     built on it are cross-engine comparable — used by the q21 gate.
-    ~2-3x slower per token than xxhash64; keep xxhash64 in production."""
+    Used by the q21/q36 gates; keep xxhash64 (the default) in
+    production — though inside simhash_pairs the difference is noise,
+    the 48 bit-filter passes dominate the token hash."""
     return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
 
 
@@ -308,6 +310,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     bucket_cap: int | None = 10_000,
+    hash_fn=None,
 ) -> DataFrame:
     """SimHash near-dup pairs: (d1, d2, hamming) with hamming <=
     max_hamming, d1 < d2.
@@ -335,7 +338,10 @@ def simhash_pairs(
     otherwise re-run the 48-bit-filter scan over the full corpus
     (measured 3x fingerprint cost at sf0.1). At 16 bytes/doc the cache
     is ~16 GB per 10^9 docs — a 100 TB corpus caches its fingerprints in
-    a sliver of cluster memory, vs. three full text scans."""
+    a sliver of cluster memory, vs. three full text scans.
+
+    hash_fn is forwarded to simhash(); pass dedup.md5_token_hash when
+    the pair set must be replayable by an external engine (q36 gate)."""
     n_bands = max_hamming + 1
     width = SIMHASH_BITS // n_bands
 
@@ -346,7 +352,9 @@ def simhash_pairs(
             .cast("long")
         )
 
-    fp = simhash(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    fp = simhash(df, id_col, text_col, hash_fn=hash_fn).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     bands = F.array(
         *[
             F.struct(

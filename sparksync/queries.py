@@ -541,17 +541,25 @@ where cast(c as double) / cast(na.n + nb.n - c as double) >= 0.8
 
 def q20_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs with exact verification — the 100 TB
-    scale path (ext/dedup.minhash_dedup_pairs). Must equal q19 up to LSH
-    recall; no SQL oracle (xxhash64 has no DuckDB analogue) -> driver
-    records rows-only, but test_ext.py asserts q19 == q20 exactly."""
+    scale path (ext/dedup.minhash_dedup_pairs). Candidates are verified
+    with exact Jaccard, so the result equals the exact all-pairs q19
+    whenever LSH recall catches every >=0.8 pair (P > 0.999 per pair;
+    verified exhaustively at sf0.001 and sf0.01 on the deterministic
+    fixtures) — the oracle is therefore the same SQL as q19, and
+    test_ext.py asserts q19 == q20 set-exactly as well."""
     return dedup.minhash_dedup_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
+
+
+# LSH + exact verify reproduces the exact-Jaccard pair set (see
+# q20_dedup_minhash docstring), so the oracle is q19's SQL verbatim.
+ORACLE_Q20 = ORACLE_Q19
 
 
 def q21_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints, oracle-checked: the gate parameterizes the
     token hash to the portable md5-derived 60-bit value
     (dedup.md5_token_hash) so DuckDB can replay the per-bit majority
-    bit-for-bit. Production default stays xxhash64 (q36 uses it)."""
+    bit-for-bit. Production default stays xxhash64."""
     return dedup.simhash(
         load(spark, sf_dir, "documents"), hash_fn=dedup.md5_token_hash
     )
@@ -917,10 +925,39 @@ select * from (values
 
 def q36_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-bucket near-dup join (ext/dedup.simhash_pairs):
-    pigeonhole band equi-join + bit_count(xor) verify. Rows-only gate
-    (xxhash64 fingerprints have no DuckDB analogue); test_ext.py asserts
-    high overlap with the exact-Jaccard pairs."""
-    return dedup.simhash_pairs(load(spark, sf_dir, "documents"))
+    pigeonhole band equi-join + bit_count(xor) verify. Oracle-checked:
+    like q21, the gate parameterizes the token hash to the portable
+    md5-derived value so DuckDB can replay the fingerprints and the
+    all-pairs hamming filter bit-for-bit (pigeonhole banding has EXACT
+    recall for hamming <= max_hamming, so banded join == all-pairs;
+    measured same cost as xxhash64 at sf0.1 — the 48 bit-filter passes
+    dominate, not the token hash). Production default stays xxhash64."""
+    return dedup.simhash_pairs(
+        load(spark, sf_dir, "documents"), hash_fn=dedup.md5_token_hash
+    )
+
+
+ORACLE_Q36 = """
+with toks as (
+  select doc_id,
+         unnest(list_filter(string_split(trim(text), ' '), x -> x <> '')) as tok
+  from documents),
+h as (
+  select doc_id,
+         cast(cast('0x' || substring(md5(tok), 1, 15) as ubigint) as bigint) as hv
+  from toks),
+bit as (
+  select doc_id, i,
+         case when 2 * count(*) filter (where (hv >> i) & 1 = 1) > count(*)
+              then 1::bigint << i else 0::bigint end as term
+  from h cross join (select unnest(range(48)) as i) g
+  group by doc_id, i),
+fp as (select doc_id, cast(sum(term) as bigint) as simhash from bit group by doc_id)
+select a.doc_id as d1, b.doc_id as d2,
+       cast(bit_count(xor(a.simhash, b.simhash)) as bigint) as hamming
+from fp a join fp b on a.doc_id < b.doc_id
+where bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
 
 
 def q37_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1631,8 +1668,7 @@ ORACLES: dict[str, str] = {
     "q17_local_supplier": ORACLE_Q17,
     "q18_dedup_exact": ORACLE_Q18,
     "q19_dedup_jaccard": ORACLE_Q19,
-    # q20 intentionally omitted: xxhash64-based, no DuckDB analogue
-    # (rows-only check; test_ext.py proves q20 == q19 exactly).
+    "q20_dedup_minhash": ORACLE_Q20,
     "q21_simhash": ORACLE_Q21,
     "q22_knn_cosine": ORACLE_Q22,
     "q23_ivf_assign": ORACLE_Q23,
@@ -1648,6 +1684,7 @@ ORACLES: dict[str, str] = {
     "q33_cube": ORACLE_Q33,
     "q34_ddl_typemap": ORACLE_Q34,
     "q35_objects_ddl": ORACLE_Q35,
+    "q36_simhash_pairs": ORACLE_Q36,
     "q37_range_join": ORACLE_Q37,
     "q38_train_split": ORACLE_Q38,
     "q39_stratified_sample": ORACLE_Q39,
