@@ -168,6 +168,25 @@ def minhash_signatures(
     return base.groupBy(id_col).agg(*mins)
 
 
+def _band_buckets(
+    sig: DataFrame, id_col: str, bands: int, rows: int
+) -> DataFrame:
+    """(id, band, key) LSH bucket rows from a K-wide signature table:
+    one xxhash64 over each band's `rows` signature columns."""
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(F.col(id_col), F.explode(band_keys).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     threshold: float = 0.8,
@@ -199,18 +218,7 @@ def minhash_dedup_pairs(
     sig = minhash_signatures(
         shingles(df, id_col, text_col), id_col, k=bands * rows
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    band_keys = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias("key"),
-            )
-            for b in range(bands)
-        ]
-    )
-    buckets = sig.select(F.col(id_col), F.explode(band_keys).alias("bk")).select(
-        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    buckets = _band_buckets(sig, id_col, bands, rows)
     l = buckets.select(F.col(id_col).alias("d1"), "band", "key")
     r = buckets.select(F.col(id_col).alias("d2"), "band", "key")
     cand = (
@@ -241,6 +249,57 @@ def minhash_dedup_pairs(
     return per_pair.select("d1", "d2", (inter / union).alias("jacc")).where(
         F.col("jacc") >= threshold
     )
+
+
+def minhash_dedup_pairs_cross(
+    new: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """Incremental dedup: near-dup pairs BETWEEN a new batch and an
+    already-deduplicated corpus — the shape every continuously-crawled
+    training set needs, because re-running all-pairs dedup over
+    100 TB + 1 TB of new data to admit the 1 TB is absurd. Output:
+    (new_id, corpus_id, jacc) with jacc >= threshold.
+
+    Scale shape: signatures for BOTH sides (the corpus side is one
+    linear pass — or, in a real deployment, a precomputed signature
+    table read back from storage); the banded join is new x corpus, so
+    its cost scales with the NEW batch's bucket occupancy, not the
+    corpus's pairs. Verification ships shingle arrays for candidate
+    docs only (broadcast candidate ids into both sides), exactly like
+    minhash_dedup_pairs."""
+    sig_n = minhash_signatures(shingles(new, id_col, text_col), id_col, k=bands * rows)
+    sig_c = minhash_signatures(
+        shingles(corpus, id_col, text_col), id_col, k=bands * rows
+    )
+    bn = _band_buckets(sig_n, id_col, bands, rows).select(
+        F.col(id_col).alias("new_id"), "band", "key"
+    )
+    bc = _band_buckets(sig_c, id_col, bands, rows).select(
+        F.col(id_col).alias("corpus_id"), "band", "key"
+    )
+    cand = bn.join(bc, ["band", "key"]).select("new_id", "corpus_id").distinct()
+    a1 = shingle_arrays(new, id_col, text_col).select(
+        F.col(id_col).alias("new_id"), F.col("sh").alias("s1")
+    )
+    a2 = shingle_arrays(corpus, id_col, text_col).select(
+        F.col(id_col).alias("corpus_id"), F.col("sh").alias("s2")
+    )
+    # broadcast-prune BOTH sides to candidate docs before anything
+    # shuffles: only candidate docs' arrays ever leave the scan, and the
+    # final pair join runs over candidate-sized inputs
+    a2p = a2.join(F.broadcast(cand.select("corpus_id").distinct()), "corpus_id")
+    paired = a1.join(F.broadcast(cand), "new_id").join(a2p, "corpus_id")
+    inter = F.size(F.array_intersect(F.col("s1"), F.col("s2"))).cast("double")
+    union = (F.size("s1") + F.size("s2")).cast("double") - inter
+    return paired.select(
+        "new_id", "corpus_id", (inter / union).alias("jacc")
+    ).where(F.col("jacc") >= threshold)
 
 
 SIMHASH_BITS = 48  # stay within positive signed-64 range when assembling

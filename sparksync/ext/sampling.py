@@ -15,7 +15,7 @@ Two hash methods:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 BUCKETS = 10_000
@@ -121,6 +121,44 @@ def temperature_sample(
         df.join(F.broadcast(rates), F.col(source_col).eqNullSafe(F.col("_src")))
         .where(b < F.col("_keep_below"))
         .drop("_src", "_keep_below")
+    )
+
+
+def per_key_cap(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    id_col: str,
+    cap: int = 30,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Keep at most `cap` rows per key, best-first by
+    (order_col desc, id_col asc) — the per-domain/per-source quota
+    pass every crawl pipeline runs so one giant domain can't dominate
+    the corpus. Output: input columns + rnk (1..cap within key).
+
+    Scale shape (the vocab_topk pattern): a single window partitioned
+    by key alone would sort ONE task per key — and web-corpus key sizes
+    are power-law (one domain can be 1% of 100 TB). Instead rank in two
+    phases: first within (key, hash(id) % n_salts) — n_salts parallel
+    partitions per key — keeping `cap` per salt, then a final exact
+    rank over the surviving <= n_salts*cap rows per key. Deterministic
+    given unique ids; no collect, no skew ceiling."""
+    w_pre = Window.partitionBy(key_col, "_salt").orderBy(
+        F.desc(order_col), F.col(id_col)
+    )
+    w_key = Window.partitionBy(key_col).orderBy(
+        F.desc(order_col), F.col(id_col)
+    )
+    pre = (
+        df.withColumn("_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)))
+        .withColumn("_r", F.row_number().over(w_pre))
+        .where(F.col("_r") <= cap)
+    )
+    return (
+        pre.withColumn("rnk", F.row_number().over(w_key).cast("long"))
+        .where(F.col("rnk") <= cap)
+        .drop("_salt", "_r")
     )
 
 

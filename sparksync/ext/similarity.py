@@ -375,3 +375,84 @@ def knn_batch(
         .where(F.col("rnk") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "rnk")
     )
+
+
+def quantization_stats(
+    emb: DataFrame, vec_col: str = "embedding", dim: int | None = None
+) -> DataFrame:
+    """One-row DataFrame of per-dimension (mn{i}, mx{i}) bounds — the
+    scalar-quantization codebook. One partial-agg pass over the corpus
+    (2*dim min/max aggregates, map-side combined); the result is
+    model-state-sized (like ivf_train's centroids) and is meant to be
+    broadcast."""
+    if dim is None:
+        dim = emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    aggs = []
+    for i in range(1, dim + 1):
+        x = F.element_at(F.col(vec_col), i).cast("double")
+        aggs.append(F.min(x).alias(f"mn{i}"))
+        aggs.append(F.max(x).alias(f"mx{i}"))
+    return emb.agg(*aggs)
+
+
+def quantize_embeddings(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+    stats: DataFrame | None = None,
+) -> DataFrame:
+    """Scalar quantization of float embeddings to `bits`-bit codes —
+    4x (int8) storage/bandwidth compression for the 100 TB embedding
+    store; recall cost is tested (test_ext.py: dequantized kNN keeps
+    the brute-force top-k). Output: (id, codes array<int>), code_i =
+    round((x_i - mn_i) / ((mx_i - mn_i) / levels)) clamped to
+    [0, levels].
+
+    The arithmetic is a fixed chain of single IEEE double ops, so any
+    engine replays the codes bit-for-bit (the gate's oracle does).
+    Scale shape: stats is one tiny partial-agg row broadcast back;
+    quantization itself is a pure codegen narrow map."""
+    levels = (1 << bits) - 1
+    dim = emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    if stats is None:
+        stats = quantization_stats(emb, vec_col, dim=dim)
+
+    def code(i: int) -> Column:
+        x = F.element_at(F.col(vec_col), i).cast("double")
+        mn, mx = F.col(f"mn{i}"), F.col(f"mx{i}")
+        scale = (mx - mn) / F.lit(float(levels))
+        q = F.round((x - mn) / scale).cast("int")
+        return F.when(
+            mx > mn, F.least(F.lit(levels), F.greatest(F.lit(0), q))
+        ).otherwise(F.lit(0))
+
+    codes = F.array(*[code(i) for i in range(1, dim + 1)])
+    return emb.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col), codes.alias("codes")
+    )
+
+
+def dequantize(
+    codes: DataFrame,
+    stats: DataFrame,
+    dim: int,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Reconstruct approximate double vectors from quantized codes:
+    x_i ~ mn_i + code_i * scale_i. Narrow map; used by the recall test
+    and by any consumer that wants cheap approximate distances."""
+    levels = (1 << bits) - 1
+    vals = F.array(
+        *[
+            F.col(f"mn{i}")
+            + F.element_at(F.col(codes_col), i).cast("double")
+            * ((F.col(f"mx{i}") - F.col(f"mn{i}")) / F.lit(float(levels)))
+            for i in range(1, dim + 1)
+        ]
+    )
+    return codes.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col), vals.alias("v")
+    )

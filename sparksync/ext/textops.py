@@ -211,6 +211,93 @@ def vocab_topk(
     )
 
 
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k salient terms by tf x (N/df) weighting —
+    keyword extraction / topic-drift monitoring over a training corpus.
+    Output: (doc_id, tok, tf, weight, rnk), rnk 1..k per doc, ties
+    broken by token asc.
+
+    The inverse-document-frequency factor is the PLAIN RATIO N/df, not
+    ln(N/df): tf*N and df are exact integers, so the weight is a single
+    IEEE division that any engine reproduces bit-for-bit (ln() is
+    correctly-rounded in one libm and 1-ulp in another, which would
+    make the gate's value hash flaky). Ranking is unaffected: x -> ln x
+    is monotone.
+
+    Scale shape: explode -> one hash-partitioned (doc, tok) count with
+    map-side combine; doc frequency is a second partial agg over the
+    (doc, tok) pairs (already distinct by construction); N is a one-row
+    aggregate cross-joined back (broadcast); the top-k window partitions
+    by doc_id — per-doc vocabulary is bounded by document length, so no
+    task ever sorts more than one document's terms (unlike per-language
+    windows, which need vocab_topk's salted two-phase)."""
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq")
+    )
+    n_docs = tf.select(id_col).distinct().agg(
+        F.count(F.lit(1)).alias("_n_docs")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("weight"), F.col("tok"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "tok",
+            "tf",
+            (
+                (F.col("tf") * F.col("_n_docs")).cast("double")
+                / F.col("doc_freq").cast("double")
+            ).alias("weight"),
+        )
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select(id_col, "tok", "tf", "weight", "rnk")
+    )
+
+
+#: RE2-compatible patterns (no lookaround, no backreferences) so Spark's
+#: Java regex and an external engine's RE2 replay the rewrite identically
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+LONGNUM_RE = "[0-9]{9,}"
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Scrub emails and long digit runs (phone/account numbers) from a
+    text column — the standard pre-training PII pass. Output:
+    (doc_id, clean_text, n_emails, n_longnums).
+
+    Long-number counting runs on the email-redacted text so digits
+    inside an address are never double-counted. Pure codegen narrow map
+    (regexp_replace/regexp_count), zero shuffle — at 100 TB this rides
+    the same scan as quality_score. The test fixtures contain no PII
+    (counts are 0 and text passes through — the gate still proves the
+    rewrite is bit-stable cross-engine); pytest drives synthetic
+    positives."""
+    t = F.col(text_col)
+    no_email = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    return df.select(
+        F.col(id_col),
+        F.regexp_replace(no_email, LONGNUM_RE, "<NUM>").alias("clean_text"),
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(no_email, F.lit(LONGNUM_RE)).cast("long").alias("n_longnums"),
+    )
+
+
 def contamination_flags(
     df: DataFrame,
     benchmark: DataFrame,

@@ -1586,6 +1586,146 @@ where case when length(a.s_name) = length(b.s_name)
 """
 
 
+def q60_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 salient terms by tf x (N/df) (ext/textops
+    .tfidf_topk). The idf factor is the plain ratio N/df — exact
+    integer arithmetic plus one IEEE division, so the weight is
+    bit-replayable cross-engine (ln() is not; ranking is unchanged
+    since ln is monotone)."""
+    return textops.tfidf_topk(load(spark, sf_dir, "documents"), k=3)
+
+
+ORACLE_Q60 = """
+with tf as (
+  select doc_id, tok, cast(count(*) as bigint) as tf
+  from (select doc_id,
+               unnest(list_filter(string_split(trim(text), ' '), x -> x <> '')) as tok
+        from documents)
+  group by doc_id, tok),
+dfreq as (select tok, cast(count(*) as bigint) as doc_freq from tf group by tok),
+n as (select count(distinct doc_id) as n_docs from tf),
+scored as (
+  select tf.doc_id, tf.tok, tf.tf,
+         cast(tf.tf * n.n_docs as double) / cast(dfreq.doc_freq as double) as weight
+  from tf join dfreq using (tok) cross join n),
+r as (select *, row_number() over (partition by doc_id order by weight desc, tok) as rnk
+      from scored)
+select doc_id, tok, tf, weight, cast(rnk as bigint) as rnk from r where rnk <= 3
+"""
+
+
+def q61_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quota (ext/sampling.per_key_cap): keep the
+    30 longest docs per source — the per-domain cap every crawl
+    pipeline applies. Two-phase salted windows, so no task sorts a
+    whole source."""
+    d = load(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    return sampling.per_key_cap(d, "source", "n_chars", "doc_id", cap=30).select(
+        "source", "doc_id", "n_chars", "rnk"
+    )
+
+
+ORACLE_Q61 = """
+select source, doc_id, n_chars, cast(rnk as bigint) as rnk from (
+  select source, doc_id, n_chars,
+         row_number() over (partition by source order by n_chars desc, doc_id) as rnk
+  from documents)
+where rnk <= 30
+"""
+
+
+def q62_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization of the embedding store (ext/similarity
+    .quantize_embeddings): global per-dim min/max codebook (one
+    partial-agg row, broadcast back) + a codegen narrow map. Emitted
+    exploded as (vec_id, i, code) so the gate compares scalars; the
+    fixed single-IEEE-op chain makes codes bit-replayable cross-engine.
+    test_ext.py bounds the recall cost of quantized kNN."""
+    q = similarity.quantize_embeddings(load(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id", F.posexplode("codes").alias("i", "code")
+    ).select(
+        "vec_id",
+        (F.col("i") + 1).cast("long").alias("i"),
+        F.col("code").cast("long").alias("code"),
+    )
+
+
+ORACLE_Q62 = """
+with e as (
+  select vec_id, generate_subscripts(embedding, 1) as i,
+         cast(unnest(embedding) as double) as x
+  from embeddings),
+stats as (select i, min(x) as mn, max(x) as mx from e group by i)
+select e.vec_id, cast(e.i as bigint) as i,
+  cast(case when s.mx > s.mn
+            then least(255, greatest(0,
+                 cast(round((e.x - s.mn) / ((s.mx - s.mn) / 255.0)) as int)))
+            else 0 end as bigint) as code
+from e join stats s using (i)
+"""
+
+
+def q63_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup (ext/dedup.minhash_dedup_pairs_cross): LSH
+    near-dup pairs between a 'new batch' (odd doc_ids) and the
+    'existing corpus' (even doc_ids). Candidates verified with exact
+    Jaccard, so the result equals the exact cross all-pairs oracle
+    whenever LSH recall catches every >=0.8 pair (verified on the
+    deterministic fixtures at sf0.001 and sf0.01)."""
+    docs = load(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    return dedup.minhash_dedup_pairs_cross(new, corpus, threshold=0.8)
+
+
+ORACLE_Q63 = """
+with docs as (
+  select doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') as toks
+  from documents),
+docs3 as (select * from docs where len(toks) >= 3),
+sh as (
+  select distinct doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] as shingle
+  from docs3, unnest(range(1, len(toks) - 1)) t(i)),
+sizes as (select doc_id, count(*) as n from sh group by doc_id),
+common as (
+  select a.doc_id as new_id, b.doc_id as corpus_id, count(*) as c
+  from sh a join sh b on a.shingle = b.shingle
+  where a.doc_id % 2 = 1 and b.doc_id % 2 = 0
+  group by 1, 2)
+select new_id, corpus_id,
+  cast(c as double) / cast(na.n + nb.n - c as double) as jacc
+from common
+join sizes na on na.doc_id = new_id
+join sizes nb on nb.doc_id = corpus_id
+where cast(c as double) / cast(na.n + nb.n - c as double) >= 0.8
+"""
+
+
+def q64_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (ext/textops.redact_pii): email + long-digit-run
+    redaction with per-doc counts. The fixtures contain no PII, so the
+    gate proves the rewrite is bit-stable cross-engine (passthrough +
+    zero counts); test_ext.py drives synthetic positives."""
+    return textops.redact_pii(load(spark, sf_dir, "documents"))
+
+
+ORACLE_Q64 = """
+select doc_id,
+  regexp_replace(
+    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+    '[0-9]{9,}', '<NUM>', 'g') as clean_text,
+  cast(len(regexp_extract_all(text,
+       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) as bigint) as n_emails,
+  cast(len(regexp_extract_all(
+       regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                      '<EMAIL>', 'g'),
+       '[0-9]{9,}')) as bigint) as n_longnums
+from documents
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -1646,6 +1786,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q57_temperature_sample": q57_temperature_sample,
     "q58_vocab_topk": q58_vocab_topk,
     "q59_hamming_pairs": q59_hamming_pairs,
+    "q60_tfidf_topk": q60_tfidf_topk,
+    "q61_source_cap": q61_source_cap,
+    "q62_quantize_embeddings": q62_quantize_embeddings,
+    "q63_incremental_dedup": q63_incremental_dedup,
+    "q64_redact_pii": q64_redact_pii,
 }
 
 ORACLES: dict[str, str] = {
@@ -1708,4 +1853,9 @@ ORACLES: dict[str, str] = {
     "q57_temperature_sample": ORACLE_Q57,
     "q58_vocab_topk": ORACLE_Q58,
     "q59_hamming_pairs": ORACLE_Q59,
+    "q60_tfidf_topk": ORACLE_Q60,
+    "q61_source_cap": ORACLE_Q61,
+    "q62_quantize_embeddings": ORACLE_Q62,
+    "q63_incremental_dedup": ORACLE_Q63,
+    "q64_redact_pii": ORACLE_Q64,
 }

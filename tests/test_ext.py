@@ -612,3 +612,55 @@ def test_hamming_pairs_bucket_cap_resplit(spark):
         df, max_dist=1, bucket_cap=None).collect()))
     # re-splitting may drop cross-segment-boundary pairs but never adds
     assert set(capped) <= set(uncapped)
+
+
+def test_redact_pii_synthetic(spark):
+    from sparksync.ext import textops
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@example.co.uk or call 12345678901 now"),
+            (2, "no pii here, just 1234 and a-b"),
+            (3, "two mails a@b.io c.d@e-f.org and 999999999"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in textops.redact_pii(df).collect()}
+    assert out[1]["clean_text"] == "contact <EMAIL> or call <NUM> now"
+    assert out[1]["n_emails"] == 1 and out[1]["n_longnums"] == 1
+    assert out[2]["clean_text"] == "no pii here, just 1234 and a-b"
+    assert out[2]["n_emails"] == 0 and out[2]["n_longnums"] == 0
+    assert out[3]["clean_text"] == "two mails <EMAIL> <EMAIL> and <NUM>"
+    assert out[3]["n_emails"] == 2 and out[3]["n_longnums"] == 1
+
+
+def test_quantized_knn_recall(emb):
+    """int8 quantization must keep most of the brute-force top-10: the
+    dequantized vectors' kNN is compared to the exact one."""
+    dim = emb.select(F.size("embedding").alias("d")).first()["d"]
+    stats = similarity.quantization_stats(emb)
+    codes = similarity.quantize_embeddings(emb, stats=stats)
+    recon = similarity.dequantize(codes, stats, dim=dim)
+    brute = [r["neighbor_id"] for r in
+             similarity.knn_brute(emb, query_id=0, k=10).collect()]
+    quant = [r["neighbor_id"] for r in
+             similarity.knn_brute(recon, query_id=0, k=10, vec_col="v").collect()]
+    assert len(set(brute) & set(quant)) >= 8, (brute, quant)
+
+
+def test_incremental_dedup_equals_exact_cross(docs):
+    """LSH cross-pairs (new=odd ids vs corpus=even ids) must equal the
+    exact-Jaccard pair set restricted to odd-even pairs."""
+    exact = {
+        (r["d1"], r["d2"], r["jacc"]) if r["d1"] % 2 == 1 else (r["d2"], r["d1"], r["jacc"])
+        for r in dedup.jaccard_pairs(docs, 0.8).collect()
+        if (r["d1"] % 2) != (r["d2"] % 2)
+    }
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    got = {
+        (r["new_id"], r["corpus_id"], r["jacc"])
+        for r in dedup.minhash_dedup_pairs_cross(new, corpus, 0.8).collect()
+    }
+    assert exact == got
+    assert len(got) > 0

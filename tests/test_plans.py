@@ -137,3 +137,39 @@ def test_hamming_pairs_no_cartesian(spark):
     plan = df._jdf.queryExecution().sparkPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_per_key_cap_two_phase_windows(spark):
+    """per_key_cap must plan BOTH window phases (salted pre-rank + final
+    per-key rank) and never a single-partition sort."""
+    from sparksync.ext import sampling
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    df = sampling.per_key_cap(docs, "source", "n_chars", "doc_id", cap=5)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert plan.count("Window") >= 2
+    assert "SinglePartition" not in plan
+
+
+def test_tfidf_windows_partition_by_doc(spark):
+    """tfidf_topk's ranking window partitions by doc_id (bounded by doc
+    length) — no single-partition exchange anywhere in the plan apart
+    from the one-row N aggregate, which is explicitly tiny."""
+    from sparksync.ext import textops
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = textops.tfidf_topk(docs)._jdf.queryExecution().sparkPlan().toString()
+    # the only SinglePartition allowed is the corpus-count scalar agg
+    assert plan.count("SinglePartition") <= 1, plan
+
+
+def test_incremental_dedup_no_cartesian(spark):
+    from sparksync.ext import dedup
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    new = docs.where("doc_id % 2 = 1")
+    corpus = docs.where("doc_id % 2 = 0")
+    df = dedup.minhash_dedup_pairs_cross(new, corpus)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
