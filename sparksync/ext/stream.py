@@ -137,3 +137,71 @@ def enrich_stream(events: DataFrame, dim: DataFrame, key: str) -> DataFrame:
     and the dim can be re-read per trigger for slowly-changing lookups.
     The standard shape for attaching reference data at ingest."""
     return events.join(F.broadcast(dim), key, "left")
+
+
+def _as_instant(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Watermarks require TIMESTAMP (an instant); the batch loader emits
+    NTZ for the fixture's naive nanos column. Pin wall-clock == UTC via
+    epoch arithmetic — a plain cast would route through session tz."""
+    if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
+        events = events.withColumn(
+            ts_col,
+            F.expr(
+                f"timestamp_micros(timestampdiff(MICROSECOND,"
+                f" timestamp_ntz '1970-01-01 00:00:00', {ts_col}))"
+            ),
+        )
+    return events
+
+
+def session_stats(
+    events: DataFrame, gap: str = "30 minutes", late: str = "2 hours"
+) -> DataFrame:
+    """Streaming sessionization: per-user session windows that close
+    after `gap` of inactivity (F.session_window merges overlapping
+    gap-extended intervals incrementally) — the streaming counterpart
+    of asof.sessionize. State is bounded: a session's state is dropped
+    once the watermark passes its close. Output one row per closed
+    session: (user_id, sess_start, sess_end, n_events, sum_value)."""
+    e = _as_instant(events)
+    return (
+        e.withWatermark("ts", late)
+        .groupBy(F.col("user_id"), F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within: str = "1 hour",
+    late: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: right-side events that follow a
+    left-side event by the same key within `within` (the click ->
+    purchase attribution shape). Both sides are watermarked and the
+    join carries a time-range predicate, so each side's buffered state
+    is bounded by late + within — without the range condition Spark
+    would have to buffer both streams forever."""
+    l = _as_instant(left).withWatermark("ts", late).select(
+        F.col(key).alias("l_key"), F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+    )
+    r = _as_instant(right).withWatermark("ts", late).select(
+        F.col(key).alias("r_key"), F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"), F.col("value").alias("r_value"),
+    )
+    return l.join(
+        r,
+        F.expr(
+            f"l_key = r_key and r_ts >= l_ts and r_ts <= l_ts + interval {within}"
+        ),
+    )

@@ -167,3 +167,83 @@ def test_stream_static_enrichment(spark, tmp_path):
     assert got.count() == events.count()
     assert got.where("event_type = 'purchase' and category != 'revenue'").count() == 0
     assert "category" in got.columns
+
+
+def test_session_stats_match_batch(spark, tmp_path):
+    """Closed sessions emitted by the stream must equal the batch
+    session_window aggregation for the same (user, start)."""
+    events = load_table(spark, SF_SMOKE, "events")
+    src = str(tmp_path / "sess_in")
+    events.write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    s = stream.read_event_stream(spark, src, schema, max_files=10)
+    out = str(tmp_path / "sess_out")
+    q = (
+        stream.session_stats(s)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "sess_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    from pyspark.sql import functions as F
+
+    batch = (
+        stream._as_instant(events)
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("sess_start"), "n_events")
+    )
+    got_m = {(r["user_id"], r["sess_start"]): r["n_events"] for r in got.collect()}
+    batch_m = {(r["user_id"], r["sess_start"]): r["n_events"] for r in batch.collect()}
+    assert got_m, "stream emitted no closed sessions"
+    for k, v in got_m.items():
+        assert batch_m[k] == v
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """click->purchase attribution: the streaming range join must emit
+    exactly the batch join's matches."""
+    events = load_table(spark, SF_SMOKE, "events")
+    clicks = events.where("event_type = 'click'")
+    buys = events.where("event_type = 'purchase'")
+    src_l = str(tmp_path / "jl")
+    src_r = str(tmp_path / "jr")
+    clicks.write.mode("append").parquet(src_l)
+    buys.write.mode("append").parquet(src_r)
+    schema = spark.read.parquet(src_l).schema
+    sl = stream.read_event_stream(spark, src_l, schema, max_files=10)
+    sr = stream.read_event_stream(spark, src_r, schema, max_files=10)
+    out = str(tmp_path / "joined")
+    q = (
+        stream.join_streams(sl, sr)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "jck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    from pyspark.sql import functions as F
+
+    bl = stream._as_instant(clicks).select(
+        F.col("user_id").alias("l_key"), F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+    )
+    br = stream._as_instant(buys).select(
+        F.col("user_id").alias("r_key"), F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+    )
+    batch = bl.join(
+        br,
+        F.expr("l_key = r_key and r_ts >= l_ts and r_ts <= l_ts + interval 1 hour"),
+    )
+    got_pairs = {(r["l_event_id"], r["r_event_id"]) for r in got.collect()}
+    batch_pairs = {(r["l_event_id"], r["r_event_id"]) for r in batch.collect()}
+    assert got_pairs == batch_pairs
+    assert len(got_pairs) > 0
