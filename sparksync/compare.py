@@ -94,6 +94,24 @@ def row_diff(src: DataFrame, dst: DataFrame) -> tuple[DataFrame, DataFrame]:
     return src.exceptAll(dst_aligned), dst_aligned.exceptAll(src)
 
 
+def merge_snapshot(
+    target: DataFrame, updates: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Batch CDC merge (MERGE INTO semantics, snapshot out): rows from
+    `updates` win on key collision (matched -> update), target rows
+    without an update pass through, update rows with no target match
+    are inserts. The natural consumer of changed_partitions' work list:
+    re-extract only the changed slices, merge them over the previous
+    snapshot, write the result — never reload 100 TB for one day's
+    drift (the reference can only truncate-and-reload, cmd/root.go:268).
+
+    Shape: one left_anti join on the keys (AQE broadcasts the update
+    key set when it is small — the common case for incremental loads)
+    plus a metadata-only union. Updates must carry the target schema."""
+    keep = target.join(updates.select(*keys), keys, "left_anti")
+    return keep.unionByName(updates)
+
+
 def partition_checksums(
     df: DataFrame, part_cols: list[str], algo: str = "xxhash64"
 ) -> DataFrame:

@@ -22,6 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from . import compare
 from .ext import asof, dedup, jsonops, sampling, similarity, skew, textops
 from .source import plan_pages
 
@@ -1726,6 +1727,40 @@ from documents
 """
 
 
+def q65_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CDC merge (compare.merge_snapshot): a deterministic update
+    batch — repriced rows (o_orderkey % 97 = 0, price doubled) plus
+    synthetic inserts (keys shifted by 10M for o_orderkey % 499 = 0) —
+    merged over the orders snapshot. Updates win on collision, inserts
+    append, untouched rows pass through."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    updates = o.where(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey", "o_custkey", (F.col("o_totalprice") * 2).alias("o_totalprice")
+    )
+    inserts = o.where(F.col("o_orderkey") % 499 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+    )
+    return compare.merge_snapshot(o, updates.unionByName(inserts), ["o_orderkey"])
+
+
+ORACLE_Q65 = """
+with o as (select o_orderkey, o_custkey, o_totalprice from orders),
+upd as (
+  select o_orderkey, o_custkey, o_totalprice * 2 as o_totalprice
+  from o where o_orderkey % 97 = 0
+  union all
+  select o_orderkey + 10000000, o_custkey, o_totalprice
+  from o where o_orderkey % 499 = 0)
+select * from o where o_orderkey not in (select o_orderkey from upd)
+union all
+select * from upd
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -1791,6 +1826,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q62_quantize_embeddings": q62_quantize_embeddings,
     "q63_incremental_dedup": q63_incremental_dedup,
     "q64_redact_pii": q64_redact_pii,
+    "q65_merge_snapshot": q65_merge_snapshot,
 }
 
 ORACLES: dict[str, str] = {
@@ -1858,4 +1894,5 @@ ORACLES: dict[str, str] = {
     "q62_quantize_embeddings": ORACLE_Q62,
     "q63_incremental_dedup": ORACLE_Q63,
     "q64_redact_pii": ORACLE_Q64,
+    "q65_merge_snapshot": ORACLE_Q65,
 }

@@ -103,6 +103,39 @@ class ParquetSink:
         layout choice for any append-mostly 100 TB fact table."""
         df.write.mode(mode).partitionBy(*partition_cols).parquet(self.path(table))
 
+    def write_sized(
+        self,
+        df: DataFrame,
+        table: str,
+        target_mb: float = 128,
+        mode: str = "overwrite",
+    ) -> None:
+        """Size-targeted output: repartition so each output file lands
+        near `target_mb` — the guard against the small-files problem
+        (a 100 TB table written from 20k tasks at default partitioning
+        is 20k tiny files; every later scan pays per-file open cost and
+        the NameNode/listing pays per-object cost). The partition count
+        comes from Catalyst's sizeInBytes estimate of THIS plan — no
+        extra pass over the data."""
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        n = max(1, -(-size // int(target_mb * 1024 * 1024)))
+        df.repartition(n).write.mode(mode).parquet(self.path(table))
+
+    def compact(self, table: str, target_mb: float = 128) -> None:
+        """Rewrite an existing table's files at the target size — the
+        maintenance pass after many small incremental appends. Reads
+        then overwrites atomically via a temp suffix + rename (the
+        read and the overwrite cannot share the same files)."""
+        import shutil
+
+        df = self.read(table)
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        n = max(1, -(-size // int(target_mb * 1024 * 1024)))
+        tmp = self.path(table) + ".compact_tmp"
+        df.repartition(n).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(self.path(table))
+        os.rename(tmp, self.path(table))
+
     def read(self, table: str) -> DataFrame:
         return self.spark.read.parquet(self.path(table))
 

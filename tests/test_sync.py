@@ -552,3 +552,47 @@ def test_cli_jdbc_src_sync_data(monkeypatch, spark, tmp_path):
     assert rc == 0
     got = spark.read.parquet(str(out / "t1.parquet"))
     assert got.count() == 2
+
+
+def test_write_sized_and_compact(spark, tmp_path):
+    """write_sized targets ~target_mb per file; compact rewrites many
+    small files into few."""
+    import glob
+
+    from sparksync.sink import ParquetSink
+    from sparksync.source import load_table
+
+    sink = ParquetSink(spark, str(tmp_path / "out"))
+    li = load_table(spark, SF_SMOKE, "lineitem")
+
+    # tiny target -> several files; huge target -> one file
+    sink.write_sized(li, "li_small", target_mb=0.05)
+    small = glob.glob(sink.path("li_small") + "/part-*")
+    sink.write_sized(li, "li_one", target_mb=10_000)
+    one = glob.glob(sink.path("li_one") + "/part-*")
+    assert len(small) > 1
+    assert len(one) == 1
+
+    # fragment: 32-partition write, then compact back down
+    sink.write(li.repartition(32), "li_frag")
+    frag = glob.glob(sink.path("li_frag") + "/part-*")
+    assert len(frag) >= 32
+    before = sink.read("li_frag").count()
+    sink.compact("li_frag", target_mb=10_000)
+    after_files = glob.glob(sink.path("li_frag") + "/part-*")
+    assert len(after_files) == 1
+    assert sink.read("li_frag").count() == before
+
+
+def test_merge_snapshot_semantics(spark):
+    """updates win on collision, inserts append, untouched rows pass."""
+    from sparksync.compare import merge_snapshot
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["id", "val"]
+    )
+    updates = spark.createDataFrame(
+        [(2, "B2"), (9, "new")], ["id", "val"]
+    )
+    got = {(r["id"], r["val"]) for r in merge_snapshot(target, updates, ["id"]).collect()}
+    assert got == {(1, "a"), (2, "B2"), (3, "c"), (9, "new")}
