@@ -94,6 +94,64 @@ def row_diff(src: DataFrame, dst: DataFrame) -> tuple[DataFrame, DataFrame]:
     return src.exceptAll(dst_aligned), dst_aligned.exceptAll(src)
 
 
+def table_profile(df: DataFrame) -> DataFrame:
+    """Pre-migration data profile: (col_name, n_nulls, n_distinct) per
+    column — the data-side complement of the reference's dictionary
+    scans (it reads AVG_COL_LEN from USER_TAB_COLUMNS,
+    cmd/tablemeta.go:74; we compute live stats instead). Null counts
+    and cardinalities are the drift signals that catch a broken
+    extract before a 100 TB load.
+
+    Shape: ONE aggregate row over the scan (count + count(col) +
+    count(distinct col) per column — Catalyst plans the distincts via
+    Expand, still a single pass over the data), exploded into one row
+    per column. Nothing is collected."""
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in df.columns:
+        aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"_nd_{c}"))
+    one = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                (F.col("_rows") - F.col(f"_nn_{c}")).cast("long").alias("n_nulls"),
+                F.col(f"_nd_{c}").cast("long").alias("n_distinct"),
+            )
+            for c in df.columns
+        ]
+    )
+    return one.select(F.explode(per_col).alias("p")).select(
+        "p.col_name", "p.n_nulls", "p.n_distinct"
+    )
+
+
+def fk_orphans(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+    fk_name: str,
+) -> DataFrame:
+    """Referential-integrity verification: count child rows whose
+    non-null key has no parent — the data-side check behind the FK DDL
+    the reference synthesizes (cmd/tablemeta.go:289); run it BEFORE
+    executing `alter table add constraint` on a freshly-loaded target
+    and the constraint can never fail halfway through a 100 TB load.
+
+    Shape: left_anti join on the key (AQE broadcasts the parent key
+    set when small) + a count — one row out."""
+    orphans = child.where(F.col(child_key).isNotNull()).join(
+        parent.select(F.col(parent_key).alias(child_key)),
+        child_key,
+        "left_anti",
+    )
+    return orphans.agg(
+        F.lit(fk_name).alias("fk_name"),
+        F.count(F.lit(1)).cast("long").alias("n_orphans"),
+    )
+
+
 def merge_snapshot(
     target: DataFrame, updates: DataFrame, keys: list[str]
 ) -> DataFrame:

@@ -1761,6 +1761,69 @@ select * from upd
 """
 
 
+def q66_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column null/cardinality profile of orders
+    (compare.table_profile): one aggregate pass, exploded to one row
+    per column."""
+    return compare.table_profile(load(spark, sf_dir, "orders"))
+
+
+ORACLE_Q66 = """
+select 'o_orderkey' as col_name, count(*) - count(o_orderkey) as n_nulls,
+       count(distinct o_orderkey) as n_distinct from orders
+union all
+select 'o_custkey', count(*) - count(o_custkey), count(distinct o_custkey) from orders
+union all
+select 'o_orderstatus', count(*) - count(o_orderstatus), count(distinct o_orderstatus) from orders
+union all
+select 'o_totalprice', count(*) - count(o_totalprice), count(distinct o_totalprice) from orders
+union all
+select 'o_orderdate', count(*) - count(o_orderdate), count(distinct o_orderdate) from orders
+union all
+select 'o_orderpriority', count(*) - count(o_orderpriority), count(distinct o_orderpriority) from orders
+"""
+
+
+def q67_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit (compare.fk_orphans) over the
+    fixture FK graph: orphan counts per relation (all 0 on clean
+    fixtures — the audit proving it) plus one deliberately-broken
+    relation (lineitem filtered to half the orders) showing non-zero."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    half_orders = o.where(F.col("o_orderkey") % 2 == 0)
+    checks = [
+        compare.fk_orphans(li, o, "l_orderkey", "o_orderkey", "lineitem_orders"),
+        compare.fk_orphans(o, c, "o_custkey", "c_custkey", "orders_customer"),
+        compare.fk_orphans(
+            li, half_orders, "l_orderkey", "o_orderkey", "lineitem_half_orders"
+        ),
+    ]
+    out = checks[0]
+    for x in checks[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+ORACLE_Q67 = """
+select 'lineitem_orders' as fk_name,
+       cast(count(*) filter (where l_orderkey not in
+            (select o_orderkey from orders)) as bigint) as n_orphans
+from lineitem where l_orderkey is not null
+union all
+select 'orders_customer',
+       cast(count(*) filter (where o_custkey not in
+            (select c_custkey from customer)) as bigint)
+from orders where o_custkey is not null
+union all
+select 'lineitem_half_orders',
+       cast(count(*) filter (where l_orderkey not in
+            (select o_orderkey from orders where o_orderkey % 2 = 0)) as bigint)
+from lineitem where l_orderkey is not null
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -1827,6 +1890,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q63_incremental_dedup": q63_incremental_dedup,
     "q64_redact_pii": q64_redact_pii,
     "q65_merge_snapshot": q65_merge_snapshot,
+    "q66_table_profile": q66_table_profile,
+    "q67_fk_orphans": q67_fk_orphans,
 }
 
 ORACLES: dict[str, str] = {
@@ -1895,4 +1960,6 @@ ORACLES: dict[str, str] = {
     "q63_incremental_dedup": ORACLE_Q63,
     "q64_redact_pii": ORACLE_Q64,
     "q65_merge_snapshot": ORACLE_Q65,
+    "q66_table_profile": ORACLE_Q66,
+    "q67_fk_orphans": ORACLE_Q67,
 }
