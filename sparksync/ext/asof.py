@@ -147,3 +147,59 @@ def range_join(
         )
         .drop("_cell")
     )
+
+
+def gap_fill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    unit: str = "hour",
+) -> DataFrame:
+    """Regularize an event stream onto a dense per-key time grid:
+    aggregate values into `unit` buckets, generate every bucket between
+    each key's first and last, and forward-fill gaps from the last
+    observed bucket. Output: (key, bucket, observed, value_ffill) —
+    the gap-fill + LOCF pass that precedes any fixed-step time-series
+    model or as-of backtest.
+
+    Shape: one groupBy (key, bucket) over the raw stream (map-side
+    partial agg; the only pass that touches full data), then a tiny
+    per-key min/max agg exploded through sequence() into the dense
+    spine, a co-partitioned left join spine<-buckets, and one window
+    per key for the fill. Spine and fill work on post-agg rows, bounded
+    by keys x buckets, not raw volume. Values sum as decimal (order-
+    insensitive), surfacing as double."""
+    b = (
+        df.select(
+            F.col(key_col),
+            F.date_trunc(unit, F.col(ts_col)).alias("bucket"),
+            F.col(val_col).cast("decimal(12,2)").alias("_v"),
+        )
+        .groupBy(key_col, "bucket")
+        .agg(F.sum("_v").cast("decimal(22,2)").alias("_sum"))
+    )
+    spine = (
+        b.groupBy(key_col)
+        .agg(F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi"))
+        .select(
+            F.col(key_col),
+            F.explode(
+                F.sequence("_lo", "_hi", F.expr(f"interval 1 {unit}"))
+            ).alias("bucket"),
+        )
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(b, [key_col, "bucket"], "left")
+        .select(
+            F.col(key_col),
+            F.col("bucket"),
+            F.col("_sum").isNotNull().alias("observed"),
+            F.last("_sum", ignorenulls=True).over(w).cast("double").alias("value_ffill"),
+        )
+    )

@@ -603,3 +603,67 @@ def normalized_dedup(
         .groupBy("norm_key")
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 10,
+) -> DataFrame:
+    """Global exact span-level dedup with document reassembly — the
+    paragraph/line dedup pass of C4/CCNet, chunked into fixed
+    span_tokens-token spans (the fixture corpus has no newlines). Every
+    distinct span survives exactly once, at its globally-first location
+    (min (doc_id, pos)); each document is rebuilt from its surviving
+    spans in order. Output: (doc_id, n_spans, n_kept, new_text) —
+    n_kept = 0 and new_text = '' for fully-deduplicated docs.
+
+    Shape: span arrays are a narrow projection (transform over
+    sequence, no explode until the spans are cut); the global
+    first-owner is ONE hash groupBy on span text whose aggregate rows
+    ARE the kept set (no join back to the exploded table); reassembly
+    is one groupBy(doc) with sort_array(collect_list) — bounded by
+    spans-per-doc — plus a join to the narrow per-doc span counts.
+    Two shuffles total on span/doc hash; nothing quadratic."""
+    toks = tokens(text_col)
+    nspans = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int")
+    spans = F.when(
+        nspans > 0,
+        F.transform(
+            F.sequence(F.lit(0), nspans - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * span_tokens + 1, span_tokens), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(F.col(id_col), spans.alias("_spans"))
+    counts = base.select(
+        F.col(id_col), F.size("_spans").cast("long").alias("n_spans")
+    )
+    ex = base.select(F.col(id_col), F.posexplode("_spans").alias("pos", "span"))
+    kept = ex.groupBy("span").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias("_o")
+    )
+    rebuilt = (
+        kept.select(
+            F.col("_o.d").alias(id_col), F.col("_o.p").alias("pos"), F.col("span")
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "span"))),
+                    lambda s: s["span"],
+                ),
+                " ",
+            ).alias("new_text"),
+        )
+    )
+    return counts.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_spans"),
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce(F.col("new_text"), F.lit("")).alias("new_text"),
+    )

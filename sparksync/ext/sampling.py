@@ -182,3 +182,84 @@ def interleave(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    cost_col: str,
+    budget: int,
+    n_shards: int = 256,
+) -> DataFrame:
+    """Greedy first-fit sequence packing: fill fixed-budget training
+    sequences with whole documents in id order — the step that turns a
+    filtered corpus into bounded-length training rows. Output:
+    (shard, seq_id, id, cost, offset), offset being the document's
+    start position inside its sequence; a document whose cost exceeds
+    the budget gets a sequence of its own.
+
+    Packing is inherently sequential (each placement depends on the
+    running fill), so the unit of parallelism is the shard: ids spread
+    over n_shards via pmod, each shard packs independently inside one
+    applyInPandas group (Arrow-batched), and shards run concurrently
+    across the cluster. Size n_shards to ~4x total cores at the target
+    scale; budgets are per-sequence, so sharding never changes packing
+    quality, only which documents share a sequence."""
+    if budget <= 0 or n_shards <= 0:
+        raise ValueError("budget and n_shards must be positive")
+
+    import pandas as pd
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort", ignore_index=True)
+        costs = pdf[cost_col].to_numpy()
+        seq_ids = [0] * len(costs)
+        offsets = [0] * len(costs)
+        seq, fill = 0, 0
+        for i, c in enumerate(costs):
+            if i > 0 and fill + c > budget:
+                seq, fill = seq + 1, 0
+            seq_ids[i], offsets[i] = seq, fill
+            fill += int(c)
+        pdf["seq_id"] = seq_ids
+        pdf["offset"] = offsets
+        return pdf[["shard", "seq_id", id_col, cost_col, "offset"]]
+
+    base = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(cost_col).cast("long").alias(cost_col),
+        F.pmod(F.col(id_col).cast("long"), F.lit(n_shards)).alias("shard"),
+    )
+    out_schema = f"shard long, seq_id long, {id_col} long, {cost_col} long, offset long"
+    return base.groupBy("shard").applyInPandas(_pack, out_schema)
+
+
+def percentile_filter(
+    df: DataFrame,
+    metric_col: str,
+    p: float = 0.25,
+    keep: str = "upper",
+    exact: bool = True,
+) -> DataFrame:
+    """Quantile-threshold corpus filter: keep rows whose metric is at or
+    above (keep='upper') / at or below (keep='lower') the p-quantile of
+    the whole corpus — the usual "drop the bottom quartile by quality /
+    length" pass. Output: input columns + the threshold used.
+
+    The threshold is ONE aggregate row cross-joined (broadcast) back
+    onto the corpus — no collect, no second pass over raw data, and the
+    filter itself is a narrow map. exact=True uses the exact percentile
+    aggregate (a per-partition value->count map; right for bounded-
+    cardinality metrics like lengths or integer scores); exact=False
+    uses approx_percentile, the scale path for unbounded doubles."""
+    if keep not in ("upper", "lower"):
+        raise ValueError(f"keep must be 'upper' or 'lower', got {keep!r}")
+    fn = F.percentile if exact else F.approx_percentile
+    thr = df.agg(fn(F.col(metric_col), F.lit(p)).alias("threshold"))
+    out = df.crossJoin(F.broadcast(thr))
+    cond = (
+        F.col(metric_col) >= F.col("threshold")
+        if keep == "upper"
+        else F.col(metric_col) <= F.col("threshold")
+    )
+    return out.where(cond)

@@ -74,3 +74,33 @@ def salted_distinct_count(
     return stage1.groupBy(group_col).agg(
         F.sum("_part").cast("long").alias("distinct_count")
     )
+
+
+def key_skew_stats(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
+    """Hot-key profile — the measurement that decides whether a join or
+    aggregation needs salting at all: the top_k heaviest keys with
+    count, share of all rows, and skew factor (count / mean rows per
+    key; 1.0 = perfectly uniform). Output: (key, cnt, total_rows,
+    n_keys, share, skew_factor), heaviest first, key-ordered on ties.
+
+    One groupBy(key) count (map-side partial agg), a one-row totals
+    aggregate broadcast back, and TakeOrderedAndProject for the top-k —
+    never a global sort, never a collect. share and skew_factor divide
+    exact bigints, so the doubles are engine-portable."""
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = counts.agg(
+        F.sum("cnt").cast("long").alias("_total"),
+        F.count(F.lit(1)).cast("long").alias("_nkeys"),
+    )
+    top = counts.orderBy(F.desc("cnt"), F.col(key_col)).limit(top_k)
+    return top.crossJoin(F.broadcast(tot)).select(
+        F.col(key_col),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("_total").alias("total_rows"),
+        F.col("_nkeys").alias("n_keys"),
+        (F.col("cnt").cast("double") / F.col("_total").cast("double")).alias("share"),
+        (
+            (F.col("cnt") * F.col("_nkeys")).cast("double")
+            / F.col("_total").cast("double")
+        ).alias("skew_factor"),
+    )

@@ -1824,6 +1824,154 @@ from lineitem where l_orderkey is not null
 """
 
 
+def q68_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing (ext/sampling.pack_sequences): fill
+    2000-char training sequences with whole documents, first-fit in
+    doc_id order within 8 shards. The oracle replays the same
+    recurrence as a DuckDB recursive CTE — packing is the one operator
+    here whose semantics are inherently sequential, so the gate proves
+    the sharded applyInPandas path preserves them exactly."""
+    d = load(spark, sf_dir, "documents")
+    return sampling.pack_sequences(
+        d, id_col="doc_id", cost_col="n_chars", budget=2000, n_shards=8
+    )
+
+
+ORACLE_Q68 = """
+with recursive docs as (
+  select doc_id, n_chars, doc_id % 8 as shard,
+         row_number() over (partition by doc_id % 8 order by doc_id) as rn
+  from documents),
+pack as (
+  select shard, rn, doc_id, n_chars, cast(0 as bigint) as seq_id,
+         n_chars as fill
+  from docs where rn = 1
+  union all
+  select d.shard, d.rn, d.doc_id, d.n_chars,
+         case when p.fill + d.n_chars > 2000 then p.seq_id + 1 else p.seq_id end,
+         case when p.fill + d.n_chars > 2000 then d.n_chars
+              else p.fill + d.n_chars end
+  from pack p join docs d on d.shard = p.shard and d.rn = p.rn + 1)
+select cast(shard as bigint) as shard, seq_id,
+       cast(doc_id as bigint) as doc_id, cast(n_chars as bigint) as n_chars,
+       cast(fill - n_chars as bigint) as offset
+from pack
+"""
+
+
+def q69_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-threshold length filter (ext/sampling.percentile_filter):
+    drop the shortest quartile of the corpus. Exact percentile of an
+    integer metric interpolates between small integers, so the double
+    threshold is bit-identical to DuckDB's quantile_cont."""
+    d = load(spark, sf_dir, "documents")
+    return sampling.percentile_filter(d, "n_chars", p=0.25, keep="upper").select(
+        "doc_id", "n_chars", "threshold"
+    )
+
+
+ORACLE_Q69 = """
+select doc_id, n_chars, thr as threshold
+from documents
+cross join (select quantile_cont(n_chars, 0.25) as thr from documents)
+where n_chars >= thr
+"""
+
+
+def q70_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-type hourly grid over events with forward fill
+    (ext/asof.gap_fill): every hour between each type's first and last
+    event, LOCF for silent hours — the gap-fill + last-observation pass
+    ahead of any fixed-step time-series model."""
+    e = load(spark, sf_dir, "events")
+    out = asof.gap_fill(e, "event_type", "ts", "value", unit="hour")
+    return out.select(
+        "event_type",
+        "bucket",
+        F.col("observed").cast("long").alias("observed"),
+        "value_ffill",
+    )
+
+
+ORACLE_Q70 = """
+with b as (
+  select event_type, cast(date_trunc('hour', ts) as timestamp) as bucket,
+         cast(sum(cast(value as decimal(12,2))) as decimal(22,2)) as s
+  from events group by 1, 2),
+spine as (
+  select event_type,
+         unnest(generate_series(min(bucket), max(bucket), interval 1 hour))
+           as bucket
+  from b group by event_type),
+j as (
+  select spine.event_type, spine.bucket, b.s
+  from spine left join b
+    on spine.event_type = b.event_type and spine.bucket = b.bucket)
+select event_type, bucket,
+       cast(s is not null as bigint) as observed,
+       cast(last_value(s ignore nulls) over (
+            partition by event_type order by bucket
+            rows between unbounded preceding and current row) as double)
+         as value_ffill
+from j
+"""
+
+
+def q71_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global exact span dedup with reassembly (ext/dedup.span_dedup,
+    5-token spans): every distinct span survives once at its first
+    (doc_id, pos) location; documents are rebuilt from surviving spans.
+    The oracle encodes the first-owner rule as min(doc_id*1e6 + pos) —
+    identical to the struct-min for in-range ids."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.span_dedup(d, span_tokens=5)
+
+
+ORACLE_Q71 = """
+with toks as (
+  select doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') as t
+  from documents),
+ex as (
+  select doc_id, i as pos, array_to_string(t[(i*5+1):(i*5+5)], ' ') as span
+  from toks, unnest(range(cast(ceil(len(t) / 5.0) as bigint))) as u(i)),
+kept as (
+  select span, min(doc_id * 1000000 + pos) as ok from ex group by span),
+reb as (
+  select ok // 1000000 as doc_id,
+         cast(count(*) as bigint) as n_kept,
+         string_agg(span, ' ' order by ok % 1000000) as new_text
+  from kept group by 1),
+n as (select doc_id, cast(ceil(len(t) / 5.0) as bigint) as n_spans from toks)
+select n.doc_id, n.n_spans,
+       coalesce(reb.n_kept, 0) as n_kept,
+       coalesce(reb.new_text, '') as new_text
+from n left join reb using (doc_id)
+"""
+
+
+def q72_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key profile of orders.o_custkey (ext/skew.key_skew_stats):
+    the measurement pass that decides whether a downstream join needs
+    salting. Top-10 heaviest customers with share and skew factor."""
+    o = load(spark, sf_dir, "orders")
+    return skew.key_skew_stats(o, "o_custkey", top_k=10)
+
+
+ORACLE_Q72 = """
+with counts as (select o_custkey, count(*) as cnt from orders group by 1),
+tot as (select cast(sum(cnt) as bigint) as total,
+               cast(count(*) as bigint) as nk
+        from counts)
+select o_custkey, cast(cnt as bigint) as cnt, total as total_rows,
+       nk as n_keys,
+       cast(cnt as double) / cast(total as double) as share,
+       cast(cnt * nk as double) / cast(total as double) as skew_factor
+from counts cross join tot
+order by cnt desc, o_custkey
+limit 10
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -1892,6 +2040,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q65_merge_snapshot": q65_merge_snapshot,
     "q66_table_profile": q66_table_profile,
     "q67_fk_orphans": q67_fk_orphans,
+    "q68_pack_sequences": q68_pack_sequences,
+    "q69_percentile_filter": q69_percentile_filter,
+    "q70_gap_fill": q70_gap_fill,
+    "q71_span_dedup": q71_span_dedup,
+    "q72_key_skew": q72_key_skew,
 }
 
 ORACLES: dict[str, str] = {
@@ -1962,4 +2115,9 @@ ORACLES: dict[str, str] = {
     "q65_merge_snapshot": ORACLE_Q65,
     "q66_table_profile": ORACLE_Q66,
     "q67_fk_orphans": ORACLE_Q67,
+    "q68_pack_sequences": ORACLE_Q68,
+    "q69_percentile_filter": ORACLE_Q69,
+    "q70_gap_fill": ORACLE_Q70,
+    "q71_span_dedup": ORACLE_Q71,
+    "q72_key_skew": ORACLE_Q72,
 }

@@ -664,3 +664,123 @@ def test_incremental_dedup_equals_exact_cross(docs):
     }
     assert exact == got
     assert len(got) > 0
+
+
+def test_pack_sequences_invariants(docs):
+    """Packing: per-sequence fill never exceeds budget unless a single
+    oversized doc owns the sequence; offsets are the running fill;
+    output is a permutation of the input; rerun is deterministic."""
+    from sparksync.ext import sampling
+
+    budget = 800
+    out = sampling.pack_sequences(
+        docs, "doc_id", "n_chars", budget=budget, n_shards=4
+    )
+    rows = out.orderBy("shard", "seq_id", "doc_id").collect()
+    assert {r["doc_id"] for r in rows} == {
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    }
+    fills: dict[tuple, int] = {}
+    ndocs: dict[tuple, int] = {}
+    for r in rows:
+        k = (r["shard"], r["seq_id"])
+        assert r["offset"] == fills.get(k, 0), "offset must equal running fill"
+        fills[k] = fills.get(k, 0) + r["n_chars"]
+        ndocs[k] = ndocs.get(k, 0) + 1
+    for k, fill in fills.items():
+        assert fill <= budget or ndocs[k] == 1
+    again = sampling.pack_sequences(
+        docs, "doc_id", "n_chars", budget=budget, n_shards=4
+    )
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))
+    with pytest.raises(ValueError):
+        sampling.pack_sequences(docs, "doc_id", "n_chars", budget=0)
+
+
+def test_percentile_filter_modes(docs):
+    """upper/lower partition the corpus (rows at the threshold appear in
+    both); approx path runs; bad mode rejected; threshold broadcasts."""
+    from sparksync.ext import sampling
+
+    n = docs.count()
+    upper = sampling.percentile_filter(docs, "n_chars", p=0.5, keep="upper")
+    lower = sampling.percentile_filter(docs, "n_chars", p=0.5, keep="lower")
+    nu, nl = upper.count(), lower.count()
+    at_thr = upper.select("n_chars", "threshold").where(
+        F.col("n_chars") == F.col("threshold")
+    ).count()
+    assert nu + nl == n + at_thr
+    assert sampling.percentile_filter(docs, "n_chars", exact=False).count() > 0
+    with pytest.raises(ValueError):
+        sampling.percentile_filter(docs, "n_chars", keep="middle")
+    plan = upper._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_gap_fill_dense_and_locf(spark):
+    """The spine is gap-free per key and LOCF carries the last observed
+    value across silent buckets."""
+    from sparksync.ext import asof
+
+    ev = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 00:10:00", 1.0),
+            ("a", "2024-01-01 03:20:00", 2.0),
+            ("b", "2024-01-01 05:00:00", 7.0),
+        ],
+        "k string, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = asof.gap_fill(ev, "k", "ts", "v", unit="hour").orderBy("k", "bucket")
+    rows = out.collect()
+    a = [r for r in rows if r["k"] == "a"]
+    assert len(a) == 4, "hours 00..03 inclusive"
+    assert [r["observed"] for r in a] == [True, False, False, True]
+    assert [r["value_ffill"] for r in a] == [1.0, 1.0, 1.0, 2.0]
+    b = [r for r in rows if r["k"] == "b"]
+    assert len(b) == 1 and b[0]["value_ffill"] == 7.0
+
+
+def test_span_dedup_global_uniqueness(docs):
+    """Every span in the rebuilt corpus is globally unique, totals are
+    conserved, and fully-deduplicated docs come back empty not missing."""
+    from sparksync.ext import dedup as dd
+
+    out = dd.span_dedup(docs, span_tokens=3).cache()
+    assert out.count() == docs.count()
+    respans = out.where(F.col("n_kept") > 0).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), (F.col("n_kept") - 1).cast("int")),
+                lambda i: F.array_join(
+                    F.slice(
+                        F.split(F.col("new_text"), " "), i * 3 + 1, 3
+                    ),
+                    " ",
+                ),
+            )
+        ).alias("span")
+    )
+    total = respans.count()
+    assert total == respans.select("span").distinct().count()
+    assert total == out.agg(F.sum("n_kept")).collect()[0][0]
+    kept_le = out.where(F.col("n_kept") > F.col("n_spans")).count()
+    assert kept_le == 0
+    out.unpersist()
+
+
+def test_key_skew_stats_known_counts(spark):
+    """Constructed frame with known counts: shares and skew factors are
+    exact, heaviest key first, ties break by key."""
+    from sparksync.ext import skew as sk
+
+    rows = [("hot",)] * 6 + [("warm",)] * 2 + [("cold",)] * 2 + [("cool",)] * 2
+    df = spark.createDataFrame(rows, "k string")
+    out = sk.key_skew_stats(df, "k", top_k=3).collect()
+    assert [r["k"] for r in out] == ["hot", "cold", "cool"]
+    assert out[0]["cnt"] == 6 and out[0]["total_rows"] == 12
+    assert out[0]["n_keys"] == 4
+    assert out[0]["share"] == 0.5
+    assert out[0]["skew_factor"] == 2.0
+    plan_df = sk.key_skew_stats(df, "k", top_k=3)
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
