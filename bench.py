@@ -78,6 +78,22 @@ def main() -> int:
     # end-to-end sync + checksum compare of the two biggest tables —
     # the reference's own workload shape (EP1 + EP2)
     out = "/tmp/sparksync_bench_out"
+    # untimed warmup at the smallest SF: the first sync in a session pays
+    # one-time parquet-writer/codegen init (~6 s measured) that would
+    # otherwise dominate a 3-sample median
+    warm = SyncJob(
+        spark,
+        "/root/testdata/sf0.001",
+        out + "_warm",
+        max_parallel=4,
+        exclude=[
+            "region", "nation", "customer", "supplier", "part",
+            "documents", "embeddings", "events",
+        ],
+    )
+    wt = warm.plan()
+    warm.data_phase(wt)
+    warm.compare_phase(wt, checksum=True)
     samples = []
     for _ in range(runs):
         t0 = time.time()

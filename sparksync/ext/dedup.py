@@ -194,6 +194,7 @@ def minhash_dedup_pairs(
     text_col: str = "text",
     bands: int = LSH_BANDS,
     rows: int = LSH_ROWS,
+    persist_signatures: bool = False,
 ) -> DataFrame:
     """LSH candidates -> exact-Jaccard verification. The scale path:
 
@@ -207,17 +208,19 @@ def minhash_dedup_pairs(
       and computes exact Jaccard via array_intersect — it ships arrays
       for candidate docs only, never the full inverted index.
 
-    The signature table is PERSISTED before the banded self-join: both
-    join sides read it, and each read would otherwise re-run the whole
-    tokenize -> shingle -> K-min aggregation (scan + shuffle) from
-    scratch. At ~8*K bytes/doc (~520 B at K=64) signatures for 10^9 docs
-    are ~0.5 TB — MEMORY_AND_DISK spills the tail while still saving a
-    second full corpus scan + shuffle.
+    persist_signatures: the plan scans the corpus once per banded join
+    side (measured: exchange reuse does NOT fire across the two aliased
+    sides). Default False — at bench SF the extra scan is cheaper than
+    cache materialization plus the AQE stats it hides (6.4s vs 3.9s at
+    sf0.1 for the whole op). Flip to True when one corpus scan is the
+    dominant cost (10^9+ docs): signatures are ~8*K bytes/doc (~520 B
+    at K=64, ~0.5 TB per 10^9 docs) and MEMORY_AND_DISK spills the
+    tail, so tokenize+shingle+minhash runs once instead of twice.
     """
     arrs = shingle_arrays(df, id_col, text_col)
-    sig = minhash_signatures(
-        shingles(df, id_col, text_col), id_col, k=bands * rows
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = minhash_signatures(shingles(df, id_col, text_col), id_col, k=bands * rows)
+    if persist_signatures:
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     buckets = _band_buckets(sig, id_col, bands, rows)
     l = buckets.select(F.col(id_col).alias("d1"), "band", "key")
     r = buckets.select(F.col(id_col).alias("d2"), "band", "key")

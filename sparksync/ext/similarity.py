@@ -456,3 +456,40 @@ def dequantize(
     return codes.crossJoin(F.broadcast(stats)).select(
         F.col(id_col), vals.alias("v")
     )
+
+
+def filtered_knn(
+    emb: DataFrame,
+    allowed: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    allowed_col: str | None = None,
+) -> DataFrame:
+    """Pre-filtered exact kNN — the hybrid-search shape: a metadata
+    predicate (language, source, date, license) restricts the corpus
+    FIRST, similarity ranks second. `allowed` is a one-column id frame
+    from any metadata query; candidates are pruned with a left_semi
+    join before a single dot product runs, so scoring cost tracks the
+    filtered subset, not the corpus. The query vector is looked up in
+    the unfiltered corpus (the query need not satisfy its own filter).
+    Output: (neighbor_id, rnk), cosine-desc with id tie-break."""
+    acol = allowed_col or allowed.columns[0]
+    ids = allowed.select(F.col(acol).alias(id_col)).distinct()
+    cand = emb.join(ids, id_col, "left_semi")
+    q = emb.where(F.col(id_col) == query_id).select(
+        _to_double(F.col(vec_col)).alias("qv")
+    )
+    scored = (
+        cand.where(F.col(id_col) != query_id)
+        .select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
+        .crossJoin(F.broadcast(q))
+        .select(F.col(id_col), cosine(F.col("v"), F.col("qv")).alias("cos"))
+    )
+    return _ranked_topk(
+        scored,
+        k,
+        [F.col("cos").desc(), F.col(id_col)],
+        [F.col(id_col).alias("neighbor_id"), "rnk"],
+    )

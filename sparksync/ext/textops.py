@@ -359,3 +359,72 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         lambda acc, x: (acc * F.lit(31) + x) % F.lit(FP_MOD),
     )
     return df.select(F.col("doc_id"), fp.alias("fp"))
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 3,
+    top_k: int = 20,
+) -> DataFrame:
+    """Corpus collocation mining: top_k adjacent-token bigrams by
+    pointwise mutual information — the classic phrase-detection pass
+    (word2vec's phrase step, n-gram LM pruning). PMI stays the rational
+    p(xy)/(p(x)p(y)) = (c_xy * Nu * Nu) / (Nb * c_x * c_y): exact
+    bigint products divided once into a double, engine-portable (ln is
+    monotone, so ranking is unchanged). Output: (w1, w2, c_xy, pmi,
+    rnk), highest PMI first, (w1, w2)-ordered on ties.
+
+    Shape: one explode+groupBy each for unigram and bigram counts (both
+    map-side partial aggs), two vocab-sized hash joins attaching word
+    counts to surviving bigrams (min_count prunes the long tail BEFORE
+    the joins), a one-row totals broadcast, and TakeOrderedAndProject
+    for the top-k — no global sort, nothing quadratic."""
+    t = df.select(tokens(text_col).alias("_t"))
+    uni = (
+        t.select(F.explode("_t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        t.select(F.explode(_bigrams(F.col("_t"))).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    tot = uni.agg(F.sum("c").cast("long").alias("_nu")).crossJoin(
+        bi.agg(F.sum("c_xy").cast("long").alias("_nb"))
+    )
+    split = F.split("bg", " ")  # tokens are space-split, so never contain one
+    cand = bi.where(F.col("c_xy") >= min_count).select(
+        F.get(split, 0).alias("w1"),
+        F.get(split, 1).alias("w2"),
+        F.col("c_xy"),
+    )
+    cx = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))
+    cy = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))
+    scored = (
+        cand.join(cx, "w1")
+        .join(cy, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_xy").cast("long").alias("c_xy"),
+            (
+                (
+                    F.col("c_xy").cast("double")
+                    * F.col("_nu").cast("double")
+                    * F.col("_nu").cast("double")
+                )
+                / (
+                    F.col("_nb").cast("double")
+                    * F.col("c_x").cast("double")
+                    * F.col("c_y").cast("double")
+                )
+            ).alias("pmi"),
+        )
+    )
+    order = [F.desc("pmi"), F.col("w1"), F.col("w2")]
+    top = scored.orderBy(*order).limit(top_k)
+    w = Window.partitionBy(F.lit(1)).orderBy(*order)
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))

@@ -1972,6 +1972,77 @@ limit 10
 """
 
 
+def q73_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocation mining (ext/textops.collocations): top-20
+    adjacent bigrams by PMI kept as the rational p(xy)/(p(x)p(y)) —
+    exact bigint products divided once into a double, so the score is
+    engine-portable and the ranking equals the ln() formulation."""
+    return textops.collocations(
+        load(spark, sf_dir, "documents"), min_count=3, top_k=20
+    )
+
+
+ORACLE_Q73 = """
+with toks as (
+  select list_filter(string_split(trim(text), ' '), x -> x <> '') as t
+  from documents),
+uni as (
+  select tok as w, count(*) as c
+  from (select unnest(t) as tok from toks) group by 1),
+bi as (
+  select w1, w2, count(*) as c_xy
+  from (select t[i] as w1, t[i+1] as w2
+        from toks, unnest(range(1, len(t))) as u(i))
+  group by 1, 2),
+tot as (
+  select (select cast(sum(c) as bigint) from uni) as nu,
+         (select cast(sum(c_xy) as bigint) from bi) as nb),
+scored as (
+  select w1, w2, cast(c_xy as bigint) as c_xy,
+         ((cast(c_xy as double) * cast(nu as double)) * cast(nu as double))
+         / ((cast(nb as double) * cast(ux.c as double)) * cast(uy.c as double))
+           as pmi
+  from bi
+  join uni ux on ux.w = bi.w1
+  join uni uy on uy.w = bi.w2
+  cross join tot
+  where c_xy >= 3)
+select w1, w2, c_xy, pmi,
+       cast(row_number() over (order by pmi desc, w1, w2) as bigint) as rnk
+from scored order by pmi desc, w1, w2 limit 20
+"""
+
+
+def q74_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-filtered kNN / hybrid search (ext/similarity.filtered_knn):
+    top-10 cosine neighbors of vec 0 restricted to German documents —
+    the metadata-filter-then-rank shape. The candidate prune is a
+    left_semi join BEFORE any dot product runs."""
+    emb = load(spark, sf_dir, "embeddings")
+    allowed = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("lang") == "de")
+        .select("doc_id")
+    )
+    return similarity.filtered_knn(emb, allowed, query_id=0, k=10)
+
+
+ORACLE_Q74 = """
+with q as (select embedding as qe from embeddings where vec_id = 0),
+allowed as (select doc_id from documents where lang = 'de'),
+scored as (
+  select vec_id,
+         list_cosine_similarity(list_transform(embedding, x -> cast(x as double)),
+                                list_transform(qe,        x -> cast(x as double))) as cos
+  from embeddings join allowed on embeddings.vec_id = allowed.doc_id
+  cross join q
+  where vec_id <> 0)
+select vec_id as neighbor_id,
+       row_number() over (order by cos desc, vec_id) as rnk
+from scored order by cos desc, vec_id limit 10
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -2045,6 +2116,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q70_gap_fill": q70_gap_fill,
     "q71_span_dedup": q71_span_dedup,
     "q72_key_skew": q72_key_skew,
+    "q73_collocations": q73_collocations,
+    "q74_filtered_knn": q74_filtered_knn,
 }
 
 ORACLES: dict[str, str] = {
@@ -2120,4 +2193,6 @@ ORACLES: dict[str, str] = {
     "q70_gap_fill": ORACLE_Q70,
     "q71_span_dedup": ORACLE_Q71,
     "q72_key_skew": ORACLE_Q72,
+    "q73_collocations": ORACLE_Q73,
+    "q74_filtered_knn": ORACLE_Q74,
 }

@@ -784,3 +784,54 @@ def test_key_skew_stats_known_counts(spark):
     plan_df = sk.key_skew_stats(df, "k", top_k=3)
     plan = plan_df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_collocations_pmi_and_shape(spark):
+    """Constructed corpus with one true collocation: it ranks first,
+    counts are right, and the top-k is TakeOrderedAndProject."""
+    from sparksync.ext import textops as tx
+
+    docs = spark.createDataFrame(
+        [(i, "new york is big and new york is busy plus a b") for i in range(3)]
+        + [(9, "a york new b is")],
+        "doc_id long, text string",
+    )
+    out = tx.collocations(docs, min_count=3, top_k=20)
+    rows = out.collect()
+    # PMI of (new york): 6 bigram occurrences, 'new' and 'york' 7 each
+    got = [r for r in rows if (r["w1"], r["w2"]) == ("new", "york")][0]
+    n_uni = 3 * 12 + 5
+    n_bi = 3 * 11 + 4
+    assert got["c_xy"] == 6
+    assert got["pmi"] == (6.0 * n_uni * n_uni) / (n_bi * 7.0 * 7.0)
+    # ranked by pmi desc, rnk sequential from 1 — rare-pair PMI ('big
+    # and', 3-of-3 occurrences) correctly outranks the frequent pair
+    pmis = [r["pmi"] for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+    assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+    assert rows[0][0:2] == ("big", "and") or (rows[0]["w1"], rows[0]["w2"]) == ("big", "and")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_filtered_knn_prunes_candidates(emb, spark):
+    """Neighbors come only from the allowed set, and equal brute-force
+    kNN run on the pre-filtered corpus."""
+    from sparksync.ext import similarity as sim
+
+    allowed = emb.where(F.col("vec_id") % 3 == 1).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    got = sim.filtered_knn(emb, allowed, query_id=0, k=5).collect()
+    allow = {r["doc_id"] for r in allowed.collect()}
+    assert all(r["neighbor_id"] in allow for r in got)
+    manual = sim.knn_brute(
+        emb.join(
+            allowed.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+        ).unionByName(emb.where(F.col("vec_id") == 0)),
+        query_id=0,
+        k=5,
+    ).collect()
+    assert [(r["neighbor_id"], r["rnk"]) for r in got] == [
+        (r["neighbor_id"], r["rnk"]) for r in manual
+    ]
