@@ -235,3 +235,30 @@ def changed_partitions(
             for c in part_cols
         ]
     )
+
+
+def schema_diff(src: DataFrame, dst: DataFrame) -> DataFrame:
+    """Schema-drift report between two table versions: one row per
+    column with status added / removed / retyped / ok — the check to
+    run BEFORE merge_snapshot or an incremental load, paired with
+    align_to_target (which repairs added/removed) so drift is an
+    explicit decision instead of a mid-load surprise.
+
+    Metadata-only: built from the two StructTypes, nothing scans.
+    Column names compare case-insensitively, matching the identifier
+    pipeline (typemap normalizes casing end-to-end)."""
+    s = {f.name.lower(): f.dataType.simpleString() for f in src.schema.fields}
+    d = {f.name.lower(): f.dataType.simpleString() for f in dst.schema.fields}
+    rows = []
+    for c in sorted(set(s) | set(d)):
+        if c not in d:
+            rows.append((c, s[c], None, "removed"))
+        elif c not in s:
+            rows.append((c, None, d[c], "added"))
+        elif s[c] != d[c]:
+            rows.append((c, s[c], d[c], "retyped"))
+        else:
+            rows.append((c, s[c], d[c], "ok"))
+    return src.sparkSession.createDataFrame(
+        rows, "col_name string, src_type string, dst_type string, status string"
+    )

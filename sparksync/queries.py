@@ -2043,6 +2043,84 @@ from scored order by cos desc, vec_id limit 10
 """
 
 
+def q75_dedup_shrink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-shrink audit — the full near-dup dedup pipeline composed
+    end-to-end: LSH candidate pairs (ext/dedup.minhash_dedup_pairs) ->
+    transitive duplicate groups (ext/graph.dedup_groups) -> canonical
+    keep -> per-source reduction stats. The number every dedup run
+    reports: how much of each source survives."""
+    from .ext import graph
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.8).select("d1", "d2")
+    groups = graph.dedup_groups(pairs)
+    flagged = docs.join(groups, "doc_id", "left")
+    kept = F.when(
+        F.col("keep_id").isNull() | (F.col("keep_id") == F.col("doc_id")), 1
+    ).otherwise(0)
+    out = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(kept).cast("long").alias("n_kept"),
+    )
+    return out.select(
+        "source",
+        "n_docs",
+        "n_kept",
+        (F.col("n_docs") - F.col("n_kept")).cast("long").alias("n_dropped"),
+        (
+            (F.col("n_docs") - F.col("n_kept")).cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("shrink_pct"),
+    )
+
+
+# Same shingle/pair/component CTEs as ORACLE_Q49 (minhash LSH + exact
+# verify reproduces the exact-Jaccard pair set — see q20), then the
+# per-source keep aggregation.
+ORACLE_Q75 = """
+with recursive
+docs as (
+  select doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') as toks
+  from documents),
+docs3 as (select * from docs where len(toks) >= 3),
+sh as (
+  select distinct doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] as shingle
+  from docs3, unnest(range(1, len(toks) - 1)) t(i)),
+sizes as (select doc_id, count(*) as n from sh group by doc_id),
+common as (
+  select a.doc_id as d1, b.doc_id as d2, count(*) as c
+  from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+  group by 1, 2),
+pairs as (
+  select d1, d2 from common
+  join sizes na on na.doc_id = d1
+  join sizes nb on nb.doc_id = d2
+  where cast(c as double) / cast(na.n + nb.n - c as double) >= 0.8),
+edges as (select d1 as a, d2 as b from pairs
+          union all select d2, d1 from pairs),
+reach(a, b) as (
+  select a, b from edges
+  union
+  select r.a, e.b from reach r join edges e on r.b = e.a),
+nodes as (select distinct a as node from edges),
+groups as (
+  select n.node as doc_id, least(n.node, min(r.b)) as keep_id
+  from nodes n left join reach r on r.a = n.node
+  group by n.node),
+agg as (
+  select d.source,
+         cast(count(*) as bigint) as n_docs,
+         cast(sum(case when g.keep_id is null or g.keep_id = d.doc_id
+                       then 1 else 0 end) as bigint) as n_kept
+  from documents d left join groups g using (doc_id)
+  group by d.source)
+select source, n_docs, n_kept,
+       cast(n_docs - n_kept as bigint) as n_dropped,
+       cast(n_docs - n_kept as double) / cast(n_docs as double) as shrink_pct
+from agg
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -2118,6 +2196,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q72_key_skew": q72_key_skew,
     "q73_collocations": q73_collocations,
     "q74_filtered_knn": q74_filtered_knn,
+    "q75_dedup_shrink": q75_dedup_shrink,
 }
 
 ORACLES: dict[str, str] = {
@@ -2195,4 +2274,5 @@ ORACLES: dict[str, str] = {
     "q72_key_skew": ORACLE_Q72,
     "q73_collocations": ORACLE_Q73,
     "q74_filtered_knn": ORACLE_Q74,
+    "q75_dedup_shrink": ORACLE_Q75,
 }

@@ -596,3 +596,13 @@ def test_merge_snapshot_semantics(spark):
     )
     got = {(r["id"], r["val"]) for r in merge_snapshot(target, updates, ["id"]).collect()}
     assert got == {(1, "a"), (2, "B2"), (3, "c"), (9, "new")}
+
+
+def test_schema_diff_statuses(spark):
+    """added/removed/retyped/ok all reported; names case-insensitive."""
+    from sparksync.compare import schema_diff
+
+    src = spark.createDataFrame([], "a long, b string, C double")
+    dst = spark.createDataFrame([], "A long, b long, d string")
+    got = {r["col_name"]: r["status"] for r in schema_diff(src, dst).collect()}
+    assert got == {"a": "ok", "b": "retyped", "c": "removed", "d": "added"}
