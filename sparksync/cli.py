@@ -50,6 +50,19 @@ def main(argv: list[str] | None = None) -> int:
     diff_p.add_argument("--max-rows", type=int, default=20)
     dump = sub.add_parser("dump-ddl")  # -m mode
     dump.add_argument("--out", default="createSql.log")
+    prof = sub.add_parser("profile")  # X49 data profile (beyond the reference)
+    prof.add_argument("--table", required=True)
+    sdiff = sub.add_parser("schema-diff")  # X58 drift gate
+    sdiff.add_argument("--table", required=True)
+    fk = sub.add_parser("audit-fk")  # X50 pre-constraint orphan audit
+    fk.add_argument("--child", required=True)
+    fk.add_argument("--parent", required=True)
+    fk.add_argument("--child-key", required=True)
+    fk.add_argument("--parent-key", required=True)
+    skew_p = sub.add_parser("skew")  # X55 hot-key profile
+    skew_p.add_argument("--table", required=True)
+    skew_p.add_argument("--key", required=True)
+    skew_p.add_argument("--top-k", type=int, default=10)
     args = p.parse_args(argv)
 
     cfg = None
@@ -153,6 +166,46 @@ def main(argv: list[str] | None = None) -> int:
             for r in df.limit(args.max_rows).collect():
                 print(f"  {label}: {render_row(r)}")
         return 0 if n_missing == 0 and n_extra == 0 else 1
+    if args.cmd == "profile":
+        # live per-column stats on the source table (compare.table_profile)
+        from .compare import table_profile
+
+        for r in table_profile(job._read_source(args.table)).collect():
+            print(json.dumps(r.asDict()))
+        return 0
+    if args.cmd == "schema-diff":
+        # drift gate before an incremental load (compare.schema_diff)
+        from .compare import schema_diff
+
+        rows = schema_diff(
+            job._read_source(args.table), job.sink.read(args.table)
+        ).collect()
+        drift = [r for r in rows if r["status"] != "ok"]
+        for r in rows:
+            print(json.dumps(r.asDict()))
+        return 0 if not drift else 1
+    if args.cmd == "audit-fk":
+        # orphan count before `alter table add constraint` (compare.fk_orphans)
+        from .compare import fk_orphans
+
+        row = fk_orphans(
+            job.sink.read(args.child),
+            job.sink.read(args.parent),
+            args.child_key,
+            args.parent_key,
+            f"{args.child}_{args.parent}",
+        ).collect()[0]
+        print(json.dumps(row.asDict()))
+        return 0 if row["n_orphans"] == 0 else 1
+    if args.cmd == "skew":
+        # hot-key profile that decides whether a join needs salting
+        from .ext.skew import key_skew_stats
+
+        for r in key_skew_stats(
+            job._read_source(args.table), args.key, top_k=args.top_k
+        ).collect():
+            print(json.dumps(r.asDict()))
+        return 0
     if args.cmd == "dump-ddl":
         from .sink import SqlScriptSink
 

@@ -606,3 +606,47 @@ def test_schema_diff_statuses(spark):
     dst = spark.createDataFrame([], "A long, b long, d string")
     got = {r["col_name"]: r["status"] for r in schema_diff(src, dst).collect()}
     assert got == {"a": "ok", "b": "retyped", "c": "removed", "d": "added"}
+
+
+def test_cli_audit_subcommands(spark, tmp_path, capsys):
+    """profile / schema-diff / audit-fk / skew run end-to-end against a
+    synced dest; schema-diff flags drift with exit 1."""
+    import json as _json
+
+    from sparksync.cli import main
+
+    out = tmp_path / "dest"
+    assert main(["--src", SF_SMOKE, "--dest", str(out), "sync-data"]) == 0
+    capsys.readouterr()
+
+    assert main(["--src", SF_SMOKE, "--dest", str(out),
+                 "profile", "--table", "region"]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert {r["col_name"] for r in rows} >= {"r_regionkey", "r_name"}
+    assert all(r["n_nulls"] == 0 for r in rows)
+
+    assert main(["--src", SF_SMOKE, "--dest", str(out),
+                 "schema-diff", "--table", "orders"]) == 0
+    capsys.readouterr()
+
+    # drift: rewrite dest orders without one column -> exit 1
+    # (materialize before overwriting: writing a lazy read of the same
+    # path would delete the files mid-scan)
+    dst = spark.read.parquet(str(out / "orders.parquet")).drop("o_orderpriority")
+    dropped = spark.createDataFrame(dst.collect(), dst.schema)
+    dropped.write.mode("overwrite").parquet(str(out / "orders.parquet"))
+    assert main(["--src", SF_SMOKE, "--dest", str(out),
+                 "schema-diff", "--table", "orders"]) == 1
+    drift = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert any(r["status"] == "removed" for r in drift)
+
+    assert main(["--src", SF_SMOKE, "--dest", str(out), "audit-fk",
+                 "--child", "lineitem", "--parent", "orders",
+                 "--child-key", "l_orderkey", "--parent-key", "o_orderkey"]) == 0
+    capsys.readouterr()
+
+    assert main(["--src", SF_SMOKE, "--dest", str(out),
+                 "skew", "--table", "orders", "--key", "o_custkey",
+                 "--top-k", "3"]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert len(rows) == 3 and rows[0]["cnt"] >= rows[1]["cnt"] >= rows[2]["cnt"]
