@@ -2121,6 +2121,47 @@ from agg
 """
 
 
+def q76_group_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source z-score + min-max normalization of document length
+    (ext/features.normalize_by_group). The doubles derive from exact
+    integer sums + one IEEE sqrt, so DuckDB replays them bit-for-bit —
+    built-in stddev aggregates would not (engine-specific merge
+    order)."""
+    from .ext import features
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return features.normalize_by_group(d, "source", "n_chars")
+
+
+ORACLE_Q76 = """
+with st as (
+  select source,
+         cast(count(*) as bigint) as n,
+         cast(sum(n_chars) as bigint) as sm,
+         cast(sum(n_chars * n_chars) as bigint) as ss,
+         cast(min(n_chars) as bigint) as mn,
+         cast(max(n_chars) as bigint) as mx
+  from documents group by source)
+select d.doc_id, d.source, d.n_chars,
+       case when st.n > 1
+             and (cast(st.ss as double)
+                  - (cast(st.sm as double) * cast(st.sm as double))
+                    / cast(st.n as double)) > 0
+            then (cast(d.n_chars as double)
+                  - cast(st.sm as double) / cast(st.n as double))
+                 / sqrt((cast(st.ss as double)
+                         - (cast(st.sm as double) * cast(st.sm as double))
+                           / cast(st.n as double))
+                        / (cast(st.n as double) - 1.0))
+       end as zscore,
+       case when st.mx > st.mn
+            then (cast(d.n_chars as double) - cast(st.mn as double))
+                 / (cast(st.mx as double) - cast(st.mn as double))
+            else 0.0 end as minmax
+from documents d join st using (source)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -2197,6 +2238,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q73_collocations": q73_collocations,
     "q74_filtered_knn": q74_filtered_knn,
     "q75_dedup_shrink": q75_dedup_shrink,
+    "q76_group_normalize": q76_group_normalize,
 }
 
 ORACLES: dict[str, str] = {
@@ -2275,4 +2317,5 @@ ORACLES: dict[str, str] = {
     "q73_collocations": ORACLE_Q73,
     "q74_filtered_knn": ORACLE_Q74,
     "q75_dedup_shrink": ORACLE_Q75,
+    "q76_group_normalize": ORACLE_Q76,
 }

@@ -835,3 +835,25 @@ def test_filtered_knn_prunes_candidates(emb, spark):
     assert [(r["neighbor_id"], r["rnk"]) for r in got] == [
         (r["neighbor_id"], r["rnk"]) for r in manual
     ]
+
+
+def test_normalize_by_group_invariants(spark):
+    """Per-group z-scores sum to ~0 and minmax spans [0,1]; degenerate
+    groups (single row, constant metric) get NULL z / 0.0 minmax."""
+    from sparksync.ext import features
+
+    rows = (
+        [("a", i, 10 + i) for i in range(5)]
+        + [("solo", 100, 7)]
+        + [("const", 200 + i, 42) for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "g string, id long, m long")
+    out = features.normalize_by_group(df, "g", "m").collect()
+    a = [r for r in out if r["g"] == "a"]
+    assert abs(sum(r["zscore"] for r in a)) < 1e-12
+    assert min(r["minmax"] for r in a) == 0.0
+    assert max(r["minmax"] for r in a) == 1.0
+    solo = [r for r in out if r["g"] == "solo"][0]
+    assert solo["zscore"] is None and solo["minmax"] == 0.0
+    const = [r for r in out if r["g"] == "const"]
+    assert all(r["zscore"] is None and r["minmax"] == 0.0 for r in const)
