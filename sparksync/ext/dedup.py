@@ -153,7 +153,14 @@ def minhash_signatures(
     unshared shingle whose (a,b) is small dominates the min for MANY i
     at once, so near-identical docs (j=0.98) can disagree on every
     band. Odd-multiplier mod-2^32 maps are bijections, giving
-    effectively independent permutations per i."""
+    effectively independent permutations per i.
+
+    Formulation note: a zero-shuffle alternative (64 array_min folds
+    over the per-doc hashed shingle array, the simhash trick) produces
+    identical signatures and is ~12% faster STANDALONE, but 2x slower
+    inside minhash_dedup_pairs (2.8s -> 5.2s at sf0.1): both banded
+    join sides re-run the 64 array folds, while this formulation's
+    map-side combine makes the re-scan cheap. Keep the explode+groupBy."""
     mask32 = F.lit(0xFFFFFFFF)
     base = sh.select(
         F.col(id_col),

@@ -184,6 +184,23 @@ def interleave(
     return out
 
 
+def greedy_pack(costs, budget: int) -> tuple[list[int], list[int]]:
+    """The packing recurrence, pure: first-fit sequence ids and offsets
+    for an ordered cost list. seq advances when adding the next item
+    would exceed budget (an item larger than budget gets a sequence of
+    its own). Kept module-level so property tests hit the exact code
+    the applyInPandas groups run."""
+    seq_ids = [0] * len(costs)
+    offsets = [0] * len(costs)
+    seq, fill = 0, 0
+    for i, c in enumerate(costs):
+        if i > 0 and fill + c > budget:
+            seq, fill = seq + 1, 0
+        seq_ids[i], offsets[i] = seq, fill
+        fill += int(c)
+    return seq_ids, offsets
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,
@@ -212,15 +229,7 @@ def pack_sequences(
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col, kind="mergesort", ignore_index=True)
-        costs = pdf[cost_col].to_numpy()
-        seq_ids = [0] * len(costs)
-        offsets = [0] * len(costs)
-        seq, fill = 0, 0
-        for i, c in enumerate(costs):
-            if i > 0 and fill + c > budget:
-                seq, fill = seq + 1, 0
-            seq_ids[i], offsets[i] = seq, fill
-            fill += int(c)
+        seq_ids, offsets = greedy_pack(pdf[cost_col].to_numpy(), budget)
         pdf["seq_id"] = seq_ids
         pdf["offset"] = offsets
         return pdf[["shard", "seq_id", id_col, cost_col, "offset"]]

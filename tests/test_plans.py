@@ -173,3 +173,29 @@ def test_incremental_dedup_no_cartesian(spark):
     plan = df._jdf.queryExecution().sparkPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_new_round3_plan_shapes(spark):
+    """Round-3 operators keep their scale posture: gap_fill windows are
+    per-key (no single-partition exchange over data), group-normalize
+    joins its stats by broadcast, span_dedup never goes cartesian, and
+    pack_sequences fans out via one shard exchange into ArrowEvalPython-
+    free applyInPandas (FlatMapGroupsInPandas)."""
+    plan = plan_of(QUERIES["q70_gap_fill"](spark, SF_SMOKE))
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+    plan = plan_of(QUERIES["q76_group_normalize"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    plan = plan_of(QUERIES["q71_span_dedup"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    plan = plan_of(QUERIES["q68_pack_sequences"](spark, SF_SMOKE))
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange") <= 2  # one hash exchange on shard
+
+    plan = plan_of(QUERIES["q72_key_skew"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan

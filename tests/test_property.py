@@ -95,3 +95,35 @@ def test_normalize_default_never_raises_and_shapes(default):
 def test_render_value_total(v):
     out = render_value(v)
     assert isinstance(out, str)
+
+
+@given(
+    costs=st.lists(st.integers(1, 500), max_size=200),
+    budget=st.integers(1, 1000),
+)
+@settings(max_examples=300, deadline=None)
+def test_greedy_pack_invariants(costs, budget):
+    """Packing recurrence (ext/sampling.greedy_pack): sequence ids are
+    non-decreasing from 0; offsets restart at 0 per sequence and equal
+    the running fill; no sequence exceeds budget unless it holds a
+    single oversized item; nothing is lost or reordered."""
+    from sparksync.ext.sampling import greedy_pack
+
+    seq_ids, offsets = greedy_pack(costs, budget)
+    assert len(seq_ids) == len(offsets) == len(costs)
+    fills: dict[int, int] = {}
+    counts: dict[int, int] = {}
+    prev_seq = 0
+    for s, o, c in zip(seq_ids, offsets, costs):
+        assert s >= prev_seq  # never goes back
+        assert s - prev_seq <= 1  # never skips a sequence
+        prev_seq = s
+        assert o == fills.get(s, 0)
+        fills[s] = fills.get(s, 0) + c
+        counts[s] = counts.get(s, 0) + 1
+    for s, fill in fills.items():
+        assert fill <= budget or counts[s] == 1
+    # greedy tightness: consecutive sequences couldn't be merged
+    for s in range(1, len(fills)):
+        first_cost = next(c for sq, c in zip(seq_ids, costs) if sq == s)
+        assert fills[s - 1] + first_cost > budget
