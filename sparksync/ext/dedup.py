@@ -178,19 +178,78 @@ def minhash_signatures(
 def _band_buckets(
     sig: DataFrame, id_col: str, bands: int, rows: int
 ) -> DataFrame:
-    """(id, band, key) LSH bucket rows from a K-wide signature table:
-    one xxhash64 over each band's `rows` signature columns."""
+    """(id, band, key, nxt) LSH bucket rows from a K-wide signature
+    table: one xxhash64 over each band's `rows` signature columns.
+    `nxt` is the NEXT band's key (cyclic) — carried so oversized
+    buckets can be re-split by the following band (see
+    _cap_buckets)."""
+
+    def band_key(b: int) -> F.Column:
+        return F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)])
+
     band_keys = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias("key"),
+                band_key(b).alias("key"),
+                band_key((b + 1) % bands).alias("nxt"),
             )
             for b in range(bands)
         ]
     )
     return sig.select(F.col(id_col), F.explode(band_keys).alias("bk")).select(
-        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+        id_col,
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+        F.col("bk.nxt").alias("nxt"),
+    )
+
+
+def _cap_buckets(
+    buckets: DataFrame,
+    id_col: str,
+    bucket_cap: int | None,
+    census: DataFrame | None = None,
+) -> DataFrame:
+    """Bound the banded join's quadratic term: any (band, key) bucket
+    larger than bucket_cap is re-split by the NEXT band's key, exactly
+    the simhash_pairs/hamming_pairs trade — inside a re-split bucket
+    the LSH guarantee weakens to "agrees on this band AND the next";
+    jaccard-1.0 pairs (identical signatures) always survive, near-cap
+    pairs trade a little recall for a bounded join.
+
+    Unlike simhash (<= n_bands * 2^width enumerable keys), minhash
+    bucket keys are 64-bit hashes, so the full size census is NOT
+    broadcastable at corpus scale. Only the OVERSIZED buckets are
+    joined back (at most total_rows/bucket_cap of them — tiny for any
+    sane cap), via a left join with no broadcast hint so AQE picks the
+    strategy from the hot set's real size.
+
+    census: buckets to measure sizes over (default: `buckets` itself).
+    The cross-corpus variant passes the CORPUS side's buckets as the
+    census for BOTH sides, so the refine-or-not decision is identical
+    on the two join inputs (a one-sided refinement would silently drop
+    matching pairs)."""
+    if bucket_cap is None:
+        return buckets.drop("nxt")
+    hot = (
+        (census if census is not None else buckets).groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > bucket_cap)
+        .select("band", "key", F.lit(True).alias("_hot"))
+    )
+    return buckets.join(hot, ["band", "key"], "left").select(
+        id_col,
+        "band",
+        # re-split key = hash(key, nxt), salted so refined keys cannot
+        # collide back into the plain-key space except with xxhash64
+        # probability (a collision only ADDS candidates, which exact
+        # verification removes)
+        F.when(
+            F.col("_hot"), F.xxhash64(F.lit("resplit"), F.col("key"), F.col("nxt"))
+        )
+        .otherwise(F.col("key"))
+        .alias("key"),
     )
 
 
@@ -202,6 +261,7 @@ def minhash_dedup_pairs(
     bands: int = LSH_BANDS,
     rows: int = LSH_ROWS,
     persist_signatures: bool = False,
+    bucket_cap: int | None = 10_000,
 ) -> DataFrame:
     """LSH candidates -> exact-Jaccard verification. The scale path:
 
@@ -209,11 +269,16 @@ def minhash_dedup_pairs(
       rows (minhash_signatures) — the shuffle carries one K-wide row
       per doc, never the shingles themselves;
     - candidate discovery is the banded bucket self-join over
-      (band, key) rows;
+      (band, key) rows, with oversized buckets re-split by the next
+      band (_cap_buckets) so a template-heavy corpus cannot send the
+      join quadratic in one bucket;
     - verification joins the candidate pairs back to the per-doc shingle
-      arrays (one pass, broadcast candidate ids, min_by/max_by pairing)
+      arrays (one pass, candidate-id semi-prune, min_by/max_by pairing)
       and computes exact Jaccard via array_intersect — it ships arrays
-      for candidate docs only, never the full inverted index.
+      for candidate docs only, never the full inverted index. The
+      candidate set is data-dependent (boilerplate-heavy corpora can
+      make it huge), so it carries NO broadcast hint — AQE picks the
+      join strategy from its measured size.
 
     persist_signatures: the plan scans the corpus once per banded join
     side (measured: exchange reuse does NOT fire across the two aliased
@@ -228,7 +293,7 @@ def minhash_dedup_pairs(
     sig = minhash_signatures(shingles(df, id_col, text_col), id_col, k=bands * rows)
     if persist_signatures:
         sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
-    buckets = _band_buckets(sig, id_col, bands, rows)
+    buckets = _cap_buckets(_band_buckets(sig, id_col, bands, rows), id_col, bucket_cap)
     l = buckets.select(F.col(id_col).alias("d1"), "band", "key")
     r = buckets.select(F.col(id_col).alias("d2"), "band", "key")
     cand = (
@@ -239,15 +304,16 @@ def minhash_dedup_pairs(
     )
     # exact verify on candidate pairs only. One pass over the shingle
     # arrays (tokenization is the expensive narrow work — joining arrs
-    # twice would recompute it twice): broadcast the exploded candidate
+    # twice would recompute it twice): join the exploded candidate
     # ids, then pair each candidate's two arrays with min_by/max_by on
     # the (d1 < d2) ordering. Only candidate docs' arrays shuffle, and
-    # only into the tiny per-pair groupBy.
+    # only into the tiny per-pair groupBy. No broadcast hint: the
+    # candidate count is data-dependent, so AQE decides at runtime.
     pair_ids = cand.select(
         "d1", "d2", F.explode(F.array("d1", "d2")).alias(id_col)
     )
     per_pair = (
-        arrs.join(F.broadcast(pair_ids), id_col)
+        arrs.join(pair_ids, id_col)
         .groupBy("d1", "d2")
         .agg(
             F.min_by("sh", F.col(id_col)).alias("s1"),
@@ -269,6 +335,7 @@ def minhash_dedup_pairs_cross(
     text_col: str = "text",
     bands: int = LSH_BANDS,
     rows: int = LSH_ROWS,
+    bucket_cap: int | None = 10_000,
 ) -> DataFrame:
     """Incremental dedup: near-dup pairs BETWEEN a new batch and an
     already-deduplicated corpus — the shape every continuously-crawled
@@ -280,17 +347,23 @@ def minhash_dedup_pairs_cross(
     linear pass — or, in a real deployment, a precomputed signature
     table read back from storage); the banded join is new x corpus, so
     its cost scales with the NEW batch's bucket occupancy, not the
-    corpus's pairs. Verification ships shingle arrays for candidate
-    docs only (broadcast candidate ids into both sides), exactly like
-    minhash_dedup_pairs."""
+    corpus's pairs. Oversized CORPUS buckets are re-split by the next
+    band on both sides (the census comes from the corpus side only, so
+    the refinement decision is consistent across the join — see
+    _cap_buckets). Verification ships shingle arrays for candidate
+    docs only (candidate-id semi-prune on both sides, no broadcast
+    hint — the candidate set is data-dependent, AQE decides), exactly
+    like minhash_dedup_pairs."""
     sig_n = minhash_signatures(shingles(new, id_col, text_col), id_col, k=bands * rows)
     sig_c = minhash_signatures(
         shingles(corpus, id_col, text_col), id_col, k=bands * rows
     )
-    bn = _band_buckets(sig_n, id_col, bands, rows).select(
+    raw_n = _band_buckets(sig_n, id_col, bands, rows)
+    raw_c = _band_buckets(sig_c, id_col, bands, rows)
+    bn = _cap_buckets(raw_n, id_col, bucket_cap, census=raw_c).select(
         F.col(id_col).alias("new_id"), "band", "key"
     )
-    bc = _band_buckets(sig_c, id_col, bands, rows).select(
+    bc = _cap_buckets(raw_c, id_col, bucket_cap).select(
         F.col(id_col).alias("corpus_id"), "band", "key"
     )
     cand = bn.join(bc, ["band", "key"]).select("new_id", "corpus_id").distinct()
@@ -300,11 +373,12 @@ def minhash_dedup_pairs_cross(
     a2 = shingle_arrays(corpus, id_col, text_col).select(
         F.col(id_col).alias("corpus_id"), F.col("sh").alias("s2")
     )
-    # broadcast-prune BOTH sides to candidate docs before anything
-    # shuffles: only candidate docs' arrays ever leave the scan, and the
-    # final pair join runs over candidate-sized inputs
-    a2p = a2.join(F.broadcast(cand.select("corpus_id").distinct()), "corpus_id")
-    paired = a1.join(F.broadcast(cand), "new_id").join(a2p, "corpus_id")
+    # prune BOTH sides to candidate docs before anything shuffles: only
+    # candidate docs' arrays ever leave the scan, and the final pair
+    # join runs over candidate-sized inputs. No broadcast hints — the
+    # candidate set is data-dependent; AQE broadcasts when it is small.
+    a2p = a2.join(cand.select("corpus_id").distinct(), "corpus_id")
+    paired = a1.join(cand, "new_id").join(a2p, "corpus_id")
     inter = F.size(F.array_intersect(F.col("s1"), F.col("s2"))).cast("double")
     union = (F.size("s1") + F.size("s2")).cast("double") - inter
     return paired.select(
