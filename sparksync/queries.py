@@ -801,10 +801,65 @@ from p order by cos desc, d1, d2 limit 5
 
 
 def q32_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RP-LSH bucketed near-dup (ext/similarity.neardup_pairs_lsh) —
-    rows-only (deterministic sha-seeded planes have no SQL analogue);
-    test_ext.py asserts overlap with q31."""
+    """RP-LSH bucketed near-dup (ext/similarity.neardup_pairs_lsh).
+    Oracle-checked since round 4: the sha-seeded planes are
+    deterministic Python constants, so ORACLE_Q32 inlines them as SQL
+    list literals and replays the exact band assignment in DuckDB
+    (same trick as q21/q36's md5-portable hashes). test_ext.py
+    additionally asserts recall overlap with brute-force q31."""
     return similarity.neardup_pairs_lsh(load(spark, sf_dir, "embeddings"), top_n=5)
+
+
+def _oracle_q32() -> str:
+    """DuckDB replay of neardup_pairs_lsh's plane/band assignment.
+
+    The plane matrix is deterministic (_rp_planes, sha256-seeded), so
+    its 32x64 doubles are inlined as list literals; each band bucket is
+    the same little-endian sign-bit pack Spark computes. Both engines
+    evaluate the dot products as sequential double accumulation, so the
+    sign (and hence the bucket) agrees; the output carries no float
+    column (d1, d2, rnk only), so the value-hash compares ordering, not
+    float bits. bucket_cap (10_000) never triggers at gate SF (<= 5_000
+    vectors), so the oracle replays the uncapped assignment."""
+    from .ext.similarity import _rp_planes
+
+    n_planes, n_bands, dim = 32, 4, 64
+    width = n_planes // n_bands
+    planes = _rp_planes(n_planes, dim)
+
+    def lit(plane: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+    def bucket(bi: int) -> str:
+        terms = [
+            f"(case when list_dot_product(v, {lit(planes[bi * width + i])}) >= 0"
+            f" then {2 ** i} else 0 end)"
+            for i in range(width)
+        ]
+        return " + ".join(terms)
+
+    keyed = "\nunion all\n".join(
+        f"select vec_id, v, {bi} as band, {bucket(bi)} as bucket from e"
+        for bi in range(n_bands)
+    )
+    return f"""
+with e as (select vec_id,
+                  list_transform(embedding, x -> cast(x as double)) as v
+           from embeddings),
+keyed as (
+{keyed}
+),
+p as (select distinct a.vec_id as d1, b.vec_id as d2
+      from keyed a join keyed b
+        on a.band = b.band and a.bucket = b.bucket and a.vec_id < b.vec_id),
+s as (select d1, d2, list_cosine_similarity(ea.v, eb.v) as cos
+      from p join e ea on ea.vec_id = p.d1 join e eb on eb.vec_id = p.d2)
+select d1, d2, row_number() over (order by cos desc, d1, d2) as rnk
+from s order by cos desc, d1, d2 limit 5
+"""
+
+
+ORACLE_Q32 = _oracle_q32()
 
 
 def q33_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2273,7 +2328,7 @@ ORACLES: dict[str, str] = {
     "q29_sessionize": ORACLE_Q29,
     "q30_distinct_agg": ORACLE_Q30,
     "q31_embedding_neardup": ORACLE_Q31,
-    # q32 rows-only: sha-seeded RP planes have no SQL analogue
+    "q32_embedding_neardup_lsh": ORACLE_Q32,
     "q33_cube": ORACLE_Q33,
     "q34_ddl_typemap": ORACLE_Q34,
     "q35_objects_ddl": ORACLE_Q35,
