@@ -246,11 +246,29 @@ def schema_diff(src: DataFrame, dst: DataFrame) -> DataFrame:
 
     Metadata-only: built from the two StructTypes, nothing scans.
     Column names compare case-insensitively, matching the identifier
-    pipeline (typemap normalizes casing end-to-end)."""
-    s = {f.name.lower(): f.dataType.simpleString() for f in src.schema.fields}
-    d = {f.name.lower(): f.dataType.simpleString() for f in dst.schema.fields}
+    pipeline (typemap normalizes casing end-to-end). Two source (or two
+    target) columns whose names differ only in case would silently
+    collapse into one dict entry, so they are reported explicitly as
+    status `dup_name` instead (ADVICE r3) — the sync pipeline cannot
+    represent them after lowercasing, and the drift report must say so
+    rather than drop one."""
+
+    def fold(fields) -> tuple[dict, set]:
+        out: dict[str, str] = {}
+        dups: set[str] = set()
+        for f in fields:
+            low = f.name.lower()
+            if low in out:
+                dups.add(low)
+            out[low] = f.dataType.simpleString()
+        return out, dups
+
+    s, s_dup = fold(src.schema.fields)
+    d, d_dup = fold(dst.schema.fields)
     rows = []
-    for c in sorted(set(s) | set(d)):
+    for c in sorted(s_dup | d_dup):
+        rows.append((c, s.get(c), d.get(c), "dup_name"))
+    for c in sorted((set(s) | set(d)) - s_dup - d_dup):
         if c not in d:
             rows.append((c, s[c], None, "removed"))
         elif c not in s:

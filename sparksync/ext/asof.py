@@ -155,6 +155,8 @@ def gap_fill(
     ts_col: str,
     val_col: str,
     unit: str = "hour",
+    precision: int = 12,
+    scale: int = 2,
 ) -> DataFrame:
     """Regularize an event stream onto a dense per-key time grid:
     aggregate values into `unit` buckets, generate every bucket between
@@ -168,16 +170,24 @@ def gap_fill(
     per-key min/max agg exploded through sequence() into the dense
     spine, a co-partitioned left join spine<-buckets, and one window
     per key for the fill. Spine and fill work on post-agg rows, bounded
-    by keys x buckets, not raw volume. Values sum as decimal (order-
-    insensitive), surfacing as double."""
+    by keys x buckets, not raw volume.
+
+    Values sum as decimal(precision, scale) for order-insensitive,
+    engine-replayable totals, surfacing as double. BE AWARE of the two
+    lossy edges this buys bit-portability with: inputs are QUANTIZED to
+    `scale` decimal places before summing, and a value that does not
+    fit precision-scale integer digits becomes NULL under non-ANSI mode
+    (it is then skipped by sum and by the forward fill's observed
+    flag). The (12,2) default suits currency-like metrics; widen
+    precision/scale for micro-valued or astronomically-valued series."""
     b = (
         df.select(
             F.col(key_col),
             F.date_trunc(unit, F.col(ts_col)).alias("bucket"),
-            F.col(val_col).cast("decimal(12,2)").alias("_v"),
+            F.col(val_col).cast(f"decimal({precision},{scale})").alias("_v"),
         )
         .groupBy(key_col, "bucket")
-        .agg(F.sum("_v").cast("decimal(22,2)").alias("_sum"))
+        .agg(F.sum("_v").cast(f"decimal({precision + 10},{scale})").alias("_sum"))
     )
     spine = (
         b.groupBy(key_col)

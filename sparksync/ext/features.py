@@ -31,12 +31,17 @@ def normalize_by_group(
     (ss - s^2/n) / (n-1); it is NULL when the group has fewer than two
     rows or zero variance (both guards replayable in plain SQL).
     minmax is (x - min) / (max - min), 0.0 for constant groups."""
+    # square in LONG, not the metric's native type: an int metric above
+    # ~46,341 would overflow int32 per-row under non-ANSI mode before
+    # the sum's implicit widening (ADVICE r3). Decimal(38,0) accumulation
+    # guards the sum itself for long metrics near the int64 edge.
+    xl = F.col(metric_col).cast("long")
     stats = df.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("long").alias("_n"),
-        F.sum(metric_col).cast("long").alias("_s"),
-        F.sum(F.col(metric_col) * F.col(metric_col)).cast("long").alias("_ss"),
-        F.min(metric_col).cast("long").alias("_mn"),
-        F.max(metric_col).cast("long").alias("_mx"),
+        F.sum(xl).cast("long").alias("_s"),
+        F.sum((xl * xl).cast("decimal(38,0)")).cast("long").alias("_ss"),
+        F.min(xl).alias("_mn"),
+        F.max(xl).alias("_mx"),
     )
     x = F.col(metric_col).cast("double")
     n = F.col("_n").cast("double")
@@ -52,9 +57,13 @@ def normalize_by_group(
     mm = F.when(F.col("_mx") > F.col("_mn"), (x - mn) / (mx - mn)).otherwise(
         F.lit(0.0)
     )
+    # null-safe equality: groupBy keeps a NULL group, so the join-back
+    # must match it too — a plain equi-join would silently drop every
+    # null-group row from the output (ADVICE r3)
+    stats = stats.withColumnRenamed(group_col, "_g")
     return (
-        df.join(stats, group_col)
+        df.join(stats, F.col(group_col).eqNullSafe(F.col("_g")))
         .withColumn("zscore", z)
         .withColumn("minmax", mm)
-        .drop("_n", "_s", "_ss", "_mn", "_mx")
+        .drop("_g", "_n", "_s", "_ss", "_mn", "_mx")
     )

@@ -2213,7 +2213,7 @@ select d.doc_id, d.source, d.n_chars,
             then (cast(d.n_chars as double) - cast(st.mn as double))
                  / (cast(st.mx as double) - cast(st.mn as double))
             else 0.0 end as minmax
-from documents d join st using (source)
+from documents d join st on d.source is not distinct from st.source
 """
 
 

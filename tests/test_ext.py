@@ -857,3 +857,22 @@ def test_normalize_by_group_invariants(spark):
     assert solo["zscore"] is None and solo["minmax"] == 0.0
     const = [r for r in out if r["g"] == "const"]
     assert all(r["zscore"] is None and r["minmax"] == 0.0 for r in const)
+
+
+def test_normalize_by_group_nulls_and_big_values(spark):
+    """ADVICE-r3 hardening: NULL-group rows survive the stats join-back
+    (null-safe equality), and an int metric above sqrt(2^31) no longer
+    overflows the sum-of-squares (squared in long, decimal-accumulated)."""
+    from sparksync.ext import features
+
+    rows = [(None, 1, 100_000), (None, 2, 200_000), ("g", 3, 100_000)]
+    df = spark.createDataFrame(rows, "g string, id long, m int")
+    out = features.normalize_by_group(df, "g", "m").collect()
+    assert len(out) == 3  # null-group rows kept
+    nulls = sorted(
+        (r for r in out if r["g"] is None), key=lambda r: r["id"]
+    )
+    # exact z for n=2: +/- 1/sqrt(2) * ... -> symmetric, sums to 0
+    assert abs(nulls[0]["zscore"] + nulls[1]["zscore"]) < 1e-12
+    assert nulls[0]["zscore"] < 0 < nulls[1]["zscore"]
+    assert (nulls[0]["minmax"], nulls[1]["minmax"]) == (0.0, 1.0)

@@ -608,6 +608,28 @@ def test_schema_diff_statuses(spark):
     assert got == {"a": "ok", "b": "retyped", "c": "removed", "d": "added"}
 
 
+def test_schema_diff_case_fold_collision(spark):
+    """Columns differing only in case cannot survive the lowercasing
+    pipeline; schema_diff must report them as dup_name, not silently
+    keep the last one (ADVICE r3)."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+    from sparksync.compare import schema_diff
+
+    src = spark.createDataFrame(
+        [],
+        StructType(
+            [
+                StructField("Id", LongType()),
+                StructField("id", DoubleType()),
+                StructField("ok_col", LongType()),
+            ]
+        ),
+    )
+    dst = spark.createDataFrame([], "id long, ok_col long")
+    got = {r["col_name"]: r["status"] for r in schema_diff(src, dst).collect()}
+    assert got == {"id": "dup_name", "ok_col": "ok"}
+
+
 def test_cli_audit_subcommands(spark, tmp_path, capsys):
     """profile / schema-diff / audit-fk / skew run end-to-end against a
     synced dest; schema-diff flags drift with exit 1."""
