@@ -165,29 +165,50 @@ class SqlScriptSink:
 
 
 class JdbcSink:
-    """MySQL-family sink. Data path uses Spark's JDBC writer; DDL path
-    needs a raw connection because Spark's writer can't express defaults,
-    comments, indexes or FKs (SURVEY K4/K5) — we reuse the JVM's
-    DriverManager through the gateway so no extra Python driver is
-    required. Untested in this container (no MySQL); unit tests cover the
-    SQL generation, integration is gated on a reachable URL."""
+    """SQL-database sink, MySQL-family by default. Data path uses
+    Spark's JDBC writer; DDL path needs a raw connection because
+    Spark's writer can't express defaults, comments, indexes or FKs
+    (SURVEY K4/K5) — we reuse the JVM's DriverManager through the
+    gateway so no extra Python driver is required.
 
-    def __init__(self, spark: SparkSession, url: str, user: str, password: str):
+    dialect controls identifier quoting only: "mysql" backtick-quotes
+    (the reference's target family, cmd/root.go:364), "ansi" passes
+    lowercase names unquoted and lets the engine case-fold — which is
+    what embedded Derby needs, and what the in-container e2e
+    (tests/test_jdbc_derby.py) runs the whole write/DDL/read-back path
+    against. MySQL itself stays untested in this container (no server);
+    its quoting is covered by unit tests over the generated SQL."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        url: str,
+        user: str,
+        password: str,
+        dialect: str = "mysql",
+    ):
         self.spark = spark
         self.url = url
         self.user = user
         self.password = password
+        self.dialect = dialect
+
+    def _ident(self, name: str) -> str:
+        return f"`{name.lower()}`" if self.dialect == "mysql" else name.lower()
 
     def read(self, table: str) -> DataFrame:
-        """Read the target table back (compare phase, EP2)."""
-        return (
+        """Read the target table back (compare phase, EP2). Column names
+        surface lowercased regardless of the engine's case-folding, so
+        compare sees identical schemas on both sides (T6)."""
+        df = (
             self.spark.read.format("jdbc")
             .option("url", self.url)
-            .option("dbtable", f"`{table.lower()}`")
+            .option("dbtable", self._ident(table))
             .option("user", self.user)
             .option("password", self.password)
             .load()
         )
+        return df.toDF(*[c.lower() for c in df.columns])
 
     def write(
         self,
@@ -204,7 +225,7 @@ class JdbcSink:
         w = (
             df.write.format("jdbc")
             .option("url", self.url)
-            .option("dbtable", f"`{table.lower()}`")
+            .option("dbtable", self._ident(table))
             .option("user", self.user)
             .option("password", self.password)
             .option("batchsize", str(batchsize))
