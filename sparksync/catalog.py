@@ -294,9 +294,36 @@ class FixtureCatalog:
         """S12 (tablemeta.go:339): raw DBMS_METADATA DDL needing cleanup."""
         return FIXTURE_FUNCTION_INDEX_DDLS.get(table.lower(), [])
 
-    def views(self) -> dict[str, str]:
-        """S14 (tablemeta.go:417-427)."""
-        return dict(FIXTURE_VIEWS)
+    def views(self, revalidate: bool = False) -> dict[str, str]:
+        """S14 (tablemeta.go:417-427).
+
+        revalidate is the Spark-native analogue of the reference's
+        `alter view X compile` before the DDL fetch (tablemeta.go:402,
+        414): Oracle recompiles views invalidated by DDL churn so the
+        text fetch returns usable DDL. Spark has no stored-view
+        invalidation state; the equivalent check is running the
+        ANALYZER over each view body against the current source tables
+        (schema resolution only — nothing executes). Views that no
+        longer analyze (dropped column, renamed table) are returned
+        under `__invalid__:<name>` with the error text so the caller
+        can report them per-object (K7) instead of shipping DDL that
+        will fail on the target — matching the reference's
+        count-and-continue posture."""
+        out = dict(FIXTURE_VIEWS)
+        if not revalidate:
+            return out
+        result: dict[str, str] = {}
+        for name, text in out.items():
+            try:
+                # Oracle double-quotes are ALWAYS identifiers (strings are
+                # single-quoted), so swap them to Spark backticks for the
+                # probe; NVL analyzes natively. The stored text stays
+                # untouched — the R2 dialect rewrite owns the target DDL.
+                self.spark.sql(text.replace('"', "`")).schema  # noqa: B018
+                result[name] = text
+            except Exception as e:  # noqa: BLE001 — per-object capture
+                result[f"__invalid__:{name}"] = str(e).split("\n")[0][:200]
+        return result
 
     def code_objects(self) -> list[tuple[str, str, str]]:
         """S15 (tablemeta.go:446): (type, name, ddl) dump-only objects."""

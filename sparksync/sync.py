@@ -302,9 +302,44 @@ class SyncJob:
             c = cat.table_comment(t)
             if c:
                 out.append(("comment", t, table_comment_sql(t, c)))
-        for name, text in cat.views().items():
-            out.append(("view", name, create_view_sql(name, text)))
+        # revalidate = the reference's `alter view X compile` before the
+        # view-DDL fetch (tablemeta.go:402,414): invalid views become a
+        # counted per-object failure instead of DDL that dies on the
+        # target. The probe needs the source tables resolvable, so
+        # register them first (schema-only, nothing scans).
+        self._register_source_views(tables)
+        for name, text in cat.views(revalidate=True).items():
+            if name.startswith("__invalid__:"):
+                out.append(("view", name.split(":", 1)[1], f"-- INVALID VIEW: {text}"))
+            else:
+                out.append(("view", name, create_view_sql(name, text)))
         return out
+
+    def _register_source_views(self, tables: list[str]) -> None:
+        """Temp-view the source tables so view bodies analyze (the
+        compile-analogue's resolution context). Registers the FULL
+        source schema, not just the sync subset: Oracle's compile
+        resolves against everything that exists at the source, so a
+        view over an --exclude'd table is still valid. Schema-only."""
+        import os
+
+        names = set(tables)
+        try:
+            if hasattr(self.source, "sf_dir"):
+                names |= {
+                    f[: -len(".parquet")]
+                    for f in os.listdir(self.source.sf_dir)
+                    if f.endswith(".parquet")
+                }
+            elif hasattr(self.source, "list_tables"):
+                names |= set(self.source.list_tables())
+        except Exception:  # noqa: BLE001 — fall back to the sync subset
+            pass
+        for t in names:
+            try:
+                self.source.read(t).createOrReplaceTempView(t)
+            except Exception:  # noqa: BLE001 — missing table: view probe will flag
+                pass
 
     def objects_phase(
         self, tables: list[str], script: SqlScriptSink | None = None
@@ -318,6 +353,14 @@ class SyncJob:
         for cls, _name, stmt in self.synthesize_objects(tables):
             rep = reports.setdefault(cls, PhaseReport(phase=f"{cls} create"))
             rep.tables += 1
+            if stmt.startswith("-- INVALID VIEW"):
+                # failed the compile-analogue probe: counted failure,
+                # never shipped to the target; scripts get the comment
+                # as the audit trail
+                rep.failed += 1
+                if script is not None:
+                    script.execute(stmt)
+                continue
             try:
                 if script is not None:
                     script.execute(stmt)

@@ -116,6 +116,33 @@ def test_objects_phase_synthesis(spark, tmp_path):
     assert all(r.failed == 0 for r in reports)
 
 
+def test_view_revalidation_compile_analogue(spark, tmp_path, monkeypatch):
+    """The reference runs `alter view X compile` before fetching view
+    DDL (tablemeta.go:402,414) so invalidated views surface instead of
+    shipping broken DDL. Our analogue analyzes each view body against
+    the source tables: a view referencing a dropped column must come
+    back flagged __invalid__ from Catalog.views(revalidate=True) and be
+    counted as a failed view (never executed) by objects_phase."""
+    from sparksync import catalog as catmod
+
+    monkeypatch.setitem(
+        catmod.FIXTURE_VIEWS,
+        "v_broken",
+        'select no_such_column from "orders"',
+    )
+    job = SyncJob(spark, SF_SMOKE, str(tmp_path / "out"))
+    tables = job.plan()
+    job._register_source_views(tables)
+    views = job.catalog.views(revalidate=True)
+    assert "v_order_revenue" in views  # valid view passes through
+    assert "__invalid__:v_broken" in views
+    assert "no_such_column" in views["__invalid__:v_broken"].lower() or "UNRESOLVED" in views["__invalid__:v_broken"].upper()
+
+    reports = job.objects_phase(tables)
+    view_rep = next(r for r in reports if r.phase == "view create")
+    assert view_rep.tables == 2 and view_rep.failed == 1
+
+
 def test_full_sync_runs_objects_and_dumps_ddl(spark, tmp_path):
     out = str(tmp_path / "out")
     script = str(tmp_path / "createSql.log")
