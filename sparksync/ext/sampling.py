@@ -272,3 +272,54 @@ def percentile_filter(
         else F.col(metric_col) <= F.col("threshold")
     )
     return out.where(cond)
+
+
+def budget_mix(
+    df: DataFrame,
+    group_col: str,
+    budgets: dict[str, int],
+    id_col: str,
+    text_col: str = "text",
+    method: str = "knuth",
+    salt: str = "mix",
+) -> DataFrame:
+    """Token-budget corpus mixing: admit documents per group (source,
+    language) in deterministic pseudo-random order until that group's
+    token budget is exhausted — how a training mix hits "30B tokens of
+    web, 5B of code" targets reproducibly. A doc is kept while the
+    running token total (inclusive) stays within budget; groups absent
+    from `budgets` are dropped. Output: (id, group, n_tokens,
+    cum_tokens) for admitted docs.
+
+    Deterministic and engine-replayable: the admission order is the
+    Knuth multiplicative hash of the id (same portable recipe as
+    split_assign), token counts are the shared whitespace tokenizer,
+    and the running sum is exact integer arithmetic — the DuckDB
+    oracle replays all three. Scale shape: one narrow map for counts,
+    then ONE window cumsum per group (the same per-key running-total
+    shape as q45): the sort is per-group, never global, and the
+    budgets map enters the plan as a literal CASE, not a join."""
+    from .textops import tokens
+
+    n_tok = F.size(tokens(text_col)).cast("long")
+    bucket = _bucket(id_col, method, salt)
+    budget = F.create_map(
+        *[F.lit(x) for kv in budgets.items() for x in kv]
+    )[F.col(group_col)]
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(bucket, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(group_col),
+            n_tok.alias("n_tokens"),
+            budget.alias("_budget"),
+        )
+        .where(F.col("_budget").isNotNull())
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .where(F.col("cum_tokens") <= F.col("_budget"))
+        .drop("_budget")
+    )

@@ -493,3 +493,73 @@ def filtered_knn(
         [F.col("cos").desc(), F.col(id_col)],
         [F.col(id_col).alias("neighbor_id"), "rnk"],
     )
+
+
+def label_centroids(
+    emb: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(label, centroid) — element-wise mean embedding per label.
+
+    Element sums accumulate as decimal(38,12) (order-insensitive exact
+    arithmetic, the gap_fill discipline) so the centroid replays
+    bit-identically in any engine — a plain double sum would depend on
+    Spark's partial-agg merge order and could not be oracle-checked.
+    Shape: posexplode (narrow, dim rows per vector) -> ONE partial-agg
+    groupBy(label, pos) -> per-label re-assembly of dim rows. The
+    shuffle carries (labels x dim) aggregate rows, not vectors."""
+    e = emb.select(
+        F.col(label_col).alias("label"), _to_double(F.col(vec_col)).alias("v")
+    )
+    elems = e.select("label", F.posexplode("v").alias("pos", "x"))
+    sums = elems.groupBy("label", "pos").agg(
+        F.sum(F.col("x").cast("decimal(38,12)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        sums.select(
+            "label",
+            F.struct("pos", (F.col("s").cast("double") / F.col("n")).alias("m")).alias(
+                "pm"
+            ),
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("pm")), lambda s: s["m"]
+            ).alias("centroid")
+        )
+    )
+
+
+def centroid_outliers(
+    emb: DataFrame,
+    top_n: int = 10,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The top_n vectors FARTHEST (lowest cosine) from their own
+    label's centroid — mislabeled or out-of-distribution points; the
+    embedding-space complement of the text quality filters. Output:
+    (vec_id, label, rnk), rnk 1 = most outlying; no float column, so
+    the oracle compares ordering, not float bits.
+
+    Shape: label_centroids (labels x dim aggregate) joins back on
+    label — at most |labels| rows, no broadcast hint needed for
+    correctness but always tiny — then one codegen cosine per vector
+    and a TakeOrderedAndProject top-k. One pass over the vectors."""
+    e = emb.select(
+        F.col(id_col), F.col(label_col).alias("label"), _to_double(F.col(vec_col)).alias("v")
+    )
+    cent = label_centroids(emb, label_col, id_col, vec_col)
+    scored = e.join(cent, "label").select(
+        id_col, "label", cosine(F.col("v"), F.col("centroid")).alias("cos")
+    )
+    return _ranked_topk(
+        scored, top_n,
+        [F.col("cos").asc(), F.col(id_col)],
+        [id_col, "label", "rnk"],
+    )

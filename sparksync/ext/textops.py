@@ -428,3 +428,43 @@ def collocations(
     top = scored.orderBy(*order).limit(top_k)
     w = Window.partitionBy(F.lit(1)).orderBy(*order)
     return top.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+def rarity_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-frequency document rarity: for each doc, the total and
+    mean corpus-wide frequency of its tokens — a cheap unigram-LM
+    stand-in (low mean frequency = rare/unusual doc; the tail end is
+    OCR garbage and gibberish, the top end is boilerplate). The
+    curriculum/filtering signal between raw text and a real LM scorer.
+    Output: (doc_id, n_tokens, sum_freq, mean_freq); docs with zero
+    tokens are excluded (no tokens -> no frequencies), matching the
+    oracle.
+
+    Scale shape: one explode + partial-agg count builds the vocabulary
+    (one row per distinct token — vastly smaller than the token
+    stream); the tokens join the vocab back WITHOUT a broadcast hint
+    (vocab size is data-dependent; AQE promotes when it fits) — the
+    join is never skew-bound because the vocab side holds exactly one
+    row per token however hot the token is; then one groupBy(doc)
+    folds integer sums. mean_freq is one division of exact longs, so
+    it replays bit-identically in any engine (the q76 discipline)."""
+    toks = (
+        df.select(F.col("doc_id"), F.explode(tokens(text_col)).alias("tok"))
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    return (
+        toks.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("freq").cast("long").alias("sum_freq"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_freq",
+            (F.col("sum_freq").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "mean_freq"
+            ),
+        )
+    )

@@ -2217,6 +2217,90 @@ from documents d join st on d.source is not distinct from st.source
 """
 
 
+def q77_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency rarity scoring (ext/textops.rarity_score): a
+    unigram-LM stand-in — per-doc total/mean corpus frequency of its
+    tokens. mean_freq is one division of exact longs (bit-portable)."""
+    return textops.rarity_score(load(spark, sf_dir, "documents"))
+
+
+ORACLE_Q77 = """
+with toks as (
+  select doc_id, unnest(list_filter(string_split(trim(text), ' '), x -> x <> '')) as tok
+  from documents),
+vocab as (select tok, cast(count(*) as bigint) as freq from toks group by tok)
+select t.doc_id,
+       cast(count(*) as bigint) as n_tokens,
+       cast(sum(v.freq) as bigint) as sum_freq,
+       cast(sum(v.freq) as double) / cast(count(*) as double) as mean_freq
+from toks t join vocab v using (tok)
+group by t.doc_id
+"""
+
+
+def q78_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing (ext/sampling.budget_mix): admit docs
+    per source in Knuth-hash order until the source's token budget is
+    spent. Budgets chosen to cut every fixture source mid-stream."""
+    return sampling.budget_mix(
+        load(spark, sf_dir, "documents"),
+        "source",
+        {"web": 20_000, "wiki": 10_000, "books": 5_000},
+        "doc_id",
+    )
+
+
+ORACLE_Q78 = """
+with base as (
+  select doc_id, source,
+         cast(len(list_filter(string_split(trim(text), ' '), x -> x <> '')) as bigint)
+           as n_tokens,
+         (doc_id * 2654435761) % 10000 as bucket,
+         case source when 'web' then 20000 when 'wiki' then 10000
+                     when 'books' then 5000 end as budget
+  from documents),
+cum as (
+  select doc_id, source, n_tokens, budget,
+         cast(sum(n_tokens) over (partition by source
+                                  order by bucket, doc_id
+                                  rows unbounded preceding) as bigint) as cum_tokens
+  from base where budget is not null)
+select doc_id, source, n_tokens, cum_tokens
+from cum where cum_tokens <= budget
+"""
+
+
+def q79_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid outliers (ext/similarity.centroid_outliers):
+    the 10 vectors farthest by cosine from their own label's centroid.
+    Centroids sum as decimal(38,12) — order-insensitive exact — so
+    DuckDB replays them bit-identically; the output carries no float."""
+    return similarity.centroid_outliers(load(spark, sf_dir, "embeddings"), top_n=10)
+
+
+ORACLE_Q79 = """
+with e as (select vec_id, label,
+                  list_transform(embedding, x -> cast(x as double)) as v
+           from embeddings),
+elems as (
+  select vec_id, label, i as pos, v[i] as x
+  from e, lateral unnest(generate_series(1, len(v))) as t(i)),
+sums as (
+  select label, pos,
+         sum(cast(x as decimal(38,12))) as s, count(*) as n
+  from elems group by label, pos),
+cent as (
+  select label, list(cast(s as double) / n order by pos) as centroid
+  from sums group by label),
+scored as (
+  select e.vec_id, e.label,
+         list_cosine_similarity(e.v, c.centroid) as cos
+  from e join cent c using (label))
+select vec_id, label, row_number() over (order by cos asc, vec_id) as rnk
+from scored order by cos asc, vec_id limit 10
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -2294,6 +2378,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q74_filtered_knn": q74_filtered_knn,
     "q75_dedup_shrink": q75_dedup_shrink,
     "q76_group_normalize": q76_group_normalize,
+    "q77_rarity_score": q77_rarity_score,
+    "q78_budget_mix": q78_budget_mix,
+    "q79_centroid_outliers": q79_centroid_outliers,
 }
 
 ORACLES: dict[str, str] = {
@@ -2373,4 +2460,7 @@ ORACLES: dict[str, str] = {
     "q74_filtered_knn": ORACLE_Q74,
     "q75_dedup_shrink": ORACLE_Q75,
     "q76_group_normalize": ORACLE_Q76,
+    "q77_rarity_score": ORACLE_Q77,
+    "q78_budget_mix": ORACLE_Q78,
+    "q79_centroid_outliers": ORACLE_Q79,
 }

@@ -876,3 +876,65 @@ def test_normalize_by_group_nulls_and_big_values(spark):
     assert abs(nulls[0]["zscore"] + nulls[1]["zscore"]) < 1e-12
     assert nulls[0]["zscore"] < 0 < nulls[1]["zscore"]
     assert (nulls[0]["minmax"], nulls[1]["minmax"]) == (0.0, 1.0)
+
+
+def test_rarity_score_bounds(spark):
+    """mean_freq is bounded by [1, corpus token count]; a doc of unique
+    gibberish scores lower than a doc of corpus-common tokens."""
+    from sparksync.ext import textops
+
+    rows = [
+        (1, "the cat sat"),
+        (2, "the dog sat"),
+        (3, "zxqv wvut"),  # unique tokens -> freq 1 each
+        (4, ""),  # tokenless -> excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textops.rarity_score(df).collect()}
+    assert 4 not in out
+    assert out[3]["mean_freq"] == 1.0
+    assert out[1]["mean_freq"] > out[3]["mean_freq"]
+    assert out[1]["n_tokens"] == 3 and out[1]["sum_freq"] == 2 + 1 + 2
+
+
+def test_budget_mix_respects_budget_and_determinism(spark):
+    """Per-group cumulative tokens never exceed the budget; groups
+    without a budget drop; two runs agree row-for-row."""
+    from sparksync.ext import sampling
+
+    rows = [(i, "web" if i % 2 else "wiki", "tok " * (i % 7 + 1)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    budgets = {"web": 50, "wiki": 30}
+    out = sampling.budget_mix(df, "source", budgets, "doc_id").collect()
+    assert out, "budget admitted nothing"
+    per_group_max = {}
+    for r in out:
+        assert r["cum_tokens"] <= budgets[r["source"]]
+        per_group_max[r["source"]] = max(
+            per_group_max.get(r["source"], 0), r["cum_tokens"]
+        )
+    # the cut is tight: adding any one more doc (min 1 token) may fit,
+    # but the admitted total is within budget for every group
+    assert set(per_group_max) == {"web", "wiki"}
+    again = sampling.budget_mix(df, "source", budgets, "doc_id").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_centroid_outliers_flags_planted_outlier(spark):
+    """A vector pointing away from its label's tight cluster must rank
+    as the #1 outlier; centroids are exact decimal sums."""
+    from sparksync.ext import similarity
+
+    dim = 4
+    cluster = [(i, [1.0, 0.0, 0.0, 0.0], 7) for i in range(10)]
+    outlier = [(99, [-1.0, 0.0, 0.0, 0.0], 7)]
+    df = spark.createDataFrame(
+        cluster + outlier, "vec_id long, embedding array<float>, label int"
+    )
+    out = similarity.centroid_outliers(df, top_n=3).collect()
+    assert out[0]["vec_id"] == 99 and out[0]["rnk"] == 1
+
+    cent = similarity.label_centroids(df).collect()
+    assert len(cent) == 1 and len(cent[0]["centroid"]) == dim
+    # exact decimal mean: (10*1 + (-1))/11
+    assert abs(cent[0]["centroid"][0] - 9.0 / 11.0) < 1e-15

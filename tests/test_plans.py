@@ -38,7 +38,12 @@ def test_dim_joins_broadcast(spark):
 
 
 def test_topk_is_take_ordered(spark):
-    for q in ("q22_knn_cosine", "q31_embedding_neardup", "q55_boilerplate_ngrams"):
+    for q in (
+        "q22_knn_cosine",
+        "q31_embedding_neardup",
+        "q55_boilerplate_ngrams",
+        "q79_centroid_outliers",
+    ):
         plan = plan_of(QUERIES[q](spark, SF_SMOKE))
         assert "TakeOrderedAndProject" in plan, q
 
@@ -54,6 +59,8 @@ def test_no_single_partition_exchange_in_scale_paths(spark):
         "q29_sessionize",
         "q37_range_join",
         "q45_running_total",
+        "q77_rarity_score",
+        "q78_budget_mix",
     ):
         plan = plan_of(QUERIES[q](spark, SF_SMOKE))
         assert "SinglePartition" not in plan, q
