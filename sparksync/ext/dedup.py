@@ -281,13 +281,16 @@ def minhash_dedup_pairs(
       join strategy from its measured size.
 
     persist_signatures: the plan scans the corpus once per banded join
-    side (measured: exchange reuse does NOT fire across the two aliased
-    sides). Default False — at bench SF the extra scan is cheaper than
-    cache materialization plus the AQE stats it hides (6.4s vs 3.9s at
-    sf0.1 for the whole op). Flip to True when one corpus scan is the
-    dominant cost (10^9+ docs): signatures are ~8*K bytes/doc (~520 B
-    at K=64, ~0.5 TB per 10^9 docs) and MEMORY_AND_DISK spills the
-    tail, so tokenize+shingle+minhash runs once instead of twice.
+    side PLUS once per side's bucket-size census (measured: AQE
+    exchange reuse collapses only one of the four identical signature
+    subtrees). Default False — at bench SF recompute still beats cache
+    materialization plus the AQE stats it hides (persist=True measured
+    3.6s vs 2.7s median at sf0.1, census included; the census itself
+    costs ~0.5-0.7s of the 2.7s and is the price of the bounded join).
+    Flip to True when one corpus scan is the dominant cost (10^9+
+    docs): signatures are ~8*K bytes/doc (~520 B at K=64, ~0.5 TB per
+    10^9 docs), MEMORY_AND_DISK spills the tail, and with the census
+    the persist now saves three recomputes, not one.
     """
     arrs = shingle_arrays(df, id_col, text_col)
     sig = minhash_signatures(shingles(df, id_col, text_col), id_col, k=bands * rows)
