@@ -47,9 +47,14 @@ def _ranked_topk(scored: DataFrame, k: int, order: list[Column], out) -> DataFra
     window is k rows, not the corpus."""
     top = scored.orderBy(*order).limit(k)
     # constant partition key: the window runs over the <=k survivors in
-    # one (tiny) partition by construction; naming the partition avoids
-    # WindowExec's global-window warning without changing the plan shape
-    w = Window.partitionBy(F.lit(1)).orderBy(*order)
+    # one (tiny) partition by construction. The key must NOT be
+    # optimizer-removable — Spark 4 strips bare literals AND simplifies
+    # hash*0 out of partition specs, after which WindowExec logs its
+    # global-window warning on every run — pmod(hash, 1) == 0 per row
+    # survives as a real expression: same single tiny partition, same
+    # plan shape, quiet logs.
+    pk = F.pmod(F.xxhash64(F.col(top.columns[0])), F.lit(1))
+    w = Window.partitionBy(pk).orderBy(*order)
     return top.withColumn("rnk", F.row_number().over(w).cast("long")).select(*out)
 
 

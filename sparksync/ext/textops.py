@@ -426,7 +426,10 @@ def collocations(
     )
     order = [F.desc("pmi"), F.col("w1"), F.col("w2")]
     top = scored.orderBy(*order).limit(top_k)
-    w = Window.partitionBy(F.lit(1)).orderBy(*order)
+    # non-removable constant partition key over the <=k survivors — a
+    # bare literal (or hash*0) is optimized away and WindowExec then
+    # warns about a global window (see similarity._ranked_topk)
+    w = Window.partitionBy(F.pmod(F.xxhash64(F.col("w1")), F.lit(1))).orderBy(*order)
     return top.withColumn("rnk", F.row_number().over(w).cast("long"))
 
 
