@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -178,6 +178,43 @@ def merge_snapshot(
     plus a metadata-only union. Updates must carry the target schema."""
     keep = target.join(updates.select(*keys), keys, "left_anti")
     return keep.unionByName(updates)
+
+
+def merge_cdc(
+    target: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    op_col: str = "op",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Full CDC merge with DELETES (MERGE INTO ... WHEN MATCHED [AND
+    op='D'] THEN DELETE semantics, snapshot out) — the missing half of
+    merge_snapshot for log-based change capture (Debezium/GoldenGate
+    shape): `changes` carries an `op_col` of 'I'/'U' (upsert) or 'D'
+    (delete), and optionally a `seq_col` (LSN / commit timestamp) that
+    orders multiple changes to the same key within the batch — only the
+    LATEST change per key applies, so a batch containing
+    insert-then-delete nets out to absence.
+
+    Shape: one per-key window (partitioned by the keys — parallel, the
+    q11 top-1 pattern) collapses the change batch to its latest row per
+    key; one left_anti prunes replaced/deleted target rows (AQE
+    broadcasts the key set when the batch is small — the common case);
+    upserts union back metadata-only. Nothing collects; cost scales
+    with the CHANGE batch, not the snapshot."""
+    latest = changes
+    if seq_col is not None:
+        w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+        latest = (
+            changes.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    keep = target.join(latest.select(*keys), keys, "left_anti")
+    upserts = latest.where(F.col(op_col) != "D").drop(op_col, *(
+        [seq_col] if seq_col else []
+    ))
+    return keep.unionByName(upserts)
 
 
 def partition_checksums(

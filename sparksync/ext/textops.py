@@ -471,3 +471,52 @@ def rarity_score(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         )
     )
+
+
+def char_ngram_profile(
+    df: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    n_salts: int = 32,
+) -> DataFrame:
+    """Per-language character-n-gram profile: (lang, gram, freq, rnk)
+    for the k most frequent character n-grams of each language — the
+    TRAINING side of n-gram language-ID (language_id applies a model;
+    this builds one from labeled data). Ties break by gram asc.
+
+    Scale shape mirrors vocab_topk exactly: one narrow map slices each
+    doc into character n-grams with sequence+transform (no Python, no
+    per-char explode — one array per doc), explode feeds a single
+    hash-partitioned (lang, gram) count with map-side combine, and
+    top-k runs in TWO window phases (salted pre-rank bounds the final
+    per-language sort to n_salts*k rows however large the gram
+    inventory gets)."""
+    t = F.col(text_col)
+    # substr with a dynamic start position needs the SQL lambda form
+    # (the Python F.substring takes literal pos only)
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 0)),"
+        f" i -> substr({text_col}, i, {n}))"
+    )
+    freq = (
+        df.where(F.length(t) >= n)
+        .select(F.col(lang_col), F.explode(grams).alias("gram"))
+        .groupBy(lang_col, "gram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w_salt = Window.partitionBy(lang_col, "_salt").orderBy(
+        F.desc("freq"), F.col("gram")
+    )
+    w_lang = Window.partitionBy(lang_col).orderBy(F.desc("freq"), F.col("gram"))
+    pre = (
+        freq.withColumn("_salt", F.pmod(F.xxhash64("gram"), F.lit(n_salts)))
+        .withColumn("_r", F.row_number().over(w_salt))
+        .where(F.col("_r") <= k)
+    )
+    return (
+        pre.withColumn("rnk", F.row_number().over(w_lang).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select(lang_col, "gram", F.col("freq").cast("long").alias("freq"), "rnk")
+    )

@@ -2301,6 +2301,75 @@ from scored order by cos asc, vec_id limit 10
 """
 
 
+def q80_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge with deletes (compare.merge_cdc): a synthetic change
+    batch over supplier — one update, one delete, one insert, plus a
+    same-key insert-then-delete that must net out to absence via the
+    seq ordering. Snapshot out."""
+    from .compare import merge_cdc
+
+    sup = load(spark, sf_dir, "supplier")
+    changes = spark.createDataFrame(
+        [
+            (1, "UPDATED NAME", "U", 10),
+            (2, None, "D", 11),
+            (900001, "BRAND NEW", "I", 12),
+            (900002, "EPHEMERAL", "I", 13),
+            (900002, None, "D", 14),  # later seq: delete wins
+        ],
+        "s_suppkey long, s_name string, op string, seq long",
+    )
+    base = sup.select("s_suppkey", "s_name")
+    ch = changes.select("s_suppkey", "s_name", "op", "seq")
+    return merge_cdc(base, ch, ["s_suppkey"], op_col="op", seq_col="seq")
+
+
+ORACLE_Q80 = """
+with changes(s_suppkey, s_name, op, seq) as (values
+  (1, 'UPDATED NAME', 'U', 10),
+  (2, NULL, 'D', 11),
+  (900001, 'BRAND NEW', 'I', 12),
+  (900002, 'EPHEMERAL', 'I', 13),
+  (900002, NULL, 'D', 14)),
+latest as (
+  select s_suppkey, s_name, op
+  from (select *, row_number() over (partition by s_suppkey
+                                     order by seq desc) rn from changes)
+  where rn = 1),
+kept as (
+  select s.s_suppkey, s.s_name from supplier s
+  where s.s_suppkey not in (select s_suppkey from latest))
+select cast(s_suppkey as bigint) as s_suppkey, s_name from kept
+union all
+select cast(s_suppkey as bigint), s_name from latest where op <> 'D'
+"""
+
+
+def q81_char_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language char-trigram profile (ext/textops.char_ngram_profile)
+    — the training side of n-gram language-ID; top-20 per language via
+    salted two-phase windows."""
+    return textops.char_ngram_profile(load(spark, sf_dir, "documents"))
+
+
+ORACLE_Q81 = """
+with grams as (
+  select lang, unnest(list_transform(
+           generate_series(1, greatest(length(text) - 2, 0)),
+           i -> text[i : i + 2])) as gram
+  from documents where length(text) >= 3),
+freq as (select lang, gram, cast(count(*) as bigint) as freq
+         from grams group by lang, gram),
+ranked as (
+  select lang, gram, freq,
+         row_number() over (partition by lang
+                            order by freq desc, gram) as rnk
+  from freq)
+select lang, gram, freq, cast(rnk as bigint) as rnk
+from ranked where rnk <= 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -2381,6 +2450,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q77_rarity_score": q77_rarity_score,
     "q78_budget_mix": q78_budget_mix,
     "q79_centroid_outliers": q79_centroid_outliers,
+    "q80_merge_cdc": q80_merge_cdc,
+    "q81_char_ngram_profile": q81_char_ngram_profile,
 }
 
 ORACLES: dict[str, str] = {
@@ -2463,4 +2534,6 @@ ORACLES: dict[str, str] = {
     "q77_rarity_score": ORACLE_Q77,
     "q78_budget_mix": ORACLE_Q78,
     "q79_centroid_outliers": ORACLE_Q79,
+    "q80_merge_cdc": ORACLE_Q80,
+    "q81_char_ngram_profile": ORACLE_Q81,
 }

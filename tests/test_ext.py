@@ -938,3 +938,50 @@ def test_centroid_outliers_flags_planted_outlier(spark):
     assert len(cent) == 1 and len(cent[0]["centroid"]) == dim
     # exact decimal mean: (10*1 + (-1))/11
     assert abs(cent[0]["centroid"][0] - 9.0 / 11.0) < 1e-15
+
+
+def test_merge_cdc_semantics(spark):
+    """Update wins, delete removes, insert lands, and a same-key
+    insert-then-delete (seq-ordered) nets out to absence."""
+    from sparksync.compare import merge_cdc
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, val string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a2", "U", 1),
+            (3, None, "D", 2),
+            (9, "new", "I", 3),
+            (10, "flash", "I", 4),
+            (10, None, "D", 5),
+            (11, None, "D", 6),  # delete of a missing key: no-op
+        ],
+        "id long, val string, op string, seq long",
+    )
+    out = {(r["id"], r["val"]) for r in
+           merge_cdc(target, changes, ["id"], seq_col="seq").collect()}
+    assert out == {(1, "a2"), (2, "b"), (9, "new")}
+    # without seq: every change row is latest; op alone decides
+    out2 = {(r["id"], r["val"]) for r in merge_cdc(
+        target,
+        spark.createDataFrame([(2, None, "D")], "id long, val string, op string"),
+        ["id"],
+    ).collect()}
+    assert out2 == {(1, "a"), (3, "c")}
+
+
+def test_char_ngram_profile_counts(spark):
+    """Trigram counts are exact and per-language; short texts drop."""
+    from sparksync.ext import textops
+
+    df = spark.createDataFrame(
+        [(1, "aaab", "x"), (2, "aaa", "x"), (3, "zz", "y")],
+        "doc_id long, text string, lang string",
+    )
+    out = {(r["lang"], r["gram"]): (r["freq"], r["rnk"])
+           for r in textops.char_ngram_profile(df, n=3, k=5).collect()}
+    # "aaab" -> aaa, aab ; "aaa" -> aaa ; "zz" too short
+    assert out[("x", "aaa")] == (2, 1)
+    assert out[("x", "aab")] == (1, 2)
+    assert not any(lang == "y" for lang, _ in out)

@@ -182,6 +182,36 @@ def test_incremental_dedup_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_char_ngram_profile_two_phase_windows(spark):
+    """char_ngram_profile must keep the vocab_topk discipline: BOTH
+    window phases (salted pre-rank + per-lang final) and no
+    single-partition sort."""
+    from sparksync.ext import textops
+    from sparksync.source import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = textops.char_ngram_profile(docs)._jdf.queryExecution() \
+        .sparkPlan().toString()
+    assert plan.count("Window") >= 2
+    assert "SinglePartition" not in plan
+
+
+def test_merge_cdc_no_collect_shape(spark):
+    """merge_cdc plans a left_anti + union — no cartesian, no
+    single-partition exchange over the snapshot side."""
+    from sparksync.compare import merge_cdc
+    from sparksync.source import load_table
+
+    sup = load_table(spark, SF_SMOKE, "supplier").select("s_suppkey", "s_name")
+    ch = sup.limit(3).selectExpr(
+        "s_suppkey", "s_name", "'U' as op", "cast(1 as long) as seq"
+    )
+    plan = merge_cdc(sup, ch, ["s_suppkey"], seq_col="seq")._jdf \
+        .queryExecution().sparkPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_minhash_hot_bucket_resplit_and_no_cartesian(spark):
     """Round-4 scale hardening (VERDICT r3 #1): minhash's banded join
     must (a) re-split oversized (band, key) buckets by the next band —
