@@ -113,6 +113,66 @@ def incremental_sync(
     )
 
 
+def cdc_apply_stream(
+    changes: DataFrame,
+    snapshot_path: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    op_col: str = "op",
+    seq_col: str | None = None,
+) -> StreamingQuery:
+    """Streaming CDC apply: a change FEED (op I/U/D + optional sequence
+    column) continuously folded into a parquet snapshot — the streaming
+    composition of compare.merge_cdc, and the shape a log-based
+    Oracle->lake replication lands on (the reference can only
+    truncate-and-reload, cmd/root.go:268).
+
+    Each micro-batch runs merge_cdc(current snapshot, batch) and
+    atomically swaps the snapshot directory (write tmp -> rename), so
+    readers always see a complete snapshot and a crashed batch is
+    retried from the checkpoint by Structured Streaming's exactly-once
+    foreachBatch contract. Per-batch cost scales with the change batch
+    plus one snapshot rewrite — at scale, swap the rewrite for a
+    partition-pruned merge over changed_partitions (compare.py) or a
+    MERGE INTO on a table format with row-level ops."""
+    import os
+    import shutil
+
+    from ..compare import merge_cdc
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if os.path.exists(snapshot_path):
+            target = spark.read.parquet(snapshot_path)
+            merged = merge_cdc(target, batch, keys, op_col, seq_col)
+        else:
+            latest = batch
+            if seq_col is not None:
+                from pyspark.sql import Window
+
+                w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+                latest = (
+                    batch.withColumn("_rn", F.row_number().over(w))
+                    .where(F.col("_rn") == 1)
+                    .drop("_rn")
+                )
+            merged = latest.where(F.col(op_col) != "D").drop(
+                op_col, *([seq_col] if seq_col else [])
+            )
+        tmp = snapshot_path + f".tmp_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(snapshot_path):
+            shutil.rmtree(snapshot_path)
+        os.rename(tmp, snapshot_path)
+
+    return (
+        changes.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def dedup_stream(events: DataFrame, keys: list[str] | None = None, late: str = "2 hours") -> DataFrame:
     """Streaming exact dedup: dropDuplicatesWithinWatermark keeps state
     only for the watermark horizon, so distinct-key state is bounded —

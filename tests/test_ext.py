@@ -985,3 +985,28 @@ def test_char_ngram_profile_counts(spark):
     assert out[("x", "aaa")] == (2, 1)
     assert out[("x", "aab")] == (1, 2)
     assert not any(lang == "y" for lang, _ in out)
+
+
+def test_multimodal_features_feed_ann_pipeline(spark):
+    """End-to-end plumbing: fake-decoded media features (array<double>,
+    FEATURE_DIM-wide) flow straight into the similarity operators —
+    brute kNN over extracted features and centroid outliers over the
+    same — proving the multimodal schema composes with the ANN surface
+    without adapters. Decode stays honestly stubbed; everything
+    downstream is the real engine path."""
+    from sparksync.ext import multimodal, similarity
+
+    rows = [
+        (i, "image", bytes([i]) * (50 + i), 4, 4) for i in range(20)
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = multimodal.extract_features(media, fake=True)
+    emb = feats.select(
+        F.col("media_id").alias("vec_id"),
+        F.col("features").alias("embedding"),
+        F.lit(0).alias("label"),
+    )
+    knn = similarity.knn_brute(emb, query_id=0, k=5).collect()
+    assert len(knn) == 5 and all(r["neighbor_id"] != 0 for r in knn)
+    out = similarity.centroid_outliers(emb, top_n=3).collect()
+    assert len(out) == 3 and out[0]["rnk"] == 1

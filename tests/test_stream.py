@@ -247,3 +247,41 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     batch_pairs = {(r["l_event_id"], r["r_event_id"]) for r in batch.collect()}
     assert got_pairs == batch_pairs
     assert len(got_pairs) > 0
+
+
+def test_cdc_apply_stream_two_batches(spark, tmp_path):
+    """Streaming CDC apply: batch 1 seeds the snapshot (inserts, with
+    one in-batch insert-then-delete netting out); batch 2 updates,
+    deletes, and inserts against the live snapshot. The final snapshot
+    equals applying merge_cdc twice in batch."""
+    src = str(tmp_path / "changes")
+    snap = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "ckpt")
+
+    b1 = spark.createDataFrame(
+        [
+            (1, "one", "I", 10),
+            (2, "two", "I", 11),
+            (3, "flash", "I", 12),
+            (3, None, "D", 13),  # nets out within the batch
+        ],
+        "id long, val string, op string, seq long",
+    )
+    b1.write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    s = stream.read_event_stream(spark, src, schema, max_files=10)
+    q = stream.cdc_apply_stream(s, snap, ckpt, ["id"], seq_col="seq")
+    q.awaitTermination(120)
+    got1 = {(r["id"], r["val"]) for r in spark.read.parquet(snap).collect()}
+    assert got1 == {(1, "one"), (2, "two")}
+
+    b2 = spark.createDataFrame(
+        [(1, "one-v2", "U", 20), (2, None, "D", 21), (7, "seven", "I", 22)],
+        "id long, val string, op string, seq long",
+    )
+    b2.write.mode("append").parquet(src)
+    s2 = stream.read_event_stream(spark, src, schema, max_files=10)
+    q2 = stream.cdc_apply_stream(s2, snap, ckpt, ["id"], seq_col="seq")
+    q2.awaitTermination(120)
+    got2 = {(r["id"], r["val"]) for r in spark.read.parquet(snap).collect()}
+    assert got2 == {(1, "one-v2"), (7, "seven")}
