@@ -323,3 +323,51 @@ def budget_mix(
         .where(F.col("cum_tokens") <= F.col("_budget"))
         .drop("_budget")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking: split each doc's token stream
+    into windows of `chunk_tokens` advancing by chunk_tokens - overlap
+    — the step that fits long documents into a model's context window
+    while preserving boundary context. Output: (id, chunk_id, n_tokens,
+    chunk_text); the final partial window is kept iff it adds tokens
+    beyond the previous window's coverage (starts past the last full
+    window). Tokenless docs drop.
+
+    Shape: one narrow map builds the chunk ARRAY per doc with
+    sequence+transform+slice (no per-token explode — the token stream
+    never leaves the row), then a single posexplode emits chunk rows.
+    Engine-replayable: the same recipe writes as generate_series +
+    list slicing in DuckDB SQL."""
+    from .textops import tokens
+
+    step = chunk_tokens - overlap
+    if step <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # starts: 1, 1+step, ... while start <= n (1-based slice index);
+    # a start past n-overlap would only repeat covered tokens, so the
+    # last start is the largest 1+k*step <= greatest(n - overlap, 1)
+    starts = F.sequence(F.lit(1), F.greatest(n - overlap, F.lit(1)), F.lit(step))
+    chunks = F.transform(
+        starts, lambda s: F.slice(toks, s, F.lit(chunk_tokens))
+    )
+    return (
+        df.select(F.col(id_col), chunks.alias("_ch"))
+        .where(F.size("_ch") > 0)
+        .select(F.col(id_col), F.posexplode("_ch").alias("chunk_id", "_t"))
+        .where(F.size("_t") > 0)
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.size("_t").cast("long").alias("n_tokens"),
+            F.array_join("_t", " ").alias("chunk_text"),
+        )
+    )

@@ -2370,6 +2370,31 @@ from ranked where rnk <= 20
 """
 
 
+def q82_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (ext/sampling.chunk_documents): 64-token
+    windows with 8-token overlap — context-window preparation. One
+    narrow map per doc + one posexplode; no per-token explode."""
+    return sampling.chunk_documents(load(spark, sf_dir, "documents"))
+
+
+ORACLE_Q82 = """
+with base as (
+  select doc_id,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') as toks
+  from documents),
+sized as (select doc_id, toks, len(toks) as n from base where len(toks) > 0),
+chunks as (
+  select doc_id,
+         cast(s.i as bigint) // 56 as chunk_id,
+         toks[s.i + 1 : s.i + 64] as ctoks
+  from sized, lateral unnest(generate_series(0, greatest(n - 8 - 1, 0), 56)) as s(i))
+select doc_id, chunk_id,
+       cast(len(ctoks) as bigint) as n_tokens,
+       list_aggregate(ctoks, 'string_agg', ' ') as chunk_text
+from chunks where len(ctoks) > 0
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -2452,6 +2477,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q79_centroid_outliers": q79_centroid_outliers,
     "q80_merge_cdc": q80_merge_cdc,
     "q81_char_ngram_profile": q81_char_ngram_profile,
+    "q82_chunk_documents": q82_chunk_documents,
 }
 
 ORACLES: dict[str, str] = {
@@ -2536,4 +2562,5 @@ ORACLES: dict[str, str] = {
     "q79_centroid_outliers": ORACLE_Q79,
     "q80_merge_cdc": ORACLE_Q80,
     "q81_char_ngram_profile": ORACLE_Q81,
+    "q82_chunk_documents": ORACLE_Q82,
 }

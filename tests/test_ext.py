@@ -1010,3 +1010,28 @@ def test_multimodal_features_feed_ann_pipeline(spark):
     assert len(knn) == 5 and all(r["neighbor_id"] != 0 for r in knn)
     out = similarity.centroid_outliers(emb, top_n=3).collect()
     assert len(out) == 3 and out[0]["rnk"] == 1
+
+
+def test_chunk_documents_windows(spark):
+    """Exact window math: 10 tokens, chunk 4, overlap 1 -> starts at
+    token 1,4,7 (step 3), windows [1-4],[4-7],[7-10]; coverage is total;
+    a short doc yields one whole-doc chunk; empty docs drop."""
+    from sparksync.ext import sampling
+
+    text = " ".join(f"t{i}" for i in range(1, 11))
+    df = spark.createDataFrame(
+        [(1, text), (2, "a b"), (3, "")], "doc_id long, text string"
+    )
+    out = sampling.chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["chunk_text"] for r in c1] == [
+        "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"
+    ]
+    assert all(r["n_tokens"] == 4 for r in c1)
+    assert [r["chunk_text"] for r in by_doc[2]] == ["a b"]
+    assert 3 not in by_doc
+    with pytest.raises(ValueError):
+        sampling.chunk_documents(df, chunk_tokens=4, overlap=4)
