@@ -63,6 +63,14 @@ def main(argv: list[str] | None = None) -> int:
     skew_p.add_argument("--table", required=True)
     skew_p.add_argument("--key", required=True)
     skew_p.add_argument("--top-k", type=int, default=10)
+    prep = sub.add_parser("prep")  # corpus-prep pipeline to parquet (X-surface)
+    prep.add_argument("--table", default="documents")
+    prep.add_argument("--lang", default="en", help="pred_lang to keep ('' = all)")
+    prep.add_argument(
+        "--splits",
+        default="train:0.8,val:0.1,test:0.1",
+        help="name:weight list for the deterministic split",
+    )
     args = p.parse_args(argv)
 
     cfg = None
@@ -204,6 +212,43 @@ def main(argv: list[str] | None = None) -> int:
         for r in key_skew_stats(
             job._read_source(args.table), args.key, top_k=args.top_k
         ).collect():
+            print(json.dumps(r.asDict()))
+        return 0
+    if args.cmd == "prep":
+        # the q50 corpus-prep composition as a WRITING pipeline: lang ->
+        # quality -> exact dedup -> deterministic split, one parquet
+        # output per split plus a summary line. All narrow stages fuse;
+        # the shuffles are the dedup groupBy and the per-split counts.
+        from pyspark.sql import functions as F
+
+        from .ext import sampling, textops
+
+        docs = job._read_source(args.table)
+        if args.lang:
+            lang_ids = textops.language_id(docs).where(
+                F.col("pred_lang") == args.lang
+            )
+            docs = docs.join(lang_ids.select("doc_id"), "doc_id")
+        qual = textops.quality_score(docs).where(F.col("keep") == 1)
+        kept = docs.join(qual.select("doc_id", "n_tokens"), "doc_id")
+        deduped = kept.groupBy("text").agg(
+            F.min("doc_id").alias("doc_id"), F.min("n_tokens").alias("n_tokens")
+        )
+        weights = {
+            name: float(w)
+            for name, w in (kv.split(":") for kv in args.splits.split(","))
+        }
+        split = sampling.split_assign(deduped, "doc_id", weights, method="knuth")
+        for name in weights:
+            part = split.where(F.col("split") == name).select(
+                "doc_id", "text", "n_tokens"
+            )
+            job.sink.write(part, f"{args.table}_{name}")
+        summary = split.groupBy("split").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        for r in summary.orderBy("split").collect():
             print(json.dumps(r.asDict()))
         return 0
     if args.cmd == "dump-ddl":

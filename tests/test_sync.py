@@ -699,3 +699,25 @@ def test_cli_audit_subcommands(spark, tmp_path, capsys):
                  "--top-k", "3"]) == 0
     rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
     assert len(rows) == 3 and rows[0]["cnt"] >= rows[1]["cnt"] >= rows[2]["cnt"]
+
+
+def test_cli_prep_subcommand(spark, tmp_path, capsys):
+    """prep writes one parquet per split plus summary lines; split
+    totals equal the written row counts; '' lang keeps all languages."""
+    import json as _json
+
+    from sparksync.cli import main
+
+    out = tmp_path / "prep_out"
+    assert main(["--src", SF_SMOKE, "--dest", str(out), "prep"]) == 0
+    lines = [
+        _json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+        if line.startswith("{")
+    ]
+    by_split = {r["split"]: r for r in lines}
+    assert set(by_split) == {"train", "val", "test"}
+    for name, row in by_split.items():
+        got = spark.read.parquet(str(out / f"documents_{name}.parquet"))
+        assert got.count() == row["n_docs"] > 0
+        assert set(got.columns) == {"doc_id", "text", "n_tokens"}
