@@ -42,6 +42,9 @@ HEADLINE = [
     "q36_simhash_pairs",
     # capstone: full corpus-prep pipeline (lang -> quality -> dedup -> split)
     "q50_corpus_prep",
+    # round-4 additions: vocab-join scoring + narrow chunking map
+    "q77_rarity_score",
+    "q82_chunk_documents",
 ]
 
 

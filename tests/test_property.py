@@ -127,3 +127,67 @@ def test_greedy_pack_invariants(costs, budget):
     for s in range(1, len(fills)):
         first_cost = next(c for sq, c in zip(seq_ids, costs) if sq == s)
         assert fills[s - 1] + first_cost > budget
+
+
+def test_merge_cdc_matches_python_model(spark):
+    """Seeded randomized scenarios replayed against a dict-based model:
+    apply changes in seq order per key (latest wins), delete removes —
+    the Spark result must equal the model exactly."""
+    import random
+
+    from sparksync.compare import merge_cdc
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        target_rows = [(k, f"v{k}") for k in range(20) if rng.random() < 0.7]
+        changes = []
+        for seq in range(30):
+            k = rng.randrange(30)
+            op = rng.choice(["I", "U", "D"])
+            changes.append((k, None if op == "D" else f"c{seq}", op, seq))
+        model = dict(target_rows)
+        latest: dict[int, tuple] = {}
+        for k, v, op, seq in changes:
+            latest[k] = (v, op, seq)  # seq strictly increasing -> last wins
+        for k, (v, op, _seq) in latest.items():
+            if op == "D":
+                model.pop(k, None)
+            else:
+                model[k] = v
+        t = spark.createDataFrame(target_rows, "id long, val string")
+        c = spark.createDataFrame(changes, "id long, val string, op string, seq long")
+        got = {(r["id"], r["val"]) for r in merge_cdc(t, c, ["id"], seq_col="seq").collect()}
+        assert got == set(model.items()), f"seed {seed}"
+
+
+def test_budget_mix_matches_python_model(spark):
+    """The admitted set equals the Python replay of the Knuth-ordered
+    greedy admission, for several seeds and budget mixes."""
+    import random
+
+    from sparksync.ext.sampling import _KNUTH_A, BUCKETS, budget_mix
+
+    for seed in (3, 9):
+        rng = random.Random(seed)
+        rows = [
+            (i, rng.choice(["a", "b", "c"]), "w " * rng.randrange(1, 9))
+            for i in range(120)
+        ]
+        budgets = {"a": 40, "b": 15}
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        got = {(r["doc_id"], r["cum_tokens"]) for r in
+               budget_mix(df, "source", budgets, "doc_id").collect()}
+        model = set()
+        for grp, budget in budgets.items():
+            ordered = sorted(
+                (r for r in rows if r[1] == grp),
+                key=lambda r: ((r[0] * _KNUTH_A) % BUCKETS, r[0]),
+            )
+            cum = 0
+            for doc_id, _g, text in ordered:
+                n = len([t for t in text.split(" ") if t])
+                cum += n
+                if cum > budget:
+                    break
+                model.add((doc_id, cum))
+        assert got == model, f"seed {seed}"
