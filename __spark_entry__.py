@@ -21,9 +21,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _rotated(d: dict) -> dict:
     """The driver's CORRECTNESS report samples at most 50 queries; round
-    3's report covered q01-q50 and left q51-q76 with no hard driver
+    3's report covered q01-q50 and left q51+ with no hard driver
     signal (VERDICT r3 #7). Register the ported surface (q01-q17)
-    first, then the NEWEST extension block (q51-q76), then the rest, so
+    first, then the NEWEST extension block (q51-q82), then the rest, so
     a positional cap samples the operators that changed most recently.
     The full sweep is still committed per round as
     tools/selfcheck_r{N}.log, and every key keeps its name — only dict
