@@ -677,6 +677,114 @@ def hamming_pairs(
     )
 
 
+def hamming_join(
+    left: DataFrame,
+    right: DataFrame,
+    col: str = "text",
+    max_dist: int = 2,
+    id_col: str = "doc_id",
+    bucket_cap: int | None = 10_000,
+) -> DataFrame:
+    """Cross-TABLE Hamming join: (left_id, right_id, dist) for every
+    pair with dist <= max_dist between EQUAL-LENGTH strings of two
+    different tables — the record-linkage join (new batch vs master
+    list, supplier names vs vendor registry) that hamming_pairs'
+    self-join cannot express. NULL strings never match.
+
+    Same PassJoin banding as hamming_pairs: max_dist+1 contiguous
+    segments, pigeonhole guarantees an untouched segment, candidates
+    come from the (length, band, segment) equi-join, verification is a
+    codegen zip_with mismatch count. The bucket-cap census runs over
+    the RIGHT side only (the master/reference list — pass the larger
+    or skew-prone side there) and the re-split decision applies to
+    BOTH sides so matching pairs cannot be split apart (the
+    minhash_dedup_pairs_cross discipline); dist-0 pairs always
+    survive."""
+    n_bands = max_dist + 1
+
+    def keyed_side(df: DataFrame, side_id: str) -> DataFrame:
+        length = F.length(F.col(col))
+
+        def seg(b: int) -> F.Column:
+            lo = F.floor(length * b / n_bands)
+            hi = F.floor(length * (b + 1) / n_bands)
+            return F.substring(
+                F.col(col), (lo + 1).cast("int"), (hi - lo).cast("int")
+            )
+
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    seg(b).alias("seg"),
+                    seg((b + 1) % n_bands).alias("nxt"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+        return (
+            df.select(
+                F.col(id_col).alias(side_id),
+                F.col(col).alias(f"_s_{side_id}"),
+                length.alias("_len"),
+                F.explode(bands).alias("bk"),
+            )
+            .select(
+                side_id,
+                f"_s_{side_id}",
+                "_len",
+                F.col("bk.band").alias("band"),
+                F.col("bk.seg").alias("seg"),
+                F.col("bk.nxt").alias("nxt"),
+            )
+        )
+
+    kl = keyed_side(left, "left_id")
+    kr = keyed_side(right, "right_id")
+    if bucket_cap is not None:
+        oversized = (
+            kr.groupBy("_len", "band", "seg")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > bucket_cap)
+            .select("_len", "band", "seg", F.lit(True).alias("_over"))
+        )
+
+        def cap(keyed: DataFrame, keep: list[str]) -> DataFrame:
+            return keyed.join(
+                F.broadcast(oversized), ["_len", "band", "seg"], "left"
+            ).select(
+                *keep,
+                "_len",
+                "band",
+                F.when(
+                    F.col("_over"),
+                    F.concat(F.col("seg"), F.lit(chr(30)), F.col("nxt")),
+                )
+                .otherwise(F.col("seg"))
+                .alias("seg"),
+            )
+
+        kl = cap(kl, ["left_id", "_s_left_id"])
+        kr = cap(kr, ["right_id", "_s_right_id"])
+    mism = F.size(
+        F.filter(
+            F.zip_with(
+                F.split(F.col("_s_left_id"), ""),
+                F.split(F.col("_s_right_id"), ""),
+                lambda x, y: x != y,
+            ),
+            lambda v: v,
+        )
+    ).cast("long")
+    return (
+        kl.join(kr, ["_len", "band", "seg"])
+        .withColumn("dist", mism)
+        .where(F.col("dist") <= max_dist)
+        .select("left_id", "right_id", "dist")
+        .dropDuplicates(["left_id", "right_id"])
+    )
+
+
 def normalized_dedup(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

