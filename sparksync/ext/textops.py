@@ -520,3 +520,59 @@ def char_ngram_profile(
         .where(F.col("rnk") <= k)
         .select(lang_col, "gram", F.col("freq").cast("long").alias("freq"), "rnk")
     )
+
+
+def corpus_filter_report(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document filter VERDICT composing the pipeline's narrow
+    quality gates — language (en), quality_score's keep rule, and
+    repetition_stats' keep rule — into one row per doc with the
+    individual flags, the combined keep, and the FIRST failing gate as
+    a reason string (null when kept). The operational view a corpus
+    curator reads before committing a filter config: which gate is
+    responsible for how much loss.
+
+    All three gates are narrow array/string math over the same token
+    split, re-derived inline so the report is ONE codegen map over the
+    scan — zero shuffles, zero joins, runs at scan speed at any corpus
+    size (composing the three operators' DataFrames would cost two
+    doc_id shuffles for identical output)."""
+    t = F.col(text_col)
+    toks = tokens(text_col)
+    n = F.size(toks).cast("long")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_cnt = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    stop_ratio = F.when(
+        n > 0, stop_cnt.cast("double") / n.cast("double")
+    ).otherwise(F.lit(0.0))
+    is_en = (
+        t.like("% the %") | t.like("the %") | t.like("% the")
+    ).cast("long")
+    q_keep = (
+        (n >= 20) & (n <= 1000) & (stop_ratio < 0.5)
+    ).cast("long")
+    uniq = F.size(F.array_distinct(toks)).cast("long")
+    grams = _bigrams(toks)
+    n2 = F.size(grams).cast("long")
+    uniq2 = F.size(F.array_distinct(grams)).cast("long")
+    dup_tok = F.when(
+        n > 0, F.lit(1.0) - uniq.cast("double") / n.cast("double")
+    ).otherwise(F.lit(0.0))
+    dup_2g = F.when(
+        n2 > 0, F.lit(1.0) - uniq2.cast("double") / n2.cast("double")
+    ).otherwise(F.lit(0.0))
+    rep_keep = ((dup_tok <= 0.6) & (dup_2g <= 0.05)).cast("long")
+    keep = ((is_en == 1) & (q_keep == 1) & (rep_keep == 1)).cast("long")
+    reason = (
+        F.when(is_en == 0, F.lit("lang"))
+        .when(q_keep == 0, F.lit("quality"))
+        .when(rep_keep == 0, F.lit("repetition"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return df.select(
+        F.col("doc_id"),
+        is_en.alias("is_en"),
+        q_keep.alias("q_keep"),
+        rep_keep.alias("rep_keep"),
+        keep.alias("keep"),
+        reason.alias("reason"),
+    )

@@ -2425,6 +2425,58 @@ where len(list_filter(
 """
 
 
+def q84_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-filter verdict report (ext/textops.corpus_filter_report):
+    per-doc lang/quality/repetition flags, combined keep, and the first
+    failing gate as the reason — one codegen map, zero shuffles."""
+    return textops.corpus_filter_report(load(spark, sf_dir, "documents"))
+
+
+ORACLE_Q84 = """
+with m as (
+  select doc_id, text,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') as toks
+  from documents),
+f as (
+  select doc_id,
+         len(toks) as n,
+         len(list_filter(toks, x -> x in ('the','a','of'))) as stop_cnt,
+         len(list_distinct(toks)) as uniq,
+         case when len(toks) >= 2
+              then len(toks) - 1 else 0 end as n2,
+         case when len(toks) >= 2
+              then len(list_distinct(list_transform(
+                     generate_series(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i + 1])))
+              else 0 end as uniq2,
+         (text like '% the %' or text like 'the %' or text like '% the')
+           as en
+  from m),
+v as (
+  select doc_id,
+         cast(case when en then 1 else 0 end as bigint) as is_en,
+         cast(case when n >= 20 and n <= 1000
+                    and (case when n > 0
+                         then cast(stop_cnt as double) / n else 0.0 end) < 0.5
+              then 1 else 0 end as bigint) as q_keep,
+         cast(case when
+                (case when n > 0
+                      then 1.0 - cast(uniq as double) / n else 0.0 end) <= 0.6
+                and
+                (case when n2 > 0
+                      then 1.0 - cast(uniq2 as double) / n2 else 0.0 end) <= 0.05
+              then 1 else 0 end as bigint) as rep_keep
+  from f)
+select doc_id, is_en, q_keep, rep_keep,
+       cast(case when is_en = 1 and q_keep = 1 and rep_keep = 1
+            then 1 else 0 end as bigint) as keep,
+       case when is_en = 0 then 'lang'
+            when q_keep = 0 then 'quality'
+            when rep_keep = 0 then 'repetition' end as reason
+from v
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -2509,6 +2561,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q81_char_ngram_profile": q81_char_ngram_profile,
     "q82_chunk_documents": q82_chunk_documents,
     "q83_hamming_join": q83_hamming_join,
+    "q84_filter_report": q84_filter_report,
 }
 
 ORACLES: dict[str, str] = {
@@ -2595,4 +2648,5 @@ ORACLES: dict[str, str] = {
     "q81_char_ngram_profile": ORACLE_Q81,
     "q82_chunk_documents": ORACLE_Q82,
     "q83_hamming_join": ORACLE_Q83,
+    "q84_filter_report": ORACLE_Q84,
 }

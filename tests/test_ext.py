@@ -1060,3 +1060,24 @@ def test_hamming_join_cross_table(spark):
                                             bucket_cap=1).collect()}
     assert (1, 11) in capped
     assert capped <= set(got)
+
+
+def test_filter_report_consistent_with_components(spark, docs):
+    """The inlined report must agree flag-for-flag with language_id,
+    quality_score, and repetition_stats — and plan ZERO exchanges."""
+    from sparksync.ext import textops
+
+    rep = {r["doc_id"]: r for r in textops.corpus_filter_report(docs).collect()}
+    lang = {r["doc_id"]: r["pred_lang"] for r in textops.language_id(docs).collect()}
+    qual = {r["doc_id"]: r["keep"] for r in textops.quality_score(docs).collect()}
+    reps = {r["doc_id"]: r["keep"] for r in textops.repetition_stats(docs).collect()}
+    for d, r in rep.items():
+        assert r["is_en"] == (1 if lang[d] == "en" else 0), d
+        assert r["q_keep"] == qual[d], d
+        assert r["rep_keep"] == reps[d], d
+        assert r["keep"] == (r["is_en"] and r["q_keep"] and r["rep_keep"]), d
+        if r["keep"]:
+            assert r["reason"] is None
+    plan = textops.corpus_filter_report(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
