@@ -104,3 +104,65 @@ def key_skew_stats(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
             / F.col("_total").cast("double")
         ).alias("skew_factor"),
     )
+
+
+def approx_distinct_kmv(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    n_salts: int = 32,
+) -> DataFrame:
+    """ENGINE-PORTABLE approximate distinct count per group via a KMV
+    (k-minimum-values) sketch — the deterministic complement of
+    approx_count_distinct: Spark's HLL++ estimate is engine-internal
+    (rows-only gate q48), while KMV over a portable md5-derived 60-bit
+    hash replays EXACTLY in any engine with md5, so the estimate itself
+    is oracle-checkable. Output: (group, n_distinct) where n_distinct
+    is exact when the group has <= k distinct values (the kth minimum
+    doesn't exist -> the sketch IS the value set) and the KMV estimator
+    floor((k-1) * 2^60 / h_k) otherwise.
+
+    Scale shape: one (group, hash) groupBy collapses duplicates with
+    map-side combine, then k-min per group in TWO window phases (the
+    vocab_topk salt discipline — no task ever sorts a whole group's
+    distinct set; phase 2 sorts <= n_salts*k rows per group), then one
+    tiny per-group aggregate. Memory is O(k) per group by construction
+    — the property that lets a 100 TB cardinality profile run in fixed
+    memory, while staying bit-reproducible across engines."""
+    from pyspark.sql import Window
+
+    from .dedup import md5_token_hash
+
+    h = md5_token_hash(F.col(value_col).cast("string"))
+    distinct = (
+        df.where(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("grp"), h.alias("h"))
+        .groupBy("grp", "h")
+        .agg(F.count(F.lit(1)).alias("_dup"))
+        .drop("_dup")
+    )
+    w_salt = Window.partitionBy("grp", "_salt").orderBy("h")
+    w_grp = Window.partitionBy("grp").orderBy("h")
+    kmin = (
+        distinct.withColumn("_salt", F.pmod(F.col("h"), F.lit(n_salts)))
+        .withColumn("_r", F.row_number().over(w_salt))
+        .where(F.col("_r") <= k)
+        .withColumn("_rn", F.row_number().over(w_grp))
+        .where(F.col("_rn") <= k)
+    )
+    space = float(2**60)
+    est = F.floor(F.lit(float(k - 1)) * F.lit(space) / F.col("_hk")).cast("long")
+    return (
+        kmin.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("_nk"),
+            F.max("h").alias("_hk"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            F.when(F.col("_nk") < k, F.col("_nk").cast("long"))
+            .otherwise(est)
+            .alias("n_distinct"),
+        )
+    )

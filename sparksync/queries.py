@@ -2477,6 +2477,35 @@ from v
 """
 
 
+def q85_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable KMV approximate-distinct (ext/skew.approx_distinct_kmv):
+    distinct users per event type via a k-minimum-values sketch over the
+    md5-derived 60-bit hash — unlike q48's HLL++ (engine-internal,
+    rows-only), the KMV estimate replays EXACTLY in DuckDB, so the
+    approximate answer itself is oracle-checked."""
+    from .ext import skew
+
+    return skew.approx_distinct_kmv(
+        load(spark, sf_dir, "events"), "event_type", "user_id", k=64
+    )
+
+
+ORACLE_Q85 = """
+with d as (
+  select event_type as grp,
+         cast('0x' || substring(md5(cast(user_id as varchar)), 1, 15) as bigint) as h
+  from events where user_id is not null
+  group by 1, 2),
+r as (select grp, h, row_number() over (partition by grp order by h) as rn from d)
+select grp as event_type,
+       cast(case when max(rn) < 64 then max(rn)
+            else floor(63.0 * 1152921504606846976.0
+                       / max(case when rn = 64 then h end))
+            end as bigint) as n_distinct
+from r where rn <= 64 group by grp
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -2562,6 +2591,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q82_chunk_documents": q82_chunk_documents,
     "q83_hamming_join": q83_hamming_join,
     "q84_filter_report": q84_filter_report,
+    "q85_kmv_distinct": q85_kmv_distinct,
 }
 
 ORACLES: dict[str, str] = {
@@ -2649,4 +2679,5 @@ ORACLES: dict[str, str] = {
     "q82_chunk_documents": ORACLE_Q82,
     "q83_hamming_join": ORACLE_Q83,
     "q84_filter_report": ORACLE_Q84,
+    "q85_kmv_distinct": ORACLE_Q85,
 }

@@ -1081,3 +1081,21 @@ def test_filter_report_consistent_with_components(spark, docs):
     plan = textops.corpus_filter_report(docs)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_kmv_distinct_accuracy_and_exactness(spark):
+    """KMV: exact when distinct <= k; within ~25% of truth (k=64 ->
+    ~12.5% stderr) when estimating; deterministic across runs."""
+    from sparksync.ext import skew
+
+    rows = [("small", i % 10) for i in range(200)] + [
+        ("big", i * 7919) for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    out = {r["grp"]: r["n_distinct"]
+           for r in skew.approx_distinct_kmv(df, "grp", "v", k=64).collect()}
+    assert out["small"] == 10  # <= k -> exact
+    assert abs(out["big"] - 5000) / 5000 < 0.25, out["big"]
+    again = {r["grp"]: r["n_distinct"]
+             for r in skew.approx_distinct_kmv(df, "grp", "v", k=64).collect()}
+    assert out == again
