@@ -296,6 +296,50 @@ def minhash_dedup_pairs(
     sig = minhash_signatures(shingles(df, id_col, text_col), id_col, k=bands * rows)
     if persist_signatures:
         sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    # banded join + exact verify live in minhash_pairs_from_signatures
+    # (shared with the precomputed-signature deployment path). The
+    # verify joins the exploded candidate ids into ONE pass over the
+    # shingle arrays and pairs each candidate's arrays with
+    # min_by/max_by; only candidate docs' arrays shuffle, and the
+    # data-dependent candidate set carries no broadcast hint — AQE
+    # decides at runtime.
+    return minhash_pairs_from_signatures(
+        sig, arrs, threshold, id_col, bands, rows, bucket_cap
+    )
+
+
+def minhash_signature_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """The PERSISTABLE signature table for a real deployment: (id, h0..
+    hK-1), one K-wide row per doc. Write it once per corpus snapshot
+    (parquet/bucketed-by-id); every later dedup run — incremental
+    (minhash_dedup_pairs_cross) or full — starts from this table
+    instead of re-tokenizing 100 TB of text. At ~8*K bytes/doc the
+    table is ~0.5% the size of a 100 KB-doc corpus."""
+    return minhash_signatures(shingles(df, id_col, text_col), id_col, k=bands * rows)
+
+
+def minhash_pairs_from_signatures(
+    sig: DataFrame,
+    arrs: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    bucket_cap: int | None = 10_000,
+) -> DataFrame:
+    """minhash_dedup_pairs' banded-join + exact-verify tail, starting
+    from a PRECOMPUTED signature table (minhash_signature_table, read
+    back from storage) and the shingle arrays for verification.
+    Composing minhash_signature_table |> minhash_pairs_from_signatures
+    is semantically identical to minhash_dedup_pairs (pinned by test)
+    — the split exists so the expensive signature pass can be paid
+    once per corpus snapshot instead of once per dedup run."""
     buckets = _cap_buckets(_band_buckets(sig, id_col, bands, rows), id_col, bucket_cap)
     l = buckets.select(F.col(id_col).alias("d1"), "band", "key")
     r = buckets.select(F.col(id_col).alias("d2"), "band", "key")
@@ -305,13 +349,6 @@ def minhash_dedup_pairs(
         .select("d1", "d2")
         .distinct()
     )
-    # exact verify on candidate pairs only. One pass over the shingle
-    # arrays (tokenization is the expensive narrow work — joining arrs
-    # twice would recompute it twice): join the exploded candidate
-    # ids, then pair each candidate's two arrays with min_by/max_by on
-    # the (d1 < d2) ordering. Only candidate docs' arrays shuffle, and
-    # only into the tiny per-pair groupBy. No broadcast hint: the
-    # candidate count is data-dependent, so AQE decides at runtime.
     pair_ids = cand.select(
         "d1", "d2", F.explode(F.array("d1", "d2")).alias(id_col)
     )

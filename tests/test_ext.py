@@ -1099,3 +1099,24 @@ def test_kmv_distinct_accuracy_and_exactness(spark):
     again = {r["grp"]: r["n_distinct"]
              for r in skew.approx_distinct_kmv(df, "grp", "v", k=64).collect()}
     assert out == again
+
+
+def test_signature_table_roundtrip_equals_inline(spark, docs, tmp_path):
+    """Write the signature table to parquet, read it back, run the
+    banded tail from storage: results must equal minhash_dedup_pairs
+    computed inline — the once-per-snapshot signature economics."""
+    from sparksync.ext import dedup
+
+    sig_path = str(tmp_path / "signatures.parquet")
+    dedup.minhash_signature_table(docs).write.parquet(sig_path)
+    sig = spark.read.parquet(sig_path)
+    arrs = dedup.shingle_arrays(docs)
+    from_store = {
+        (r["d1"], r["d2"])
+        for r in dedup.minhash_pairs_from_signatures(sig, arrs, 0.8).collect()
+    }
+    inline = {
+        (r["d1"], r["d2"])
+        for r in dedup.minhash_dedup_pairs(docs, 0.8).collect()
+    }
+    assert from_store == inline and len(inline) > 0
