@@ -1120,3 +1120,27 @@ def test_signature_table_roundtrip_equals_inline(spark, docs, tmp_path):
         for r in dedup.minhash_dedup_pairs(docs, 0.8).collect()
     }
     assert from_store == inline and len(inline) > 0
+
+
+def test_round4_ops_handle_empty_input(spark):
+    """Every round-4 operator degrades to an empty (or identity) result
+    on an empty input instead of raising — the edge a scheduled
+    pipeline hits on a quiet day."""
+    from sparksync.compare import merge_cdc
+    from sparksync.ext import dedup, sampling, similarity, skew, textops
+
+    docs = spark.createDataFrame([], "doc_id long, text string, lang string")
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+    assert textops.rarity_score(docs).count() == 0
+    assert textops.char_ngram_profile(docs).count() == 0
+    assert textops.corpus_filter_report(docs).count() == 0
+    assert sampling.budget_mix(docs, "lang", {"en": 10}, "doc_id").count() == 0
+    assert sampling.chunk_documents(docs).count() == 0
+    assert similarity.centroid_outliers(emb).count() == 0
+    assert skew.approx_distinct_kmv(docs, "lang", "doc_id").count() == 0
+    assert dedup.hamming_join(docs, docs, col="text").count() == 0
+    target = spark.createDataFrame([(1, "a")], "id long, val string")
+    empty_changes = spark.createDataFrame([], "id long, val string, op string, seq long")
+    got = {(r["id"], r["val"]) for r in
+           merge_cdc(target, empty_changes, ["id"], seq_col="seq").collect()}
+    assert got == {(1, "a")}  # empty change batch is identity
