@@ -568,3 +568,62 @@ def centroid_outliers(
         [F.col("cos").asc(), F.col(id_col)],
         [id_col, "label", "rnk"],
     )
+
+
+def ivf_search_batch(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """ANN for MANY queries against the IVF index in one corpus pass —
+    the production retrieval shape (knn_batch is its exact/brute
+    counterpart). Each query probes its nprobe nearest clusters; the
+    corpus joins the broadcast (query, probed-cluster) set on the
+    cluster id, so a vector is scored only for the queries probing its
+    cluster — total score work ~ |queries| * corpus/(
+    n_centroids/nprobe), not |queries| * corpus. Ranking is a window
+    PARTITIONED by query id (parallel, never a global sort). Output:
+    (query_id, neighbor_id, rnk), deterministic tie-break."""
+    assign = ivf_assign(emb, n_centroids, id_col, vec_col, centroids=centroids)
+    e = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
+    cent = (
+        centroids
+        if centroids is not None
+        else _default_centroids(e, n_centroids, id_col)
+    )
+    q = e.where(F.col(id_col).isin([int(x) for x in query_ids])).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("cid")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "qv", "cid", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+        .withColumn("_pr", F.row_number().over(w_probe))
+        .where(F.col("_pr") <= nprobe)
+        .select("query_id", "qv", "cid")
+    )
+    scored = (
+        e.join(assign, id_col)
+        .join(
+            F.broadcast(probes), assign["centroid_id"] == probes["cid"]
+        )
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id", F.col(id_col), cosine(F.col("v"), F.col("qv")).alias("cos")
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_rank).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "rnk")
+    )

@@ -2506,6 +2506,54 @@ from r where rn <= 64 group by grp
 """
 
 
+def q86_ivf_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched IVF ANN (ext/similarity.ivf_search_batch): top-5
+    neighbors for 4 query vectors through the seed-centroid index,
+    nprobe=3 of 8 clusters — one corpus pass for the whole batch."""
+    return similarity.ivf_search_batch(
+        load(spark, sf_dir, "embeddings"),
+        query_ids=[100, 101, 102, 103],
+        k=5,
+        nprobe=3,
+    )
+
+
+ORACLE_Q86 = """
+with c as (select vec_id as cid,
+                  list_transform(embedding, x -> cast(x as double)) as cv
+           from embeddings where vec_id < 8),
+v as (select vec_id, list_transform(embedding, x -> cast(x as double)) as vv
+      from embeddings),
+assign as (
+  select vec_id, cid as centroid_id from (
+    select v.vec_id, c.cid,
+           row_number() over (partition by v.vec_id
+                              order by list_cosine_similarity(vv, cv) desc, c.cid) rn
+    from v, c) where rn = 1),
+q as (select vec_id as query_id, vv as qv from v
+      where vec_id in (100, 101, 102, 103)),
+probes as (
+  select query_id, qv, cid from (
+    select q.query_id, q.qv, c.cid,
+           row_number() over (partition by q.query_id
+                              order by list_cosine_similarity(qv, cv) desc, c.cid) pr
+    from q, c) where pr <= 3),
+scored as (
+  select p.query_id, v.vec_id,
+         list_cosine_similarity(v.vv, p.qv) as cos
+  from v join assign a using (vec_id)
+         join probes p on a.centroid_id = p.cid
+  where v.vec_id <> p.query_id)
+select query_id, vec_id as neighbor_id,
+       cast(rn as bigint) as rnk
+from (select query_id, vec_id, cos,
+             row_number() over (partition by query_id
+                                order by cos desc, vec_id) rn
+      from scored)
+where rn <= 5
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -2592,6 +2640,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q83_hamming_join": q83_hamming_join,
     "q84_filter_report": q84_filter_report,
     "q85_kmv_distinct": q85_kmv_distinct,
+    "q86_ivf_batch_search": q86_ivf_batch_search,
 }
 
 ORACLES: dict[str, str] = {
@@ -2680,4 +2729,5 @@ ORACLES: dict[str, str] = {
     "q83_hamming_join": ORACLE_Q83,
     "q84_filter_report": ORACLE_Q84,
     "q85_kmv_distinct": ORACLE_Q85,
+    "q86_ivf_batch_search": ORACLE_Q86,
 }

@@ -1144,3 +1144,18 @@ def test_round4_ops_handle_empty_input(spark):
     got = {(r["id"], r["val"]) for r in
            merge_cdc(target, empty_changes, ["id"], seq_col="seq").collect()}
     assert got == {(1, "a")}  # empty change batch is identity
+
+
+def test_ivf_batch_recall_vs_brute(emb):
+    """Batched IVF (nprobe=4/8) keeps most of the exact batched top-10
+    for every query in the batch — same bar as the single-query test."""
+    qids = [0, 5, 9]
+    brute = {}
+    for r in similarity.knn_batch(emb, qids, k=10).collect():
+        brute.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ivf = {}
+    for r in similarity.ivf_search_batch(emb, qids, k=10, nprobe=4).collect():
+        ivf.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for q in qids:
+        overlap = len(brute[q] & ivf.get(q, set()))
+        assert overlap >= 5, (q, sorted(brute[q]), sorted(ivf.get(q, set())))
