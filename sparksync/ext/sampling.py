@@ -371,3 +371,51 @@ def chunk_documents(
             F.array_join("_t", " ").alias("chunk_text"),
         )
     )
+
+
+def mixture_report(
+    df: DataFrame,
+    group_col: str,
+    targets: dict[str, float] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group corpus mixture: doc and token counts, each group's
+    token SHARE of the corpus, and (when a target mixture is given) the
+    delta to the target — the planning view read before setting
+    budget_mix budgets ("web is 12 points over target"). Groups absent
+    from `targets` get a NULL target/delta. Output: (group, n_docs,
+    n_tokens, token_share, target_share, delta).
+
+    Shape: one narrow token-count map + ONE partial-aggregable groupBy,
+    then the one-row corpus total joins back by broadcast (it is a
+    single row by construction); targets enter as a literal CASE. No
+    second data pass, nothing collects."""
+    from .textops import tokens
+
+    n_tok = F.size(tokens(text_col)).cast("long")
+    per = df.select(F.col(group_col).alias("grp"), n_tok.alias("_t")).groupBy(
+        "grp"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_t").cast("long").alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").cast("long").alias("_tot"))
+    share = F.col("n_tokens").cast("double") / F.col("_tot").cast("double")
+    target = (
+        F.create_map(*[F.lit(x) for kv in targets.items() for x in kv])[
+            F.col("grp")
+        ]
+        if targets
+        else F.lit(None).cast("double")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            "n_tokens",
+            share.alias("token_share"),
+            target.alias("target_share"),
+            (share - target).alias("delta"),
+        )
+    )

@@ -2554,6 +2554,36 @@ where rn <= 5
 """
 
 
+def q87_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture planning view (ext/sampling.mixture_report):
+    per-source doc/token counts, token share, and delta to a target
+    mixture — what a curator reads before setting budget_mix budgets."""
+    return sampling.mixture_report(
+        load(spark, sf_dir, "documents"),
+        "source",
+        {"web": 0.5, "wiki": 0.3, "books": 0.2},
+    )
+
+
+ORACLE_Q87 = """
+with per as (
+  select source as grp,
+         cast(count(*) as bigint) as n_docs,
+         cast(sum(len(list_filter(string_split(trim(text), ' '),
+                                  x -> x <> ''))) as bigint) as n_tokens
+  from documents group by source),
+tot as (select sum(n_tokens) as t from per)
+select grp as source, n_docs, n_tokens,
+       cast(n_tokens as double) / cast(t as double) as token_share,
+       case grp when 'web' then 0.5 when 'wiki' then 0.3
+                when 'books' then 0.2 end as target_share,
+       cast(n_tokens as double) / cast(t as double)
+         - case grp when 'web' then 0.5 when 'wiki' then 0.3
+                    when 'books' then 0.2 end as delta
+from per, tot
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -2641,6 +2671,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q84_filter_report": q84_filter_report,
     "q85_kmv_distinct": q85_kmv_distinct,
     "q86_ivf_batch_search": q86_ivf_batch_search,
+    "q87_mixture_report": q87_mixture_report,
 }
 
 ORACLES: dict[str, str] = {
@@ -2730,4 +2761,5 @@ ORACLES: dict[str, str] = {
     "q84_filter_report": ORACLE_Q84,
     "q85_kmv_distinct": ORACLE_Q85,
     "q86_ivf_batch_search": ORACLE_Q86,
+    "q87_mixture_report": ORACLE_Q87,
 }

@@ -285,3 +285,31 @@ def test_cdc_apply_stream_two_batches(spark, tmp_path):
     q2.awaitTermination(120)
     got2 = {(r["id"], r["val"]) for r in spark.read.parquet(snap).collect()}
     assert got2 == {(1, "one-v2"), (7, "seven")}
+
+
+def test_filter_report_runs_on_stream(spark, tmp_path):
+    """corpus_filter_report is a pure narrow map, so the SAME operator
+    runs unchanged on a stream — verdicts from the streaming run equal
+    the batch run over identical input."""
+    from sparksync.ext import textops
+
+    src = str(tmp_path / "docs_in")
+    out = str(tmp_path / "verdicts")
+    ckpt = str(tmp_path / "ckpt")
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    docs.write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    s = stream.read_event_stream(spark, src, schema, max_files=10)
+    q = (
+        textops.corpus_filter_report(s)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {tuple(r) for r in spark.read.parquet(out).collect()}
+    batch = {tuple(r) for r in textops.corpus_filter_report(docs).collect()}
+    assert streamed == batch and len(batch) > 0
