@@ -111,6 +111,58 @@ class ParquetSource:
         return self.read(table).limit(0).schema
 
 
+class FileSource(ParquetSource):
+    """Format-generic file source: same contract as ParquetSource for
+    csv / json / parquet table directories (`<dir>/<table>.<ext>`).
+    CSV and JSON carry no embedded schema, so each table's schema is
+    either supplied explicitly (`schemas={table: ddl_string}`) or
+    inferred with a one-time extra pass (samplingRatio=1.0 — schema
+    drift between files of one table is a data bug we'd rather fail
+    on than average over). The sync/compare/DDL pipeline downstream is
+    format-blind — it sees DataFrames."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str,
+        fmt: str = "parquet",
+        schemas: dict[str, str] | None = None,
+    ):
+        super().__init__(spark, sf_dir)
+        self.fmt = fmt
+        self.schemas = schemas or {}
+
+    def read(self, table: str) -> DataFrame:
+        if self.fmt == "parquet":
+            return super().read(table)
+        path = f"{self.sf_dir}/{table}.{self.fmt}"
+        r = self.spark.read
+        if table in self.schemas:
+            r = r.schema(self.schemas[table])
+        if self.fmt == "csv":
+            r = r.option("header", "true")
+            if table not in self.schemas:
+                r = r.option("inferSchema", "true")
+        return r.format(self.fmt).load(path)
+
+    def list_tables(self, exclude: list[str] | None = None) -> list[str]:
+        import os
+
+        excl = {e.lower() for e in (exclude or [])}
+        suffix = f".{self.fmt}"
+        names = [
+            f[: -len(suffix)]
+            for f in sorted(os.listdir(self.sf_dir))
+            if f.endswith(suffix)
+        ]
+        return [n for n in names if n.lower() not in excl]
+
+    def read_sql(self, sql: str) -> DataFrame:
+        for t in self.list_tables():
+            self.read(t).createOrReplaceTempView(t)
+        return self.spark.sql(sql)
+
+
 class JdbcSource:
     """Oracle via spark.read.jdbc. Untested in this container (no Oracle,
     no JDBC driver jar) but the full partitioning logic is exercised via
