@@ -63,6 +63,11 @@ def main(argv: list[str] | None = None) -> int:
     skew_p.add_argument("--table", required=True)
     skew_p.add_argument("--key", required=True)
     skew_p.add_argument("--top-k", type=int, default=10)
+    card = sub.add_parser("cardinality")  # X70 portable KMV distinct profile
+    card.add_argument("--table", required=True)
+    card.add_argument("--group", required=True)
+    card.add_argument("--value", required=True)
+    card.add_argument("--k", type=int, default=64)
     prep = sub.add_parser("prep")  # corpus-prep pipeline to parquet (X-surface)
     prep.add_argument("--table", default="documents")
     prep.add_argument("--lang", default="en", help="pred_lang to keep ('' = all)")
@@ -212,6 +217,20 @@ def main(argv: list[str] | None = None) -> int:
         for r in key_skew_stats(
             job._read_source(args.table), args.key, top_k=args.top_k
         ).collect():
+            print(json.dumps(r.asDict()))
+        return 0
+    if args.cmd == "cardinality":
+        # per-group distinct-count profile via the portable KMV sketch
+        # (exact below k, estimated above) — fixed memory per group
+        from .ext.skew import approx_distinct_kmv
+
+        for r in (
+            approx_distinct_kmv(
+                job._read_source(args.table), args.group, args.value, k=args.k
+            )
+            .orderBy(args.group)
+            .collect()
+        ):
             print(json.dumps(r.asDict()))
         return 0
     if args.cmd == "prep":

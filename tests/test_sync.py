@@ -721,3 +721,22 @@ def test_cli_prep_subcommand(spark, tmp_path, capsys):
         got = spark.read.parquet(str(out / f"documents_{name}.parquet"))
         assert got.count() == row["n_docs"] > 0
         assert set(got.columns) == {"doc_id", "text", "n_tokens"}
+
+
+def test_cli_cardinality_subcommand(spark, tmp_path, capsys):
+    """cardinality prints one KMV row per group; small groups exact."""
+    import json as _json
+
+    from sparksync.cli import main
+
+    out = tmp_path / "card_out"
+    rc = main([
+        "--src", SF_SMOKE, "--dest", str(out),
+        "cardinality", "--table", "events",
+        "--group", "event_type", "--value", "user_id",
+    ])
+    assert rc == 0
+    rows = [_json.loads(line) for line in
+            capsys.readouterr().out.strip().splitlines() if line.startswith("{")]
+    assert len(rows) == 5  # five event types in the fixture
+    assert all(r["n_distinct"] > 0 for r in rows)
