@@ -1159,3 +1159,45 @@ def test_ivf_batch_recall_vs_brute(emb):
     for q in qids:
         overlap = len(brute[q] & ivf.get(q, set()))
         assert overlap >= 5, (q, sorted(brute[q]), sorted(ivf.get(q, set())))
+
+
+def test_minhash_cap_prunes_template_corpus(spark):
+    """The hot-bucket re-split must do real work on the corpus shape it
+    was built for: many DISTINCT docs sharing a dominant template (so
+    whole bands collide) with small unique tails. With a tight cap the
+    candidate-pair set (threshold=0.0 exposes it through the public
+    API) must shrink strictly, results stay a subset of uncapped, and
+    high-similarity pairs survive the re-split."""
+    from pyspark.sql import functions as F
+
+    from sparksync.ext import dedup
+
+    template = " ".join(f"tmpl{i}" for i in range(30))
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(template + " "),
+            F.concat_ws(
+                " ",
+                F.concat(F.lit("u"), F.col("id")),
+                F.concat(F.lit("v"), F.col("id")),
+            ),
+        ).alias("text"),
+    )
+    uncapped = {
+        (r["d1"], r["d2"]): r["jacc"]
+        for r in dedup.minhash_dedup_pairs(
+            docs, threshold=0.0, bucket_cap=None
+        ).collect()
+    }
+    capped = {
+        (r["d1"], r["d2"]): r["jacc"]
+        for r in dedup.minhash_dedup_pairs(
+            docs, threshold=0.0, bucket_cap=20
+        ).collect()
+    }
+    assert set(capped) <= set(uncapped)
+    assert len(capped) < len(uncapped), (len(capped), len(uncapped))
+    high = {p for p, j in uncapped.items() if j >= 0.85}
+    kept = high & set(capped)
+    assert len(kept) >= 0.8 * len(high), (len(kept), len(high))
