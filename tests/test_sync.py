@@ -740,3 +740,65 @@ def test_cli_cardinality_subcommand(spark, tmp_path, capsys):
             capsys.readouterr().out.strip().splitlines() if line.startswith("{")]
     assert len(rows) == 5  # five event types in the fixture
     assert all(r["n_distinct"] > 0 for r in rows)
+
+
+def test_incremental_resync_end_to_end(spark, tmp_path):
+    """The full incremental-resync story composed from its pieces:
+    initial sync -> source drifts in TWO partitions (one updated row,
+    one new row) -> changed_partitions localizes exactly those ->
+    re-extract ONLY the changed slices -> merge_snapshot folds them
+    over the stale copy -> checksum parity with the drifted source.
+    This is the 'never reload 100 TB for one day's drift' path; the
+    moved data is bounded by the changed partitions."""
+    from pyspark.sql import functions as F
+
+    from sparksync.compare import (
+        changed_partitions,
+        compare_checksum,
+        merge_snapshot,
+    )
+    from sparksync.source import load_table
+
+    from .conftest import SF_SMOKE
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    dest = str(tmp_path / "orders_dest")
+    orders.write.parquet(dest)  # initial sync
+
+    # source drift: one row rewritten in priority '1-URGENT', one new
+    # row landing in priority '5-LOW'
+    drifted = orders.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") == 1, F.lit(9999.99)).otherwise(
+            F.col("o_totalprice")
+        ),
+    ).unionByName(
+        spark.createDataFrame(
+            [(999_999, 1, 1.0, "5-LOW")],
+            "o_orderkey long, o_custkey long, o_totalprice double, o_orderpriority string",
+        )
+    )
+    stale = spark.read.parquet(dest)
+    changed = {
+        r["o_orderpriority"]
+        for r in changed_partitions(drifted, stale, ["o_orderpriority"]).collect()
+    }
+    urgent_parts = {
+        r["o_orderpriority"]
+        for r in orders.where("o_orderkey = 1").select("o_orderpriority").collect()
+    }
+    assert changed == urgent_parts | {"5-LOW"}, changed
+
+    # re-extract only the changed slices and fold them over the copy
+    slice_df = drifted.where(F.col("o_orderpriority").isin(list(changed)))
+    merged = merge_snapshot(
+        stale.where(~F.col("o_orderpriority").isin(list(changed))).unionByName(
+            spark.createDataFrame([], slice_df.schema)
+        ),
+        slice_df,
+        ["o_orderkey"],
+    )
+    r = compare_checksum(drifted, merged, "orders")
+    assert r.is_ok and r.src_count == orders.count() + 1
