@@ -213,3 +213,54 @@ def gap_fill(
             F.last("_sum", ignorenulls=True).over(w).cast("double").alias("value_ffill"),
         )
     )
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel conversion: for each step i, how many users
+    completed steps 1..i IN ORDER (each step's first occurrence no
+    earlier than the previous step's first occurrence). Output:
+    (step_idx, step, n_users), step_idx 1-based — the product-analytics
+    query behind every activation dashboard.
+
+    Shape: ONE groupBy(user) computing the conditional min-timestamp
+    per step (map-side combinable — the event stream never shuffles
+    raw, only |steps| min columns per user), then a narrow ordering
+    check and one tiny per-step count via explode. No window over raw
+    events, no self-joins — cost is one pass however long the funnel."""
+    mins = [
+        F.min(F.when(F.col(type_col) == s, F.col(ts_col))).alias(f"_t{i}")
+        for i, s in enumerate(steps)
+    ]
+    per_user = events.groupBy(user_col).agg(*mins)
+    # reached step i  <=>  every _t0.._ti is non-null and non-decreasing
+    reached = []
+    for i in range(len(steps)):
+        cond = F.col("_t0").isNotNull()
+        for j in range(1, i + 1):
+            cond = cond & F.col(f"_t{j}").isNotNull() & (
+                F.col(f"_t{j}") >= F.col(f"_t{j - 1}")
+            )
+        reached.append(cond.cast("long"))
+    flags = per_user.select(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i + 1).alias("step_idx"),
+                    F.lit(s).alias("step"),
+                    reached[i].alias("hit"),
+                )
+                for i, s in enumerate(steps)
+            ]
+        ).alias("_f")
+    ).select(F.explode("_f").alias("f"))
+    return (
+        flags.groupBy(F.col("f.step_idx").alias("step_idx"), F.col("f.step").alias("step"))
+        .agg(F.sum("f.hit").cast("long").alias("n_users"))
+        .orderBy("step_idx")
+    )

@@ -2584,6 +2584,41 @@ from per, tot
 """
 
 
+def q88_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion view -> click -> purchase
+    (ext/asof.funnel_conversion): users completing each prefix of the
+    funnel in first-occurrence order. One groupBy(user) of conditional
+    min-timestamps — no window over raw events, no self-join."""
+    from .ext import asof
+
+    return asof.funnel_conversion(
+        load(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+ORACLE_Q88 = """
+with per_user as (
+  select user_id,
+         min(case when event_type = 'view' then ts end) as t0,
+         min(case when event_type = 'click' then ts end) as t1,
+         min(case when event_type = 'purchase' then ts end) as t2
+  from events group by user_id),
+flags as (
+  select user_id,
+         case when t0 is not null then 1 else 0 end as h1,
+         case when t0 is not null and t1 is not null and t1 >= t0
+              then 1 else 0 end as h2,
+         case when t0 is not null and t1 is not null and t1 >= t0
+               and t2 is not null and t2 >= t1 then 1 else 0 end as h3
+  from per_user)
+select 1 as step_idx, 'view' as step, cast(sum(h1) as bigint) as n_users from flags
+union all
+select 2, 'click', cast(sum(h2) as bigint) from flags
+union all
+select 3, 'purchase', cast(sum(h3) as bigint) from flags
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -2672,6 +2707,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q85_kmv_distinct": q85_kmv_distinct,
     "q86_ivf_batch_search": q86_ivf_batch_search,
     "q87_mixture_report": q87_mixture_report,
+    "q88_funnel": q88_funnel,
 }
 
 ORACLES: dict[str, str] = {
@@ -2762,4 +2798,5 @@ ORACLES: dict[str, str] = {
     "q85_kmv_distinct": ORACLE_Q85,
     "q86_ivf_batch_search": ORACLE_Q86,
     "q87_mixture_report": ORACLE_Q87,
+    "q88_funnel": ORACLE_Q88,
 }

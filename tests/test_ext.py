@@ -1201,3 +1201,30 @@ def test_minhash_cap_prunes_template_corpus(spark):
     high = {p for p, j in uncapped.items() if j >= 0.85}
     kept = high & set(capped)
     assert len(kept) >= 0.8 * len(high), (len(kept), len(high))
+
+
+def test_funnel_conversion_ordering(spark):
+    """Strict first-occurrence ordering: a user who purchases BEFORE
+    clicking does not count at the purchase step; counts are monotone
+    non-increasing down the funnel."""
+    from pyspark.sql import functions as F
+
+    from sparksync.ext.asof import funnel_conversion
+
+    rows = [
+        # u1: view(1) click(2) purchase(3) -> full funnel
+        (1, "view", 1), (1, "click", 2), (1, "purchase", 3),
+        # u2: purchase(1) view(2) click(3) -> stops at click
+        (2, "purchase", 1), (2, "view", 2), (2, "click", 3),
+        # u3: view only
+        (3, "view", 5),
+        # u4: never viewed -> counts nowhere
+        (4, "click", 1), (4, "purchase", 2),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, t long"
+    ).withColumn("ts", F.timestamp_micros(F.col("t") * 1_000_000))
+    out = {r["step"]: r["n_users"] for r in funnel_conversion(
+        ev, ["view", "click", "purchase"]
+    ).collect()}
+    assert out == {"view": 3, "click": 2, "purchase": 1}
