@@ -264,3 +264,34 @@ def funnel_conversion(
         .agg(F.sum("f.hit").cast("long").alias("n_users"))
         .orderBy("step_idx")
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Day-grain retention cohorts: users grouped by FIRST-seen day,
+    counted on each later active day. Output: (cohort_day, day_offset,
+    n_users) — the retention-curve query behind every growth dashboard
+    (offset 0 row = cohort size).
+
+    Shape: one distinct over (user, day) — the only pass that touches
+    raw events, with partial aggregation — then a per-user min on the
+    already-small daily table, a co-keyed join back on user, and one
+    (cohort, offset) count of already-distinct rows (count(*), never a
+    countDistinct over raw volume). Work after the first pass is
+    bounded by users x active-days, not event volume."""
+    daily = events.select(
+        F.col(user_col).alias("u"), F.date_trunc("day", F.col(ts_col)).alias("d")
+    ).distinct()
+    first = daily.groupBy("u").agg(F.min("d").alias("cohort_day"))
+    return (
+        daily.join(first, "u")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("d"), F.col("cohort_day")).cast("long").alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

@@ -2619,6 +2619,28 @@ select 3, 'purchase', cast(sum(h3) as bigint) from flags
 """
 
 
+def q89_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-grain retention cohorts (ext/asof.retention_cohorts): users
+    bucketed by first-seen day, counted on each later active day. One
+    distinct pass over raw events; everything after is bounded by
+    users x active-days."""
+    from .ext import asof
+
+    return asof.retention_cohorts(load(spark, sf_dir, "events"))
+
+
+ORACLE_Q89 = """
+with daily as (
+  select distinct user_id as u, date_trunc('day', ts) as d from events),
+first as (select u, min(d) as cohort_day from daily group by u)
+select f.cohort_day,
+       cast(date_diff('day', f.cohort_day, daily.d) as bigint) as day_offset,
+       cast(count(*) as bigint) as n_users
+from daily join first f using (u)
+group by f.cohort_day, day_offset
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -2708,6 +2730,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q86_ivf_batch_search": q86_ivf_batch_search,
     "q87_mixture_report": q87_mixture_report,
     "q88_funnel": q88_funnel,
+    "q89_retention": q89_retention,
 }
 
 ORACLES: dict[str, str] = {
@@ -2799,4 +2822,5 @@ ORACLES: dict[str, str] = {
     "q86_ivf_batch_search": ORACLE_Q86,
     "q87_mixture_report": ORACLE_Q87,
     "q88_funnel": ORACLE_Q88,
+    "q89_retention": ORACLE_Q89,
 }
