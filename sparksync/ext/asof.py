@@ -282,8 +282,11 @@ def retention_cohorts(
     (cohort, offset) count of already-distinct rows (count(*), never a
     countDistinct over raw volume). Work after the first pass is
     bounded by users x active-days, not event volume."""
+    # to_date, not date_trunc: the cohort is a DATE in every engine
+    # (date_trunc returns a midnight TIMESTAMP in Spark but a DATE in
+    # DuckDB — same value, mismatched type under strict comparison)
     daily = events.select(
-        F.col(user_col).alias("u"), F.date_trunc("day", F.col(ts_col)).alias("d")
+        F.col(user_col).alias("u"), F.to_date(F.col(ts_col)).alias("d")
     ).distinct()
     first = daily.groupBy("u").agg(F.min("d").alias("cohort_day"))
     return (

@@ -2631,7 +2631,7 @@ def q89_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q89 = """
 with daily as (
-  select distinct user_id as u, date_trunc('day', ts) as d from events),
+  select distinct user_id as u, cast(ts as date) as d from events),
 first as (select u, min(d) as cohort_day from daily group by u)
 select f.cohort_day,
        cast(date_diff('day', f.cohort_day, daily.d) as bigint) as day_offset,
