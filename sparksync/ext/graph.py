@@ -126,3 +126,60 @@ def dedup_groups(
     `pairs` are their own canonical and need no row."""
     cc = connected_components(pairs, id_col, id2_col)
     return cc.select(F.col("node").alias("doc_id"), F.col("component").alias("keep_id"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iters: int = 3,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Fixed-iteration PageRank (damping 0.85) in integer fixed-point:
+    every rank is a bigint multiple of 1/`scale`, so each iteration is
+    exact int64 arithmetic — order-insensitive sums that replay
+    bit-identically in ANY engine, where the textbook double-precision
+    formulation diverges across engines with summation order. Ranks are
+    unnormalized (init = scale per node, teleport = 15% of scale);
+    relative order matches the normalized variant.
+
+    Per iteration: contribution of edge (u,v) = r_u div outdeg_u; new
+    r_v = (15*scale) div 100 + (85 * sum contribs) div 100. Dangling
+    nodes (no out-edges) keep the teleport term only — their mass is
+    dropped rather than redistributed (documented variant; exactness
+    beats the global dangling-sum broadcast here). Bound: 85 * n_nodes
+    * scale must fit int64, i.e. n_nodes < ~1e5 at scale=1e12 — drop
+    scale to 1e9 for 1e8-node graphs.
+
+    Scale shape per iteration: one join of edges against ranks on src
+    (both hash-partitioned on the same key — the exchange is reused
+    across iterations), one partial-aggregated groupBy(dst), one left
+    join back to the node list. No collect, no window, no cartesian;
+    a fixed iteration count keeps the composed plan shallow (each
+    round's ranks feed the next exactly once, so lineage grows
+    linearly, unlike the min-label loop above). Output: (node, rank)."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+    )
+    nodes = e.select(F.col("src").alias("n")).union(
+        e.select(F.col("dst").alias("n"))
+    ).distinct()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    teleport = (15 * scale) // 100
+    ranks = nodes.select("n", F.lit(scale).cast("long").alias("r"))
+    for _ in range(n_iters):
+        contrib = (
+            e.join(ranks.withColumnRenamed("n", "src"), "src")
+            .join(deg, "src")
+            .select(F.col("dst").alias("n"), F.expr("r div deg").alias("c"))
+        )
+        sums = contrib.groupBy("n").agg(F.sum("c").alias("s"))
+        ranks = nodes.join(sums, "n", "left").select(
+            "n",
+            (
+                F.lit(teleport).cast("long")
+                + F.expr("(85 * coalesce(s, cast(0 as bigint))) div 100")
+            ).alias("rank"),
+        ).withColumnRenamed("rank", "r")
+    return ranks.select(F.col("n").alias("node"), F.col("r").alias("rank"))

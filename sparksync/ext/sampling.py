@@ -419,3 +419,120 @@ def mixture_report(
             (share - target).alias("delta"),
         )
     )
+
+
+def pps_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "pps",
+) -> DataFrame:
+    """Poisson probability-proportional-to-size sample: include each row
+    independently with probability min(1, k*w_i/W), giving an
+    expected-size-k sample where selection odds track the weight (e.g.
+    token count) — the standard size-biased corpus subsample for eval
+    sets and pilot runs (Ohlsson/Rosen PPS Poisson design).
+
+    Deterministic and EXACTLY engine-replayable, unlike the classic
+    A-ES/exponential-keys scheme: no ln()/pow() (libm results differ
+    across engines in the last ulp). The inclusion test is pure int64
+    arithmetic: draw a 30-bit uniform u from the portable md5 hash of
+    (salt, id) and keep the row iff u < (k * w * 2^30) div W, all in
+    bigint floor division. Bound: k * max(w) must stay under 2^33 or
+    the int64 product overflows (plenty for token-count weights; raise
+    k or pre-scale w outside that envelope).
+
+    Scale shape: ONE partial aggregate for W (a single broadcast row
+    joined back), then a narrow codegen filter — no shuffle of the
+    corpus, no window, no collect. Output: (id, weight, keep_threshold)
+    for included rows."""
+    w = F.col(weight_col).cast("long")
+    tot = df.agg(F.sum(w).alias("_w_total"))
+    from .dedup import md5_token_hash
+
+    u30 = F.shiftright(
+        md5_token_hash(
+            F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))
+        ),
+        30,
+    )
+    thr = F.least(
+        F.lit(1 << 30).cast("long"),
+        F.expr(f"(cast({k} as bigint) * cast({weight_col} as bigint) "
+               f"* cast({1 << 30} as bigint)) div _w_total"),
+    )
+    return (
+        df.crossJoin(F.broadcast(tot))
+        .select(
+            F.col(id_col),
+            w.alias("weight"),
+            thr.alias("keep_threshold"),
+            u30.alias("_u"),
+        )
+        .where(F.col("_u") < F.col("keep_threshold"))
+        .drop("_u")
+    )
+
+
+def negative_pairs(
+    query_df: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    salt: str = "neg",
+) -> DataFrame:
+    """Join-free negative sampling for contrastive training: assign
+    each corpus doc to ONE query by portable-hash bucket (bucket = h %
+    n_queries), then keep the k hash-smallest docs per bucket — k
+    pseudo-random negatives per query WITHOUT the query x corpus cross
+    join every naive formulation hides. Self-pairs (negative == query)
+    are excluded after ranking, so k+1 candidates are drawn and
+    re-ranked to keep k.
+
+    Scale shape: the corpus sees one narrow hash map, one window
+    partitioned by bucket (n_queries partitions — no global sort), and
+    one broadcast join against the (small, e.g. eval-set-sized) query
+    side; n_queries arrives as a broadcast one-row aggregate, never a
+    collect. The query-rank window IS single-partition by construction
+    — acceptable because the query side is the bounded side of the
+    pattern (same posture as decontamination's eval set,
+    textops.contamination_flags). Deterministic + engine-replayable:
+    md5-portable hash, row_number with a full tiebreak. Output:
+    (query_id, neg_id, neg_rank 1..k)."""
+    from .dedup import md5_token_hash
+
+    nq = query_df.agg(F.count(F.lit(1)).alias("_nq"))
+    qr = query_df.select(F.col(id_col).alias("query_id")).withColumn(
+        "_bucket",
+        F.row_number().over(Window.orderBy("query_id")).cast("long") - 1,
+    )
+    h = md5_token_hash(
+        F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))
+    )
+    cand = (
+        corpus.select(F.col(id_col).alias("neg_id"), h.alias("_h"))
+        .crossJoin(F.broadcast(nq))
+        .withColumn("_bucket", F.pmod(F.col("_h"), F.col("_nq")))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("_bucket").orderBy("_h", "neg_id")
+            ),
+        )
+        .where(F.col("_rk") <= k + 1)
+    )
+    return (
+        cand.join(F.broadcast(qr), "_bucket")
+        .where(F.col("neg_id") != F.col("query_id"))
+        .withColumn(
+            "neg_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("_h", "neg_id")
+            ),
+        )
+        .where(F.col("neg_rank") <= k)
+        .select(
+            "query_id", "neg_id", F.col("neg_rank").cast("long").alias("neg_rank")
+        )
+    )

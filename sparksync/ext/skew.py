@@ -166,3 +166,71 @@ def approx_distinct_kmv(
             .alias("n_distinct"),
         )
     )
+
+
+def heavy_hitters_cms(
+    df: DataFrame,
+    value_col: str,
+    k: int = 20,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cms",
+) -> DataFrame:
+    """Heavy hitters via an ENGINE-PORTABLE count-min sketch
+    (Cormode-Muthukrishnan): depth hash rows x width counters, estimate
+    = min over rows of the addressed counter — always >= the true
+    count, with overestimate bounded by (e/width)*N per row. Like
+    approx_distinct_kmv above, the slot hashes derive from the portable
+    md5 60-bit hash, so the APPROXIMATE estimates themselves replay
+    bit-exactly in any engine with md5 — integer mins of integer sums,
+    no engine-internal sketch state.
+
+    Scale shape: the sketch build is one narrow map (the depth slot
+    ids computed per row, posexploded) into a groupBy((row,slot)) whose
+    map-side combine collapses everything to <= depth*width counter
+    rows — fixed memory regardless of input size. The candidate side is
+    one row per DISTINCT value (the skew-immune side), re-hashed and
+    joined to the tiny counter table (broadcast by AQE), then min'd
+    per value. Top-k lands via orderBy+limit (TakeOrderedAndProject —
+    no global sort materializes). exact_count rides along so the
+    output doubles as a sketch-error audit. Output: (value, est_count,
+    exact_count), est >= exact always."""
+    from .dedup import md5_token_hash
+
+    def slots(col: F.Column) -> F.Column:
+        return F.array(
+            *[
+                F.pmod(
+                    md5_token_hash(
+                        F.concat_ws("|", F.lit(salt), F.lit(str(j)), col)
+                    ),
+                    F.lit(width),
+                )
+                for j in range(depth)
+            ]
+        )
+
+    vals = df.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("string").alias("val")
+    )
+    counters = (
+        vals.select(F.posexplode(slots(F.col("val"))).alias("j", "slot"))
+        .groupBy("j", "slot")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = vals.groupBy("val").agg(F.count(F.lit(1)).alias("exact_count"))
+    addressed = vocab.select(
+        "val", "exact_count", F.posexplode(slots(F.col("val"))).alias("j", "slot")
+    )
+    return (
+        addressed.join(counters, ["j", "slot"])
+        .groupBy("val", "exact_count")
+        .agg(F.min("cnt").alias("est_count"))
+        .select(
+            F.col("val").alias("value"),
+            F.col("est_count").cast("long").alias("est_count"),
+            F.col("exact_count").cast("long").alias("exact_count"),
+        )
+        .orderBy(F.desc("est_count"), "value")
+        .limit(k)
+    )

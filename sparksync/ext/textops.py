@@ -576,3 +576,65 @@ def corpus_filter_report(df: DataFrame, text_col: str = "text") -> DataFrame:
         keep.alias("keep"),
         reason.alias("reason"),
     )
+
+
+def source_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-corpus contamination report: for every pair of groups
+    (sources, splits, snapshots), the Jaccard and containment overlap
+    of their DISTINCT 3-gram shingle sets — the corpus-level view that
+    tells you "wiki and web share 40% of their shingles" before you
+    pick dedup thresholds or worry about eval leakage (the doc-level
+    complement of contamination_flags).
+
+    Scale shape: one explode to distinct (group, shingle) — the partial
+    agg collapses within-group repeats map-side — then a self-join ON
+    SHINGLE whose per-key fan-out is bounded by n_groups^2 (groups are
+    few: sources/splits, not documents — this is NOT a doc-pair join),
+    then a pair-count aggregate over n_groups^2 rows. The divisions
+    happen once per group pair on exact bigint counts; double division
+    of exact integers is correctly rounded identically in every IEEE
+    engine. Output: (grp_a, grp_b, n_a, n_b, inter, jaccard,
+    containment) with grp_a < grp_b."""
+    from .dedup import SHINGLE_N, _shingle_expr
+
+    gs = (
+        df.select(
+            F.col(group_col).alias("grp"), tokens(text_col).alias("toks")
+        )
+        .where(F.size("toks") >= SHINGLE_N)
+        .select("grp", F.explode(_shingle_expr()).alias("sh"))
+        .distinct()
+    )
+    per = gs.groupBy("grp").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = gs.alias("a"), gs.alias("b")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("a.grp") < F.col("b.grp"))
+        .groupBy(F.col("a.grp").alias("grp_a"), F.col("b.grp").alias("grp_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    pa = per.select(F.col("grp").alias("grp_a"), F.col("n_sh").alias("n_a"))
+    pb = per.select(F.col("grp").alias("grp_b"), F.col("n_sh").alias("n_b"))
+    union_sz = F.col("n_a") + F.col("n_b") - F.col("inter")
+    return (
+        inter.join(pa, "grp_a")
+        .join(pb, "grp_b")
+        .select(
+            "grp_a",
+            "grp_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("inter").cast("long").alias("inter"),
+            (F.col("inter").cast("double") / union_sz.cast("double")).alias(
+                "jaccard"
+            ),
+            (
+                F.col("inter").cast("double")
+                / F.least("n_a", "n_b").cast("double")
+            ).alias("containment"),
+        )
+    )

@@ -2641,6 +2641,194 @@ group by f.cohort_day, day_offset
 """
 
 
+def q90_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson PPS sample (ext/sampling.pps_sample): expected-100-doc
+    sample with inclusion probability proportional to n_chars, in pure
+    int64 arithmetic — the APPROXIMATE-design sample is itself
+    oracle-checkable (no ln/pow, unlike A-ES exponential keys)."""
+    return sampling.pps_sample(
+        load(spark, sf_dir, "documents"), "n_chars", k=100
+    )
+
+
+ORACLE_Q90 = """
+with tot as (select sum(cast(n_chars as bigint)) as wt from documents),
+s as (
+  select doc_id,
+         cast(n_chars as bigint) as weight,
+         cast(least(cast(1073741824 as bigint),
+                    (100 * cast(n_chars as bigint) * 1073741824) // wt)
+              as bigint) as keep_threshold,
+         cast(cast('0x' || substring(md5('pps|' || cast(doc_id as varchar)),
+                                     1, 15) as ubigint) as bigint) >> 30 as u
+  from documents, tot)
+select doc_id, weight, keep_threshold from s where u < keep_threshold
+"""
+
+
+def q91_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank (ext/graph.pagerank), 3 iterations
+    over the bipartite customer->supplier graph induced by orders x
+    lineitem. Exact bigint arithmetic makes the iterative ranks replay
+    bit-identically in the unrolled-CTE oracle — the float formulation
+    could not be hash-compared across engines."""
+    from .ext import graph
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    pr = graph.pagerank(edges, n_iters=3)
+    return pr.select("node", F.col("rank").alias("pr_rank"))
+
+
+ORACLE_Q91 = """
+with e as (
+  select distinct 'c:' || cast(o_custkey as varchar) as src,
+                  's:' || cast(l_suppkey as varchar) as dst
+  from orders join lineitem on o_orderkey = l_orderkey),
+nodes as (select src as n from e union select dst from e),
+deg as (select src, cast(count(*) as bigint) as d from e group by src),
+r0 as (select n, cast(1000000000000 as bigint) as r from nodes),
+s1 as (select e.dst as n, sum(r0.r // deg.d) as s
+       from e join r0 on r0.n = e.src join deg on deg.src = e.src
+       group by e.dst),
+r1 as (select nodes.n,
+              cast(150000000000 + (85 * coalesce(s1.s, 0)) // 100 as bigint) as r
+       from nodes left join s1 on s1.n = nodes.n),
+s2 as (select e.dst as n, sum(r1.r // deg.d) as s
+       from e join r1 on r1.n = e.src join deg on deg.src = e.src
+       group by e.dst),
+r2 as (select nodes.n,
+              cast(150000000000 + (85 * coalesce(s2.s, 0)) // 100 as bigint) as r
+       from nodes left join s2 on s2.n = nodes.n),
+s3 as (select e.dst as n, sum(r2.r // deg.d) as s
+       from e join r2 on r2.n = e.src join deg on deg.src = e.src
+       group by e.dst),
+r3 as (select nodes.n,
+              cast(150000000000 + (85 * coalesce(s3.s, 0)) // 100 as bigint) as r
+       from nodes left join s3 on s3.n = nodes.n)
+select n as node, r as pr_rank from r3
+"""
+
+
+def q92_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (ext/skew.heavy_hitters_cms) over
+    document tokens: the portable-md5 slot hashes make the APPROXIMATE
+    min-of-counters estimates replay bit-exactly in DuckDB (same
+    discipline as q85's KMV sketch); exact counts ride along as the
+    sketch-error audit."""
+    from .ext import skew
+
+    toks = load(spark, sf_dir, "documents").select(
+        F.explode(textops.tokens("text")).alias("tok")
+    )
+    return skew.heavy_hitters_cms(toks, "tok", k=20)
+
+
+ORACLE_Q92 = """
+with vals as (
+  select unnest(list_filter(string_split(trim(text), ' '), x -> x <> '')) as val
+  from documents),
+js as (select unnest([0, 1, 2, 3]) as j),
+counters as (
+  select j,
+         cast(cast('0x' || substring(md5('cms|' || cast(j as varchar) || '|'
+                                         || val), 1, 15) as ubigint) as bigint)
+           % 1024 as slot,
+         cast(count(*) as bigint) as cnt
+  from vals cross join js
+  group by j, slot),
+vocab as (select val, cast(count(*) as bigint) as exact_count
+          from vals group by val),
+addressed as (
+  select val, exact_count, j,
+         cast(cast('0x' || substring(md5('cms|' || cast(j as varchar) || '|'
+                                         || val), 1, 15) as ubigint) as bigint)
+           % 1024 as slot
+  from vocab cross join js)
+select a.val as value,
+       cast(min(c.cnt) as bigint) as est_count,
+       a.exact_count
+from addressed a join counters c on a.j = c.j and a.slot = c.slot
+group by a.val, a.exact_count
+order by est_count desc, value
+limit 20
+"""
+
+
+def q93_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-free negative sampling (ext/sampling.negative_pairs): 5
+    hash-bucketed negatives per 'books' document drawn from the whole
+    corpus — no query x corpus cross join."""
+    docs = load(spark, sf_dir, "documents")
+    return sampling.negative_pairs(
+        docs.where(F.col("source") == "src0"), docs, k=5
+    )
+
+
+ORACLE_Q93 = """
+with nq as (select cast(count(*) as bigint) as n
+            from documents where source = 'src0'),
+q as (select doc_id as query_id,
+             cast(row_number() over (order by doc_id) as bigint) - 1 as bucket
+      from documents where source = 'src0'),
+cand as (
+  select doc_id as neg_id,
+         cast(cast('0x' || substring(md5('neg|' || cast(doc_id as varchar)),
+                                     1, 15) as ubigint) as bigint) as h
+  from documents),
+ranked as (
+  select neg_id, h, h % n as bucket,
+         row_number() over (partition by h % n order by h, neg_id) as rk
+  from cand, nq),
+joined as (
+  select q.query_id, r.neg_id, r.h
+  from ranked r join q on q.bucket = r.bucket
+  where r.rk <= 6 and r.neg_id <> q.query_id)
+select query_id, neg_id, neg_rank from (
+  select query_id, neg_id,
+         cast(row_number() over (partition by query_id order by h, neg_id)
+              as bigint) as neg_rank
+  from joined)
+where neg_rank <= 5
+"""
+
+
+def q94_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source shingle-overlap report (ext/textops.source_overlap):
+    pairwise Jaccard/containment of the distinct 3-gram sets of each
+    source — the corpus-level contamination view."""
+    return textops.source_overlap(load(spark, sf_dir, "documents"))
+
+
+ORACLE_Q94 = """
+with docs as (
+  select source as grp,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') as toks
+  from documents),
+docs3 as (select * from docs where len(toks) >= 3),
+sh as (
+  select distinct grp, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] as s
+  from docs3, unnest(range(1, len(toks) - 1)) t(i)),
+per as (select grp, cast(count(*) as bigint) as n_sh from sh group by grp),
+inter as (
+  select a.grp as grp_a, b.grp as grp_b, cast(count(*) as bigint) as inter
+  from sh a join sh b on a.s = b.s and a.grp < b.grp
+  group by 1, 2)
+select grp_a, grp_b, pa.n_sh as n_a, pb.n_sh as n_b, inter,
+       cast(inter as double) / cast(pa.n_sh + pb.n_sh - inter as double)
+         as jaccard,
+       cast(inter as double) / cast(least(pa.n_sh, pb.n_sh) as double)
+         as containment
+from inter
+join per pa on pa.grp = grp_a
+join per pb on pb.grp = grp_b
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -2731,6 +2919,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q87_mixture_report": q87_mixture_report,
     "q88_funnel": q88_funnel,
     "q89_retention": q89_retention,
+    "q90_pps_sample": q90_pps_sample,
+    "q91_pagerank": q91_pagerank,
+    "q92_heavy_hitters": q92_heavy_hitters,
+    "q93_negative_pairs": q93_negative_pairs,
+    "q94_source_overlap": q94_source_overlap,
 }
 
 ORACLES: dict[str, str] = {
@@ -2823,4 +3016,9 @@ ORACLES: dict[str, str] = {
     "q87_mixture_report": ORACLE_Q87,
     "q88_funnel": ORACLE_Q88,
     "q89_retention": ORACLE_Q89,
+    "q90_pps_sample": ORACLE_Q90,
+    "q91_pagerank": ORACLE_Q91,
+    "q92_heavy_hitters": ORACLE_Q92,
+    "q93_negative_pairs": ORACLE_Q93,
+    "q94_source_overlap": ORACLE_Q94,
 }

@@ -1228,3 +1228,85 @@ def test_funnel_conversion_ordering(spark):
         ev, ["view", "click", "purchase"]
     ).collect()}
     assert out == {"view": 3, "click": 2, "purchase": 1}
+
+
+# ---------------------------------------------------------------- round-4b ops
+
+
+def test_pps_sample_expected_size_and_bias(docs):
+    from sparksync.ext import sampling
+
+    out = sampling.pps_sample(docs, "n_chars", k=100).cache()
+    n = out.count()
+    # Poisson PPS: |S| ~ Binomial-ish around k; 4-sigma envelope
+    assert 60 <= n <= 140, n
+    # determinism: the same call selects the same ids
+    again = sampling.pps_sample(docs, "n_chars", k=100)
+    assert {r.doc_id for r in out.collect()} == {
+        r.doc_id for r in again.collect()
+    }
+    # size bias: sampled mean weight should exceed the corpus mean
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    sample_mean = out.agg(F.avg("weight")).first()[0]
+    assert sample_mean > corpus_mean
+    out.unpersist()
+
+
+def test_pagerank_star_graph(spark):
+    from sparksync.ext import graph
+
+    # star: everyone links to "hub"; hub links to one spoke
+    edges = spark.createDataFrame(
+        [(f"u{i}", "hub") for i in range(10)] + [("hub", "u0")],
+        "src string, dst string",
+    )
+    pr = {r.node: r.rank for r in graph.pagerank(edges, n_iters=3).collect()}
+    assert pr["hub"] == max(pr.values())
+    # u0 gets the hub's whole mass; other spokes only teleport
+    assert pr["u0"] > pr["u1"]
+    assert pr["u1"] == pr["u9"]  # symmetric spokes tie exactly (integer math)
+
+
+def test_cms_overestimates_never_underestimate(spark):
+    from sparksync.ext import skew
+
+    rows = [("a",)] * 500 + [("b",)] * 100 + [(f"x{i}",) for i in range(300)]
+    df = spark.createDataFrame(rows, "v string")
+    out = skew.heavy_hitters_cms(df, "v", k=5, width=64).collect()
+    by_val = {r.value: r for r in out}
+    assert by_val["a"].exact_count == 500
+    assert out[0].value == "a"  # true heaviest ranks first
+    for r in out:
+        assert r.est_count >= r.exact_count  # CMS one-sided error
+
+
+def test_negative_pairs_invariants(docs):
+    from sparksync.ext import sampling
+
+    q = docs.where(F.col("source") == "src0")
+    out = sampling.negative_pairs(q, docs, k=5).cache()
+    per_q = out.groupBy("query_id").count().collect()
+    assert all(r["count"] <= 5 for r in per_q)
+    assert out.where(F.col("neg_id") == F.col("query_id")).count() == 0
+    # every query got negatives (corpus >> k)
+    assert len(per_q) == q.count()
+    out.unpersist()
+
+
+def test_source_overlap_self_similarity(spark):
+    from sparksync.ext import textops
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps", "a"),
+            (2, "the quick brown fox jumps", "b"),
+            (3, "a completely different sentence here", "c"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        (r.grp_a, r.grp_b): r
+        for r in textops.source_overlap(df).collect()
+    }
+    assert rows[("a", "b")].jaccard == 1.0  # identical shingle sets
+    assert ("a", "c") not in rows or rows[("a", "c")].inter == 0
