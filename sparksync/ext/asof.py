@@ -298,3 +298,86 @@ def retention_cohorts(
         .groupBy("cohort_day", "day_offset")
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    grains: tuple[str, ...] = ("hour", "day", "week"),
+) -> DataFrame:
+    """Multi-grain time rollup (the hypertable continuous-aggregate
+    shape): hourly, daily, and weekly buckets of the SAME raw scan in
+    ONE pass — explode each row into its (grain, bucket) memberships,
+    then a single partial-aggregated groupBy. The map-side combine
+    collapses to <= grains x distinct-buckets rows before the shuffle,
+    so the exchange cost is the rollup's OUTPUT size, not grains x
+    input — the property that makes one pass beat three separate
+    aggregations at 100 TB (one scan, one shuffle, no union of jobs).
+
+    Sums go through decimal(12,2) (exact, order-insensitive) and back
+    to double — the engine-portable sum discipline of q15. Output:
+    (grain, bucket_ts, cnt, sum_value, min_value, max_value)."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(g).alias("grain"),
+                F.date_trunc(g, F.col(ts_col)).alias("bucket_ts"),
+            )
+            for g in grains
+        ]
+    )
+    v = F.col(value_col).cast("decimal(12,2)")
+    return (
+        df.select(F.explode(pairs).alias("g"), v.alias("v"))
+        .groupBy(
+            F.col("g.grain").alias("grain"),
+            F.col("g.bucket_ts").alias("bucket_ts"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("v").cast("double").alias("sum_value"),
+            F.min("v").cast("double").alias("min_value"),
+            F.max("v").cast("double").alias("max_value"),
+        )
+    )
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current) — the user-journey summary
+    behind "what do people do after add-to-cart". One lag window
+    PARTITIONED BY USER (ordered by ts with the id tiebreak — never a
+    global sort), then two tiny aggregates over n_types^2 rows: pair
+    counts and the per-source totals they divide by. The probability is
+    one double division of exact bigints — correctly rounded
+    identically in every IEEE engine. Output: (prev_type, next_type,
+    n, prob) with sum(prob) = 1 per prev_type."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    seq = (
+        df.select(user_col, ts_col, id_col, type_col)
+        .withColumn("prev_type", F.lag(type_col).over(w))
+        .where(F.col("prev_type").isNotNull())
+    )
+    pairs = (
+        seq.groupBy(F.col("prev_type"), F.col(type_col).alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("_tot"))
+    return (
+        pairs.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            F.col("n").cast("long").alias("n"),
+            (F.col("n").cast("double") / F.col("_tot").cast("double")).alias(
+                "prob"
+            ),
+        )
+    )

@@ -67,3 +67,47 @@ def normalize_by_group(
         .withColumn("minmax", mm)
         .drop("_g", "_n", "_s", "_ss", "_mn", "_mx")
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier detection via median absolute deviation:
+    flag rows where |x - median| > k * 1.4826 * MAD (1.4826 scales MAD
+    to sigma under normality) — the anomaly gate that, unlike z-scores,
+    a few extreme values cannot drag along with them. Exact medians
+    (Spark `percentile` == DuckDB quantile_cont, the q47 equivalence),
+    so the whole operator is engine-replayable: percentile is a
+    selection + one interpolation, never an order-dependent float sum.
+
+    Scale shape: two grouped percentile aggregates (group cardinality
+    rows each) broadcast-joined back, then a narrow codegen filter —
+    the corpus is scanned twice but never shuffled (exact percentile
+    needs its own pass over the deviations; at 100 TB swap
+    percentile_approx into the same shape for one pass). Output:
+    flagged rows (id, group, value, med, mad)."""
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile(cast({value_col} as double), 0.5)").alias("med")
+    )
+    dev = df.join(F.broadcast(med), group_col).withColumn(
+        "_adev", F.abs(v - F.col("med"))
+    )
+    mad = dev.groupBy(group_col).agg(
+        F.expr("percentile(_adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), group_col)
+        .where(F.col("_adev") > F.lit(k) * F.lit(1.4826) * F.col("mad"))
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            v.alias(value_col),
+            "med",
+            "mad",
+        )
+    )

@@ -234,3 +234,41 @@ def heavy_hitters_cms(
         .orderBy(F.desc("est_count"), "value")
         .limit(k)
     )
+
+
+def sampled_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    rate: float = 0.2,
+    salt: str = "sq",
+) -> DataFrame:
+    """Quantile profile on a DETERMINISTIC hash sample — the third
+    portable sketch alongside KMV (distincts) and CMS (frequencies):
+    approximate-by-design, yet every number replays bit-exactly in any
+    engine, because the "randomness" is the md5-portable hash
+    thresholded at floor(rate * 2^60) and the quantiles on the sample
+    are exact interpolated percentiles (the q47 equivalence). Spark's
+    own approx_percentile (Greenwald-Khanna) is the engine-internal
+    alternative — same trade, but its estimate can't be oracle-checked.
+
+    Scale shape: one narrow codegen filter keeps ~rate of rows (no
+    shuffle, no second scan), then one grouped percentile over the
+    sample — memory is the sample's group size, tunable by rate.
+    Output: (group, n_sampled, p25, p50, p75, p95)."""
+    from .dedup import md5_token_hash
+
+    thr = int(rate * float(2**60))
+    h = md5_token_hash(
+        F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))
+    )
+    s = df.where(h < F.lit(thr))
+    pct = "percentile(cast({v} as double), {p})"
+    return s.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        *[
+            F.expr(pct.format(v=value_col, p=p)).alias(name)
+            for p, name in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.95, "p95"))
+        ],
+    )

@@ -2829,6 +2829,112 @@ join per pb on pb.grp = grp_b
 """
 
 
+def q95_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain time rollup (ext/asof.time_rollup): hour+day+week
+    buckets of events in ONE scan/one shuffle — the hypertable
+    continuous-aggregate shape."""
+    from .ext import asof
+
+    return asof.time_rollup(load(spark, sf_dir, "events"))
+
+
+ORACLE_Q95 = """
+with v as (select ts, cast(value as decimal(12,2)) as v from events)
+select 'hour' as grain, date_trunc('hour', ts) as bucket_ts,
+       count(*) as cnt, cast(sum(v) as double) as sum_value,
+       cast(min(v) as double) as min_value, cast(max(v) as double) as max_value
+from v group by 2
+union all
+select 'day', date_trunc('day', ts), count(*), cast(sum(v) as double),
+       cast(min(v) as double), cast(max(v) as double)
+from v group by 2
+union all
+select 'week', date_trunc('week', ts), count(*), cast(sum(v) as double),
+       cast(min(v) as double), cast(max(v) as double)
+from v group by 2
+"""
+
+
+def q96_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user first-order Markov transitions
+    (ext/asof.event_transitions): P(next event type | current)."""
+    from .ext import asof
+
+    return asof.event_transitions(load(spark, sf_dir, "events"))
+
+
+ORACLE_Q96 = """
+with seq as (
+  select event_type as next_type,
+         lag(event_type) over (partition by user_id
+                               order by ts, event_id) as prev_type
+  from events),
+pairs as (
+  select prev_type, next_type, cast(count(*) as bigint) as n
+  from seq where prev_type is not null
+  group by 1, 2),
+tot as (select prev_type, sum(n) as t from pairs group by 1)
+select p.prev_type, p.next_type, p.n,
+       cast(p.n as double) / cast(t.t as double) as prob
+from pairs p join tot t using (prev_type)
+"""
+
+
+def q97_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust MAD outliers (ext/features.mad_outliers): per-event-type
+    |x - median| > 3 * 1.4826 * MAD — exact percentiles, so the robust
+    gate replays bit-exactly (q47 equivalence)."""
+    from .ext import features
+
+    return features.mad_outliers(
+        load(spark, sf_dir, "events"), "event_type", "value", "event_id"
+    )
+
+
+ORACLE_Q97 = """
+with med as (
+  select event_type, quantile_cont(cast(value as double), 0.5) as med
+  from events group by event_type),
+dev as (
+  select e.event_id, e.event_type, cast(e.value as double) as value, m.med,
+         abs(cast(e.value as double) - m.med) as adev
+  from events e join med m using (event_type)),
+mad as (select event_type, quantile_cont(adev, 0.5) as mad
+        from dev group by event_type)
+select d.event_id, d.event_type, d.value, d.med, a.mad
+from dev d join mad a using (event_type)
+where d.adev > 3.0 * 1.4826 * a.mad
+"""
+
+
+def q98_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile profile on a deterministic hash sample
+    (ext/skew.sampled_quantiles): the portable-sketch answer to
+    approx_percentile — approximate by design, bit-replayable by
+    construction."""
+    from .ext import skew
+
+    return skew.sampled_quantiles(
+        load(spark, sf_dir, "events"), "event_type", "value", "event_id"
+    )
+
+
+_Q98_THR = int(0.2 * float(2**60))  # the identical literal lands in both plans
+
+ORACLE_Q98 = f"""
+with s as (
+  select event_type, cast(value as double) as v
+  from events
+  where cast(cast('0x' || substring(md5('sq|' || cast(event_id as varchar)),
+                                    1, 15) as ubigint) as bigint)
+        < {_Q98_THR})
+select event_type, cast(count(*) as bigint) as n_sampled,
+       quantile_cont(v, 0.25) as p25, quantile_cont(v, 0.5) as p50,
+       quantile_cont(v, 0.75) as p75, quantile_cont(v, 0.95) as p95
+from s group by event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -2924,6 +3030,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q92_heavy_hitters": q92_heavy_hitters,
     "q93_negative_pairs": q93_negative_pairs,
     "q94_source_overlap": q94_source_overlap,
+    "q95_time_rollup": q95_time_rollup,
+    "q96_event_transitions": q96_event_transitions,
+    "q97_mad_outliers": q97_mad_outliers,
+    "q98_sampled_quantiles": q98_sampled_quantiles,
 }
 
 ORACLES: dict[str, str] = {
@@ -3021,4 +3131,8 @@ ORACLES: dict[str, str] = {
     "q92_heavy_hitters": ORACLE_Q92,
     "q93_negative_pairs": ORACLE_Q93,
     "q94_source_overlap": ORACLE_Q94,
+    "q95_time_rollup": ORACLE_Q95,
+    "q96_event_transitions": ORACLE_Q96,
+    "q97_mad_outliers": ORACLE_Q97,
+    "q98_sampled_quantiles": ORACLE_Q98,
 }

@@ -1310,3 +1310,57 @@ def test_source_overlap_self_similarity(spark):
     }
     assert rows[("a", "b")].jaccard == 1.0  # identical shingle sets
     assert ("a", "c") not in rows or rows[("a", "c")].inter == 0
+
+
+def test_time_rollup_grains_consistent(spark):
+    from sparksync.ext import asof
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    out = asof.time_rollup(ev).cache()
+    tot = ev.where(F.col("value").isNotNull()).count() + ev.where(
+        F.col("value").isNull()
+    ).count()
+    by_grain = {
+        r.grain: r.c
+        for r in out.groupBy("grain").agg(F.sum("cnt").alias("c")).collect()
+    }
+    # every grain partitions the full event set
+    assert by_grain == {"hour": tot, "day": tot, "week": tot}
+    # coarser grain -> fewer buckets
+    n = {r.grain: r.c for r in out.groupBy("grain").count().withColumnRenamed("count", "c").collect()}
+    assert n["week"] <= n["day"] <= n["hour"]
+    out.unpersist()
+
+
+def test_event_transitions_probabilities_sum_to_one(spark):
+    from sparksync.ext import asof
+
+    out = asof.event_transitions(load_table(spark, SF_SMOKE, "events"))
+    sums = out.groupBy("prev_type").agg(F.sum("prob").alias("s")).collect()
+    for r in sums:
+        assert abs(r.s - 1.0) < 1e-9, r
+
+
+def test_mad_outliers_robust_to_planted_extreme(spark):
+    from sparksync.ext import features
+
+    rows = [(i, "g", 10.0) for i in range(50)] + [(99, "g", 10_000.0)]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    out = features.mad_outliers(df, "grp", "v", "id").collect()
+    # the single extreme value is flagged; the tight cluster is not
+    assert [r.id for r in out] == [99]
+
+
+def test_sampled_quantiles_track_exact(spark):
+    from sparksync.ext import skew
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    out = {r.event_type: r for r in skew.sampled_quantiles(
+        ev, "event_type", "value", "event_id", rate=0.5
+    ).collect()}
+    exact = {r.event_type: r for r in ev.groupBy("event_type").agg(
+        F.expr("percentile(cast(value as double), 0.5)").alias("p50")
+    ).collect()}
+    for t, r in out.items():
+        # half-sample median lands near the true median
+        assert abs(r.p50 - exact[t].p50) < 0.35 * (abs(exact[t].p50) + 1), t

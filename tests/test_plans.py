@@ -290,3 +290,57 @@ def test_new_round3_plan_shapes(spark):
 
     plan = plan_of(QUERIES["q72_key_skew"](spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_round4b_plan_shapes(spark):
+    """q90-q94 scale posture: pps_sample touches the corpus with ONE
+    narrow filter (the total-weight row arrives by broadcast — no
+    corpus shuffle at all); pagerank and source_overlap never go
+    cartesian; CMS tops out via TakeOrderedAndProject with partial
+    aggregation on the sketch build; negative_pairs' only windows are
+    bucket-partitioned plus the bounded query-side rank."""
+    plan = plan_of(QUERIES["q90_pps_sample"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan  # the one-row total, nothing else
+    assert plan.count("Exchange") <= 2  # agg of the total; no corpus exchange
+    assert "SortMergeJoin" not in plan
+
+    plan = plan_of(QUERIES["q91_pagerank"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan  # partial contribution sums
+
+    plan = plan_of(QUERIES["q92_heavy_hitters"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+    plan = plan_of(QUERIES["q93_negative_pairs"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # query side joins by broadcast
+
+    plan = plan_of(QUERIES["q94_source_overlap"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_round4c_plan_shapes(spark):
+    """q95-q98 scale posture: the rollup is one exchange (partial agg
+    collapses before it); transitions windows are user-partitioned and
+    stats joins broadcast; MAD joins its two stat tables by broadcast;
+    the sampled-quantile filter is narrow (no pre-shuffle)."""
+    plan = plan_of(QUERIES["q95_time_rollup"](spark, SF_SMOKE))
+    assert "HashAggregate" in plan
+    assert plan.count("Exchange") <= 1, plan.count("Exchange")
+
+    plan = plan_of(QUERIES["q96_event_transitions"](spark, SF_SMOKE))
+    assert "SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    plan = plan_of(QUERIES["q97_mad_outliers"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    plan = plan_of(QUERIES["q98_sampled_quantiles"](spark, SF_SMOKE))
+    assert "SinglePartition" not in plan
+    assert plan.count("Exchange") <= 1
