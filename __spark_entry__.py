@@ -31,7 +31,7 @@ def _rotated(d: dict) -> dict:
     name — only dict insertion order changes."""
 
     def block(name: str) -> int:
-        n = int(name[1:3])
+        n = int(name[1:].split("_", 1)[0])
         if n <= 17:
             return 0
         if n >= 77:

@@ -111,3 +111,52 @@ def mad_outliers(
             "mad",
         )
     )
+
+
+def histogram_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    nbins: int = 10,
+) -> DataFrame:
+    """Equi-width histogram per group — the distribution profile behind
+    data-quality dashboards and drift monitors. Bin edges come from the
+    group's exact min/max (one tiny aggregate broadcast back); binning
+    is one narrow codegen map: floor((x-lo)*nbins/(hi-lo)) clamped to
+    nbins-1, with degenerate single-value groups pinned to bin 0. Every
+    arithmetic step is per-row IEEE double ops (mul/div/floor are
+    correctly rounded, hence bit-identical across engines) — no float
+    SUMS anywhere, so the histogram replays exactly.
+
+    Scale shape: two passes over the column (min/max, then counts),
+    both partial-aggregated; the only shuffles carry group-cardinality
+    and group x nbins rows. Output: (group, bin, bin_lo, bin_hi,
+    cnt)."""
+    v = F.col(value_col).cast("double")
+    mm = df.where(v.isNotNull()).groupBy(group_col).agg(
+        F.min(v).alias("_lo"), F.max(v).alias("_hi")
+    )
+    width_bin = F.floor(
+        (v - F.col("_lo")) * F.lit(nbins) / (F.col("_hi") - F.col("_lo"))
+    )
+    b = (
+        df.where(v.isNotNull())
+        .join(F.broadcast(mm), group_col)
+        .withColumn(
+            "bin",
+            F.when(F.col("_hi") == F.col("_lo"), F.lit(0).cast("long"))
+            .otherwise(F.least(F.lit(nbins - 1).cast("long"), width_bin)),
+        )
+    )
+    span = (F.col("_hi") - F.col("_lo")) / F.lit(nbins)
+    return (
+        b.groupBy(group_col, "bin", "_lo", "_hi")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            group_col,
+            "bin",
+            (F.col("_lo") + F.col("bin") * span).alias("bin_lo"),
+            (F.col("_lo") + (F.col("bin") + F.lit(1)) * span).alias("bin_hi"),
+            "cnt",
+        )
+    )

@@ -265,3 +265,33 @@ def join_streams(
             f"l_key = r_key and r_ts >= l_ts and r_ts <= l_ts + interval {within}"
         ),
     )
+
+
+def cms_counters_stream(docs: DataFrame, value_col: str = "text") -> DataFrame:
+    """Streaming count-min sketch build: maintain the depth x width
+    counter table over an unbounded token stream — the fixed-state way
+    to track frequencies forever (state is <= depth*width rows BY
+    CONSTRUCTION, no watermark needed; contrast windowed_counts, whose
+    state is bounded by time instead). Complete/update output mode
+    hands the live sketch to a dashboard or to heavy_hitters_cms's
+    estimate-side join. Exactly the batch slot math (ext/skew), so a
+    drained stream's counters equal the batch sketch — asserted in
+    tests."""
+    from .dedup import md5_token_hash
+    from .textops import tokens
+
+    toks = docs.select(F.explode(tokens(value_col)).alias("val"))
+    slot_cols = [
+        F.pmod(
+            md5_token_hash(
+                F.concat_ws("|", F.lit("cms"), F.lit(str(j)), F.col("val"))
+            ),
+            F.lit(1024),
+        )
+        for j in range(4)
+    ]
+    return (
+        toks.select(F.posexplode(F.array(*slot_cols)).alias("j", "slot"))
+        .groupBy("j", "slot")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

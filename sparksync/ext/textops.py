@@ -638,3 +638,47 @@ def source_overlap(
             ).alias("containment"),
         )
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Inverted index build — the IR-side view of the corpus: one row
+    per surviving token carrying document frequency, collection
+    frequency, and the full posting list as SORTED "doc:tf" strings
+    (strings because a sorted string array compares identically in
+    every engine, where arrays of structs round-trip differently
+    through pandas). min_df prunes hapax noise; max_df is the stop-list
+    valve — ultra-common tokens are exactly where posting lists go
+    quadratic-ish at 100 TB, and real indexes segment or stop them
+    (document the cap, don't pretend the skew away).
+
+    Scale shape: explode -> groupBy(token, doc) with map-side combine
+    (collapses within-doc repeats BEFORE any shuffle) -> one
+    groupBy(token). The collect_list per token is bounded by df(token),
+    which max_df caps explicitly. Output: (token, doc_freq, coll_freq,
+    postings)."""
+    t = df.select(F.col(id_col).alias("_d"), F.explode(tokens(text_col)).alias("tok"))
+    per_doc = t.groupBy("tok", "_d").agg(F.count(F.lit(1)).alias("tf"))
+    idx = per_doc.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.sum("tf").cast("long").alias("coll_freq"),
+        F.sort_array(
+            F.collect_list(
+                F.concat(F.col("_d").cast("string"), F.lit(":"), F.col("tf"))
+            )
+        ).alias("postings"),
+    )
+    out = idx.where(F.col("doc_freq") >= min_df)
+    if max_df is not None:
+        out = out.where(F.col("doc_freq") <= max_df)
+    return out.select(
+        F.col("tok").alias("token"),
+        F.col("doc_freq").cast("long").alias("doc_freq"),
+        "coll_freq",
+        "postings",
+    )

@@ -2935,6 +2935,67 @@ from s group by event_type
 """
 
 
+def q99_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over documents (ext/textops.inverted_index):
+    token -> (doc_freq, coll_freq, sorted postings), min_df=2. (The
+    max_df stop-list valve stays default-off here: the fixture
+    vocabulary is small, so capping df would empty the gate; the
+    library exposes it for real corpora.)"""
+    return textops.inverted_index(load(spark, sf_dir, "documents"), min_df=2)
+
+
+ORACLE_Q99 = """
+with t as (
+  select doc_id as d,
+         unnest(list_filter(string_split(trim(text), ' '), x -> x <> '')) as tok
+  from documents),
+per_doc as (
+  select tok, d, cast(count(*) as bigint) as tf from t group by tok, d),
+idx as (
+  select tok as token,
+         cast(count(*) as bigint) as doc_freq,
+         cast(sum(tf) as bigint) as coll_freq,
+         list_sort(list(cast(d as varchar) || ':' || cast(tf as varchar)))
+           as postings
+  from per_doc group by tok)
+select * from idx where doc_freq >= 2
+"""
+
+
+def q100_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type equi-width histogram of values
+    (ext/features.histogram_by_group): exact min/max edges, narrow
+    codegen binning, bit-replayable per-row double arithmetic."""
+    from .ext import features
+
+    return features.histogram_by_group(
+        load(spark, sf_dir, "events"), "event_type", "value", nbins=10
+    )
+
+
+ORACLE_Q100 = """
+with mm as (
+  select event_type, min(cast(value as double)) as lo,
+         max(cast(value as double)) as hi
+  from events where value is not null group by event_type),
+b as (
+  select e.event_type,
+         case when mm.hi = mm.lo then cast(0 as bigint)
+              else least(cast(9 as bigint),
+                         cast(floor((cast(e.value as double) - mm.lo) * 10
+                                    / (mm.hi - mm.lo)) as bigint))
+         end as bin,
+         mm.lo, mm.hi
+  from events e join mm using (event_type)
+  where e.value is not null)
+select event_type, bin,
+       lo + bin * ((hi - lo) / 10) as bin_lo,
+       lo + (bin + 1) * ((hi - lo) / 10) as bin_hi,
+       count(*) as cnt
+from b group by event_type, bin, lo, hi
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -3034,6 +3095,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q96_event_transitions": q96_event_transitions,
     "q97_mad_outliers": q97_mad_outliers,
     "q98_sampled_quantiles": q98_sampled_quantiles,
+    "q99_inverted_index": q99_inverted_index,
+    "q100_histogram": q100_histogram,
 }
 
 ORACLES: dict[str, str] = {
@@ -3135,4 +3198,6 @@ ORACLES: dict[str, str] = {
     "q96_event_transitions": ORACLE_Q96,
     "q97_mad_outliers": ORACLE_Q97,
     "q98_sampled_quantiles": ORACLE_Q98,
+    "q99_inverted_index": ORACLE_Q99,
+    "q100_histogram": ORACLE_Q100,
 }

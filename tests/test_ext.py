@@ -1364,3 +1364,36 @@ def test_sampled_quantiles_track_exact(spark):
     for t, r in out.items():
         # half-sample median lands near the true median
         assert abs(r.p50 - exact[t].p50) < 0.35 * (abs(exact[t].p50) + 1), t
+
+
+def test_inverted_index_postings_consistent(docs):
+    from sparksync.ext import textops
+
+    idx = textops.inverted_index(docs, min_df=1).cache()
+    r = idx.orderBy(F.desc("doc_freq")).first()
+    # postings length == doc_freq; coll_freq >= doc_freq
+    assert len(r.postings) == r.doc_freq
+    assert r.coll_freq >= r.doc_freq
+    assert r.postings == sorted(r.postings)
+    # max_df valve drops the most common token
+    capped = textops.inverted_index(docs, min_df=1, max_df=r.doc_freq - 1)
+    assert capped.where(F.col("token") == r.token).count() == 0
+    idx.unpersist()
+
+
+def test_histogram_covers_all_rows(spark):
+    from sparksync.ext import features
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    h = features.histogram_by_group(ev, "event_type", "value", nbins=10).cache()
+    n_rows = ev.where(F.col("value").isNotNull()).count()
+    assert h.agg(F.sum("cnt")).first()[0] == n_rows
+    bins = h.select("bin").distinct().collect()
+    assert all(0 <= r.bin <= 9 for r in bins)
+    # bin edges tile the range: max(bin_hi) - min(bin_lo) spans the data
+    for g in h.select("event_type").distinct().collect():
+        rows = h.where(F.col("event_type") == g.event_type).collect()
+        lo = min(r.bin_lo for r in rows)
+        hi = max(r.bin_hi for r in rows)
+        assert hi > lo
+    h.unpersist()

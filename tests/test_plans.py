@@ -344,3 +344,19 @@ def test_round4c_plan_shapes(spark):
     plan = plan_of(QUERIES["q98_sampled_quantiles"](spark, SF_SMOKE))
     assert "SinglePartition" not in plan
     assert plan.count("Exchange") <= 1
+
+
+def test_round4d_plan_shapes(spark):
+    """q99/q100 scale posture: the index's per-doc tf agg combines
+    map-side before any shuffle (two exchanges total: (tok,doc) then
+    tok); the histogram broadcasts its min/max row and plans no
+    single-partition exchange."""
+    plan = plan_of(QUERIES["q99_inverted_index"](spark, SF_SMOKE))
+    assert "HashAggregate" in plan
+    assert "SinglePartition" not in plan
+    assert "ObjectHashAggregate" in plan or "SortAggregate" in plan  # collect_list
+
+    plan = plan_of(QUERIES["q100_histogram"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "SinglePartition" not in plan

@@ -313,3 +313,30 @@ def test_filter_report_runs_on_stream(spark, tmp_path):
     streamed = {tuple(r) for r in spark.read.parquet(out).collect()}
     batch = {tuple(r) for r in textops.corpus_filter_report(docs).collect()}
     assert streamed == batch and len(batch) > 0
+
+
+def test_cms_counters_stream_match_batch(spark, tmp_path):
+    """The streaming sketch drained over the fixture equals the batch
+    counter table — fixed-state streaming frequency tracking."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    src = str(tmp_path / "cms_in")
+    docs.write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    s = spark.readStream.schema(schema).parquet(src)
+    q = (
+        stream.cms_counters_stream(s)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("cms_sketch")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.j, r.slot): r.cnt for r in spark.sql("select * from cms_sketch").collect()
+    }
+    batch = {
+        (r.j, r.slot): r.cnt
+        for r in stream.cms_counters_stream(docs).collect()
+    }
+    assert got == batch and len(got) > 0
