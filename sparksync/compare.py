@@ -327,3 +327,24 @@ def schema_diff(src: DataFrame, dst: DataFrame) -> DataFrame:
     return src.sparkSession.createDataFrame(
         rows, "col_name string, src_type string, dst_type string, status string"
     )
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change log: each
+    change row becomes a version interval [valid_from, valid_to), with
+    valid_to = the key's next change (NULL = current) — the warehouse
+    complement of merge_cdc, which keeps only the LATEST state per key.
+    One lead() window PARTITIONED BY KEY with the id tiebreak; no
+    joins, no shuffle beyond the per-key sort. Output: every input
+    column plus valid_from / valid_to / is_current."""
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, id_col)
+    return (
+        changes.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )

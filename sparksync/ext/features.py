@@ -15,7 +15,7 @@ engine-specific.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -159,4 +159,76 @@ def histogram_by_group(
             (F.col("_lo") + (F.col("bin") + F.lit(1)) * span).alias("bin_hi"),
             "cnt",
         )
+    )
+
+
+def equidepth_buckets(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    nbuckets: int = 10,
+) -> DataFrame:
+    """Equi-depth (quantile) buckets per group via ntile — the
+    complement of histogram_by_group's equi-width bins: every bucket
+    holds ~the same row count and the bucket EDGES carry the
+    information. ntile's deterministic split rule (earlier buckets take
+    the remainder) is identical across engines given a total order, so
+    the id tiebreak makes the whole profile replayable. The window
+    sorts each group once (per-group, never global); at 100 TB the
+    same profile comes from sampled_quantiles' edges instead — this is
+    the exact small-group path. Output: (group, bucket, cnt, lo, hi)."""
+    v = F.col(value_col).cast("double")
+    w = Window.partitionBy(group_col).orderBy(v, id_col)
+    return (
+        df.where(v.isNotNull())
+        .withColumn("bucket", F.ntile(nbuckets).over(w).cast("long"))
+        .groupBy(group_col, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(v).alias("lo"),
+            F.max(v).alias("hi"),
+        )
+    )
+
+
+def exact_corr(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Pearson correlation from EXACT decimal accumulators:
+    sum/x2/y2/xy aggregate as decimal(12,2)-derived decimals (order-
+    insensitive, bit-exact), and only the FINAL five-term formula runs
+    in doubles — one deterministic per-row expression, correctly
+    rounded identically in every IEEE engine. Spark's builtin corr()
+    accumulates doubles in partition order and cannot be hash-compared
+    across engines; this can. One partial-aggregated groupBy; the
+    formula touches group-cardinality rows. Output: (group, n, corr)."""
+    x = F.col(x_col).cast("decimal(12,2)")
+    y = F.col(y_col).cast("decimal(12,2)")
+    agg = (
+        df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(x * x).alias("sxx"),
+            F.sum(y * y).alias("syy"),
+            F.sum(x * y).alias("sxy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    num = nd * sxy - sx * sy
+    den = F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+    return agg.select(
+        group_col, F.col("n").cast("long").alias("n"), (num / den).alias("corr")
     )

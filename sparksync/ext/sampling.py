@@ -536,3 +536,41 @@ def negative_pairs(
             "query_id", "neg_id", F.col("neg_rank").cast("long").alias("neg_rank")
         )
     )
+
+
+def group_split_assign(
+    df: DataFrame,
+    group_col: str,
+    fracs: dict[str, float] | None = None,
+    salt: str = "gsplit",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: hash the GROUP (source,
+    domain, author), not the document, so every doc of a group lands in
+    the same split — the guard against near-duplicates of one source
+    straddling train and eval. Same cumulative-threshold recipe as
+    split_assign but over the portable md5 hash of the group string
+    (split_assign's Knuth hash needs an integer id). One narrow map;
+    no shuffle, no join. Output: input columns + split."""
+    from .dedup import md5_token_hash
+
+    fracs = fracs or {"train": 0.8, "val": 0.1, "test": 0.1}
+    b = F.pmod(
+        md5_token_hash(F.concat_ws("|", F.lit(salt), F.col(group_col))),
+        F.lit(BUCKETS),
+    )
+    cum = 0.0
+    expr = None
+    last = list(fracs)[-1]
+    for name, frac in fracs.items():
+        cum += frac
+        thr = int(round(cum * BUCKETS))
+        cond = F.lit(name)
+        if name == last:
+            expr = expr.otherwise(cond) if expr is not None else cond
+        else:
+            expr = (
+                F.when(b < thr, cond)
+                if expr is None
+                else expr.when(b < thr, cond)
+            )
+    return df.withColumn("split", expr)

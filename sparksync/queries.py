@@ -2996,6 +2996,118 @@ from b group by event_type, bin, lo, hi
 """
 
 
+def q101_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history (compare.scd2_history): every event becomes a
+    per-user version interval [valid_from, valid_to) with is_current —
+    the warehouse complement of q80's latest-state merge_cdc."""
+    from .compare import scd2_history
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    return scd2_history(ev, ["user_id"], "ts", "event_id").select(
+        "user_id", "event_id", "event_type", "valid_from", "valid_to",
+        "is_current",
+    )
+
+
+ORACLE_Q101 = """
+select user_id, event_id, event_type,
+       ts as valid_from,
+       lead(ts) over w as valid_to,
+       lead(ts) over w is null as is_current
+from events
+window w as (partition by user_id order by ts, event_id)
+"""
+
+
+def q102_equidepth_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth deciles of event values per type
+    (ext/features.equidepth_buckets): ntile with a full tiebreak, so
+    the bucket edges replay across engines."""
+    from .ext import features
+
+    return features.equidepth_buckets(
+        load(spark, sf_dir, "events"), "event_type", "value", "event_id"
+    )
+
+
+ORACLE_Q102 = """
+with b as (
+  select event_type,
+         cast(ntile(10) over (partition by event_type
+                              order by cast(value as double), event_id)
+              as bigint) as bucket,
+         cast(value as double) as v
+  from events where value is not null)
+select event_type, bucket, cast(count(*) as bigint) as cnt,
+       min(v) as lo, max(v) as hi
+from b group by event_type, bucket
+"""
+
+
+def q103_exact_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag Pearson correlation of quantity vs price
+    (ext/features.exact_corr): decimal-exact accumulators, double math
+    only in the final one-row-per-group formula — the hash-comparable
+    answer to builtin corr()."""
+    from .ext import features
+
+    return features.exact_corr(
+        load(spark, sf_dir, "lineitem"),
+        "l_returnflag",
+        "l_quantity",
+        "l_extendedprice",
+    )
+
+
+ORACLE_Q103 = """
+with agg as (
+  select l_returnflag, cast(count(*) as bigint) as n,
+         sum(cast(l_quantity as decimal(12,2))) as sx,
+         sum(cast(l_extendedprice as decimal(12,2))) as sy,
+         sum(cast(l_quantity as decimal(12,2))
+             * cast(l_quantity as decimal(12,2))) as sxx,
+         sum(cast(l_extendedprice as decimal(12,2))
+             * cast(l_extendedprice as decimal(12,2))) as syy,
+         sum(cast(l_quantity as decimal(12,2))
+             * cast(l_extendedprice as decimal(12,2))) as sxy
+  from lineitem
+  where l_quantity is not null and l_extendedprice is not null
+  group by l_returnflag)
+select l_returnflag, n,
+       (cast(n as double) * cast(sxy as double)
+        - cast(sx as double) * cast(sy as double))
+       / sqrt((cast(n as double) * cast(sxx as double)
+               - cast(sx as double) * cast(sx as double))
+              * (cast(n as double) * cast(syy as double)
+                 - cast(sy as double) * cast(sy as double))) as corr
+from agg
+"""
+
+
+def q104_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split assignment (ext/sampling.group_split_assign):
+    the SOURCE is hashed, not the doc, so a source's near-duplicates
+    can never straddle train and eval."""
+    return sampling.group_split_assign(
+        load(spark, sf_dir, "documents"), "source"
+    ).select("doc_id", "source", "split")
+
+
+ORACLE_Q104 = """
+select doc_id, source,
+       case when h % 10000 < 8000 then 'train'
+            when h % 10000 < 9000 then 'val'
+            else 'test' end as split
+from (
+  select doc_id, source,
+         cast(cast('0x' || substring(md5('gsplit|' || source), 1, 15)
+                   as ubigint) as bigint) as h
+  from documents)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -3097,6 +3209,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q98_sampled_quantiles": q98_sampled_quantiles,
     "q99_inverted_index": q99_inverted_index,
     "q100_histogram": q100_histogram,
+    "q101_scd2_history": q101_scd2_history,
+    "q102_equidepth_buckets": q102_equidepth_buckets,
+    "q103_exact_corr": q103_exact_corr,
+    "q104_group_split": q104_group_split,
 }
 
 ORACLES: dict[str, str] = {
@@ -3200,4 +3316,8 @@ ORACLES: dict[str, str] = {
     "q98_sampled_quantiles": ORACLE_Q98,
     "q99_inverted_index": ORACLE_Q99,
     "q100_histogram": ORACLE_Q100,
+    "q101_scd2_history": ORACLE_Q101,
+    "q102_equidepth_buckets": ORACLE_Q102,
+    "q103_exact_corr": ORACLE_Q103,
+    "q104_group_split": ORACLE_Q104,
 }

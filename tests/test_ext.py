@@ -1397,3 +1397,71 @@ def test_histogram_covers_all_rows(spark):
         hi = max(r.bin_hi for r in rows)
         assert hi > lo
     h.unpersist()
+
+
+def test_scd2_intervals_tile_per_key(spark):
+    from sparksync.compare import scd2_history
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "event_id", "ts"
+    )
+    h = scd2_history(ev, ["user_id"], "ts", "event_id").cache()
+    # exactly one current version per user
+    cur = h.where("is_current").groupBy("user_id").count().collect()
+    assert all(r["count"] == 1 for r in cur)
+    # intervals never overlap: valid_to of one == valid_from of next
+    assert h.where("valid_to < valid_from").count() == 0
+    assert h.count() == ev.count()
+    h.unpersist()
+
+
+def test_equidepth_buckets_balanced(spark):
+    from sparksync.ext import features
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    out = features.equidepth_buckets(
+        ev, "event_type", "value", "event_id", nbuckets=4
+    ).collect()
+    per_grp = {}
+    for r in out:
+        per_grp.setdefault(r.event_type, []).append(r)
+    for g, rows in per_grp.items():
+        counts = [r.cnt for r in rows]
+        assert max(counts) - min(counts) <= 1, (g, counts)  # ntile balance
+        # bucket edges are monotone
+        ordered = sorted(rows, key=lambda r: r.bucket)
+        for a, b in zip(ordered, ordered[1:]):
+            assert a.hi <= b.lo or abs(a.hi - b.lo) < 1e-12
+
+
+def test_exact_corr_matches_builtin(spark):
+    from sparksync.ext import features
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    ours = {
+        r.l_returnflag: r.corr
+        for r in features.exact_corr(
+            li, "l_returnflag", "l_quantity", "l_extendedprice"
+        ).collect()
+    }
+    builtin = {
+        r.l_returnflag: r.c
+        for r in li.groupBy("l_returnflag")
+        .agg(F.corr("l_quantity", "l_extendedprice").alias("c"))
+        .collect()
+    }
+    for k, v in ours.items():
+        assert abs(v - builtin[k]) < 1e-9, k  # same statistic, exact path
+
+
+def test_group_split_never_straddles(docs):
+    from sparksync.ext import sampling
+
+    out = sampling.group_split_assign(docs, "source")
+    per_src = (
+        out.groupBy("source")
+        .agg(F.countDistinct("split").alias("k"))
+        .collect()
+    )
+    assert all(r.k == 1 for r in per_src)  # leakage-safe by construction
+    assert out.select("split").distinct().count() >= 2  # multiple splits used

@@ -360,3 +360,23 @@ def test_round4d_plan_shapes(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_round4e_plan_shapes(spark):
+    """q101-q104 posture: SCD2 and ntile windows are key/group-
+    partitioned (never single-partition); exact_corr is one partial
+    agg + a scalar projection; group_split is a pure narrow map (no
+    exchange at all past the scan)."""
+    plan = plan_of(QUERIES["q101_scd2_history"](spark, SF_SMOKE))
+    assert "SinglePartition" not in plan
+
+    plan = plan_of(QUERIES["q102_equidepth_buckets"](spark, SF_SMOKE))
+    assert "SinglePartition" not in plan
+    assert "HashAggregate" in plan
+
+    plan = plan_of(QUERIES["q103_exact_corr"](spark, SF_SMOKE))
+    assert "HashAggregate" in plan
+    assert "Exchange" in plan and plan.count("Exchange") <= 1
+
+    plan = plan_of(QUERIES["q104_group_split"](spark, SF_SMOKE))
+    assert "Exchange" not in plan  # narrow map only
