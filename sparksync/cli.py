@@ -68,6 +68,16 @@ def main(argv: list[str] | None = None) -> int:
     card.add_argument("--group", required=True)
     card.add_argument("--value", required=True)
     card.add_argument("--k", type=int, default=64)
+    hot = sub.add_parser("hot-values")  # X78 CMS heavy hitters
+    hot.add_argument("--table", required=True)
+    hot.add_argument("--column", required=True)
+    hot.add_argument("--top-k", type=int, default=20)
+    quant = sub.add_parser("quantiles")  # X84 portable sampled quantiles
+    quant.add_argument("--table", required=True)
+    quant.add_argument("--group", required=True)
+    quant.add_argument("--value", required=True)
+    quant.add_argument("--id", required=True)
+    quant.add_argument("--rate", type=float, default=0.2)
     prep = sub.add_parser("prep")  # corpus-prep pipeline to parquet (X-surface)
     prep.add_argument("--table", default="documents")
     prep.add_argument("--lang", default="en", help="pred_lang to keep ('' = all)")
@@ -227,6 +237,33 @@ def main(argv: list[str] | None = None) -> int:
         for r in (
             approx_distinct_kmv(
                 job._read_source(args.table), args.group, args.value, k=args.k
+            )
+            .orderBy(args.group)
+            .collect()
+        ):
+            print(json.dumps(r.asDict()))
+        return 0
+    if args.cmd == "hot-values":
+        # heavy hitters via the portable count-min sketch; exact counts
+        # ride along as the sketch-error audit
+        from .ext.skew import heavy_hitters_cms
+
+        for r in heavy_hitters_cms(
+            job._read_source(args.table), args.column, k=args.top_k
+        ).collect():
+            print(json.dumps(r.asDict()))
+        return 0
+    if args.cmd == "quantiles":
+        # per-group quantile profile on the deterministic hash sample
+        from .ext.skew import sampled_quantiles
+
+        for r in (
+            sampled_quantiles(
+                job._read_source(args.table),
+                args.group,
+                args.value,
+                args.id,
+                rate=args.rate,
             )
             .orderBy(args.group)
             .collect()

@@ -381,3 +381,48 @@ def event_transitions(
             ),
         )
     )
+
+
+def rolling_deviation(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    lookback: int = 5,
+    k: float = 2.0,
+) -> DataFrame:
+    """Trailing-window anomaly flags: compare each point to the mean of
+    its previous `lookback` observations (same key, time order) and
+    flag |x - mean| > k * max(|mean|, 1) — the streaming-shaped "did
+    this metric jump" check, here in batch form over a rows-window.
+    The trailing sum accumulates in decimal(12,2) (exact regardless of
+    frame order), the mean is one double division, and the flag test is
+    per-row arithmetic — all bit-replayable. Rows without a full
+    lookback of history are not flagged (n_prior rides along). One
+    per-key sort window; no joins, no global sort. Output: flagged
+    rows (key, id, ts, value, trail_mean, n_prior)."""
+    v = F.col(value_col).cast("double")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(-lookback, -1)
+    )
+    s = F.sum(F.col(value_col).cast("decimal(12,2)")).over(w)
+    n = F.count(F.col(value_col)).over(w)
+    mean = s.cast("double") / n.cast("double")
+    base = df.where(v.isNotNull()).select(
+        F.col(key_col),
+        F.col(id_col),
+        F.col(ts_col),
+        v.alias(value_col),
+        mean.alias("trail_mean"),
+        n.cast("long").alias("n_prior"),
+    )
+    return base.where(
+        (F.col("n_prior") == lookback)
+        & (
+            F.abs(F.col(value_col) - F.col("trail_mean"))
+            > F.lit(k) * F.greatest(F.abs(F.col("trail_mean")), F.lit(1.0))
+        )
+    )

@@ -232,3 +232,24 @@ def exact_corr(
     return agg.select(
         group_col, F.col("n").cast("long").alias("n"), (num / den).alias("corr")
     )
+
+
+def rank_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    out_col: str = "pct_rank",
+) -> DataFrame:
+    """Rank-based score normalization: percent_rank of the value within
+    its group — how heterogeneous quality scores (a length heuristic
+    here, a model logit there) become comparable before blending or
+    thresholding ("keep every source's top 30%"). percent_rank is
+    (rank-1)/(n-1): pure rank arithmetic plus ONE double division, so
+    with the id tiebreak the output replays bit-exactly — z-scores
+    would drag float sums in. One per-group sort window, never global.
+    Output: input columns + out_col in [0, 1]."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).cast("double"), id_col
+    )
+    return df.withColumn(out_col, F.percent_rank().over(w))

@@ -3108,6 +3108,102 @@ from (
 """
 
 
+def q105_star_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema OLAP rollup: revenue by region -> nation -> ship
+    year with subtotals, over a broadcast dimension chain (lineitem x
+    supplier x nation x region). The fact table shuffles ONCE (into
+    the rollup agg); every dimension hop is a broadcast hash join —
+    the canonical warehouse plan at any scale."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(12,2)") - _dec("l_discount")
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("long").alias("year"),
+            rev.alias("_rev"),
+        )
+        .rollup("region", "nation", "year")
+        .agg(
+            F.sum("_rev").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+ORACLE_Q105 = """
+select r.r_name as region, n.n_name as nation, year(l.l_shipdate) as year,
+       cast(sum(cast(l.l_extendedprice as decimal(12,2))
+                * (cast(1 as decimal(12,2))
+                   - cast(l.l_discount as decimal(12,2)))) as double)
+         as revenue,
+       count(*) as cnt
+from lineitem l
+join supplier s on l.l_suppkey = s.s_suppkey
+join nation n on s.s_nationkey = n.n_nationkey
+join region r on n.n_regionkey = r.r_regionkey
+group by rollup (region, nation, year)
+"""
+
+
+def q106_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based score normalization (ext/features.rank_normalize):
+    percent_rank of n_chars within source — heterogeneous quality
+    scores made comparable before blending."""
+    from .ext import features
+
+    return features.rank_normalize(
+        load(spark, sf_dir, "documents"), "source", "n_chars", "doc_id"
+    ).select("doc_id", "source", "n_chars", "pct_rank")
+
+
+ORACLE_Q106 = """
+select doc_id, source, n_chars,
+       percent_rank() over (partition by source
+                            order by cast(n_chars as double), doc_id)
+         as pct_rank
+from documents
+"""
+
+
+def q107_rolling_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly flags (ext/asof.rolling_deviation):
+    events whose value jumps > 2x away from their user's previous-5
+    mean — decimal-exact trailing sums, replayable flag test."""
+    from .ext import asof
+
+    return asof.rolling_deviation(
+        load(spark, sf_dir, "events"), "user_id", "ts", "event_id", "value"
+    )
+
+
+ORACLE_Q107 = """
+with b as (
+  select user_id, event_id, ts, cast(value as double) as value,
+         cast(sum(cast(value as decimal(12,2))) over w as double)
+           / cast(count(value) over w as double) as trail_mean,
+         cast(count(value) over w as bigint) as n_prior
+  from events where value is not null
+  window w as (partition by user_id order by ts, event_id
+               rows between 5 preceding and 1 preceding))
+select * from b
+where n_prior = 5
+  and abs(value - trail_mean) > 2.0 * greatest(abs(trail_mean), 1.0)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -3213,6 +3309,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q102_equidepth_buckets": q102_equidepth_buckets,
     "q103_exact_corr": q103_exact_corr,
     "q104_group_split": q104_group_split,
+    "q105_star_rollup": q105_star_rollup,
+    "q106_rank_normalize": q106_rank_normalize,
+    "q107_rolling_deviation": q107_rolling_deviation,
 }
 
 ORACLES: dict[str, str] = {
@@ -3320,4 +3419,7 @@ ORACLES: dict[str, str] = {
     "q102_equidepth_buckets": ORACLE_Q102,
     "q103_exact_corr": ORACLE_Q103,
     "q104_group_split": ORACLE_Q104,
+    "q105_star_rollup": ORACLE_Q105,
+    "q106_rank_normalize": ORACLE_Q106,
+    "q107_rolling_deviation": ORACLE_Q107,
 }

@@ -1465,3 +1465,38 @@ def test_group_split_never_straddles(docs):
     )
     assert all(r.k == 1 for r in per_src)  # leakage-safe by construction
     assert out.select("split").distinct().count() >= 2  # multiple splits used
+
+
+def test_rank_normalize_bounds_and_order(docs):
+    from sparksync.ext import features
+
+    out = features.rank_normalize(docs, "source", "n_chars", "doc_id")
+    mm = out.agg(F.min("pct_rank"), F.max("pct_rank")).first()
+    assert mm[0] == 0.0 and mm[1] == 1.0
+    # longer doc never ranks below a shorter one within its source
+    bad = (
+        out.alias("a")
+        .join(out.alias("b"), "source")
+        .where(
+            (F.col("a.n_chars") > F.col("b.n_chars"))
+            & (F.col("a.pct_rank") < F.col("b.pct_rank"))
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_rolling_deviation_flags_planted_jump(spark):
+    from sparksync.ext import asof
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, i, t0 + datetime.timedelta(minutes=i), 10.0 + (1000.0 if i == 7 else 0.0))
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    out = asof.rolling_deviation(df, "user_id", "ts", "event_id", "value").collect()
+    assert [r.event_id for r in out] == [7]  # only the planted jump fires

@@ -380,3 +380,20 @@ def test_round4e_plan_shapes(spark):
 
     plan = plan_of(QUERIES["q104_group_split"](spark, SF_SMOKE))
     assert "Exchange" not in plan  # narrow map only
+
+
+def test_round4f_plan_shapes(spark):
+    """q105-q107: the star rollup broadcasts every dimension hop and
+    shuffles the fact table once (Expand feeds one agg exchange); the
+    window ops stay group-partitioned."""
+    plan = plan_of(QUERIES["q105_star_rollup"](spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+    assert "Expand" in plan  # rollup grouping sets
+
+    plan = plan_of(QUERIES["q106_rank_normalize"](spark, SF_SMOKE))
+    assert "SinglePartition" not in plan
+
+    plan = plan_of(QUERIES["q107_rolling_deviation"](spark, SF_SMOKE))
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan

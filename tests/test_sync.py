@@ -802,3 +802,31 @@ def test_incremental_resync_end_to_end(spark, tmp_path):
     )
     r = compare_checksum(drifted, merged, "orders")
     assert r.is_ok and r.src_count == orders.count() + 1
+
+
+def test_cli_hot_values_and_quantiles_subcommands(spark, tmp_path, capsys):
+    """hot-values (CMS) and quantiles (hash-sampled) print per-row JSON;
+    CMS estimates never undercount."""
+    import json as _json
+
+    from sparksync.cli import main
+
+    rc = main([
+        "--src", SF_SMOKE, "--dest", str(tmp_path / "o1"),
+        "hot-values", "--table", "events", "--column", "event_type",
+    ])
+    assert rc == 0
+    rows = [_json.loads(line) for line in
+            capsys.readouterr().out.strip().splitlines() if line.startswith("{")]
+    assert len(rows) == 5
+    assert all(r["est_count"] >= r["exact_count"] for r in rows)
+
+    rc = main([
+        "--src", SF_SMOKE, "--dest", str(tmp_path / "o2"),
+        "quantiles", "--table", "events", "--group", "event_type",
+        "--value", "value", "--id", "event_id",
+    ])
+    assert rc == 0
+    rows = [_json.loads(line) for line in
+            capsys.readouterr().out.strip().splitlines() if line.startswith("{")]
+    assert rows and all(r["p25"] <= r["p50"] <= r["p75"] <= r["p95"] for r in rows)
