@@ -201,11 +201,19 @@ def exact_corr(
     """Per-group Pearson correlation from EXACT decimal accumulators:
     sum/x2/y2/xy aggregate as decimal(12,2)-derived decimals (order-
     insensitive, bit-exact), and only the FINAL five-term formula runs
-    in doubles — one deterministic per-row expression, correctly
-    rounded identically in every IEEE engine. Spark's builtin corr()
-    accumulates doubles in partition order and cannot be hash-compared
-    across engines; this can. One partial-aggregated groupBy; the
-    formula touches group-cardinality rows. Output: (group, n, corr)."""
+    in doubles. Spark's builtin corr() accumulates doubles in partition
+    order and cannot be hash-compared across engines; this can.
+
+    Portability detail that MATTERS: the decimal sums are converted to
+    SCALED LONGS (cents / cent-squares) before any double math —
+    decimal→double casts are NOT cross-engine stable (DuckDB divides
+    int128 by 10^scale in doubles: two roundings, off-by-one-ulp vs the
+    JVM's exactly-rounded BigDecimal cast; observed at the gate), while
+    long→double is the same IEEE conversion everywhere. Pearson is
+    scale-invariant, so the scaled-units formula IS the statistic.
+    Bound: sum(x*y)*10^4 must fit int64 (~3e18 headroom at TPC-H sf10).
+    One partial-aggregated groupBy; the formula touches
+    group-cardinality rows. Output: (group, n, corr)."""
     x = F.col(x_col).cast("decimal(12,2)")
     y = F.col(y_col).cast("decimal(12,2)")
     agg = (
@@ -221,12 +229,11 @@ def exact_corr(
         )
     )
     nd = F.col("n").cast("double")
-    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
-    sxx, syy, sxy = (
-        F.col("sxx").cast("double"),
-        F.col("syy").cast("double"),
-        F.col("sxy").cast("double"),
-    )
+    sx = (F.col("sx") * F.lit(100)).cast("long").cast("double")
+    sy = (F.col("sy") * F.lit(100)).cast("long").cast("double")
+    sxx = (F.col("sxx") * F.lit(10000)).cast("long").cast("double")
+    syy = (F.col("syy") * F.lit(10000)).cast("long").cast("double")
+    sxy = (F.col("sxy") * F.lit(10000)).cast("long").cast("double")
     num = nd * sxy - sx * sy
     den = F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
     return agg.select(

@@ -1,11 +1,16 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata, processed via Arrow-batched mapInPandas.
 
-The image/audio codecs are not available in this container, so the
-decode step is STUBBED: `decode_image` raises NotImplementedError unless
-`fake=True`, in which case a deterministic fake 'feature vector' is
-derived from the bytes (sha-based) so the Spark-side plumbing — schema,
-batch iteration, partitioning — is real and testable end to end.
+Two decode tiers:
+- REAL (pure numpy/struct, zero codec deps): PCM16 WAV parsing with
+  duration/RMS/peak features, and 24-bit BMP parse/emit/resize with
+  channel-mean features — see media_features / resize_media below.
+  Per-row error capture: corrupt or compressed payloads classify
+  ('corrupt' / 'unsupported') instead of killing the Arrow batch.
+- STUBBED (compressed codecs — JPEG/PNG/MP3/video — need PIL/ffmpeg,
+  absent in this container): `decode_image` raises NotImplementedError
+  unless `fake=True`, which derives a deterministic sha-based pseudo
+  feature vector so downstream shapes stay honest and testable.
 """
 
 from __future__ import annotations
@@ -118,3 +123,200 @@ def audio_chunk_plan(df: DataFrame, chunk_bytes: int = 4000) -> DataFrame:
         .select("media_id", F.explode(idx).alias("chunk_index"))
         .withColumn("offset", F.col("chunk_index") * chunk_bytes)
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL decode for uncompressed containers (pure numpy/struct — no codec libs).
+# WAV/PCM and BMP need no external decoder, so these paths are genuinely
+# end-to-end; compressed formats (JPEG/PNG/MP3/video) stay honestly stubbed
+# above. The production shape: never throw on a bad row — classify it.
+# ---------------------------------------------------------------------------
+
+import struct
+
+import numpy as np
+
+MEDIA_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("status", T.StringType()),  # decoded|unsupported|corrupt
+        T.StructField("n_bytes", T.LongType()),
+        # audio features (NULL for images)
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        # image features (NULL for audio)
+        T.StructField("img_width", T.IntegerType()),
+        T.StructField("img_height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ]
+)
+
+
+def parse_wav(b: bytes) -> tuple[int, int, np.ndarray]:
+    """Minimal RIFF/WAVE parser for 16-bit PCM: walk the chunk list,
+    read 'fmt ' and 'data', return (sample_rate, channels, samples in
+    [-1, 1]). Raises ValueError on anything that is not plain PCM16."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, sr, ch, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(b):
+        cid, sz = b[pos : pos + 4], struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        body = b[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt, ch, sr = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV encoding fmt={fmt} bits={bits}")
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if sr is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    return sr, ch, samples
+
+
+def wav_features(b: bytes) -> dict:
+    """REAL audio features from PCM16 WAV bytes: duration, RMS, peak."""
+    sr, ch, s = parse_wav(b)
+    n_frames = len(s) // max(ch, 1)
+    return {
+        "sample_rate": sr,
+        "duration_s": n_frames / float(sr),
+        "rms": float(np.sqrt(np.mean(s * s))) if len(s) else 0.0,
+        "peak": float(np.max(np.abs(s))) if len(s) else 0.0,
+    }
+
+
+def parse_bmp(b: bytes) -> np.ndarray:
+    """Minimal BMP parser for 24-bit uncompressed bottom-up DIBs:
+    returns an (h, w, 3) uint8 RGB array. Raises ValueError otherwise."""
+    if len(b) < 54 or b[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    off = struct.unpack("<I", b[10:14])[0]
+    w, h = struct.unpack("<ii", b[18:26])
+    planes, bpp = struct.unpack("<HH", b[26:30])
+    comp = struct.unpack("<I", b[30:34])[0]
+    if bpp != 24 or comp != 0 or h <= 0 or w <= 0:
+        raise ValueError(f"unsupported BMP bpp={bpp} comp={comp}")
+    stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    need = off + stride * h
+    if len(b) < need:
+        raise ValueError("truncated BMP payload")
+    rows = np.frombuffer(b[off : off + stride * h], dtype=np.uint8).reshape(
+        h, stride
+    )[:, : w * 3].reshape(h, w, 3)
+    return rows[::-1, :, ::-1]  # bottom-up BGR -> top-down RGB
+
+
+def emit_bmp(arr: np.ndarray) -> bytes:
+    """Inverse of parse_bmp: (h, w, 3) uint8 RGB -> 24-bit BMP bytes."""
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)
+    raw = body.tobytes()
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(raw), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raw), 2835, 2835, 0, 0)
+    return header + raw
+
+
+def bmp_features(b: bytes) -> dict:
+    """REAL image features from BMP bytes: dimensions + channel means."""
+    a = parse_bmp(b)
+    m = a.reshape(-1, 3).mean(axis=0)
+    return {
+        "img_width": int(a.shape[1]),
+        "img_height": int(a.shape[0]),
+        "mean_r": float(m[0]),
+        "mean_g": float(m[1]),
+        "mean_b": float(m[2]),
+    }
+
+
+def resize_bmp(b: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resize for 24-bit BMPs, re-emitting valid
+    BMP bytes — decode, index-map, encode, all numpy."""
+    a = parse_bmp(b)
+    h, w = a.shape[:2]
+    yi = (np.arange(height) * h // height).clip(0, h - 1)
+    xi = (np.arange(width) * w // width).clip(0, w - 1)
+    return emit_bmp(a[yi][:, xi])
+
+
+_NULL_FEATURES = {
+    "sample_rate": None, "duration_s": None, "rms": None, "peak": None,
+    "img_width": None, "img_height": None,
+    "mean_r": None, "mean_g": None, "mean_b": None,
+}
+
+
+def media_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched REAL feature extraction with per-row error
+    capture: WAV and BMP decode for real; compressed formats classify
+    as 'unsupported', corrupt payloads as 'corrupt' — a bad row NEVER
+    kills the batch (the property that matters when one of 10^9 media
+    files is truncated). Output: MEDIA_FEATURES_SCHEMA."""
+
+    def one(media_id, kind, content) -> dict:
+        row = {
+            "media_id": media_id, "kind": kind,
+            "n_bytes": len(content) if content is not None else 0,
+            **_NULL_FEATURES,
+        }
+        try:
+            if content is not None and content[:4] == b"RIFF":
+                row.update(wav_features(content))
+                row["status"] = "decoded"
+            elif content is not None and content[:2] == b"BM":
+                row.update(bmp_features(content))
+                row["status"] = "decoded"
+            else:
+                row["status"] = "unsupported"
+        except (ValueError, struct.error):
+            row["status"] = "corrupt"
+        return row
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [
+                    one(m, k, c)
+                    for m, k, c in zip(
+                        pdf["media_id"], pdf["kind"], pdf["content"]
+                    )
+                ]
+            )
+
+    return df.mapInPandas(run, MEDIA_FEATURES_SCHEMA)
+
+
+def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL resize where the payload allows it (BMP); other payloads
+    pass through untouched (schema-stable, like `resize` above but
+    without the fake path)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+
+            def maybe(b):
+                if b is not None and b[:2] == b"BM":
+                    try:
+                        return resize_bmp(b, width, height)
+                    except (ValueError, struct.error):
+                        return b
+                return b
+
+            out["content"] = pdf["content"].map(maybe)
+            out["width"] = width
+            out["height"] = height
+            yield out
+
+    return df.mapInPandas(run, MEDIA_SCHEMA)

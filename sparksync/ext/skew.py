@@ -272,3 +272,98 @@ def sampled_quantiles(
             for p, name in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.95, "p95"))
         ],
     )
+
+
+def kmv_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    k: int = 256,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Sketch-algebra set overlap: estimate |A∩B|, |A∪B| and Jaccard
+    between two columns WITHOUT materializing either distinct set —
+    the KMV sketches of A and B merge (union = k smallest of the
+    combined hash sets) and the fraction of the union sketch present
+    in both sides estimates Jaccard (Beyer et al., "distinct-value
+    synopses"). This is how you size a join or dedup overlap at 100 TB
+    before running it. Same portable md5 60-bit hash as
+    approx_distinct_kmv, so every number — including the APPROXIMATE
+    estimates — replays bit-exactly in the oracle. Exact when
+    |A∪B| <= k (the sketch IS the union).
+
+    Scale shape: each side collapses to distinct hashes with map-side
+    combine, k-mins via the salted two-phase window discipline, then
+    everything downstream touches <= 2k rows. Output one row:
+    (n_a_est, n_b_est, union_est, intersection_est, jaccard_est)."""
+    from pyspark.sql import Window
+
+    from .dedup import md5_token_hash
+
+    def kmin(df: DataFrame, side: str) -> DataFrame:
+        h = md5_token_hash(F.col(value_col).cast("string"))
+        d = (
+            df.where(F.col(value_col).isNotNull())
+            .select(h.alias("h"))
+            .groupBy("h")
+            .agg(F.count(F.lit(1)).alias("_dup"))
+            .drop("_dup")
+        )
+        w_salt = Window.partitionBy("_salt").orderBy("h")
+        w_all = Window.orderBy("h")
+        return (
+            d.withColumn("_salt", F.pmod(F.col("h"), F.lit(n_salts)))
+            .withColumn("_r", F.row_number().over(w_salt))
+            .where(F.col("_r") <= k)
+            .withColumn("_rn", F.row_number().over(w_all))
+            .where(F.col("_rn") <= k)
+            .select(F.col("h"), F.lit(side).alias("side"))
+        )
+
+    ka, kb = kmin(a, "a"), kmin(b, "b")
+    space = float(2**60)
+
+    def est(n_col: F.Column, hk: F.Column) -> F.Column:
+        return F.when(n_col < k, n_col.cast("long")).otherwise(
+            F.floor(F.lit(float(k - 1)) * F.lit(space) / hk).cast("long")
+        )
+
+    # the union sketch: k smallest distinct hashes of A ∪ B; mark which
+    # sides each survivor belongs to (<= 2k rows from here on)
+    u = (
+        ka.unionByName(kb)
+        .groupBy("h")
+        .agg(
+            F.max(F.when(F.col("side") == "a", 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("side") == "b", 1).otherwise(0)).alias("in_b"),
+        )
+        .withColumn("_rn", F.row_number().over(Window.orderBy("h")))
+        .where(F.col("_rn") <= k)
+    )
+    per_side_a = ka.groupBy().agg(
+        F.count(F.lit(1)).alias("na"), F.max("h").alias("hka")
+    )
+    per_side_b = kb.groupBy().agg(
+        F.count(F.lit(1)).alias("nb"), F.max("h").alias("hkb")
+    )
+    stats = u.groupBy().agg(
+        F.count(F.lit(1)).alias("nu"),
+        F.max("h").alias("hku"),
+        F.sum(
+            F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)
+        ).alias("nboth"),
+    )
+    out = stats.crossJoin(F.broadcast(per_side_a)).crossJoin(
+        F.broadcast(per_side_b)
+    )
+    union_est = est(F.col("nu"), F.col("hku"))
+    jacc = F.col("nboth").cast("double") / F.col("nu").cast("double")
+    return out.select(
+        est(F.col("na"), F.col("hka")).alias("n_a_est"),
+        est(F.col("nb"), F.col("hkb")).alias("n_b_est"),
+        union_est.alias("union_est"),
+        F.floor(jacc * union_est.cast("double")).cast("long").alias(
+            "intersection_est"
+        ),
+        jacc.alias("jaccard_est"),
+    )

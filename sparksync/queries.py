@@ -3074,15 +3074,20 @@ with agg as (
              * cast(l_extendedprice as decimal(12,2))) as sxy
   from lineitem
   where l_quantity is not null and l_extendedprice is not null
-  group by l_returnflag)
+  group by l_returnflag),
+scaled as (
+  select l_returnflag, n,
+         cast(cast(sx * 100 as bigint) as double) as sx,
+         cast(cast(sy * 100 as bigint) as double) as sy,
+         cast(cast(sxx * 10000 as bigint) as double) as sxx,
+         cast(cast(syy * 10000 as bigint) as double) as syy,
+         cast(cast(sxy * 10000 as bigint) as double) as sxy
+  from agg)
 select l_returnflag, n,
-       (cast(n as double) * cast(sxy as double)
-        - cast(sx as double) * cast(sy as double))
-       / sqrt((cast(n as double) * cast(sxx as double)
-               - cast(sx as double) * cast(sx as double))
-              * (cast(n as double) * cast(syy as double)
-                 - cast(sy as double) * cast(sy as double))) as corr
-from agg
+       (cast(n as double) * sxy - sx * sy)
+       / sqrt((cast(n as double) * sxx - sx * sx)
+              * (cast(n as double) * syy - sy * sy)) as corr
+from scaled
 """
 
 
@@ -3204,6 +3209,70 @@ where n_prior = 5
 """
 
 
+def q108_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-algebra overlap (ext/skew.kmv_overlap): estimated
+    intersection/union/Jaccard of click-users vs purchase-users from
+    merged KMV sketches (k=64 so the ESTIMATOR path, not the exact
+    small-set path, is what the oracle replays)."""
+    from .ext import skew
+
+    ev = load(spark, sf_dir, "events")
+    return skew.kmv_overlap(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+        "user_id",
+        k=64,
+    )
+
+
+ORACLE_Q108 = """
+with ah as (
+  select distinct cast(cast('0x' || substring(md5(cast(user_id as varchar)),
+                                              1, 15) as ubigint) as bigint) as h
+  from events where event_type = 'click' and user_id is not null),
+ka as (select h from ah order by h limit 64),
+bh as (
+  select distinct cast(cast('0x' || substring(md5(cast(user_id as varchar)),
+                                              1, 15) as ubigint) as bigint) as h
+  from events where event_type = 'purchase' and user_id is not null),
+kb as (select h from bh order by h limit 64),
+u0 as (
+  select h, max(in_a) as in_a, max(in_b) as in_b from (
+    select h, 1 as in_a, 0 as in_b from ka
+    union all
+    select h, 0 as in_a, 1 as in_b from kb) t
+  group by h),
+u as (select * from u0 order by h limit 64),
+sa as (select cast(count(*) as bigint) as na, max(h) as hka from ka),
+sb as (select cast(count(*) as bigint) as nb, max(h) as hkb from kb),
+su as (select cast(count(*) as bigint) as nu, max(h) as hku,
+              cast(sum(case when in_a = 1 and in_b = 1 then 1 else 0 end)
+                   as bigint) as nboth
+       from u),
+est as (
+  select
+    case when na < 64 then na
+         else cast(floor(cast(63 as double) *
+                         cast(1152921504606846976 as double)
+                         / cast(hka as double)) as bigint) end as n_a_est,
+    case when nb < 64 then nb
+         else cast(floor(cast(63 as double) *
+                         cast(1152921504606846976 as double)
+                         / cast(hkb as double)) as bigint) end as n_b_est,
+    case when nu < 64 then nu
+         else cast(floor(cast(63 as double) *
+                         cast(1152921504606846976 as double)
+                         / cast(hku as double)) as bigint) end as union_est,
+    cast(nboth as double) / cast(nu as double) as jaccard_est
+  from su, sa, sb)
+select n_a_est, n_b_est, union_est,
+       cast(floor(jaccard_est * cast(union_est as double)) as bigint)
+         as intersection_est,
+       jaccard_est
+from est
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -3312,6 +3381,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q105_star_rollup": q105_star_rollup,
     "q106_rank_normalize": q106_rank_normalize,
     "q107_rolling_deviation": q107_rolling_deviation,
+    "q108_kmv_overlap": q108_kmv_overlap,
 }
 
 ORACLES: dict[str, str] = {
@@ -3422,4 +3492,5 @@ ORACLES: dict[str, str] = {
     "q105_star_rollup": ORACLE_Q105,
     "q106_rank_normalize": ORACLE_Q106,
     "q107_rolling_deviation": ORACLE_Q107,
+    "q108_kmv_overlap": ORACLE_Q108,
 }

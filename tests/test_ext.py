@@ -1500,3 +1500,71 @@ def test_rolling_deviation_flags_planted_jump(spark):
     )
     out = asof.rolling_deviation(df, "user_id", "ts", "event_id", "value").collect()
     assert [r.event_id for r in out] == [7]  # only the planted jump fires
+
+
+def test_media_features_real_decode(spark):
+    """REAL multimodal decode end to end: PCM WAV and 24-bit BMP parse
+    with pure numpy/struct inside mapInPandas; corrupt and compressed
+    payloads classify instead of killing the batch."""
+    import math
+    import struct as st
+
+    import numpy as np
+
+    from sparksync.ext import multimodal as mm
+
+    sr = 8000
+    t = np.arange(sr) / sr
+    pcm = (np.sin(2 * np.pi * 440 * t) * 0.5 * 32767).astype("<i2").tobytes()
+    wav = (
+        b"RIFF" + st.pack("<I", 36 + len(pcm)) + b"WAVE"
+        + b"fmt " + st.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+        + b"data" + st.pack("<I", len(pcm)) + pcm
+    )
+    img = np.zeros((10, 20, 3), dtype=np.uint8)
+    img[:, :, 0] = 200  # red-dominant
+    bmp = mm.emit_bmp(img)
+    rows = [
+        (1, "audio", bytearray(wav), None, None),
+        (2, "image", bytearray(bmp), 20, 10),
+        (3, "image", bytearray(b"BM" + b"\x00" * 10), None, None),  # corrupt
+        (4, "image", bytearray(b"\x89PNG----"), None, None),  # unsupported
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in mm.media_features(df).collect()}
+    assert out[1].status == "decoded"
+    assert abs(out[1].duration_s - 1.0) < 1e-9
+    assert abs(out[1].rms - 0.5 / math.sqrt(2)) < 0.01
+    assert out[2].status == "decoded"
+    assert (out[2].img_width, out[2].img_height) == (20, 10)
+    assert out[2].mean_r == 200.0 and out[2].mean_b == 0.0
+    assert out[3].status == "corrupt"
+    assert out[4].status == "unsupported"
+
+    # REAL resize round-trips through the BMP codec with new dimensions
+    resized = {
+        r.media_id: r for r in mm.resize_media(df, 8, 4).collect()
+    }
+    again = mm.parse_bmp(bytes(resized[2].content))
+    assert again.shape == (4, 8, 3)
+    assert (again[:, :, 0] == 200).all()
+    # non-BMP payloads pass through untouched
+    assert bytes(resized[1].content) == wav
+
+
+def test_kmv_overlap_tracks_exact(spark):
+    from sparksync.ext import skew
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    a = ev.where(F.col("event_type") == "click")
+    b = ev.where(F.col("event_type") == "purchase")
+    r = skew.kmv_overlap(a, b, "user_id", k=64).first()
+    ua = {x.user_id for x in a.select("user_id").distinct().collect()}
+    ub = {x.user_id for x in b.select("user_id").distinct().collect()}
+    true_j = len(ua & ub) / len(ua | ub)
+    # sketch estimates land within the usual ~1/sqrt(k) envelope
+    assert abs(r.jaccard_est - true_j) < 0.25, (r.jaccard_est, true_j)
+    assert abs(r.union_est - len(ua | ub)) / len(ua | ub) < 0.35
+    assert abs(r.intersection_est - len(ua & ub)) <= max(
+        10, 0.5 * len(ua & ub)
+    )
