@@ -1568,3 +1568,37 @@ def test_kmv_overlap_tracks_exact(spark):
     assert abs(r.intersection_est - len(ua & ub)) <= max(
         10, 0.5 * len(ua & ub)
     )
+
+
+def test_round4b_ops_handle_empty_input(spark):
+    """q90-q108 operators degrade to empty/identity on an empty input
+    instead of raising — same discipline as the earlier rounds."""
+    from sparksync.compare import scd2_history
+    from sparksync.ext import asof, features, graph, sampling, skew, textops
+
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, source string, n_chars long"
+    )
+    ev = spark.createDataFrame(
+        [], "user_id long, event_id long, ts timestamp, event_type string,"
+        " value double"
+    )
+    edges = spark.createDataFrame([], "src string, dst string")
+    assert sampling.pps_sample(docs, "n_chars", 10).count() == 0
+    assert sampling.negative_pairs(docs, docs, k=3).count() == 0
+    assert sampling.group_split_assign(docs, "source").count() == 0
+    assert graph.pagerank(edges, n_iters=2).count() == 0
+    assert skew.heavy_hitters_cms(docs, "text", k=5).count() == 0
+    assert skew.sampled_quantiles(ev, "event_type", "value", "event_id").count() == 0
+    assert skew.kmv_overlap(docs, docs, "doc_id").first().union_est == 0
+    assert textops.source_overlap(docs).count() == 0
+    assert textops.inverted_index(docs, min_df=1).count() == 0
+    assert asof.time_rollup(ev).count() == 0
+    assert asof.event_transitions(ev).count() == 0
+    assert asof.rolling_deviation(ev, "user_id", "ts", "event_id", "value").count() == 0
+    assert scd2_history(ev, ["user_id"], "ts", "event_id").count() == 0
+    assert features.mad_outliers(ev, "event_type", "value", "event_id").count() == 0
+    assert features.histogram_by_group(ev, "event_type", "value").count() == 0
+    assert features.equidepth_buckets(ev, "event_type", "value", "event_id").count() == 0
+    assert features.exact_corr(ev, "event_type", "value", "user_id").count() == 0
+    assert features.rank_normalize(docs, "source", "n_chars", "doc_id").count() == 0
