@@ -295,3 +295,67 @@ def cms_counters_stream(docs: DataFrame, value_col: str = "text") -> DataFrame:
         .groupBy("j", "slot")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+FUNNEL_STATE_SCHEMA = "t0 long, t1 long, t2 long"
+FUNNEL_OUT_SCHEMA = (
+    "user_id long, steps_completed int, completed_at timestamp"
+)
+
+
+def funnel_stream(events: DataFrame, steps: list[str]) -> DataFrame:
+    """Stateful streaming funnel via applyInPandasWithState: per user,
+    track the first timestamp of each funnel step ACROSS micro-batches
+    and emit the user's current steps-completed count whenever it
+    advances — the live version of ext/asof.funnel_conversion (same
+    ordered-min semantics: a later step only counts at-or-after the
+    previous one). State is `len(steps)` epoch-micros per user —
+    bounded; production adds a state timeout to expire cold users.
+    Exactly 3 steps supported in the typed state (the fixture funnel);
+    the batch operator handles any length. Output (update mode):
+    (user_id, steps_completed, completed_at)."""
+    if len(steps) != 3:
+        raise ValueError("funnel_stream's typed state tracks exactly 3 steps")
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = _as_instant(events).select(
+        "user_id",
+        F.col("event_type"),
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        t = list(state.get) if state.exists else [None, None, None]
+        for pdf in pdfs:
+            for et, us in zip(pdf["event_type"], pdf["us"]):
+                for i, s in enumerate(steps):
+                    if et == s and (t[i] is None or us < t[i]):
+                        t[i] = int(us)
+        state.update(tuple(t))
+        done = 0
+        if t[0] is not None:
+            done = 1
+            if t[1] is not None and t[1] >= t[0]:
+                done = 2
+                if t[2] is not None and t[2] >= t[1]:
+                    done = 3
+        last = t[done - 1] if done else None
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "steps_completed": [done],
+                "completed_at": [
+                    pd.Timestamp(last, unit="us") if last is not None else None
+                ],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=FUNNEL_OUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -340,3 +340,44 @@ def test_cms_counters_stream_match_batch(spark, tmp_path):
         for r in stream.cms_counters_stream(docs).collect()
     }
     assert got == batch and len(got) > 0
+
+
+def test_funnel_stream_matches_batch(spark, tmp_path):
+    """The stateful streaming funnel, drained over the fixture in TWO
+    micro-batches (state must carry step timestamps across the batch
+    boundary), agrees with the batch funnel_conversion step counts."""
+    from pyspark.sql import functions as F
+
+    from sparksync.ext import asof
+
+    events = load_table(spark, SF_SMOKE, "events")
+    src = str(tmp_path / "fun_in")
+    # two files -> maxFilesPerTrigger=1 gives two micro-batches
+    half = events.where(F.col("user_id") % 2 == 0)
+    rest = events.where(F.col("user_id") % 2 == 1)
+    half.write.mode("append").parquet(src)
+    rest.write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    s = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    steps = ["view", "click", "purchase"]
+    q = (
+        stream.funnel_stream(s, steps)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("funnel_live")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode re-emits users per batch: keep the LAST row per user
+    live = spark.sql(
+        "select user_id, max(steps_completed) as sc from funnel_live group by user_id"
+    )
+    live_counts = {
+        n: live.where(F.col("sc") >= n).count() for n in (1, 2, 3)
+    }
+    batch = {
+        r.step_idx: r.n_users
+        for r in asof.funnel_conversion(events, steps).collect()
+    }
+    assert live_counts == {1: batch[1], 2: batch[2], 3: batch[3]}
