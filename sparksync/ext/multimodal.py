@@ -177,14 +177,16 @@ def parse_wav(b: bytes) -> tuple[int, int, np.ndarray]:
         pos += 8 + sz + (sz & 1)  # chunks are word-aligned
     if sr is None or data is None:
         raise ValueError("missing fmt/data chunk")
+    if sr <= 0 or ch is None or ch <= 0:
+        raise ValueError(f"invalid WAV header sr={sr} ch={ch}")
     samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
     return sr, ch, samples
 
 
 def wav_features(b: bytes) -> dict:
     """REAL audio features from PCM16 WAV bytes: duration, RMS, peak."""
-    sr, ch, s = parse_wav(b)
-    n_frames = len(s) // max(ch, 1)
+    sr, ch, s = parse_wav(b)  # parse_wav guarantees sr > 0, ch > 0
+    n_frames = len(s) // ch
     return {
         "sample_rate": sr,
         "duration_s": n_frames / float(sr),
@@ -299,24 +301,29 @@ def media_features(df: DataFrame) -> DataFrame:
 
 def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
     """REAL resize where the payload allows it (BMP); other payloads
-    pass through untouched (schema-stable, like `resize` above but
-    without the fake path)."""
+    pass through untouched — INCLUDING their width/height metadata,
+    which only changes on rows whose bytes actually resized (metadata
+    must never claim dimensions the payload doesn't have)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf.copy()
-
-            def maybe(b):
+            contents, widths, heights = [], [], []
+            for b, w0, h0 in zip(pdf["content"], pdf["width"], pdf["height"]):
                 if b is not None and b[:2] == b"BM":
                     try:
-                        return resize_bmp(b, width, height)
+                        contents.append(resize_bmp(b, width, height))
+                        widths.append(width)
+                        heights.append(height)
+                        continue
                     except (ValueError, struct.error):
-                        return b
-                return b
-
-            out["content"] = pdf["content"].map(maybe)
-            out["width"] = width
-            out["height"] = height
+                        pass
+                contents.append(b)
+                widths.append(w0)
+                heights.append(h0)
+            out["content"] = contents
+            out["width"] = widths
+            out["height"] = heights
             yield out
 
     return df.mapInPandas(run, MEDIA_SCHEMA)

@@ -168,6 +168,32 @@ def approx_distinct_kmv(
     )
 
 
+def cms_slots(
+    col: "F.Column",
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cms",
+) -> "F.Column":
+    """The count-min slot addresses of one value: array of `depth`
+    portable-md5 hashes mod `width`. THE single source of the CMS hash
+    family — both the batch sketch below and the streaming sketch
+    (ext/stream.cms_counters_stream) build from this, so the two can
+    never drift."""
+    from .dedup import md5_token_hash
+
+    return F.array(
+        *[
+            F.pmod(
+                md5_token_hash(
+                    F.concat_ws("|", F.lit(salt), F.lit(str(j)), col)
+                ),
+                F.lit(width),
+            )
+            for j in range(depth)
+        ]
+    )
+
+
 def heavy_hitters_cms(
     df: DataFrame,
     value_col: str,
@@ -195,20 +221,8 @@ def heavy_hitters_cms(
     no global sort materializes). exact_count rides along so the
     output doubles as a sketch-error audit. Output: (value, est_count,
     exact_count), est >= exact always."""
-    from .dedup import md5_token_hash
-
     def slots(col: F.Column) -> F.Column:
-        return F.array(
-            *[
-                F.pmod(
-                    md5_token_hash(
-                        F.concat_ws("|", F.lit(salt), F.lit(str(j)), col)
-                    ),
-                    F.lit(width),
-                )
-                for j in range(depth)
-            ]
-        )
+        return cms_slots(col, depth=depth, width=width, salt=salt)
 
     vals = df.where(F.col(value_col).isNotNull()).select(
         F.col(value_col).cast("string").alias("val")

@@ -277,43 +277,37 @@ def cms_counters_stream(docs: DataFrame, value_col: str = "text") -> DataFrame:
     estimate-side join. Exactly the batch slot math (ext/skew), so a
     drained stream's counters equal the batch sketch — asserted in
     tests."""
-    from .dedup import md5_token_hash
+    from .skew import cms_slots
     from .textops import tokens
 
     toks = docs.select(F.explode(tokens(value_col)).alias("val"))
-    slot_cols = [
-        F.pmod(
-            md5_token_hash(
-                F.concat_ws("|", F.lit("cms"), F.lit(str(j)), F.col("val"))
-            ),
-            F.lit(1024),
-        )
-        for j in range(4)
-    ]
     return (
-        toks.select(F.posexplode(F.array(*slot_cols)).alias("j", "slot"))
+        toks.select(F.posexplode(cms_slots(F.col("val"))).alias("j", "slot"))
         .groupBy("j", "slot")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 
-FUNNEL_STATE_SCHEMA = "t0 long, t1 long, t2 long"
+FUNNEL_STATE_SCHEMA = "t0 long, t1 long, t2 long, last_done int, emits long"
 FUNNEL_OUT_SCHEMA = (
-    "user_id long, steps_completed int, completed_at timestamp"
+    "user_id long, steps_completed int, completed_at timestamp, emit_seq long"
 )
 
 
 def funnel_stream(events: DataFrame, steps: list[str]) -> DataFrame:
     """Stateful streaming funnel via applyInPandasWithState: per user,
     track the first timestamp of each funnel step ACROSS micro-batches
-    and emit the user's current steps-completed count whenever it
-    advances — the live version of ext/asof.funnel_conversion (same
-    ordered-min semantics: a later step only counts at-or-after the
-    previous one). State is `len(steps)` epoch-micros per user —
-    bounded; production adds a state timeout to expire cold users.
+    and emit ONLY when the steps-completed count changes (late earlier-
+    step events can lower it, so changes are not monotone) — the live
+    version of ext/asof.funnel_conversion, same ordered-min semantics.
+    State per user: 3 first-step epoch-micros + the last emitted count
+    + an emit counter (emit_seq orders a user's emissions for sinks
+    that need last-write-wins). completed_at is emitted as a UTC-aware
+    timestamp — a naive pandas Timestamp would be re-localized in the
+    session timezone on the Arrow hop, silently shifting the instant.
     Exactly 3 steps supported in the typed state (the fixture funnel);
-    the batch operator handles any length. Output (update mode):
-    (user_id, steps_completed, completed_at)."""
+    the batch operator handles any length. Bounded state; production
+    adds a state timeout to expire cold users."""
     if len(steps) != 3:
         raise ValueError("funnel_stream's typed state tracks exactly 3 steps")
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -327,13 +321,16 @@ def funnel_stream(events: DataFrame, steps: list[str]) -> DataFrame:
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
-        t = list(state.get) if state.exists else [None, None, None]
+        if state.exists:
+            *t, last_done, emits = state.get
+            t = list(t)
+        else:
+            t, last_done, emits = [None, None, None], -1, 0
         for pdf in pdfs:
             for et, us in zip(pdf["event_type"], pdf["us"]):
                 for i, s in enumerate(steps):
                     if et == s and (t[i] is None or us < t[i]):
                         t[i] = int(us)
-        state.update(tuple(t))
         done = 0
         if t[0] is not None:
             done = 1
@@ -341,16 +338,22 @@ def funnel_stream(events: DataFrame, steps: list[str]) -> DataFrame:
                 done = 2
                 if t[2] is not None and t[2] >= t[1]:
                     done = 3
-        last = t[done - 1] if done else None
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "steps_completed": [done],
-                "completed_at": [
-                    pd.Timestamp(last, unit="us") if last is not None else None
-                ],
-            }
-        )
+        if done != last_done:
+            emits += 1
+            last = t[done - 1] if done else None
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "steps_completed": [done],
+                    "completed_at": [
+                        pd.Timestamp(last, unit="us", tz="UTC")
+                        if last is not None
+                        else None
+                    ],
+                    "emit_seq": [emits],
+                }
+            )
+        state.update((t[0], t[1], t[2], done, emits))
 
     return ev.groupBy("user_id").applyInPandasWithState(
         update,

@@ -1548,8 +1548,22 @@ def test_media_features_real_decode(spark):
     again = mm.parse_bmp(bytes(resized[2].content))
     assert again.shape == (4, 8, 3)
     assert (again[:, :, 0] == 200).all()
-    # non-BMP payloads pass through untouched
+    # non-BMP payloads pass through untouched — bytes AND metadata
+    # (width/height must never claim dimensions the payload lacks)
     assert bytes(resized[1].content) == wav
+    assert resized[1].width is None and resized[1].height is None
+    assert resized[3].width is None  # corrupt BMP: passthrough, no claim
+    # a zero-sample-rate WAV classifies corrupt instead of killing the batch
+    import struct as st2
+    bad_sr = (
+        b"RIFF" + st2.pack("<I", 36) + b"WAVE"
+        + b"fmt " + st2.pack("<IHHIIHH", 16, 1, 1, 0, 0, 2, 16)
+        + b"data" + st2.pack("<I", 0)
+    )
+    row = mm.media_features(
+        spark.createDataFrame([(9, "audio", bytearray(bad_sr), None, None)], mm.MEDIA_SCHEMA)
+    ).first()
+    assert row.status == "corrupt"
 
 
 def test_kmv_overlap_tracks_exact(spark):

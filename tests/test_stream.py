@@ -344,19 +344,25 @@ def test_cms_counters_stream_match_batch(spark, tmp_path):
 
 def test_funnel_stream_matches_batch(spark, tmp_path):
     """The stateful streaming funnel, drained over the fixture in TWO
-    micro-batches (state must carry step timestamps across the batch
-    boundary), agrees with the batch funnel_conversion step counts."""
+    micro-batches SPLIT BY EVENT (every user's history straddles the
+    batch boundary, so state carry is genuinely exercised), agrees
+    with the batch funnel_conversion step counts. Last-write-wins per
+    user via emit_seq — update-mode emissions are not monotone (a late
+    earlier-step event can demote), so max() would be wrong."""
     from pyspark.sql import functions as F
 
     from sparksync.ext import asof
 
     events = load_table(spark, SF_SMOKE, "events")
     src = str(tmp_path / "fun_in")
-    # two files -> maxFilesPerTrigger=1 gives two micro-batches
-    half = events.where(F.col("user_id") % 2 == 0)
-    rest = events.where(F.col("user_id") % 2 == 1)
-    half.write.mode("append").parquet(src)
-    rest.write.mode("append").parquet(src)
+    # split by EVENT id, not user: both batches carry events for the
+    # same users -> the second batch must merge into existing state
+    events.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    events.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
     schema = spark.read.parquet(src).schema
     s = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
     steps = ["view", "click", "purchase"]
@@ -369,12 +375,19 @@ def test_funnel_stream_matches_batch(spark, tmp_path):
         .start()
     )
     q.awaitTermination(120)
-    # update mode re-emits users per batch: keep the LAST row per user
-    live = spark.sql(
-        "select user_id, max(steps_completed) as sc from funnel_live group by user_id"
-    )
+    rows = spark.sql("select * from funnel_live").collect()
+    # a user emits at most once per batch, only on change
+    per_user_rows = {}
+    for r in rows:
+        per_user_rows.setdefault(r.user_id, []).append(r)
+    assert all(len(v) <= 2 for v in per_user_rows.values())
+    # last emission per user (highest emit_seq) is the final state
+    final = {
+        u: max(v, key=lambda r: r.emit_seq).steps_completed
+        for u, v in per_user_rows.items()
+    }
     live_counts = {
-        n: live.where(F.col("sc") >= n).count() for n in (1, 2, 3)
+        n: sum(1 for d in final.values() if d >= n) for n in (1, 2, 3)
     }
     batch = {
         r.step_idx: r.n_users
