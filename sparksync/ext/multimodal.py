@@ -167,7 +167,11 @@ def parse_wav(b: bytes) -> tuple[int, int, np.ndarray]:
     while pos + 8 <= len(b):
         cid, sz = b[pos : pos + 4], struct.unpack("<I", b[pos + 4 : pos + 8])[0]
         body = b[pos + 8 : pos + 8 + sz]
+        if len(body) < sz:
+            raise ValueError("truncated WAV chunk")
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("short fmt chunk")
             fmt, ch, sr = struct.unpack("<HHI", body[:8])
             bits = struct.unpack("<H", body[14:16])[0]
             if fmt != 1 or bits != 16:

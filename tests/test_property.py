@@ -191,3 +191,57 @@ def test_budget_mix_matches_python_model(spark):
                     break
                 model.add((doc_id, cum))
         assert got == model, f"seed {seed}"
+
+
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_bmp_roundtrip_any_shape(h, w, seed):
+    """emit_bmp . parse_bmp == identity for every (h, w) — including
+    the widths whose rows need 4-byte padding, the classic BMP bug."""
+    import numpy as np
+
+    from sparksync.ext import multimodal as mm
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert (mm.parse_bmp(mm.emit_bmp(a)) == a).all()
+
+
+@given(
+    n=st.integers(0, 500),
+    sr=st.integers(1, 96_000),
+    ch=st.integers(1, 2),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_features(n, sr, ch, seed):
+    """A synthesized PCM16 WAV parses back to the exact samples and
+    yields duration = frames/rate; corrupt truncations never raise
+    anything but ValueError (the class media_features catches)."""
+    import struct as st2
+
+    import numpy as np
+
+    from sparksync.ext import multimodal as mm
+
+    rng = np.random.default_rng(seed)
+    pcm = rng.integers(-32768, 32767, size=n * ch, dtype="<i2").tobytes()
+    wav = (
+        b"RIFF" + st2.pack("<I", 36 + len(pcm)) + b"WAVE"
+        + b"fmt " + st2.pack("<IHHIIHH", 16, 1, ch, sr, sr * 2 * ch, 2 * ch, 16)
+        + b"data" + st2.pack("<I", len(pcm)) + pcm
+    )
+    got_sr, got_ch, s = mm.parse_wav(wav)
+    assert (got_sr, got_ch) == (sr, ch) and len(s) == n * ch
+    f = mm.wav_features(wav)
+    assert abs(f["duration_s"] - n / sr) < 1e-12
+    # truncation at any prefix either parses or raises ValueError only
+    cut = wav[: len(wav) // 2]
+    try:
+        mm.parse_wav(cut)
+    except ValueError:
+        pass
