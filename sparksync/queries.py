@@ -3273,6 +3273,90 @@ from est
 """
 
 
+def q109_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality profile: average event value by (event_type,
+    day-of-week, hour) — the heatmap behind load forecasting and
+    anomaly baselines. One partial-aggregated groupBy over narrow
+    derived keys; the average divides a decimal-exact sum by an exact
+    count (one portable division, q15 discipline)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.dayofweek("ts").cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(_dec("value")).alias("_s"),
+        )
+        .select(
+            "event_type",
+            "dow",
+            "hour",
+            "cnt",
+            (F.col("_s").cast("double") / F.col("cnt").cast("double")).alias(
+                "avg_value"
+            ),
+        )
+    )
+
+
+ORACLE_Q109 = """
+select event_type,
+       cast(dayofweek(ts) + 1 as bigint) as dow,
+       cast(hour(ts) as bigint) as hour,
+       cast(count(*) as bigint) as cnt,
+       cast(sum(cast(value as decimal(12,2))) as double)
+         / cast(count(*) as double) as avg_value
+from events where value is not null
+group by 1, 2, 3
+"""
+
+
+def q110_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort value matrix (the LTV complement of q89's retention
+    counts): users bucketed by first-seen day, their purchase value
+    summed per later day offset. Same shape discipline as retention —
+    one per-user min (partial agg), one co-keyed join, sums in
+    decimal."""
+    ev = load(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    purchases = ev.where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select("user_id", F.to_date("ts").alias("d"), _dec("value").alias("v"))
+    return (
+        purchases.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("d"), F.col("cohort_day")).cast("long").alias(
+                "day_offset"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("v").cast("double").alias("total_value"),
+        )
+    )
+
+
+ORACLE_Q110 = """
+with first as (
+  select user_id, min(cast(ts as date)) as cohort_day
+  from events group by user_id),
+p as (
+  select user_id, cast(ts as date) as d, cast(value as decimal(12,2)) as v
+  from events where event_type = 'purchase' and value is not null)
+select f.cohort_day,
+       cast(date_diff('day', f.cohort_day, p.d) as bigint) as day_offset,
+       cast(count(*) as bigint) as n_purchases,
+       cast(sum(p.v) as double) as total_value
+from p join first f using (user_id)
+group by 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -3382,6 +3466,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q106_rank_normalize": q106_rank_normalize,
     "q107_rolling_deviation": q107_rolling_deviation,
     "q108_kmv_overlap": q108_kmv_overlap,
+    "q109_seasonality": q109_seasonality,
+    "q110_cohort_ltv": q110_cohort_ltv,
 }
 
 ORACLES: dict[str, str] = {
@@ -3493,4 +3579,6 @@ ORACLES: dict[str, str] = {
     "q106_rank_normalize": ORACLE_Q106,
     "q107_rolling_deviation": ORACLE_Q107,
     "q108_kmv_overlap": ORACLE_Q108,
+    "q109_seasonality": ORACLE_Q109,
+    "q110_cohort_ltv": ORACLE_Q110,
 }

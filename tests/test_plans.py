@@ -397,3 +397,16 @@ def test_round4f_plan_shapes(spark):
     plan = plan_of(QUERIES["q107_rolling_deviation"](spark, SF_SMOKE))
     assert "SinglePartition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round4g_plan_shapes(spark):
+    """q109/q110: seasonality is ONE partial-agg exchange over narrow
+    derived keys; cohort LTV joins the per-user min by shuffle-on-user
+    only (no single-partition, no cartesian)."""
+    plan = plan_of(QUERIES["q109_seasonality"](spark, SF_SMOKE))
+    assert "HashAggregate" in plan
+    assert plan.count("Exchange") <= 1
+
+    plan = plan_of(QUERIES["q110_cohort_ltv"](spark, SF_SMOKE))
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
