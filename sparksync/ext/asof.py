@@ -426,3 +426,86 @@ def rolling_deviation(
             > F.lit(k) * F.greatest(F.abs(F.col("trail_mean")), F.lit(1.0))
         )
     )
+
+
+def last_touch(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    type_col: str,
+    target: str,
+    none_label: str = "(none)",
+) -> DataFrame:
+    """Last-touch attribution: for every `target` event (a purchase, a
+    signup), the most recent PRECEDING non-target event type by the
+    same key — the classic "which channel gets credit" pass of
+    behavioral analytics. One window per key ordered by (ts, id): last
+    non-target type over the unbounded-preceding frame with nulls
+    ignored, so target events between touches inherit the older touch
+    and a key's first-ever target attributes to `none_label`.
+
+    Scale shape: a single per-key window over raw events (partitioned
+    by the key, never global), then a narrow filter — the same
+    discipline as sessionize. Output: (key, id, ts, attributed)."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col(type_col) != target, F.col(type_col)), ignorenulls=True
+    ).over(w)
+    return (
+        df.withColumn("_touch", touch)
+        .where(F.col(type_col) == target)
+        .select(
+            key_col,
+            id_col,
+            ts_col,
+            F.coalesce(F.col("_touch"), F.lit(none_label)).alias("attributed"),
+        )
+    )
+
+
+def session_paths(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    type_col: str,
+    gap_minutes: int = 30,
+    k: int = 20,
+    sep: str = ">",
+) -> DataFrame:
+    """Top-k session paths: gap-sessionize (sessionize), render each
+    session's ordered event-type sequence as a `sep`-joined string,
+    count identical paths, keep the k most common — the "what do users
+    actually do" view behind funnel design.
+
+    Determinism: events collect per session as (ts, id, type) structs
+    and array_sort orders them by that tuple, so equal timestamps break
+    by id identically in any engine. Scale shape: sessionize's per-key
+    window, one groupBy per (key, session) whose state is the session's
+    events (bounded by session length, not corpus), one path-count
+    groupBy, and a distributed top-k (sort+limit plans as
+    TakeOrderedAndProject — no global sort materializes). Output:
+    (path, n_sessions), count-desc / path-asc."""
+    s = sessionize(df, key_col, ts_col, gap_minutes)
+    path = F.concat_ws(
+        sep,
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(ts_col, id_col, type_col))
+            ),
+            lambda x: x[type_col],
+        ),
+    )
+    return (
+        s.groupBy(key_col, "session_id")
+        .agg(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(k)
+    )

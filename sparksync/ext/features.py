@@ -260,3 +260,233 @@ def rank_normalize(
         F.col(value_col).cast("double"), id_col
     )
     return df.withColumn(out_col, F.percent_rank().over(w))
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list,
+    out_col: str = "rank",
+    n_parts: int = 64,
+) -> DataFrame:
+    """df + a 1-based GLOBAL row_number over `order_cols` without ever
+    sorting the whole input in one task: range-repartition on the sort
+    key, row_number within each range partition, then add per-partition
+    offsets (a cumulative sum over n_parts counter rows).
+
+    order_cols MUST be a total order (include a unique tiebreak) or
+    ranks are partition-placement-dependent.
+
+    Scale shape: one range shuffle + per-partition sorts; the offset
+    window runs over n_parts rows (single partition over a COUNTER
+    table, not data — the standard two-phase global-sort trade). The
+    range-partitioned input is persisted because Spark's range sampler
+    is plan-instance-specific: without pinning it, the rank subtree and
+    the offset subtree could draw different partition bounds and
+    misalign `spark_partition_id`. The cache holds exactly one pass of
+    the (usually post-aggregation) input."""
+    from pyspark import StorageLevel
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    part = (
+        df.repartitionByRange(n_parts, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    wl = Window.partitionBy("_pid").orderBy(*cols)
+    ranked = part.withColumn("_lrank", F.row_number().over(wl).cast("long"))
+    # the offset cumsum runs over n_parts COUNTER rows — constant
+    # partition key (non-optimizer-removable, see similarity._ranked_topk)
+    # names that tiny partition so WindowExec stays quiet
+    woff = (
+        Window.partitionBy(F.pmod(F.xxhash64(F.col("_pid")), F.lit(1)))
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        part.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn(
+            "_off", F.coalesce(F.sum("_cnt").over(woff), F.lit(0)).cast("long")
+        )
+        .select("_pid", "_off")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_lrank") + F.col("_off")).cast("long"))
+        .drop("_pid", "_lrank", "_off")
+    )
+
+
+def ntile_from_rank(rank: F.Column, n: F.Column, k: int) -> F.Column:
+    """NTILE(k) reconstructed from a global rank and the total count —
+    bit-identical to SQL NTILE's split rule (the first n%k tiles take
+    the extra row), so a rank produced by global_rank yields the exact
+    tile a single-partition NTILE window would have, without the
+    single-partition window. All integer arithmetic."""
+    q = F.floor(n / F.lit(k)).cast("long")
+    r0 = (n - F.lit(k) * q).cast("long")
+    big = r0 * (q + F.lit(1))
+    in_big = rank <= big
+    tile_big = F.floor((rank + q) / (q + F.lit(1)))
+    tile_rest = r0 + F.ceil((rank - big).cast("double") / q.cast("double"))
+    return F.when(in_big, tile_big).otherwise(tile_rest).cast("long")
+
+
+def rfm_segments(
+    df: DataFrame,
+    key_col: str,
+    date_col: str,
+    amount_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """RFM segmentation: per key, recency (days since last activity,
+    relative to the dataset's max date), frequency (row count) and
+    monetary (decimal-exact amount sum), each quantile-scored into k
+    tiles — the classic warehouse customer-value segmentation.
+
+    The tiles are GLOBAL quantiles, which naively means three global
+    NTILE windows (three single-partition sorts over every key). Here
+    each score comes from global_rank (range-partitioned two-phase
+    rank) + ntile_from_rank (exact NTILE arithmetic), so nothing sorts
+    more than one range partition of POST-AGGREGATION rows. Tile 1 =
+    most recent / most frequent / highest spend. Output: (key,
+    recency_days, frequency, monetary, r_tile, f_tile, m_tile,
+    segment)."""
+    amt = F.col(amount_col).cast("decimal(12,2)")
+    base = df.groupBy(key_col).agg(
+        F.max(F.col(date_col)).alias("_last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(amt).alias("_mon"),
+    )
+    anchor = df.agg(F.max(F.col(date_col)).alias("_anchor"))
+    base = (
+        base.crossJoin(F.broadcast(anchor))
+        .withColumn("recency_days", F.datediff("_anchor", "_last").cast("long"))
+        .drop("_last", "_anchor")
+    )
+    n_row = base.agg(F.count(F.lit(1)).alias("_n"))
+    r = global_rank(base, ["recency_days", key_col], "_rr")
+    r = global_rank(r, [F.col("frequency").desc(), key_col], "_fr")
+    r = global_rank(r, [F.col("_mon").desc(), key_col], "_mr")
+    n = F.col("_n")
+    return (
+        r.crossJoin(F.broadcast(n_row))
+        .select(
+            key_col,
+            "recency_days",
+            F.col("frequency").cast("long").alias("frequency"),
+            F.col("_mon").cast("double").alias("monetary"),
+            ntile_from_rank(F.col("_rr"), n, k).alias("r_tile"),
+            ntile_from_rank(F.col("_fr"), n, k).alias("f_tile"),
+            ntile_from_rank(F.col("_mr"), n, k).alias("m_tile"),
+        )
+        .withColumn(
+            "segment",
+            F.format_string("%d%d%d", "r_tile", "f_tile", "m_tile"),
+        )
+    )
+
+
+def pareto_front_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """2-D Pareto frontier (skyline), minimizing both columns: the
+    distinct points no other point beats on both axes. The classic
+    sort-based rule — order by (x, y) and keep a point iff every
+    earlier point's y is larger — needs a GLOBAL sort, so it runs in
+    two phases: a local skyline per hash bucket (bucket-partitioned
+    window; pruning against bucket-mates is sound because a dominator
+    anywhere implies the point is not in the global answer, and
+    removing dominated points never removes a true skyline point),
+    then the exact rule over the surviving candidates only.
+
+    For typical (uncorrelated) data the local pass leaves O(buckets *
+    log n) candidates, so the final single-partition window touches a
+    candidate set, not the corpus. Anti-correlated data (all points on
+    a Pareto diagonal) degenerates to a large frontier — inherent to
+    skyline, not to this plan. Output: (x_col, y_col) distinct
+    frontier points as doubles."""
+    x, y = F.col(x_col).cast("double"), F.col(y_col).cast("double")
+    pts = (
+        df.where(x.isNotNull() & y.isNotNull())
+        .select(x.alias(x_col), y.alias(y_col))
+        .distinct()
+        .withColumn(
+            "_b", F.pmod(F.xxhash64(x_col, y_col), F.lit(n_buckets))
+        )
+    )
+
+    def survivors(d: DataFrame, w: Window) -> DataFrame:
+        prev_min = F.min(y_col).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return d.withColumn("_pm", prev_min).where(
+            F.col("_pm").isNull() | (F.col("_pm") > F.col(y_col))
+        ).drop("_pm")
+
+    local = survivors(pts, Window.partitionBy("_b").orderBy(x_col, y_col))
+    # exact phase over the local survivors only — the constant partition
+    # key (non-optimizer-removable) names the candidate-set partition so
+    # WindowExec stays quiet; the set is bucket-skyline-sized by phase 1
+    wg = Window.partitionBy(
+        F.pmod(F.xxhash64(F.col(x_col)), F.lit(1))
+    ).orderBy(x_col, y_col)
+    return survivors(local.drop("_b"), wg)
+
+
+def cooccurrence_lift(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_pairs: int = 2,
+) -> DataFrame:
+    """Market-basket co-occurrence with lift: for every unordered item
+    pair appearing in the same group (order, session, document),
+    support and lift = P(a,b) / (P(a) * P(b)). Lift > 1 flags genuinely
+    associated items; the denominator kills popularity-only pairs.
+
+    Shape: distinct (group, item) first (one shuffle, kills quantity
+    blowup), then a self-join CO-PARTITIONED on the group key — the
+    quadratic term is bounded by basket size per group, never corpus
+    size. Item marginals join back keyless of the group (AQE picks
+    broadcast when the item vocabulary is small; no forced hint — the
+    vocabulary is data-dependent). The lift arithmetic is a fixed
+    expression over exact counts cast to double, so it replays
+    bit-identically. Output: (item_a, item_b, pair_cnt, lift)."""
+    items = df.select(group_col, item_col).distinct()
+    n_groups = items.select(group_col).distinct().agg(
+        F.count(F.lit(1)).alias("_ng")
+    )
+    marg = items.groupBy(item_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    a = items.select(
+        F.col(group_col).alias("_g"), F.col(item_col).alias("item_a")
+    )
+    b = items.select(
+        F.col(group_col).alias("_g"), F.col(item_col).alias("item_b")
+    )
+    pairs = (
+        a.join(b, "_g")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .where(F.col("pair_cnt") >= min_pairs)
+    )
+    ca = marg.select(F.col(item_col).alias("item_a"), F.col("_cnt").alias("_ca"))
+    cb = marg.select(F.col(item_col).alias("item_b"), F.col("_cnt").alias("_cb"))
+    lift = (
+        F.col("pair_cnt").cast("double") * F.col("_ng").cast("double")
+    ) / (F.col("_ca").cast("double") * F.col("_cb").cast("double"))
+    return (
+        pairs.join(ca, "item_a")
+        .join(cb, "item_b")
+        .crossJoin(F.broadcast(n_groups))
+        .select(
+            "item_a",
+            "item_b",
+            F.col("pair_cnt").cast("long").alias("pair_cnt"),
+            lift.alias("lift"),
+        )
+    )

@@ -682,3 +682,56 @@ def inverted_index(
         "coll_freq",
         "postings",
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    ks: tuple = (10, 100, 1000),
+) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of all token
+    OCCURRENCES the top-k most frequent tokens cover, for each k — the
+    first question of tokenizer/vocab sizing ("how big a vocab before
+    coverage flattens?").
+
+    Shape: one token-count groupBy (partial-aggregated; the only pass
+    over raw text), a two-phase global rank over the vocabulary
+    (features.global_rank — range-partitioned, no single-partition
+    sort of the vocab), then ONE conditional aggregate per k — no
+    cumulative-sum window over the vocabulary at all, because the
+    curve is only sampled at len(ks) points. Totals ride in on a
+    broadcast single-row cross join; coverage is one double division
+    of exact longs. Output: (k, vocab_size, covered_tokens,
+    total_tokens, coverage)."""
+    from .features import global_rank
+
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = global_rank(counts, [F.col("cnt").desc(), "tok"], "_rnk")
+    totals = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum("cnt").cast("long").alias("total_tokens"),
+    )
+    kdf = ranked.select(
+        "cnt",
+        "_rnk",
+        F.explode(F.array(*[F.lit(int(k)).cast("long") for k in ks])).alias("k"),
+    )
+    per_k = kdf.groupBy("k").agg(
+        F.sum(F.when(F.col("_rnk") <= F.col("k"), F.col("cnt")))
+        .cast("long")
+        .alias("covered_tokens")
+    )
+    return per_k.crossJoin(F.broadcast(totals)).select(
+        "k",
+        "vocab_size",
+        "covered_tokens",
+        "total_tokens",
+        (
+            F.col("covered_tokens").cast("double")
+            / F.col("total_tokens").cast("double")
+        ).alias("coverage"),
+    )

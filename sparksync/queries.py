@@ -3357,6 +3357,186 @@ group by 1, 2
 """
 
 
+def q111_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (ext/features.rfm_segments): global
+    recency/frequency/monetary quintiles WITHOUT a global NTILE sort —
+    two-phase range-partitioned rank + exact NTILE arithmetic."""
+    from .ext import features
+
+    return features.rfm_segments(
+        load(spark, sf_dir, "orders"), "o_custkey", "o_orderdate", "o_totalprice"
+    )
+
+
+ORACLE_Q111 = """
+with base as (
+  select o_custkey,
+         cast(date_diff('day', max(o_orderdate),
+                        (select max(o_orderdate) from orders)) as bigint)
+           as recency_days,
+         cast(count(*) as bigint) as frequency,
+         sum(cast(o_totalprice as decimal(12,2))) as mon
+  from orders group by o_custkey),
+t as (
+  select o_custkey, recency_days, frequency, cast(mon as double) as monetary,
+         cast(ntile(5) over (order by recency_days, o_custkey) as bigint)
+           as r_tile,
+         cast(ntile(5) over (order by frequency desc, o_custkey) as bigint)
+           as f_tile,
+         cast(ntile(5) over (order by mon desc, o_custkey) as bigint)
+           as m_tile
+  from base)
+select *, format('{}{}{}', r_tile, f_tile, m_tile) as segment from t
+"""
+
+
+def q112_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution (ext/asof.last_touch): each purchase
+    credited to the user's most recent preceding non-purchase event."""
+    return asof.last_touch(
+        load(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "purchase",
+    )
+
+
+ORACLE_Q112 = """
+with a as (
+  select user_id, event_id, ts, event_type,
+         last_value(case when event_type <> 'purchase' then event_type end
+                    ignore nulls)
+           over (partition by user_id order by ts, event_id
+                 rows between unbounded preceding and 1 preceding) as lt
+  from events)
+select user_id, event_id, ts, coalesce(lt, '(none)') as attributed
+from a where event_type = 'purchase'
+"""
+
+
+def q113_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand co-occurrence with lift (ext/features.cooccurrence_lift)
+    over order baskets: lineitem x part (broadcast dim), distinct
+    (order, brand), co-partitioned self-join bounded by basket size."""
+    from .ext import features
+
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    baskets = li.join(
+        F.broadcast(p.select("p_partkey", "p_brand")),
+        li.l_partkey == p.p_partkey,
+    ).select("l_orderkey", "p_brand")
+    return features.cooccurrence_lift(baskets, "l_orderkey", "p_brand")
+
+
+ORACLE_Q113 = """
+with items as (
+  select distinct l_orderkey, p_brand
+  from lineitem join part on l_partkey = p_partkey),
+ng as (select count(distinct l_orderkey) as n from items),
+marg as (select p_brand, count(*) as cnt from items group by 1),
+pairs as (
+  select a.p_brand as item_a, b.p_brand as item_b,
+         cast(count(*) as bigint) as pair_cnt
+  from items a join items b using (l_orderkey)
+  where a.p_brand < b.p_brand
+  group by 1, 2
+  having count(*) >= 2)
+select item_a, item_b, pair_cnt,
+       (cast(pair_cnt as double) * cast(ng.n as double))
+         / (cast(ca.cnt as double) * cast(cb.cnt as double)) as lift
+from pairs
+join marg ca on ca.p_brand = pairs.item_a
+join marg cb on cb.p_brand = pairs.item_b
+cross join ng
+"""
+
+
+def q114_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session paths (ext/asof.session_paths): 30-min gap
+    sessions rendered as ordered event-type strings, counted,
+    distributed top-k (TakeOrderedAndProject)."""
+    return asof.session_paths(
+        load(spark, sf_dir, "events"), "user_id", "ts", "event_id", "event_type"
+    )
+
+
+ORACLE_Q114 = """
+with g as (
+  select user_id, ts, event_id, event_type,
+         case when lag(ts) over w is null
+                   or (epoch_us(ts) - epoch_us(lag(ts) over w)) > 1800000000
+              then 1 else 0 end as brk
+  from events window w as (partition by user_id order by ts, event_id)),
+s as (
+  select user_id, ts, event_id, event_type,
+         sum(brk) over (partition by user_id order by ts, event_id
+                        rows between unbounded preceding and current row)
+           as session_id
+  from g),
+p as (
+  select user_id, session_id,
+         string_agg(event_type, '>' order by ts, event_id) as path
+  from s group by 1, 2)
+select path, cast(count(*) as bigint) as n_sessions
+from p group by path
+order by n_sessions desc, path limit 20
+"""
+
+
+def q115_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve (ext/textops.vocab_coverage): corpus
+    token share covered by the top-{10,100,1000} tokens — two-phase
+    global vocab rank, one conditional aggregate per k."""
+    return textops.vocab_coverage(load(spark, sf_dir, "documents"))
+
+
+ORACLE_Q115 = """
+with t as (
+  select unnest(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+           as tok
+  from documents),
+c as (select tok, count(*) as cnt from t group by 1),
+r as (select cnt, row_number() over (order by cnt desc, tok) as rnk from c),
+tot as (select cast(count(*) as bigint) as vocab_size,
+               cast(sum(cnt) as bigint) as total_tokens from c)
+select cast(k as bigint) as k, vocab_size,
+       cast(sum(case when rnk <= k then cnt end) as bigint) as covered_tokens,
+       total_tokens,
+       cast(sum(case when rnk <= k then cnt end) as double)
+         / cast(total_tokens as double) as coverage
+from r cross join tot cross join (select unnest([10, 100, 1000]) as k) ks
+group by k, vocab_size, total_tokens
+"""
+
+
+def q116_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price/size Pareto frontier over parts (ext/features
+    .pareto_front_2d): two-phase skyline — hash-bucketed local pass,
+    exact rule over survivors only."""
+    from .ext import features
+
+    return features.pareto_front_2d(
+        load(spark, sf_dir, "part"), "p_retailprice", "p_size"
+    )
+
+
+ORACLE_Q116 = """
+with pts as (
+  select distinct cast(p_retailprice as double) as p_retailprice,
+                  cast(p_size as double) as p_size
+  from part
+  where p_retailprice is not null and p_size is not null)
+select p_retailprice, p_size from pts p
+where not exists (
+  select 1 from pts q
+  where q.p_retailprice <= p.p_retailprice and q.p_size <= p.p_size
+    and (q.p_retailprice < p.p_retailprice or q.p_size < p.p_size))
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -3468,6 +3648,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q108_kmv_overlap": q108_kmv_overlap,
     "q109_seasonality": q109_seasonality,
     "q110_cohort_ltv": q110_cohort_ltv,
+    "q111_rfm_segments": q111_rfm_segments,
+    "q112_last_touch": q112_last_touch,
+    "q113_market_basket": q113_market_basket,
+    "q114_session_paths": q114_session_paths,
+    "q115_vocab_coverage": q115_vocab_coverage,
+    "q116_pareto_front": q116_pareto_front,
 }
 
 ORACLES: dict[str, str] = {
@@ -3581,4 +3767,10 @@ ORACLES: dict[str, str] = {
     "q108_kmv_overlap": ORACLE_Q108,
     "q109_seasonality": ORACLE_Q109,
     "q110_cohort_ltv": ORACLE_Q110,
+    "q111_rfm_segments": ORACLE_Q111,
+    "q112_last_touch": ORACLE_Q112,
+    "q113_market_basket": ORACLE_Q113,
+    "q114_session_paths": ORACLE_Q114,
+    "q115_vocab_coverage": ORACLE_Q115,
+    "q116_pareto_front": ORACLE_Q116,
 }

@@ -1616,3 +1616,183 @@ def test_round4b_ops_handle_empty_input(spark):
     assert features.equidepth_buckets(ev, "event_type", "value", "event_id").count() == 0
     assert features.exact_corr(ev, "event_type", "value", "user_id").count() == 0
     assert features.rank_normalize(docs, "source", "n_chars", "doc_id").count() == 0
+
+
+# ---------------------------------------------------------------- round 4c
+
+
+def test_global_rank_matches_single_window(spark):
+    """Two-phase global_rank == a plain global row_number, ties broken
+    by the id tiebreak, across enough rows to span range partitions."""
+    import duckdb
+
+    from sparksync.ext import features
+
+    rows = [(i, (i * 37) % 11) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        (r.id, r.rank)
+        for r in features.global_rank(df, ["v", "id"], n_parts=8).collect()
+    }
+    want = {
+        (rid, rnk)
+        for rid, rnk in duckdb.sql(
+            "select id, row_number() over (order by v, id) from "
+            "(select unnest(range(500)) id, unnest(range(500)) * 37 % 11 v)"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_ntile_from_rank_matches_sql_ntile(spark):
+    """ntile_from_rank replicates SQL NTILE's split rule exactly for
+    every (n, k) shape: n below / equal / above / non-divisible by k."""
+    import duckdb
+
+    from sparksync.ext import features
+
+    for n in (1, 3, 5, 7, 12, 50, 53):
+        for k in (1, 4, 5, 7):
+            df = spark.createDataFrame([(i,) for i in range(1, n + 1)], "r long")
+            got = dict(
+                df.select(
+                    "r",
+                    features.ntile_from_rank(
+                        F.col("r"), F.lit(n).cast("long"), k
+                    ).alias("t"),
+                ).collect()
+            )
+            want = dict(
+                duckdb.sql(
+                    f"select r, ntile({k}) over (order by r) from "
+                    f"(select unnest(range(1, {n + 1})) r)"
+                ).fetchall()
+            )
+            assert got == want, (n, k)
+
+
+def test_pareto_front_planted(spark):
+    """Planted frontier: duplicates collapse, dominated points drop,
+    ties on one axis resolve by strict dominance on the other."""
+    from sparksync.ext import features
+
+    pts = [(0.0, 10.0), (1.0, 5.0), (2.0, 4.0), (3.0, 3.0), (10.0, 0.0),
+           (2.0, 6.0), (5.0, 5.0), (3.0, 3.0), (1.0, 5.0), (4.0, 3.0)]
+    df = spark.createDataFrame(pts, "x double, y double")
+    got = {(r.x, r.y) for r in features.pareto_front_2d(df, "x", "y").collect()}
+    assert got == {(0.0, 10.0), (1.0, 5.0), (2.0, 4.0), (3.0, 3.0), (10.0, 0.0)}
+
+
+def test_cooccurrence_lift_counts(spark):
+    """Pair counts ignore quantity blowup (distinct first), min_pairs
+    prunes singletons, and lift is pair*N/(ca*cb)."""
+    from sparksync.ext import features
+
+    rows = [(1, "a"), (1, "b"), (1, "b"), (2, "a"), (2, "b"), (3, "a"),
+            (3, "c"), (4, "b")]
+    df = spark.createDataFrame(rows, "g long, item string")
+    out = features.cooccurrence_lift(df, "g", "item").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.item_a, r.item_b, r.pair_cnt) == ("a", "b", 2)
+    assert r.lift == (2.0 * 4.0) / (3.0 * 3.0)
+
+
+def test_last_touch_inherits_and_defaults(spark):
+    """First-ever purchase attributes to (none); later purchases
+    inherit the latest preceding non-purchase even across an
+    intervening purchase."""
+    from datetime import datetime
+
+    from sparksync.ext import asof
+
+    ts = lambda m: datetime(2026, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        (1, 1, ts(0), "purchase"),
+        (1, 2, ts(1), "click"),
+        (1, 3, ts(2), "purchase"),
+        (1, 4, ts(3), "purchase"),
+        (2, 5, ts(0), "view"),
+        (2, 6, ts(1), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, event_type string")
+    got = {r.event_id: r.attributed for r in
+           asof.last_touch(df, "user_id", "ts", "event_id", "event_type", "purchase").collect()}
+    assert got == {1: "(none)", 3: "click", 4: "click", 6: "view"}
+
+
+def test_session_paths_order_and_gaps(spark):
+    """Paths render in (ts, id) order — equal timestamps break by id —
+    and a >30-min gap splits the session into two paths."""
+    from datetime import datetime
+
+    from sparksync.ext import asof
+
+    t0 = datetime(2026, 1, 1)
+    rows = [
+        (1, 2, t0, "b"),
+        (1, 1, t0, "a"),                      # same ts: id order => a>b
+        (1, 3, datetime(2026, 1, 1, 1), "c"),  # 60-min gap: new session
+        (2, 4, t0, "a"),
+        (2, 5, datetime(2026, 1, 1, 0, 1), "b"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, event_type string")
+    got = {(r.path, r.n_sessions) for r in
+           asof.session_paths(df, "user_id", "ts", "event_id", "event_type").collect()}
+    assert got == {("a>b", 2), ("c", 1)}
+
+
+def test_vocab_coverage_exact_small(spark):
+    """Known frequencies: top-10 over a 3-token vocabulary covers
+    everything; the curve's covered counts are exact."""
+    from sparksync.ext import textops
+
+    df = spark.createDataFrame(
+        [(1, "x x x y"), (2, "x y z")], "doc_id long, text string"
+    )
+    out = {r.k: r for r in textops.vocab_coverage(df, "text").collect()}
+    assert out[10].vocab_size == 3
+    assert out[10].total_tokens == 7
+    assert out[10].covered_tokens == 7
+    assert out[10].coverage == 1.0
+
+
+def test_rfm_tiles_order(spark):
+    """With exactly 5 customers and k=5 every tile is a distinct rank:
+    tile 1 = most recent / most frequent / highest spend."""
+    from datetime import date
+
+    from sparksync.ext import features
+
+    rows = []
+    for cust, (d, n, amt) in enumerate(
+        [(1, 5, 100.0), (2, 4, 200.0), (3, 3, 300.0), (4, 2, 400.0), (5, 1, 500.0)]
+    ):
+        rows += [(cust, date(2026, 1, d), amt / n) for _ in range(n)]
+    df = spark.createDataFrame(rows, "cust long, d date, amt double")
+    out = {r.cust: r for r in
+           features.rfm_segments(df, "cust", "d", "amt").collect()}
+    assert [out[c].r_tile for c in range(5)] == [5, 4, 3, 2, 1]
+    assert [out[c].f_tile for c in range(5)] == [1, 2, 3, 4, 5]
+    assert [out[c].m_tile for c in range(5)] == [5, 4, 3, 2, 1]
+    assert out[0].segment == "515"
+    assert out[0].recency_days == 4 and out[4].recency_days == 0
+
+
+def test_round4c_ops_handle_empty_input(spark):
+    """q111-q116 operators degrade to empty results on empty input."""
+    from sparksync.ext import asof, features, textops
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [], "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    orders = spark.createDataFrame([], "c long, d date, amt double")
+    pts = spark.createDataFrame([], "x double, y double")
+    assert features.global_rank(orders, ["amt", "c"]).count() == 0
+    assert features.rfm_segments(orders, "c", "d", "amt").count() == 0
+    assert features.pareto_front_2d(pts, "x", "y").count() == 0
+    assert features.cooccurrence_lift(orders, "c", "amt").count() == 0
+    assert asof.last_touch(ev, "user_id", "ts", "event_id", "event_type", "x").count() == 0
+    assert asof.session_paths(ev, "user_id", "ts", "event_id", "event_type").count() == 0
+    assert textops.vocab_coverage(docs).count() == 0
