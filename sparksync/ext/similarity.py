@@ -627,3 +627,58 @@ def ivf_search_batch(
         .where(F.col("rnk") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "rnk")
     )
+
+
+def kmeans_step(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float = 1e6,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """One exact Lloyd iteration (assign -> mean update) with an
+    engine-replayable update: components are quantized to integer
+    `scale`-ths (floor(x*scale + 0.5) — exact double ops) BEFORE the
+    per-(centroid, dim) sum, so the mean is one division of exact longs
+    instead of an order-dependent float sum. The quantization error is
+    <= 0.5/scale per component — noise far below k-means' own movement
+    per iteration — and it buys bit-identical centroids on any engine,
+    which is what lets a cluster refresh be verified against a
+    warehouse replay.
+
+    Scale shape: assignment is the broadcast-centroid argmax
+    (ivf_assign: k-row broadcast, per-id window); the update explodes
+    (rows x dim) NARROW (no shuffle until the aggregate) and the one
+    groupBy carries k*dim result rows. Iterating = calling this in a
+    driver loop re-feeding `centroids` — each step is one corpus pass,
+    the classic distributed k-means shape. Output: (centroid_id, dim,
+    n_members, new_val)."""
+    e = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
+    assigned = ivf_assign(
+        emb, n_centroids, id_col, vec_col, centroids=centroids
+    )
+    q = (
+        e.join(assigned, id_col)
+        .select("centroid_id", F.posexplode("v").alias("dim", "_c"))
+        .withColumn(
+            "_q",
+            F.floor(F.col("_c") * F.lit(scale) + F.lit(0.5)).cast("long"),
+        )
+    )
+    return (
+        q.groupBy("centroid_id", F.col("dim").cast("long").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("_q").alias("_s"),
+        )
+        .select(
+            "centroid_id",
+            "dim",
+            "n_members",
+            (
+                F.col("_s").cast("double")
+                / (F.col("n_members").cast("double") * F.lit(scale))
+            ).alias("new_val"),
+        )
+    )

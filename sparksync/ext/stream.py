@@ -362,3 +362,69 @@ def funnel_stream(events: DataFrame, steps: list[str]) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+ATTR_STATE_SCHEMA = "t_us long, t_id long, t_type string"
+ATTR_OUT_SCHEMA = "user_id long, event_id long, ts timestamp, attributed string"
+
+
+def attribution_stream(events: DataFrame, target: str = "purchase") -> DataFrame:
+    """Live last-touch attribution via applyInPandasWithState: per
+    user, carry the latest non-target event (epoch-micros, id, type)
+    across micro-batches and stamp every target event with it as it
+    arrives — the streaming form of ext/asof.last_touch, identical
+    attribution given per-key event-time-ordered arrival (events are
+    re-sorted by (ts, id) INSIDE each micro-batch, so only straddling
+    out-of-order arrivals across batch boundaries differ; a reorder
+    buffer / watermark upstream bounds that, and the state guard below
+    never regresses to an older touch). Unlike the funnel, nothing is
+    re-emitted: each target attributes exactly once at arrival, so the
+    sink is append-only. State per user is one (long, long, string)
+    triple — bounded; production adds a state timeout for cold keys.
+    ts is emitted UTC-aware (the naive-Timestamp Arrow re-localization
+    trap, see funnel_stream)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = _as_instant(events).select(
+        "user_id",
+        "event_id",
+        F.col("event_type"),
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        t_us, t_id, t_type = state.get if state.exists else (None, None, None)
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                zip(pdf["event_id"], pdf["event_type"], pdf["us"])
+            )
+        rows.sort(key=lambda r: (r[2], r[0]))
+        out_id, out_ts, out_attr = [], [], []
+        for eid, et, us in rows:
+            if et == target:
+                out_id.append(int(eid))
+                out_ts.append(pd.Timestamp(int(us), unit="us", tz="UTC"))
+                out_attr.append(t_type if t_type is not None else "(none)")
+            elif t_us is None or (us, eid) > (t_us, t_id):
+                t_us, t_id, t_type = int(us), int(eid), str(et)
+        if out_id:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out_id),
+                    "event_id": out_id,
+                    "ts": out_ts,
+                    "attributed": out_attr,
+                }
+            )
+        state.update((t_us, t_id, t_type))
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=ATTR_OUT_SCHEMA,
+        stateStructType=ATTR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -3537,6 +3537,36 @@ where not exists (
 """
 
 
+def q117_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Lloyd iteration over the embeddings (ext/similarity
+    .kmeans_step): broadcast-centroid argmax assignment + quantized
+    integer mean update, bit-replayable in SQL."""
+    return similarity.kmeans_step(load(spark, sf_dir, "embeddings"))
+
+
+ORACLE_Q117 = """
+with c as (select vec_id as cid,
+                  list_transform(embedding, x -> cast(x as double)) as cv
+           from embeddings where vec_id < 8),
+v as (select vec_id, list_transform(embedding, x -> cast(x as double)) as vv
+      from embeddings),
+s as (select v.vec_id, c.cid, list_cosine_similarity(vv, cv) as cos, vv
+      from v, c),
+r as (select vec_id, cid, vv,
+             row_number() over (partition by vec_id
+                                order by cos desc, cid) as rn
+      from s),
+a as (select cid as centroid_id, vv from r where rn = 1),
+q as (select centroid_id, d.dim,
+             cast(floor(vv[d.dim + 1] * 1e6 + 0.5) as bigint) as qv
+      from a cross join (select unnest(range(64)) as dim) d)
+select centroid_id, cast(dim as bigint) as dim,
+       cast(count(*) as bigint) as n_members,
+       cast(sum(qv) as double) / (cast(count(*) as double) * 1e6) as new_val
+from q group by 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -3654,6 +3684,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q114_session_paths": q114_session_paths,
     "q115_vocab_coverage": q115_vocab_coverage,
     "q116_pareto_front": q116_pareto_front,
+    "q117_kmeans_step": q117_kmeans_step,
 }
 
 ORACLES: dict[str, str] = {
@@ -3773,4 +3804,5 @@ ORACLES: dict[str, str] = {
     "q114_session_paths": ORACLE_Q114,
     "q115_vocab_coverage": ORACLE_Q115,
     "q116_pareto_front": ORACLE_Q116,
+    "q117_kmeans_step": ORACLE_Q117,
 }

@@ -1796,3 +1796,28 @@ def test_round4c_ops_handle_empty_input(spark):
     assert asof.last_touch(ev, "user_id", "ts", "event_id", "event_type", "x").count() == 0
     assert asof.session_paths(ev, "user_id", "ts", "event_id", "event_type").count() == 0
     assert textops.vocab_coverage(docs).count() == 0
+
+
+def test_kmeans_step_moves_to_cluster_means(spark):
+    """Two planted clusters, two seed vectors (ids 0/1) one in each:
+    a single Lloyd step lands each centroid on its cluster's exact
+    (quantized) mean."""
+    import math
+
+    rows = [
+        (0, [1.0, 0.0]), (2, [1.0, 0.2]), (4, [1.0, -0.2]),
+        (1, [0.0, 1.0]), (3, [0.2, 1.0]), (5, [-0.2, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {(r.centroid_id, r.dim): r for r in
+           similarity.kmeans_step(df, n_centroids=2).collect()}
+    assert all(out[key].n_members == 3 for key in out)
+    assert math.isclose(out[(0, 0)].new_val, 1.0)
+    assert math.isclose(out[(0, 1)].new_val, 0.0, abs_tol=1e-9)
+    assert math.isclose(out[(1, 0)].new_val, 0.0, abs_tol=1e-9)
+    assert math.isclose(out[(1, 1)].new_val, 1.0)
+
+
+def test_kmeans_step_empty_input(spark):
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert similarity.kmeans_step(emb).count() == 0

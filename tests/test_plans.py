@@ -410,3 +410,39 @@ def test_round4g_plan_shapes(spark):
     plan = plan_of(QUERIES["q110_cohort_ltv"](spark, SF_SMOKE))
     assert "SinglePartition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round4h_plan_shapes(spark):
+    """q111-q116: the two-phase global ranks keep every window
+    partitioned (RangePartitioning feeds them; the only unkeyed
+    exchanges carry counter/candidate rows, asserted by the absence of
+    a single-partition SORT of the data); session top-k stays
+    TakeOrderedAndProject; the basket self-join is hash, not cartesian;
+    attribution's window is key-partitioned."""
+    plan = plan_of(QUERIES["q111_rfm_segments"](spark, SF_SMOKE))
+    assert "rangepartitioning" in plan.lower()  # two-phase rank shuffles
+    assert "CartesianProduct" not in plan
+    # the per-partition rank windows sort WITHIN range partitions only:
+    # no global Sort node outside a partial window subtree
+    assert "Sort [recency_days" not in plan.replace("ASC NULLS FIRST", "")
+
+    plan = plan_of(QUERIES["q112_last_touch"](spark, SF_SMOKE))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(user_id" in plan
+
+    plan = plan_of(QUERIES["q113_market_basket"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # part dim broadcast
+
+    plan = plan_of(QUERIES["q114_session_paths"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+    plan = plan_of(QUERIES["q115_vocab_coverage"](spark, SF_SMOKE))
+    assert "rangepartitioning" in plan.lower()
+    assert "CartesianProduct" not in plan
+
+    plan = plan_of(QUERIES["q116_pareto_front"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    # local phase windows partition by bucket
+    assert "hashpartitioning(_b" in plan

@@ -394,3 +394,49 @@ def test_funnel_stream_matches_batch(spark, tmp_path):
         for r in asof.funnel_conversion(events, steps).collect()
     }
     assert live_counts == {1: batch[1], 2: batch[2], 3: batch[3]}
+
+
+def test_attribution_stream_matches_batch(spark, tmp_path):
+    """Streaming last-touch attribution, drained in TWO micro-batches
+    split at the median timestamp (state must carry each user's latest
+    touch across the boundary), agrees with batch asof.last_touch on
+    every purchase."""
+    from pyspark.sql import functions as F
+
+    from sparksync.ext import asof
+
+    events = load_table(spark, SF_SMOKE, "events")
+    # events.ts is TIMESTAMP_NTZ (nanos parquet): cast before unix_micros
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cut = (
+        events.select(us.alias("u"))
+        .agg(F.expr("percentile(u, 0.5)").alias("c"))
+        .first()
+        .c
+    )
+    src = str(tmp_path / "attr_in")
+    events.where(us <= cut).coalesce(1).write.mode("append").parquet(src)
+    events.where(us > cut).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    s = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        stream.attribution_stream(s, "purchase")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attr_live")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    live = {
+        r.event_id: r.attributed
+        for r in spark.sql("select * from attr_live").collect()
+    }
+    batch = {
+        r.event_id: r.attributed
+        for r in asof.last_touch(
+            events, "user_id", "ts", "event_id", "event_type", "purchase"
+        ).collect()
+    }
+    assert live == batch
+    assert len(live) > 0
