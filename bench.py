@@ -45,6 +45,11 @@ HEADLINE = [
     # round-4 additions: vocab-join scoring + narrow chunking map
     "q77_rarity_score",
     "q82_chunk_documents",
+    # round-4 late additions: two-phase global rank, explode-free BM25,
+    # deletion-neighborhood edit-distance join
+    "q111_rfm_segments",
+    "q118_bm25",
+    "q120_editdist_pairs",
 ]
 
 

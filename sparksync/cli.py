@@ -78,6 +78,18 @@ def main(argv: list[str] | None = None) -> int:
     quant.add_argument("--value", required=True)
     quant.add_argument("--id", required=True)
     quant.add_argument("--rate", type=float, default=0.2)
+    srch = sub.add_parser("search")  # X108 BM25 lexical retrieval
+    srch.add_argument("--table", default="documents")
+    srch.add_argument("--terms", required=True, help="comma-separated query")
+    srch.add_argument("--top-k", type=int, default=10)
+    srch.add_argument("--id", default="doc_id")
+    srch.add_argument("--text", default="text")
+    rfm_p = sub.add_parser("rfm")  # X100 customer-value segmentation
+    rfm_p.add_argument("--table", required=True)
+    rfm_p.add_argument("--key", required=True)
+    rfm_p.add_argument("--date", required=True)
+    rfm_p.add_argument("--amount", required=True)
+    rfm_p.add_argument("--tiles", type=int, default=5)
     prep = sub.add_parser("prep")  # corpus-prep pipeline to parquet (X-surface)
     prep.add_argument("--table", default="documents")
     prep.add_argument("--lang", default="en", help="pred_lang to keep ('' = all)")
@@ -266,6 +278,36 @@ def main(argv: list[str] | None = None) -> int:
                 rate=args.rate,
             )
             .orderBy(args.group)
+            .collect()
+        ):
+            print(json.dumps(r.asDict()))
+        return 0
+    if args.cmd == "search":
+        # BM25 over the corpus (standard ln idf); score + doc length
+        from .ext.textops import bm25_topk
+
+        for r in bm25_topk(
+            job._read_source(args.table),
+            [t for t in args.terms.split(",") if t],
+            k=args.top_k,
+            id_col=args.id,
+            text_col=args.text,
+        ).collect():
+            print(json.dumps(r.asDict()))
+        return 0
+    if args.cmd == "rfm":
+        # recency/frequency/monetary tiles, tile 1 = best
+        from .ext.features import rfm_segments
+
+        for r in (
+            rfm_segments(
+                job._read_source(args.table),
+                args.key,
+                args.date,
+                args.amount,
+                k=args.tiles,
+            )
+            .orderBy("segment", args.key)
             .collect()
         ):
             print(json.dumps(r.asDict()))

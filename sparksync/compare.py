@@ -217,6 +217,41 @@ def merge_cdc(
     return keep.unionByName(upserts)
 
 
+def snapshots_at(
+    target: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    seqs: list[int],
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Time-travel over a CDC log: reconstruct the table's state AS OF
+    each sequence cutoff in `seqs` (LSN / commit-ts points), by
+    replaying only changes with seq <= cutoff onto the base snapshot —
+    the audit/debug view ("what did this row look like before last
+    night's batch?") that log-based pipelines owe their users.
+
+    Each snapshot is one merge_cdc pass (per-key window over the
+    FILTERED change batch + anti-join + union), stamped with its
+    cutoff and unioned — len(seqs) passes over the base table, the
+    honest cost for a handful of audit points. For dense snapshot
+    grids, explode the cutoffs over the change log instead (one pass,
+    changes x len(seqs) rows) — the base-table side still replicates
+    per cutoff, which is inherent to materializing full snapshots.
+    Output: (snap_seq, target columns...)."""
+    out = None
+    for t in seqs:
+        snap = merge_cdc(
+            target,
+            changes.where(F.col(seq_col) <= t),
+            keys,
+            op_col=op_col,
+            seq_col=seq_col,
+        ).select(F.lit(t).cast("long").alias("snap_seq"), "*")
+        out = snap if out is None else out.unionByName(snap)
+    return out
+
+
 def partition_checksums(
     df: DataFrame, part_cols: list[str], algo: str = "xxhash64"
 ) -> DataFrame:

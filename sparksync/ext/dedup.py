@@ -899,3 +899,74 @@ def span_dedup(
         F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
         F.coalesce(F.col("new_text"), F.lit("")).alias("new_text"),
     )
+
+
+def editdist1_pairs(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+) -> DataFrame:
+    """All pairs at Levenshtein distance <= 1 (substitution, single
+    insert/delete, or exact duplicate) via FastSS deletion
+    neighborhoods — the record-linkage complement of hamming_pairs,
+    which cannot see insertions/deletions.
+
+    Banding: each string emits itself plus its |s| single-character
+    deletion variants; every ed<=1 pair provably shares a variant
+    (equal -> the string itself; deletion -> the shorter string is a
+    variant of the longer; substitution at i -> both i-deletions are
+    equal), so joining on the variant finds every true pair and the
+    exact F.levenshtein verify (identical in DuckDB) removes false
+    candidates — correctness never depends on the banding. Cost: the
+    variant table is (len+1) rows per string — built for short keys
+    (names, codes, URLs), not documents; a hot variant (a very common
+    short string) concentrates its bucket, bounded by that value's
+    frequency like any equi-join key, and AQE's skew split applies.
+    Output: (id_a, id_b, a, b, dist), id_a < id_b."""
+    s = F.col("_s")
+    base = df.select(F.col(id_col).alias("_id"), F.col(col).alias("_s"))
+    # deletion positions 0..len-1 plus -1 for "the string itself";
+    # sequence(0, len-1) is invalid for empty strings, hence the guard
+    positions = F.concat(
+        F.array(F.lit(-1)),
+        F.when(
+            F.length(s) > 0, F.sequence(F.lit(0), F.length(s) - 1)
+        ).otherwise(F.array().cast("array<int>")),
+    )
+    var = base.select(
+        "_id",
+        "_s",
+        F.explode(positions).alias("_p"),
+    ).select(
+        "_id",
+        "_s",
+        F.when(F.col("_p") == -1, s)
+        .otherwise(
+            F.concat(
+                F.substring(s, 1, F.col("_p")),
+                F.substring(
+                    s, F.col("_p") + 2, F.length(s) - F.col("_p") - 1
+                ),
+            )
+        )
+        .alias("_v"),
+    )
+    a = var.select(
+        F.col("_id").alias("id_a"), F.col("_s").alias("a"), "_v"
+    )
+    b = var.select(
+        F.col("_id").alias("id_b"), F.col("_s").alias("b"), "_v"
+    )
+    cand = (
+        a.join(b, "_v")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "a", "b")
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        "a",
+        "b",
+        F.levenshtein("a", "b").cast("long").alias("dist"),
+    ).where(F.col("dist") <= 1)

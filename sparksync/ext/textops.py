@@ -735,3 +735,88 @@ def vocab_coverage(
             / F.col("total_tokens").cast("double")
         ).alias("coverage"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    idf_mode: str = "ln",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 top-k retrieval for a small query-term list — the lexical
+    search baseline behind eval-set decontamination and quality-aware
+    sampling. Per doc: score = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 -
+    b + b*dl/avgdl)).
+
+    idf_mode='ln' is standard BM25 (ln((N-df+.5)/(df+.5)+1)); 'rational'
+    drops the ln — (N-df+.5)/(df+.5) — keeping per-term doc ordering
+    (ln is monotone) while avoiding cross-engine libm drift, the q60
+    discipline that makes the operator oracle-checkable. Rank order can
+    differ between modes only across MULTI-term score sums.
+
+    Determinism: per-term components are fixed expressions over exact
+    ints and the score is an explicit left-associated addition in
+    sorted-term order — both engines evaluate the identical IEEE
+    expression tree, so even the double score hash-matches.
+
+    Scale shape: per-term tf via array-filter size over the token
+    array — a narrow codegen map, NO explode/shuffle of tokens; corpus
+    stats (N, sum_dl, per-term df) are ONE single-row aggregate
+    broadcast back; top-k plans as TakeOrderedAndProject. Cost is
+    O(len(terms)) array passes per doc — right for query-sized term
+    lists, not for all-terms scoring (use tfidf/inverted_index)."""
+    ts = sorted(set(terms))
+    if not ts:
+        raise ValueError("bm25_topk needs at least one query term")
+    toks = tokens(text_col)
+
+    # one-arg closure per term: a two-parameter lambda (even via a
+    # default arg) makes the HOF pass the array INDEX as the second
+    # argument, silently comparing tokens against positions
+    def _tf(term: str):
+        return F.size(F.filter(toks, lambda x: x == F.lit(term))).cast("long")
+
+    tf_cols = [_tf(t) for t in ts]
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("dl"),
+        *[c.alias(f"_tf{i}") for i, c in enumerate(tf_cols)],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("dl").cast("long").alias("_sumdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long"))
+            .cast("long")
+            .alias(f"_df{i}")
+            for i in range(len(ts))
+        ],
+    )
+    j = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("_sumdl").cast("double") / F.col("_n").cast("double")
+    comps = []
+    for i in range(len(ts)):
+        dfreq = F.col(f"_df{i}")
+        ratio = ((F.col("_n") - dfreq).cast("double") + F.lit(0.5)) / (
+            dfreq.cast("double") + F.lit(0.5)
+        )
+        idf = F.log(ratio + F.lit(1.0)) if idf_mode == "ln" else ratio
+        tf = F.col(f"_tf{i}").cast("double")
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0) - F.lit(b)
+            + F.lit(b) * F.col("dl").cast("double") / avgdl
+        )
+        comps.append(idf * (tf * F.lit(k1 + 1.0)) / denom)
+    score = comps[0]
+    for c in comps[1:]:
+        score = score + c
+    return (
+        j.select(id_col, "dl", score.alias("score"))
+        .where(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), id_col)
+        .limit(k)
+    )

@@ -3567,6 +3567,138 @@ from q group by 1, 2
 """
 
 
+def q118_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-15 for query {data, spark, vector} (ext/textops
+    .bm25_topk). The gate runs idf_mode='rational' (the q60 no-libm
+    discipline: ln is monotone per term, dropped so even the double
+    score replays bit-for-bit); production default is standard ln
+    BM25."""
+    return textops.bm25_topk(
+        load(spark, sf_dir, "documents"),
+        ["data", "spark", "vector"],
+        k=15,
+        idf_mode="rational",
+    )
+
+
+# expression trees below mirror bm25_topk's Python operator order
+# EXACTLY (left-associated) so both engines evaluate identical IEEE ops
+ORACLE_Q118 = """
+with base as (
+  select doc_id,
+    cast(len(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+         as bigint) as dl,
+    cast(len(list_filter(string_split(trim(text), ' '), x -> x = 'data'))
+         as bigint) as tf0,
+    cast(len(list_filter(string_split(trim(text), ' '), x -> x = 'spark'))
+         as bigint) as tf1,
+    cast(len(list_filter(string_split(trim(text), ' '), x -> x = 'vector'))
+         as bigint) as tf2
+  from documents),
+stats as (
+  select cast(count(*) as bigint) as n, cast(sum(dl) as bigint) as sumdl,
+         cast(sum(case when tf0 > 0 then 1 else 0 end) as bigint) as df0,
+         cast(sum(case when tf1 > 0 then 1 else 0 end) as bigint) as df1,
+         cast(sum(case when tf2 > 0 then 1 else 0 end) as bigint) as df2
+  from base),
+scored as (
+  select doc_id, dl,
+    (((cast(n - df0 as double) + 0.5) / (cast(df0 as double) + 0.5))
+       * (cast(tf0 as double) * 2.2))
+      / (cast(tf0 as double)
+         + (1.2 * ((1.0 - 0.75)
+                   + ((0.75 * cast(dl as double))
+                      / (cast(sumdl as double) / cast(n as double))))))
+    + (((cast(n - df1 as double) + 0.5) / (cast(df1 as double) + 0.5))
+       * (cast(tf1 as double) * 2.2))
+      / (cast(tf1 as double)
+         + (1.2 * ((1.0 - 0.75)
+                   + ((0.75 * cast(dl as double))
+                      / (cast(sumdl as double) / cast(n as double))))))
+    + (((cast(n - df2 as double) + 0.5) / (cast(df2 as double) + 0.5))
+       * (cast(tf2 as double) * 2.2))
+      / (cast(tf2 as double)
+         + (1.2 * ((1.0 - 0.75)
+                   + ((0.75 * cast(dl as double))
+                      / (cast(sumdl as double) / cast(n as double))))))
+      as score
+  from base cross join stats)
+select doc_id, dl, score from scored where score > 0
+order by score desc, doc_id limit 15
+"""
+
+
+def q119_snapshots_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC time travel (compare.snapshots_at): the q80 change batch
+    replayed to two cutoffs — seq 11 (update+delete applied, inserts
+    not yet) and seq 14 (insert-then-delete netted out)."""
+    from .compare import snapshots_at
+
+    sup = load(spark, sf_dir, "supplier")
+    changes = spark.createDataFrame(
+        [
+            (1, "UPDATED NAME", "U", 10),
+            (2, None, "D", 11),
+            (900001, "BRAND NEW", "I", 12),
+            (900002, "EPHEMERAL", "I", 13),
+            (900002, None, "D", 14),
+        ],
+        "s_suppkey long, s_name string, op string, seq long",
+    )
+    return snapshots_at(
+        sup.select("s_suppkey", "s_name"),
+        changes,
+        ["s_suppkey"],
+        seqs=[11, 14],
+    )
+
+
+ORACLE_Q119 = """
+with changes(s_suppkey, s_name, op, seq) as (values
+  (1, 'UPDATED NAME', 'U', 10),
+  (2, NULL, 'D', 11),
+  (900001, 'BRAND NEW', 'I', 12),
+  (900002, 'EPHEMERAL', 'I', 13),
+  (900002, NULL, 'D', 14)),
+snap as (select unnest([11, 14]) as snap_seq),
+latest as (
+  select snap_seq, s_suppkey, s_name, op
+  from (select c.*, s.snap_seq,
+               row_number() over (partition by s.snap_seq, c.s_suppkey
+                                  order by c.seq desc) rn
+        from changes c cross join snap s where c.seq <= s.snap_seq)
+  where rn = 1),
+kept as (
+  select s.snap_seq, sup.s_suppkey, sup.s_name
+  from supplier sup cross join snap s
+  where not exists (select 1 from latest l
+                    where l.snap_seq = s.snap_seq
+                      and l.s_suppkey = sup.s_suppkey))
+select cast(snap_seq as bigint) as snap_seq,
+       cast(s_suppkey as bigint) as s_suppkey, s_name from kept
+union all
+select cast(snap_seq as bigint), cast(s_suppkey as bigint), s_name
+from latest where op <> 'D'
+"""
+
+
+def q120_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein<=1 record linkage over supplier names (ext/dedup
+    .editdist1_pairs): FastSS deletion-neighborhood banding + exact
+    verify — catches the insert/delete typos q59's Hamming join cannot."""
+    s = load(spark, sf_dir, "supplier")
+    return dedup.editdist1_pairs(s, "s_name", "s_suppkey")
+
+
+ORACLE_Q120 = """
+select a.s_suppkey as id_a, b.s_suppkey as id_b,
+       a.s_name as a, b.s_name as b,
+       cast(levenshtein(a.s_name, b.s_name) as bigint) as dist
+from supplier a join supplier b on a.s_suppkey < b.s_suppkey
+where levenshtein(a.s_name, b.s_name) <= 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -3685,6 +3817,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q115_vocab_coverage": q115_vocab_coverage,
     "q116_pareto_front": q116_pareto_front,
     "q117_kmeans_step": q117_kmeans_step,
+    "q118_bm25": q118_bm25,
+    "q119_snapshots_at": q119_snapshots_at,
+    "q120_editdist_pairs": q120_editdist_pairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -3805,4 +3940,7 @@ ORACLES: dict[str, str] = {
     "q115_vocab_coverage": ORACLE_Q115,
     "q116_pareto_front": ORACLE_Q116,
     "q117_kmeans_step": ORACLE_Q117,
+    "q118_bm25": ORACLE_Q118,
+    "q119_snapshots_at": ORACLE_Q119,
+    "q120_editdist_pairs": ORACLE_Q120,
 }

@@ -1821,3 +1821,69 @@ def test_kmeans_step_moves_to_cluster_means(spark):
 def test_kmeans_step_empty_input(spark):
     emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert similarity.kmeans_step(emb).count() == 0
+
+
+def test_bm25_ln_ranks_rarity_and_saturation(spark):
+    """Standard-ln BM25: a doc matching the RARE term outranks a doc
+    stuffed with the common one (idf), and tf saturates (k1) so 10x
+    repetition does not give 10x score."""
+    from sparksync.ext import textops
+
+    rows = [
+        (1, "rare common filler filler"),
+        (2, "common common common common common common common common"),
+        (3, "common filler filler filler"),
+        (4, "filler filler filler filler"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.score for r in
+           textops.bm25_topk(df, ["rare", "common"], k=10).collect()}
+    assert 4 not in out  # no matching term -> excluded
+    assert out[1] > out[2] > out[3]
+    assert out[2] < 3 * out[3]  # saturation: 8x tf nowhere near 8x score
+    with pytest.raises(ValueError):
+        textops.bm25_topk(df, [])
+
+
+def test_snapshots_at_cutoffs(spark):
+    """State-at-T semantics: an insert visible at its own cutoff,
+    netted out by a later delete at a later cutoff; early cutoffs see
+    the base row untouched."""
+    from sparksync.compare import snapshots_at
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    ch = spark.createDataFrame(
+        [(2, "b2", "U", 5), (3, "c", "I", 6), (3, None, "D", 7)],
+        "id long, v string, op string, seq long",
+    )
+    out = {}
+    for r in snapshots_at(base, ch, ["id"], seqs=[4, 6, 7]).collect():
+        out.setdefault(r.snap_seq, {})[r.id] = r.v
+    assert out[4] == {1: "a", 2: "b"}
+    assert out[6] == {1: "a", 2: "b2", 3: "c"}
+    assert out[7] == {1: "a", 2: "b2"}
+
+
+def test_editdist1_pairs_planted(spark):
+    """Substitution, deletion, duplicate found; distance-2 pair is not;
+    empty strings survive the variant generation."""
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "abd"), (3, "ab"), (4, "abc"), (5, "xyz"), (6, "")],
+        "id long, s string",
+    )
+    got = sorted((r.id_a, r.id_b, r.dist) for r in
+                 dedup.editdist1_pairs(df, "s", "id").collect())
+    assert got == [(1, 2, 1), (1, 3, 1), (1, 4, 0), (2, 3, 1), (2, 4, 1),
+                   (3, 4, 1)]
+
+
+def test_round4d_ops_handle_empty_input(spark):
+    from sparksync.compare import snapshots_at
+    from sparksync.ext import textops
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    base = spark.createDataFrame([], "id long, v string")
+    ch = spark.createDataFrame([], "id long, v string, op string, seq long")
+    assert textops.bm25_topk(docs, ["x"]).count() == 0
+    assert snapshots_at(base, ch, ["id"], seqs=[1]).count() == 0
+    assert dedup.editdist1_pairs(base, "v", "id").count() == 0

@@ -446,3 +446,28 @@ def test_round4h_plan_shapes(spark):
     assert "CartesianProduct" not in plan
     # local phase windows partition by bucket
     assert "hashpartitioning(_b" in plan
+
+
+def test_round4i_plan_shapes(spark):
+    """q117-q120: k-means assignment broadcasts centroids and the
+    update is one aggregate (no cartesian); BM25 is a narrow map + one
+    single-row stat broadcast + TakeOrderedAndProject — the token
+    arrays never explode or shuffle; the edit-distance join bands on
+    deletion variants (hash join, no cartesian)."""
+    plan = plan_of(QUERIES["q117_kmeans_step"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+    plan = plan_of(QUERIES["q118_bm25"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "Generate" not in plan  # no token explode: array-filter tf
+    assert "CartesianProduct" not in plan
+
+    plan = plan_of(QUERIES["q120_editdist_pairs"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # an EQUI-join on the variant key (AQE picks the strategy by size)
+    assert any(
+        j in plan
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )

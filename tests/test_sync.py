@@ -830,3 +830,28 @@ def test_cli_hot_values_and_quantiles_subcommands(spark, tmp_path, capsys):
     rows = [_json.loads(line) for line in
             capsys.readouterr().out.strip().splitlines() if line.startswith("{")]
     assert rows and all(r["p25"] <= r["p50"] <= r["p75"] <= r["p95"] for r in rows)
+
+
+def test_cli_search_and_rfm_subcommands(tmp_path, capsys):
+    """search prints BM25-scored docs best-first; rfm prints one row
+    per key with 1..tiles tile codes."""
+    import json as _json
+
+    from sparksync.cli import main
+
+    out = tmp_path / "dest"
+    assert main(["--src", SF_SMOKE, "--dest", str(out),
+                 "search", "--terms", "data,vector", "--top-k", "5"]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert len(rows) == 5
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True) and scores[-1] > 0
+
+    assert main(["--src", SF_SMOKE, "--dest", str(out),
+                 "rfm", "--table", "orders", "--key", "o_custkey",
+                 "--date", "o_orderdate", "--amount", "o_totalprice"]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert len(rows) > 100  # one row per customer with orders
+    for r in rows[:20]:
+        assert 1 <= r["r_tile"] <= 5 and 1 <= r["f_tile"] <= 5
+        assert r["segment"] == f'{r["r_tile"]}{r["f_tile"]}{r["m_tile"]}'
