@@ -21,10 +21,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _rotated(d: dict) -> dict:
     """The driver's CORRECTNESS report samples at most 50 queries; the
-    surface is 120, so allocation is explicit (VERDICT r3 #7 asked for
+    surface is 122, so allocation is explicit (VERDICT r3 #7 asked for
     the ported surface q01-q17 plus a rotating extension slice). A
     positional top-50 here covers: q01-q17 (17, the ported surface),
-    q90-q120 (31, newest — no driver signal yet), and 2 of q77-q89
+    q90-q122 (33, newest — no driver signal yet), and 0 of q77-q89
     (added this round — no driver signal yet; the alphabetical tail
     falls past the cap). The overflow, q51-q76 and the rest keep
     their hard evidence from the committed per-round selfcheck sweeps

@@ -509,3 +509,37 @@ def session_paths(
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(k)
     )
+
+
+def next_event_pairs(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    type_col: str,
+    ctx: int = 3,
+) -> DataFrame:
+    """Sequence-model training pairs from an event log: for every event
+    with at least `ctx` predecessors in its key's timeline, the
+    previous ctx event types as a joined context string plus the
+    current type as the label — the (context -> next) dataset behind
+    next-action models, extracted in one pass.
+
+    One per-key window ordered by (ts, id) feeding ctx lag() columns —
+    all narrow after the single key-partition shuffle; rows with short
+    history drop (strict ctx, no padding). Output: (key, id, ts,
+    context, label)."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    lags = [F.lag(F.col(type_col), i).over(w) for i in range(ctx, 0, -1)]
+    return (
+        df.select(
+            key_col,
+            id_col,
+            ts_col,
+            F.concat_ws(">", *lags).alias("context"),
+            F.col(type_col).alias("label"),
+            lags[0].alias("_oldest"),
+        )
+        .where(F.col("_oldest").isNotNull())
+        .drop("_oldest")
+    )

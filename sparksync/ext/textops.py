@@ -820,3 +820,45 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), id_col)
         .limit(k)
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """The first BPE merge step, corpus-wide: count adjacent character
+    pairs weighted by word frequency and return the top-k merge
+    candidates — how tokenizer training decides its first merges.
+
+    Shape: one word-count groupBy collapses the corpus to its
+    vocabulary (the only pass over raw text); pair generation is a
+    narrow transform over VOCAB rows (each word emits len-1 pairs
+    carrying the word's frequency, so a word repeated a million times
+    is processed once); one pair-sum groupBy and a distributed top-k
+    (TakeOrderedAndProject). Iterating BPE = re-tokenizing with the
+    merged symbol and re-running — each step is vocab-sized, not
+    corpus-sized, after the first. Output: (pair, cnt)."""
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+    pairs = (
+        words.where(F.length("w") >= 2)
+        .select(
+            "wf",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.col("w").substr(i, F.lit(2)),
+                )
+            ).alias("pair"),
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wf").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(k)
+    )

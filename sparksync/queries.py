@@ -3699,6 +3699,52 @@ where levenshtein(a.s_name, b.s_name) <= 1
 """
 
 
+def q121_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 BPE merge candidates (ext/textops.bpe_pair_counts):
+    adjacent char pairs weighted by word frequency, computed over the
+    VOCABULARY (one corpus pass), not the corpus."""
+    return textops.bpe_pair_counts(load(spark, sf_dir, "documents"))
+
+
+ORACLE_Q121 = """
+with w as (
+  select tok as w, count(*) as wf
+  from (select unnest(list_filter(string_split(trim(text), ' '),
+                                  x -> x <> '')) as tok
+        from documents)
+  group by 1),
+p as (
+  select substring(w, i, 2) as pair, wf
+  from w cross join unnest(range(1, length(w))) as t(i)
+  where length(w) >= 2)
+select pair, cast(sum(wf) as bigint) as cnt
+from p group by pair order by cnt desc, pair limit 20
+"""
+
+
+def q122_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-action training pairs (ext/asof.next_event_pairs): the
+    previous-3-types context string and the current type as label, one
+    per-key window pass."""
+    return asof.next_event_pairs(
+        load(spark, sf_dir, "events"), "user_id", "ts", "event_id", "event_type"
+    )
+
+
+ORACLE_Q122 = """
+with l as (
+  select user_id, event_id, ts,
+         lag(event_type, 3) over w as l3,
+         lag(event_type, 2) over w as l2,
+         lag(event_type, 1) over w as l1,
+         event_type as label
+  from events window w as (partition by user_id order by ts, event_id))
+select user_id, event_id, ts,
+       l3 || '>' || l2 || '>' || l1 as context, label
+from l where l3 is not null
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -3820,6 +3866,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q118_bm25": q118_bm25,
     "q119_snapshots_at": q119_snapshots_at,
     "q120_editdist_pairs": q120_editdist_pairs,
+    "q121_bpe_pairs": q121_bpe_pairs,
+    "q122_next_event": q122_next_event,
 }
 
 ORACLES: dict[str, str] = {
@@ -3943,4 +3991,6 @@ ORACLES: dict[str, str] = {
     "q118_bm25": ORACLE_Q118,
     "q119_snapshots_at": ORACLE_Q119,
     "q120_editdist_pairs": ORACLE_Q120,
+    "q121_bpe_pairs": ORACLE_Q121,
+    "q122_next_event": ORACLE_Q122,
 }

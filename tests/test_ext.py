@@ -1887,3 +1887,46 @@ def test_round4d_ops_handle_empty_input(spark):
     assert textops.bm25_topk(docs, ["x"]).count() == 0
     assert snapshots_at(base, ch, ["id"], seqs=[1]).count() == 0
     assert dedup.editdist1_pairs(base, "v", "id").count() == 0
+
+
+def test_bpe_pairs_weighted_by_word_freq(spark):
+    """Pair counts weight by word frequency and overlapping pairs all
+    count: 'aaa' x2 -> aa counts 4; single-char words drop."""
+    from sparksync.ext import textops
+
+    df = spark.createDataFrame(
+        [(1, "aaa ab a"), (2, "aaa x")], "doc_id long, text string"
+    )
+    got = {r.pair: r.cnt for r in
+           textops.bpe_pair_counts(df, "text").collect()}
+    assert got == {"aa": 4, "ab": 1}  # 'a' and 'x' have no pairs
+
+
+def test_next_event_pairs_strict_context(spark):
+    """Events with fewer than ctx predecessors drop; context renders
+    oldest-first."""
+    from datetime import datetime
+
+    from sparksync.ext import asof
+
+    rows = [(1, i, datetime(2026, 1, 1, 0, i), t)
+            for i, t in enumerate(["a", "b", "c", "d", "e"])]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    got = {r.event_id: (r.context, r.label) for r in
+           asof.next_event_pairs(df, "user_id", "ts", "event_id",
+                                 "event_type").collect()}
+    assert got == {3: ("a>b>c", "d"), 4: ("b>c>d", "e")}
+
+
+def test_round4e_more_ops_handle_empty_input(spark):
+    from sparksync.ext import asof, textops
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [], "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    assert textops.bpe_pair_counts(docs).count() == 0
+    assert asof.next_event_pairs(ev, "user_id", "ts", "event_id",
+                                 "event_type").count() == 0

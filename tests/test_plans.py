@@ -471,3 +471,20 @@ def test_round4i_plan_shapes(spark):
         j in plan
         for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     )
+
+
+def test_round4j_plan_shapes(spark):
+    """q121/q122: BPE pairs shuffle the vocabulary (word counts), not
+    raw pairs — the pair explode sits above the word-count aggregate —
+    and finish with a distributed top-k; next-event is one
+    key-partitioned window, no cartesian."""
+    plan = plan_of(QUERIES["q121_bpe_pairs"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # Generate (pair explode) must consume the aggregated vocab, i.e.
+    # appear ABOVE at least one HashAggregate in the tree
+    assert "Generate" in plan and "HashAggregate" in plan
+
+    plan = plan_of(QUERIES["q122_next_event"](spark, SF_SMOKE))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(user_id" in plan
