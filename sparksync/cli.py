@@ -90,6 +90,10 @@ def main(argv: list[str] | None = None) -> int:
     rfm_p.add_argument("--date", required=True)
     rfm_p.add_argument("--amount", required=True)
     rfm_p.add_argument("--tiles", type=int, default=5)
+    res = sub.add_parser("resolve")  # X114 entity resolution (ed<=1 linkage)
+    res.add_argument("--table", required=True)
+    res.add_argument("--key", required=True)
+    res.add_argument("--column", required=True)
     prep = sub.add_parser("prep")  # corpus-prep pipeline to parquet (X-surface)
     prep.add_argument("--table", default="documents")
     prep.add_argument("--lang", default="en", help="pred_lang to keep ('' = all)")
@@ -310,6 +314,27 @@ def main(argv: list[str] | None = None) -> int:
             .orderBy("segment", args.key)
             .collect()
         ):
+            print(json.dumps(r.asDict()))
+        return 0
+    if args.cmd == "resolve":
+        # entity resolution: ed<=1 linkage pairs -> connected components
+        # -> canonical entity id (min member key); singletons self-resolve
+        from pyspark.sql import functions as F
+
+        from .ext.dedup import editdist1_pairs
+        from .ext.graph import connected_components
+
+        t = job._read_source(args.table).select(args.key, args.column)
+        pairs = editdist1_pairs(t, args.column, args.key).select("id_a", "id_b")
+        comp = connected_components(pairs, src="id_a", dst="id_b")
+        out = t.join(comp, t[args.key] == comp.node, "left").select(
+            args.key,
+            args.column,
+            F.coalesce(F.col("component"), F.col(args.key))
+            .cast("long")
+            .alias("entity_id"),
+        )
+        for r in out.orderBy("entity_id", args.key).collect():
             print(json.dumps(r.asDict()))
         return 0
     if args.cmd == "prep":

@@ -682,3 +682,57 @@ def kmeans_step(
             ).alias("new_val"),
         )
     )
+
+
+def embedding_profile(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float = 1e6,
+) -> DataFrame:
+    """Per-dimension health profile of an embedding column: count, NaN
+    count, exact min/max, and mean — the drift/corruption monitor a
+    vector pipeline runs before trusting ANN results (a single NaN
+    dimension silently poisons every cosine it touches).
+
+    min/max of floats are exact selections (engine-portable as-is);
+    the mean uses the kmeans_step discipline — components quantized to
+    integer `scale`-ths pre-sum, one division of exact longs — so the
+    whole profile replays bit-identically. NaNs are excluded from
+    min/max/mean and surfaced in n_nan. Shape: one posexplode (narrow)
+    into one dim-keyed aggregate carrying `dim` result rows. Output:
+    (dim, n, n_nan, vmin, vmax, mean_val)."""
+    comp = (
+        emb.select(_to_double(F.col(vec_col)).alias("v"))
+        .select(F.posexplode("v").alias("dim", "_c"))
+    )
+    ok = ~F.isnan(F.col("_c")) & F.col("_c").isNotNull()
+    return (
+        comp.groupBy(F.col("dim").cast("long").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((~ok).cast("long")).cast("long").alias("n_nan"),
+            F.min(F.when(ok, F.col("_c"))).alias("vmin"),
+            F.max(F.when(ok, F.col("_c"))).alias("vmax"),
+            F.sum(
+                F.when(
+                    ok,
+                    F.floor(F.col("_c") * F.lit(scale) + F.lit(0.5)).cast(
+                        "long"
+                    ),
+                )
+            ).alias("_s"),
+            F.sum(ok.cast("long")).cast("long").alias("_nok"),
+        )
+        .select(
+            "dim",
+            "n",
+            "n_nan",
+            "vmin",
+            "vmax",
+            (
+                F.col("_s").cast("double")
+                / (F.col("_nok").cast("double") * F.lit(scale))
+            ).alias("mean_val"),
+        )
+    )

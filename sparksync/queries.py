@@ -3745,6 +3745,78 @@ from l where l3 is not null
 """
 
 
+def q123_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding health profile (ext/similarity
+    .embedding_profile): exact min/max selections + quantized-integer
+    means, one posexplode into one dim-keyed aggregate."""
+    return similarity.embedding_profile(load(spark, sf_dir, "embeddings"))
+
+
+ORACLE_Q123 = """
+with comp as (
+  select d.dim, cast(embedding[d.dim + 1] as double) as c
+  from embeddings cross join (select unnest(range(64)) as dim) d)
+select cast(dim as bigint) as dim,
+       cast(count(*) as bigint) as n,
+       cast(sum(case when isnan(c) or c is null then 1 else 0 end) as bigint)
+         as n_nan,
+       min(case when not isnan(c) and c is not null then c end) as vmin,
+       max(case when not isnan(c) and c is not null then c end) as vmax,
+       cast(sum(case when not isnan(c) and c is not null
+                     then cast(floor(c * 1e6 + 0.5) as bigint) end) as double)
+         / (cast(sum(case when not isnan(c) and c is not null then 1 else 0
+                          end) as double) * 1e6) as mean_val
+from comp group by dim
+"""
+
+
+def q124_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution composed from the library: Levenshtein<=1
+    linkage pairs (q120) -> connected components (iterative min-label)
+    -> canonical entity id per record. Singleton records resolve to
+    themselves."""
+    from .ext import graph
+
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    pairs = dedup.editdist1_pairs(s, "s_name", "s_suppkey").select(
+        "id_a", "id_b"
+    )
+    comp = graph.connected_components(pairs, src="id_a", dst="id_b")
+    return (
+        s.join(comp, s.s_suppkey == comp.node, "left")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.coalesce(F.col("component"), F.col("s_suppkey"))
+            .cast("long")
+            .alias("entity_id"),
+        )
+    )
+
+
+ORACLE_Q124 = """
+with recursive
+pairs as (
+  select a.s_suppkey as id_a, b.s_suppkey as id_b
+  from supplier a join supplier b on a.s_suppkey < b.s_suppkey
+  where levenshtein(a.s_name, b.s_name) <= 1),
+edges as (select id_a as a, id_b as b from pairs
+          union all select id_b, id_a from pairs),
+reach(a, b) as (
+  select a, b from edges
+  union
+  select r.a, e.b from reach r join edges e on r.b = e.a),
+nodes as (select distinct a as node from edges),
+comp as (
+  select n.node, least(n.node, min(r.b)) as component
+  from nodes n left join reach r on r.a = n.node
+  group by n.node)
+select s.s_suppkey, s.s_name,
+       cast(coalesce(c.component, s.s_suppkey) as bigint) as entity_id
+from supplier s left join comp c on c.node = s.s_suppkey
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -3868,6 +3940,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q120_editdist_pairs": q120_editdist_pairs,
     "q121_bpe_pairs": q121_bpe_pairs,
     "q122_next_event": q122_next_event,
+    "q123_embedding_profile": q123_embedding_profile,
+    "q124_entity_resolution": q124_entity_resolution,
 }
 
 ORACLES: dict[str, str] = {
@@ -3993,4 +4067,6 @@ ORACLES: dict[str, str] = {
     "q120_editdist_pairs": ORACLE_Q120,
     "q121_bpe_pairs": ORACLE_Q121,
     "q122_next_event": ORACLE_Q122,
+    "q123_embedding_profile": ORACLE_Q123,
+    "q124_entity_resolution": ORACLE_Q124,
 }

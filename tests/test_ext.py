@@ -1930,3 +1930,30 @@ def test_round4e_more_ops_handle_empty_input(spark):
     assert textops.bpe_pair_counts(docs).count() == 0
     assert asof.next_event_pairs(ev, "user_id", "ts", "event_id",
                                  "event_type").count() == 0
+
+
+def test_embedding_profile_nan_handling(spark):
+    """NaNs count in n_nan and are excluded from min/max/mean."""
+    rows = [(1, [1.0, float("nan")]), (2, [3.0, 2.0]), (3, [2.0, 4.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.dim: r for r in
+           similarity.embedding_profile(df).collect()}
+    assert out[0].n == 3 and out[0].n_nan == 0
+    assert out[0].vmin == 1.0 and out[0].vmax == 3.0 and out[0].mean_val == 2.0
+    assert out[1].n == 3 and out[1].n_nan == 1
+    assert out[1].vmin == 2.0 and out[1].vmax == 4.0 and out[1].mean_val == 3.0
+
+
+def test_entity_resolution_transitive(spark):
+    """ed<=1 chains merge transitively: abc~abd~abdd form one entity
+    under the chain's min id; unrelated records stay singletons."""
+    from sparksync.ext import graph
+
+    df = spark.createDataFrame(
+        [(10, "abc"), (11, "abd"), (12, "abdd"), (13, "zzz")],
+        "id long, name string",
+    )
+    pairs = dedup.editdist1_pairs(df, "name", "id").select("id_a", "id_b")
+    comp = graph.connected_components(pairs, src="id_a", dst="id_b")
+    ent = {r.node: r.component for r in comp.collect()}
+    assert ent == {10: 10, 11: 10, 12: 10}  # 13 is a singleton, absent

@@ -855,3 +855,24 @@ def test_cli_search_and_rfm_subcommands(tmp_path, capsys):
     for r in rows[:20]:
         assert 1 <= r["r_tile"] <= 5 and 1 <= r["f_tile"] <= 5
         assert r["segment"] == f'{r["r_tile"]}{r["f_tile"]}{r["m_tile"]}'
+
+
+def test_cli_resolve_subcommand(tmp_path, capsys):
+    """resolve prints every record with a canonical entity_id; near-
+    identical supplier names share an entity."""
+    import json as _json
+
+    from sparksync.cli import main
+
+    out = tmp_path / "dest"
+    assert main(["--src", SF_SMOKE, "--dest", str(out),
+                 "resolve", "--table", "supplier",
+                 "--key", "s_suppkey", "--column", "s_name"]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert len(rows) == 10  # every record resolves
+    ent = {}
+    for r in rows:
+        ent.setdefault(r["entity_id"], []).append(r["s_suppkey"])
+    # Supplier#00000000N names are pairwise ed=1 -> one entity
+    assert max(len(v) for v in ent.values()) == 10
+    assert all(r["entity_id"] == min(ent[r["entity_id"]]) for r in rows)
