@@ -239,6 +239,8 @@ def snapshots_at(
     changes x len(seqs) rows) — the base-table side still replicates
     per cutoff, which is inherent to materializing full snapshots.
     Output: (snap_seq, target columns...)."""
+    if not seqs:
+        raise ValueError("snapshots_at needs at least one seq cutoff")
     out = None
     for t in seqs:
         snap = merge_cdc(

@@ -527,8 +527,10 @@ def next_event_pairs(
 
     One per-key window ordered by (ts, id) feeding ctx lag() columns —
     all narrow after the single key-partition shuffle; rows with short
-    history drop (strict ctx, no padding). Output: (key, id, ts,
-    context, label)."""
+    history drop (strict ctx, no padding). A NULL type mid-context is
+    silently skipped by concat_ws (SQL || would null the whole
+    context) — clean type_col upstream if nulls occur. Output: (key,
+    id, ts, context, label)."""
     w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
     lags = [F.lag(F.col(type_col), i).over(w) for i in range(ctx, 0, -1)]
     return (

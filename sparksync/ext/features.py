@@ -349,9 +349,11 @@ def rfm_segments(
     each score comes from global_rank (range-partitioned two-phase
     rank) + ntile_from_rank (exact NTILE arithmetic), so nothing sorts
     more than one range partition of POST-AGGREGATION rows. Tile 1 =
-    most recent / most frequent / highest spend. Output: (key,
-    recency_days, frequency, monetary, r_tile, f_tile, m_tile,
-    segment)."""
+    most recent / most frequent / highest spend. NULL dates make a
+    key's recency NULL and its rank position engine-dependent (Spark
+    sorts nulls first ascending, most SQL engines last) — filter or
+    impute them upstream if they occur. Output: (key, recency_days,
+    frequency, monetary, r_tile, f_tile, m_tile, segment)."""
     amt = F.col(amount_col).cast("decimal(12,2)")
     base = df.groupBy(key_col).agg(
         F.max(F.col(date_col)).alias("_last"),
@@ -456,7 +458,15 @@ def cooccurrence_lift(
     vocabulary is data-dependent). The lift arithmetic is a fixed
     expression over exact counts cast to double, so it replays
     bit-identically. Output: (item_a, item_b, pair_cnt, lift)."""
-    items = df.select(group_col, item_col).distinct()
+    # NULL group/item rows drop explicitly: the equi-joins would skip
+    # them anyway, but Spark's distinct-count INCLUDES a null group
+    # while SQL count(distinct) does not — the filter pins the lift
+    # denominator to the SQL semantics
+    items = (
+        df.where(F.col(group_col).isNotNull() & F.col(item_col).isNotNull())
+        .select(group_col, item_col)
+        .distinct()
+    )
     n_groups = items.select(group_col).distinct().agg(
         F.count(F.lit(1)).alias("_ng")
     )
