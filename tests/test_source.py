@@ -84,3 +84,25 @@ def test_file_source_csv_and_json_sync(spark, tmp_path):
         # table-as-SQL works over non-parquet sources too
         n = src.read_sql("select count(*) as n from region").collect()[0]["n"]
         assert n == region.count()
+
+
+def test_file_source_orc_sync(spark, tmp_path):
+    """ORC rides the same format-generic path (self-describing schema,
+    no schemas= needed) with checksum parity — nothing in FileSource is
+    format-enumerated beyond the csv header/infer special case."""
+    from sparksync.compare import compare_checksum
+    from sparksync.source import FileSource, load_table
+    from sparksync.sync import SyncJob
+
+    from .conftest import SF_SMOKE
+
+    nation = load_table(spark, SF_SMOKE, "nation")
+    d = str(tmp_path / "orc_src")
+    nation.coalesce(1).write.orc(d + "/nation.orc")
+    src = FileSource(spark, d, fmt="orc")
+    assert src.list_tables() == ["nation"]
+    out = str(tmp_path / "out_orc")
+    job = SyncJob(spark, None, out, source=src)
+    job.data_phase(job.plan())
+    back = job.sink.read("nation").select(*nation.columns)
+    assert compare_checksum(nation, back, "nation").is_ok
