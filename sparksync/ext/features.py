@@ -500,3 +500,42 @@ def cooccurrence_lift(
             lift.alias("lift"),
         )
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Exact per-group weighted median: the smallest value whose
+    cumulative weight reaches half the group's total — the
+    outlier-robust center for quantity-weighted prices, duration-
+    weighted latencies, token-weighted quality scores.
+
+    Exactness: weights accumulate as decimal(12,2) (order-insensitive)
+    and the half-total test is 2*cum >= total in DECIMAL — no float
+    division anywhere, so the selection replays bit-identically. Shape:
+    one per-group cumulative window ordered by (value, id) and one tiny
+    per-group total broadcast back (the q102 equi-depth trade: exact
+    per-group sort path; at 100 TB per-group volumes, swap in
+    sampled_quantiles for the one-pass approximate edge). Output:
+    (group, wmedian, total_weight)."""
+    v = F.col(value_col).cast("double")
+    wd = F.col(weight_col).cast("decimal(12,2)")
+    w1 = (
+        Window.partitionBy(group_col)
+        .orderBy(v, id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = df.groupBy(group_col).agg(F.sum(wd).alias("_tot"))
+    cum = (
+        df.withColumn("_cum", F.sum(wd).over(w1))
+        .join(F.broadcast(tot), group_col)
+        .where(F.col("_cum") * 2 >= F.col("_tot"))
+    )
+    return cum.groupBy(group_col).agg(
+        F.min(v).alias("wmedian"),
+        F.max(F.col("_tot")).cast("double").alias("total_weight"),
+    )

@@ -3817,6 +3817,213 @@ from supplier s left join comp c on c.node = s.s_suppkey
 """
 
 
+def q125_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 prices per brand WITH ties (RANK, not ROW_NUMBER): every
+    part tied at a qualifying price survives — the other top-k
+    semantics, deterministic without a tiebreak because tied rows share
+    a rank. Per-brand window, never global."""
+    p = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    return (
+        p.withColumn("rnk", F.rank().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rnk")
+    )
+
+
+ORACLE_Q125 = """
+select p_brand, p_partkey, p_retailprice, cast(rnk as bigint) as rnk
+from (select p_brand, p_partkey, p_retailprice,
+             rank() over (partition by p_brand
+                          order by p_retailprice desc) as rnk
+      from part)
+where rnk <= 3
+"""
+
+
+def q126_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total contribution: each nation's order revenue and
+    its share of the whole. The total rides on a broadcast single-row
+    cross join over the 25-row aggregate — no global window. Cent-scale
+    decimal sums stay under 2^53, so the decimal->double casts are the
+    same exact IEEE conversion in both engines."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    per_nation = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(_dec("o_totalprice")).alias("_rev"))
+    )
+    total = per_nation.agg(F.sum("_rev").alias("_tot"))
+    return per_nation.crossJoin(F.broadcast(total)).select(
+        "n_name",
+        F.col("_rev").cast("double").alias("revenue"),
+        (F.col("_rev").cast("double") / F.col("_tot").cast("double")).alias(
+            "share"
+        ),
+    )
+
+
+ORACLE_Q126 = """
+with per_nation as (
+  select n_name, sum(cast(o_totalprice as decimal(12,2))) as rev
+  from orders join customer on o_custkey = c_custkey
+  join nation on c_nationkey = n_nationkey
+  group by n_name),
+tot as (select sum(rev) as t from per_nation)
+select n_name, cast(rev as double) as revenue,
+       cast(rev as double) / cast(t as double) as share
+from per_nation cross join tot
+"""
+
+
+def q127_ma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average crossover detection (the 'golden cross' alert):
+    per user, flag events where the trailing-3 mean of value rises
+    above the trailing-6 mean having been at-or-below it on the
+    previous event. Decimal-exact trailing sums; the means are single
+    divisions; the signal is a lag of an integer flag — all
+    key-partitioned windows."""
+    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    wb = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ws = wb.rowsBetween(-2, 0)
+    wl = wb.rowsBetween(-5, 0)
+    ma = lambda w: (  # noqa: E731
+        F.sum(_dec("value")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w).cast("double")
+    )
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        ma(ws).alias("ma_s"),
+        ma(wl).alias("ma_l"),
+        F.count(F.lit(1)).over(wl).cast("long").alias("_nl"),
+    ).withColumn(
+        "_x",
+        F.when(F.col("_nl") == 6, (F.col("ma_s") > F.col("ma_l")).cast("int")),
+    )
+    return (
+        base.withColumn("_px", F.lag("_x").over(wb))
+        .where((F.col("_x") == 1) & (F.col("_px") == 0))
+        .select("user_id", "event_id", "ts", "ma_s", "ma_l")
+    )
+
+
+ORACLE_Q127 = """
+with b as (
+  select user_id, event_id, ts,
+         cast(sum(cast(value as decimal(12,2))) over ws as double)
+           / cast(count(*) over ws as double) as ma_s,
+         cast(sum(cast(value as decimal(12,2))) over wl as double)
+           / cast(count(*) over wl as double) as ma_l,
+         count(*) over wl as nl
+  from events where value is not null
+  window ws as (partition by user_id order by ts, event_id
+                rows between 2 preceding and current row),
+         wl as (partition by user_id order by ts, event_id
+                rows between 5 preceding and current row)),
+x as (
+  select *, case when nl = 6 then
+                 (case when ma_s > ma_l then 1 else 0 end) end as xf,
+         lag(case when nl = 6 then
+                  (case when ma_s > ma_l then 1 else 0 end) end)
+           over (partition by user_id order by ts, event_id) as pxf
+  from b)
+select user_id, event_id, ts, ma_s, ma_l from x where xf = 1 and pxf = 0
+"""
+
+
+def q128_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram: how big the near-dup groups
+    are (the dedup analytics view that decides whether clustering is
+    boilerplate-driven). Components over the exact-Jaccard pairs, two
+    tiny aggregates on top."""
+    from .ext import graph
+
+    pairs = dedup.jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
+    comp = graph.connected_components(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("_sz"))
+        .groupBy(F.col("_sz").cast("long").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+    )
+
+
+# same shingle/pair/component CTEs as ORACLE_Q49, then the size rollup
+ORACLE_Q128 = """
+with recursive
+docs as (
+  select doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') as toks
+  from documents),
+docs3 as (select * from docs where len(toks) >= 3),
+sh as (
+  select distinct doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] as shingle
+  from docs3, unnest(range(1, len(toks) - 1)) t(i)),
+sizes as (select doc_id, count(*) as n from sh group by doc_id),
+common as (
+  select a.doc_id as d1, b.doc_id as d2, count(*) as c
+  from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+  group by 1, 2),
+pairs as (
+  select d1, d2 from common
+  join sizes na on na.doc_id = d1
+  join sizes nb on nb.doc_id = d2
+  where cast(c as double) / cast(na.n + nb.n - c as double) >= 0.8),
+edges as (select d1 as a, d2 as b from pairs
+          union all select d2, d1 from pairs),
+reach(a, b) as (
+  select a, b from edges
+  union
+  select r.a, e.b from reach r join edges e on r.b = e.a),
+nodes as (select distinct a as node from edges),
+comp as (
+  select n.node, least(n.node, min(r.b)) as component
+  from nodes n left join reach r on r.a = n.node
+  group by n.node),
+cs as (select component, count(*) as sz from comp group by component)
+select cast(sz as bigint) as cluster_size,
+       cast(count(*) as bigint) as n_clusters
+from cs group by sz
+"""
+
+
+def q129_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag (ext/features
+    .weighted_median): decimal cumulative weights, 2*cum >= total in
+    DECIMAL — no float division in the selection."""
+    from .ext import features
+
+    return features.weighted_median(
+        load(spark, sf_dir, "lineitem"),
+        "l_returnflag",
+        "l_extendedprice",
+        "l_quantity",
+        "l_orderkey",
+    )
+
+
+ORACLE_Q129 = """
+with o as (
+  select l_returnflag,
+         cast(l_extendedprice as double) as v,
+         sum(cast(l_quantity as decimal(12,2)))
+           over (partition by l_returnflag
+                 order by cast(l_extendedprice as double), l_orderkey
+                 rows between unbounded preceding and current row) as cum,
+         sum(cast(l_quantity as decimal(12,2)))
+           over (partition by l_returnflag) as tot
+  from lineitem)
+select l_returnflag, min(v) as wmedian,
+       cast(max(tot) as double) as total_weight
+from o where cum * 2 >= tot
+group by l_returnflag
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -3942,6 +4149,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q122_next_event": q122_next_event,
     "q123_embedding_profile": q123_embedding_profile,
     "q124_entity_resolution": q124_entity_resolution,
+    "q125_topk_with_ties": q125_topk_with_ties,
+    "q126_revenue_share": q126_revenue_share,
+    "q127_ma_crossover": q127_ma_crossover,
+    "q128_dup_cluster_sizes": q128_dup_cluster_sizes,
+    "q129_weighted_median": q129_weighted_median,
 }
 
 ORACLES: dict[str, str] = {
@@ -4069,4 +4281,9 @@ ORACLES: dict[str, str] = {
     "q122_next_event": ORACLE_Q122,
     "q123_embedding_profile": ORACLE_Q123,
     "q124_entity_resolution": ORACLE_Q124,
+    "q125_topk_with_ties": ORACLE_Q125,
+    "q126_revenue_share": ORACLE_Q126,
+    "q127_ma_crossover": ORACLE_Q127,
+    "q128_dup_cluster_sizes": ORACLE_Q128,
+    "q129_weighted_median": ORACLE_Q129,
 }

@@ -1957,3 +1957,62 @@ def test_entity_resolution_transitive(spark):
     comp = graph.connected_components(pairs, src="id_a", dst="id_b")
     ent = {r.node: r.component for r in comp.collect()}
     assert ent == {10: 10, 11: 10, 12: 10}  # 13 is a singleton, absent
+
+
+def test_weighted_median_planted(spark):
+    """Weighted median is the smallest value whose cumulative weight
+    reaches half the total — dominated by the heavy row, not the row
+    count."""
+    from sparksync.ext import features
+
+    rows = [("g", 1.0, 1.0, 1), ("g", 2.0, 1.0, 2), ("g", 100.0, 10.0, 3),
+            ("h", 5.0, 1.0, 4)]
+    df = spark.createDataFrame(rows, "g string, v double, w double, id long")
+    out = {r.g: r for r in
+           features.weighted_median(df, "g", "v", "w", "id").collect()}
+    assert out["g"].wmedian == 100.0 and out["g"].total_weight == 12.0
+    assert out["h"].wmedian == 5.0
+
+
+def test_rank_ties_included(spark):
+    """RANK-based top-k keeps every row tied at a qualifying rank (and
+    skips ranks after a tie), unlike ROW_NUMBER."""
+    rows = [("b", 1, 9.0), ("b", 2, 9.0), ("b", 3, 8.0), ("b", 4, 8.0),
+            ("b", 5, 7.0), ("b", 6, 6.0)]
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(rows, "p_brand string, p_partkey long, p_retailprice double")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    out = (df.withColumn("rnk", F.rank().over(w).cast("long"))
+             .where(F.col("rnk") <= 3).collect())
+    # ranks: 9.0->1,1  8.0->3,3  7.0->5 (skipped past 3): four rows pass
+    assert sorted(r.p_partkey for r in out) == [1, 2, 3, 4]
+
+
+def test_ma_crossover_planted(spark):
+    """A value series that dips then rallies emits exactly one
+    crossover event, at the rally."""
+    from datetime import datetime
+
+    from pyspark.sql import Window
+
+    vals = [10, 10, 10, 10, 10, 10, 2, 2, 2, 30, 30, 30]
+    rows = [(1, i, datetime(2026, 1, 1, 0, i), float(v))
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    wb = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ma = lambda w: (F.sum(F.col("value").cast("decimal(12,2)")).over(w)  # noqa: E731
+                    .cast("double") / F.count(F.lit(1)).over(w).cast("double"))
+    base = df.select(
+        "event_id",
+        ma(wb.rowsBetween(-2, 0)).alias("ma_s"),
+        ma(wb.rowsBetween(-5, 0)).alias("ma_l"),
+        F.count(F.lit(1)).over(wb.rowsBetween(-5, 0)).alias("_nl"),
+    ).withColumn("_x", F.when(F.col("_nl") == 6,
+                              (F.col("ma_s") > F.col("ma_l")).cast("int")))
+    hits = (base.withColumn("_px", F.lag("_x").over(
+                Window.orderBy("event_id")))
+            .where((F.col("_x") == 1) & (F.col("_px") == 0)).collect())
+    assert [r.event_id for r in hits] == [9]  # the first rally tick

@@ -488,3 +488,24 @@ def test_round4j_plan_shapes(spark):
     plan = plan_of(QUERIES["q122_next_event"](spark, SF_SMOKE))
     assert "SinglePartition" not in plan
     assert "hashpartitioning(user_id" in plan
+
+
+def test_round4k_plan_shapes(spark):
+    """q125-q129: ranked-ties and weighted-median windows stay
+    group-partitioned; revenue share has no global window (broadcast
+    single-row total) and broadcasts the nation dim; crossover windows
+    key-partition."""
+    plan = plan_of(QUERIES["q125_topk_with_ties"](spark, SF_SMOKE))
+    assert "SinglePartition" not in plan
+
+    plan = plan_of(QUERIES["q126_revenue_share"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan  # total via broadcast, not a window
+
+    plan = plan_of(QUERIES["q127_ma_crossover"](spark, SF_SMOKE))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(user_id" in plan
+
+    plan = plan_of(QUERIES["q129_weighted_median"](spark, SF_SMOKE))
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
