@@ -2,15 +2,18 @@
 metadata, processed via Arrow-batched mapInPandas.
 
 Two decode tiers:
-- REAL (pure numpy/struct, zero codec deps): PCM16 WAV parsing with
-  duration/RMS/peak features, and 24-bit BMP parse/emit/resize with
-  channel-mean features — see media_features / resize_media below.
-  Per-row error capture: corrupt or compressed payloads classify
-  ('corrupt' / 'unsupported') instead of killing the Arrow batch.
-- STUBBED (compressed codecs — JPEG/PNG/MP3/video — need PIL/ffmpeg,
-  absent in this container): `decode_image` raises NotImplementedError
-  unless `fake=True`, which derives a deterministic sha-based pseudo
-  feature vector so downstream shapes stay honest and testable.
+- REAL (pure numpy/struct/zlib, zero codec deps): PCM16 WAV parsing
+  with duration/RMS/peak features; 24-bit BMP parse/emit/resize; and
+  8-bit truecolor PNG decode/encode/resize (stdlib zlib inflate +
+  scanline unfilter, CRC-verified chunks) — see media_features /
+  resize_media below. Per-row error capture: corrupt or compressed
+  payloads classify ('corrupt' / 'unsupported') instead of killing
+  the Arrow batch.
+- STUBBED (codecs needing real external libs — JPEG/MP3/video need
+  PIL/ffmpeg, absent in this container): `decode_image` raises
+  NotImplementedError unless `fake=True`, which derives a
+  deterministic sha-based pseudo feature vector so downstream shapes
+  stay honest and testable.
 """
 
 from __future__ import annotations
@@ -128,7 +131,7 @@ def audio_chunk_plan(df: DataFrame, chunk_bytes: int = 4000) -> DataFrame:
 # ---------------------------------------------------------------------------
 # REAL decode for uncompressed containers (pure numpy/struct — no codec libs).
 # WAV/PCM and BMP need no external decoder, so these paths are genuinely
-# end-to-end; compressed formats (JPEG/PNG/MP3/video) stay honestly stubbed
+# end-to-end; formats needing external libs (JPEG/MP3/video) stay stubbed
 # above. The production shape: never throw on a bad row — classify it.
 # ---------------------------------------------------------------------------
 
@@ -233,6 +236,148 @@ def emit_bmp(arr: np.ndarray) -> bytes:
     return header + raw
 
 
+def _png_unfilter(raw: bytes, h: int, w: int, c: int) -> "np.ndarray":
+    """Reverse PNG scanline filtering (types 0-4) into an (h, w, c)
+    uint8 array. Up (2) vectorizes whole-row; Sub/Average/Paeth are
+    sequential along x by definition, so they run a per-byte Python
+    loop — fine for thumbnail-scale assets, and encoders that matter
+    for bulk data (screenshots, charts) overwhelmingly emit 0/2."""
+    stride = w * c
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(h):
+        if pos + 1 + stride > len(raw):
+            raise ValueError("truncated PNG scanline")
+        f = raw[pos]
+        line = np.frombuffer(
+            raw[pos + 1 : pos + 1 + stride], dtype=np.uint8
+        ).astype(np.int32)
+        pos += 1 + stride
+        if f == 0:
+            cur = line
+        elif f == 2:
+            cur = (line + prev) & 0xFF
+        elif f in (1, 3, 4):
+            cur = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(cur[x - c]) if x >= c else 0
+                up = int(prev[x])
+                if f == 1:
+                    cur[x] = (line[x] + a) & 0xFF
+                elif f == 3:
+                    cur[x] = (line[x] + ((a + up) >> 1)) & 0xFF
+                else:
+                    cpx = int(prev[x - c]) if x >= c else 0
+                    p = a + up - cpx
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - cpx)
+                    pred = a if pa <= pb and pa <= pc else (up if pb <= pc else cpx)
+                    cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(h, w, c)
+
+
+def parse_png(b: bytes) -> "np.ndarray":
+    """Minimal PNG decoder for 8-bit truecolor (RGB/RGBA),
+    non-interlaced — pure numpy + stdlib zlib, no PIL. Walks chunks
+    with CRC verification, inflates the IDAT stream, reverses scanline
+    filters. Returns (h, w, 3|4) uint8. Raises ValueError on anything
+    else (palette, 16-bit, interlaced, broken CRC)."""
+    import zlib
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    if len(b) < 8 or b[:8] != sig:
+        raise ValueError("not a PNG stream")
+    pos, ihdr, idat = 8, None, []
+    while pos + 12 <= len(b):
+        ln = struct.unpack(">I", b[pos : pos + 4])[0]
+        typ = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        crc = b[pos + 8 + ln : pos + 12 + ln]
+        if len(data) < ln or len(crc) < 4:
+            raise ValueError("truncated PNG chunk")
+        if struct.unpack(">I", crc)[0] != (zlib.crc32(typ + data) & 0xFFFFFFFF):
+            raise ValueError("PNG chunk CRC mismatch")
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("missing PNG IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, inter = struct.unpack(">IIBBBBB", ihdr[:13])
+    if depth != 8 or ctype not in (2, 6) or comp != 0 or filt != 0 or inter != 0:
+        raise ValueError(
+            f"unsupported PNG depth={depth} ctype={ctype} interlace={inter}"
+        )
+    if w <= 0 or h <= 0:
+        raise ValueError("invalid PNG dimensions")
+    c = 3 if ctype == 2 else 4
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"bad PNG deflate stream: {e}") from None
+    if len(raw) != h * (1 + w * c):
+        raise ValueError("PNG payload size mismatch")
+    return _png_unfilter(raw, h, w, c)
+
+
+def emit_png(arr: "np.ndarray") -> bytes:
+    """Inverse of parse_png: (h, w, 3|4) uint8 -> valid PNG bytes
+    (filter 0 scanlines, one zlib IDAT, CRC-correct chunks)."""
+    import zlib
+
+    h, w, c = arr.shape
+    if c not in (3, 4):
+        raise ValueError("emit_png needs (h, w, 3|4)")
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if c == 3 else 6, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_features(b: bytes) -> dict:
+    """REAL image features from PNG bytes: dimensions + RGB channel
+    means (alpha excluded from the means)."""
+    a = parse_png(b)
+    m = a[:, :, :3].reshape(-1, 3).mean(axis=0)
+    return {
+        "img_width": int(a.shape[1]),
+        "img_height": int(a.shape[0]),
+        "mean_r": float(m[0]),
+        "mean_g": float(m[1]),
+        "mean_b": float(m[2]),
+    }
+
+
+def resize_png(b: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resize for PNGs, re-emitting valid PNG
+    bytes — decode, index-map, encode."""
+    a = parse_png(b)
+    h, w = a.shape[:2]
+    yi = (np.arange(height) * h // height).clip(0, h - 1)
+    xi = (np.arange(width) * w // width).clip(0, w - 1)
+    return emit_png(a[yi][:, xi])
+
+
 def bmp_features(b: bytes) -> dict:
     """REAL image features from BMP bytes: dimensions + channel means."""
     a = parse_bmp(b)
@@ -283,6 +428,9 @@ def media_features(df: DataFrame) -> DataFrame:
             elif content is not None and content[:2] == b"BM":
                 row.update(bmp_features(content))
                 row["status"] = "decoded"
+            elif content is not None and content[:8] == b"\x89PNG\r\n\x1a\n":
+                row.update(png_features(content))
+                row["status"] = "decoded"
             else:
                 row["status"] = "unsupported"
         except (ValueError, struct.error):
@@ -304,7 +452,7 @@ def media_features(df: DataFrame) -> DataFrame:
 
 
 def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
-    """REAL resize where the payload allows it (BMP); other payloads
+    """REAL resize where the payload allows it (BMP, PNG); other payloads
     pass through untouched — INCLUDING their width/height metadata,
     which only changes on rows whose bytes actually resized (metadata
     must never claim dimensions the payload doesn't have)."""
@@ -317,6 +465,14 @@ def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
                 if b is not None and b[:2] == b"BM":
                     try:
                         contents.append(resize_bmp(b, width, height))
+                        widths.append(width)
+                        heights.append(height)
+                        continue
+                    except (ValueError, struct.error):
+                        pass
+                elif b is not None and b[:8] == b"\x89PNG\r\n\x1a\n":
+                    try:
+                        contents.append(resize_png(b, width, height))
                         widths.append(width)
                         heights.append(height)
                         continue

@@ -2016,3 +2016,35 @@ def test_ma_crossover_planted(spark):
                 Window.orderBy("event_id")))
             .where((F.col("_x") == 1) & (F.col("_px") == 0)).collect())
     assert [r.event_id for r in hits] == [9]  # the first rally tick
+
+
+def test_media_features_png_decode(spark):
+    """PNG decodes for real (stdlib zlib + numpy unfilter) inside the
+    same mapInPandas path: features, resize re-emitting valid PNG, and
+    CRC-broken payloads classifying corrupt."""
+    import numpy as np
+
+    from sparksync.ext import multimodal as mm
+
+    img = np.zeros((6, 8, 3), dtype=np.uint8)
+    img[:, :, 1] = 77  # green-dominant
+    png = mm.emit_png(img)
+    broken = bytearray(png)
+    broken[-5] ^= 0xFF  # flip a bit inside IEND's CRC
+    rows = [
+        (1, "image", bytearray(png), 8, 6),
+        (2, "image", broken, None, None),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in mm.media_features(df).collect()}
+    assert out[1].status == "decoded"
+    assert (out[1].img_width, out[1].img_height) == (8, 6)
+    assert out[1].mean_g == 77.0 and out[1].mean_r == 0.0
+    assert out[2].status == "corrupt"
+
+    resized = {r.media_id: r for r in mm.resize_media(df, 4, 3).collect()}
+    again = mm.parse_png(bytes(resized[1].content))
+    assert again.shape == (3, 4, 3) and (again[:, :, 1] == 77).all()
+    assert (resized[1].width, resized[1].height) == (4, 3)
+    assert bytes(resized[2].content) == bytes(broken)  # corrupt: passthrough
+    assert resized[2].width is None

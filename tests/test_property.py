@@ -245,3 +245,22 @@ def test_wav_roundtrip_features(n, sr, ch, seed):
         mm.parse_wav(cut)
     except ValueError:
         pass
+
+
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    c=st.sampled_from([3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_png_roundtrip_any_shape(h, w, c, seed):
+    """emit_png |> parse_png is the identity for any 8-bit RGB/RGBA
+    array — dimensions, channel count, every pixel."""
+    import numpy as np
+
+    from sparksync.ext.multimodal import emit_png, parse_png
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+    assert (parse_png(emit_png(a)) == a).all()
