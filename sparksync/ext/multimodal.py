@@ -5,7 +5,8 @@ Two decode tiers:
 - REAL (pure numpy/struct/zlib, zero codec deps): PCM16 WAV parsing
   with duration/RMS/peak features; 24-bit BMP parse/emit/resize; and
   8-bit truecolor PNG decode/encode/resize (stdlib zlib inflate +
-  scanline unfilter, CRC-verified chunks) — see media_features /
+  scanline unfilter, CRC-verified chunks) and first-frame GIF87a/89a
+  decode/encode/resize (pure-Python LZW) — see media_features /
   resize_media below. Per-row error capture: corrupt or compressed
   payloads classify ('corrupt' / 'unsupported') instead of killing
   the Arrow batch.
@@ -431,6 +432,9 @@ def media_features(df: DataFrame) -> DataFrame:
             elif content is not None and content[:8] == b"\x89PNG\r\n\x1a\n":
                 row.update(png_features(content))
                 row["status"] = "decoded"
+            elif content is not None and content[:6] in (b"GIF87a", b"GIF89a"):
+                row.update(gif_features(content))
+                row["status"] = "decoded"
             else:
                 row["status"] = "unsupported"
         except (ValueError, struct.error):
@@ -452,7 +456,7 @@ def media_features(df: DataFrame) -> DataFrame:
 
 
 def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
-    """REAL resize where the payload allows it (BMP, PNG); other payloads
+    """REAL resize where the payload allows it (BMP, PNG, GIF); other payloads
     pass through untouched — INCLUDING their width/height metadata,
     which only changes on rows whose bytes actually resized (metadata
     must never claim dimensions the payload doesn't have)."""
@@ -478,6 +482,14 @@ def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
                         continue
                     except (ValueError, struct.error):
                         pass
+                elif b is not None and b[:6] in (b"GIF87a", b"GIF89a"):
+                    try:
+                        contents.append(resize_gif(b, width, height))
+                        widths.append(width)
+                        heights.append(height)
+                        continue
+                    except (ValueError, struct.error):
+                        pass
                 contents.append(b)
                 widths.append(w0)
                 heights.append(h0)
@@ -487,3 +499,197 @@ def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
             yield out
 
     return df.mapInPandas(run, MEDIA_SCHEMA)
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-variant LZW: LSB-first bit packing, clear/end codes, dict
+    capped at 4096 entries, code width grows when the dict fills the
+    current width. Returns the pixel-index stream."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out: list[int] = []
+    table: list[list[int]] = []
+    width = min_code_size + 1
+    prev: list[int] | None = None
+    acc = nbits = 0
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [[i] for i in range(clear)] + [[], []]
+        width = min_code_size + 1
+        prev = None
+
+    reset()
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                reset()
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("bad first LZW code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + [entry[0]])
+            elif code == len(table) and len(table) < 4096:
+                entry = prev + [prev[0]]
+                table.append(entry)
+            else:
+                raise ValueError("bad LZW code")
+            out.extend(entry)
+            prev = entry
+            if len(table) >= (1 << width) and width < 12:
+                width += 1
+    raise ValueError("LZW stream missing end code")
+
+
+def parse_gif(b: bytes) -> np.ndarray:
+    """Minimal GIF87a/89a decoder for the FIRST non-interlaced frame:
+    pure-Python LZW + palette lookup, no codec libs. Returns (h, w, 3)
+    uint8 RGB. Raises ValueError on interlaced or malformed streams."""
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    flags = b[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(b[pos : pos + 3 * n], dtype=np.uint8)
+        if len(gct) < 3 * n:
+            raise ValueError("truncated global color table")
+        gct = gct.reshape(n, 3)
+        pos += 3 * n
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        if pos + 10 > len(b):
+            raise ValueError("truncated image descriptor")
+        w, h = struct.unpack("<HH", b[pos + 5 : pos + 9])
+        iflags = b[pos + 9]
+        pos += 10
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            pal = np.frombuffer(b[pos : pos + 3 * n], dtype=np.uint8)
+            if len(pal) < 3 * n:
+                raise ValueError("truncated local color table")
+            pal = pal.reshape(n, 3)
+            pos += 3 * n
+        if iflags & 0x40:
+            raise ValueError("interlaced GIF unsupported")
+        if pal is None:
+            raise ValueError("GIF frame has no color table")
+        if pos >= len(b):
+            raise ValueError("missing LZW min code size")
+        mcs = b[pos]
+        pos += 1
+        if not 2 <= mcs <= 8:
+            raise ValueError(f"bad LZW min code size {mcs}")
+        data = bytearray()
+        while pos < len(b) and b[pos] != 0:
+            ln = b[pos]
+            chunk = b[pos + 1 : pos + 1 + ln]
+            if len(chunk) < ln:
+                raise ValueError("truncated GIF data sub-block")
+            data += chunk
+            pos += 1 + ln
+        idx = _lzw_decode(bytes(data), mcs)
+        if len(idx) < w * h:
+            raise ValueError("GIF pixel stream too short")
+        arr = np.asarray(idx[: w * h], dtype=np.int32).reshape(h, w)
+        if arr.max(initial=0) >= len(pal):
+            raise ValueError("GIF index outside color table")
+        return pal[arr]
+    raise ValueError("GIF contains no image frame")
+
+
+def emit_gif(arr: np.ndarray) -> bytes:
+    """Inverse of parse_gif for arrays with <=256 distinct colors:
+    palette + the classic 'uncompressed LZW' encoding (a clear code
+    before every literal keeps the dictionary from growing, so every
+    code stays min_code_size+1 bits — bloated but valid everywhere)."""
+    h, w = arr.shape[:2]
+    flat = arr.reshape(-1, 3)
+    pal, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(pal) > 256:
+        raise ValueError("emit_gif needs <=256 distinct colors")
+    k = 2
+    while (1 << k) < len(pal):
+        k += 1
+    mcs = max(2, k)
+    table = np.zeros((1 << mcs, 3), dtype=np.uint8)
+    table[: len(pal)] = pal
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    acc = nbits = 0
+    payload = bytearray()
+
+    def put(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            payload.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    for i in idx:
+        put(clear)
+        put(int(i))
+    put(end)
+    if nbits:
+        payload.append(acc & 0xFF)
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | (mcs - 1), 0, 0)
+    out += table.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(mcs)
+    for i in range(0, len(payload), 255):
+        chunk = payload[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def gif_features(b: bytes) -> dict:
+    """REAL image features from GIF bytes: dimensions + channel means
+    of the first frame."""
+    a = parse_gif(b)
+    m = a.reshape(-1, 3).mean(axis=0)
+    return {
+        "img_width": int(a.shape[1]),
+        "img_height": int(a.shape[0]),
+        "mean_r": float(m[0]),
+        "mean_g": float(m[1]),
+        "mean_b": float(m[2]),
+    }
+
+
+def resize_gif(b: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor GIF resize: decode, index-map, re-emit
+    (the sampled pixels keep the original palette, so <=256 colors is
+    preserved by construction)."""
+    a = parse_gif(b)
+    h, w = a.shape[:2]
+    yi = (np.arange(height) * h // height).clip(0, h - 1)
+    xi = (np.arange(width) * w // width).clip(0, w - 1)
+    return emit_gif(a[yi][:, xi])

@@ -2048,3 +2048,104 @@ def test_media_features_png_decode(spark):
     assert (resized[1].width, resized[1].height) == (4, 3)
     assert bytes(resized[2].content) == bytes(broken)  # corrupt: passthrough
     assert resized[2].width is None
+
+
+def _gif_lzw_encode(idx, mcs):
+    """Real (compressing) GIF LZW encoder for the test: grows the
+    dictionary and bumps the code width one slot AHEAD of the decoder
+    (encoder emits with the width the decoder will have when reading),
+    i.e. width++ when next_code reaches 2^width + 1."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    table = {(i,): i for i in range(clear)}
+    nxt = end + 1
+    width = mcs + 1
+    acc = nbits = 0
+    out = bytearray()
+
+    def put(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    put(clear)
+    buf = (idx[0],)
+    for p in idx[1:]:
+        cand = buf + (p,)
+        if cand in table:
+            buf = cand
+            continue
+        put(table[buf])
+        if nxt < 4096:
+            table[cand] = nxt
+            nxt += 1
+            if nxt - 1 == (1 << width) and width < 12:
+                width += 1
+        buf = (p,)
+    put(table[buf])
+    put(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def test_gif_lzw_growth_path_decodes(spark):
+    """A genuinely COMPRESSED LZW stream (dictionary growth across a
+    code-width boundary) decodes to the original pixels — the path the
+    uncompressed emit_gif never exercises."""
+    import struct as st
+
+    import numpy as np
+
+    from sparksync.ext import multimodal as mm
+
+    rng = np.random.default_rng(11)
+    # 4-color palette, long runs -> heavy dict growth; 4000 px crosses
+    # the width-3 (8) and width-4 (16) ... boundaries many times over
+    idx = rng.integers(0, 4, 4000).tolist()
+    mcs = 2
+    payload = _gif_lzw_encode(idx, mcs)
+    pal = bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])
+    w, h = 80, 50
+    gif = bytearray()
+    gif += b"GIF89a" + st.pack("<HHBBB", w, h, 0x80 | 0x01, 0, 0) + pal
+    gif += b"\x2c" + st.pack("<HHHHB", 0, 0, w, h, 0)
+    gif.append(mcs)
+    for i in range(0, len(payload), 255):
+        chunk = payload[i : i + 255]
+        gif.append(len(chunk))
+        gif += chunk
+    gif += b"\x00\x3b"
+    a = mm.parse_gif(bytes(gif))
+    pal_arr = np.frombuffer(pal, dtype=np.uint8).reshape(4, 3)
+    want = pal_arr[np.asarray(idx, dtype=int).reshape(h, w)]
+    assert (a == want).all()
+
+
+def test_media_features_gif_decode(spark):
+    """GIF rides the same media paths: features, resize keeping the
+    palette, truncated streams classify corrupt."""
+    import numpy as np
+
+    from sparksync.ext import multimodal as mm
+
+    img = np.zeros((4, 6, 3), dtype=np.uint8)
+    img[:, :, 2] = 99  # blue-dominant
+    gif = mm.emit_gif(img)
+    rows = [
+        (1, "image", bytearray(gif), 6, 4),
+        (2, "image", bytearray(gif[:20]), None, None),  # truncated
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in mm.media_features(df).collect()}
+    assert out[1].status == "decoded"
+    assert (out[1].img_width, out[1].img_height) == (6, 4)
+    assert out[1].mean_b == 99.0 and out[1].mean_r == 0.0
+    assert out[2].status == "corrupt"
+
+    resized = {r.media_id: r for r in mm.resize_media(df, 3, 2).collect()}
+    again = mm.parse_gif(bytes(resized[1].content))
+    assert again.shape == (2, 3, 3) and (again[:, :, 2] == 99).all()

@@ -264,3 +264,24 @@ def test_png_roundtrip_any_shape(h, w, c, seed):
     rng = np.random.default_rng(seed)
     a = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
     assert (parse_png(emit_png(a)) == a).all()
+
+
+@given(
+    h=st.integers(1, 10),
+    w=st.integers(1, 10),
+    ncolors=st.integers(1, 256),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_gif_roundtrip_any_palette(h, w, ncolors, seed):
+    """emit_gif |> parse_gif is the identity for any image with <=256
+    distinct colors, across palette sizes spanning every LZW min code
+    size."""
+    import numpy as np
+
+    from sparksync.ext.multimodal import emit_gif, parse_gif
+
+    rng = np.random.default_rng(seed)
+    colors = rng.integers(0, 256, (ncolors, 3), dtype=np.uint8)
+    a = colors[rng.integers(0, ncolors, (h, w))]
+    assert (parse_gif(emit_gif(a)) == a).all()
