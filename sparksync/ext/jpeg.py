@@ -1,0 +1,541 @@
+"""Baseline JPEG codec in pure numpy — no PIL, no libjpeg.
+
+Decoder: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr
+with 4:4:4 / 4:2:2 / 4:2:0 sampling, restart markers and
+progressive (SOF2) / arithmetic coding rejected with ValueError.
+Encoder: 4:4:4 baseline with the Annex-K standard quantization and
+Huffman tables (quality scales the quant tables), used by the tests
+to round-trip and by resize_media to re-emit.
+
+JPEG is lossy: round-trips are tolerance-checked, except DC-only
+inputs (solid blocks), which reconstruct exactly by construction.
+
+The IDCT/DCT are literal orthonormal DCT-II matrix products (C.T@X@C)
+— numerically the textbook definition, not a fast approximation, so
+decoder output is as close to the spec's real-valued IDCT as float64
+gets. Per-block Python loops bound throughput; at Spark scale the
+batching comes from mapInPandas rows, and a production deployment
+would swap in libjpeg-turbo behind the same function signature.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- tables
+
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+)
+
+# Annex K luminance / chrominance quantization tables (natural order
+# via zigzag applied at use sites; stored in zigzag order as in the spec)
+STD_LUMA_Q = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+    ]
+)
+STD_CHROMA_Q = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    ]
+)
+
+# Annex K Huffman specs: (bits[1..16], values)
+STD_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+STD_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+STD_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+STD_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+# orthonormal DCT-II basis: C[k, n] = s(k) cos((2n+1)k pi / 16)
+_C = np.zeros((8, 8))
+for _k in range(8):
+    _s = np.sqrt(0.125) if _k == 0 else 0.5
+    for _n in range(8):
+        _C[_k, _n] = _s * np.cos((2 * _n + 1) * _k * np.pi / 16.0)
+
+
+def _idct2(block: np.ndarray) -> np.ndarray:
+    return _C.T @ block @ _C
+
+
+def _dct2(block: np.ndarray) -> np.ndarray:
+    return _C @ block @ _C.T
+
+
+# ---------------------------------------------------------------- huffman
+
+
+class _HuffTable:
+    """Canonical Huffman decode table: (length, code) -> symbol."""
+
+    def __init__(self, bits: list[int], values: list[int]):
+        self.lookup: dict[tuple[int, int], int] = {}
+        code = 0
+        vi = 0
+        self.maxlen = 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                self.lookup[(ln, code)] = values[vi]
+                vi += 1
+                code += 1
+                self.maxlen = ln
+            code <<= 1
+
+    def encode_map(self) -> dict[int, tuple[int, int]]:
+        """symbol -> (length, code), the encoder-side view."""
+        return {sym: lc for lc, sym in self.lookup.items()}
+
+
+class _BitReader:
+    """MSB-first entropy-segment reader with FF00 unstuffing; RST
+    markers surface as events (byte-realign + caller resets DC)."""
+
+    def __init__(self, b: bytes, pos: int):
+        self.b = b
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        while self.nbits <= 24:
+            if self.pos >= len(self.b):
+                raise ValueError("truncated JPEG entropy stream")
+            byte = self.b[self.pos]
+            if byte == 0xFF:
+                nxt = self.b[self.pos + 1] if self.pos + 1 < len(self.b) else None
+                if nxt == 0x00:
+                    self.pos += 2
+                elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                    raise ValueError("JPEG restart markers unsupported")
+                else:
+                    # EOI or next segment: feed zero pad bits (spec)
+                    self.acc = self.acc << 8
+                    self.nbits += 8
+                    continue
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | byte
+            self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self._fill()
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        return v
+
+    def huff(self, table: _HuffTable) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.bits(1)
+            sym = table.lookup.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("bad Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+# ---------------------------------------------------------------- decode
+
+
+def parse_jpeg(b: bytes) -> np.ndarray:
+    """Decode baseline JPEG bytes to (h, w, 3) uint8 RGB (grayscale
+    replicates into 3 channels). Raises ValueError on progressive /
+    arithmetic / malformed streams."""
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _HuffTable] = {}
+    huff_ac: dict[int, _HuffTable] = {}
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = b[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        if pos + 2 > len(b):
+            raise ValueError("truncated JPEG segment")
+        ln = struct.unpack(">H", b[pos : pos + 2])[0]
+        seg = b[pos + 2 : pos + ln]
+        if len(seg) < ln - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qt[tq] = np.frombuffer(
+                    seg[p + 1 : p + 65], dtype=np.uint8
+                ).astype(np.float64)
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                values = list(seg[p + 17 : p + 17 + nv])
+                (huff_ac if tc else huff_dc)[th] = _HuffTable(bits, values)
+                p += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8 or nc not in (1, 3):
+                raise ValueError(f"unsupported JPEG precision={prec} nc={nc}")
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append(
+                    {"id": cid, "h": samp >> 4, "v": samp & 0x0F, "tq": tq}
+                )
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG (progressive/arithmetic)")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+            if restart_interval:
+                raise ValueError("JPEG restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tda = seg[1 + 2 * i : 3 + 2 * i]
+                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                scan.append({**comp, "td": tda >> 4, "ta": tda & 0x0F})
+            data_pos = pos + ln
+            return _decode_scan(
+                b, data_pos, frame, scan, qt, huff_dc, huff_ac,
+                restart_interval,
+            )
+        pos += ln
+    raise ValueError("JPEG has no scan")
+
+
+def _decode_scan(b, pos, frame, scan, qt, huff_dc, huff_ac, dri):
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in scan)
+    vmax = max(c["v"] for c in scan)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = {
+        c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8))
+        for c in scan
+    }
+    pred = {c["id"]: 0 for c in scan}
+    r = _BitReader(b, pos)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c in scan:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = _decode_block(
+                            r, huff_dc[c["td"]], huff_ac[c["ta"]],
+                            qt[c["tq"]], pred, c["id"],
+                        )
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = blk
+            mcu_count += 1
+    out = []
+    for c in scan:
+        p = planes[c["id"]]
+        if c["h"] != hmax or c["v"] != vmax:
+            p = np.repeat(
+                np.repeat(p, hmax // c["h"], axis=1), vmax // c["v"], axis=0
+            )
+        out.append(p[:h, :w])
+    if len(out) == 1:
+        g = np.clip(out[0] + 128.0, 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    y, cb, cr = (out[0] + 128.0), out[1], out[2]
+    rch = y + 1.402 * cr
+    gch = y - 0.344136 * cb - 0.714136 * cr
+    bch = y + 1.772 * cb
+    return np.clip(np.stack([rch, gch, bch], axis=-1), 0, 255).astype(
+        np.uint8
+    )
+
+
+def _decode_block(r, tdc, tac, q, pred, cid):
+    zz = np.zeros(64)
+    s = r.huff(tdc)
+    diff = _extend(r.bits(s), s)
+    pred[cid] += diff
+    zz[0] = pred[cid]
+    k = 1
+    while k < 64:
+        rs = r.huff(tac)
+        rr, ss = rs >> 4, rs & 0x0F
+        if ss == 0:
+            if rr == 15:
+                k += 16
+                continue
+            break  # EOB
+        k += rr
+        if k >= 64:
+            raise ValueError("AC run past block end")
+        zz[k] = _extend(r.bits(ss), ss)
+        k += 1
+    coef = np.zeros(64)
+    coef[ZIGZAG] = zz * q
+    return _idct2(coef.reshape(8, 8))
+
+
+# ---------------------------------------------------------------- encode
+
+
+def _quality_scale(q: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((q * s + 50) // 100, 1, 255)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, n: int) -> None:
+        self.acc = (self.acc << n) | code
+        self.nbits += n
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+
+
+def _pad_plane(p: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Edge-replicate pad to (ph, pw) so padding never rings."""
+    h, w = p.shape
+    pp = np.zeros((ph, pw))
+    pp[:h, :w] = p
+    if h < ph:
+        pp[h:, :w] = p[-1:, :]
+    if w < pw:
+        pp[:, w:] = pp[:, w - 1 : w]
+    return pp
+
+
+def emit_jpeg(
+    arr: np.ndarray, quality: int = 90, subsampling: str = "444"
+) -> bytes:
+    """Encode (h, w, 3) uint8 RGB as baseline JPEG with the Annex-K
+    standard tables (quality scales quantization). subsampling='444'
+    keeps full-resolution chroma; '420' downsamples chroma 2x2 (the
+    web's dominant layout) — which is also how the decoder's chroma
+    upsampling path gets exercised by our own tests."""
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    h, w = arr.shape[:2]
+    a = arr.astype(np.float64)
+    y = 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2] - 128.0
+    cb = -0.168736 * a[..., 0] - 0.331264 * a[..., 1] + 0.5 * a[..., 2]
+    cr = 0.5 * a[..., 0] - 0.418688 * a[..., 1] - 0.081312 * a[..., 2]
+    qy = _quality_scale(STD_LUMA_Q.astype(np.int64), quality)
+    qc = _quality_scale(STD_CHROMA_Q.astype(np.int64), quality)
+    dc_l, ac_l = _HuffTable(*STD_DC_LUMA), _HuffTable(*STD_AC_LUMA)
+    dc_c, ac_c = _HuffTable(*STD_DC_CHROMA), _HuffTable(*STD_AC_CHROMA)
+    enc_dc = [dc_l.encode_map(), dc_c.encode_map(), dc_c.encode_map()]
+    enc_ac = [ac_l.encode_map(), ac_c.encode_map(), ac_c.encode_map()]
+    qt = [qy, qc, qc]
+    if subsampling == "444":
+        sampv = [(1, 1), (1, 1), (1, 1)]
+        mcu_px = 8
+    else:
+        sampv = [(2, 2), (1, 1), (1, 1)]
+        mcu_px = 16
+        # chroma 2x2 box downsample over an even-padded frame
+        eh, ew = -(-h // 2) * 2, -(-w // 2) * 2
+        cb = _pad_plane(cb, eh, ew).reshape(eh // 2, 2, ew // 2, 2).mean(
+            axis=(1, 3)
+        )
+        cr = _pad_plane(cr, eh, ew).reshape(eh // 2, 2, ew // 2, 2).mean(
+            axis=(1, 3)
+        )
+    mcux, mcuy = -(-w // mcu_px), -(-h // mcu_px)
+    planes = []
+    for ci, p in enumerate((y, cb, cr)):
+        sh, sv = sampv[ci]
+        planes.append(_pad_plane(p, mcuy * sv * 8, mcux * sh * 8))
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(3):
+                sh, sv = sampv[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        blk = planes[ci][y0 : y0 + 8, x0 : x0 + 8]
+                        coef = _dct2(blk)
+                        zz = coef.reshape(-1)[ZIGZAG]
+                        qzz = np.round(
+                            zz / qt[ci].astype(np.float64)
+                        ).astype(int)
+                        _encode_block(
+                            bw, qzz, pred, ci, enc_dc[ci], enc_ac[ci]
+                        )
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes(qy.astype(np.uint8)))
+    out += seg(0xDB, bytes([1]) + bytes(qc.astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for ci, (cid, tq) in enumerate(((1, 0), (2, 1), (3, 1))):
+        sh, sv = sampv[ci]
+        sof += bytes([cid, (sh << 4) | sv, tq])
+    out += seg(0xC0, sof)
+    for tcth, (bits, values) in (
+        (0x00, STD_DC_LUMA), (0x10, STD_AC_LUMA),
+        (0x01, STD_DC_CHROMA), (0x11, STD_AC_CHROMA),
+    ):
+        out += seg(0xC4, bytes([tcth]) + bytes(bits) + bytes(values))
+    sos = bytes([3]) + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _encode_block(bw, qzz, pred, ci, dc_map, ac_map):
+    diff = int(qzz[0]) - pred[ci]
+    pred[ci] = int(qzz[0])
+    s = int(diff).bit_length() if diff != 0 else 0
+    mag = diff if diff >= 0 else diff + (1 << s) - 1
+    ln, code = dc_map[s]
+    bw.put(code, ln)
+    if s:
+        bw.put(mag & ((1 << s) - 1), s)
+    run = 0
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if qzz[k] != 0:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        v = int(qzz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, code = ac_map[0xF0]
+            bw.put(code, ln)
+            run -= 16
+        s = abs(v).bit_length()
+        mag = v if v >= 0 else v + (1 << s) - 1
+        ln, code = ac_map[(run << 4) | s]
+        bw.put(code, ln)
+        bw.put(mag & ((1 << s) - 1), s)
+        run = 0
+    if last_nz < 63:
+        ln, code = ac_map[0x00]
+        bw.put(code, ln)
+
+
+def jpeg_features(b: bytes) -> dict:
+    """REAL image features from baseline JPEG bytes."""
+    a = parse_jpeg(b)
+    m = a.reshape(-1, 3).mean(axis=0)
+    return {
+        "img_width": int(a.shape[1]),
+        "img_height": int(a.shape[0]),
+        "mean_r": float(m[0]),
+        "mean_g": float(m[1]),
+        "mean_b": float(m[2]),
+    }
+
+
+def resize_jpeg(b: bytes, width: int, height: int, quality: int = 90) -> bytes:
+    """Decode -> nearest-neighbor -> re-encode baseline 4:4:4."""
+    a = parse_jpeg(b)
+    h, w = a.shape[:2]
+    yi = (np.arange(height) * h // height).clip(0, h - 1)
+    xi = (np.arange(width) * w // width).clip(0, w - 1)
+    return emit_jpeg(a[yi][:, xi], quality=quality)

@@ -5,16 +5,18 @@ Two decode tiers:
 - REAL (pure numpy/struct/zlib, zero codec deps): PCM16 WAV parsing
   with duration/RMS/peak features; 24-bit BMP parse/emit/resize; and
   8-bit truecolor PNG decode/encode/resize (stdlib zlib inflate +
-  scanline unfilter, CRC-verified chunks) and first-frame GIF87a/89a
-  decode/encode/resize (pure-Python LZW) — see media_features /
+  scanline unfilter, CRC-verified chunks) first-frame GIF87a/89a
+  decode/encode/resize (pure-Python LZW), and BASELINE JPEG decode/
+  encode/resize (ext/jpeg: Huffman + exact orthonormal IDCT, 4:4:4 /
+  4:2:2 / 4:2:0, Annex-K-table encoder; progressive rejected) — see media_features /
   resize_media below. Per-row error capture: corrupt or compressed
   payloads classify ('corrupt' / 'unsupported') instead of killing
   the Arrow batch.
-- STUBBED (codecs needing real external libs — JPEG/MP3/video need
-  PIL/ffmpeg, absent in this container): `decode_image` raises
-  NotImplementedError unless `fake=True`, which derives a
-  deterministic sha-based pseudo feature vector so downstream shapes
-  stay honest and testable.
+- STUBBED (codecs needing real external libs — progressive JPEG,
+  MP3, video need libjpeg/ffmpeg, absent in this container):
+  `decode_image` raises NotImplementedError unless `fake=True`,
+  which derives a deterministic sha-based pseudo feature vector so
+  downstream shapes stay honest and testable.
 """
 
 from __future__ import annotations
@@ -435,6 +437,11 @@ def media_features(df: DataFrame) -> DataFrame:
             elif content is not None and content[:6] in (b"GIF87a", b"GIF89a"):
                 row.update(gif_features(content))
                 row["status"] = "decoded"
+            elif content is not None and content[:2] == b"\xff\xd8":
+                from .jpeg import jpeg_features
+
+                row.update(jpeg_features(content))
+                row["status"] = "decoded"
             else:
                 row["status"] = "unsupported"
         except (ValueError, struct.error):
@@ -456,7 +463,8 @@ def media_features(df: DataFrame) -> DataFrame:
 
 
 def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
-    """REAL resize where the payload allows it (BMP, PNG, GIF); other payloads
+    """REAL resize where the payload allows it (BMP, PNG, GIF, baseline
+    JPEG); other payloads
     pass through untouched — INCLUDING their width/height metadata,
     which only changes on rows whose bytes actually resized (metadata
     must never claim dimensions the payload doesn't have)."""
@@ -485,6 +493,16 @@ def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
                 elif b is not None and b[:6] in (b"GIF87a", b"GIF89a"):
                     try:
                         contents.append(resize_gif(b, width, height))
+                        widths.append(width)
+                        heights.append(height)
+                        continue
+                    except (ValueError, struct.error):
+                        pass
+                elif b is not None and b[:2] == b"\xff\xd8":
+                    from .jpeg import resize_jpeg
+
+                    try:
+                        contents.append(resize_jpeg(b, width, height))
                         widths.append(width)
                         heights.append(height)
                         continue

@@ -2149,3 +2149,53 @@ def test_media_features_gif_decode(spark):
     resized = {r.media_id: r for r in mm.resize_media(df, 3, 2).collect()}
     again = mm.parse_gif(bytes(resized[1].content))
     assert again.shape == (2, 3, 3) and (again[:, :, 2] == 99).all()
+
+
+def test_jpeg_codec_roundtrip_quality(spark):
+    """Baseline JPEG decodes for real: solid color reconstructs within
+    1 LSB, a smooth gradient within 1 LSB at q95, 4:2:0 exercises the
+    chroma-upsample path, and progressive/truncated streams raise."""
+    import numpy as np
+    import pytest as pt
+
+    from sparksync.ext import jpeg as J
+
+    solid = np.full((20, 28, 3), [120, 60, 200], dtype=np.uint8)
+    for ss in ("444", "420"):
+        d = J.parse_jpeg(J.emit_jpeg(solid, quality=92, subsampling=ss))
+        assert np.abs(d.astype(int) - solid.astype(int)).max() <= 1, ss
+    x = np.linspace(0, 255, 33)
+    grad = np.stack([np.tile(x, (21, 1))] * 3, axis=-1).astype(np.uint8)
+    d = J.parse_jpeg(J.emit_jpeg(grad, quality=95))
+    assert np.abs(d.astype(int) - grad.astype(int)).max() <= 2
+    # a progressive SOF2 marker is rejected, not mis-decoded
+    b = bytearray(J.emit_jpeg(solid))
+    sof = b.find(b"\xff\xc0")
+    b[sof + 1] = 0xC2
+    with pt.raises(ValueError, match="non-baseline"):
+        J.parse_jpeg(bytes(b))
+    with pt.raises(ValueError):
+        J.parse_jpeg(J.emit_jpeg(solid)[:40])
+
+
+def test_media_features_jpeg_decode(spark):
+    """JPEG rides the same media paths: features within codec
+    tolerance, resize re-emitting valid baseline JPEG."""
+    import numpy as np
+
+    from sparksync.ext import multimodal as mm
+    from sparksync.ext.jpeg import emit_jpeg, parse_jpeg
+
+    img = np.full((16, 24, 3), [200, 30, 90], dtype=np.uint8)
+    jpg = emit_jpeg(img, quality=92)
+    rows = [(1, "image", bytearray(jpg), 24, 16)]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = mm.media_features(df).first()
+    assert out.status == "decoded"
+    assert (out.img_width, out.img_height) == (24, 16)
+    assert abs(out.mean_r - 200) <= 2 and abs(out.mean_g - 30) <= 2
+
+    resized = mm.resize_media(df, 8, 6).first()
+    again = parse_jpeg(bytes(resized.content))
+    assert again.shape == (6, 8, 3)
+    assert np.abs(again.astype(int) - [200, 30, 90]).max() <= 3

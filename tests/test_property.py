@@ -285,3 +285,26 @@ def test_gif_roundtrip_any_palette(h, w, ncolors, seed):
     colors = rng.integers(0, 256, (ncolors, 3), dtype=np.uint8)
     a = colors[rng.integers(0, ncolors, (h, w))]
     assert (parse_gif(emit_gif(a)) == a).all()
+
+
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    ss=st.sampled_from(["444", "420"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=15, deadline=None)
+def test_jpeg_roundtrip_smooth_bounded(h, w, ss, seed):
+    """emit_jpeg |> parse_jpeg preserves shape for any size/subsampling
+    and reconstructs low-frequency content within a small bound (JPEG
+    is lossy; solid blocks are its best case)."""
+    import numpy as np
+
+    from sparksync.ext.jpeg import emit_jpeg, parse_jpeg
+
+    rng = np.random.default_rng(seed)
+    color = rng.integers(0, 256, 3)
+    a = np.full((h, w, 3), color, dtype=np.uint8)
+    d = parse_jpeg(emit_jpeg(a, quality=92, subsampling=ss))
+    assert d.shape == a.shape
+    assert np.abs(d.astype(int) - a.astype(int)).max() <= 2
