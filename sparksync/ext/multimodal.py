@@ -159,6 +159,9 @@ MEDIA_FEATURES_SCHEMA = T.StructType(
         T.StructField("mean_r", T.DoubleType()),
         T.StructField("mean_g", T.DoubleType()),
         T.StructField("mean_b", T.DoubleType()),
+        # video features (NULL for stills/audio)
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("fps", T.DoubleType()),
     ]
 )
 
@@ -408,6 +411,7 @@ _NULL_FEATURES = {
     "sample_rate": None, "duration_s": None, "rms": None, "peak": None,
     "img_width": None, "img_height": None,
     "mean_r": None, "mean_g": None, "mean_b": None,
+    "n_frames": None, "fps": None,
 }
 
 
@@ -425,8 +429,11 @@ def media_features(df: DataFrame) -> DataFrame:
             **_NULL_FEATURES,
         }
         try:
-            if content is not None and content[:4] == b"RIFF":
+            if content is not None and content[:4] == b"RIFF" and content[8:12] == b"WAVE":
                 row.update(wav_features(content))
+                row["status"] = "decoded"
+            elif content is not None and content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+                row.update(avi_features(content))
                 row["status"] = "decoded"
             elif content is not None and content[:2] == b"BM":
                 row.update(bmp_features(content))
@@ -711,3 +718,135 @@ def resize_gif(b: bytes, width: int, height: int) -> bytes:
     yi = (np.arange(height) * h // height).clip(0, h - 1)
     xi = (np.arange(width) * w // width).clip(0, w - 1)
     return emit_gif(a[yi][:, xi])
+
+
+def parse_avi_mjpeg(b: bytes) -> tuple[list[bytes], float]:
+    """Minimal AVI container walk for MJPEG video: RIFF/'AVI ' chunk
+    list, frames from the 'movi' LIST's ..dc/..db chunks, fps from the
+    main header's microseconds-per-frame. Returns (jpeg_frames, fps).
+    Pure struct walking — the per-frame payloads are baseline JPEGs
+    that ext/jpeg decodes for real. Raises ValueError on non-AVI or
+    frameless streams."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI stream")
+    frames: list[bytes] = []
+    us_per_frame = 0
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal us_per_frame
+        pos = lo
+        while pos + 8 <= hi:
+            cid = b[pos : pos + 4]
+            sz = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+            body_lo, body_hi = pos + 8, pos + 8 + sz
+            if body_hi > hi:
+                raise ValueError("truncated AVI chunk")
+            if cid == b"LIST":
+                walk(body_lo + 4, body_hi)  # skip the list-type fourcc
+            elif cid == b"avih" and sz >= 4:
+                us_per_frame = struct.unpack(
+                    "<I", b[body_lo : body_lo + 4]
+                )[0]
+            elif cid[2:4] in (b"dc", b"db"):
+                frames.append(b[body_lo:body_hi])
+            pos = body_hi + (sz & 1)  # chunks are word-aligned
+
+    walk(12, min(len(b), 8 + struct.unpack("<I", b[4:8])[0]))
+    if not frames:
+        raise ValueError("AVI contains no video frames")
+    fps = 1e6 / us_per_frame if us_per_frame else 0.0
+    return frames, fps
+
+
+def emit_avi_mjpeg(frames: list[bytes], fps: float = 10.0,
+                   width: int = 0, height: int = 0) -> bytes:
+    """Minimal spec-shaped MJPEG AVI writer (avih + vids strl + movi)
+    for tests and re-emission."""
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        int(1e6 / fps) if fps else 0, 0, 0, 0x10, len(frames), 0, 1, 0,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack(
+            "<IHHIIIIIIII",
+            0, 0, 0, 0,                      # flags, priority, lang, initial
+            1, int(fps) or 1,                # scale, rate
+            0, len(frames),                  # start, length
+            0, 0xFFFFFFFF, 0,                # sugg. buffer, quality, sample sz
+        )
+        + b"\x00" * 8                        # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG", 0, 0, 0, 0, 0
+    )
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(typ: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", typ + body)
+
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def avi_features(b: bytes) -> dict:
+    """REAL video features from an MJPEG AVI: frame count, fps,
+    dimensions + channel means of the FIRST frame (decoded via
+    ext/jpeg)."""
+    from .jpeg import parse_jpeg
+
+    frames, fps = parse_avi_mjpeg(b)
+    first = parse_jpeg(frames[0])
+    m = first.reshape(-1, 3).mean(axis=0)
+    return {
+        "n_frames": len(frames),
+        "fps": fps,
+        "img_width": int(first.shape[1]),
+        "img_height": int(first.shape[0]),
+        "mean_r": float(m[0]),
+        "mean_g": float(m[1]),
+        "mean_b": float(m[2]),
+    }
+
+
+MJPEG_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def mjpeg_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL video frame extraction: explode every n-th MJPEG frame of
+    each AVI payload as its own binary row — the decoded-era version of
+    frame_sample_plan, feeding the per-frame JPEGs straight back into
+    media_features/resize_media. Non-AVI or corrupt payloads yield no
+    rows (per-row capture, batch never dies)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_index": [], "frame": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None or bytes(content[:4]) != b"RIFF":
+                    continue
+                try:
+                    frames, _ = parse_avi_mjpeg(bytes(content))
+                except (ValueError, struct.error):
+                    continue
+                for i in range(0, len(frames), every_n):
+                    out["media_id"].append(mid)
+                    out["frame_index"].append(i)
+                    out["frame"].append(frames[i])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, MJPEG_FRAMES_SCHEMA)

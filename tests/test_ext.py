@@ -2199,3 +2199,51 @@ def test_media_features_jpeg_decode(spark):
     again = parse_jpeg(bytes(resized.content))
     assert again.shape == (6, 8, 3)
     assert np.abs(again.astype(int) - [200, 30, 90]).max() <= 3
+
+
+def test_media_features_mjpeg_video(spark):
+    """Video decodes for real: MJPEG-in-AVI container walk, per-frame
+    JPEG decode, frame extraction exploding every n-th frame as a
+    binary row that feeds straight back into media_features."""
+    import numpy as np
+
+    from sparksync.ext import multimodal as mm
+    from sparksync.ext.jpeg import emit_jpeg, parse_jpeg
+
+    frames = [
+        emit_jpeg(
+            np.full((16, 16, 3), [(i * 50) % 256, 100, 50], dtype=np.uint8),
+            quality=92,
+        )
+        for i in range(6)
+    ]
+    avi = mm.emit_avi_mjpeg(frames, fps=12.0, width=16, height=16)
+    rows = [
+        (1, "video", bytearray(avi), 16, 16),
+        (2, "video", bytearray(avi[:30]), None, None),  # truncated
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in mm.media_features(df).collect()}
+    assert out[1].status == "decoded"
+    # fps rides the container's integer microseconds-per-frame
+    assert out[1].n_frames == 6 and abs(out[1].fps - 12.0) < 0.01
+    assert (out[1].img_width, out[1].img_height) == (16, 16)
+    assert out[2].status == "corrupt"
+
+    # every-2nd-frame extraction: 3 rows, decodable, right frames
+    fr = mm.mjpeg_frames(df, every_n=2).collect()
+    assert [(r.media_id, r.frame_index) for r in fr] == [(1, 0), (1, 2), (1, 4)]
+    img2 = parse_jpeg(bytes(fr[1].frame))
+    assert abs(int(img2[0, 0, 0]) - 100) <= 2  # frame 2: r = 100
+    # WAV rows are untouched by the AVI dispatch (both are RIFF)
+    sr = 8000
+    import struct as st
+    pcm = (np.zeros(sr)).astype("<i2").tobytes()
+    wav = (b"RIFF" + st.pack("<I", 36 + len(pcm)) + b"WAVE"
+           + b"fmt " + st.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+           + b"data" + st.pack("<I", len(pcm)) + pcm)
+    wrow = mm.media_features(
+        spark.createDataFrame([(9, "audio", bytearray(wav), None, None)],
+                              mm.MEDIA_SCHEMA)
+    ).first()
+    assert wrow.status == "decoded" and wrow.sample_rate == sr
