@@ -4024,6 +4024,305 @@ group by l_returnflag
 """
 
 
+def q130_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing ONE-HOUR sum per user — a RANGE frame over event-time
+    (every event within 3600s, however many rows that is), the frame
+    family the rows-frames queries (q45/q107/q127) cannot express.
+    Ordered on epoch micros (exact long), decimal-exact sums, one
+    key-partitioned window."""
+    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(_dec("value")).over(w).cast("double").alias("hour_sum"),
+        F.count(F.lit(1)).over(w).cast("long").alias("hour_events"),
+    )
+
+
+ORACLE_Q130 = """
+select user_id, event_id, ts,
+       cast(sum(cast(value as decimal(12,2))) over w as double) as hour_sum,
+       cast(count(*) over w as bigint) as hour_events
+from events where value is not null
+window w as (partition by user_id order by epoch_us(ts)
+             range between 3600000000 preceding and current row)
+"""
+
+
+def q131_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id: order totals by
+    (status, priority), by status alone, and grand total — the
+    irregular-subtotal construct rollup/cube (q12/q33) cannot pick
+    freely. One Expand-planned aggregate, no extra scans."""
+    _register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        select o_orderstatus, o_orderpriority,
+               cast(grouping_id(o_orderstatus, o_orderpriority) as bigint)
+                 as gid,
+               cast(count(*) as bigint) as n_orders,
+               cast(sum(cast(o_totalprice as decimal(12,2)))
+                    as decimal(18,2)) as total
+        from orders
+        group by grouping sets ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        """
+    ).select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "gid",
+        "n_orders",
+        F.col("total").cast("double").alias("total"),
+    )
+
+
+ORACLE_Q131 = """
+select o_orderstatus, o_orderpriority,
+       cast(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+            as bigint) as gid,
+       cast(count(*) as bigint) as n_orders,
+       cast(cast(sum(cast(o_totalprice as decimal(12,2))) as decimal(18,2))
+            as double) as total
+from orders
+group by grouping sets ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), ())
+"""
+
+
+def q132_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation in-warehouse: confusion matrix of the
+    lang-id heuristic against the fixture's true lang labels, each cell
+    row-normalized by the truth class's total (recall-style rates).
+    Two tiny aggregates joined back; rates are single divisions of
+    exact counts."""
+    d = load(spark, sf_dir, "documents")
+    j = d.select("doc_id", "lang").join(textops.language_id(d), "doc_id")
+    cm = j.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
+    truth = j.groupBy("lang").agg(F.count(F.lit(1)).alias("truth_total"))
+    pred = j.groupBy("pred_lang").agg(F.count(F.lit(1)).alias("pred_total"))
+    return (
+        cm.join(F.broadcast(truth), "lang")
+        .join(F.broadcast(pred), "pred_lang")
+        .select(
+            "lang",
+            "pred_lang",
+            F.col("n").cast("long").alias("n"),
+            F.col("truth_total").cast("long").alias("truth_total"),
+            F.col("pred_total").cast("long").alias("pred_total"),
+            (F.col("n").cast("double") / F.col("truth_total").cast("double"))
+            .alias("recall_rate"),
+        )
+    )
+
+
+ORACLE_Q132 = """
+with pred as (
+  select doc_id,
+    case when length(trim(text)) = 0 then 'unknown'
+         when text like '% the %' or text like 'the %' or text like '% the'
+           then 'en'
+         when text like '% data %' or text like 'data %' then 'data-ish'
+         else 'other' end as pred_lang
+  from documents),
+j as (select d.lang, p.pred_lang from documents d join pred p using (doc_id)),
+cm as (select lang, pred_lang, cast(count(*) as bigint) as n
+       from j group by 1, 2),
+t as (select lang, cast(count(*) as bigint) as truth_total
+      from j group by 1),
+p as (select pred_lang, cast(count(*) as bigint) as pred_total
+      from j group by 1)
+select cm.lang, cm.pred_lang, cm.n, t.truth_total, p.pred_total,
+       cast(cm.n as double) / cast(t.truth_total as double) as recall_rate
+from cm join t using (lang) join p using (pred_lang)
+"""
+
+
+def q133_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins: a numeric score (n_chars) against a
+    binary outcome (lang = 'en'), 10 equi-width bins over the exact
+    global min/max, per-bin positive rate — the calibration profile of
+    any scalar quality signal. Binning is per-row IEEE arithmetic
+    identical in both engines; rates are single divisions."""
+    d = load(spark, sf_dir, "documents")
+    mm = d.agg(
+        F.min(F.col("n_chars").cast("double")).alias("_lo"),
+        F.max(F.col("n_chars").cast("double")).alias("_hi"),
+    )
+    x = F.col("n_chars").cast("double")
+    raw_bin = F.floor((x - F.col("_lo")) * 10 / (F.col("_hi") - F.col("_lo")))
+    b = d.crossJoin(F.broadcast(mm)).withColumn(
+        "bin",
+        F.when(F.col("_hi") == F.col("_lo"), F.lit(0).cast("long"))
+        .otherwise(F.least(F.lit(9).cast("long"), raw_bin)),
+    )
+    return b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("lang") == "en").cast("long")).cast("long").alias("n_pos"),
+    ).withColumn(
+        "pos_rate", F.col("n_pos").cast("double") / F.col("n").cast("double")
+    )
+
+
+ORACLE_Q133 = """
+with mm as (select min(cast(n_chars as double)) as lo,
+                   max(cast(n_chars as double)) as hi from documents),
+b as (
+  select case when hi = lo then 0
+              else least(9, cast(floor((cast(n_chars as double) - lo) * 10
+                                       / (hi - lo)) as bigint)) end as bin,
+         case when lang = 'en' then 1 else 0 end as pos
+  from documents cross join mm)
+select bin, cast(count(*) as bigint) as n,
+       cast(sum(pos) as bigint) as n_pos,
+       cast(sum(pos) as double) / cast(count(*) as double) as pos_rate
+from b group by bin
+"""
+
+
+def q134_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test straight from the event log: users split
+    into variants by user_id parity, conversion = at least 3 high-value
+    purchases (value >= 100 — "any purchase" saturates at p = 1 on this
+    fixture and the z-statistic's pooled variance degenerates); the z
+    statistic is a fixed expression over four exact counts (sqrt is
+    correctly rounded IEEE), so even the test statistic hash-matches.
+    One per-user aggregate, one 2-row aggregate, one scalar combine."""
+    ev = load(spark, sf_dir, "events")
+    hi = (F.col("event_type") == "purchase") & (F.col("value") >= 100)
+    per_user = ev.groupBy("user_id").agg(
+        (F.sum(hi.cast("long")) >= 3).cast("long").alias("_conv")
+    )
+    counts = (
+        per_user.withColumn("variant", F.pmod(F.col("user_id"), F.lit(2)))
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_conv").cast("long").alias("conv"),
+        )
+    )
+    a = counts.where(F.col("variant") == 0).select(
+        F.col("n").alias("n_a"), F.col("conv").alias("conv_a")
+    )
+    bq = counts.where(F.col("variant") == 1).select(
+        F.col("n").alias("n_b"), F.col("conv").alias("conv_b")
+    )
+    j = a.crossJoin(F.broadcast(bq))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ca, cb = F.col("conv_a").cast("double"), F.col("conv_b").cast("double")
+    pa, pb = ca / na, cb / nb
+    pool = (ca + cb) / (na + nb)
+    z = (pa - pb) / F.sqrt(pool * (1.0 - pool) * (1.0 / na + 1.0 / nb))
+    return j.select(
+        "n_a", "conv_a", "n_b", "conv_b",
+        pa.alias("rate_a"), pb.alias("rate_b"), z.alias("z_stat"),
+    )
+
+
+ORACLE_Q134 = """
+with per_user as (
+  select user_id,
+         case when sum(case when event_type = 'purchase' and value >= 100
+                            then 1 else 0 end) >= 3
+              then 1 else 0 end as conv
+  from events group by user_id),
+counts as (
+  select user_id % 2 as variant, cast(count(*) as bigint) as n,
+         cast(sum(conv) as bigint) as conv
+  from per_user group by 1),
+a as (select n as n_a, conv as conv_a from counts where variant = 0),
+b as (select n as n_b, conv as conv_b from counts where variant = 1)
+select n_a, conv_a, n_b, conv_b,
+  (cast(conv_a as double) / cast(n_a as double)) as rate_a,
+  (cast(conv_b as double) / cast(n_b as double)) as rate_b,
+  ((cast(conv_a as double) / cast(n_a as double))
+   - (cast(conv_b as double) / cast(n_b as double)))
+  / sqrt(((cast(conv_a as double) + cast(conv_b as double))
+          / (cast(n_a as double) + cast(n_b as double)))
+         * (1.0 - ((cast(conv_a as double) + cast(conv_b as double))
+                   / (cast(n_a as double) + cast(n_b as double))))
+         * (1.0 / cast(n_a as double) + 1.0 / cast(n_b as double)))
+    as z_stat
+from a cross join b
+"""
+
+
+def q135_hash_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing bridge from text to the vector space: each token
+    hashes (portable md5) onto one of the embedding rows, and each
+    source's centroid in that hashed-embedding space is an exact
+    quantized-integer mean per dimension (the kmeans_step discipline) —
+    how a text corpus gets a cheap vector profile with no model at all.
+    Shape: explode tokens (one pass), join the embedding table on the
+    hash bucket (vector-table-sized side), posexplode components, one
+    (source, dim) aggregate."""
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    n_vec = e.agg(F.count(F.lit(1)).cast("long").alias("_nv"))
+    toks = (
+        d.select("source", F.explode(textops.tokens("text")).alias("tok"))
+        .crossJoin(F.broadcast(n_vec))
+        .select(
+            "source",
+            F.pmod(dedup.md5_token_hash(F.col("tok")), F.col("_nv")).alias(
+                "vec_id"
+            ),
+        )
+    )
+    comp = toks.join(e, "vec_id").select(
+        "source",
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("dim", "_c"),
+    )
+    return (
+        comp.groupBy("source", F.col("dim").cast("long").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.sum(
+                F.floor(F.col("_c") * F.lit(1e6) + F.lit(0.5)).cast("long")
+            ).alias("_s"),
+        )
+        .select(
+            "source",
+            "dim",
+            "n_toks",
+            (
+                F.col("_s").cast("double")
+                / (F.col("n_toks").cast("double") * F.lit(1e6))
+            ).alias("centroid"),
+        )
+    )
+
+
+ORACLE_Q135 = """
+with nv as (select cast(count(*) as bigint) as n from embeddings),
+toks as (
+  select source,
+         cast(cast('0x' || substring(md5(tok), 1, 15) as ubigint) as bigint)
+           % (select n from nv) as vec_id
+  from (select source,
+               unnest(list_filter(string_split(trim(text), ' '),
+                                  x -> x <> '')) as tok
+        from documents)),
+comp as (
+  select t.source, d.dim, cast(e.embedding[d.dim + 1] as double) as c
+  from toks t join embeddings e using (vec_id)
+  cross join (select unnest(range(64)) as dim) d)
+select source, cast(dim as bigint) as dim,
+       cast(count(*) as bigint) as n_toks,
+       cast(sum(cast(floor(c * 1e6 + 0.5) as bigint)) as double)
+         / (cast(count(*) as double) * 1e6) as centroid
+from comp group by 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -4154,6 +4453,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q127_ma_crossover": q127_ma_crossover,
     "q128_dup_cluster_sizes": q128_dup_cluster_sizes,
     "q129_weighted_median": q129_weighted_median,
+    "q130_range_frame": q130_range_frame,
+    "q131_grouping_sets": q131_grouping_sets,
+    "q132_lang_confusion": q132_lang_confusion,
+    "q133_calibration_bins": q133_calibration_bins,
+    "q134_ab_ztest": q134_ab_ztest,
+    "q135_hash_embed_centroids": q135_hash_embed_centroids,
 }
 
 ORACLES: dict[str, str] = {
@@ -4286,4 +4591,10 @@ ORACLES: dict[str, str] = {
     "q127_ma_crossover": ORACLE_Q127,
     "q128_dup_cluster_sizes": ORACLE_Q128,
     "q129_weighted_median": ORACLE_Q129,
+    "q130_range_frame": ORACLE_Q130,
+    "q131_grouping_sets": ORACLE_Q131,
+    "q132_lang_confusion": ORACLE_Q132,
+    "q133_calibration_bins": ORACLE_Q133,
+    "q134_ab_ztest": ORACLE_Q134,
+    "q135_hash_embed_centroids": ORACLE_Q135,
 }

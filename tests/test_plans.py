@@ -509,3 +509,33 @@ def test_round4k_plan_shapes(spark):
     plan = plan_of(QUERIES["q129_weighted_median"](spark, SF_SMOKE))
     assert "SinglePartition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round4l_plan_shapes(spark):
+    """q130/q131: the RANGE frame stays key-partitioned (no global
+    sort); grouping sets plan ONE Expand-fed aggregate over one scan."""
+    plan = plan_of(QUERIES["q130_range_frame"](spark, SF_SMOKE))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(user_id" in plan
+
+    plan = plan_of(QUERIES["q131_grouping_sets"](spark, SF_SMOKE))
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") <= 1
+
+
+def test_round4m_plan_shapes(spark):
+    """q132-q135: eval-ops broadcast only aggregate summaries (truth/
+    pred totals, min-max, variant counts); the hash-embedding bridge
+    joins the vector table without a cartesian and aggregates once."""
+    plan = plan_of(QUERIES["q132_lang_confusion"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+
+    plan = plan_of(QUERIES["q133_calibration_bins"](spark, SF_SMOKE))
+    assert "SinglePartition" not in plan.split("BroadcastExchange")[0]
+
+    plan = plan_of(QUERIES["q134_ab_ztest"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+
+    plan = plan_of(QUERIES["q135_hash_embed_centroids"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan

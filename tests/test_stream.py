@@ -440,3 +440,44 @@ def test_attribution_stream_matches_batch(spark, tmp_path):
     }
     assert live == batch
     assert len(live) > 0
+
+
+def test_media_features_on_stream(spark, tmp_path):
+    """The multimodal decode path runs unchanged under Structured
+    Streaming (mapInPandas is stream-capable): media files 'arriving'
+    across two micro-batches decode with the same per-row capture as
+    batch."""
+    import numpy as np
+
+    from sparksync.ext import multimodal as mm
+    from sparksync.ext.jpeg import emit_jpeg
+
+    img = np.full((8, 8, 3), [10, 200, 30], dtype=np.uint8)
+    rows1 = [(1, "image", bytearray(emit_jpeg(img)), 8, 8)]
+    rows2 = [(2, "image", bytearray(mm.emit_png(img)), 8, 8),
+             (3, "image", bytearray(b"\x89PNG junk"), None, None)]
+    src = str(tmp_path / "media_in")
+    spark.createDataFrame(rows1, mm.MEDIA_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(rows2, mm.MEDIA_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    s = (
+        spark.readStream.schema(mm.MEDIA_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        mm.media_features(s)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("media_live")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {r.media_id: r for r in spark.sql("select * from media_live").collect()}
+    assert out[1].status == "decoded" and out[1].mean_g in range(198, 203)
+    assert out[2].status == "decoded" and out[2].mean_g == 200.0
+    assert out[3].status == "unsupported"
