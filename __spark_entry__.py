@@ -21,10 +21,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _rotated(d: dict) -> dict:
     """The driver's CORRECTNESS report samples at most 50 queries; the
-    surface is 135, so allocation is explicit (VERDICT r3 #7 asked for
+    surface is 137, so allocation is explicit (VERDICT r3 #7 asked for
     the ported surface q01-q17 plus a rotating extension slice). A
     positional top-50 here covers: q01-q17 (17, the ported surface),
-    q90-q135 (46, the newest 33 of which fit under the cap — no
+    q90-q137 (48, the newest 33 of which fit under the cap — no
     driver signal yet; the alphabetical tail falls past it). The
     overflow, q51-q89 and the rest keep
     their hard evidence from the committed per-round selfcheck sweeps

@@ -545,3 +545,54 @@ def next_event_pairs(
         .where(F.col("_oldest").isNotNull())
         .drop("_oldest")
     )
+
+
+def max_concurrency(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Peak concurrent sessions per day — the sweep-line classic:
+    sessionize, emit (+1 at session start, -1 at end) deltas, run a
+    GLOBAL cumulative sum over the time-ordered deltas, take the
+    daily max. The global cumsum is the two-phase
+    features.global_cumsum (range-partitioned, no single-partition
+    window over the deltas), which is what makes the sweep line viable
+    at 100 TB of events.
+
+    Tie order is (+1 before -1) at equal instants, so touching
+    sessions count as concurrent and zero-length (single-event)
+    sessions contribute 1 at their instant; full tiebreak (key,
+    session) makes the order total. Output: (day, max_concurrent,
+    n_sessions)."""
+    from .features import global_cumsum
+
+    s = sessionize(df, key_col, ts_col, gap_minutes)
+    spans = s.groupBy(key_col, "session_id").agg(
+        F.min(ts_col).alias("_start"), F.max(ts_col).alias("_end")
+    )
+    deltas = spans.select(
+        F.col("_start").alias("t"), F.lit(1).cast("long").alias("delta"),
+        key_col, "session_id",
+    ).unionByName(
+        spans.select(
+            F.col("_end").alias("t"), F.lit(-1).cast("long").alias("delta"),
+            key_col, "session_id",
+        )
+    )
+    cum = global_cumsum(
+        deltas,
+        ["t", F.col("delta").desc(), key_col, "session_id"],
+        "delta",
+        "concurrent",
+    )
+    return (
+        cum.groupBy(F.to_date("t").alias("day"))
+        .agg(
+            F.max("concurrent").cast("long").alias("max_concurrent"),
+            (F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)))
+            .cast("long")
+            .alias("n_sessions"),
+        )
+    )

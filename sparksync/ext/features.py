@@ -539,3 +539,50 @@ def weighted_median(
         F.min(v).alias("wmedian"),
         F.max(F.col("_tot")).cast("double").alias("total_weight"),
     )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    out_col: str = "cum",
+    n_parts: int = 64,
+) -> DataFrame:
+    """Global running sum over a total order without a single-partition
+    window — global_rank's trick generalized from counts to values:
+    range-repartition on the order, per-partition running sum, then add
+    per-partition TOTAL offsets (a cumulative sum over n_parts counter
+    rows). order_cols must be a total order; value_col should be an
+    exact type (long/decimal) so the two-phase regrouping cannot drift.
+    Same persist pinning as global_rank (range sampling is
+    plan-instance-specific)."""
+    from pyspark import StorageLevel
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    part = (
+        df.repartitionByRange(n_parts, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    wl = (
+        Window.partitionBy("_pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = part.withColumn("_lc", F.sum(F.col(value_col)).over(wl))
+    woff = (
+        Window.partitionBy(F.pmod(F.xxhash64(F.col("_pid")), F.lit(1)))
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        part.groupBy("_pid")
+        .agg(F.sum(F.col(value_col)).alias("_t"))
+        .withColumn("_off", F.coalesce(F.sum("_t").over(woff), F.lit(0)))
+        .select("_pid", "_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.col("_lc") + F.col("_off"))
+        .drop("_pid", "_lc", "_off")
+    )

@@ -4323,6 +4323,99 @@ from comp group by 1, 2
 """
 
 
+def q136_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete churn-hazard curve: users bucketed by observed lifetime
+    (days between first and last event); at_risk(d) = users surviving
+    to day d (a suffix cumsum over the TINY lifetime histogram),
+    hazard = churned/at_risk — survival analysis from exact counts, no
+    float folds. The only window runs over lifetime-cardinality rows
+    (constant-keyed, documented tiny)."""
+    ev = load(spark, sf_dir, "events")
+    life = ev.groupBy("user_id").agg(
+        F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts")))
+        .cast("long")
+        .alias("lifetime_days")
+    )
+    hist = life.groupBy("lifetime_days").agg(
+        F.count(F.lit(1)).cast("long").alias("churned")
+    )
+    w = (
+        Window.partitionBy(F.pmod(F.xxhash64("lifetime_days"), F.lit(1)))
+        .orderBy(F.col("lifetime_days").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return hist.select(
+        "lifetime_days",
+        "churned",
+        F.sum("churned").over(w).cast("long").alias("at_risk"),
+    ).withColumn(
+        "hazard", F.col("churned").cast("double") / F.col("at_risk").cast("double")
+    )
+
+
+ORACLE_Q136 = """
+with life as (
+  select user_id,
+         cast(date_diff('day', min(cast(ts as date)), max(cast(ts as date)))
+              as bigint) as lifetime_days
+  from events group by user_id),
+hist as (select lifetime_days, cast(count(*) as bigint) as churned
+         from life group by 1)
+select lifetime_days, churned,
+       cast(sum(churned) over (order by lifetime_days desc
+                               rows between unbounded preceding and current row)
+            as bigint) as at_risk,
+       cast(churned as double)
+         / cast(sum(churned) over (order by lifetime_days desc
+                                   rows between unbounded preceding
+                                   and current row) as double) as hazard
+from hist
+"""
+
+
+def q137_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day (ext/asof.max_concurrency):
+    sweep-line +1/-1 deltas with a TWO-PHASE global cumulative sum
+    (features.global_cumsum) — no single-partition window over the
+    event volume."""
+    return asof.max_concurrency(load(spark, sf_dir, "events"), "user_id", "ts")
+
+
+ORACLE_Q137 = """
+with g as (
+  select user_id, ts,
+         case when lag(ts) over w is null
+                   or (epoch_us(ts) - epoch_us(lag(ts) over w)) > 1800000000
+              then 1 else 0 end as brk
+  from events window w as (partition by user_id order by ts)),
+s as (
+  select user_id, ts,
+         sum(brk) over (partition by user_id order by ts
+                        rows between unbounded preceding and current row)
+           as session_id
+  from g),
+spans as (
+  select user_id, session_id, min(ts) as t_start, max(ts) as t_end
+  from s group by 1, 2),
+deltas as (
+  select t_start as t, cast(1 as bigint) as delta, user_id, session_id
+  from spans
+  union all
+  select t_end, cast(-1 as bigint), user_id, session_id from spans),
+cum as (
+  select t, delta,
+         sum(delta) over (order by t, delta desc, user_id, session_id
+                          rows between unbounded preceding and current row)
+           as concurrent
+  from deltas)
+select cast(t as date) as day,
+       cast(max(concurrent) as bigint) as max_concurrent,
+       cast(sum(case when delta = 1 then 1 else 0 end) as bigint)
+         as n_sessions
+from cum group by 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -4459,6 +4552,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q133_calibration_bins": q133_calibration_bins,
     "q134_ab_ztest": q134_ab_ztest,
     "q135_hash_embed_centroids": q135_hash_embed_centroids,
+    "q136_churn_hazard": q136_churn_hazard,
+    "q137_max_concurrency": q137_max_concurrency,
 }
 
 ORACLES: dict[str, str] = {
@@ -4597,4 +4692,6 @@ ORACLES: dict[str, str] = {
     "q133_calibration_bins": ORACLE_Q133,
     "q134_ab_ztest": ORACLE_Q134,
     "q135_hash_embed_centroids": ORACLE_Q135,
+    "q136_churn_hazard": ORACLE_Q136,
+    "q137_max_concurrency": ORACLE_Q137,
 }

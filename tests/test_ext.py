@@ -2247,3 +2247,42 @@ def test_media_features_mjpeg_video(spark):
                               mm.MEDIA_SCHEMA)
     ).first()
     assert wrow.status == "decoded" and wrow.sample_rate == sr
+
+
+def test_global_cumsum_matches_single_window(spark):
+    """Two-phase global_cumsum == a plain global running sum across
+    range partitions, on an exact integer column."""
+    import duckdb
+
+    from sparksync.ext import features
+
+    rows = [(i, ((i * 31) % 7) - 3) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {(r.id, r.cum) for r in
+           features.global_cumsum(df, ["id"], "v", n_parts=8).collect()}
+    want = {(i, c) for i, c in duckdb.sql(
+        "select id, sum(v) over (order by id rows between unbounded preceding"
+        " and current row) from (select unnest(range(400)) id,"
+        " (unnest(range(400)) * 31 % 7) - 3 v)").fetchall()}
+    assert got == want
+
+
+def test_max_concurrency_planted(spark):
+    """Three overlapping single-session users peak at 3; touching
+    sessions (start == another's end) count concurrent (+1 sorts
+    first)."""
+    from datetime import datetime
+
+    from sparksync.ext import asof
+
+    t = lambda m: datetime(2026, 3, 1, 10, m)  # noqa: E731
+    rows = [
+        (1, t(0)), (1, t(10)),          # u1: 10:00-10:10
+        (2, t(5)), (2, t(15)),          # u2: 10:05-10:15 (overlap u1)
+        (3, t(8)),                      # u3: instant at 10:08 (peak=3)
+        (4, t(10)), (4, t(20)),         # u4 starts exactly at u1's end
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = asof.max_concurrency(df, "user_id", "ts").collect()
+    assert len(out) == 1
+    assert out[0].max_concurrent == 3 and out[0].n_sessions == 4

@@ -539,3 +539,12 @@ def test_round4m_plan_shapes(spark):
     plan = plan_of(QUERIES["q135_hash_embed_centroids"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan
+
+
+def test_round4n_plan_shapes(spark):
+    """q136/q137: the hazard window runs over the tiny lifetime
+    histogram only; the concurrency sweep's cumsum is range-partitioned
+    (two-phase), never a single-partition window over the deltas."""
+    plan = plan_of(QUERIES["q137_max_concurrency"](spark, SF_SMOKE))
+    assert "rangepartitioning" in plan.lower()
+    assert "CartesianProduct" not in plan
