@@ -4416,6 +4416,48 @@ from cum group by 1
 """
 
 
+def q138_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand triangle counts in the co-purchase graph (ext/graph
+    .triangle_count over q113's basket pairs): degree-ordered
+    orientation enumerates each triangle once with hub-bounded join
+    fanout; the oracle replays it as the canonical x<y<z triple
+    join."""
+    from .ext import features, graph
+
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    baskets = li.join(
+        F.broadcast(p.select("p_partkey", "p_brand")),
+        li.l_partkey == p.p_partkey,
+    ).select("l_orderkey", "p_brand")
+    edges = features.cooccurrence_lift(baskets, "l_orderkey", "p_brand")
+    return graph.triangle_count(edges, "item_a", "item_b")
+
+
+ORACLE_Q138 = """
+with items as (
+  select distinct l_orderkey, p_brand
+  from lineitem join part on l_partkey = p_partkey),
+pairs as (
+  select a.p_brand as x, b.p_brand as y
+  from items a join items b using (l_orderkey)
+  where a.p_brand < b.p_brand
+  group by 1, 2
+  having count(*) >= 2),
+tri as (
+  select e1.x, e1.y, e2.y as z
+  from pairs e1
+  join pairs e2 on e1.y = e2.x
+  join pairs e3 on e3.x = e1.x and e3.y = e2.y),
+corners as (
+  select x as node from tri
+  union all select y from tri
+  union all select z from tri)
+select node, cast(count(*) as bigint) as triangles
+from corners group by node
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -4554,6 +4596,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q135_hash_embed_centroids": q135_hash_embed_centroids,
     "q136_churn_hazard": q136_churn_hazard,
     "q137_max_concurrency": q137_max_concurrency,
+    "q138_triangles": q138_triangles,
 }
 
 ORACLES: dict[str, str] = {
@@ -4694,4 +4737,5 @@ ORACLES: dict[str, str] = {
     "q135_hash_embed_centroids": ORACLE_Q135,
     "q136_churn_hazard": ORACLE_Q136,
     "q137_max_concurrency": ORACLE_Q137,
+    "q138_triangles": ORACLE_Q138,
 }

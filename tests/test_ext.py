@@ -2286,3 +2286,18 @@ def test_max_concurrency_planted(spark):
     out = asof.max_concurrency(df, "user_id", "ts").collect()
     assert len(out) == 1
     assert out[0].max_concurrent == 3 and out[0].n_sessions == 4
+
+
+def test_triangle_count_planted(spark):
+    """A 4-clique has 4 triangles (3 per node); a pendant edge adds
+    none; duplicate/reversed edges dedupe."""
+    from sparksync.ext import graph
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # K4
+             (4, 5),                                          # pendant
+             (2, 1), (1, 2)]                                  # dups
+    df = spark.createDataFrame(edges, "d1 long, d2 long")
+    got = {r.node: r.triangles for r in graph.triangle_count(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}  # 5 is triangle-free
+    empty = spark.createDataFrame([], "d1 long, d2 long")
+    assert graph.triangle_count(empty).count() == 0
