@@ -596,3 +596,37 @@ def max_concurrency(
             .alias("n_sessions"),
         )
     )
+
+
+def latest_state(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    type_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Serving-state materialization: ONE row per key holding its n
+    most recent event types (newest first) — the ring buffer a feature
+    store serves to a model at request time, built in one pass. A
+    descending row_number window keeps the last n (per-key partitioned,
+    the q11 top-k pattern), then sort_array on (rank, type) structs
+    renders the array deterministically. Output: (key, last_ts,
+    n_recent, recent)."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).desc(), F.col(id_col).desc()
+    )
+    r = df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= n)
+    return (
+        r.groupBy(key_col)
+        .agg(
+            F.max(ts_col).alias("last_ts"),
+            F.count(F.lit(1)).cast("long").alias("n_recent"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("_rn", F.col(type_col).alias("t")))
+                ),
+                lambda x: x["t"],
+            ).alias("recent"),
+        )
+    )

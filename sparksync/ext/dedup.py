@@ -970,3 +970,47 @@ def editdist1_pairs(
         "b",
         F.levenshtein("a", "b").cast("long").alias("dist"),
     ).where(F.col("dist") <= 1)
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-SUBSET detection: pairs where the smaller document's
+    shingles are >= threshold contained in the other's —
+    |A ∩ B| / min(|A|, |B|). Jaccard misses these (a page quoted
+    inside a 10x-longer page has tiny Jaccard but containment ~1),
+    and they are exactly the quote/wrapper/aggregator duplicates a
+    pre-training corpus wants collapsed toward the superset doc.
+
+    Same scale shape as jaccard_pairs (shared-shingle inverted-index
+    join, per-doc distinct shingles, sizes broadcast back); only the
+    final ratio differs. Output: (d1, d2, containment, direction)
+    with d1 < d2; direction says which side is the contained one
+    ('d1'/'d2'/'equal' by shingle-set size)."""
+    sh = shingles(df, id_col, text_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col(id_col).alias("d1"), "shingle")
+    b = sh.select(F.col(id_col).alias("d2"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    na = sizes.select(F.col(id_col).alias("d1"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("d2"), F.col("n").alias("nb"))
+    cont = F.col("c").cast("double") / F.least("na", "nb").cast("double")
+    direction = (
+        F.when(F.col("na") < F.col("nb"), F.lit("d1"))
+        .when(F.col("nb") < F.col("na"), F.lit("d2"))
+        .otherwise(F.lit("equal"))
+    )
+    return (
+        common.join(F.broadcast(na), "d1")
+        .join(F.broadcast(nb), "d2")
+        .select("d1", "d2", cont.alias("containment"), direction.alias("direction"))
+        .where(F.col("containment") >= threshold)
+    )

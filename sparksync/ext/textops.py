@@ -862,3 +862,29 @@ def bpe_pair_counts(
         .orderBy(F.col("cnt").desc(), "pair")
         .limit(k)
     )
+
+
+def extract_matches(
+    df: DataFrame,
+    pattern: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Regex extraction TABLE: every match of `pattern` as its own row
+    with its per-document occurrence index — the structured-extraction
+    primitive (IDs, amounts, codes) that turns free text into joinable
+    facts. regexp_extract_all + posexplode: a narrow codegen map, no
+    shuffle; match order is appearance order, so the occurrence index
+    replays in any engine. Keep patterns in the portable subset
+    (character classes, quantifiers, anchors) — engine regex dialects
+    diverge on exotica. Output: (id, occurrence, match)."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(f"regexp_extract_all({text_col}, '{pattern}', 0)")
+        ).alias("occurrence", "match"),
+    ).select(
+        id_col,
+        F.col("occurrence").cast("long").alias("occurrence"),
+        "match",
+    )

@@ -4458,6 +4458,78 @@ from corners group by node
 """
 
 
+def q139_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-subset detection (ext/dedup.containment_pairs, t=0.9):
+    |A∩B|/min(|A|,|B|) catches quote/wrapper duplicates whose Jaccard
+    is tiny — same inverted-index shape as q19, different ratio."""
+    return dedup.containment_pairs(load(spark, sf_dir, "documents"), 0.9)
+
+
+ORACLE_Q139 = """
+with docs as (
+  select doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') as toks
+  from documents),
+docs3 as (select * from docs where len(toks) >= 3),
+sh as (
+  select distinct doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] as shingle
+  from docs3, unnest(range(1, len(toks) - 1)) t(i)),
+sizes as (select doc_id, count(*) as n from sh group by doc_id),
+common as (
+  select a.doc_id as d1, b.doc_id as d2, count(*) as c
+  from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+  group by 1, 2)
+select d1, d2,
+       cast(c as double) / cast(least(na.n, nb.n) as double) as containment,
+       case when na.n < nb.n then 'd1'
+            when nb.n < na.n then 'd2' else 'equal' end as direction
+from common
+join sizes na on na.doc_id = d1
+join sizes nb on nb.doc_id = d2
+where cast(c as double) / cast(least(na.n, nb.n) as double) >= 0.9
+"""
+
+
+def q140_extract_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extraction table (ext/textops.extract_matches): every
+    5+-letter run in every document as (doc, occurrence, match) rows —
+    a narrow codegen map, appearance-order occurrence index."""
+    return textops.extract_matches(
+        load(spark, sf_dir, "documents"), "[a-z]{5,}"
+    )
+
+
+ORACLE_Q140 = """
+select doc_id,
+       cast(generate_subscripts(m, 1) - 1 as bigint) as occurrence,
+       unnest(m) as match
+from (select doc_id, regexp_extract_all(text, '[a-z]{5,}', 0) as m
+      from documents)
+"""
+
+
+def q141_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user serving state (ext/asof.latest_state): the 5 most
+    recent event types newest-first as one array row per user — the
+    feature-store ring buffer, built with a per-key top-k window."""
+    return asof.latest_state(
+        load(spark, sf_dir, "events"), "user_id", "ts", "event_id", "event_type"
+    )
+
+
+ORACLE_Q141 = """
+with r as (
+  select user_id, ts, event_type,
+         row_number() over (partition by user_id
+                            order by ts desc, event_id desc) as rn
+  from events)
+select user_id, max(ts) as last_ts,
+       cast(count(*) as bigint) as n_recent,
+       list(event_type order by rn) as recent
+from r where rn <= 5
+group by user_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -4597,6 +4669,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q136_churn_hazard": q136_churn_hazard,
     "q137_max_concurrency": q137_max_concurrency,
     "q138_triangles": q138_triangles,
+    "q139_containment_pairs": q139_containment_pairs,
+    "q140_extract_matches": q140_extract_matches,
+    "q141_latest_state": q141_latest_state,
 }
 
 ORACLES: dict[str, str] = {
@@ -4738,4 +4813,7 @@ ORACLES: dict[str, str] = {
     "q136_churn_hazard": ORACLE_Q136,
     "q137_max_concurrency": ORACLE_Q137,
     "q138_triangles": ORACLE_Q138,
+    "q139_containment_pairs": ORACLE_Q139,
+    "q140_extract_matches": ORACLE_Q140,
+    "q141_latest_state": ORACLE_Q141,
 }

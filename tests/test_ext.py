@@ -2301,3 +2301,51 @@ def test_triangle_count_planted(spark):
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}  # 5 is triangle-free
     empty = spark.createDataFrame([], "d1 long, d2 long")
     assert graph.triangle_count(empty).count() == 0
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc quoted inside a much longer one: containment ~1.0,
+    Jaccard far below threshold — the pair only the containment
+    operator finds; direction names the contained side."""
+    quote = "alpha beta gamma delta epsilon zeta"
+    long_doc = quote + " " + " ".join(f"tok{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, quote), (2, long_doc)], "doc_id long, text string"
+    )
+    jac = dedup.jaccard_pairs(df, threshold=0.8).collect()
+    assert jac == []
+    cont = dedup.containment_pairs(df, threshold=0.9).collect()
+    assert len(cont) == 1
+    assert cont[0].containment == 1.0 and cont[0].direction == "d1"
+
+
+def test_extract_matches_order_and_empty(spark):
+    from sparksync.ext import textops
+
+    df = spark.createDataFrame(
+        [(1, "aaaaa bb ccccc bb aaaaa"), (2, "x")], "doc_id long, text string"
+    )
+    got = [(r.doc_id, r.occurrence, r.match) for r in
+           textops.extract_matches(df, "[a-z]{5,}").orderBy(
+               "doc_id", "occurrence").collect()]
+    assert got == [(1, 0, "aaaaa"), (1, 1, "ccccc"), (1, 2, "aaaaa")]
+
+
+def test_latest_state_ring_buffer(spark):
+    """Newest-first order, capped at n, ties broken by id descending."""
+    from datetime import datetime
+
+    from sparksync.ext import asof
+
+    t = lambda m: datetime(2026, 1, 1, 0, m)  # noqa: E731
+    rows = [(1, i, t(i), c) for i, c in enumerate("abcdefg")]
+    rows += [(2, 10, t(0), "x"), (2, 11, t(0), "y")]  # same ts
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    out = {r.user_id: r for r in
+           asof.latest_state(df, "user_id", "ts", "event_id", "event_type",
+                             n=5).collect()}
+    assert out[1].recent == ["g", "f", "e", "d", "c"]
+    assert out[1].n_recent == 5 and out[1].last_ts == t(6)
+    assert out[2].recent == ["y", "x"]  # id desc at equal ts

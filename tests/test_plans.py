@@ -548,3 +548,19 @@ def test_round4n_plan_shapes(spark):
     plan = plan_of(QUERIES["q137_max_concurrency"](spark, SF_SMOKE))
     assert "rangepartitioning" in plan.lower()
     assert "CartesianProduct" not in plan
+
+
+def test_round4o_plan_shapes(spark):
+    """q139-q141: containment keeps jaccard's inverted-index equi-join
+    (no cartesian); extraction is a pure narrow map (no exchange);
+    serving state is one per-key window."""
+    plan = plan_of(QUERIES["q139_containment_pairs"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    plan = plan_of(QUERIES["q140_extract_matches"](spark, SF_SMOKE))
+    assert "Exchange" not in plan
+
+    plan = plan_of(QUERIES["q141_latest_state"](spark, SF_SMOKE))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(user_id" in plan
