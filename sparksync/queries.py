@@ -4530,6 +4530,122 @@ group by user_id
 """
 
 
+def q142_window_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window EXACT distinct users: 2-hour windows every hour
+    (each event lands in 2 windows via the built-in window explode),
+    epoch-aligned starts so any engine replays the assignment. The
+    exact-distinct-per-window cost is the honest one; the approximate
+    path at 100 TB is the same shape over KMV sketches (q85/q108)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.window(F.col("ts"), "2 hours", "1 hour").alias("w"), "user_id"
+        )
+        .groupBy(F.col("w.start").alias("win_start"))
+        .agg(F.countDistinct("user_id").cast("long").alias("uniq_users"))
+    )
+
+
+ORACLE_Q142 = """
+with ev as (select ts, user_id, epoch_us(ts) as us from events),
+bounds as (select min(us) as lo, max(us) as hi from ev),
+starts as (
+  select unnest(range((select lo from bounds) // 3600000000 - 1,
+                      (select hi from bounds) // 3600000000 + 1))
+           * 3600000000 as s),
+j as (
+  select s, user_id from ev join starts
+  on ev.us >= s and ev.us < s + 7200000000)
+select make_timestamp(s) as win_start,
+       cast(count(distinct user_id) as bigint) as uniq_users
+from j group by s
+"""
+
+
+def q143_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: decimal-exact monthly sums
+    (tiny aggregate), lag window over the months, growth one fixed
+    double expression — the BI staple. The only window runs over
+    month-cardinality rows (constant-keyed tiny partition)."""
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    ).agg(F.sum(_dec("o_totalprice")).alias("_rev"))
+    w = Window.partitionBy(
+        F.pmod(F.xxhash64("month"), F.lit(1))
+    ).orderBy("month")
+    prev = F.lag("_rev").over(w)
+    return monthly.select(
+        "month",
+        F.col("_rev").cast("double").alias("revenue"),
+        F.when(
+            prev.isNotNull(),
+            (F.col("_rev").cast("double") - prev.cast("double"))
+            / prev.cast("double"),
+        ).alias("mom_growth"),
+    )
+
+
+ORACLE_Q143 = """
+with m as (
+  select cast(date_trunc('month', o_orderdate) as date) as month,
+         sum(cast(o_totalprice as decimal(12,2))) as rev
+  from orders group by 1)
+select month, cast(rev as double) as revenue,
+       case when lag(rev) over w is not null then
+         (cast(rev as double) - cast(lag(rev) over w as double))
+           / cast(lag(rev) over w as double) end as mom_growth
+from m window w as (order by month)
+"""
+
+
+def q144_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert quartiles: per user, seconds from first click to
+    first LATER purchase; exact interpolated percentiles over the
+    per-user diffs (Spark percentile == DuckDB quantile_cont, the q47
+    equivalence). Two per-user min aggregates, one 1-row percentile
+    aggregate — no window over raw events."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    clicks = ev.where(F.col("event_type") == "click").groupBy("user_id").agg(
+        F.min(us).alias("_c")
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", us.alias("_p")
+    )
+    diffs = (
+        buys.join(clicks, "user_id")
+        .where(F.col("_p") >= F.col("_c"))
+        .groupBy("user_id")
+        .agg(F.min(F.col("_p") - F.col("_c")).alias("_d"))
+        .select((F.col("_d").cast("double") / F.lit(1e6)).alias("secs"))
+    )
+    return diffs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.expr("percentile(secs, 0.25)").alias("p25"),
+        F.expr("percentile(secs, 0.5)").alias("p50"),
+        F.expr("percentile(secs, 0.75)").alias("p75"),
+    )
+
+
+ORACLE_Q144 = """
+with clicks as (
+  select user_id, min(epoch_us(ts)) as c
+  from events where event_type = 'click' group by user_id),
+diffs as (
+  select b.user_id,
+         cast(min(epoch_us(b.ts) - c.c) as double) / 1e6 as secs
+  from events b join clicks c using (user_id)
+  where b.event_type = 'purchase' and epoch_us(b.ts) >= c.c
+  group by b.user_id)
+select cast(count(*) as bigint) as n_converted,
+       quantile_cont(secs, 0.25) as p25,
+       quantile_cont(secs, 0.5) as p50,
+       quantile_cont(secs, 0.75) as p75
+from diffs
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -4672,6 +4788,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q139_containment_pairs": q139_containment_pairs,
     "q140_extract_matches": q140_extract_matches,
     "q141_latest_state": q141_latest_state,
+    "q142_window_uniques": q142_window_uniques,
+    "q143_mom_growth": q143_mom_growth,
+    "q144_time_to_convert": q144_time_to_convert,
 }
 
 ORACLES: dict[str, str] = {
@@ -4816,4 +4935,7 @@ ORACLES: dict[str, str] = {
     "q139_containment_pairs": ORACLE_Q139,
     "q140_extract_matches": ORACLE_Q140,
     "q141_latest_state": ORACLE_Q141,
+    "q142_window_uniques": ORACLE_Q142,
+    "q143_mom_growth": ORACLE_Q143,
+    "q144_time_to_convert": ORACLE_Q144,
 }

@@ -564,3 +564,16 @@ def test_round4o_plan_shapes(spark):
     plan = plan_of(QUERIES["q141_latest_state"](spark, SF_SMOKE))
     assert "SinglePartition" not in plan
     assert "hashpartitioning(user_id" in plan
+
+
+def test_round4p_plan_shapes(spark):
+    """q142-q144: window-explode uniques aggregate once per (window)
+    key; monthly growth's lag runs over the tiny month table; the
+    convert-quartile scan never windows raw events."""
+    plan = plan_of(QUERIES["q142_window_uniques"](spark, SF_SMOKE))
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+    plan = plan_of(QUERIES["q144_time_to_convert"](spark, SF_SMOKE))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
