@@ -4646,6 +4646,169 @@ from diffs
 """
 
 
+def q145_keeper_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup canonicalization: within each near-dup
+    component (exact-Jaccard pairs -> connected components), keep the
+    HIGHEST-QUALITY member (longest doc, ties to the lowest id) — the
+    production alternative to q49's min-id keeper, because the best
+    duplicate is rarely the first-crawled one. max_by over a
+    (quality, -id) struct picks the keeper per component."""
+    from .ext import graph
+
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(d, threshold=0.8)
+    comp = graph.connected_components(pairs)
+    member = comp.join(
+        d.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+    )
+    keeper = member.groupBy("component").agg(
+        F.max_by(
+            "node", F.struct(F.col("n_chars"), (-F.col("node")).alias("_t"))
+        ).alias("keep_id")
+    )
+    return (
+        member.join(keeper, "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("keep_id").cast("long").alias("keep_id"),
+        )
+    )
+
+
+# same shingle/pair/component CTEs as ORACLE_Q49, then a quality argmax
+ORACLE_Q145 = """
+with recursive
+docs as (
+  select doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') as toks
+  from documents),
+docs3 as (select * from docs where len(toks) >= 3),
+sh as (
+  select distinct doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] as shingle
+  from docs3, unnest(range(1, len(toks) - 1)) t(i)),
+sizes as (select doc_id, count(*) as n from sh group by doc_id),
+common as (
+  select a.doc_id as d1, b.doc_id as d2, count(*) as c
+  from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+  group by 1, 2),
+pairs as (
+  select d1, d2 from common
+  join sizes na on na.doc_id = d1
+  join sizes nb on nb.doc_id = d2
+  where cast(c as double) / cast(na.n + nb.n - c as double) >= 0.8),
+edges as (select d1 as a, d2 as b from pairs
+          union all select d2, d1 from pairs),
+reach(a, b) as (
+  select a, b from edges
+  union
+  select r.a, e.b from reach r join edges e on r.b = e.a),
+nodes as (select distinct a as node from edges),
+comp as (
+  select n.node, least(n.node, min(r.b)) as component
+  from nodes n left join reach r on r.a = n.node
+  group by n.node),
+member as (
+  select c.node, c.component, d.n_chars
+  from comp c join documents d on d.doc_id = c.node),
+keeper as (
+  select component, node as keep_id
+  from (select component, node,
+               row_number() over (partition by component
+                                  order by n_chars desc, node) rn
+        from member)
+  where rn = 1)
+select m.node as doc_id, cast(k.keep_id as bigint) as keep_id
+from member m join keeper k using (component)
+"""
+
+
+def q146_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of sessions with exactly one event —
+    sessionize, one (user, session) aggregate, one per-day aggregate,
+    rate a single division of exact counts."""
+    s = asof.sessionize(load(spark, sf_dir, "events"), "user_id", "ts", 30)
+    per_sess = s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.to_date(F.min("ts")).alias("day"),
+    )
+    return per_sess.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum((F.col("_n") == 1).cast("long")).cast("long").alias("bounces"),
+    ).withColumn(
+        "bounce_rate",
+        F.col("bounces").cast("double") / F.col("n_sessions").cast("double"),
+    )
+
+
+ORACLE_Q146 = """
+with g as (
+  select user_id, ts,
+         case when lag(ts) over w is null
+                   or (epoch_us(ts) - epoch_us(lag(ts) over w)) > 1800000000
+              then 1 else 0 end as brk
+  from events window w as (partition by user_id order by ts)),
+s as (
+  select user_id, ts,
+         sum(brk) over (partition by user_id order by ts
+                        rows between unbounded preceding and current row)
+           as session_id
+  from g),
+per_sess as (
+  select user_id, session_id, count(*) as n,
+         cast(min(ts) as date) as day
+  from s group by 1, 2)
+select day, cast(count(*) as bigint) as n_sessions,
+       cast(sum(case when n = 1 then 1 else 0 end) as bigint) as bounces,
+       cast(sum(case when n = 1 then 1 else 0 end) as double)
+         / cast(count(*) as double) as bounce_rate
+from per_sess group by day
+"""
+
+
+def q147_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup accounting per source: how many docs and tokens exact
+    text-dedup removes (first occurrence by doc id survives), the
+    before/after report every pipeline run publishes. One per-text
+    window for first-owner, token counts a narrow map, one per-source
+    aggregate; pct one division."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("text").orderBy("doc_id")
+    flagged = d.select(
+        "source",
+        F.size(textops.tokens("text")).cast("long").alias("_toks"),
+        (F.row_number().over(w) > 1).cast("long").alias("_dup"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("total_docs"),
+        F.sum("_dup").cast("long").alias("removed_docs"),
+        F.sum("_toks").cast("long").alias("total_tokens"),
+        F.sum(F.col("_dup") * F.col("_toks")).cast("long").alias(
+            "removed_tokens"
+        ),
+    ).withColumn(
+        "token_savings_pct",
+        F.col("removed_tokens").cast("double")
+        / F.col("total_tokens").cast("double"),
+    )
+
+
+ORACLE_Q147 = """
+with flagged as (
+  select source,
+         cast(len(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+              as bigint) as toks,
+         case when row_number() over (partition by text order by doc_id) > 1
+              then 1 else 0 end as dup
+  from documents)
+select source, cast(count(*) as bigint) as total_docs,
+       cast(sum(dup) as bigint) as removed_docs,
+       cast(sum(toks) as bigint) as total_tokens,
+       cast(sum(dup * toks) as bigint) as removed_tokens,
+       cast(sum(dup * toks) as double) / cast(sum(toks) as double)
+         as token_savings_pct
+from flagged group by source
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -4791,6 +4954,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q142_window_uniques": q142_window_uniques,
     "q143_mom_growth": q143_mom_growth,
     "q144_time_to_convert": q144_time_to_convert,
+    "q145_keeper_policy": q145_keeper_policy,
+    "q146_bounce_rate": q146_bounce_rate,
+    "q147_dedup_savings": q147_dedup_savings,
 }
 
 ORACLES: dict[str, str] = {
@@ -4938,4 +5104,7 @@ ORACLES: dict[str, str] = {
     "q142_window_uniques": ORACLE_Q142,
     "q143_mom_growth": ORACLE_Q143,
     "q144_time_to_convert": ORACLE_Q144,
+    "q145_keeper_policy": ORACLE_Q145,
+    "q146_bounce_rate": ORACLE_Q146,
+    "q147_dedup_savings": ORACLE_Q147,
 }

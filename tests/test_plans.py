@@ -577,3 +577,17 @@ def test_round4p_plan_shapes(spark):
     plan = plan_of(QUERIES["q144_time_to_convert"](spark, SF_SMOKE))
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round4q_plan_shapes(spark):
+    """q145-q147: the keeper argmax has no cartesian; bounce and
+    savings windows stay key-partitioned (user / text)."""
+    plan = plan_of(QUERIES["q145_keeper_policy"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+
+    plan = plan_of(QUERIES["q146_bounce_rate"](spark, SF_SMOKE))
+    assert "SinglePartition" not in plan
+
+    plan = plan_of(QUERIES["q147_dedup_savings"](spark, SF_SMOKE))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(text" in plan
