@@ -385,3 +385,39 @@ def scd2_history(
         .withColumn("valid_to", F.lead(ts_col).over(w))
         .withColumn("is_current", F.col("valid_to").isNull())
     )
+
+
+def union_evolved(dfs: list[DataFrame]) -> DataFrame:
+    """Union DataFrames whose schemas EVOLVED (columns added over
+    time): align every input to the union of all column sets, null-
+    filling columns an input predates — how daily snapshot generations
+    with drifting schemas become one queryable table. Column types are
+    taken from the first input that has each column; a column whose
+    type CHANGED across inputs raises (that is a migration, not
+    evolution — resolve it explicitly). Order: first-seen column
+    order."""
+    if not dfs:
+        raise ValueError("union_evolved needs at least one DataFrame")
+    types: dict[str, object] = {}
+    order: list[str] = []
+    for df in dfs:
+        for f in df.schema.fields:
+            if f.name not in types:
+                types[f.name] = f.dataType
+                order.append(f.name)
+            elif types[f.name] != f.dataType:
+                raise ValueError(
+                    f"column {f.name} changed type across inputs: "
+                    f"{types[f.name]} vs {f.dataType}"
+                )
+    out = None
+    for df in dfs:
+        aligned = df.select(
+            *[
+                F.col(c) if c in df.columns
+                else F.lit(None).cast(types[c]).alias(c)
+                for c in order
+            ]
+        )
+        out = aligned if out is None else out.unionByName(aligned)
+    return out

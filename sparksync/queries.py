@@ -4809,6 +4809,60 @@ from flagged group by source
 """
 
 
+def q148_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table numeric reconciliation: per order status, how many
+    orders' header totals EXACTLY equal the decimal-exact sum of their
+    line amounts (extprice * (1-disc) * (1+tax)) — the
+    invoice-vs-lines audit every finance pipeline runs. Both sides
+    stay decimal end-to-end, so 'match' is exact equality, not an
+    epsilon; one co-keyed join, two aggregates."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    amt = (
+        _dec("l_extendedprice")
+        * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount"))
+        * (F.lit(1).cast("decimal(12,2)") + _dec("l_tax"))
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(amt).cast("decimal(18,2)").alias("_line_total")
+    )
+    j = o.join(per_order, o.o_orderkey == per_order.l_orderkey, "left")
+    match = (
+        F.col("_line_total").isNotNull()
+        & (F.col("_line_total") == _dec("o_totalprice").cast("decimal(18,2)"))
+    ).cast("long")
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(match).cast("long").alias("n_exact_match"),
+        F.sum(F.col("_line_total").isNull().cast("long"))
+        .cast("long")
+        .alias("n_lineless"),
+    )
+
+
+ORACLE_Q148 = """
+with per_order as (
+  select l_orderkey,
+         cast(sum(cast(l_extendedprice as decimal(12,2))
+                  * (cast(1 as decimal(12,2))
+                     - cast(l_discount as decimal(12,2)))
+                  * (cast(1 as decimal(12,2))
+                     + cast(l_tax as decimal(12,2)))) as decimal(18,2))
+           as line_total
+  from lineitem group by l_orderkey)
+select o_orderstatus, cast(count(*) as bigint) as n_orders,
+       cast(sum(case when line_total is not null
+                      and line_total
+                          = cast(cast(o_totalprice as decimal(12,2))
+                                 as decimal(18,2))
+                     then 1 else 0 end) as bigint) as n_exact_match,
+       cast(sum(case when line_total is null then 1 else 0 end) as bigint)
+         as n_lineless
+from orders left join per_order on o_orderkey = l_orderkey
+group by o_orderstatus
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -4957,6 +5011,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q145_keeper_policy": q145_keeper_policy,
     "q146_bounce_rate": q146_bounce_rate,
     "q147_dedup_savings": q147_dedup_savings,
+    "q148_order_reconciliation": q148_order_reconciliation,
 }
 
 ORACLES: dict[str, str] = {
@@ -5107,4 +5162,5 @@ ORACLES: dict[str, str] = {
     "q145_keeper_policy": ORACLE_Q145,
     "q146_bounce_rate": ORACLE_Q146,
     "q147_dedup_savings": ORACLE_Q147,
+    "q148_order_reconciliation": ORACLE_Q148,
 }

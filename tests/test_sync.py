@@ -876,3 +876,23 @@ def test_cli_resolve_subcommand(tmp_path, capsys):
     # Supplier#00000000N names are pairwise ed=1 -> one entity
     assert max(len(v) for v in ent.values()) == 10
     assert all(r["entity_id"] == min(ent[r["entity_id"]]) for r in rows)
+
+
+def test_union_evolved_schema_drift(spark):
+    """Snapshot generations with added columns union into one table;
+    a type CHANGE raises instead of silently coercing."""
+    import pytest as pt
+
+    from sparksync.compare import union_evolved
+
+    g1 = spark.createDataFrame([(1, "a")], "id long, name string")
+    g2 = spark.createDataFrame([(2, "b", 9.5)], "id long, name string, score double")
+    out = union_evolved([g1, g2]).orderBy("id").collect()
+    assert [r.score for r in out] == [None, 9.5]
+    assert out[0].name == "a" and len(out[0]) == 3
+
+    g3 = spark.createDataFrame([(3, 7)], "id long, name long")  # type change
+    with pt.raises(ValueError, match="changed type"):
+        union_evolved([g1, g3])
+    with pt.raises(ValueError):
+        union_evolved([])
