@@ -586,3 +586,55 @@ def global_cumsum(
         .withColumn(out_col, F.col("_lc") + F.col("_off"))
         .drop("_pid", "_lc", "_off")
     )
+
+
+def ks_statistic(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Distributed two-sample Kolmogorov-Smirnov statistic, EXACT:
+    D = max |ECDF_a - ECDF_b| over the pooled sorted values. Each ECDF
+    difference is |c_a*n_b - c_b*n_a| in longs (c_x = running count of
+    group x), the max is an exact integer aggregate, and ONE final
+    division by n_a*n_b yields D — no float folds, so the statistic
+    replays bit-identically. The running counts ride the two-phase
+    global_cumsum (range-partitioned, no single-partition sort of the
+    pooled data). Output: one row (n_a, n_b, d_stat)."""
+    sub = df.where(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(value_col).cast("double").alias("_v"),
+        F.col(id_col).alias("_id"),
+        (F.col(group_col) == group_a).cast("long").alias("_ia"),
+        (F.col(group_col) == group_b).cast("long").alias("_ib"),
+    )
+    ca = global_cumsum(sub, ["_v", "_id"], "_ia", "_ca")
+    cb = global_cumsum(ca, ["_v", "_id"], "_ib", "_cb")
+    # ECDFs are step functions evaluated AFTER all rows of a tied
+    # value: keep each distinct value's final running counts, or ties
+    # straddling the two groups manufacture phantom differences
+    steps = cb.groupBy("_v").agg(
+        F.max("_ca").alias("_ca"), F.max("_cb").alias("_cb")
+    )
+    ns = sub.agg(
+        F.sum("_ia").cast("long").alias("n_a"),
+        F.sum("_ib").cast("long").alias("n_b"),
+    )
+    j = steps.crossJoin(F.broadcast(ns))
+    diff = F.abs(
+        F.col("_ca") * F.col("n_b") - F.col("_cb") * F.col("n_a")
+    )
+    return (
+        j.groupBy("n_a", "n_b")
+        .agg(F.max(diff).cast("long").alias("_num"))
+        .select(
+            "n_a",
+            "n_b",
+            (
+                F.col("_num").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("d_stat"),
+        )
+    )

@@ -888,3 +888,59 @@ def extract_matches(
         F.col("occurrence").cast("long").alias("occurrence"),
         "match",
     )
+
+
+def source_drift_l1(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-distribution drift per source: L1 distance between each
+    source's token frequency distribution and the corpus-wide one —
+    the monitor that flags a crawler gone off the rails before its
+    text poisons a training mix.
+
+    The sum of |p_s(t) - p(t)| is an order-dependent float fold if
+    computed naively; here it is EXACT: with per-source totals T_s and
+    corpus total T, each term is |cnt_s*T - cnt*T_s| (a long), the sum
+    accumulates exactly, and ONE final division by T_s*T produces the
+    distance. Tokens absent from a source still contribute (their
+    cnt_s = 0 term is cnt*T_s), accounted without a join-back by the
+    complement identity: sum over missing tokens of cnt*T_s =
+    (T - seen_cnt)*T_s. Shape: one corpus token count, one per-source
+    count, one vocab-sized join, group-cardinality output."""
+    toks = df.select(
+        F.col(group_col), F.explode(tokens(text_col)).alias("tok")
+    )
+    per_source = toks.groupBy(group_col, "tok").agg(
+        F.count(F.lit(1)).alias("cnt_s")
+    )
+    corpus = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    totals_s = per_source.groupBy(group_col).agg(
+        F.sum("cnt_s").cast("long").alias("_ts")
+    )
+    total = corpus.agg(F.sum("cnt").cast("long").alias("_t"))
+    j = (
+        per_source.join(corpus, "tok")
+        .join(F.broadcast(totals_s), group_col)
+        .crossJoin(F.broadcast(total))
+    )
+    term = F.abs(
+        F.col("cnt_s").cast("long") * F.col("_t")
+        - F.col("cnt").cast("long") * F.col("_ts")
+    )
+    seen = j.groupBy(group_col, "_ts", "_t").agg(
+        F.sum(term).cast("long").alias("_seen_num"),
+        F.sum(F.col("cnt").cast("long")).cast("long").alias("_seen_cnt"),
+        F.count(F.lit(1)).cast("long").alias("vocab_seen"),
+    )
+    # unseen-token mass: every corpus token this source never emits
+    num = F.col("_seen_num") + (F.col("_t") - F.col("_seen_cnt")) * F.col("_ts")
+    return seen.select(
+        group_col,
+        "vocab_seen",
+        (
+            num.cast("double")
+            / (F.col("_ts").cast("double") * F.col("_t").cast("double"))
+        ).alias("l1_distance"),
+    )

@@ -4863,6 +4863,78 @@ group by o_orderstatus
 """
 
 
+def q149_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift (ext/textops
+    .source_drift_l1): EXACT L1 distance to the corpus distribution —
+    every term |cnt_s*T - cnt*T_s| accumulates in longs, one final
+    division."""
+    return textops.source_drift_l1(load(spark, sf_dir, "documents"))
+
+
+ORACLE_Q149 = """
+with toks as (
+  select source,
+         unnest(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+           as tok
+  from documents),
+ps as (select source, tok, cast(count(*) as bigint) as cnt_s
+       from toks group by 1, 2),
+c as (select tok, cast(count(*) as bigint) as cnt from toks group by 1),
+ts as (select source, cast(sum(cnt_s) as bigint) as t_s from ps group by 1),
+t as (select cast(sum(cnt) as bigint) as t from c),
+seen as (
+  select ps.source,
+         cast(count(*) as bigint) as vocab_seen,
+         cast(sum(abs(ps.cnt_s * t.t - c.cnt * ts.t_s)) as bigint) as seen_num,
+         cast(sum(c.cnt) as bigint) as seen_cnt,
+         max(ts.t_s) as t_s, max(t.t) as t
+  from ps join c using (tok) join ts using (source) cross join t
+  group by ps.source)
+select source, vocab_seen,
+       cast(seen_num + (t - seen_cnt) * t_s as double)
+         / (cast(t_s as double) * cast(t as double)) as l1_distance
+from seen
+"""
+
+
+def q150_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic (ext/features.ks_statistic):
+    order-value distributions of priority '1-URGENT' vs '5-LOW' —
+    ECDF differences as exact long cross-products over a two-phase
+    global cumsum, max'd, one final division."""
+    from .ext import features
+
+    return features.ks_statistic(
+        load(spark, sf_dir, "orders"),
+        "o_orderpriority",
+        "o_totalprice",
+        "o_orderkey",
+        "1-URGENT",
+        "5-LOW",
+    )
+
+
+ORACLE_Q150 = """
+with sub as (
+  select cast(o_totalprice as double) as v, o_orderkey as id,
+         case when o_orderpriority = '1-URGENT' then 1 else 0 end as ia,
+         case when o_orderpriority = '5-LOW' then 1 else 0 end as ib
+  from orders where o_orderpriority in ('1-URGENT', '5-LOW')),
+cum as (
+  select v, sum(ia) over w as ca, sum(ib) over w as cb
+  from sub window w as (order by v, id
+                        rows between unbounded preceding and current row)),
+steps as (select v, max(ca) as ca, max(cb) as cb from cum group by v),
+ns as (select cast(sum(ia) as bigint) as n_a,
+              cast(sum(ib) as bigint) as n_b from sub)
+select n_a, n_b,
+       cast(max(abs(ca * n_b - cb * n_a)) as double)
+         / (cast(n_a as double) * cast(n_b as double)) as d_stat
+from steps cross join ns
+group by n_a, n_b
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -5012,6 +5084,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q146_bounce_rate": q146_bounce_rate,
     "q147_dedup_savings": q147_dedup_savings,
     "q148_order_reconciliation": q148_order_reconciliation,
+    "q149_source_drift": q149_source_drift,
+    "q150_ks_statistic": q150_ks_statistic,
 }
 
 ORACLES: dict[str, str] = {
@@ -5163,4 +5237,6 @@ ORACLES: dict[str, str] = {
     "q146_bounce_rate": ORACLE_Q146,
     "q147_dedup_savings": ORACLE_Q147,
     "q148_order_reconciliation": ORACLE_Q148,
+    "q149_source_drift": ORACLE_Q149,
+    "q150_ks_statistic": ORACLE_Q150,
 }

@@ -2349,3 +2349,50 @@ def test_latest_state_ring_buffer(spark):
     assert out[1].recent == ["g", "f", "e", "d", "c"]
     assert out[1].n_recent == 5 and out[1].last_ts == t(6)
     assert out[2].recent == ["y", "x"]  # id desc at equal ts
+
+
+def test_source_drift_identical_and_disjoint(spark):
+    """A source matching the corpus distribution has L1 ~0 relative to
+    a disjoint-vocabulary source, whose distance approaches the max
+    of 2."""
+    from sparksync.ext import textops
+
+    rows = [(1, "a", "x y"), (2, "a", "x y"),
+            (3, "b", "q r"), (4, "b", "q r")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.source: r.l1_distance for r in
+           textops.source_drift_l1(df).collect()}
+    # each source holds half the corpus with disjoint vocab:
+    # L1 = sum |p_s - p| = 4*(1/4) within + 4*(1/4) missing = 1.0 each
+    assert out["a"] == 1.0 and out["b"] == 1.0
+
+    same = spark.createDataFrame(
+        [(1, "a", "x y"), (2, "b", "x y")], "doc_id long, source string, text string"
+    )
+    out2 = {r.source: r.l1_distance for r in
+            textops.source_drift_l1(same).collect()}
+    assert out2["a"] == 0.0 and out2["b"] == 0.0
+
+
+def test_ks_statistic_shifted_vs_same(spark):
+    """Identical samples give D=0; disjoint ranges give D=1; a partial
+    shift lands strictly between."""
+    from sparksync.ext import features
+
+    def mk(vals_a, vals_b):
+        rows = [("A", float(v), i) for i, v in enumerate(vals_a)]
+        rows += [("B", float(v), 1000 + i) for i, v in enumerate(vals_b)]
+        return spark.createDataFrame(rows, "g string, v double, id long")
+
+    same = features.ks_statistic(
+        mk([1, 2, 3, 4], [1, 2, 3, 4]), "g", "v", "id", "A", "B"
+    ).first()
+    assert same.d_stat == 0.0
+    disjoint = features.ks_statistic(
+        mk([1, 2, 3], [10, 11, 12]), "g", "v", "id", "A", "B"
+    ).first()
+    assert disjoint.d_stat == 1.0
+    shift = features.ks_statistic(
+        mk([1, 2, 3, 4], [3, 4, 5, 6]), "g", "v", "id", "A", "B"
+    ).first()
+    assert 0.0 < shift.d_stat < 1.0 and shift.d_stat == 0.5

@@ -591,3 +591,14 @@ def test_round4q_plan_shapes(spark):
     plan = plan_of(QUERIES["q147_dedup_savings"](spark, SF_SMOKE))
     assert "SinglePartition" not in plan
     assert "hashpartitioning(text" in plan
+
+
+def test_round4r_plan_shapes(spark):
+    """q149/q150: drift's join is vocab-keyed (no cartesian except the
+    broadcast single-row totals); the KS cumsum is range-partitioned."""
+    plan = plan_of(QUERIES["q149_source_drift"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+
+    plan = plan_of(QUERIES["q150_ks_statistic"](spark, SF_SMOKE))
+    assert "rangepartitioning" in plan.lower()
+    assert "CartesianProduct" not in plan
