@@ -4935,6 +4935,74 @@ group by n_a, n_b
 """
 
 
+def q151_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Lorenz curve) by customer decile: rank
+    customers by exact cent totals via the two-phase global rank +
+    exact NTILE, sum cents per decile, cumulative share from a 10-row
+    window. Every quantity until the final share divisions is an exact
+    long; cent totals stay under 2^53 so the long->double conversions
+    are exact in any engine. The inequality profile behind 'top decile
+    owns X% of revenue' — and, run over token counts instead of cents,
+    the corpus-concentration check of a training mix."""
+    from .ext import features
+
+    o = load(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        (F.sum(_dec("o_totalprice")) * 100).cast("long").alias("_cents")
+    )
+    ranked = features.global_rank(cust, ["_cents", "o_custkey"], "_r")
+    n_row = cust.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    dec = ranked.crossJoin(F.broadcast(n_row)).withColumn(
+        "decile", features.ntile_from_rank(F.col("_r"), F.col("_n"), 10)
+    )
+    per = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("_cents").cast("long").alias("_dc"),
+    )
+    w = (
+        Window.partitionBy(F.pmod(F.xxhash64("decile"), F.lit(1)))
+        .orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = per.agg(F.sum("_dc").cast("long").alias("_t"))
+    return (
+        per.withColumn("_cum", F.sum("_dc").over(w).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            (F.col("_dc").cast("double") / F.col("_t").cast("double")).alias(
+                "share"
+            ),
+            (F.col("_cum").cast("double") / F.col("_t").cast("double")).alias(
+                "cum_share"
+            ),
+        )
+    )
+
+
+ORACLE_Q151 = """
+with cust as (
+  select o_custkey,
+         cast(sum(cast(o_totalprice as decimal(12,2))) * 100 as bigint)
+           as cents
+  from orders group by o_custkey),
+r as (select o_custkey, cents,
+             ntile(10) over (order by cents, o_custkey) as decile
+      from cust),
+per as (select decile, cast(count(*) as bigint) as n_customers,
+               cast(sum(cents) as bigint) as dc
+        from r group by decile),
+tot as (select cast(sum(dc) as bigint) as t from per)
+select cast(decile as bigint) as decile, n_customers,
+       cast(dc as double) / cast(t as double) as share,
+       cast(sum(dc) over (order by decile
+                          rows between unbounded preceding and current row)
+            as double) / cast(t as double) as cum_share
+from per cross join tot
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -5086,6 +5154,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q148_order_reconciliation": q148_order_reconciliation,
     "q149_source_drift": q149_source_drift,
     "q150_ks_statistic": q150_ks_statistic,
+    "q151_lorenz_deciles": q151_lorenz_deciles,
 }
 
 ORACLES: dict[str, str] = {
@@ -5239,4 +5308,5 @@ ORACLES: dict[str, str] = {
     "q148_order_reconciliation": ORACLE_Q148,
     "q149_source_drift": ORACLE_Q149,
     "q150_ks_statistic": ORACLE_Q150,
+    "q151_lorenz_deciles": ORACLE_Q151,
 }
