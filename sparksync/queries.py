@@ -5003,6 +5003,67 @@ from per cross join tot
 """
 
 
+def q152_bounded_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded conversion: users whose first purchase lands within
+    ONE HOUR of their first click — the deadline-constrained funnel
+    (plain ordered funnels have no clock). Two per-user min aggregates
+    on exact epoch micros, one join, exact counts, one division."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    first_click = ev.where(F.col("event_type") == "click").groupBy(
+        "user_id"
+    ).agg(F.min(us).alias("_c"))
+    first_buy_after = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("_p"))
+        .join(first_click, "user_id")
+        .where(F.col("_p") >= F.col("_c"))
+        .groupBy("user_id")
+        .agg(F.min("_p").alias("_p"), F.max("_c").alias("_c"))
+    )
+    flags = first_click.join(
+        first_buy_after.select(
+            "user_id",
+            (F.col("_p") - F.col("_c") <= 3_600_000_000).cast("long").alias(
+                "_in_hour"
+            ),
+        ),
+        "user_id",
+        "left",
+    )
+    return flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clickers"),
+        F.sum(F.coalesce(F.col("_in_hour"), F.lit(0)))
+        .cast("long")
+        .alias("n_converted_1h"),
+    ).withColumn(
+        "conversion_1h",
+        F.col("n_converted_1h").cast("double")
+        / F.col("n_clickers").cast("double"),
+    )
+
+
+ORACLE_Q152 = """
+with fc as (
+  select user_id, min(epoch_us(ts)) as c
+  from events where event_type = 'click' group by user_id),
+fb as (
+  select e.user_id, min(epoch_us(e.ts)) as p, max(fc.c) as c
+  from events e join fc using (user_id)
+  where e.event_type = 'purchase' and epoch_us(e.ts) >= fc.c
+  group by e.user_id),
+flags as (
+  select fc.user_id,
+         case when fb.p - fb.c <= 3600000000 then 1 else 0 end as in_hour
+  from fc left join fb using (user_id))
+select cast(count(*) as bigint) as n_clickers,
+       cast(sum(coalesce(in_hour, 0)) as bigint) as n_converted_1h,
+       cast(sum(coalesce(in_hour, 0)) as double) / cast(count(*) as double)
+         as conversion_1h
+from flags
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -5155,6 +5216,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q149_source_drift": q149_source_drift,
     "q150_ks_statistic": q150_ks_statistic,
     "q151_lorenz_deciles": q151_lorenz_deciles,
+    "q152_bounded_conversion": q152_bounded_conversion,
 }
 
 ORACLES: dict[str, str] = {
@@ -5309,4 +5371,5 @@ ORACLES: dict[str, str] = {
     "q149_source_drift": ORACLE_Q149,
     "q150_ks_statistic": ORACLE_Q150,
     "q151_lorenz_deciles": ORACLE_Q151,
+    "q152_bounded_conversion": ORACLE_Q152,
 }
