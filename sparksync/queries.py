@@ -2940,8 +2940,12 @@ def q99_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     token -> (doc_freq, coll_freq, sorted postings), min_df=2. (The
     max_df stop-list valve stays default-off here: the fixture
     vocabulary is small, so capping df would empty the gate; the
-    library exposes it for real corpora.)"""
-    return textops.inverted_index(load(spark, sf_dir, "documents"), min_df=2)
+    library exposes it for real corpora.) The library returns
+    `postings` as array<string>; the gate renders it '|'-joined so the
+    driver harness can hash it."""
+    return textops.inverted_index(
+        load(spark, sf_dir, "documents"), min_df=2
+    ).withColumn("postings", F.array_join("postings", "|"))
 
 
 ORACLE_Q99 = """
@@ -2955,8 +2959,9 @@ idx as (
   select tok as token,
          cast(count(*) as bigint) as doc_freq,
          cast(sum(tf) as bigint) as coll_freq,
-         list_sort(list(cast(d as varchar) || ':' || cast(tf as varchar)))
-           as postings
+         list_aggr(list_sort(list(cast(d as varchar) || ':' ||
+                                  cast(tf as varchar))),
+                   'string_agg', '|') as postings
   from per_doc group by tok)
 select * from idx where doc_freq >= 2
 """
@@ -4509,11 +4514,13 @@ from (select doc_id, regexp_extract_all(text, '[a-z]{5,}', 0) as m
 
 def q141_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user serving state (ext/asof.latest_state): the 5 most
-    recent event types newest-first as one array row per user — the
-    feature-store ring buffer, built with a per-key top-k window."""
+    recent event types newest-first per user — the feature-store ring
+    buffer, built with a per-key top-k window. The library API
+    (ext/asof.latest_state) returns `recent` as array<string>; the gate
+    query renders it '|'-joined so the driver harness can hash it."""
     return asof.latest_state(
         load(spark, sf_dir, "events"), "user_id", "ts", "event_id", "event_type"
-    )
+    ).withColumn("recent", F.array_join("recent", "|"))
 
 
 ORACLE_Q141 = """
@@ -4524,7 +4531,7 @@ with r as (
   from events)
 select user_id, max(ts) as last_ts,
        cast(count(*) as bigint) as n_recent,
-       list(event_type order by rn) as recent
+       string_agg(event_type, '|' order by rn) as recent
 from r where rn <= 5
 group by user_id
 """
