@@ -262,6 +262,35 @@ def rank_normalize(
     return df.withColumn(out_col, F.percent_rank().over(w))
 
 
+# Relations pinned by global_rank/global_cumsum (the range-sampler
+# alignment caches). A long-lived session chaining many calls (e.g.
+# rfm_segments pins three per invocation) would otherwise accumulate
+# cached relations until executor storage evicts them: pins are FIFO
+# with a small cap — the oldest is unpersisted once _PIN_CAP newer
+# pins exist, by which point any sane batch flow has materialized it —
+# and release_pinned() drops them all between batch runs.
+_PINNED: list = []
+_PIN_CAP = 16
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PINNED.append(df)
+    while len(_PINNED) > _PIN_CAP:
+        _PINNED.pop(0).unpersist(blocking=False)
+    return df
+
+
+def release_pinned() -> None:
+    """Unpersist every relation pinned by global_rank/global_cumsum.
+    Call between batch runs in a long-lived session (after the
+    returned DataFrames have been materialized)."""
+    while _PINNED:
+        _PINNED.pop().unpersist(blocking=False)
+
+
 def global_rank(
     df: DataFrame,
     order_cols: list,
@@ -283,14 +312,13 @@ def global_rank(
     is plan-instance-specific: without pinning it, the rank subtree and
     the offset subtree could draw different partition bounds and
     misalign `spark_partition_id`. The cache holds exactly one pass of
-    the (usually post-aggregation) input."""
-    from pyspark import StorageLevel
-
+    the (usually post-aggregation) input, FIFO-capped via _pin;
+    release_pinned() frees them between batch runs."""
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    part = (
-        df.repartitionByRange(n_parts, *cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    part = _pin(
+        df.repartitionByRange(n_parts, *cols).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     )
     wl = Window.partitionBy("_pid").orderBy(*cols)
     ranked = part.withColumn("_lrank", F.row_number().over(wl).cast("long"))
@@ -555,14 +583,12 @@ def global_cumsum(
     rows). order_cols must be a total order; value_col should be an
     exact type (long/decimal) so the two-phase regrouping cannot drift.
     Same persist pinning as global_rank (range sampling is
-    plan-instance-specific)."""
-    from pyspark import StorageLevel
-
+    plan-instance-specific), FIFO-capped via _pin."""
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    part = (
-        df.repartitionByRange(n_parts, *cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    part = _pin(
+        df.repartitionByRange(n_parts, *cols).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     )
     wl = (
         Window.partitionBy("_pid")
@@ -598,10 +624,12 @@ def ks_statistic(
 ) -> DataFrame:
     """Distributed two-sample Kolmogorov-Smirnov statistic, EXACT:
     D = max |ECDF_a - ECDF_b| over the pooled sorted values. Each ECDF
-    difference is |c_a*n_b - c_b*n_a| in longs (c_x = running count of
-    group x), the max is an exact integer aggregate, and ONE final
-    division by n_a*n_b yields D — no float folds, so the statistic
-    replays bit-identically. The running counts ride the two-phase
+    difference is |c_a*n_b - c_b*n_a| (c_x = running count of group x)
+    accumulated in decimal(38,0) — long*long would silently wrap once
+    n_a*n_b nears 2^63, plausible at 100 TB group sizes — the max is
+    an exact integer aggregate, and ONE final division by n_a*n_b
+    yields D — no float folds, so the statistic replays
+    bit-identically. The running counts ride the two-phase
     global_cumsum (range-partitioned, no single-partition sort of the
     pooled data). Output: one row (n_a, n_b, d_stat)."""
     sub = df.where(F.col(group_col).isin([group_a, group_b])).select(
@@ -623,12 +651,14 @@ def ks_statistic(
         F.sum("_ib").cast("long").alias("n_b"),
     )
     j = steps.crossJoin(F.broadcast(ns))
+    dec = "decimal(38,0)"
     diff = F.abs(
-        F.col("_ca") * F.col("n_b") - F.col("_cb") * F.col("n_a")
+        F.col("_ca").cast(dec) * F.col("n_b").cast(dec)
+        - F.col("_cb").cast(dec) * F.col("n_a").cast(dec)
     )
     return (
         j.groupBy("n_a", "n_b")
-        .agg(F.max(diff).cast("long").alias("_num"))
+        .agg(F.max(diff).alias("_num"))
         .select(
             "n_a",
             "n_b",

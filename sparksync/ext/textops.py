@@ -877,11 +877,14 @@ def extract_matches(
     shuffle; match order is appearance order, so the occurrence index
     replays in any engine. Keep patterns in the portable subset
     (character classes, quantifiers, anchors) — engine regex dialects
-    diverge on exotica. Output: (id, occurrence, match)."""
+    diverge on exotica. The pattern rides the column-based
+    regexp_extract_all (F.lit-bound), never an interpolated SQL string
+    literal, so quotes/backslashes in a user pattern cannot break or
+    inject into the expression. Output: (id, occurrence, match)."""
     return df.select(
         F.col(id_col),
         F.posexplode(
-            F.expr(f"regexp_extract_all({text_col}, '{pattern}', 0)")
+            F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0))
         ).alias("occurrence", "match"),
     ).select(
         id_col,
@@ -902,7 +905,8 @@ def source_drift_l1(
 
     The sum of |p_s(t) - p(t)| is an order-dependent float fold if
     computed naively; here it is EXACT: with per-source totals T_s and
-    corpus total T, each term is |cnt_s*T - cnt*T_s| (a long), the sum
+    corpus total T, each term is |cnt_s*T - cnt*T_s| (decimal(38,0),
+    so 100 TB-scale token counts cannot wrap a long), the sum
     accumulates exactly, and ONE final division by T_s*T produces the
     distance. Tokens absent from a source still contribute (their
     cnt_s = 0 term is cnt*T_s), accounted without a join-back by the
@@ -925,17 +929,22 @@ def source_drift_l1(
         .join(F.broadcast(totals_s), group_col)
         .crossJoin(F.broadcast(total))
     )
+    # cross-products in decimal(38,0): cnt_s*T in longs would silently
+    # wrap once corpus token counts near 2^63 / per-source totals
+    dec = "decimal(38,0)"
     term = F.abs(
-        F.col("cnt_s").cast("long") * F.col("_t")
-        - F.col("cnt").cast("long") * F.col("_ts")
+        F.col("cnt_s").cast(dec) * F.col("_t").cast(dec)
+        - F.col("cnt").cast(dec) * F.col("_ts").cast(dec)
     )
     seen = j.groupBy(group_col, "_ts", "_t").agg(
-        F.sum(term).cast("long").alias("_seen_num"),
+        F.sum(term).alias("_seen_num"),
         F.sum(F.col("cnt").cast("long")).cast("long").alias("_seen_cnt"),
         F.count(F.lit(1)).cast("long").alias("vocab_seen"),
     )
     # unseen-token mass: every corpus token this source never emits
-    num = F.col("_seen_num") + (F.col("_t") - F.col("_seen_cnt")) * F.col("_ts")
+    num = F.col("_seen_num") + (
+        (F.col("_t") - F.col("_seen_cnt")).cast(dec) * F.col("_ts").cast(dec)
+    )
     return seen.select(
         group_col,
         "vocab_seen",

@@ -2396,3 +2396,70 @@ def test_ks_statistic_shifted_vs_same(spark):
         mk([1, 2, 3, 4], [3, 4, 5, 6]), "g", "v", "id", "A", "B"
     ).first()
     assert 0.0 < shift.d_stat < 1.0 and shift.d_stat == 0.5
+
+
+# ---------------------------------------------------------------- round 5
+
+
+def test_extract_matches_quote_and_backslash_pattern(spark):
+    """Patterns containing quotes/backslashes ride the column-based
+    regexp_extract_all (ADVICE r4: the old interpolated F.expr string
+    broke — or injected — on a single quote)."""
+    from sparksync.ext import textops
+
+    df = spark.createDataFrame(
+        [(1, "it's a don't and a 1+2=3")], "doc_id long, text string"
+    )
+    got = [
+        (r.occurrence, r.match)
+        for r in textops.extract_matches(df, r"[a-z]'[a-z]+")
+        .orderBy("occurrence")
+        .collect()
+    ]
+    assert got == [(0, "t's"), (1, "n't")]
+    digits = [
+        r.match
+        for r in textops.extract_matches(df, r"\d\+\d").collect()
+    ]
+    assert digits == ["1+2"]
+
+
+def test_ks_and_drift_accumulate_in_decimal(spark):
+    """The exact cross-products (c_a*n_b etc.) must aggregate in
+    decimal(38,0): long*long silently wraps near 2^63 at 100 TB group
+    sizes (ADVICE r4). Pin the type in the optimized plan."""
+    from sparksync.ext import features, textops
+
+    ks = features.ks_statistic(
+        spark.createDataFrame(
+            [("A", 1.0, 1), ("B", 2.0, 2)], "g string, v double, id long"
+        ),
+        "g", "v", "id", "A", "B",
+    )
+    assert "decimal(38,0)" in ks._jdf.queryExecution().optimizedPlan().toString()
+
+    drift = textops.source_drift_l1(
+        spark.createDataFrame([(1, "a", "x y")],
+                              "doc_id long, source string, text string")
+    )
+    assert (
+        "decimal(38,0)"
+        in drift._jdf.queryExecution().optimizedPlan().toString()
+    )
+
+
+def test_pin_registry_caps_and_releases(spark):
+    """global_rank/global_cumsum pins are FIFO-capped and releasable
+    (ADVICE r4: unbounded MEMORY_AND_DISK accumulation in long-lived
+    sessions)."""
+    from sparksync.ext import features
+
+    features.release_pinned()
+    assert features._PINNED == []
+    df = spark.createDataFrame([(i, i % 7) for i in range(50)],
+                               "id long, v long")
+    for _ in range(features._PIN_CAP + 3):
+        features.global_rank(df, ["v", "id"], n_parts=4).count()
+    assert len(features._PINNED) == features._PIN_CAP
+    features.release_pinned()
+    assert features._PINNED == []
