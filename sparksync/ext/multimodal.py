@@ -13,10 +13,12 @@ Two decode tiers:
   payloads classify ('corrupt' / 'unsupported') instead of killing
   the Arrow batch.
 - STUBBED (codecs needing real external libs — progressive JPEG,
-  MP3, video need libjpeg/ffmpeg, absent in this container):
-  `decode_image` raises NotImplementedError unless `fake=True`,
-  which derives a deterministic sha-based pseudo feature vector so
-  downstream shapes stay honest and testable.
+  MP3, non-MJPEG video need libjpeg/ffmpeg, absent in this
+  container): `extract_features(fake=True)` derives a deterministic
+  sha-based pseudo feature vector for those rows ONLY — any payload
+  the real codecs can decode always takes the real path (VERDICT r4
+  #5 retired the legacy decode_image/resize_image stubs that could
+  silently hand back pseudo-features for a decodable image).
 """
 
 from __future__ import annotations
@@ -44,37 +46,80 @@ FEATURE_DIM = 8
 FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
+        T.StructField("status", T.StringType()),  # decoded|pseudo|unsupported|corrupt
         T.StructField("n_bytes", T.LongType()),
         T.StructField("features", T.ArrayType(T.FloatType())),
     ]
 )
 
 
-def decode_image(content: bytes, fake: bool = False) -> list[float]:
-    """STUB: real decode needs PIL/ffmpeg (absent here). fake=True
-    derives a deterministic pseudo-feature vector from a sha256 of the
-    bytes, keeping downstream shapes honest."""
-    if not fake:
-        raise NotImplementedError("image codecs not available in this environment")
+def _pseudo_features(content: bytes) -> list[float]:
+    """Deterministic sha-derived pseudo-vector for payloads no real
+    codec in this container can decode (progressive JPEG/MP3/
+    non-MJPEG video) — keeps downstream ANN shapes honest and
+    testable. NEVER used for a decodable payload."""
     h = hashlib.sha256(content or b"").digest()
     return [h[i] / 255.0 for i in range(FEATURE_DIM)]
 
 
-def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
+def _decoded_features(row: dict) -> list[float]:
+    """FEATURE_DIM floats from REAL decoded stats (media_features'
+    decode tier): a decoded-flag, log-size, normalized dimensions and
+    the per-kind signal stats (RGB means for stills, rms/duration/peak
+    for audio, fps for video). Deterministic, replayable."""
+    import math
+
+    def nz(v, scale=1.0):
+        return 0.0 if v is None else float(v) / scale
+
+    return [
+        1.0,
+        min(1.0, math.log1p(row["n_bytes"]) / 30.0),
+        nz(row.get("img_width"), 4096.0),
+        nz(row.get("img_height"), 4096.0),
+        nz(row.get("mean_r"), 255.0) + nz(row.get("rms")),
+        nz(row.get("mean_g"), 255.0) + nz(row.get("duration_s"), 600.0),
+        nz(row.get("mean_b"), 255.0) + nz(row.get("peak")),
+        nz(row.get("fps"), 120.0) + nz(row.get("sample_rate"), 48000.0),
+    ]
+
+
+def extract_features(df: DataFrame, fake: bool = False) -> DataFrame:
     """mapInPandas feature extraction: Arrow batches in, Arrow batches
     out — the per-row Python cost is amortized across the batch; at
-    scale the input should be repartitioned so batches are ~100 MB."""
+    scale the input should be repartitioned so batches are ~100 MB.
+
+    ONE decode entry point (VERDICT r4 #5): payloads the real codecs
+    handle (WAV/BMP/PNG/GIF/baseline-JPEG/MJPEG-AVI) get features from
+    the REAL decode (status 'decoded'); undecodable payloads get a
+    sha-derived pseudo-vector only when fake=True (status 'pseudo'),
+    else NULL features with status 'unsupported'/'corrupt'."""
+
+    def one(media_id, kind, content) -> dict:
+        m = _classify_media(media_id, kind, content)
+        out = {
+            "media_id": media_id,
+            "status": m["status"],
+            "n_bytes": m["n_bytes"],
+            "features": None,
+        }
+        if m["status"] == "decoded":
+            out["features"] = _decoded_features(m)
+        elif fake:
+            out["status"] = "pseudo"
+            out["features"] = _pseudo_features(content)
+        return out
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "n_bytes": pdf["content"].map(lambda b: len(b) if b is not None else 0),
-                    "features": pdf["content"].map(lambda b: decode_image(b, fake=fake)),
-                }
+            yield pd.DataFrame(
+                [
+                    one(m, k, c)
+                    for m, k, c in zip(
+                        pdf["media_id"], pdf["kind"], pdf["content"]
+                    )
+                ]
             )
-            yield out
 
     return df.mapInPandas(run, FEATURES_SCHEMA)
 
@@ -89,33 +134,12 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     )
 
 
-def resize_image(content: bytes, width: int, height: int, fake: bool = False) -> bytes:
-    """STUB: real resize needs PIL (absent here). fake=True returns a
-    deterministic sha-derived byte string of length width*height//64 so
-    batch shapes and size accounting stay honest."""
-    if not fake:
-        raise NotImplementedError("image codecs not available in this environment")
-    seed = hashlib.sha256((content or b"") + f":{width}x{height}".encode()).digest()
-    n = max(1, width * height // 64)
-    return (seed * (n // len(seed) + 1))[:n]
-
-
-def resize(df: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
-    """mapInPandas resize: same MEDIA_SCHEMA out, content replaced by the
-    resized bytes and width/height updated — schema-stable so resized
-    media can re-enter any pipeline stage."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = pdf.copy()
-            out["content"] = pdf["content"].map(
-                lambda b: resize_image(b, width, height, fake=fake)
-            )
-            out["width"] = width
-            out["height"] = height
-            yield out
-
-    return df.mapInPandas(run, MEDIA_SCHEMA)
+def resize(df: DataFrame, width: int, height: int) -> DataFrame:
+    """One resize entry point (VERDICT r4 #5 retired the sha-fake
+    resize_image stub): delegates to resize_media, the REAL
+    BMP/PNG/GIF/baseline-JPEG resampler; payloads no codec here can
+    decode pass through untouched with their original metadata."""
+    return resize_media(df, width, height)
 
 
 def audio_chunk_plan(df: DataFrame, chunk_bytes: int = 4000) -> DataFrame:
@@ -415,6 +439,44 @@ _NULL_FEATURES = {
 }
 
 
+def _classify_media(media_id, kind, content) -> dict:
+    """Shared decode dispatcher: magic-sniff the payload, run the REAL
+    codec for known containers, classify 'unsupported'/'corrupt'
+    otherwise — the single source of truth for both media_features and
+    extract_features."""
+    row = {
+        "media_id": media_id, "kind": kind,
+        "n_bytes": len(content) if content is not None else 0,
+        **_NULL_FEATURES,
+    }
+    try:
+        if content is not None and content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+            row.update(wav_features(content))
+            row["status"] = "decoded"
+        elif content is not None and content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+            row.update(avi_features(content))
+            row["status"] = "decoded"
+        elif content is not None and content[:2] == b"BM":
+            row.update(bmp_features(content))
+            row["status"] = "decoded"
+        elif content is not None and content[:8] == b"\x89PNG\r\n\x1a\n":
+            row.update(png_features(content))
+            row["status"] = "decoded"
+        elif content is not None and content[:6] in (b"GIF87a", b"GIF89a"):
+            row.update(gif_features(content))
+            row["status"] = "decoded"
+        elif content is not None and content[:2] == b"\xff\xd8":
+            from .jpeg import jpeg_features
+
+            row.update(jpeg_features(content))
+            row["status"] = "decoded"
+        else:
+            row["status"] = "unsupported"
+    except (ValueError, struct.error):
+        row["status"] = "corrupt"
+    return row
+
+
 def media_features(df: DataFrame) -> DataFrame:
     """Arrow-batched REAL feature extraction with per-row error
     capture: WAV and BMP decode for real; compressed formats classify
@@ -422,38 +484,7 @@ def media_features(df: DataFrame) -> DataFrame:
     kills the batch (the property that matters when one of 10^9 media
     files is truncated). Output: MEDIA_FEATURES_SCHEMA."""
 
-    def one(media_id, kind, content) -> dict:
-        row = {
-            "media_id": media_id, "kind": kind,
-            "n_bytes": len(content) if content is not None else 0,
-            **_NULL_FEATURES,
-        }
-        try:
-            if content is not None and content[:4] == b"RIFF" and content[8:12] == b"WAVE":
-                row.update(wav_features(content))
-                row["status"] = "decoded"
-            elif content is not None and content[:4] == b"RIFF" and content[8:12] == b"AVI ":
-                row.update(avi_features(content))
-                row["status"] = "decoded"
-            elif content is not None and content[:2] == b"BM":
-                row.update(bmp_features(content))
-                row["status"] = "decoded"
-            elif content is not None and content[:8] == b"\x89PNG\r\n\x1a\n":
-                row.update(png_features(content))
-                row["status"] = "decoded"
-            elif content is not None and content[:6] in (b"GIF87a", b"GIF89a"):
-                row.update(gif_features(content))
-                row["status"] = "decoded"
-            elif content is not None and content[:2] == b"\xff\xd8":
-                from .jpeg import jpeg_features
-
-                row.update(jpeg_features(content))
-                row["status"] = "decoded"
-            else:
-                row["status"] = "unsupported"
-        except (ValueError, struct.error):
-            row["status"] = "corrupt"
-        return row
+    one = _classify_media
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -108,23 +108,34 @@ def test_asof_join_semantics(spark):
 
 
 def test_multimodal_stub_plumbing(spark):
+    import numpy as np
+
+    bmp = multimodal.emit_bmp(np.zeros((4, 4, 3), dtype=np.uint8) + 200)
     rows = [
-        (1, "image", b"fakejpegbytes", 8, 8),
+        (1, "image", b"fakejpegbytes", 8, 8),  # no codec: pseudo tier
         (2, "video", b"x" * 5000, 16, 16),
         (3, "image", None, 0, 0),
+        (4, "image", bmp, 4, 4),  # decodable: MUST take the real path
     ]
     df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
     feats = multimodal.extract_features(df, fake=True).collect()
     by_id = {r["media_id"]: r for r in feats}
     assert by_id[1]["n_bytes"] == len(b"fakejpegbytes")
+    assert by_id[1]["status"] == "pseudo"
     assert len(by_id[1]["features"]) == multimodal.FEATURE_DIM
     assert by_id[3]["n_bytes"] == 0
+    # a decodable payload NEVER gets pseudo-features (VERDICT r4 #5)
+    assert by_id[4]["status"] == "decoded"
+    assert abs(by_id[4]["features"][4] - 200 / 255) < 1e-6  # real mean_r
     # deterministic: same bytes -> same features
     feats2 = multimodal.extract_features(df, fake=True).collect()
     assert sorted(map(str, feats)) == sorted(map(str, feats2))
-    # real decode is an explicit stub
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"x", fake=False)
+    # without fake opt-in, undecodable rows carry NULL features
+    strict = {r["media_id"]: r for r in
+              multimodal.extract_features(df).collect()}
+    assert strict[1]["status"] == "unsupported"
+    assert strict[1]["features"] is None
+    assert strict[4]["status"] == "decoded"
     plan = multimodal.frame_sample_plan(df, every_n=2)
     assert plan.where("media_id = 2").count() == 3  # frames 0,2,4 of 5
 
@@ -305,21 +316,29 @@ def test_connected_components_nonconvergence_raises(spark):
 
 
 def test_multimodal_resize_and_audio(spark):
+    import numpy as np
+
+    bmp = multimodal.emit_bmp(
+        np.arange(64 * 64 * 3, dtype=np.uint32).reshape(64, 64, 3)
+        .astype(np.uint8)
+    )
     rows = [
-        (1, "image", b"imgbytes", 64, 64),
+        (1, "image", bmp, 64, 64),
         (2, "audio", b"a" * 9500, 0, 0),
     ]
     df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
-    rz = {r["media_id"]: r for r in multimodal.resize(df, 16, 16, fake=True).collect()}
+    rz = {r["media_id"]: r for r in multimodal.resize(df, 16, 16).collect()}
+    # decodable payload really resized; undecodable passes through with
+    # its ORIGINAL bytes and metadata (resize delegates to resize_media)
     assert rz[1]["width"] == 16 and rz[1]["height"] == 16
-    assert len(rz[1]["content"]) == 16 * 16 // 64
+    assert multimodal.parse_bmp(bytes(rz[1]["content"])).shape == (16, 16, 3)
+    assert bytes(rz[2]["content"]) == b"a" * 9500
+    assert rz[2]["width"] == 0 and rz[2]["height"] == 0
     # schema-stable: output re-enters extract_features unchanged
     again = multimodal.extract_features(
-        multimodal.resize(df, 16, 16, fake=True), fake=True
+        multimodal.resize(df, 16, 16), fake=True
     )
     assert again.count() == 2
-    with pytest.raises(NotImplementedError):
-        multimodal.resize_image(b"x", 4, 4, fake=False)
     chunks = multimodal.audio_chunk_plan(df, chunk_bytes=4000)
     got = [(r["chunk_index"], r["offset"]) for r in
            chunks.orderBy("chunk_index").collect()]
@@ -988,19 +1007,31 @@ def test_char_ngram_profile_counts(spark):
 
 
 def test_multimodal_features_feed_ann_pipeline(spark):
-    """End-to-end plumbing: fake-decoded media features (array<double>,
-    FEATURE_DIM-wide) flow straight into the similarity operators —
-    brute kNN over extracted features and centroid outliers over the
-    same — proving the multimodal schema composes with the ANN surface
-    without adapters. Decode stays honestly stubbed; everything
-    downstream is the real engine path."""
+    """End-to-end plumbing: REAL-decoded media features (BMP payloads
+    through the pure-numpy codec, FEATURE_DIM-wide) flow straight into
+    the similarity operators — brute kNN over extracted features and
+    centroid outliers over the same — proving the multimodal schema
+    composes with the ANN surface without adapters."""
+    import numpy as np
+
     from sparksync.ext import multimodal, similarity
 
     rows = [
-        (i, "image", bytes([i]) * (50 + i), 4, 4) for i in range(20)
+        (
+            i,
+            "image",
+            multimodal.emit_bmp(
+                np.full((4, 4, 3), [10 * i, 255 - 10 * i, (i * 37) % 256],
+                        dtype=np.uint8)
+            ),
+            4,
+            4,
+        )
+        for i in range(20)
     ]
     media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
-    feats = multimodal.extract_features(media, fake=True)
+    feats = multimodal.extract_features(media)
+    assert feats.where("status <> 'decoded'").count() == 0
     emb = feats.select(
         F.col("media_id").alias("vec_id"),
         F.col("features").alias("embedding"),
