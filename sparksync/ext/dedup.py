@@ -339,8 +339,23 @@ def minhash_pairs_from_signatures(
     Composing minhash_signature_table |> minhash_pairs_from_signatures
     is semantically identical to minhash_dedup_pairs (pinned by test)
     — the split exists so the expensive signature pass can be paid
-    once per corpus snapshot instead of once per dedup run."""
-    buckets = _cap_buckets(_band_buckets(sig, id_col, bands, rows), id_col, bucket_cap)
+    once per corpus snapshot instead of once per dedup run.
+
+    The raw band rows are pinned (MEMORY_AND_DISK, features._pin's
+    FIFO registry) before fanning out to the census + both self-join
+    sides: the signature subtree contains higher-order-function
+    lambdas that defeat Spark's exchange-reuse canonicalization, so
+    without the pin the scan->shingle->64-min pipeline executes FOUR
+    times (plan-audited r5; idle wall time hides it on spare cores,
+    but under concurrent load — the driver's 4.17 s vs self-measured
+    2.7 s gap — and at 100 TB, 4 corpus scans vs 1 is the whole game).
+    Pinned rows are ~16x(id,band,2 keys) per doc (~600 B/doc, same
+    order as the signature table); the tail spills to disk."""
+    from .features import _pin
+
+    buckets = _cap_buckets(
+        _pin(_band_buckets(sig, id_col, bands, rows)), id_col, bucket_cap
+    )
     l = buckets.select(F.col(id_col).alias("d1"), "band", "key")
     r = buckets.select(F.col(id_col).alias("d2"), "band", "key")
     cand = (
@@ -399,7 +414,13 @@ def minhash_dedup_pairs_cross(
         shingles(corpus, id_col, text_col), id_col, k=bands * rows
     )
     raw_n = _band_buckets(sig_n, id_col, bands, rows)
-    raw_c = _band_buckets(sig_c, id_col, bands, rows)
+    # the corpus band rows feed THREE consumers (census for both
+    # sides' refinement + the corpus join side); lambda subtrees
+    # defeat exchange reuse, so pin them — one corpus signature pass
+    # instead of three (see minhash_pairs_from_signatures)
+    from .features import _pin
+
+    raw_c = _pin(_band_buckets(sig_c, id_col, bands, rows))
     bn = _cap_buckets(raw_n, id_col, bucket_cap, census=raw_c).select(
         F.col(id_col).alias("new_id"), "band", "key"
     )

@@ -602,3 +602,31 @@ def test_round4r_plan_shapes(spark):
     plan = plan_of(QUERIES["q150_ks_statistic"](spark, SF_SMOKE))
     assert "rangepartitioning" in plan.lower()
     assert "CartesianProduct" not in plan
+
+
+def test_minhash_single_signature_pass(spark):
+    """Round-5 (VERDICT r4 #3): the raw band rows are pinned before
+    fanning out to census + both self-join sides, so the
+    scan->shingle->64-min signature pipeline executes ONCE — the
+    shingle lambdas defeat exchange-reuse canonicalization, and
+    without the pin the subtree ran four times (4 corpus scans at
+    100 TB; the driver-load q20 wall-time gap). The executed plan must
+    read the band rows from cache (InMemoryTableScan) and keep exactly
+    two live signature-side parquet scans: one under the cached
+    relation, one for the verify-side shingle arrays."""
+    from sparksync.ext import dedup, features
+    from sparksync.source import load_table
+
+    features.release_pinned()
+    docs = load_table(spark, SF_SMOKE, "documents")
+    df = dedup.minhash_dedup_pairs(docs)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 3  # census + l + r
+    # the 64-min signature aggregate appears only inside the one
+    # cached relation definition, not as live duplicated subtrees
+    live = plan.split("InMemoryRelation", 1)[0]
+    # "partial_min((" is the signature min-agg; the verify stage's
+    # partial_min_by is fine and must not trip this
+    assert "partial_min((" not in live
+    features.release_pinned()
