@@ -391,12 +391,21 @@ def minhash_dedup_pairs_cross(
     bands: int = LSH_BANDS,
     rows: int = LSH_ROWS,
     bucket_cap: int | None = 10_000,
+    corpus_sig: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental dedup: near-dup pairs BETWEEN a new batch and an
     already-deduplicated corpus — the shape every continuously-crawled
     training set needs, because re-running all-pairs dedup over
     100 TB + 1 TB of new data to admit the 1 TB is absurd. Output:
     (new_id, corpus_id, jacc) with jacc >= threshold.
+
+    corpus_sig: the REAL 100 TB operating mode — pass the persisted
+    signature table (minhash_signature_table written to parquet once
+    per corpus snapshot, read back here) and the corpus text is never
+    re-tokenized for banding; it is only consulted for the
+    candidate-pruned verification arrays. Default None recomputes
+    signatures from `corpus` (pair parity with the persisted path is
+    pinned by test).
 
     Scale shape: signatures for BOTH sides (the corpus side is one
     linear pass — or, in a real deployment, a precomputed signature
@@ -410,8 +419,12 @@ def minhash_dedup_pairs_cross(
     hint — the candidate set is data-dependent, AQE decides), exactly
     like minhash_dedup_pairs."""
     sig_n = minhash_signatures(shingles(new, id_col, text_col), id_col, k=bands * rows)
-    sig_c = minhash_signatures(
-        shingles(corpus, id_col, text_col), id_col, k=bands * rows
+    sig_c = (
+        corpus_sig
+        if corpus_sig is not None
+        else minhash_signatures(
+            shingles(corpus, id_col, text_col), id_col, k=bands * rows
+        )
     )
     raw_n = _band_buckets(sig_n, id_col, bands, rows)
     # the corpus band rows feed THREE consumers (census for both
@@ -427,7 +440,14 @@ def minhash_dedup_pairs_cross(
     bc = _cap_buckets(raw_c, id_col, bucket_cap).select(
         F.col(id_col).alias("corpus_id"), "band", "key"
     )
-    cand = bn.join(bc, ["band", "key"]).select("new_id", "corpus_id").distinct()
+    # cand feeds TWO consumers (the pair join and the corpus-side
+    # semi-prune); unpinned, each re-runs the whole banding join AND
+    # the new-side signature pass (lambda subtrees defeat exchange
+    # reuse). Candidate pairs are two longs per row — tiny relative to
+    # anything else in this plan.
+    cand = _pin(
+        bn.join(bc, ["band", "key"]).select("new_id", "corpus_id").distinct()
+    )
     a1 = shingle_arrays(new, id_col, text_col).select(
         F.col(id_col).alias("new_id"), F.col("sh").alias("s1")
     )
