@@ -32,6 +32,17 @@ def q_oracle(name: str) -> str:
     return '"' + name.replace('"', '""') + '"'
 
 
+def q_ansi(name: str) -> str:
+    """ANSI dialect: bare lowercase identifiers, matching
+    sink.JdbcSink._ident's ansi arm (Derby case-folds unquoted names,
+    so bare-lowercase round-trips cleanly)."""
+    return name.lower()
+
+
+def _q(dialect: str):
+    return q_mysql if dialect == "mysql" else q_ansi
+
+
 def create_table_sql(spec: TableSpec, if_not_exists: bool = False) -> str:
     """CREATE TABLE text per tablemeta.go:62,165-185 (drop handled
     separately so dump-ddl mode can emit both)."""
@@ -61,16 +72,18 @@ class IndexSpec:
     constraint_type: str | None = None  # P | U | R | None
 
 
-def index_sql(ix: IndexSpec) -> str:
+def index_sql(ix: IndexSpec, dialect: str = "mysql") -> str:
     """The CASE arms of the S9 catalog SQL (tablemeta.go:194): primary
-    key, unique constraint, unique index, plain index."""
-    t = q_mysql(ix.table.lower())
-    cols = ",".join(q_mysql(c.lower()) for c in ix.columns)
+    key, unique constraint, unique index, plain index. dialect="ansi"
+    renders bare-lowercase identifiers (Derby/standard engines)."""
+    q = _q(dialect)
+    t = q(ix.table.lower())
+    cols = ",".join(q(c.lower()) for c in ix.columns)
     if ix.constraint_type == "P":
         return f"alter table {t} add primary key ({cols});"
     if ix.constraint_type == "U" or ix.uniqueness == "UNIQUE":
-        return f"create unique index {q_mysql(ix.index_name.lower())} on {t} ({cols});"
-    return f"create index {q_mysql(ix.index_name.lower())} on {t} ({cols});"
+        return f"create unique index {q(ix.index_name.lower())} on {t} ({cols});"
+    return f"create index {q(ix.index_name.lower())} on {t} ({cols});"
 
 
 @dataclass
@@ -83,18 +96,19 @@ class FkSpec:
     delete_rule: str | None = None  # CASCADE | SET NULL | NO ACTION
 
 
-def fk_sql(fk: FkSpec) -> str:
+def fk_sql(fk: FkSpec, dialect: str = "mysql") -> str:
     """FK DDL equivalent to the correlated-subquery builder at
-    tablemeta.go:289-310."""
-    t = q_mysql(fk.table.lower())
-    cols = ",".join(q_mysql(c.lower()) for c in fk.columns)
-    rt = q_mysql(fk.ref_table.lower())
-    rcols = ",".join(q_mysql(c.lower()) for c in fk.ref_columns)
+    tablemeta.go:289-310. dialect="ansi" for Derby/standard engines."""
+    q = _q(dialect)
+    t = q(fk.table.lower())
+    cols = ",".join(q(c.lower()) for c in fk.columns)
+    rt = q(fk.ref_table.lower())
+    rcols = ",".join(q(c.lower()) for c in fk.ref_columns)
     rule = ""
     if fk.delete_rule and fk.delete_rule.upper() in ("CASCADE", "SET NULL"):
         rule = f" on delete {fk.delete_rule.lower()}"
     return (
-        f"alter table {t} add constraint {q_mysql(fk.constraint_name.lower())}"
+        f"alter table {t} add constraint {q(fk.constraint_name.lower())}"
         f" foreign key ({cols}) references {rt} ({rcols}){rule};"
     )
 
@@ -115,23 +129,45 @@ def normalize_trigger_body(body: str) -> str:
     return s
 
 
-def auto_increment_sql(table: str, trigger_body: str) -> list[str]:
+def detect_identity_column(trigger_body: str) -> str | None:
+    """The R1 detection alone: the lowercased column a
+    `SELECT seq.NEXTVAL INTO :NEW.col` trigger populates, or None when
+    the trigger is not an auto-increment pattern (tablemeta.go:245-252).
+    Exposed separately so dialects that can only declare identity at
+    CREATE TABLE time (Derby) can fold it into the column clause."""
+    norm = normalize_trigger_body(trigger_body)
+    hit = _NEXTVAL_RE.search(norm)
+    if not hit:
+        return None
+    m = _NEWCOL_RE.search(norm[hit.start():])
+    return m.group(1).lower() if m else None
+
+
+def auto_increment_sql(
+    table: str, trigger_body: str, dialect: str = "mysql"
+) -> list[str]:
     """Detect `SELECT seq.NEXTVAL INTO :NEW.col` and emit the reference's
     two DDLs (tablemeta.go:254,266): a helper index then the column
-    promotion to bigint auto_increment. Returns [] when the trigger is
-    not an auto-increment pattern."""
-    norm = normalize_trigger_body(trigger_body)
-    if not _NEXTVAL_RE.search(norm):
+    promotion. mysql: `modify ... bigint auto_increment`; ansi: the
+    SQL:2003 `alter column ... set generated always as identity`
+    (engines that only accept identity at CREATE time — Derby — should
+    instead fold detect_identity_column into the create clause; the
+    Derby e2e exercises that path). Returns [] when the trigger is not
+    an auto-increment pattern."""
+    col = detect_identity_column(trigger_body)
+    if col is None:
         return []
-    m = _NEWCOL_RE.search(norm[_NEXTVAL_RE.search(norm).start():])
-    if not m:
-        return []
-    col = m.group(1).lower()
+    q = _q(dialect)
     t = table.lower()
-    return [
-        f"create index {q_mysql(f'ids_{t}_{col}_i')} on {q_mysql(t)} ({q_mysql(col)});",
-        f"alter table {q_mysql(t)} modify {q_mysql(col)} bigint auto_increment;",
-    ]
+    ddls = [f"create index {q(f'ids_{t}_{col}_i')} on {q(t)} ({q(col)});"]
+    if dialect == "mysql":
+        ddls.append(f"alter table {q(t)} modify {q(col)} bigint auto_increment;")
+    else:
+        ddls.append(
+            f"alter table {q(t)} alter column {q(col)}"
+            " set generated always as identity;"
+        )
+    return ddls
 
 
 # --- view dialect rewrite (R2, tablemeta.go:417-427) ---
@@ -152,10 +188,15 @@ def create_view_sql(view_name: str, text: str) -> str:
     return f"create or replace view {q_mysql(view_name.lower())} as {rewrite_view_text(text)};"
 
 
-def table_comment_sql(table: str, comment: str) -> str:
-    """tablemeta.go:367-388."""
+def table_comment_sql(table: str, comment: str, dialect: str = "mysql") -> str:
+    """tablemeta.go:367-388. ansi renders the SQL-standard
+    `COMMENT ON TABLE` (Oracle/Postgres); engines without it (Derby)
+    reject it into the per-object error capture — which the Derby e2e
+    asserts, proving K7 on a real engine."""
     esc = comment.replace("'", "''")
-    return f"alter table {q_mysql(table.lower())} comment = '{esc}';"
+    if dialect == "mysql":
+        return f"alter table {q_mysql(table.lower())} comment = '{esc}';"
+    return f"comment on table {q_ansi(table)} is '{esc}';"
 
 
 def clean_function_index_ddl(ddl: str) -> str:

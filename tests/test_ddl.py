@@ -107,3 +107,27 @@ def test_quoting():
 
 def test_table_comment():
     assert table_comment_sql("T", "it's") == "alter table `t` comment = 'it''s';"
+
+
+def test_ansi_dialect_renderings():
+    """Round-5 ANSI arms: bare-lowercase identifiers, SQL:2003 identity
+    promotion, COMMENT ON — same builders as MySQL, dialect-switched."""
+    from sparksync import ddl
+
+    ix = ddl.IndexSpec("T", "IX_T", ["A", "B"], uniqueness="UNIQUE")
+    assert ddl.index_sql(ix, "ansi") == "create unique index ix_t on t (a,b);"
+    fk = ddl.FkSpec("Child", "FK_C", ["pid"], "Parent", ["id"], "CASCADE")
+    assert ddl.fk_sql(fk, "ansi") == (
+        "alter table child add constraint fk_c foreign key (pid)"
+        " references parent (id) on delete cascade;"
+    )
+    assert ddl.table_comment_sql("T", "it's", "ansi") == (
+        "comment on table t is 'it''s';"
+    )
+    body = "BEGIN SELECT s.NEXTVAL INTO :NEW.ID FROM SYS.DUAL; END;"
+    assert ddl.detect_identity_column(body) == "id"
+    assert ddl.auto_increment_sql("t", body, "ansi") == [
+        "create index ids_t_id_i on t (id);",
+        "alter table t alter column id set generated always as identity;",
+    ]
+    assert ddl.auto_increment_sql("t", "BEGIN null; END;", "ansi") == []
