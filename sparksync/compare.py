@@ -421,3 +421,67 @@ def union_evolved(dfs: list[DataFrame]) -> DataFrame:
         )
         out = aligned if out is None else out.unionByName(aligned)
     return out
+
+
+def zone_map_stats(
+    df: DataFrame,
+    bucket_col: str,
+    bucket_width: int,
+    *value_cols: str,
+) -> DataFrame:
+    """Zone maps (file-skipping statistics): per logical bucket of
+    `bucket_col` (floor-div by bucket_width — at deployment, one row
+    per parquet file/row-group), the min/max/null-count of each value
+    column plus the row count — the metadata a scan planner consults to
+    skip whole files for a range predicate, the mechanism behind
+    parquet row-group pruning replicated as a QUERYABLE table so
+    pruning ratios can be audited before anything is rewritten. One
+    partial-aggregated groupBy; output is bucket-cardinality.
+    Output: (bucket, n_rows, <c>_min, <c>_max, <c>_nulls per col)."""
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in value_cols:
+        aggs += [
+            F.min(c).alias(f"{c}_min"),
+            F.max(c).alias(f"{c}_max"),
+            F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"{c}_nulls"),
+        ]
+    return (
+        df.groupBy(
+            F.floor(F.col(bucket_col) / F.lit(bucket_width))
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(*aggs)
+    )
+
+
+def pruning_audit(
+    stats: DataFrame,
+    value_col: str,
+    lo,
+    hi,
+) -> DataFrame:
+    """How much a range predicate [lo, hi] would skip, judged from zone
+    maps alone: a bucket is prunable iff its [min, max] misses the
+    query range entirely — exactly the decision a reader makes per
+    row-group footer. One pass over the (tiny) stats table. Output:
+    one row (n_buckets, prunable_buckets, rows_total, rows_skipped,
+    skip_fraction)."""
+    from pyspark.sql import Column
+
+    lo_c = lo if isinstance(lo, Column) else F.lit(lo)
+    hi_c = hi if isinstance(hi, Column) else F.lit(hi)
+    mn, mx = F.col(f"{value_col}_min"), F.col(f"{value_col}_max")
+    prunable = (mx < lo_c) | (mn > hi_c)
+    return stats.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum(prunable.cast("long")).cast("long").alias("prunable_buckets"),
+        F.sum("n_rows").cast("long").alias("rows_total"),
+        F.sum(F.when(prunable, F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("rows_skipped"),
+    ).withColumn(
+        "skip_fraction",
+        F.col("rows_skipped").cast("double")
+        / F.col("rows_total").cast("double"),
+    )

@@ -630,3 +630,121 @@ def latest_state(
             ).alias("recent"),
         )
     )
+
+
+def cumulative_distinct_daily(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Cumulative distinct keys per day — 'total unique users ever, by
+    day' — without any running-distinct state: a key contributes on its
+    FIRST day only (one min aggregate per key), days aggregate first
+    appearances, and the running total is a window over the day-count
+    rows (calendar-sized, not data-sized; keyed by a constant-hash
+    partition like global_rank's offsets so no WindowExec warning).
+    All integers — replays exactly. Output: (day, new_keys,
+    cum_distinct)."""
+    first = df.groupBy(key_col).agg(
+        F.min(F.to_date(ts_col)).alias("day")
+    )
+    per_day = first.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("new_keys")
+    )
+    w = (
+        Window.partitionBy(F.pmod(F.xxhash64(F.col("day")), F.lit(1)))
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per_day.withColumn(
+        "cum_distinct", F.sum("new_keys").over(w).cast("long")
+    )
+
+
+def new_vs_returning_daily(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Daily active keys split into new vs returning — the growth
+    dashboard's first chart. One min-per-key aggregate (first day),
+    joined back to per-(key, day) activity, then a daily count-split.
+    The join is key-to-key (broadcast or shuffle — AQE decides from
+    the first-day side's size, which is |keys|, not |events|). All
+    integers. Output: (day, active, new_keys, returning_keys —
+    RETURNING is reserved in several engines)."""
+    act = df.select(
+        F.col(key_col).alias("_k"), F.to_date(ts_col).alias("day")
+    ).distinct()
+    first = act.groupBy("_k").agg(F.min("day").alias("_first"))
+    return (
+        act.join(first, "_k")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("active"),
+            F.sum((F.col("day") == F.col("_first")).cast("long"))
+            .cast("long")
+            .alias("new_keys"),
+            F.sum((F.col("day") > F.col("_first")).cast("long"))
+            .cast("long")
+            .alias("returning_keys"),
+        )
+    )
+
+
+def time_weighted_average(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col,
+    id_col: str,
+) -> DataFrame:
+    """Time-weighted average (TWAP): each observation holds until the
+    next one in its group, so its weight is that interval — the honest
+    mean for irregularly sampled series (a plain AVG over-weights busy
+    periods). The last observation of a group has no successor and
+    drops (standard left-Riemann TWAP).
+
+    value_col must arrive EXACT (a long — cents, counts, token
+    totals): each value*gap product is computed in decimal(38,0)
+    (cast-before-multiply, so no long overflow even at 100 TB-scale
+    magnitudes), the weighted sum accumulates exactly, and ONE final
+    double division yields the average — bit-replayable against any
+    engine with exact 128-bit integer arithmetic (DuckDB: hugeint).
+    Weights are epoch-second gaps (exact longs) from a per-group lead
+    window. Output: (group, n_intervals, total_seconds, twap)."""
+    v = value_col if not isinstance(value_col, str) else F.col(value_col)
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(ts_col), F.col(id_col)
+    )
+    # tz-robust, integer-exact epoch seconds. NTZ timestamps (what
+    # parquet TIMESTAMP loads as in Spark 4) must NEVER cast through
+    # TimestampType: that cast applies the session zone and the
+    # selfcheck's America/New_York session would drift an hour across
+    # DST. NTZ: interval-from-epoch cast to long (tz-free, truncating
+    # like integer division). LTZ: unix_micros is already absolute;
+    # subtract the sub-second remainder BEFORE the double division so
+    # the quotient is exactly representable (epochs through ~2255).
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        sec = (
+            F.col(ts_col)
+            - F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+        ).cast("long")
+    else:
+        us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+        sec = ((us - F.pmod(us, F.lit(1_000_000))) / F.lit(1_000_000)).cast(
+            "long"
+        )
+    gap = (F.lead(sec).over(w) - sec).alias("_gap")
+    dec = "decimal(38,0)"
+    obs = df.select(
+        F.col(group_col), gap, v.cast("long").alias("_v")
+    ).where(F.col("_gap").isNotNull())
+    return obs.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum("_gap").cast("long").alias("total_seconds"),
+        (
+            F.sum(F.col("_v").cast(dec) * F.col("_gap").cast(dec)).cast("double")
+            / F.sum("_gap").cast("double")
+        ).alias("twap"),
+    )

@@ -1055,3 +1055,52 @@ def containment_pairs(
         .select("d1", "d2", cont.alias("containment"), direction.alias("direction"))
         .where(F.col("containment") >= threshold)
     )
+
+
+def near_dup_cluster_keeper(
+    df: DataFrame,
+    quality_col: str,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The full near-dup dedup DECISION, end to end: MinHash+LSH pairs
+    (the bucketed, capped scale path) -> connected components over the
+    pair graph (near-duplication is transitive in practice: A~B~C must
+    collapse to ONE kept doc, which pairwise keeper rules get wrong) ->
+    one keeper per cluster by highest quality, ties to the smallest id.
+    Docs in no pair form singleton clusters of themselves and are
+    always kept. Output: (id, cluster_id, quality, n_members, kept) —
+    the table a corpus-prep pipeline joins against to drop rows.
+
+    Scale shape: the pair discovery is q20's banded join (no all-pairs
+    anywhere); components iterate over the PAIR graph only (pair
+    cardinality, not corpus); the keeper is one max_by per cluster;
+    the corpus-sized side only ever does one aggregate-free join
+    against the (tiny) clustered-doc map."""
+    from .graph import connected_components
+
+    pairs = minhash_dedup_pairs(df, threshold, id_col, text_col)
+    comp = connected_components(pairs, "d1", "d2")
+    quality = df.select(
+        F.col(id_col), F.col(quality_col).cast("long").alias("quality")
+    )
+    labeled = quality.join(
+        comp.withColumnRenamed("node", id_col), id_col, "left"
+    ).withColumn("cluster_id", F.coalesce("component", F.col(id_col)))
+    keeper = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.max_by(
+            F.col(id_col), F.struct(F.col("quality"), -F.col(id_col))
+        ).alias("_keep"),
+    )
+    return (
+        labeled.join(keeper, "cluster_id")
+        .select(
+            id_col,
+            "cluster_id",
+            "quality",
+            "n_members",
+            (F.col(id_col) == F.col("_keep")).cast("long").alias("kept"),
+        )
+    )

@@ -668,3 +668,51 @@ def ks_statistic(
             ).alias("d_stat"),
         )
     )
+
+
+def ols_by_group(
+    df: DataFrame,
+    group_col: str,
+    x_col,
+    y_col,
+    min_n: int = 2,
+) -> DataFrame:
+    """Per-group simple linear regression (OLS), EXACT: x and y must
+    arrive as exact longs (days, cents, counts) with |x*y| < 2^63 per
+    row; the five sufficient statistics (n, Sx, Sy, Sxx, Sxy)
+    accumulate in decimal(38,0), so the fit replays bit-identically
+    regardless of row order or partitioning (a double fold would be
+    order-dependent — fatal for a 100 TB shuffle whose order is
+    nondeterministic; engine-native regr_slope aggregates fold in
+    doubles and are NOT replayable).
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) and
+    intercept = (Sy - slope*Sx) / n are each ONE float expression over
+    the exact statistics — mirror the same tree in an engine with
+    exact 128-bit integers (DuckDB: hugeint) and the doubles match to
+    the bit. Groups with n < min_n or zero x-variance drop (no line to
+    fit). Shape: one partial-agg shuffle, group-cardinality output.
+    Output: (group, n, slope, intercept)."""
+    x = x_col if not isinstance(x_col, str) else F.col(x_col)
+    y = y_col if not isinstance(y_col, str) else F.col(y_col)
+    dec = "decimal(38,0)"
+    xl, yl = x.cast("long"), y.cast("long")
+    s = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(xl.cast(dec)).alias("_sx"),
+        F.sum(yl.cast(dec)).alias("_sy"),
+        F.sum((xl * xl).cast(dec)).alias("_sxx"),
+        F.sum((xl * yl).cast(dec)).alias("_sxy"),
+    )
+    nd = F.col("n").cast(dec)
+    den = nd * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    num = nd * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    slope = num.cast("double") / den.cast("double")
+    out = s.where((F.col("n") >= min_n) & (den != 0)).withColumn(
+        "slope", slope
+    )
+    intercept = (
+        F.col("_sy").cast("double") - F.col("slope") * F.col("_sx").cast("double")
+    ) / F.col("n").cast("double")
+    return out.select(
+        group_col, "n", "slope", intercept.alias("intercept")
+    )

@@ -953,3 +953,73 @@ def source_drift_l1(
             / (F.col("_ts").cast("double") * F.col("_t").cast("double"))
         ).alias("l1_distance"),
     )
+
+
+def vocab_growth_curve(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    every: int = 100,
+) -> DataFrame:
+    """Heaps'-law vocabulary growth: distinct tokens seen after
+    ingesting docs 1..k (in id order), sampled every `every` docs —
+    the curve that says when a corpus stops teaching a tokenizer new
+    words. No running-distinct state: each token contributes at its
+    FIRST document (one min aggregate per token), first-appearance
+    counts aggregate per doc, and the running total runs over
+    doc-cardinality counter rows (constant-hash partition, the
+    global_rank offset trick). All integers — replays exactly.
+    Output: (docs_ingested, vocab_size) at the sampled checkpoints."""
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    first = toks.groupBy("tok").agg(F.min(id_col).alias("_d"))
+    per_doc = first.groupBy("_d").agg(
+        F.count(F.lit(1)).cast("long").alias("_new")
+    )
+    w = (
+        Window.partitionBy(F.pmod(F.xxhash64(F.col("_d")), F.lit(1)))
+        .orderBy("_d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    curve = per_doc.withColumn(
+        "vocab_size", F.sum("_new").over(w).cast("long")
+    )
+    return curve.where(F.col("_d") % every == 0).select(
+        F.col("_d").alias("docs_ingested"), "vocab_size"
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct shingles
+    (3-gram, the dedup vocabulary) that occur in NO other document —
+    high-novelty docs carry information the rest of the corpus lacks;
+    near-zero novelty marks boilerplate. Inverted-index shape: one
+    shingle->document-frequency aggregate, joined back per (doc,
+    shingle), then one per-doc count split and ONE final division.
+    Integers until the division — replays exactly. Docs too short to
+    shingle drop (no vocabulary to score). Output: (id, n_shingles,
+    n_unique_to_doc, novelty)."""
+    from .dedup import shingles
+
+    sh = shingles(df, id_col, text_col)
+    dfreq = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("long").alias("_df")
+    )
+    j = sh.join(dfreq, "shingle")
+    return (
+        j.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum((F.col("_df") == 1).cast("long"))
+            .cast("long")
+            .alias("n_unique_to_doc"),
+        )
+        .withColumn(
+            "novelty",
+            F.col("n_unique_to_doc").cast("double")
+            / F.col("n_shingles").cast("double"),
+        )
+    )

@@ -5071,6 +5071,270 @@ from flags
 """
 
 
+def q153_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority order-value trend line (ext/features.ols_by_group):
+    exact OLS of cent totals against epoch days — sufficient statistics
+    in decimal(38,0), one float expression at the end, bit-replayable
+    (DuckDB mirrors with hugeint)."""
+    from .ext import features
+
+    o = load(spark, sf_dir, "orders")
+    x = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date"))
+    y = (_dec("o_totalprice") * 100).cast("long")
+    return features.ols_by_group(o, "o_orderpriority", x, y)
+
+
+ORACLE_Q153 = """
+with base as (
+  select o_orderpriority,
+         cast(date_diff('day', DATE '1992-01-01', cast(o_orderdate as date))
+              as hugeint) as x,
+         cast(cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)
+              as hugeint) as y
+  from orders),
+s as (
+  select o_orderpriority, cast(count(*) as bigint) as n,
+         sum(x) as sx, sum(y) as sy, sum(x*x) as sxx, sum(x*y) as sxy
+  from base group by o_orderpriority)
+select o_orderpriority, n,
+       cast(cast(n as hugeint)*sxy - sx*sy as double)
+         / cast(cast(n as hugeint)*sxx - sx*sx as double) as slope,
+       (cast(sy as double)
+        - (cast(cast(n as hugeint)*sxy - sx*sy as double)
+           / cast(cast(n as hugeint)*sxx - sx*sx as double))
+          * cast(sx as double)) / cast(n as double) as intercept
+from s
+where n >= 2 and (cast(n as hugeint)*sxx - sx*sx) <> 0
+"""
+
+
+def q154_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day (ext/asof.
+    cumulative_distinct_daily): first-day-per-user aggregate + a
+    calendar-sized running window — no running-distinct state, all
+    integers."""
+    return asof.cumulative_distinct_daily(
+        load(spark, sf_dir, "events"), "user_id", "ts"
+    )
+
+
+ORACLE_Q154 = """
+with first as (
+  select user_id, min(cast(ts as date)) as day from events group by user_id),
+per as (select day, cast(count(*) as bigint) as new_keys from first group by day)
+select day, new_keys,
+       cast(sum(new_keys) over (order by day
+                                rows between unbounded preceding and current row)
+            as bigint) as cum_distinct
+from per
+"""
+
+
+def q155_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily actives split new vs returning (ext/asof.
+    new_vs_returning_daily): one first-day aggregate joined back to
+    per-(user, day) activity; integer counts."""
+    return asof.new_vs_returning_daily(
+        load(spark, sf_dir, "events"), "user_id", "ts"
+    )
+
+
+ORACLE_Q155 = """
+with act as (select distinct user_id, cast(ts as date) as day from events),
+first as (select user_id, min(day) as f from act group by user_id)
+select day, cast(count(*) as bigint) as active,
+       cast(sum(case when day = f then 1 else 0 end) as bigint) as new_keys,
+       cast(sum(case when day > f then 1 else 0 end) as bigint)
+         as returning_keys
+from act join first using (user_id) group by day
+"""
+
+
+def q156_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average order value per priority (ext/asof.
+    time_weighted_average): each order's cents hold until the group's
+    next order; products in decimal(38,0), one final division — DuckDB
+    mirrors with hugeint."""
+    o = load(spark, sf_dir, "orders")
+    cents = (_dec("o_totalprice") * 100).cast("long")
+    return asof.time_weighted_average(
+        o, "o_orderpriority", "o_orderdate", cents, "o_orderkey"
+    )
+
+
+ORACLE_Q156 = """
+with base as (
+  select o_orderpriority, o_orderkey,
+         epoch_us(o_orderdate) // 1000000 as sec,
+         cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint) as v
+  from orders),
+obs as (
+  select o_orderpriority, v,
+         lead(sec) over (partition by o_orderpriority
+                         order by sec, o_orderkey) - sec as gap
+  from base)
+select o_orderpriority,
+       cast(count(*) as bigint) as n_intervals,
+       cast(sum(gap) as bigint) as total_seconds,
+       cast(sum(cast(v as hugeint) * cast(gap as hugeint)) as double)
+         / cast(sum(gap) as double) as twap
+from obs where gap is not null group by o_orderpriority
+"""
+
+
+def q157_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve (ext/textops.
+    vocab_growth_curve): distinct tokens after docs 1..k, sampled every
+    100 docs — first-appearance aggregate + calendar-style running
+    window, all integers."""
+    return textops.vocab_growth_curve(
+        load(spark, sf_dir, "documents"), every=100
+    )
+
+
+ORACLE_Q157 = """
+with toks as (
+  select doc_id,
+         unnest(list_filter(string_split(trim(text), ' '), x -> x <> '')) as tok
+  from documents),
+first as (select tok, min(doc_id) as d from toks group by tok),
+per as (select d, cast(count(*) as bigint) as nw from first group by d),
+curve as (
+  select d, cast(sum(nw) over (order by d
+                               rows between unbounded preceding and current row)
+               as bigint) as vocab_size
+  from per)
+select d as docs_ingested, vocab_size from curve where d % 100 = 0
+"""
+
+
+def q158_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty (ext/textops.ngram_novelty): fraction of a
+    doc's shingles that occur nowhere else — inverted-index shape,
+    integers until one final division."""
+    return textops.ngram_novelty(load(spark, sf_dir, "documents"))
+
+
+ORACLE_Q158 = """
+with docs as (
+  select doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') as toks
+  from documents),
+docs3 as (select * from docs where len(toks) >= 3),
+sh as (
+  select distinct doc_id,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] as shingle
+  from docs3, unnest(range(1, len(toks) - 1)) t(i)),
+dfreq as (select shingle, cast(count(*) as bigint) as df
+          from sh group by shingle)
+select doc_id, cast(count(*) as bigint) as n_shingles,
+       cast(sum(case when df = 1 then 1 else 0 end) as bigint)
+         as n_unique_to_doc,
+       cast(sum(case when df = 1 then 1 else 0 end) as double)
+         / cast(count(*) as double) as novelty
+from sh join dfreq using (shingle) group by doc_id
+"""
+
+
+def q159_cluster_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup dedup decision (ext/dedup.
+    near_dup_cluster_keeper): MinHash+LSH pairs -> connected components
+    -> one keeper per cluster by n_chars quality, ties to the smallest
+    id; singletons keep themselves. LSH at threshold 0.8 equals the
+    exact-Jaccard pair set on this corpus (the pinned q19==q20
+    property), so the oracle clusters the exact pairs."""
+    from .ext import dedup
+
+    return dedup.near_dup_cluster_keeper(
+        load(spark, sf_dir, "documents"), "n_chars"
+    )
+
+
+ORACLE_Q159 = """
+with recursive
+docs as (
+  select doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') as toks
+  from documents),
+docs3 as (select * from docs where len(toks) >= 3),
+sh as (
+  select distinct doc_id,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] as shingle
+  from docs3, unnest(range(1, len(toks) - 1)) t(i)),
+sizes as (select doc_id, count(*) as n from sh group by doc_id),
+common as (
+  select a.doc_id as d1, b.doc_id as d2, count(*) as c
+  from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+  group by 1, 2),
+pairs as (
+  select d1, d2 from common
+  join sizes na on na.doc_id = d1
+  join sizes nb on nb.doc_id = d2
+  where cast(c as double) / cast(na.n + nb.n - c as double) >= 0.8),
+edges as (select d1 as a, d2 as b from pairs
+          union all select d2, d1 from pairs),
+reach(a, b) as (
+  select a, b from edges
+  union
+  select r.a, e.b from reach r join edges e on r.b = e.a),
+nodes as (select distinct a as node from edges),
+comp as (
+  select n.node as doc_id, least(n.node, min(r.b)) as component
+  from nodes n left join reach r on r.a = n.node group by n.node),
+labeled as (
+  select d.doc_id, cast(d.n_chars as bigint) as quality,
+         coalesce(c.component, d.doc_id) as cluster_id
+  from documents d left join comp c using (doc_id)),
+ranked as (
+  select *, row_number() over (partition by cluster_id
+                               order by quality desc, doc_id asc) as rn,
+         count(*) over (partition by cluster_id) as nm
+  from labeled)
+select doc_id, cluster_id, quality, cast(nm as bigint) as n_members,
+       cast(case when rn = 1 then 1 else 0 end as bigint) as kept
+from ranked
+"""
+
+
+def q160_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map synthesis + pruning audit (compare.zone_map_stats /
+    pruning_audit): per-1000-orderkey bucket min/max of l_shipdate,
+    then the fraction of buckets (and rows) a 1994 ship-date predicate
+    could skip on stats alone — parquet row-group pruning as a
+    queryable, auditable table."""
+    from . import compare as comparemod
+
+    li = load(spark, sf_dir, "lineitem")
+    stats = comparemod.zone_map_stats(li, "l_orderkey", 1000, "l_shipdate")
+    return comparemod.pruning_audit(
+        stats,
+        "l_shipdate",
+        F.lit("1994-01-01 00:00:00").cast("timestamp"),
+        F.lit("1994-12-31 23:59:59.999999").cast("timestamp"),
+    )
+
+
+ORACLE_Q160 = """
+with stats as (
+  select cast(floor(l_orderkey / 1000) as bigint) as bucket,
+         cast(count(*) as bigint) as n_rows,
+         min(l_shipdate) as smin, max(l_shipdate) as smax
+  from lineitem group by 1),
+flags as (
+  select *, (smax < TIMESTAMP '1994-01-01 00:00:00'
+             or smin > TIMESTAMP '1994-12-31 23:59:59.999999') as prunable
+  from stats)
+select cast(count(*) as bigint) as n_buckets,
+       cast(sum(case when prunable then 1 else 0 end) as bigint)
+         as prunable_buckets,
+       cast(sum(n_rows) as bigint) as rows_total,
+       cast(sum(case when prunable then n_rows else 0 end) as bigint)
+         as rows_skipped,
+       cast(sum(case when prunable then n_rows else 0 end) as double)
+         / cast(sum(n_rows) as double) as skip_fraction
+from flags
+"""
+
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -5224,6 +5488,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q150_ks_statistic": q150_ks_statistic,
     "q151_lorenz_deciles": q151_lorenz_deciles,
     "q152_bounded_conversion": q152_bounded_conversion,
+    "q153_ols_trend": q153_ols_trend,
+    "q154_cumulative_uniques": q154_cumulative_uniques,
+    "q155_new_vs_returning": q155_new_vs_returning,
+    "q156_twap": q156_twap,
+    "q157_vocab_growth": q157_vocab_growth,
+    "q158_ngram_novelty": q158_ngram_novelty,
+    "q159_cluster_keeper": q159_cluster_keeper,
+    "q160_zone_map_pruning": q160_zone_map_pruning,
 }
 
 ORACLES: dict[str, str] = {
@@ -5379,4 +5651,12 @@ ORACLES: dict[str, str] = {
     "q150_ks_statistic": ORACLE_Q150,
     "q151_lorenz_deciles": ORACLE_Q151,
     "q152_bounded_conversion": ORACLE_Q152,
+    "q153_ols_trend": ORACLE_Q153,
+    "q154_cumulative_uniques": ORACLE_Q154,
+    "q155_new_vs_returning": ORACLE_Q155,
+    "q156_twap": ORACLE_Q156,
+    "q157_vocab_growth": ORACLE_Q157,
+    "q158_ngram_novelty": ORACLE_Q158,
+    "q159_cluster_keeper": ORACLE_Q159,
+    "q160_zone_map_pruning": ORACLE_Q160,
 }

@@ -2547,3 +2547,109 @@ def test_minhash_cross_persisted_signature_table(spark, tmp_path):
         if "Scan" in ln or "Relation" in ln
     )
     features.release_pinned()
+
+
+def test_ols_by_group_exact_line(spark):
+    """Points exactly on y = 2x + 3 recover slope 2.0 / intercept 3.0
+    bit-exactly; a zero-variance group drops."""
+    from sparksync.ext import features
+
+    rows = [("a", x, 2 * x + 3) for x in range(10)]
+    rows += [("flat", 5, 1), ("flat", 5, 2), ("flat", 5, 3)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {r.g: r for r in features.ols_by_group(df, "g", "x", "y").collect()}
+    assert set(out) == {"a"}
+    assert out["a"].slope == 2.0 and out["a"].intercept == 3.0
+    assert out["a"].n == 10
+
+
+def test_cumulative_and_new_returning_daily(spark):
+    from datetime import datetime
+
+    from sparksync.ext import asof
+
+    t = lambda d, h=0: datetime(2026, 1, d, h)  # noqa: E731
+    rows = [  # u1 on days 1,2; u2 on day 2; u3 on day 3
+        (1, t(1)), (1, t(2)), (2, t(2)), (2, t(2, 5)), (3, t(3)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    cum = {str(r.day): (r.new_keys, r.cum_distinct) for r in
+           asof.cumulative_distinct_daily(df, "user_id", "ts").collect()}
+    assert cum == {"2026-01-01": (1, 1), "2026-01-02": (1, 2),
+                   "2026-01-03": (1, 3)}
+    nvr = {str(r.day): (r.active, r.new_keys, r.returning_keys) for r in
+           asof.new_vs_returning_daily(df, "user_id", "ts").collect()}
+    assert nvr == {"2026-01-01": (1, 1, 0), "2026-01-02": (2, 1, 1),
+                   "2026-01-03": (1, 1, 0)}
+
+
+def test_time_weighted_average_exact(spark):
+    """Value 10 held 30 s then value 40 held 10 s -> TWAP 17.5; the
+    final observation drops (no successor)."""
+    from datetime import datetime
+
+    from sparksync.ext import asof
+
+    rows = [
+        ("g", datetime(2026, 1, 1, 0, 0, 0), 10, 1),
+        ("g", datetime(2026, 1, 1, 0, 0, 30), 40, 2),
+        ("g", datetime(2026, 1, 1, 0, 0, 40), 99, 3),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v long, id long")
+    r = asof.time_weighted_average(df, "g", "ts", "v", "id").first()
+    assert r.n_intervals == 2 and r.total_seconds == 40
+    assert r.twap == (10 * 30 + 40 * 10) / 40  # == 17.5
+
+
+def test_vocab_growth_and_novelty(spark):
+    from sparksync.ext import textops
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (100, "a b d"), (200, "a b c")],
+        "doc_id long, text string",
+    )
+    curve = {r.docs_ingested: r.vocab_size for r in
+             textops.vocab_growth_curve(docs, every=100).collect()}
+    assert curve == {0: 3, 100: 4}  # doc 200 introduces nothing -> no row
+    nov = {r.doc_id: r for r in textops.ngram_novelty(docs).collect()}
+    # docs 0/200 share their single shingle 'a b c'; doc 100 is unique
+    assert nov[0].novelty == 0.0 and nov[200].novelty == 0.0
+    assert nov[100].novelty == 1.0 and nov[100].n_shingles == 1
+
+
+def test_near_dup_cluster_keeper_transitive(spark):
+    """A~B~C collapse to ONE cluster with ONE keeper (the highest
+    quality, tie -> smallest id); the unrelated doc keeps itself."""
+    from sparksync.ext import dedup, features
+
+    features.release_pinned()
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base, 50),
+        (2, base + " lambda", 80),
+        (3, base + " lambda mu", 80),
+        (4, "totally different words with no overlap at all here now", 10),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    out = {r.doc_id: r for r in
+           dedup.near_dup_cluster_keeper(df, "n_chars", threshold=0.7).collect()}
+    assert out[1].cluster_id == out[2].cluster_id == out[3].cluster_id == 1
+    assert out[1].n_members == 3
+    # quality tie 80 between ids 2 and 3 -> smaller id kept
+    assert (out[1].kept, out[2].kept, out[3].kept) == (0, 1, 0)
+    assert out[4].cluster_id == 4 and out[4].kept == 1 and out[4].n_members == 1
+    features.release_pinned()
+
+
+def test_zone_map_pruning_audit(spark):
+    from sparksync.compare import pruning_audit, zone_map_stats
+
+    rows = [(i, i // 10 * 100) for i in range(40)]  # buckets 0..3 hold v=0,100,200,300
+    df = spark.createDataFrame(rows, "k long, v long")
+    stats = zone_map_stats(df, "k", 10, "v")
+    s = {r.bucket: r for r in stats.collect()}
+    assert len(s) == 4 and s[0].v_min == 0 and s[3].v_max == 300
+    audit = pruning_audit(stats, "v", 100, 150).first()
+    assert audit.n_buckets == 4 and audit.prunable_buckets == 3
+    assert audit.rows_total == 40 and audit.rows_skipped == 30
+    assert audit.skip_fraction == 0.75
