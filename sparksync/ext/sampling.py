@@ -574,3 +574,43 @@ def group_split_assign(
                 else expr.when(b < thr, cond)
             )
     return df.withColumn("split", expr)
+
+
+def shard_balance_audit(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str | None = None,
+    n_shards: int = 8,
+    salt: str = "shard",
+) -> DataFrame:
+    """Deterministic training-shard assignment + balance audit: shard =
+    portable-md5(id) % n_shards (stable as the corpus grows, replayable
+    by any engine with md5 — same contract as split_assign), then
+    per-shard row and weight totals with exact shares. The check every
+    100 TB write wants BEFORE it runs: a skewed shard is a straggler
+    at every later epoch. One narrow map + one tiny groupBy.
+    Output: (shard, n_rows, total_weight, row_share)."""
+    from .dedup import md5_token_hash
+
+    shard = F.pmod(
+        md5_token_hash(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+        F.lit(n_shards),
+    ).cast("long")
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    per = df.select(shard.alias("shard"), w.alias("_w")).groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("_w").cast("long").alias("total_weight"),
+    )
+    tot = per.agg(F.sum("n_rows").cast("long").alias("_t"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        "n_rows",
+        "total_weight",
+        (F.col("n_rows").cast("double") / F.col("_t").cast("double")).alias(
+            "row_share"
+        ),
+    )

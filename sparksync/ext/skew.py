@@ -381,3 +381,125 @@ def kmv_overlap(
         ),
         jacc.alias("jaccard_est"),
     )
+
+
+def bloom_bitmap(
+    build: DataFrame,
+    key_col: str,
+    m_bits: int = 256,
+    k: int = 3,
+    salt: str = "bloom",
+) -> DataFrame:
+    """A PORTABLE Bloom filter as a (word, bits) relation: each build
+    key sets k md5-derived bit positions (replayable by any engine
+    with md5 — the md5_token_hash contract), packed into 64-bit words
+    with a bit_or aggregate. m_bits/64 rows total — broadcastable at
+    any corpus size, because the bitmap is fixed-size by construction.
+    The distributed analogue of Spark's own runtime bloom-filter
+    pushdown, materialized as data so its effect is auditable."""
+    from .dedup import md5_token_hash
+
+    pos = [
+        F.pmod(
+            md5_token_hash(
+                F.concat(
+                    F.lit(f"{salt}:{i}:"), F.col(key_col).cast("string")
+                )
+            ),
+            F.lit(m_bits),
+        )
+        for i in range(k)
+    ]
+    bits = build.select(
+        F.explode(F.array(*pos)).alias("_pos")
+    ).distinct()
+    return (
+        bits.select(
+            (F.col("_pos") / F.lit(64)).cast("long").alias("word"),
+            F.expr("shiftleft(1L, cast(pmod(_pos, 64) as int))").alias("_m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("_m").alias("bits"))
+    )
+
+
+def bloom_semi_join_audit(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    m_bits: int = 256,
+    k: int = 3,
+) -> DataFrame:
+    """Bloom-filter semi-join with a full honesty audit: how many probe
+    rows the bitmap passes vs the exact semi-join, i.e. the measured
+    false-positive overhead of pushing a runtime filter instead of
+    shuffling the probe side. The probe tests membership with k
+    broadcast word-lookups (left join against the m_bits/64-row bitmap
+    — a missing word means bit unset); a row passes iff ALL k bits are
+    set. No explode of the probe side survives to the output: the k
+    positions ride one array column and the k lookups collapse into a
+    per-row aggregate after a broadcast join. Output: one row
+    (n_probe, n_bloom_pass, n_true_match, false_positives, fp_rate)."""
+    from .dedup import md5_token_hash
+
+    def positions(key_col: str):
+        return [
+            F.pmod(
+                md5_token_hash(
+                    F.concat(
+                        F.lit(f"bloom:{i}:"), F.col(key_col).cast("string")
+                    )
+                ),
+                F.lit(m_bits),
+            )
+            for i in range(k)
+        ]
+
+    bitmap = bloom_bitmap(build, build_key, m_bits, k)
+    # _rid must be assigned BEFORE the explode: inside the generator's
+    # select it would evaluate per generated row and the k position
+    # checks would never collapse back to one row
+    rows = probe.select(
+        F.monotonically_increasing_id().alias("_rid"),
+        F.col(probe_key).alias("_key"),
+    )
+    probed = rows.select(
+        "_rid",
+        "_key",
+        F.posexplode(F.array(*positions("_key"))).alias("_i", "_pos"),
+    ).select(
+        "_rid",
+        "_key",
+        (F.col("_pos") / F.lit(64)).cast("long").alias("word"),
+        F.expr("shiftleft(1L, cast(pmod(_pos, 64) as int))").alias("_m"),
+    )
+    checked = probed.join(F.broadcast(bitmap), "word", "left").withColumn(
+        "_set",
+        ((F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("_m"))) != 0)
+        .cast("long"),
+    )
+    per_row = checked.groupBy("_rid", "_key").agg(
+        (F.sum("_set") == F.lit(k)).cast("long").alias("_pass")
+    )
+    truth = build.select(F.col(build_key).alias("_key")).distinct().withColumn(
+        "_true", F.lit(1).cast("long")
+    )
+    flags = per_row.join(F.broadcast(truth), "_key", "left").select(
+        "_pass", F.coalesce("_true", F.lit(0)).alias("_true")
+    )
+    return flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probe"),
+        F.sum("_pass").cast("long").alias("n_bloom_pass"),
+        F.sum("_true").cast("long").alias("n_true_match"),
+        F.sum(
+            (F.col("_pass") == 1).cast("long")
+            * (F.col("_true") == 0).cast("long")
+        )
+        .cast("long")
+        .alias("false_positives"),
+    ).withColumn(
+        "fp_rate",
+        F.col("false_positives").cast("double")
+        / F.col("n_probe").cast("double"),
+    )

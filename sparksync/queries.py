@@ -5335,6 +5335,108 @@ from flags
 
 
 
+def q161_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long UNPIVOT of per-doc quality metrics (n_tokens,
+    char_len, stop_cnt) into a tall (doc_id, metric, value) table —
+    the melt every metrics store wants; a pure narrow map (Spark's
+    native unpivot/Expand, no shuffle)."""
+    q = textops.quality_score(load(spark, sf_dir, "documents"))
+    return q.select("doc_id", "n_tokens", "char_len", "stop_cnt").unpivot(
+        ["doc_id"], ["n_tokens", "char_len", "stop_cnt"], "metric", "value"
+    )
+
+
+ORACLE_Q161 = """
+with q as (
+  select doc_id,
+         cast(len(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+              as bigint) as n_tokens,
+         cast(length(text) as bigint) as char_len,
+         cast(len(list_filter(string_split(trim(text), ' '),
+                              x -> x in ('the', 'a', 'of'))) as bigint)
+           as stop_cnt
+  from documents)
+select doc_id, 'n_tokens' as metric, n_tokens as value from q
+union all select doc_id, 'char_len', char_len from q
+union all select doc_id, 'stop_cnt', stop_cnt from q
+"""
+
+
+def q162_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard assignment + balance audit (ext/sampling.
+    shard_balance_audit): portable-md5 sharding of documents weighted
+    by n_chars, exact per-shard totals, one share division."""
+    from .ext import sampling
+
+    return sampling.shard_balance_audit(
+        load(spark, sf_dir, "documents"), "doc_id", "n_chars", n_shards=8
+    )
+
+
+ORACLE_Q162 = """
+with s as (
+  select cast(cast('0x' || substring(md5('shard:' || cast(doc_id as varchar)),
+                                     1, 15) as ubigint) % 8 as bigint) as shard,
+         cast(n_chars as bigint) as w
+  from documents),
+per as (select shard, cast(count(*) as bigint) as n_rows,
+               cast(sum(w) as bigint) as total_weight
+        from s group by shard),
+tot as (select cast(sum(n_rows) as bigint) as t from per)
+select shard, n_rows, total_weight,
+       cast(n_rows as double) / cast(t as double) as row_share
+from per cross join tot
+"""
+
+
+def q163_bloom_semi_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join audit (ext/skew.bloom_semi_join_audit):
+    customers probed against a 256-bit, 3-hash portable bloom built
+    from region-2 nations — the measured false-positive cost of a
+    runtime filter vs the exact semi-join, as one audit row."""
+    from .ext import skew
+
+    cust = load(spark, sf_dir, "customer")
+    dim = load(spark, sf_dir, "nation").where(F.col("n_regionkey") == 2)
+    return skew.bloom_semi_join_audit(
+        cust, dim, "c_nationkey", "n_nationkey", m_bits=256, k=3
+    )
+
+
+ORACLE_Q163 = """
+with bkeys as (
+  select distinct n_nationkey as key from nation where n_regionkey = 2),
+bpos as (
+  select distinct
+         cast('0x' || substring(md5('bloom:' || cast(i as varchar) || ':'
+                                    || cast(key as varchar)), 1, 15)
+              as ubigint) % 256 as pos
+  from bkeys, unnest([0, 1, 2]) t(i)),
+ppos as (
+  select c_custkey, c_nationkey,
+         cast('0x' || substring(md5('bloom:' || cast(i as varchar) || ':'
+                                    || cast(c_nationkey as varchar)), 1, 15)
+              as ubigint) % 256 as pos
+  from customer, unnest([0, 1, 2]) t(i)),
+flags as (
+  select c_custkey,
+         min(case when bp.pos is not null then 1 else 0 end) as pass,
+         max(case when c_nationkey in (select key from bkeys)
+                  then 1 else 0 end) as istrue
+  from ppos left join bpos bp using (pos)
+  group by c_custkey)
+select cast(count(*) as bigint) as n_probe,
+       cast(sum(pass) as bigint) as n_bloom_pass,
+       cast(sum(istrue) as bigint) as n_true_match,
+       cast(sum(case when pass = 1 and istrue = 0 then 1 else 0 end)
+            as bigint) as false_positives,
+       cast(sum(case when pass = 1 and istrue = 0 then 1 else 0 end)
+            as double) / cast(count(*) as double) as fp_rate
+from flags
+"""
+
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -5496,6 +5598,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q158_ngram_novelty": q158_ngram_novelty,
     "q159_cluster_keeper": q159_cluster_keeper,
     "q160_zone_map_pruning": q160_zone_map_pruning,
+    "q161_unpivot_metrics": q161_unpivot_metrics,
+    "q162_shard_balance": q162_shard_balance,
+    "q163_bloom_semi_audit": q163_bloom_semi_audit,
 }
 
 ORACLES: dict[str, str] = {
@@ -5659,4 +5764,7 @@ ORACLES: dict[str, str] = {
     "q158_ngram_novelty": ORACLE_Q158,
     "q159_cluster_keeper": ORACLE_Q159,
     "q160_zone_map_pruning": ORACLE_Q160,
+    "q161_unpivot_metrics": ORACLE_Q161,
+    "q162_shard_balance": ORACLE_Q162,
+    "q163_bloom_semi_audit": ORACLE_Q163,
 }

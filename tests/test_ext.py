@@ -2653,3 +2653,34 @@ def test_zone_map_pruning_audit(spark):
     assert audit.n_buckets == 4 and audit.prunable_buckets == 3
     assert audit.rows_total == 40 and audit.rows_skipped == 30
     assert audit.skip_fraction == 0.75
+
+
+def test_shard_balance_and_bloom_audit(spark):
+    from sparksync.ext import sampling, skew
+
+    docs = spark.createDataFrame(
+        [(i, 10 + i) for i in range(200)], "doc_id long, n_chars long"
+    )
+    shards = sampling.shard_balance_audit(docs, "doc_id", "n_chars", n_shards=4)
+    rows = shards.collect()
+    assert len(rows) == 4
+    assert sum(r.n_rows for r in rows) == 200
+    assert abs(sum(r.row_share for r in rows) - 1.0) < 1e-12
+    # portable hash: assignment is stable across calls
+    again = {r.shard: r.n_rows for r in
+             sampling.shard_balance_audit(docs, "doc_id", "n_chars",
+                                          n_shards=4).collect()}
+    assert again == {r.shard: r.n_rows for r in rows}
+
+    # bloom: membership via a 64-bit-word bitmap; zero false NEGATIVES
+    # by construction; duplicates in the probe count per-row
+    build = spark.createDataFrame([(i,) for i in range(5)], "k long")
+    probe = spark.createDataFrame(
+        [(i % 20,) for i in range(100)], "k long"
+    )
+    audit = skew.bloom_semi_join_audit(probe, build, "k", "k",
+                                       m_bits=64, k=3).first()
+    assert audit.n_probe == 100
+    assert audit.n_true_match == 25  # keys 0..4, five occurrences each
+    assert audit.n_bloom_pass >= audit.n_true_match  # no false negatives
+    assert audit.false_positives == audit.n_bloom_pass - audit.n_true_match
