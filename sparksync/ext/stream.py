@@ -428,3 +428,34 @@ def attribution_stream(events: DataFrame, target: str = "purchase") -> DataFrame
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def zone_map_stream(
+    rows: DataFrame,
+    bucket_col: str,
+    bucket_width: int,
+    value_col: str,
+) -> DataFrame:
+    """Streaming zone-map maintenance: keep per-bucket min/max/count
+    statistics live as data lands — the always-current file-skipping
+    index a 100 TB ingest pipeline consults instead of re-scanning
+    (compare.zone_map_stats is the batch build; this is its unbounded
+    twin). min/max/count are all commutative-mergeable, so state is one
+    row per bucket BY CONSTRUCTION (no watermark needed) and a drained
+    stream's table equals the batch build — asserted in tests.
+    Complete/update output mode feeds the planner's stats table."""
+    return (
+        rows.groupBy(
+            F.floor(F.col(bucket_col) / F.lit(bucket_width))
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min(value_col).alias(f"{value_col}_min"),
+            F.max(value_col).alias(f"{value_col}_max"),
+            F.sum(F.col(value_col).isNull().cast("long"))
+            .cast("long")
+            .alias(f"{value_col}_nulls"),
+        )
+    )

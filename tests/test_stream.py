@@ -481,3 +481,33 @@ def test_media_features_on_stream(spark, tmp_path):
     assert out[1].status == "decoded" and out[1].mean_g in range(198, 203)
     assert out[2].status == "decoded" and out[2].mean_g == 200.0
     assert out[3].status == "unsupported"
+
+
+def test_zone_map_stream_matches_batch(spark, tmp_path):
+    """The streamed zone-map table drained over the fixture equals the
+    batch zone_map_stats build — live file-skipping statistics with
+    one-row-per-bucket state."""
+    from sparksync.compare import zone_map_stats
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    src = str(tmp_path / "zm_in")
+    li.write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    s = spark.readStream.schema(schema).parquet(src)
+    q = (
+        stream.zone_map_stream(s, "l_orderkey", 1000, "l_shipdate")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("zone_map")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("select * from zone_map").collect()}
+    batch = {
+        tuple(r)
+        for r in zone_map_stats(li, "l_orderkey", 1000, "l_shipdate").collect()
+    }
+    assert got == batch and len(got) > 0
