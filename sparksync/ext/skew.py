@@ -503,3 +503,74 @@ def bloom_semi_join_audit(
         F.col("false_positives").cast("double")
         / F.col("n_probe").cast("double"),
     )
+
+
+def join_size_forecast(
+    a: DataFrame,
+    b: DataFrame,
+    key_a: str,
+    key_b: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Predict a join's output size BEFORE running it — the 'will this
+    join explode?' check a 100 TB planner wants as data, not as a
+    post-mortem. |A join B| = sum over shared keys of cnt_a * cnt_b,
+    computed from the two per-key count tables (each one
+    partial-aggregated shuffle over keys, never over rows); products
+    accumulate in decimal(38,0) so hot keys cannot wrap a long. Output:
+    the top_k contributing keys with their exact share of the
+    forecast — the keys to salt or filter first. (key, cnt_a, cnt_b,
+    out_rows, total_out, share), ordered by contribution."""
+    ca = a.groupBy(F.col(key_a).alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt_a")
+    )
+    cb = b.groupBy(F.col(key_b).alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt_b")
+    )
+    dec = "decimal(38,0)"
+    per = ca.join(cb, "key").withColumn(
+        "out_rows", F.col("cnt_a").cast(dec) * F.col("cnt_b").cast(dec)
+    )
+    tot = per.agg(F.sum("out_rows").alias("_t"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "cnt_a",
+            "cnt_b",
+            F.col("out_rows").cast("long").alias("out_rows"),
+            F.col("_t").cast("long").alias("total_out"),
+            (F.col("out_rows").cast("double") / F.col("_t").cast("double"))
+            .alias("share"),
+        )
+        .orderBy(F.desc("out_rows"), "key")
+        .limit(top_k)
+    )
+
+
+def salting_effectiveness(
+    df: DataFrame,
+    key_col: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Model what salting would buy BEFORE rewriting the job: the
+    hottest key's row count is the single-task lower bound of an
+    unsalted shuffle; splitting every key across n_salts caps any
+    (key, salt) task at ceil(cnt / n_salts). One per-key count
+    aggregate, one tiny reduction — the decision row for
+    ext/skew.salted_* (counts < 2^52 so the ceil's double division is
+    exact; beyond that the model is moot anyway). Output: one row
+    (n_keys, rows_total, max_key_rows, post_salt_max, speedup)."""
+    cnts = df.groupBy(key_col).agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    return cnts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("_c").cast("long").alias("rows_total"),
+        F.max("_c").cast("long").alias("max_key_rows"),
+        F.max(F.ceil(F.col("_c").cast("double") / F.lit(n_salts)))
+        .cast("long")
+        .alias("post_salt_max"),
+    ).withColumn(
+        "speedup",
+        F.col("max_key_rows").cast("double")
+        / F.col("post_salt_max").cast("double"),
+    )

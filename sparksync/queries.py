@@ -5437,6 +5437,96 @@ from flags
 
 
 
+def q164_join_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size forecast (ext/skew.join_size_forecast): predicted
+    |orders x lineitem on custkey-side keys| from the two per-key
+    count tables — products in decimal(38,0), exact shares, top-10
+    contributing keys."""
+    from .ext import skew
+
+    return skew.join_size_forecast(
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+        "o_orderkey",
+        "l_orderkey",
+    )
+
+
+ORACLE_Q164 = """
+with ca as (select o_orderkey as key, cast(count(*) as bigint) as cnt_a
+            from orders group by 1),
+cb as (select l_orderkey as key, cast(count(*) as bigint) as cnt_b
+       from lineitem group by 1),
+per as (select key, cnt_a, cnt_b,
+               cast(cnt_a as hugeint) * cast(cnt_b as hugeint) as o
+        from ca join cb using (key)),
+tot as (select sum(o) as t from per)
+select key, cnt_a, cnt_b, cast(o as bigint) as out_rows,
+       cast(t as bigint) as total_out,
+       cast(o as double) / cast(t as double) as share
+from per cross join tot
+order by o desc, key
+limit 10
+"""
+
+
+def q165_salting_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salting-effectiveness model (ext/skew.salting_effectiveness):
+    what splitting every key across 8 salts buys the events
+    user-shuffle — hottest-task row count before/after, one speedup
+    division."""
+    from .ext import skew
+
+    return skew.salting_effectiveness(
+        load(spark, sf_dir, "events"), "user_id", n_salts=8
+    )
+
+
+ORACLE_Q165 = """
+with c as (select user_id, cast(count(*) as bigint) as c
+           from events group by user_id)
+select cast(count(*) as bigint) as n_keys,
+       cast(sum(c) as bigint) as rows_total,
+       cast(max(c) as bigint) as max_key_rows,
+       cast(max(ceil(cast(c as double) / 8)) as bigint) as post_salt_max,
+       cast(max(c) as double)
+         / cast(max(ceil(cast(c as double) / 8)) as double) as speedup
+from c
+"""
+
+
+def q166_partial_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Algebraic materialized-view maintenance (compare.
+    partial_daily_aggregates |> merge_partials): month-grain order
+    stats REBUILT from day-grain partials — the oracle aggregates the
+    raw rows directly, so the hash check IS the merge-correctness
+    identity."""
+    from . import compare as comparemod
+
+    o = load(spark, sf_dir, "orders")
+    cents = (_dec("o_totalprice") * 100).cast("long")
+    daily = comparemod.partial_daily_aggregates(
+        o, "o_orderpriority", "o_orderdate", cents
+    )
+    return comparemod.merge_partials(daily, "o_orderpriority", "month")
+
+
+ORACLE_Q166 = """
+select o_orderpriority,
+       cast(date_trunc('month', cast(o_orderdate as date)) as date) as period,
+       cast(count(*) as bigint) as cnt,
+       cast(sum(cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint))
+            as bigint) as sum,
+       cast(min(cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint))
+            as bigint) as min,
+       cast(max(cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint))
+            as bigint) as max
+from orders
+group by 1, 2
+"""
+
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -5601,6 +5691,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q161_unpivot_metrics": q161_unpivot_metrics,
     "q162_shard_balance": q162_shard_balance,
     "q163_bloom_semi_audit": q163_bloom_semi_audit,
+    "q164_join_forecast": q164_join_forecast,
+    "q165_salting_model": q165_salting_model,
+    "q166_partial_agg_merge": q166_partial_agg_merge,
 }
 
 ORACLES: dict[str, str] = {
@@ -5767,4 +5860,7 @@ ORACLES: dict[str, str] = {
     "q161_unpivot_metrics": ORACLE_Q161,
     "q162_shard_balance": ORACLE_Q162,
     "q163_bloom_semi_audit": ORACLE_Q163,
+    "q164_join_forecast": ORACLE_Q164,
+    "q165_salting_model": ORACLE_Q165,
+    "q166_partial_agg_merge": ORACLE_Q166,
 }

@@ -2684,3 +2684,46 @@ def test_shard_balance_and_bloom_audit(spark):
     assert audit.n_true_match == 25  # keys 0..4, five occurrences each
     assert audit.n_bloom_pass >= audit.n_true_match  # no false negatives
     assert audit.false_positives == audit.n_bloom_pass - audit.n_true_match
+
+
+def test_join_forecast_and_salting_model(spark):
+    from sparksync.ext import skew
+
+    a = spark.createDataFrame(
+        [(1,)] * 10 + [(2,)] * 2 + [(3,)] * 1, "k long"
+    )
+    b = spark.createDataFrame([(1,)] * 5 + [(2,)] * 4, "k long")
+    fc = {r.key: r for r in
+          skew.join_size_forecast(a, b, "k", "k", top_k=5).collect()}
+    assert fc[1].out_rows == 50 and fc[2].out_rows == 8
+    assert fc[1].total_out == 58 and 3 not in fc  # no match -> no row
+    assert abs(fc[1].share - 50 / 58) < 1e-15
+    # the forecast equals the realized join size
+    assert a.join(b, "k").count() == 58
+
+    m = skew.salting_effectiveness(a, "k", n_salts=4).first()
+    assert m.max_key_rows == 10 and m.post_salt_max == 3  # ceil(10/4)
+    assert m.n_keys == 3 and m.rows_total == 13
+    assert m.speedup == 10 / 3
+
+
+def test_partial_agg_merge_identity(spark):
+    """Merged day-grain partials == a direct month aggregate, exactly
+    (the algebraic-MV identity)."""
+    from datetime import datetime
+
+    from sparksync.compare import merge_partials, partial_daily_aggregates
+
+    rows = [
+        ("a", datetime(2026, 1, 1), 10), ("a", datetime(2026, 1, 2), 30),
+        ("a", datetime(2026, 2, 1), 7), ("b", datetime(2026, 1, 15), 5),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v long")
+    daily = partial_daily_aggregates(df, "g", "ts", "v")
+    merged = {(r.g, str(r.period)): (r.cnt, r.sum, r.min, r.max)
+              for r in merge_partials(daily, "g", "month").collect()}
+    assert merged == {
+        ("a", "2026-01-01"): (2, 40, 10, 30),
+        ("a", "2026-02-01"): (1, 7, 7, 7),
+        ("b", "2026-01-01"): (1, 5, 5, 5),
+    }
