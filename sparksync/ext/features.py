@@ -716,3 +716,48 @@ def ols_by_group(
     return out.select(
         group_col, "n", "slope", intercept.alias("intercept")
     )
+
+
+def reference_percentile(
+    df: DataFrame,
+    ref: DataFrame,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Each row's EXACT percentile within a REFERENCE distribution —
+    cross-corpus score calibration (where does this doc's quality sit
+    against the vetted corpus?) without ever sorting the probe side
+    against the reference. The merge trick: reference value-counts and
+    distinct probe values union into ONE relation; a global_cumsum
+    ordered by (value, probe-after-ref) evaluated at the probe rows is
+    exactly |ref <= value| (ref rows sort first on ties, so the count
+    is inclusive); one broadcast of the distinct-value percentile map
+    back to the probe rows; ONE final division. All integers until
+    the division. Output: df's (id, value) + (ref_n, pct)."""
+    v = F.col(value_col).cast("long")
+    ref_counts = ref.select(v.alias("_v")).groupBy("_v").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    probe_vals = df.select(v.alias("_v")).distinct().withColumn(
+        "_c", F.lit(0).cast("long")
+    )
+    merged = ref_counts.withColumn("_probe", F.lit(0)).unionByName(
+        probe_vals.withColumn("_probe", F.lit(1))
+    )
+    cum = global_cumsum(merged, ["_v", "_probe"], "_c", "_le")
+    pct_map = cum.where(F.col("_probe") == 1).select(
+        F.col("_v"), F.col("_le").cast("long").alias("_le")
+    )
+    ref_n = ref.agg(F.count(F.lit(1)).cast("long").alias("ref_n"))
+    return (
+        df.select(F.col(id_col), v.alias(value_col))
+        .join(pct_map.withColumnRenamed("_v", value_col), value_col)
+        .crossJoin(F.broadcast(ref_n))
+        .select(
+            id_col,
+            value_col,
+            "ref_n",
+            (F.col("_le").cast("double") / F.col("ref_n").cast("double"))
+            .alias("pct"),
+        )
+    )

@@ -233,3 +233,50 @@ def triangle_count(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
     )
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    src: str = "d1",
+    dst: str = "d2",
+) -> DataFrame:
+    """Local clustering coefficient per node: closed triangles over
+    possible wedges, triangles / (deg*(deg-1)/2) — how clique-like
+    each node's neighborhood is (community cores vs bridges). Degrees
+    come from one explode+groupBy over the (deduplicated, undirected)
+    edge list; triangles ride triangle_count's degree-ordered
+    orientation; ONE final division over exact longs. Nodes of degree
+    < 2 have no wedges and report 0.0. Output: (node, degree,
+    triangles, coefficient)."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("x"),
+            F.greatest(F.col(src), F.col(dst)).alias("y"),
+        )
+        .where(F.col("x") != F.col("y"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.explode(F.array("x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    tri = triangle_count(e, "x", "y").withColumnRenamed(
+        "triangles", "_t"
+    )
+    wedges = F.col("degree") * (F.col("degree") - 1) / F.lit(2)
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("_t", F.lit(0)).cast("long").alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.coalesce("_t", F.lit(0)).cast("double")
+                / wedges.cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("coefficient"),
+        )
+    )

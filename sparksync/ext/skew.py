@@ -574,3 +574,58 @@ def salting_effectiveness(
         F.col("max_key_rows").cast("double")
         / F.col("post_salt_max").cast("double"),
     )
+
+
+def quantile_error_audit(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    rate: float = 0.2,
+) -> DataFrame:
+    """Accuracy audit of the hash-sampled quantile profile: for each
+    group and profile quantile (p25/p50/p75/p95), the sampled edge's
+    TRUE rank error |{v <= edge}|/n - p, measured exactly against the
+    full data — the check that says whether the one-pass approximate
+    profile is good enough to replace the exact sort at 100 TB (pair
+    with bloom_semi_join_audit and pruning_audit: measure the
+    shortcut, don't trust it). Sampling is md5-portable
+    (sampled_quantiles); the profile's wide row unpivots to (p, edge);
+    the rank count is one broadcast-join aggregate over exact longs;
+    ONE final division. Output: (group, p, edge, n_rows, rank_le,
+    rank_error)."""
+    sq = sampled_quantiles(df, group_col, value_col, id_col, rate=rate)
+    long_form = sq.unpivot(
+        [group_col], ["p25", "p50", "p75", "p95"], "pname", "edge"
+    ).withColumn(
+        "p",
+        F.when(F.col("pname") == "p25", 0.25)
+        .when(F.col("pname") == "p50", 0.5)
+        .when(F.col("pname") == "p75", 0.75)
+        .otherwise(0.95),
+    )
+    edges = long_form.select(
+        F.col(group_col).alias("_g"), "p", F.col("edge").alias("_e")
+    )
+    joined = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).join(F.broadcast(edges), "_g")
+    per = joined.groupBy("_g", "p", "_e").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum((F.col("_v") <= F.col("_e")).cast("long"))
+        .cast("long")
+        .alias("rank_le"),
+    )
+    err = (
+        F.col("rank_le").cast("double") / F.col("n_rows").cast("double")
+        - F.col("p")
+    )
+    return per.select(
+        F.col("_g").alias(group_col),
+        "p",
+        F.col("_e").alias("edge"),
+        "n_rows",
+        "rank_le",
+        F.abs(err).alias("rank_error"),
+    )

@@ -1023,3 +1023,31 @@ def ngram_novelty(
             / F.col("n_shingles").cast("double"),
         )
     )
+
+
+def encoding_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Encoding / mojibake QA: per doc, the count of printable-ASCII
+    chars vs everything else plus a U+FFFD replacement-char count —
+    the cheap narrow-map gate that catches a crawler decoding with the
+    wrong charset before the text poisons a mix. Portable regex subset
+    only ([ -~] is the printable-ASCII class in both RE2 and Java
+    regex); integers until one division. Output: (doc_id, n_chars,
+    ascii_chars, non_ascii, replacement_chars, ascii_ratio, flag)."""
+    t = F.col(text_col)
+    n = F.length(t).cast("long")
+    ascii_n = F.length(F.regexp_replace(t, "[^ -~]", "")).cast("long")
+    repl = (
+        n - F.length(F.regexp_replace(t, "�", ""))
+    ).cast("long")
+    ratio = F.when(n > 0, ascii_n.cast("double") / n.cast("double")).otherwise(
+        F.lit(1.0)
+    )
+    return df.select(
+        F.col("doc_id"),
+        n.alias("n_chars"),
+        ascii_n.alias("ascii_chars"),
+        (n - ascii_n).alias("non_ascii"),
+        repl.alias("replacement_chars"),
+        ratio.alias("ascii_ratio"),
+        ((ratio >= 0.8) & (repl == 0)).cast("long").alias("flag_ok"),
+    )

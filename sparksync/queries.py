@@ -5527,6 +5527,157 @@ group by 1, 2
 
 
 
+def q167_reference_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus score calibration (ext/features.
+    reference_percentile): every document's n_chars percentile within
+    the lang='en' reference subset — the global_cumsum merge trick, no
+    sort of probe-vs-reference, exact until one division."""
+    from .ext import features
+
+    docs = load(spark, sf_dir, "documents")
+    return features.reference_percentile(
+        docs, docs.where(F.col("lang") == "en"), "n_chars", "doc_id"
+    )
+
+
+ORACLE_Q167 = """
+with ref as (select cast(n_chars as bigint) as v from documents
+             where lang = 'en'),
+refn as (select cast(count(*) as bigint) as n from ref),
+cumt as (select v, cast(count(*) as bigint) as c from ref group by v),
+probe as (select doc_id, cast(n_chars as bigint) as n_chars from documents)
+select p.doc_id, p.n_chars, refn.n as ref_n,
+       cast((select coalesce(sum(c), 0) from cumt where cumt.v <= p.n_chars)
+            as double) / cast(refn.n as double) as pct
+from probe p cross join refn
+"""
+
+
+def q168_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient of the brand co-purchase graph
+    (ext/graph.clustering_coefficient over q113's basket pairs):
+    triangles / wedges per node, degree-ordered triangle enumeration,
+    one exact division."""
+    from .ext import features, graph
+
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    baskets = li.join(
+        F.broadcast(p.select("p_partkey", "p_brand")),
+        li.l_partkey == p.p_partkey,
+    ).select("l_orderkey", "p_brand")
+    edges = features.cooccurrence_lift(baskets, "l_orderkey", "p_brand")
+    return graph.clustering_coefficient(edges, "item_a", "item_b")
+
+
+ORACLE_Q168 = """
+with items as (
+  select distinct l_orderkey, p_brand
+  from lineitem join part on l_partkey = p_partkey),
+pairs as (
+  select a.p_brand as x, b.p_brand as y
+  from items a join items b using (l_orderkey)
+  where a.p_brand < b.p_brand
+  group by 1, 2
+  having count(*) >= 2),
+deg as (
+  select node, cast(count(*) as bigint) as degree
+  from (select x as node from pairs union all select y from pairs)
+  group by node),
+tri as (
+  select e1.x, e1.y, e2.y as z
+  from pairs e1
+  join pairs e2 on e1.y = e2.x
+  join pairs e3 on e3.x = e1.x and e3.y = e2.y),
+tcnt as (
+  select node, cast(count(*) as bigint) as t
+  from (select x as node from tri
+        union all select y from tri
+        union all select z from tri)
+  group by node)
+select d.node, d.degree, cast(coalesce(t.t, 0) as bigint) as triangles,
+       case when d.degree >= 2
+            then cast(coalesce(t.t, 0) as double)
+                 / (cast(d.degree as double) * cast(d.degree - 1 as double) / 2)
+            else 0.0 end as coefficient
+from deg d left join tcnt t on t.node = d.node
+"""
+
+
+def q169_encoding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding / mojibake QA (ext/textops.encoding_profile): printable-
+    ASCII vs non-ASCII vs U+FFFD counts per doc, narrow codegen map,
+    one division."""
+    return textops.encoding_profile(load(spark, sf_dir, "documents"))
+
+
+ORACLE_Q169 = """
+select doc_id,
+       cast(length(text) as bigint) as n_chars,
+       cast(length(regexp_replace(text, '[^ -~]', '', 'g')) as bigint)
+         as ascii_chars,
+       cast(length(text) - length(regexp_replace(text, '[^ -~]', '', 'g'))
+            as bigint) as non_ascii,
+       cast(length(text) - length(replace(text, chr(65533), ''))
+            as bigint) as replacement_chars,
+       case when length(text) > 0
+            then cast(length(regexp_replace(text, '[^ -~]', '', 'g'))
+                      as double) / cast(length(text) as double)
+            else 1.0 end as ascii_ratio,
+       cast(case when (case when length(text) > 0
+                  then cast(length(regexp_replace(text, '[^ -~]', '', 'g'))
+                            as double) / cast(length(text) as double)
+                  else 1.0 end) >= 0.8
+             and length(text) = length(replace(text, chr(65533), ''))
+            then 1 else 0 end as bigint) as flag_ok
+from documents
+"""
+
+
+def q170_quantile_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit (ext/skew.quantile_error_audit): the
+    hash-sampled quantile profile's true rank error per event_type and
+    quantile, measured exactly against the full events table — the
+    companion honesty check to q98's profile itself."""
+    from .ext import skew
+
+    return skew.quantile_error_audit(
+        load(spark, sf_dir, "events"), "event_type", "value", "event_id"
+    )
+
+
+ORACLE_Q170 = """
+with s as (
+  select event_type, cast(value as double) as v
+  from events
+  where cast(cast('0x' || substring(md5('sq|' || cast(event_id as varchar)),
+                                    1, 15) as ubigint) as bigint)
+        < 230584300921369408),
+prof as (
+  select event_type,
+         quantile_cont(v, 0.25) as p25, quantile_cont(v, 0.5) as p50,
+         quantile_cont(v, 0.75) as p75, quantile_cont(v, 0.95) as p95
+  from s group by event_type),
+long_form as (
+  select event_type, 0.25 as p, p25 as edge from prof
+  union all select event_type, 0.5, p50 from prof
+  union all select event_type, 0.75, p75 from prof
+  union all select event_type, 0.95, p95 from prof),
+per as (
+  select e.event_type, lf.p, lf.edge,
+         cast(count(*) as bigint) as n_rows,
+         cast(sum(case when cast(e.value as double) <= lf.edge
+                       then 1 else 0 end) as bigint) as rank_le
+  from events e join long_form lf using (event_type)
+  group by 1, 2, 3)
+select event_type, p, edge, n_rows, rank_le,
+       abs(cast(rank_le as double) / cast(n_rows as double) - p)
+         as rank_error
+from per
+"""
+
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -5694,6 +5845,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q164_join_forecast": q164_join_forecast,
     "q165_salting_model": q165_salting_model,
     "q166_partial_agg_merge": q166_partial_agg_merge,
+    "q167_reference_percentile": q167_reference_percentile,
+    "q168_clustering_coefficient": q168_clustering_coefficient,
+    "q169_encoding_profile": q169_encoding_profile,
+    "q170_quantile_error_audit": q170_quantile_error_audit,
 }
 
 ORACLES: dict[str, str] = {
@@ -5863,4 +6018,8 @@ ORACLES: dict[str, str] = {
     "q164_join_forecast": ORACLE_Q164,
     "q165_salting_model": ORACLE_Q165,
     "q166_partial_agg_merge": ORACLE_Q166,
+    "q167_reference_percentile": ORACLE_Q167,
+    "q168_clustering_coefficient": ORACLE_Q168,
+    "q169_encoding_profile": ORACLE_Q169,
+    "q170_quantile_error_audit": ORACLE_Q170,
 }

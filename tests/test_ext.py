@@ -2727,3 +2727,62 @@ def test_partial_agg_merge_identity(spark):
         ("a", "2026-02-01"): (1, 7, 7, 7),
         ("b", "2026-01-01"): (1, 5, 5, 5),
     }
+
+
+def test_reference_percentile_merge_trick(spark):
+    """Probe values calibrate against the reference exactly, including
+    ties (inclusive <=) and values outside the reference range."""
+    from sparksync.ext import features
+
+    ref = spark.createDataFrame([(v,) for v in (10, 20, 20, 30)], "v long")
+    probe = spark.createDataFrame(
+        [(1, 5), (2, 20), (3, 25), (4, 99)], "id long, v long"
+    )
+    out = {r.id: r.pct for r in
+           features.reference_percentile(probe, ref, "v", "id").collect()}
+    assert out == {1: 0.0, 2: 0.75, 3: 0.75, 4: 1.0}
+
+
+def test_clustering_coefficient_triangle_plus_tail(spark):
+    """A triangle with one pendant edge: the apex has degree 3 and one
+    closed wedge of three -> 1/3; triangle corners are fully closed;
+    the pendant has degree 1 -> 0.0."""
+    from sparksync.ext import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "d1 long, d2 long"
+    )
+    out = {r.node: r for r in
+           graph.clustering_coefficient(edges).collect()}
+    assert out[1].coefficient == 1.0 and out[2].coefficient == 1.0
+    assert out[3].degree == 3 and out[3].coefficient == 1 / 3
+    assert out[4].degree == 1 and out[4].coefficient == 0.0
+
+
+def test_encoding_profile_flags(spark):
+    from sparksync.ext import textops
+
+    docs = spark.createDataFrame(
+        [(1, "plain ascii text"), (2, "café au lait"),
+         (3, "bad � bytes"), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textops.encoding_profile(docs).collect()}
+    assert out[1].flag_ok == 1 and out[1].non_ascii == 0
+    assert out[2].non_ascii == 1 and out[2].replacement_chars == 0
+    assert out[3].replacement_chars == 1 and out[3].flag_ok == 0
+    assert out[4].ascii_ratio == 1.0 and out[4].flag_ok == 1
+
+
+def test_quantile_error_audit_bounds(spark):
+    """Every profile quantile's measured rank error is a valid
+    fraction, and at rate=1.0 (sample == population) the p50 edge's
+    error is small by construction."""
+    from sparksync.ext import skew
+
+    rows = [("g", float(i), i) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "g string, value double, id long")
+    out = skew.quantile_error_audit(df, "g", "value", "id", rate=1.0).collect()
+    assert {r.p for r in out} == {0.25, 0.5, 0.75, 0.95}
+    for r in out:
+        assert 0.0 <= r.rank_error <= 0.01 and r.n_rows == 100
