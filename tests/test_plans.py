@@ -630,3 +630,30 @@ def test_minhash_single_signature_pass(spark):
     # partial_min_by is fine and must not trip this
     assert "partial_min((" not in live
     features.release_pinned()
+
+
+def test_round5_queries_no_cartesian(spark):
+    """q153-q170: no unbounded CartesianProduct anywhere (the only
+    nested-loop joins allowed are broadcast one-row/tiny-relation
+    crossJoins), and the bloom audit's bitmap lookup is a broadcast
+    hash join, never a shuffle of the probe side against the bitmap."""
+    from sparksync.ext import features
+
+    features.release_pinned()
+    new_qs = [
+        "q153_ols_trend", "q154_cumulative_uniques",
+        "q155_new_vs_returning", "q156_twap", "q157_vocab_growth",
+        "q158_ngram_novelty", "q159_cluster_keeper",
+        "q160_zone_map_pruning", "q161_unpivot_metrics",
+        "q162_shard_balance", "q163_bloom_semi_audit",
+        "q164_join_forecast", "q165_salting_model",
+        "q166_partial_agg_merge", "q167_reference_percentile",
+        "q168_clustering_coefficient", "q169_encoding_profile",
+        "q170_quantile_error_audit",
+    ]
+    for q in new_qs:
+        plan = plan_of(QUERIES[q](spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, q
+    bloom = plan_of(QUERIES["q163_bloom_semi_audit"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in bloom
+    features.release_pinned()
