@@ -748,3 +748,31 @@ def time_weighted_average(
             / F.sum("_gap").cast("double")
         ).alias("twap"),
     )
+
+
+def calendar_gaps(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Data-completeness monitor: for each group, the calendar days
+    between its first and last activity with NO rows — the silence
+    that means a crawler or pipeline stage died. Per-group min/max
+    (one partial agg), a sequence() explode over the day span
+    (calendar-sized, not data-sized), then one anti-join against the
+    observed days. Output: (group, missing_day), one row per hole."""
+    days = df.select(
+        F.col(group_col), F.to_date(F.col(ts_col)).alias("_day")
+    ).distinct()
+    span = days.groupBy(group_col).agg(
+        F.min("_day").alias("_lo"), F.max("_day").alias("_hi")
+    )
+    all_days = span.select(
+        group_col,
+        F.explode(F.sequence("_lo", "_hi")).alias("missing_day"),
+    )
+    return all_days.join(
+        days.withColumnRenamed("_day", "missing_day"),
+        [group_col, "missing_day"],
+        "left_anti",
+    )

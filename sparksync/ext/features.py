@@ -761,3 +761,55 @@ def reference_percentile(
             .alias("pct"),
         )
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list,
+    k: int = 5,
+) -> DataFrame:
+    """Privacy-release gate: how much of the table sits in
+    quasi-identifier groups smaller than k — the k-anonymity check run
+    BEFORE a dataset leaves the boundary. One groupBy over the
+    quasi-identifier tuple, one tiny reduction, exact integers and one
+    share division. Output: one row (k, n_rows, n_groups,
+    groups_below_k, rows_at_risk, at_risk_share)."""
+    g = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    return g.agg(
+        F.lit(k).cast("long").alias("k"),
+        F.sum("_n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum((F.col("_n") < k).cast("long")).cast("long").alias(
+            "groups_below_k"
+        ),
+        F.sum(F.when(F.col("_n") < k, F.col("_n")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+    ).withColumn(
+        "at_risk_share",
+        F.col("rows_at_risk").cast("double") / F.col("n_rows").cast("double"),
+    )
+
+
+def mode_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Exact statistical mode per group with a deterministic tiebreak
+    (highest count, then smallest value) — the replayable version of
+    engine MODE() aggregates, whose tie choice is implementation-
+    defined. Two partial-agg shuffles ((group, value) counts, then one
+    min_by per group over the (-count, value) struct — struct ordering
+    gives 'largest count, then smallest value' in one aggregate).
+    Output: (group, mode_value, mode_count)."""
+    cnt = df.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    key = F.struct((-F.col("_c")).alias("nc"), F.col(value_col).alias("v"))
+    return cnt.groupBy(group_col).agg(
+        F.min_by(F.col(value_col), key).alias("mode_value"),
+        F.max("_c").alias("mode_count"),
+    )
