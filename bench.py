@@ -50,6 +50,11 @@ HEADLINE = [
     "q111_rfm_segments",
     "q118_bm25",
     "q120_editdist_pairs",
+    # round-6 additions (VERDICT r5 #6): the dedup-decision capstone
+    # (LSH pairs -> connected components -> quality keeper, the heaviest
+    # round-5 pipeline) and the global_cumsum percentile merge
+    "q159_cluster_keeper",
+    "q167_reference_percentile",
 ]
 
 

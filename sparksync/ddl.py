@@ -32,11 +32,35 @@ def q_oracle(name: str) -> str:
     return '"' + name.replace('"', '""') + '"'
 
 
+# SQL:2016 / common-engine reserved words that appear as table or
+# column names in real schemas; a bare-lowercase render of these is
+# invalid DDL in the ansi arm (ADVICE r5). Kept deliberately small —
+# quoting everything would break Derby's unquoted case-folding
+# round-trip, so only collisions and non-plain identifiers get quotes.
+_ANSI_RESERVED = frozenset(
+    """all alter and any as asc between by case cast check column
+    constraint create cross current_date current_time current_timestamp
+    current_user default delete desc distinct drop else end escape
+    except exists fetch for foreign from full grant group having in
+    index inner insert intersect into is join key leading left like
+    natural not null on or order outer primary references right row
+    rows select session_user set some table then to trailing union
+    unique update user using values view when where with year""".split()
+)
+
+
 def q_ansi(name: str) -> str:
     """ANSI dialect: bare lowercase identifiers, matching
     sink.JdbcSink._ident's ansi arm (Derby case-folds unquoted names,
-    so bare-lowercase round-trips cleanly)."""
-    return name.lower()
+    so bare-lowercase round-trips cleanly). Reserved words and
+    non-plain identifiers are double-quoted — a bare `order` or
+    `user` column would otherwise render invalid DDL (ADVICE r5)."""
+    lower = name.lower()
+    import re
+
+    if lower in _ANSI_RESERVED or not re.fullmatch(r"[a-z_][a-z0-9_]*", lower):
+        return '"' + name.upper().replace('"', '""') + '"'
+    return lower
 
 
 def _q(dialect: str):

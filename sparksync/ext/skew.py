@@ -517,10 +517,13 @@ def join_size_forecast(
     post-mortem. |A join B| = sum over shared keys of cnt_a * cnt_b,
     computed from the two per-key count tables (each one
     partial-aggregated shuffle over keys, never over rows); products
-    accumulate in decimal(38,0) so hot keys cannot wrap a long. Output:
-    the top_k contributing keys with their exact share of the
-    forecast — the keys to salt or filter first. (key, cnt_a, cnt_b,
-    out_rows, total_out, share), ordered by contribution."""
+    accumulate AND are emitted in decimal(38,0) so hot keys cannot wrap
+    a long anywhere in the pipeline (ADVICE r5: a long output cast
+    would silently NULL beyond 2^63 forecast rows — the exact scenario
+    this forecast exists to catch). Output: the top_k contributing keys
+    with their exact share of the forecast — the keys to salt or filter
+    first. (key, cnt_a, cnt_b, out_rows, total_out, share), ordered by
+    contribution."""
     ca = a.groupBy(F.col(key_a).alias("key")).agg(
         F.count(F.lit(1)).cast("long").alias("cnt_a")
     )
@@ -538,8 +541,8 @@ def join_size_forecast(
             "key",
             "cnt_a",
             "cnt_b",
-            F.col("out_rows").cast("long").alias("out_rows"),
-            F.col("_t").cast("long").alias("total_out"),
+            F.col("out_rows").cast("decimal(38,0)").alias("out_rows"),
+            F.col("_t").cast("decimal(38,0)").alias("total_out"),
             (F.col("out_rows").cast("double") / F.col("_t").cast("double"))
             .alias("share"),
         )

@@ -5461,8 +5461,8 @@ per as (select key, cnt_a, cnt_b,
                cast(cnt_a as hugeint) * cast(cnt_b as hugeint) as o
         from ca join cb using (key)),
 tot as (select sum(o) as t from per)
-select key, cnt_a, cnt_b, cast(o as bigint) as out_rows,
-       cast(t as bigint) as total_out,
+select key, cnt_a, cnt_b, cast(o as decimal(38,0)) as out_rows,
+       cast(t as decimal(38,0)) as total_out,
        cast(o as double) / cast(t as double) as share
 from per cross join tot
 order by o desc, key
@@ -5659,10 +5659,10 @@ prof as (
          quantile_cont(v, 0.75) as p75, quantile_cont(v, 0.95) as p95
   from s group by event_type),
 long_form as (
-  select event_type, 0.25 as p, p25 as edge from prof
-  union all select event_type, 0.5, p50 from prof
-  union all select event_type, 0.75, p75 from prof
-  union all select event_type, 0.95, p95 from prof),
+  select event_type, cast(0.25 as double) as p, p25 as edge from prof
+  union all select event_type, cast(0.5 as double), p50 from prof
+  union all select event_type, cast(0.75 as double), p75 from prof
+  union all select event_type, cast(0.95 as double), p95 from prof),
 per as (
   select e.event_type, lf.p, lf.edge,
          cast(count(*) as bigint) as n_rows,
@@ -5674,6 +5674,92 @@ select event_type, p, edge, n_rows, rank_le,
        abs(cast(rank_le as double) / cast(n_rows as double) - p)
          as rank_error
 from per
+"""
+
+
+def q171_calendar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-completeness monitor (ext/asof.calendar_gaps): per user,
+    every calendar day inside that user's own [first, last] activity
+    span with NO events — the silence that means a crawler or
+    pipeline stage died. Grouped by user_id (event_type spans are
+    gap-free at every SF — a 0-row gate proves nothing); the explode
+    is calendar-sized (days in span), never data-sized."""
+    from .ext import asof
+
+    return asof.calendar_gaps(load(spark, sf_dir, "events"), "user_id", "ts")
+
+
+ORACLE_Q171 = """
+with days as (
+  select distinct user_id, cast(ts as date) as d from events),
+span as (
+  select user_id, min(d) as lo, max(d) as hi from days group by 1),
+allday as (
+  select user_id,
+         cast(unnest(generate_series(cast(lo as timestamp),
+                                     cast(hi as timestamp),
+                                     interval 1 day)) as date) as missing_day
+  from span)
+select a.user_id, a.missing_day
+from allday a
+left join days dd
+  on a.user_id = dd.user_id and a.missing_day = dd.d
+where dd.d is null
+"""
+
+
+def q172_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-release gate (ext/features.k_anonymity_audit): share of
+    customer rows sitting in (nation, market-segment) quasi-identifier
+    groups smaller than k=5 — the k-anonymity audit run before a
+    dataset leaves the boundary. One groupBy + one tiny reduction."""
+    from .ext import features
+
+    return features.k_anonymity_audit(
+        load(spark, sf_dir, "customer"), ["c_nationkey", "c_mktsegment"], k=5
+    )
+
+
+ORACLE_Q172 = """
+with g as (
+  select c_nationkey, c_mktsegment, cast(count(*) as bigint) as _n
+  from customer group by 1, 2)
+select cast(5 as bigint) as k,
+       cast(sum(_n) as bigint) as n_rows,
+       cast(count(*) as bigint) as n_groups,
+       cast(sum(case when _n < 5 then 1 else 0 end) as bigint)
+         as groups_below_k,
+       cast(sum(case when _n < 5 then _n else 0 end) as bigint)
+         as rows_at_risk,
+       cast(sum(case when _n < 5 then _n else 0 end) as double)
+         / cast(sum(_n) as double) as at_risk_share
+from g
+"""
+
+
+def q173_mode_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group mode with a deterministic tiebreak
+    (ext/features.mode_by_group): the most frequent order status per
+    priority, ties broken toward the smallest value — the replayable
+    version of engine MODE() aggregates whose tie choice is
+    implementation-defined. Two partial-agg shuffles, no window."""
+    from .ext import features
+
+    return features.mode_by_group(
+        load(spark, sf_dir, "orders"), "o_orderpriority", "o_orderstatus"
+    )
+
+
+ORACLE_Q173 = """
+with cnt as (
+  select o_orderpriority, o_orderstatus, cast(count(*) as bigint) as _c
+  from orders group by 1, 2),
+r as (
+  select *, row_number() over (
+    partition by o_orderpriority order by _c desc, o_orderstatus asc) as rn
+  from cnt)
+select o_orderpriority, o_orderstatus as mode_value, _c as mode_count
+from r where rn = 1
 """
 
 
@@ -5849,6 +5935,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q168_clustering_coefficient": q168_clustering_coefficient,
     "q169_encoding_profile": q169_encoding_profile,
     "q170_quantile_error_audit": q170_quantile_error_audit,
+    "q171_calendar_gaps": q171_calendar_gaps,
+    "q172_k_anonymity_audit": q172_k_anonymity_audit,
+    "q173_mode_by_group": q173_mode_by_group,
 }
 
 ORACLES: dict[str, str] = {
@@ -6022,4 +6111,7 @@ ORACLES: dict[str, str] = {
     "q168_clustering_coefficient": ORACLE_Q168,
     "q169_encoding_profile": ORACLE_Q169,
     "q170_quantile_error_audit": ORACLE_Q170,
+    "q171_calendar_gaps": ORACLE_Q171,
+    "q172_k_anonymity_audit": ORACLE_Q172,
+    "q173_mode_by_group": ORACLE_Q173,
 }

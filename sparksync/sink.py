@@ -194,7 +194,11 @@ class JdbcSink:
         self.dialect = dialect
 
     def _ident(self, name: str) -> str:
-        return f"`{name.lower()}`" if self.dialect == "mysql" else name.lower()
+        if self.dialect == "mysql":
+            return f"`{name.lower()}`"
+        from .ddl import q_ansi  # reserved words get quoted (ADVICE r5)
+
+        return q_ansi(name)
 
     def read(self, table: str) -> DataFrame:
         """Read the target table back (compare phase, EP2). Column names

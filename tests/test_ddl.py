@@ -131,3 +131,22 @@ def test_ansi_dialect_renderings():
         "alter table t alter column id set generated always as identity;",
     ]
     assert ddl.auto_increment_sql("t", "BEGIN null; END;", "ansi") == []
+
+
+def test_ansi_reserved_word_quoting():
+    """ADVICE r5: a reserved-word table/column name ('order', 'user')
+    must render quoted in the ansi arm — bare-lowercase would be
+    invalid DDL — while plain identifiers keep the unquoted
+    case-folding fast path."""
+    from sparksync import ddl
+
+    assert ddl.q_ansi("lineitem") == "lineitem"
+    assert ddl.q_ansi("ORDER") == '"ORDER"'
+    assert ddl.q_ansi("user") == '"USER"'
+    assert ddl.q_ansi("select") == '"SELECT"'
+    assert ddl.q_ansi("weird name") == '"WEIRD NAME"'
+    assert ddl.q_ansi("o_orderkey") == "o_orderkey"
+    ix = ddl.IndexSpec("ORDER", "IX_O", ["USER"], uniqueness="UNIQUE")
+    assert ddl.index_sql(ix, "ansi") == (
+        'create unique index ix_o on "ORDER" ("USER");'
+    )

@@ -2487,9 +2487,18 @@ def test_pin_registry_caps_and_releases(spark):
 
     features.release_pinned()
     assert features._PINNED == []
-    df = spark.createDataFrame([(i, i % 7) for i in range(50)],
-                               "id long, v long")
-    for _ in range(features._PIN_CAP + 3):
+    # repeat calls on the SAME plan share one cache entry: the registry
+    # must refresh recency, not grow (a duplicate row would make
+    # eviction of the old row unpersist the new pin too)
+    same = spark.createDataFrame([(i, i % 7) for i in range(50)],
+                                 "id long, v long")
+    for _ in range(3):
+        features.global_rank(same, ["v", "id"], n_parts=4).count()
+    assert len(features._PINNED) == 1
+    # distinct plans: FIFO cap evicts the oldest MATERIALIZED pin
+    for j in range(features._PIN_CAP + 3):
+        df = spark.createDataFrame([(i, i % 7) for i in range(40 + j)],
+                                   "id long, v long")
         features.global_rank(df, ["v", "id"], n_parts=4).count()
     assert len(features._PINNED) == features._PIN_CAP
     features.release_pinned()
@@ -2786,3 +2795,86 @@ def test_quantile_error_audit_bounds(spark):
     assert {r.p for r in out} == {0.25, 0.5, 0.75, 0.95}
     for r in out:
         assert 0.0 <= r.rank_error <= 0.01 and r.n_rows == 100
+
+
+def test_props_struct_single_pass_parse(spark):
+    """from_json schema-declared parse (the single-pass scale path)
+    agrees with the ad-hoc get_json_object path on the same column,
+    and the parse stays JVM-side (no Python in the plan)."""
+    from sparksync.ext import jsonops
+
+    ev = load_table(spark, SF_SMOKE, "events").limit(200)
+    both = jsonops.props_struct(jsonops.extract_k(ev))
+    assert both.filter(F.col("k") != F.col("props_s.k")).count() == 0
+    assert "Python" not in both._jdf.queryExecution().executedPlan().toString()
+
+
+def test_with_tokens_matches_token_counts(spark):
+    """with_tokens' array length equals token_counts' ws_tokens column
+    on the same documents (one tokenizer, two surfaces)."""
+    from sparksync.ext import textops
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(200)
+    t = textops.with_tokens(docs).select("doc_id", F.size("toks").alias("n"))
+    s = textops.token_counts(docs).select("doc_id", "ws_tokens")
+    assert t.join(s, "doc_id").filter(F.col("n") != F.col("ws_tokens")).count() == 0
+
+
+def test_pin_registry_stays_bounded(spark):
+    """Cache-pin hygiene (VERDICT r5 #7): repeated calls to the
+    pin-heavy operators (rfm_segments pins 3 per call; the minhash
+    band pin adds one) keep the JVM's persistent-RDD registry bounded
+    — the FIFO cap actually evicts materialized pins — and
+    release_pinned() drains everything sparksync pinned."""
+    from sparksync.ext import dedup, features
+    from sparksync.source import load_table
+
+    features.release_pinned()
+    jsc = spark.sparkContext._jsc
+    base = jsc.getPersistentRDDs().size()
+
+    orders = load_table(spark, SF_SMOKE, "orders").limit(500)
+    docs2 = load_table(spark, SF_SMOKE, "documents").limit(200)
+    for _ in range(8):  # 8 * 3 pins from rfm + 8 minhash band pins > cap
+        features.rfm_segments(
+            orders, "o_custkey", "o_orderdate", "o_totalprice"
+        ).write.format("noop").mode("overwrite").save()
+        dedup.minhash_dedup_pairs(docs2).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    assert len(features._PINNED) <= features._PIN_CAP
+    assert jsc.getPersistentRDDs().size() <= base + features._PIN_CAP
+    features.release_pinned()
+    assert len(features._PINNED) == 0
+
+
+def test_pin_eviction_spares_unmaterialized(spark):
+    """ADVICE r5 (medium): the FIFO eviction must NOT silently
+    unpersist a pin whose plan has never run — for global_rank the
+    persist is correctness-critical until the first action. Pin
+    _PIN_CAP+4 never-materialized relations: all must survive the
+    soft cap; materialize the oldest and pin once more: the
+    materialized one is the eviction victim."""
+    from pyspark import StorageLevel
+
+    from sparksync.ext import features
+
+    features.release_pinned()
+    dfs = [
+        spark.range(100 + i).withColumnRenamed("id", "v")
+        for i in range(features._PIN_CAP + 4)
+    ]
+    for d in dfs:
+        features._pin(d)
+    # nothing materialized -> soft cap keeps every pin alive
+    assert len(features._PINNED) == features._PIN_CAP + 4
+    assert all(d.storageLevel != StorageLevel.NONE for d in dfs)
+
+    oldest = features._PINNED[0][0]
+    oldest.count()  # materialize only the oldest
+    features._pin(spark.range(7).withColumnRenamed("id", "w"))
+    assert oldest.storageLevel.useMemory is False  # evicted
+    assert all(
+        d is oldest or d.storageLevel.useMemory for d in dfs
+    )  # the un-materialized pins all survived
+    features.release_pinned()

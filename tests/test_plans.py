@@ -649,7 +649,8 @@ def test_round5_queries_no_cartesian(spark):
         "q164_join_forecast", "q165_salting_model",
         "q166_partial_agg_merge", "q167_reference_percentile",
         "q168_clustering_coefficient", "q169_encoding_profile",
-        "q170_quantile_error_audit",
+        "q170_quantile_error_audit", "q171_calendar_gaps",
+        "q172_k_anonymity_audit", "q173_mode_by_group",
     ]
     for q in new_qs:
         plan = plan_of(QUERIES[q](spark, SF_SMOKE))
