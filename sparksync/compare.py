@@ -526,3 +526,50 @@ def merge_partials(partials: DataFrame, key_col: str, grain: str = "month") -> D
         F.min("min").alias("min"),
         F.max("max").alias("max"),
     )
+
+
+def fk_completeness_matrix(
+    pairs: list,
+) -> DataFrame:
+    """Referential-completeness matrix: ONE audit table over every
+    declared FK — child rows, NULL keys, orphans, orphan share — the
+    run-this-first report before executing any `add constraint` on a
+    freshly-loaded target (generalizes fk_orphans/X50 from one FK to
+    the whole schema). `pairs` is a list of (fk_name, child_df,
+    child_key, parent_df, parent_key). Per FK: one left_anti join on
+    the key (AQE broadcasts small parent key sets) + counts; results
+    union to fk-count rows. Output: (fk_name, n_child, n_null_key,
+    n_orphans, orphan_share) ordered by fk_name."""
+    outs = []
+    for fk_name, child, child_key, parent, parent_key in pairs:
+        keyed = child.select(F.col(child_key).alias("_k"))
+        nn = keyed.where(F.col("_k").isNotNull())
+        orphans = nn.join(
+            parent.select(F.col(parent_key).alias("_k")).distinct(),
+            "_k",
+            "left_anti",
+        )
+        stats = keyed.agg(
+            F.lit(fk_name).alias("fk_name"),
+            F.count(F.lit(1)).cast("long").alias("n_child"),
+            F.sum(F.col("_k").isNull().cast("long")).cast("long").alias(
+                "n_null_key"
+            ),
+        )
+        o = orphans.agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+        outs.append(stats.crossJoin(F.broadcast(o)))
+    out = outs[0]
+    for x in outs[1:]:
+        out = out.unionByName(x)
+    return out.select(
+        "fk_name",
+        "n_child",
+        "n_null_key",
+        "n_orphans",
+        (
+            F.col("n_orphans").cast("double")
+            / F.greatest(F.col("n_child") - F.col("n_null_key"), F.lit(1)).cast(
+                "double"
+            )
+        ).alias("orphan_share"),
+    ).orderBy("fk_name")

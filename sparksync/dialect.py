@@ -27,6 +27,11 @@ class Dialect:
     #: column to AUTO_INCREMENT (docs: unsupported DDL change), so the
     #: sequence-trigger rewrite is skipped there.
     supports_autoinc_rewrite: bool = True
+    #: which ddl.py rendering arm the sync phases pass to the builders:
+    #: "mysql" (backticks, MySQL types) for the whole MySQL family,
+    #: "ansi" (standard quoting/types) for ANSI engines — the arm the
+    #: in-container Derby live-exec e2e drives end-to-end.
+    ddl_dialect: str = "mysql"
 
 
 DIALECTS: dict[str, Dialect] = {
@@ -43,6 +48,16 @@ DIALECTS: dict[str, Dialect] = {
         supports_autoinc_rewrite=False,
     ),
     "gaussdb": Dialect("gaussdb"),
+    # ANSI/Derby target: the dialect the live JDBC e2e executes against
+    # (embedded Derby ships in Spark's JVM). Identity must be folded at
+    # CREATE time there, so the post-load autoinc rewrite is off.
+    "ansi": Dialect(
+        "ansi",
+        default_port=1527,
+        url_params="",
+        supports_autoinc_rewrite=False,
+        ddl_dialect="ansi",
+    ),
 }
 
 

@@ -776,3 +776,92 @@ def calendar_gaps(
         [group_col, "missing_day"],
         "left_anti",
     )
+
+
+def stickiness(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """DAU/WAU stickiness: per calendar day, the distinct users active
+    THAT day vs the distinct users active in the trailing
+    `window_days` window, and their ratio — the engagement metric
+    every product dashboard wants, computed exactly. The trailing
+    window avoids a per-day self-join by exploding each (user, day)
+    into the window_days future days it covers (a calendar-sized
+    multiplier, never data-squared): one distinct, one explode, two
+    partial-agg counts. Output: (day, dau, wau, stickiness) for days
+    with activity."""
+    days = df.select(
+        F.to_date(F.col(ts_col)).alias("day"), F.col(user_col).alias("_u")
+    ).distinct()
+    dau = days.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    cover = (
+        days.select(
+            "_u",
+            F.explode(
+                F.sequence(
+                    F.col("day"), F.date_add(F.col("day"), window_days - 1)
+                )
+            ).alias("day"),
+        )
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("wau"))
+    )
+    return (
+        dau.join(cover, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+#: fixed inter-arrival buckets (upper bound seconds, label); CASE-arm
+#: thresholds rather than floor(log2(gap)) so the bucketing is exact
+#: integer comparison — bit-identical across engines, no float log
+_GAP_BUCKETS = [
+    (1, "<=1s"),
+    (10, "<=10s"),
+    (60, "<=1m"),
+    (600, "<=10m"),
+    (3600, "<=1h"),
+    (86400, "<=1d"),
+]
+
+
+def interarrival_histogram(
+    df: DataFrame,
+    group_col: str,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Inter-arrival-time histogram: per group, how the gaps between a
+    user's consecutive events distribute across fixed buckets — the
+    burstiness profile that sizes session windows and stream
+    watermarks. One per-(group,user) lag window (tie-broken on id for
+    replayability), exact integer MICROSECOND gaps (no float epoch
+    anywhere), CASE bucketing, one count aggregate. Output: (group,
+    bucket, n_gaps)."""
+    w = Window.partitionBy(group_col, user_col).orderBy(
+        F.col(ts_col), F.col(id_col)
+    )
+    us = _epoch_us(df, ts_col)
+    gap = (us - F.lag(us).over(w)).alias("_gap")
+    obs = df.select(F.col(group_col), gap).where(F.col("_gap").isNotNull())
+    b = F.lit(">1d")
+    for ub, label in reversed(_GAP_BUCKETS):
+        b = F.when(F.col("_gap") <= ub * 1_000_000, F.lit(label)).otherwise(b)
+    return (
+        obs.select(F.col(group_col), b.alias("bucket"))
+        .groupBy(group_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_gaps"))
+    )

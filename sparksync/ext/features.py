@@ -882,3 +882,44 @@ def mode_by_group(
         F.min_by(F.col(value_col), key).alias("mode_value"),
         F.max("_c").alias("mode_count"),
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Winsorized (clipped) robust mean per group: exact percentile
+    bounds (linear interpolation — the same arithmetic DuckDB's
+    quantile_cont runs, proven hash-compatible by q98/q170), values
+    clipped into [p_lo, p_hi], then an EXACT decimal(18,6) sum so the
+    mean is order-insensitive and replayable (double sums are not —
+    the q103 portability rule). Complements mad_outliers (X83): that
+    flags rows, this repairs the aggregate. Two partial-agg shuffles +
+    one broadcastable bounds join. Output: (group, n, p_lo, p_hi,
+    n_clipped, winsorized_mean)."""
+    v = F.col(value_col).cast("double")
+    bounds = df.groupBy(group_col).agg(
+        F.percentile(v, F.lit(lo)).alias("p_lo"),
+        F.percentile(v, F.lit(hi)).alias("p_hi"),
+    )
+    j = df.join(F.broadcast(bounds), group_col).select(
+        F.col(group_col),
+        F.least(F.greatest(v, F.col("p_lo")), F.col("p_hi")).alias("_c"),
+        (v < F.col("p_lo")).cast("long").alias("_below"),
+        (v > F.col("p_hi")).cast("long").alias("_above"),
+        F.col("p_lo"),
+        F.col("p_hi"),
+    )
+    return j.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.first("p_lo").alias("p_lo"),
+        F.first("p_hi").alias("p_hi"),
+        (F.sum("_below") + F.sum("_above")).cast("long").alias("n_clipped"),
+        (
+            F.sum(F.col("_c").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("winsorized_mean"),
+    )

@@ -505,6 +505,24 @@ def bloom_semi_join_audit(
     )
 
 
+_LONG_MAX = "9223372036854775807"
+
+
+def _checked_long(c, label: str):
+    """decimal(38,0) -> long with a LOUD overflow: values past 2^63-1
+    raise at execution instead of the silent NULL a bare cast yields
+    with ANSI off (ADVICE r5)."""
+    lim = F.lit(_LONG_MAX).cast("decimal(38,0)")
+    return F.when(c <= lim, c.cast("long")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"join_size_forecast: {label} exceeds int64: "),
+                c.cast("string"),
+            )
+        )
+    )
+
+
 def join_size_forecast(
     a: DataFrame,
     b: DataFrame,
@@ -517,13 +535,15 @@ def join_size_forecast(
     post-mortem. |A join B| = sum over shared keys of cnt_a * cnt_b,
     computed from the two per-key count tables (each one
     partial-aggregated shuffle over keys, never over rows); products
-    accumulate AND are emitted in decimal(38,0) so hot keys cannot wrap
-    a long anywhere in the pipeline (ADVICE r5: a long output cast
-    would silently NULL beyond 2^63 forecast rows — the exact scenario
-    this forecast exists to catch). Output: the top_k contributing keys
-    with their exact share of the forecast — the keys to salt or filter
-    first. (key, cnt_a, cnt_b, out_rows, total_out, share), ordered by
-    contribution."""
+    accumulate in decimal(38,0) so hot keys cannot wrap a long, and the
+    long-typed output is OVERFLOW-CHECKED: a forecast beyond 2^63-1
+    rows raises loudly instead of silently NULLing (ADVICE r5 — the
+    exact scenario this forecast exists to catch must not vanish;
+    Decimal-typed outputs are avoided by repo convention because the
+    driver's DuckDB float64 bridge can't hash them). Output: the top_k
+    contributing keys with their exact share of the forecast — the keys
+    to salt or filter first. (key, cnt_a, cnt_b, out_rows, total_out,
+    share), ordered by contribution."""
     ca = a.groupBy(F.col(key_a).alias("key")).agg(
         F.count(F.lit(1)).cast("long").alias("cnt_a")
     )
@@ -541,8 +561,8 @@ def join_size_forecast(
             "key",
             "cnt_a",
             "cnt_b",
-            F.col("out_rows").cast("decimal(38,0)").alias("out_rows"),
-            F.col("_t").cast("decimal(38,0)").alias("total_out"),
+            _checked_long(F.col("out_rows"), "out_rows").alias("out_rows"),
+            _checked_long(F.col("_t"), "total_out").alias("total_out"),
             (F.col("out_rows").cast("double") / F.col("_t").cast("double"))
             .alias("share"),
         )

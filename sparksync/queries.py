@@ -897,26 +897,26 @@ def q34_ddl_typemap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q34 = """
 select * from (values
-  ('region','r_regionkey','int','int'),
+  ('region','r_regionkey','int not null','int'),
   ('region','r_name','varchar(255)','string'),
-  ('customer','c_custkey','bigint','bigint'),
+  ('customer','c_custkey','bigint not null','bigint'),
   ('customer','c_name','varchar(255)','string'),
   ('customer','c_nationkey','int','int'),
   ('customer','c_acctbal','decimal(12,2)','decimal(12,2)'),
   ('customer','c_mktsegment','char(10)','string'),
-  ('orders','o_orderkey','bigint','bigint'),
+  ('orders','o_orderkey','bigint not null','bigint'),
   ('orders','o_custkey','bigint','bigint'),
   ('orders','o_orderstatus','char(1)','string'),
   ('orders','o_totalprice','decimal(12,2)','decimal(12,2)'),
   ('orders','o_orderdate','datetime','timestamp'),
   ('orders','o_orderpriority','varchar(255)','string'),
-  ('events','event_id','bigint','bigint'),
+  ('events','event_id','bigint not null','bigint'),
   ('events','ts','datetime(6)','timestamp'),
   ('events','user_id','bigint','bigint'),
   ('events','event_type','varchar(255)','string'),
   ('events','value','decimal(12,2)','decimal(12,2)'),
   ('events','props','longtext','string'),
-  ('documents','doc_id','bigint','bigint'),
+  ('documents','doc_id','bigint not null','bigint'),
   ('documents','text','longtext','string'),
   ('documents','lang','char(2)','string'),
   ('documents','source','varchar(255)','string'),
@@ -5461,8 +5461,8 @@ per as (select key, cnt_a, cnt_b,
                cast(cnt_a as hugeint) * cast(cnt_b as hugeint) as o
         from ca join cb using (key)),
 tot as (select sum(o) as t from per)
-select key, cnt_a, cnt_b, cast(o as decimal(38,0)) as out_rows,
-       cast(t as decimal(38,0)) as total_out,
+select key, cnt_a, cnt_b, cast(o as bigint) as out_rows,
+       cast(t as bigint) as total_out,
        cast(o as double) / cast(t as double) as share
 from per cross join tot
 order by o desc, key
@@ -5763,6 +5763,160 @@ from r where rn = 1
 """
 
 
+def q174_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness (ext/asof.stickiness): per day, distinct
+    users active that day vs the trailing 7-day window, exactly — the
+    engagement ratio, with the trailing window built by a
+    calendar-sized explode instead of a per-day self-join."""
+    from .ext import asof
+
+    return asof.stickiness(load(spark, sf_dir, "events"), "user_id", "ts", 7)
+
+
+ORACLE_Q174 = """
+with days as (
+  select distinct cast(ts as date) as day, user_id as u from events),
+dau as (
+  select day, cast(count(*) as bigint) as dau from days group by 1),
+cover as (
+  select distinct u,
+         cast(unnest(generate_series(cast(day as timestamp),
+                                     cast(day as timestamp) + interval 6 day,
+                                     interval 1 day)) as date) as day
+  from days),
+wau as (
+  select day, cast(count(*) as bigint) as wau from cover group by 1)
+select dau.day, dau.dau, wau.wau,
+       cast(dau.dau as double) / cast(wau.wau as double) as stickiness
+from dau join wau using (day)
+order by dau.day
+"""
+
+
+def q175_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust mean (ext/features.winsorized_stats): per
+    event_type, values clipped into the exact [p5, p95] band, mean
+    from an exact decimal sum — the repaired aggregate companion to
+    q97's MAD outlier flags."""
+    from .ext import features
+
+    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    return features.winsorized_stats(ev, "event_type", "value", 0.05, 0.95)
+
+
+ORACLE_Q175 = """
+with e as (
+  select event_type, cast(value as double) as v
+  from events where value is not null),
+b as (
+  select event_type,
+         quantile_cont(v, 0.05) as p_lo,
+         quantile_cont(v, 0.95) as p_hi
+  from e group by 1),
+j as (
+  select e.event_type, b.p_lo, b.p_hi,
+         least(greatest(e.v, b.p_lo), b.p_hi) as c,
+         (case when e.v < b.p_lo then 1 else 0 end
+          + case when e.v > b.p_hi then 1 else 0 end) as clip
+  from e join b using (event_type))
+select event_type,
+       cast(count(*) as bigint) as n,
+       min(p_lo) as p_lo,
+       min(p_hi) as p_hi,
+       cast(sum(clip) as bigint) as n_clipped,
+       cast(sum(cast(c as decimal(18,6))) as double)
+         / cast(count(*) as double) as winsorized_mean
+from j group by event_type
+"""
+
+
+def q176_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time histogram (ext/asof.interarrival_histogram):
+    per event_type, how the microsecond-exact gaps between a user's
+    consecutive events distribute across fixed CASE buckets — the
+    burstiness profile that sizes session windows and watermarks."""
+    from .ext import asof
+
+    return asof.interarrival_histogram(
+        load(spark, sf_dir, "events"), "event_type", "user_id", "ts", "event_id"
+    )
+
+
+ORACLE_Q176 = """
+with g as (
+  select event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) over (
+           partition by event_type, user_id order by ts, event_id) as gap
+  from events)
+select event_type,
+       case when gap <= 1000000 then '<=1s'
+            when gap <= 10000000 then '<=10s'
+            when gap <= 60000000 then '<=1m'
+            when gap <= 600000000 then '<=10m'
+            when gap <= 3600000000 then '<=1h'
+            when gap <= 86400000000 then '<=1d'
+            else '>1d' end as bucket,
+       cast(count(*) as bigint) as n_gaps
+from g where gap is not null
+group by 1, 2
+"""
+
+
+def q177_fk_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-completeness matrix (compare.fk_completeness_matrix):
+    one audit table over every declared FK — the run-this-first report
+    before `add constraint` on a loaded target, generalizing q67's
+    single-FK audit to the whole schema."""
+    from .catalog import FIXTURE_FOREIGN_KEYS
+    from .compare import fk_completeness_matrix
+
+    pairs = [
+        (
+            fk.constraint_name,
+            load(spark, sf_dir, fk.table),
+            fk.columns[0],
+            load(spark, sf_dir, fk.ref_table),
+            fk.ref_columns[0],
+        )
+        for fk in FIXTURE_FOREIGN_KEYS
+    ]
+    return fk_completeness_matrix(pairs)
+
+
+def _fk_audit_block(fk_name: str, child: str, ckey: str, parent: str, pkey: str) -> str:
+    return f"""select '{fk_name}' as fk_name,
+       cast(count(*) as bigint) as n_child,
+       cast(sum(case when {ckey} is null then 1 else 0 end) as bigint)
+         as n_null_key,
+       cast(sum(case when {ckey} is not null and not exists
+                  (select 1 from {parent} p where p.{pkey} = c.{ckey})
+                then 1 else 0 end) as bigint) as n_orphans,
+       cast(sum(case when {ckey} is not null and not exists
+                  (select 1 from {parent} p where p.{pkey} = c.{ckey})
+                then 1 else 0 end) as double)
+         / cast(greatest(count(*) - sum(case when {ckey} is null then 1
+                                             else 0 end), 1) as double)
+         as orphan_share
+from {child} c"""
+
+
+# one block per FIXTURE_FOREIGN_KEYS row (kept literal-in-code so the
+# oracle stays independent of compare.py's implementation)
+ORACLE_Q177 = "\nunion all\n".join(
+    _fk_audit_block(*t)
+    for t in [
+        ("fk_nation_region", "nation", "n_regionkey", "region", "r_regionkey"),
+        ("fk_customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("fk_supplier_nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("fk_orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("fk_lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("fk_lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("fk_lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("fk_embeddings_doc", "embeddings", "vec_id", "documents", "doc_id"),
+    ]
+) + "\norder by fk_name"
+
+
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
@@ -5938,6 +6092,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q171_calendar_gaps": q171_calendar_gaps,
     "q172_k_anonymity_audit": q172_k_anonymity_audit,
     "q173_mode_by_group": q173_mode_by_group,
+    "q174_stickiness": q174_stickiness,
+    "q175_winsorized_stats": q175_winsorized_stats,
+    "q176_interarrival_histogram": q176_interarrival_histogram,
+    "q177_fk_completeness": q177_fk_completeness,
 }
 
 ORACLES: dict[str, str] = {
@@ -6114,4 +6272,8 @@ ORACLES: dict[str, str] = {
     "q171_calendar_gaps": ORACLE_Q171,
     "q172_k_anonymity_audit": ORACLE_Q172,
     "q173_mode_by_group": ORACLE_Q173,
+    "q174_stickiness": ORACLE_Q174,
+    "q175_winsorized_stats": ORACLE_Q175,
+    "q176_interarrival_histogram": ORACLE_Q176,
+    "q177_fk_completeness": ORACLE_Q177,
 }

@@ -213,7 +213,12 @@ class SyncJob:
         for t in tables:
             try:
                 spec = self.catalog.table_spec(t)
-                ddl = drop_table_sql(t) + "\n" + create_table_sql(spec)
+                dd = self.dialect.ddl_dialect
+                ddl = (
+                    drop_table_sql(t, dialect=dd)
+                    + "\n"
+                    + create_table_sql(spec, dialect=dd)
+                )
                 if script is not None:
                     script.execute(ddl)
                 else:
@@ -279,21 +284,24 @@ class SyncJob:
 
         cat = self.catalog
         d = self.dialect
+        dd = d.ddl_dialect
         out: list[tuple[str, str, str]] = []
         for t in tables:
             for ix in cat.indexes(t):
-                out.append(("index", ix.index_name, index_sql(ix)))
+                out.append(("index", ix.index_name, index_sql(ix, dialect=dd)))
         if d.supports_autoinc_rewrite:
             for t in tables:
                 for body in cat.trigger_bodies(t):
-                    for i, stmt in enumerate(auto_increment_sql(t, body)):
+                    for i, stmt in enumerate(
+                        auto_increment_sql(t, body, dialect=dd)
+                    ):
                         out.append(("sequence", f"{t}_autoinc_{i}", stmt))
         if d.supports_fk:
             for t in tables:
                 for fk in cat.foreign_keys(t):
                     if fk.delete_rule and not d.supports_fk_cascade:
                         fk = dataclasses.replace(fk, delete_rule=None)
-                    out.append(("fk", fk.constraint_name, fk_sql(fk)))
+                    out.append(("fk", fk.constraint_name, fk_sql(fk, dialect=dd)))
         for t in tables:
             for raw in cat.function_index_ddls(t):
                 cleaned = clean_function_index_ddl(raw)
@@ -301,7 +309,7 @@ class SyncJob:
         for t in tables:
             c = cat.table_comment(t)
             if c:
-                out.append(("comment", t, table_comment_sql(t, c)))
+                out.append(("comment", t, table_comment_sql(t, c, dialect=dd)))
         # revalidate = the reference's `alter view X compile` before the
         # view-DDL fetch (tablemeta.go:402,414): invalid views become a
         # counted per-object failure instead of DDL that dies on the
@@ -312,7 +320,7 @@ class SyncJob:
             if name.startswith("__invalid__:"):
                 out.append(("view", name.split(":", 1)[1], f"-- INVALID VIEW: {text}"))
             else:
-                out.append(("view", name, create_view_sql(name, text)))
+                out.append(("view", name, create_view_sql(name, text, dialect=dd)))
         return out
 
     def _register_source_views(self, tables: list[str]) -> None:

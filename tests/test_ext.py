@@ -2878,3 +2878,109 @@ def test_pin_eviction_spares_unmaterialized(spark):
         d is oldest or d.storageLevel.useMemory for d in dfs
     )  # the un-materialized pins all survived
     features.release_pinned()
+
+
+def test_join_forecast_overflow_raises_loudly(spark):
+    """ADVICE r5: a forecast beyond 2^63-1 output rows must raise, not
+    silently NULL. 4e9 x 4e9 rows per key overflows int64; the checked
+    cast has to surface it."""
+    from sparksync.ext import skew
+
+    big = spark.range(1).select(
+        F.lit(1).alias("k"), F.lit(4_000_000_000).alias("n")
+    )
+    a = big.selectExpr("k", "explode(array_repeat(1, 1)) as _")  # 1 row key=1
+    # fabricate the count tables directly: join_size_forecast's per-key
+    # counts are longs, so drive the internal product via two synthetic
+    # single-key tables with huge multiplicities is infeasible at test
+    # scale — instead call the checked cast on an overflowing decimal.
+    over = spark.range(1).select(
+        (F.lit("99999999999999999999").cast("decimal(38,0)")).alias("v")
+    )
+    with pytest.raises(Exception, match="exceeds int64"):
+        over.select(skew._checked_long(F.col("v"), "out_rows")).collect()
+    ok = spark.range(1).select(
+        F.lit("123").cast("decimal(38,0)").alias("v")
+    )
+    got = ok.select(skew._checked_long(F.col("v"), "out_rows").alias("o")).collect()
+    assert got[0].o == 123
+
+
+def test_stickiness_invariants(spark):
+    """DAU <= WAU (the trailing window contains the day), ratio in
+    (0, 1], and a synthetic everyone-active-daily corpus pins
+    stickiness to exactly 1.0."""
+    from sparksync.ext import asof
+
+    rows = [
+        (u, f"2024-01-{d:02d} 12:00:00")
+        for u in ("a", "b", "c")
+        for d in range(1, 15)
+    ]
+    df = spark.createDataFrame(rows, "u string, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = asof.stickiness(df, "u", "ts", 7).collect()
+    assert len(out) == 14
+    for r in out:
+        assert r.dau <= r.wau and 0.0 < r.stickiness <= 1.0
+        assert r.stickiness == 1.0  # everyone active every day
+
+
+def test_winsorized_stats_bounds(spark):
+    """The winsorized mean sits inside [p_lo, p_hi], clip counts are
+    sane, and a wild outlier moves the plain mean but barely the
+    winsorized one."""
+    from sparksync.ext import features
+
+    rows = [("g", float(i)) for i in range(1, 100)] + [("g", 1_000_000.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = features.winsorized_stats(df, "g", "v", 0.05, 0.95).collect()[0]
+    assert r.n == 100 and 0 < r.n_clipped <= 10
+    assert r.p_lo <= r.winsorized_mean <= r.p_hi
+    assert r.winsorized_mean < 200  # the 1e6 outlier got clipped
+
+
+def test_interarrival_histogram_buckets(spark):
+    """Known gaps land in the right CASE buckets, microsecond-exact."""
+    from sparksync.ext import asof
+
+    base = 1_700_000_000
+    rows = [
+        ("t", "u", base + off, i)
+        for i, off in enumerate([0, 1, 11, 71, 700, 5000, 100000])
+    ]
+    df = spark.createDataFrame(rows, "g string, u string, s long, id long").withColumn(
+        "ts", F.col("s").cast("timestamp")
+    )
+    out = {r.bucket: r.n_gaps for r in
+           asof.interarrival_histogram(df, "g", "u", "ts", "id").collect()}
+    # gaps: 1s, 10s, 60s, 629s (<=1h), 4300s (<=1d), 95000s (>1d)
+    assert out == {"<=1s": 1, "<=10s": 1, "<=1m": 1, "<=1h": 1,
+                   "<=1d": 1, ">1d": 1}
+
+
+def test_fk_completeness_matrix_orphans(spark):
+    """A planted orphan and a NULL key are counted in the right
+    columns; a clean FK reports zero orphans."""
+    from sparksync.compare import fk_completeness_matrix
+
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    child = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 99), (4, None)], "id long, fk long"
+    )
+    clean = spark.createDataFrame([(1, 1), (2, 2)], "id long, fk long")
+    out = {
+        r.fk_name: r
+        for r in fk_completeness_matrix(
+            [
+                ("dirty", child, "fk", parent, "pk"),
+                ("clean", clean, "fk", parent, "pk"),
+            ]
+        ).collect()
+    }
+    d = out["dirty"]
+    assert (d.n_child, d.n_null_key, d.n_orphans) == (4, 1, 1)
+    assert abs(d.orphan_share - 1 / 3) < 1e-12
+    c = out["clean"]
+    assert (c.n_orphans, c.orphan_share) == (0, 0.0)

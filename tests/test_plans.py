@@ -651,6 +651,8 @@ def test_round5_queries_no_cartesian(spark):
         "q168_clustering_coefficient", "q169_encoding_profile",
         "q170_quantile_error_audit", "q171_calendar_gaps",
         "q172_k_anonymity_audit", "q173_mode_by_group",
+        "q174_stickiness", "q175_winsorized_stats",
+        "q176_interarrival_histogram", "q177_fk_completeness",
     ]
     for q in new_qs:
         plan = plan_of(QUERIES[q](spark, SF_SMOKE))

@@ -251,12 +251,15 @@ def test_current_user(spark):
 
 
 def test_dialect_knobs(spark, tmp_path):
-    """7 MySQL-family flavors (readme.md:10): URL shape + object-class
-    capability differences actually change the emitted plan."""
+    """7 MySQL-family flavors (readme.md:10) + the ansi/Derby live-exec
+    target: URL shape + object-class capability differences actually
+    change the emitted plan."""
     from sparksync.config import ConnInfo
     from sparksync.dialect import DIALECTS, get_dialect
 
-    assert len(DIALECTS) == 7
+    assert len(DIALECTS) == 8
+    assert get_dialect("ansi").ddl_dialect == "ansi"
+    assert get_dialect("mysql").ddl_dialect == "mysql"
     assert "4000" in ConnInfo(host="h", database="d", db_type="tidb").mysql_url()
     assert "2881" in ConnInfo(host="h", database="d", db_type="oceanbase").mysql_url()
     assert "3306" in ConnInfo(host="h", database="d").mysql_url()
@@ -955,3 +958,44 @@ def test_cli_readme_roundtrip(tmp_path, capsys):
                  "dump-ddl", "--out", str(script)]) == 0
     ddl = script.read_text(encoding="utf-8")
     assert "create table" in ddl and "nation" in ddl
+
+
+def test_cli_audit_triad_verb(tmp_path, capsys):
+    """VERDICT r5 #8: the `audit` verb surfaces the measure-the-shortcut
+    triad (zone-map pruning X151, bloom semi-join X155, quantile error
+    X162) as user-facing JSON reports."""
+    import json as _json
+
+    from sparksync.cli import main
+
+    out = str(tmp_path / "dest")
+    base = ["--src", SF_SMOKE, "--dest", out]
+
+    assert main(base + ["audit", "--kind", "pruning", "--table", "events",
+                        "--bucket", "event_id", "--bucket-width", "100",
+                        "--value", "value", "--lo", "10", "--hi", "20"]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert len(rows) == 1
+    assert {"n_buckets", "rows_skipped", "skip_fraction"} <= set(rows[0])
+
+    assert main(base + ["audit", "--kind", "bloom",
+                        "--probe", "lineitem", "--build", "orders",
+                        "--probe-key", "l_orderkey",
+                        "--build-key", "o_orderkey"]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert rows[0]["n_probe"] > 0 and rows[0]["fp_rate"] >= 0.0
+    # every true match must pass the bitmap (bloom has no false negatives)
+    assert rows[0]["n_bloom_pass"] >= rows[0]["n_true_match"]
+
+    assert main(base + ["audit", "--kind", "quantile", "--table", "events",
+                        "--group", "event_type", "--value", "value",
+                        "--id", "event_id"]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert {r["p"] for r in rows} == {0.25, 0.5, 0.75, 0.95}
+    assert all(0.0 <= r["rank_error"] <= 1.0 for r in rows)
+
+    # missing required per-kind flags -> argparse error (exit 2)
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(base + ["audit", "--kind", "pruning", "--table", "events"])
