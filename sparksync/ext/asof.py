@@ -788,30 +788,30 @@ def stickiness(
     THAT day vs the distinct users active in the trailing
     `window_days` window, and their ratio — the engagement metric
     every product dashboard wants, computed exactly. The trailing
-    window avoids a per-day self-join by exploding each (user, day)
-    into the window_days future days it covers (a calendar-sized
-    multiplier, never data-squared): one distinct, one explode, two
-    partial-agg counts. Output: (day, dau, wau, stickiness) for days
-    with activity."""
+    window avoids a per-day self-join by exploding each distinct
+    (user, day) into the window_days future days it covers (a
+    calendar-sized multiplier, never data-squared), and BOTH counts
+    come out of that one exploded relation — dau is the off==0 slice —
+    so the corpus is scanned ONCE with no join-back (the two
+    count-distincts share one Expand). Output: (day, dau, wau,
+    stickiness) for days with activity."""
     days = df.select(
-        F.to_date(F.col(ts_col)).alias("day"), F.col(user_col).alias("_u")
+        F.to_date(F.col(ts_col)).alias("_d"), F.col(user_col).alias("_u")
     ).distinct()
-    dau = days.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
-    cover = (
-        days.select(
-            "_u",
-            F.explode(
-                F.sequence(
-                    F.col("day"), F.date_add(F.col("day"), window_days - 1)
-                )
-            ).alias("day"),
-        )
-        .distinct()
-        .groupBy("day")
-        .agg(F.count(F.lit(1)).cast("long").alias("wau"))
-    )
+    cover = days.select(
+        "_u",
+        F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias("_off"),
+        F.col("_d"),
+    ).select("_u", "_off", F.expr("date_add(_d, _off)").alias("day"))
     return (
-        dau.join(cover, "day")
+        cover.groupBy("day")
+        .agg(
+            F.countDistinct(F.when(F.col("_off") == 0, F.col("_u")))
+            .cast("long")
+            .alias("dau"),
+            F.countDistinct("_u").cast("long").alias("wau"),
+        )
+        .where(F.col("dau") > 0)
         .select(
             "day",
             "dau",

@@ -1078,13 +1078,28 @@ def near_dup_cluster_keeper(
     cardinality, not corpus); the keeper is one max_by per cluster;
     the corpus-sized side only ever does one aggregate-free join
     against the (tiny) clustered-doc map."""
-    from .graph import connected_components
-
     pairs = minhash_dedup_pairs(df, threshold, id_col, text_col)
-    comp = connected_components(pairs, "d1", "d2")
     quality = df.select(
         F.col(id_col), F.col(quality_col).cast("long").alias("quality")
     )
+    return cluster_keeper_from_pairs(pairs, quality, id_col)
+
+
+def cluster_keeper_from_pairs(
+    pairs: DataFrame,
+    quality: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """The dedup DECISION shared by the lexical (near_dup_cluster_keeper)
+    and semantic (similarity.semantic_dedup_keeper) capstones: duplicate
+    pairs (d1, d2) -> connected components (transitive collapse) -> one
+    keeper per cluster by highest `quality` long, ties to the smallest
+    id; ids absent from every pair form singleton clusters and self-
+    keep. `quality` must carry (id_col, quality). Output: (id,
+    cluster_id, quality, n_members, kept)."""
+    from .graph import connected_components
+
+    comp = connected_components(pairs, "d1", "d2")
     labeled = quality.join(
         comp.withColumnRenamed("node", id_col), id_col, "left"
     ).withColumn("cluster_id", F.coalesce("component", F.col(id_col)))
@@ -1103,4 +1118,45 @@ def near_dup_cluster_keeper(
             "n_members",
             (F.col(id_col) == F.col("_keep")).cast("long").alias("kept"),
         )
+    )
+
+
+def cross_source_dup_matrix(
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Which sources duplicate into each other: near-dup pairs (the
+    q20 banded MinHash+LSH scale path) rolled up to an unordered
+    (source_a, source_b) matrix — the report that tells a crawl
+    operator WHERE the duplication comes from (mirror sites, re-crawls,
+    syndication) rather than just how much exists. Pair discovery is
+    the existing bucketed join; the rollup adds two id->source joins
+    (broadcastable: sources are few, the map is id-sized but the join
+    is on the pair side) and one count aggregate. Output: (source_a,
+    source_b, n_pairs), source_a <= source_b."""
+    pairs = minhash_dedup_pairs(df, threshold, id_col, text_col)
+    src = df.select(F.col(id_col), F.col(source_col))
+    j = (
+        pairs.join(
+            src.select(
+                F.col(id_col).alias("d1"), F.col(source_col).alias("_s1")
+            ),
+            "d1",
+        )
+        .join(
+            src.select(
+                F.col(id_col).alias("d2"), F.col(source_col).alias("_s2")
+            ),
+            "d2",
+        )
+    )
+    return (
+        j.groupBy(
+            F.least("_s1", "_s2").alias("source_a"),
+            F.greatest("_s1", "_s2").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )

@@ -923,3 +923,97 @@ def winsorized_stats(
             / F.count(F.lit(1)).cast("double")
         ).alias("winsorized_mean"),
     )
+
+
+#: Benford first-digit probabilities log10(1+1/d), inlined as literal
+#: doubles (NOT computed via log10 at plan time) so Spark and any
+#: oracle engine use bit-identical constants — libm log10 may differ
+#: by an ulp across runtimes
+BENFORD_P = [
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514,
+]
+
+
+def benford_audit(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Benford's-law first-digit audit per group: chi-square distance
+    between the observed leading-digit distribution of a positive
+    amount column and Benford's expectation — the classic synthetic-
+    data / fraud / unit-mixup detector for financial columns. The
+    digit comes from the decimal(12,2) STRING rendering (identical in
+    any engine — no float log10 anywhere); the chi2 and max deviation
+    are FIXED-ORDER expression chains over nine pivoted counts, never
+    an order-dependent float aggregate. One groupBy over rows >= 1,
+    one 9-column pivot reduction. Output: (group, n, chi2,
+    max_abs_dev)."""
+    v = F.col(value_col).cast("double")
+    digit = F.substring(v.cast("decimal(12,2)").cast("string"), 1, 1)
+    base = df.where(v >= 1).select(F.col(group_col), digit.alias("_d"))
+    agg = base.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[
+            F.sum((F.col("_d") == str(d)).cast("long"))
+            .cast("long")
+            .alias(f"_o{d}")
+            for d in range(1, 10)
+        ],
+    )
+    nd = F.col("n").cast("double")
+    chi2 = None
+    dev = None
+    for d in range(1, 10):
+        p = F.lit(BENFORD_P[d - 1])
+        obs = F.col(f"_o{d}").cast("double")
+        term = (obs - nd * p) * (obs - nd * p) / (nd * p)
+        adev = F.abs(obs / nd - p)
+        chi2 = term if chi2 is None else chi2 + term
+        dev = adev if dev is None else F.greatest(dev, adev)
+    return agg.select(group_col, "n", chi2.alias("chi2"), dev.alias("max_abs_dev"))
+
+
+def lag1_autocorr(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Lag-1 autocorrelation of the per-group DAILY event-count series
+    (consecutive observed days): is today's volume predictive of
+    tomorrow's — the trend/seasonality screen run before fitting any
+    forecaster. Daily counts are exact integers; the Pearson runs over
+    (c_t, c_{t-1}) pairs with decimal(38,0) product sums (daily counts
+    at 100 TB square past int64) cast once to double for the fixed
+    five-term formula — the q103 exact_corr portability discipline.
+    Output: (group, n_pairs, autocorr), NULL when variance is zero."""
+    daily = df.groupBy(
+        F.col(group_col), F.to_date(F.col(ts_col)).alias("_day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    w = Window.partitionBy(group_col).orderBy("_day")
+    pairs = daily.withColumn("_p", F.lag("_c").over(w)).where(
+        F.col("_p").isNotNull()
+    )
+    dec = "decimal(38,0)"
+    agg = pairs.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("_c").cast("long").alias("_sx"),
+        F.sum("_p").cast("long").alias("_sy"),
+        F.sum(F.col("_c").cast(dec) * F.col("_c").cast(dec)).alias("_sxx"),
+        F.sum(F.col("_p").cast(dec) * F.col("_p").cast(dec)).alias("_syy"),
+        F.sum(F.col("_c").cast(dec) * F.col("_p").cast(dec)).alias("_sxy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    num = n * sxy - sx * sy
+    den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    corr = F.when(den2 > 0, num / F.sqrt(den2)).otherwise(
+        F.lit(None).cast("double")
+    )
+    return agg.select(group_col, "n_pairs", corr.alias("autocorr"))

@@ -60,9 +60,18 @@ def connected_components(
     raises instead of silently returning it; strict=False logs a
     warning and returns the non-converged labels for callers that
     prefer partial merges over failure."""
-    und = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    # materialize the undirected pair graph ONCE: `edges` is typically a
+    # whole discovery pipeline (minhash LSH banding + verify, cosine
+    # scoring, ...), and every propagation round below reads `und` — an
+    # un-checkpointed plan would re-run that pipeline per round (found
+    # via the round-6 bench: q159 spent ~6 of its 7.9 s re-deriving
+    # pairs each iteration). Pair-graph rows are pair-cardinality, tiny
+    # next to the corpus.
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .localCheckpoint(eager=True)
+    )
     labels = (
         und.select(F.col("a").alias("node"))
         .distinct()
@@ -97,6 +106,9 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    # the loop never reads the pair graph again; labels is independently
+    # materialized, so the graph's blocks can go now
+    _release_checkpoint(und)
     if changed > 0:
         msg = (
             f"connected_components did not converge in {max_iter} rounds "

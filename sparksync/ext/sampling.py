@@ -614,3 +614,41 @@ def shard_balance_audit(
             "row_share"
         ),
     )
+
+
+def source_concentration(
+    df: DataFrame,
+    group_col: str = "lang",
+    source_col: str = "source",
+) -> DataFrame:
+    """Source-concentration profile per group: is this language's
+    corpus dominated by one crawl source? Reports the Herfindahl index
+    (sum of squared source shares) and its inverse (the 'effective
+    number of sources') instead of Shannon entropy — HHI comes from an
+    exact decimal(38,0) sum of squared integer counts and ONE double
+    division, so it replays bit-identically where an entropy's float
+    term-sum would be accumulation-order-dependent. One (group, source)
+    count shuffle + one per-group reduction. Output: (group, n_docs,
+    n_sources, top_share, hhi, effective_sources)."""
+    cnt = df.groupBy(group_col, source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    dec = "decimal(38,0)"
+    agg = cnt.groupBy(group_col).agg(
+        F.sum("_c").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.max("_c").cast("long").alias("_top"),
+        F.sum((F.col("_c").cast(dec) * F.col("_c").cast(dec))).alias("_ss"),
+    )
+    n2 = F.col("n_docs").cast("double") * F.col("n_docs").cast("double")
+    hhi = F.col("_ss").cast("double") / n2
+    return agg.select(
+        group_col,
+        "n_docs",
+        "n_sources",
+        (F.col("_top").cast("double") / F.col("n_docs").cast("double")).alias(
+            "top_share"
+        ),
+        hhi.alias("hhi"),
+        (F.lit(1.0) / hhi).alias("effective_sources"),
+    )

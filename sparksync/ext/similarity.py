@@ -123,9 +123,8 @@ def _rp_planes(n_planes: int, dim: int) -> list[list[float]]:
     return planes
 
 
-def neardup_pairs_lsh(
+def _lsh_scored_pairs(
     emb: DataFrame,
-    top_n: int = 5,
     n_planes: int = 32,
     n_bands: int = 4,
     dim: int = 64,
@@ -133,11 +132,14 @@ def neardup_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Random-projection LSH near-dup: bucket by the sign pattern of
-    sign projections, compare only within buckets. n_bands bands of
+    """Random-projection LSH candidate pairs with exact cosine scores
+    (d1 < d2, deduped): bucket by the sign pattern of sign
+    projections, compare only within buckets. n_bands bands of
     n_planes/n_bands bits each: a pair is a candidate if it agrees on
     any one band, so recall stays high while each band's join is
     bucketed. At 100 TB the candidate set is sum(|bucket|^2), not N^2.
+    Shared engine under neardup_pairs_lsh (top-n) and
+    semantic_dedup_keeper (threshold + components).
 
     Defaults (32 planes, 4 bands of 8 bits = 256 buckets/band) target
     the near-duplicate regime: P(found | cos=0.95) ~ 0.89,
@@ -214,12 +216,69 @@ def neardup_pairs_lsh(
         .select("d1", "d2", "va", "vb")
         .dropDuplicates(["d1", "d2"])
     )
-    scored = cand.select("d1", "d2", cosine(F.col("va"), F.col("vb")).alias("cos"))
+    return cand.select("d1", "d2", cosine(F.col("va"), F.col("vb")).alias("cos"))
+
+
+def neardup_pairs_lsh(
+    emb: DataFrame,
+    top_n: int = 5,
+    n_planes: int = 32,
+    n_bands: int = 4,
+    dim: int = 64,
+    bucket_cap: int | None = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-n ranked near-dup pairs over the RP-LSH candidate set (see
+    _lsh_scored_pairs for the bucketing/recall story)."""
+    scored = _lsh_scored_pairs(
+        emb, n_planes, n_bands, dim, bucket_cap, id_col, vec_col
+    )
     return _ranked_topk(
         scored, top_n,
         [F.col("cos").desc(), F.col("d1"), F.col("d2")],
         ["d1", "d2", "rnk"],
     )
+
+
+def semantic_dedup_keeper(
+    emb: DataFrame,
+    quality_df: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 32,
+    n_bands: int = 4,
+    dim: int = 64,
+    bucket_cap: int | None = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """The embedding-space twin of dedup.near_dup_cluster_keeper: the
+    full SEMANTIC dedup decision — RP-LSH candidate pairs scored by
+    exact cosine, thresholded, collapsed transitively via connected
+    components, one highest-quality keeper per cluster (ties to the
+    smallest id), singletons self-keep. This is the paraphrase/
+    re-crawl dedup pass a training pipeline runs AFTER lexical minhash:
+    near-identical meaning, different tokens.
+
+    Scale shape: pair discovery is the banded LSH join (sum(|bucket|^2)
+    candidates, never N^2; hot buckets re-split by bucket_cap);
+    components iterate over the PAIR graph only; the corpus-sized side
+    does one aggregate-free join against the clustered-id map. Output:
+    (id, cluster_id, quality, n_members, kept)."""
+    from .dedup import cluster_keeper_from_pairs
+
+    scored = _lsh_scored_pairs(
+        emb, n_planes, n_bands, dim, bucket_cap, id_col, vec_col
+    )
+    pairs = scored.where(F.col("cos") >= threshold).select("d1", "d2")
+    # the decision is over EMBEDDED ids only: quality_df may cover a
+    # wider corpus (at sf0.1 documents has 2.5x the embedded rows, the
+    # exact row-count bug the scale sweep caught) — semi-restrict it
+    quality = quality_df.select(
+        F.col(id_col), F.col(quality_col).cast("long").alias("quality")
+    ).join(emb.select(F.col(id_col)).distinct(), id_col)
+    return cluster_keeper_from_pairs(pairs, quality, id_col)
 
 
 def _default_centroids(e: DataFrame, n_centroids: int, id_col: str) -> DataFrame:
@@ -735,4 +794,43 @@ def embedding_profile(
                 / (F.col("_nok").cast("double") * F.lit(scale))
             ).alias("mean_val"),
         )
+    )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "doc_id",
+    rank_a_col: str = "rank_a",
+    rank_b_col: str = "rank_b",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval rankings (the standard
+    hybrid-search combiner: BM25 lexical + embedding semantic):
+    rrf = 1/(k + rank_lex) + 1/(k + rank_sem), absent-from-one-list
+    contributes 0. The score is a FIXED two-term expression (never an
+    aggregate), so the doubles replay bit-identically; the fused rank
+    uses the (rrf desc, id) tie-break and the TakeOrderedAndProject-
+    free tiny-window stamp is unnecessary since inputs are already
+    top-k sized. Inputs: (id, rank) DataFrames with rank 1-based.
+    Output: (id, rank_a, rank_b, rrf, fused_rank)."""
+    a = ranked_a.select(F.col(id_col), F.col(rank_a_col).alias("_ra"))
+    b = ranked_b.select(F.col(id_col), F.col(rank_b_col).alias("_rb"))
+    j = a.join(b, id_col, "full_outer")
+    term = lambda c: F.when(  # noqa: E731
+        F.col(c).isNotNull(), F.lit(1.0) / (F.lit(float(k)) + F.col(c).cast("double"))
+    ).otherwise(F.lit(0.0))
+    scored = j.select(
+        F.col(id_col),
+        F.col("_ra").cast("long").alias("rank_a"),
+        F.col("_rb").cast("long").alias("rank_b"),
+        (term("_ra") + term("_rb")).alias("rrf"),
+    )
+    # single tiny partition BY CONSTRUCTION (the union of two top-k
+    # lists, never corpus-sized); the pmod key is the _ranked_topk
+    # trick that keeps WindowExec's global-window warning out of logs
+    pk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(1))
+    w = Window.partitionBy(pk).orderBy(F.col("rrf").desc(), F.col(id_col))
+    return scored.withColumn(
+        "fused_rank", F.row_number().over(w).cast("long")
     )

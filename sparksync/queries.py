@@ -5900,6 +5900,306 @@ def _fk_audit_block(fk_name: str, child: str, ckey: str, parent: str, pkey: str)
 from {child} c"""
 
 
+def q178_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup capstone (ext/similarity.semantic_dedup_keeper):
+    RP-LSH candidate pairs -> exact-cosine threshold -> connected
+    components -> one highest-quality keeper per cluster — the
+    embedding-space twin of q159's lexical pipeline, run AFTER minhash
+    to catch near-identical meaning in different tokens. Threshold 0.42
+    sits inside this synthetic corpus's similarity range so real
+    multi-member clusters form at every SF."""
+    from .ext import similarity
+
+    emb = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), F.col("n_chars").alias("quality")
+    )
+    return similarity.semantic_dedup_keeper(emb, docs, threshold=0.42)
+
+
+def _oracle_q178() -> str:
+    """DuckDB replay of semantic_dedup_keeper: the q32 plane/band
+    inlining (deterministic sha-seeded planes; both engines accumulate
+    the dot products sequentially, so buckets and cosines agree
+    bit-for-bit), Spark's exact cosine formula
+    dot/(sqrt(ss_a)*sqrt(ss_b)) spelled out, then q159's recursive
+    transitive closure + keeper. No float column in the output."""
+    from .ext.similarity import _rp_planes
+
+    n_planes, n_bands, dim = 32, 4, 64
+    width = n_planes // n_bands
+    planes = _rp_planes(n_planes, dim)
+
+    def lit(plane: list) -> str:
+        return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+    def bucket(bi: int) -> str:
+        return " + ".join(
+            f"(case when list_dot_product(v, {lit(planes[bi * width + i])}) >= 0"
+            f" then {2 ** i} else 0 end)"
+            for i in range(width)
+        )
+
+    keyed = "\nunion all\n".join(
+        f"select vec_id, v, {bi} as band, {bucket(bi)} as bucket from e"
+        for bi in range(n_bands)
+    )
+    return f"""
+with recursive
+e as (select vec_id,
+             list_transform(embedding, x -> cast(x as double)) as v
+      from embeddings),
+keyed as (
+{keyed}
+),
+cand as (
+  select distinct a.vec_id as d1, b.vec_id as d2
+  from keyed a join keyed b
+    on a.band = b.band and a.bucket = b.bucket and a.vec_id < b.vec_id),
+pairs as (
+  select d1, d2
+  from cand join e ea on ea.vec_id = cand.d1 join e eb on eb.vec_id = cand.d2
+  where list_dot_product(ea.v, eb.v)
+          / (sqrt(list_dot_product(ea.v, ea.v))
+             * sqrt(list_dot_product(eb.v, eb.v))) >= 0.42),
+edges as (select d1 as a, d2 as b from pairs
+          union all select d2, d1 from pairs),
+reach(a, b) as (
+  select a, b from edges
+  union
+  select r.a, e2.b from reach r join edges e2 on r.b = e2.a),
+nodes as (select distinct a as node from edges),
+comp as (
+  select n.node as vec_id, least(n.node, min(r.b)) as component
+  from nodes n left join reach r on r.a = n.node group by n.node),
+labeled as (
+  select em.vec_id, cast(d.n_chars as bigint) as quality,
+         coalesce(c.component, em.vec_id) as cluster_id
+  from embeddings em
+  join documents d on d.doc_id = em.vec_id
+  left join comp c on c.vec_id = em.vec_id),
+ranked as (
+  select *, row_number() over (partition by cluster_id
+                               order by quality desc, vec_id asc) as rn,
+         count(*) over (partition by cluster_id) as nm
+  from labeled)
+select vec_id, cluster_id, quality, cast(nm as bigint) as n_members,
+       cast(case when rn = 1 then 1 else 0 end as bigint) as kept
+from ranked
+"""
+
+
+ORACLE_Q178 = _oracle_q178()
+
+
+def q179_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-concentration profile (ext/sampling.source_concentration):
+    per language, Herfindahl index + effective source count from exact
+    integer aggregates — 'is this slice of the corpus one mirror site
+    in a trenchcoat?' — with no order-dependent float sums anywhere."""
+    from .ext import sampling
+
+    return sampling.source_concentration(
+        load(spark, sf_dir, "documents"), "lang", "source"
+    )
+
+
+ORACLE_Q179 = """
+with cnt as (
+  select lang, source, cast(count(*) as bigint) as c
+  from documents group by 1, 2),
+a as (
+  select lang, cast(sum(c) as bigint) as n_docs,
+         cast(count(*) as bigint) as n_sources,
+         cast(max(c) as bigint) as top,
+         sum(cast(c as hugeint) * cast(c as hugeint)) as ss
+  from cnt group by lang)
+select lang, n_docs, n_sources,
+       cast(top as double) / cast(n_docs as double) as top_share,
+       cast(ss as double)
+         / (cast(n_docs as double) * cast(n_docs as double)) as hhi,
+       1.0 / (cast(ss as double)
+              / (cast(n_docs as double) * cast(n_docs as double)))
+         as effective_sources
+from a
+"""
+
+
+def q180_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix (ext/dedup.cross_source_dup_matrix):
+    the q20 MinHash+LSH near-dup pairs rolled up to unordered source
+    pairs — WHERE the duplication comes from. Oracle = the exact q19
+    pair SQL + the same rollup (q20 == q19 set-exactly at gate SFs)."""
+    from .ext import dedup as dd
+
+    return dd.cross_source_dup_matrix(load(spark, sf_dir, "documents"), 0.8)
+
+
+ORACLE_Q180 = f"""
+with p as ({ORACLE_Q19})
+select least(da.source, db.source) as source_a,
+       greatest(da.source, db.source) as source_b,
+       cast(count(*) as bigint) as n_pairs
+from p
+join documents da on da.doc_id = p.d1
+join documents db on db.doc_id = p.d2
+group by 1, 2
+"""
+
+
+def q181_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit (ext/features.benford_audit): chi2
+    distance of o_totalprice's leading-digit distribution from
+    Benford's law, per order priority — the synthetic-data / fraud /
+    unit-mixup screen for financial columns. Digits come from the
+    decimal string rendering; chi2 is a fixed-order expression chain."""
+    from .ext import features
+
+    return features.benford_audit(
+        load(spark, sf_dir, "orders"), "o_orderpriority", "o_totalprice"
+    )
+
+
+def _oracle_q181() -> str:
+    """Mirror of benford_audit in SQL: same digit extraction (decimal
+    string), same inlined probability literals, same left-associative
+    chi2 term order — so every double replays bit-for-bit."""
+    from .ext.features import BENFORD_P
+
+    obs = ",\n         ".join(
+        f"cast(sum(case when d = '{i}' then 1 else 0 end) as bigint) as o{i}"
+        for i in range(1, 10)
+    )
+    chi_terms = " + ".join(
+        f"((cast(o{i} as double) - nd * {BENFORD_P[i - 1]!r})"
+        f" * (cast(o{i} as double) - nd * {BENFORD_P[i - 1]!r})"
+        f" / (nd * {BENFORD_P[i - 1]!r}))"
+        for i in range(1, 10)
+    )
+    dev_terms = ", ".join(
+        f"abs(cast(o{i} as double) / nd - {BENFORD_P[i - 1]!r})"
+        for i in range(1, 10)
+    )
+    return f"""
+with base as (
+  select o_orderpriority,
+         substring(cast(cast(o_totalprice as decimal(12,2)) as varchar), 1, 1)
+           as d
+  from orders where cast(o_totalprice as double) >= 1),
+agg as (
+  select o_orderpriority, cast(count(*) as bigint) as n,
+         {obs}
+  from base group by o_orderpriority),
+x as (select *, cast(n as double) as nd from agg)
+select o_orderpriority, n,
+       {chi_terms} as chi2,
+       greatest({dev_terms}) as max_abs_dev
+from x
+"""
+
+
+ORACLE_Q181 = _oracle_q181()
+
+
+def q182_lag1_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of daily event volume per event_type
+    (ext/features.lag1_autocorr) — the trend screen before fitting any
+    forecaster, with decimal-exact product sums (q103 discipline)."""
+    from .ext import features
+
+    return features.lag1_autocorr(load(spark, sf_dir, "events"), "event_type", "ts")
+
+
+ORACLE_Q182 = """
+with daily as (
+  select event_type, cast(ts as date) as day,
+         cast(count(*) as bigint) as c
+  from events group by 1, 2),
+pairs as (
+  select event_type, c,
+         lag(c) over (partition by event_type order by day) as p
+  from daily),
+agg as (
+  select event_type,
+         cast(count(*) as bigint) as n_pairs,
+         cast(sum(c) as bigint) as sx,
+         cast(sum(p) as bigint) as sy,
+         sum(cast(c as hugeint) * cast(c as hugeint)) as sxx,
+         sum(cast(p as hugeint) * cast(p as hugeint)) as syy,
+         sum(cast(c as hugeint) * cast(p as hugeint)) as sxy
+  from pairs where p is not null group by event_type),
+x as (
+  select event_type, n_pairs,
+         cast(n_pairs as double) as n, cast(sx as double) as dsx,
+         cast(sy as double) as dsy, cast(sxx as double) as dsxx,
+         cast(syy as double) as dsyy, cast(sxy as double) as dsxy
+  from agg)
+select event_type, n_pairs,
+       case when (n * dsxx - dsx * dsx) * (n * dsyy - dsy * dsy) > 0
+            then (n * dsxy - dsx * dsy)
+                 / sqrt((n * dsxx - dsx * dsx) * (n * dsyy - dsy * dsy))
+            else null end as autocorr
+from x
+"""
+
+
+def q183_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval fusion (ext/similarity.rrf_fuse): BM25 lexical
+    top-15 for {data, spark, vector} fused with embedding-cosine top-15
+    neighbors of vec 0 by reciprocal-rank fusion — the standard hybrid
+    search combiner, scores as fixed two-term expressions."""
+    from .ext import similarity as sim
+    from .ext import textops
+
+    docs = load(spark, sf_dir, "documents")
+    lex = textops.bm25_topk(
+        docs, ["data", "spark", "vector"], k=15, idf_mode="rational"
+    )
+    lex_r = sim._ranked_topk(
+        lex, 15, [F.col("score").desc(), F.col("doc_id")], ["doc_id", "rnk"]
+    ).withColumnRenamed("rnk", "rank_a")
+    sem_r = (
+        sim.knn_brute(load(spark, sf_dir, "embeddings"), query_id=0, k=15)
+        .select(F.col("neighbor_id").alias("doc_id"), F.col("rnk").alias("rank_b"))
+    )
+    return sim.rrf_fuse(lex_r, sem_r, id_col="doc_id")
+
+
+ORACLE_Q183 = f"""
+with lex as ({ORACLE_Q118}),
+lexr as (
+  select doc_id,
+         cast(row_number() over (order by score desc, doc_id) as bigint)
+           as rank_a
+  from lex),
+q as (select embedding as qe from embeddings where vec_id = 0),
+semscored as (
+  select vec_id,
+         list_cosine_similarity(list_transform(embedding, x -> cast(x as double)),
+                                list_transform(qe,        x -> cast(x as double)))
+           as cos
+  from embeddings, q where vec_id <> 0),
+semr as (
+  select vec_id as doc_id,
+         cast(row_number() over (order by cos desc, vec_id) as bigint)
+           as rank_b
+  from semscored order by cos desc, vec_id limit 15),
+fused as (
+  select coalesce(lexr.doc_id, semr.doc_id) as doc_id,
+         lexr.rank_a, semr.rank_b,
+         (case when lexr.rank_a is not null
+               then 1.0 / (60.0 + cast(lexr.rank_a as double)) else 0.0 end)
+         + (case when semr.rank_b is not null
+                 then 1.0 / (60.0 + cast(semr.rank_b as double)) else 0.0 end)
+           as rrf
+  from lexr full outer join semr on lexr.doc_id = semr.doc_id)
+select doc_id, rank_a, rank_b, rrf,
+       cast(row_number() over (order by rrf desc, doc_id) as bigint)
+         as fused_rank
+from fused
+"""
+
+
 # one block per FIXTURE_FOREIGN_KEYS row (kept literal-in-code so the
 # oracle stays independent of compare.py's implementation)
 ORACLE_Q177 = "\nunion all\n".join(
@@ -6096,6 +6396,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q175_winsorized_stats": q175_winsorized_stats,
     "q176_interarrival_histogram": q176_interarrival_histogram,
     "q177_fk_completeness": q177_fk_completeness,
+    "q178_semantic_dedup": q178_semantic_dedup,
+    "q179_source_concentration": q179_source_concentration,
+    "q180_cross_source_dup_matrix": q180_cross_source_dup_matrix,
+    "q181_benford_audit": q181_benford_audit,
+    "q182_lag1_autocorr": q182_lag1_autocorr,
+    "q183_rrf_fusion": q183_rrf_fusion,
 }
 
 ORACLES: dict[str, str] = {
@@ -6276,4 +6582,10 @@ ORACLES: dict[str, str] = {
     "q175_winsorized_stats": ORACLE_Q175,
     "q176_interarrival_histogram": ORACLE_Q176,
     "q177_fk_completeness": ORACLE_Q177,
+    "q178_semantic_dedup": ORACLE_Q178,
+    "q179_source_concentration": ORACLE_Q179,
+    "q180_cross_source_dup_matrix": ORACLE_Q180,
+    "q181_benford_audit": ORACLE_Q181,
+    "q182_lag1_autocorr": ORACLE_Q182,
+    "q183_rrf_fusion": ORACLE_Q183,
 }

@@ -2984,3 +2984,129 @@ def test_fk_completeness_matrix_orphans(spark):
     assert abs(d.orphan_share - 1 / 3) < 1e-12
     c = out["clean"]
     assert (c.n_orphans, c.orphan_share) == (0, 0.0)
+
+
+def test_semantic_dedup_keeper_planted(spark):
+    """Planted near-identical vectors collapse into one cluster with
+    the highest-quality member kept; unrelated vectors stay singleton
+    self-keepers."""
+    import math
+
+    from sparksync.ext import similarity
+
+    def unit(seed, dim=64):
+        vals = [math.sin(seed * 31 + i) for i in range(dim)]
+        n = math.sqrt(sum(x * x for x in vals))
+        return [x / n for x in vals]
+
+    base = unit(1)
+    near = [x + 0.001 * (i % 3) for i, x in enumerate(base)]
+    rows = [
+        (1, base), (2, near), (3, near),  # planted cluster {1,2,3}
+        (4, unit(7)), (5, unit(13)),      # unrelated singletons
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    quality = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (4, 5), (5, 5)], "vec_id long, quality long"
+    )
+    out = {r.vec_id: r for r in similarity.semantic_dedup_keeper(
+        emb, quality, threshold=0.99, bucket_cap=None
+    ).collect()}
+    assert {out[i].cluster_id for i in (1, 2, 3)} == {1}
+    assert out[2].kept == 1  # highest quality, smallest id among ties
+    assert out[1].kept == 0 and out[3].kept == 0
+    for i in (4, 5):
+        assert out[i].cluster_id == i and out[i].kept == 1 and out[i].n_members == 1
+
+
+def test_source_concentration_known_values(spark):
+    """Hand-computable HHI: 4 docs from one source + 1 from another ->
+    HHI = (16+1)/25, effective sources = 25/17, top share 0.8; a
+    single-source group pins HHI to exactly 1.0."""
+    from sparksync.ext import sampling
+
+    rows = [("en", "a")] * 4 + [("en", "b")] + [("fr", "x")] * 3
+    df = spark.createDataFrame(rows, "lang string, source string")
+    out = {r.lang: r for r in
+           sampling.source_concentration(df, "lang", "source").collect()}
+    en = out["en"]
+    assert (en.n_docs, en.n_sources) == (5, 2)
+    assert en.top_share == 0.8 and en.hhi == 17 / 25
+    assert abs(en.effective_sources - 25 / 17) < 1e-15
+    fr = out["fr"]
+    assert fr.hhi == 1.0 and fr.effective_sources == 1.0 and fr.n_sources == 1
+
+
+def test_cross_source_dup_matrix_orients_pairs(spark):
+    """Near-dup docs across two sources land in ONE unordered cell
+    (least/greatest orientation), same-source dups on the diagonal."""
+    from sparksync.ext import dedup
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, text, "siteA"),
+        (2, text, "siteB"),            # cross-source dup pair (1,2)
+        (3, text + " extra", "siteB"),  # near-dup of both
+        (4, "completely different words here nothing shared at all", "siteC"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r.source_a, r.source_b): r.n_pairs
+           for r in dedup.cross_source_dup_matrix(df, 0.6).collect()}
+    assert out.get(("siteA", "siteB"), 0) >= 1
+    assert ("siteB", "siteA") not in out  # oriented, never duplicated
+    assert all(a <= b for a, b in out)
+
+
+def test_benford_audit_conforming_vs_uniform(spark):
+    """A Benford-conforming synthetic column scores a much lower chi2
+    than a uniform-digit column, and n excludes values < 1."""
+    from sparksync.ext import features
+
+    conforming = []
+    for d in range(1, 10):
+        conforming += [("b", float(d * 100 + 7))] * int(
+            round(1000 * features.BENFORD_P[d - 1])
+        )
+    uniform = [("u", float(d * 10 + 3)) for d in range(1, 10) for _ in range(111)]
+    df = spark.createDataFrame(
+        conforming + uniform + [("b", 0.5)], "g string, v double"
+    )
+    out = {r.g: r for r in features.benford_audit(df, "g", "v").collect()}
+    assert out["b"].n == sum(
+        int(round(1000 * p)) for p in features.BENFORD_P
+    )  # the 0.5 row dropped
+    assert out["b"].chi2 < 1.0 < out["u"].chi2
+    assert 0.0 <= out["b"].max_abs_dev < out["u"].max_abs_dev <= 1.0
+
+
+def test_lag1_autocorr_known_series(spark):
+    """A strictly alternating daily volume gives strong negative
+    autocorrelation; a constant series is NULL (zero variance)."""
+    import datetime
+
+    from sparksync.ext import features
+
+    rows = []
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    for day in range(12):
+        n = 10 if day % 2 == 0 else 2
+        rows += [("alt", base + datetime.timedelta(days=day))] * n
+        rows += [("flat", base + datetime.timedelta(days=day))] * 5
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    out = {r.g: r for r in features.lag1_autocorr(df, "g", "ts").collect()}
+    assert out["alt"].n_pairs == 11 and out["alt"].autocorr < -0.9
+    assert out["flat"].autocorr is None
+
+
+def test_rrf_fuse_semantics(spark):
+    """Shared ids sum both reciprocal terms and outrank single-list
+    ids; absent-list ranks surface as NULL with a 0 contribution."""
+    from sparksync.ext import similarity
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank_a long")
+    b = spark.createDataFrame([(2, 1), (4, 2)], "doc_id long, rank_b long")
+    out = {r.doc_id: r for r in similarity.rrf_fuse(a, b).collect()}
+    assert out[2].fused_rank == 1  # in both lists
+    assert out[2].rrf == 1.0 / 62 + 1.0 / 61
+    assert out[4].rank_a is None and out[4].rrf == 1.0 / 62
+    assert len(out) == 4

@@ -653,6 +653,9 @@ def test_round5_queries_no_cartesian(spark):
         "q172_k_anonymity_audit", "q173_mode_by_group",
         "q174_stickiness", "q175_winsorized_stats",
         "q176_interarrival_histogram", "q177_fk_completeness",
+        "q178_semantic_dedup", "q179_source_concentration",
+        "q180_cross_source_dup_matrix", "q181_benford_audit",
+        "q182_lag1_autocorr", "q183_rrf_fusion",
     ]
     for q in new_qs:
         plan = plan_of(QUERIES[q](spark, SF_SMOKE))
