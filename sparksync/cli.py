@@ -100,7 +100,9 @@ def main(argv: list[str] | None = None) -> int:
     # reference's report ethos (cmd/root.go:140-200)
     aud = sub.add_parser("audit")
     aud.add_argument(
-        "--kind", required=True, choices=["pruning", "bloom", "quantile"]
+        "--kind",
+        required=True,
+        choices=["pruning", "bloom", "quantile", "dedup"],
     )
     aud.add_argument("--table", help="pruning/quantile: table to audit")
     aud.add_argument("--bucket", help="pruning: bucket column")
@@ -117,6 +119,14 @@ def main(argv: list[str] | None = None) -> int:
     aud.add_argument("--group", help="quantile: group column")
     aud.add_argument("--id", help="quantile: deterministic-sample id column")
     aud.add_argument("--rate", type=float, default=0.2)
+    aud.add_argument("--threshold", type=float, default=0.8)
+    aud.add_argument(
+        "--sample-mod",
+        type=int,
+        default=None,
+        help="dedup: keep ids with xxhash64(id) %% k == 0 (the 100 TB"
+        " sampled form; exact pairs are quadratic)",
+    )
     prep = sub.add_parser("prep")  # corpus-prep pipeline to parquet (X-surface)
     prep.add_argument("--table", default="documents")
     prep.add_argument("--lang", default="en", help="pred_lang to keep ('' = all)")
@@ -429,7 +439,7 @@ def main(argv: list[str] | None = None) -> int:
                 m_bits=args.m_bits,
                 k=args.k,
             )
-        else:
+        elif args.kind == "quantile":
             # X162: true rank error of the sampled quantile profile
             from .ext.skew import quantile_error_audit
 
@@ -442,6 +452,17 @@ def main(argv: list[str] | None = None) -> int:
                 args.value,
                 args.id,
                 rate=args.rate,
+            )
+        else:
+            # X176: LSH dedup recall vs exact pairs
+            from .ext.dedup import minhash_recall_audit
+
+            if args.table is None:
+                p.error("audit --kind dedup needs --table")
+            out = minhash_recall_audit(
+                job._read_source(args.table),
+                threshold=args.threshold,
+                sample_mod=args.sample_mod,
             )
         for r in out.collect():
             print(json.dumps(r.asDict(), default=str))

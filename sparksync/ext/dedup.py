@@ -1160,3 +1160,60 @@ def cross_source_dup_matrix(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
+
+
+def minhash_recall_audit(
+    df: DataFrame,
+    threshold: float = 0.8,
+    sample_mod: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Measure the MinHash+LSH shortcut instead of trusting it: exact
+    jaccard_pairs vs minhash_dedup_pairs on (a deterministic hash
+    sample of) the corpus, with missed/extra pair counts and
+    recall/precision — the dedup member of the audit family
+    (pruning/bloom/quantile, X151/X155/X162). At 100 TB run it on a
+    sample via sample_mod=k (keeps ids with xxhash64(id) % k == 0);
+    exact pairs are quadratic in posting lists, so the full-corpus
+    form is a gate-SF check by design. Since candidates are verified
+    with exact Jaccard, precision is 1.0 by construction and recall
+    is the real measurement. Output: one row (n_docs, n_exact_pairs,
+    n_lsh_pairs, n_missed, n_extra, recall, precision)."""
+    if sample_mod is not None:
+        df = df.where(
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(sample_mod))
+            == 0
+        )
+    exact = jaccard_pairs(df, threshold, id_col, text_col).select("d1", "d2")
+    lsh = minhash_dedup_pairs(df, threshold, id_col, text_col).select("d1", "d2")
+    missed = exact.join(lsh, ["d1", "d2"], "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("n_missed")
+    )
+    extra = lsh.join(exact, ["d1", "d2"], "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("n_extra")
+    )
+    ne = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact_pairs"))
+    nl = lsh.agg(F.count(F.lit(1)).cast("long").alias("n_lsh_pairs"))
+    nd = df.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    row = (
+        nd.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(nl))
+        .crossJoin(F.broadcast(missed))
+        .crossJoin(F.broadcast(extra))
+    )
+    safe = F.greatest(F.col("n_exact_pairs"), F.lit(1)).cast("double")
+    safel = F.greatest(F.col("n_lsh_pairs"), F.lit(1)).cast("double")
+    return row.select(
+        "n_docs",
+        "n_exact_pairs",
+        "n_lsh_pairs",
+        "n_missed",
+        "n_extra",
+        (
+            (F.col("n_exact_pairs") - F.col("n_missed")).cast("double") / safe
+        ).alias("recall"),
+        (
+            (F.col("n_lsh_pairs") - F.col("n_extra")).cast("double") / safel
+        ).alias("precision"),
+    )

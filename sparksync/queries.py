@@ -6200,6 +6200,34 @@ from fused
 """
 
 
+def q184_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-shortcut audit (ext/dedup.minhash_recall_audit): exact
+    jaccard pairs vs the MinHash+LSH pairs, with missed/extra counts
+    and recall/precision — the audit family (q160/q163/q170) applied
+    to dedup itself. The oracle asserts PERFECT recall at gate SFs:
+    the exact-pair SQL supplies n_exact, and any pair the LSH path
+    missed (or invented) makes the counts hash-mismatch."""
+    from .ext import dedup as dd
+
+    return dd.minhash_recall_audit(load(spark, sf_dir, "documents"), 0.8)
+
+
+ORACLE_Q184 = f"""
+with p as ({ORACLE_Q19}),
+c as (select cast(count(*) as bigint) as n_exact_pairs from p),
+d as (select cast(count(*) as bigint) as n_docs from documents)
+select d.n_docs, c.n_exact_pairs,
+       c.n_exact_pairs as n_lsh_pairs,
+       cast(0 as bigint) as n_missed,
+       cast(0 as bigint) as n_extra,
+       cast(c.n_exact_pairs - 0 as double)
+         / cast(greatest(c.n_exact_pairs, 1) as double) as recall,
+       cast(c.n_exact_pairs - 0 as double)
+         / cast(greatest(c.n_exact_pairs, 1) as double) as precision
+from d cross join c
+"""
+
+
 # one block per FIXTURE_FOREIGN_KEYS row (kept literal-in-code so the
 # oracle stays independent of compare.py's implementation)
 ORACLE_Q177 = "\nunion all\n".join(
@@ -6402,6 +6430,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q181_benford_audit": q181_benford_audit,
     "q182_lag1_autocorr": q182_lag1_autocorr,
     "q183_rrf_fusion": q183_rrf_fusion,
+    "q184_minhash_recall_audit": q184_minhash_recall_audit,
 }
 
 ORACLES: dict[str, str] = {
@@ -6588,4 +6617,5 @@ ORACLES: dict[str, str] = {
     "q181_benford_audit": ORACLE_Q181,
     "q182_lag1_autocorr": ORACLE_Q182,
     "q183_rrf_fusion": ORACLE_Q183,
+    "q184_minhash_recall_audit": ORACLE_Q184,
 }

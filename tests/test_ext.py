@@ -3110,3 +3110,19 @@ def test_rrf_fuse_semantics(spark):
     assert out[2].rrf == 1.0 / 62 + 1.0 / 61
     assert out[4].rank_a is None and out[4].rrf == 1.0 / 62
     assert len(out) == 4
+
+
+def test_minhash_recall_audit_full_and_sampled(spark, docs):
+    """At gate SF the verified-LSH pair set equals the exact set:
+    recall == precision == 1.0, missed == extra == 0; the sample_mod
+    form audits the hash-sampled sub-corpus with the same invariant."""
+    from sparksync.ext import dedup
+
+    r = dedup.minhash_recall_audit(docs, 0.8).collect()[0]
+    assert r.n_exact_pairs == r.n_lsh_pairs > 0
+    assert r.n_missed == 0 and r.n_extra == 0
+    assert r.recall == 1.0 and r.precision == 1.0
+
+    s = dedup.minhash_recall_audit(docs, 0.8, sample_mod=2).collect()[0]
+    assert 0 < s.n_docs < r.n_docs
+    assert s.n_missed == 0 and s.precision == 1.0

@@ -994,6 +994,11 @@ def test_cli_audit_triad_verb(tmp_path, capsys):
     assert {r["p"] for r in rows} == {0.25, 0.5, 0.75, 0.95}
     assert all(0.0 <= r["rank_error"] <= 1.0 for r in rows)
 
+    assert main(base + ["audit", "--kind", "dedup", "--table", "documents",
+                        "--sample-mod", "2"]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert rows[0]["recall"] == 1.0 and rows[0]["n_missed"] == 0
+
     # missing required per-kind flags -> argparse error (exit 2)
     import pytest as _pytest
 
