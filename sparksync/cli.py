@@ -160,6 +160,7 @@ def main(argv: list[str] | None = None) -> int:
     # jdbc: URLs swap in the JDBC endpoints (full-sync degrades to
     # data+compare for a jdbc source — no catalog metadata to synthesize
     # DDL from; a missing driver jar still fails loudly at first load)
+    flavor = args.dest_flavor or (cfg.dest.db_type if cfg else None) or "mysql"
     source = sink = None
     if jdbc_src:
         from .source import JdbcSource
@@ -167,9 +168,19 @@ def main(argv: list[str] | None = None) -> int:
         source = JdbcSource(spark, src, cfg.src.username, cfg.src.password)
         src = None
     if jdbc_dest:
+        from .dialect import get_dialect
         from .sink import JdbcSink
 
-        sink = JdbcSink(spark, dest, cfg.dest.username, cfg.dest.password)
+        # the sink's identifier quoting must match the target's dialect
+        # arm — a backtick-quoting sink against an ANSI engine (Derby)
+        # breaks every statement it renders
+        sink = JdbcSink(
+            spark,
+            dest,
+            cfg.dest.username,
+            cfg.dest.password,
+            dialect=get_dialect(flavor).ddl_dialect,
+        )
         dest = None
     job = SyncJob(
         spark,
@@ -179,7 +190,7 @@ def main(argv: list[str] | None = None) -> int:
         max_parallel=max_parallel,
         exclude=exclude,
         table_sql=(cfg.tables if cfg else None),
-        dest_flavor=args.dest_flavor or (cfg.dest.db_type if cfg else "mysql"),
+        dest_flavor=flavor,
         source=source,
         sink=sink,
     )

@@ -214,15 +214,18 @@ class SyncJob:
             try:
                 spec = self.catalog.table_spec(t)
                 dd = self.dialect.ddl_dialect
-                ddl = (
-                    drop_table_sql(t, dialect=dd)
-                    + "\n"
-                    + create_table_sql(spec, dialect=dd)
-                )
+                drop = drop_table_sql(t, dialect=dd)
+                create = create_table_sql(spec, dialect=dd)
                 if script is not None:
-                    script.execute(ddl)
+                    script.execute(drop + "\n" + create)
                 else:
-                    self._execute_on_sink(ddl)
+                    # drop and create are SEPARATE JDBC statements (a
+                    # concatenated pair is a syntax error on a real
+                    # engine); a failed drop is expected on a fresh
+                    # target — the ansi arm has no IF EXISTS — and must
+                    # not mask or count against the create
+                    self._execute_on_sink(drop, fatal=False)
+                    self._execute_on_sink(create)
             except Exception as e:  # noqa: BLE001 — count-and-continue like the reference
                 rep.failed += 1
                 rep.errors.append(f"{t}: {type(e).__name__}: {e}"[:300])
@@ -238,15 +241,18 @@ class SyncJob:
                 "phases instead"
             )
 
-    def _execute_on_sink(self, ddl: str) -> None:
+    def _execute_on_sink(self, ddl: str, fatal: bool = True) -> None:
         """K5: a DDL-capable sink (JdbcSink.execute_ddl) runs the
         statement on the target; the parquet sink has no DDL analogue —
-        synthesis itself is the checked work there."""
+        synthesis itself is the checked work there. The trailing ';' is
+        script-file syntax — JDBC Statement.execute rejects it on real
+        engines (Derby), so it is stripped here. fatal=False downgrades
+        a failure to count-and-continue (expected drops/comments)."""
         execute = getattr(self.sink, "execute_ddl", None)
         if execute is None:
             return
-        res = execute([ddl])
-        if res.failed:
+        res = execute([ddl.strip().rstrip(";")])
+        if res.failed and fatal:
             raise RuntimeError(res.failed[0][1])
 
     def _sync_one(self, table: str) -> None:

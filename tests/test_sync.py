@@ -1004,3 +1004,53 @@ def test_cli_audit_triad_verb(tmp_path, capsys):
 
     with _pytest.raises(SystemExit):
         main(base + ["audit", "--kind", "pruning", "--table", "events"])
+
+
+def test_cli_full_sync_to_live_derby(spark, tmp_path, capsys):
+    """The user-facing path end-to-end against a REAL JDBC target: CLI
+    full-sync from the parquet fixtures into embedded Derby with
+    --dest-flavor ansi — DDL phase creates the tables live (drop
+    failures on the fresh DB are non-fatal), the data phase batch-
+    inserts over JDBC, the objects phase executes PK/index/FK/view DDL
+    (COMMENT ON lands in count-and-continue), and compare reads back
+    over JDBC. This is the CLI twin of the library-level Derby e2e."""
+    from sparksync.cli import main
+
+    url = "jdbc:derby:memory:sparksync_cli_e2e"
+    cfgf = tmp_path / "cfg.yml"
+    cfgf.write_text(
+        "src:\n  host: s\n  username: u\n  password: pw\n"
+        f"dest:\n  host: {url};create=true\n  username: app\n"
+        "  password: app\n  dbType: ansi\n",
+        encoding="utf-8",
+    )
+    try:
+        rc = main([
+            "--src", SF_SMOKE, "--dest", url + ";create=true",
+            "--config", str(cfgf),
+            "--exclude", "lineitem,events,documents,embeddings,part,supplier",
+            "full-sync",
+        ])
+        out = capsys.readouterr().out
+        # comments are the only expected per-object failures on Derby
+        # (no COMMENT ON); everything else — create, PK, index, FK,
+        # view — executed, and compare is all-ok, so exit is 0 only if
+        # the comment failures are the sole reds... the report's ok()
+        # counts them, so assert the phase detail instead of rc
+        assert "compare: region src=5 dst=5 ok=True" in out
+        assert "compare: orders src=1500 dst=1500 ok=True" in out
+        assert "compare: nation src=25 dst=25 ok=True" in out
+        assert "compare: customer src=150 dst=150 ok=True" in out
+        # create-table phase fully green (drop failures non-fatal)
+        assert "create table: tables=4 failed=0" in out
+        # the executed view is queryable over JDBC
+        from sparksync.sink import JdbcSink
+
+        sink = JdbcSink(spark, url, "app", "app", dialect="ansi")
+        assert sink.read("v_order_revenue").count() == 1500
+        assert rc in (0, 1)  # 1 = the two COMMENT ON count-and-continue reds
+    finally:
+        try:
+            spark._jvm.java.sql.DriverManager.getConnection(url + ";drop=true")
+        except Exception:
+            pass
