@@ -21,25 +21,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _rotated(d: dict) -> dict:
     """The driver's CORRECTNESS report samples at most 50 queries; the
-    surface is 184, so allocation is explicit and rotates each round
+    surface is 187, so allocation is explicit and rotates each round
     toward the slices with the weakest external evidence (VERDICT r5
     #4). Driver-confirmed so far: q01-q17 every round, q18-q50 (r1-r3),
     q77-q109 (r5), q120-q152 (r4; NOT q110-q119 — the r5 ledger comment
-    overstated r4's slice, fixed here). Round-6 top-50: q153-q184 (32 —
+    overstated r4's slice, fixed here). Round-6 top-50: q153-q187 (35 —
     the round-5/6 additions' first driver check, incl. brand-new
-    q171-q184) + q51-q68 (18 of the 26-query slice whose only evidence
-    is judge re-runs; q69-q76 + q110-q119 head the overflow for round
+    q171-q187) + q51-q65 (15 of the 26-query slice whose only evidence
+    is judge re-runs; q66-q76 + q110-q119 head the overflow for round
     7). Overflow keeps its hard evidence: committed selfcheck sweeps at
     sf0.01 + sf0.1 plus prior driver rounds. Every key keeps its name —
     only dict insertion order changes."""
 
     def key(name: str):
         n = int(name[1:].split("_", 1)[0])
-        if 153 <= n <= 184:
+        if 153 <= n <= 187:
             return (0, n)
-        if 51 <= n <= 68:
+        if 51 <= n <= 65:
             return (1, n)
-        if 69 <= n <= 76 or 110 <= n <= 119:
+        if 66 <= n <= 76 or 110 <= n <= 119:
             return (2, n)
         return (3, n)
 

@@ -573,3 +573,42 @@ def fk_completeness_matrix(
             )
         ).alias("orphan_share"),
     ).orderBy("fk_name")
+
+
+def freshness_audit(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Data-freshness report per group: latest event, staleness versus
+    the corpus-wide watermark, and trailing 1-day / 7-day row counts —
+    the is-this-feed-alive table an ingestion dashboard shows (the
+    operational sibling of calendar_gaps' historical holes). One
+    partial-agg groupBy + one one-row watermark broadcast; the
+    trailing counts are conditional sums in the same pass, exact
+    integer seconds. Output: (group, last_ts, staleness_s, rows_1d,
+    rows_7d, n_rows)."""
+    wm = df.agg(F.max(F.col(ts_col)).alias("_wm"))
+    j = df.crossJoin(F.broadcast(wm))
+    # timestamp_diff works for TIMESTAMP and TIMESTAMP_NTZ alike (the
+    # fixture's naive parquet timestamps load as NTZ; a bare long cast
+    # does not resolve there); SECOND truncates the micros diff, which
+    # for the non-negative ages here equals the oracle's floor division
+    age = F.timestamp_diff("SECOND", F.col(ts_col), F.col("_wm"))
+    agg = j.groupBy(group_col).agg(
+        F.max(F.col(ts_col)).alias("last_ts"),
+        F.sum((age <= 86400).cast("long")).cast("long").alias("rows_1d"),
+        F.sum((age <= 7 * 86400).cast("long")).cast("long").alias("rows_7d"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.first("_wm").alias("_wm2"),
+    )
+    return agg.select(
+        group_col,
+        "last_ts",
+        F.timestamp_diff("SECOND", F.col("last_ts"), F.col("_wm2"))
+        .cast("long")
+        .alias("staleness_s"),
+        "rows_1d",
+        "rows_7d",
+        "n_rows",
+    )

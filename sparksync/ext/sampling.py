@@ -652,3 +652,39 @@ def source_concentration(
         hhi.alias("hhi"),
         (F.lit(1.0) / hhi).alias("effective_sources"),
     )
+
+
+def topk_with_other(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """The dashboard-table rollup: per group, the top-k keys by row
+    count each on their own row, and everything else collapsed into
+    one '(other)' residual row — so a report stays k+1 rows per group
+    no matter how many distinct keys exist (the long-tail guard every
+    BI layer reimplements). One (group, key) count shuffle, one
+    per-group rank window over group-cardinality rows, one residual
+    re-aggregate. Ties break deterministically (count desc, key asc).
+    Output: (group, key, n_rows, rnk) with rnk k+1 on the residual."""
+    cnt = df.groupBy(group_col, key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("n_rows"), F.col(key_col).asc()
+    )
+    ranked = cnt.withColumn("rnk", F.row_number().over(w).cast("long"))
+    top = ranked.where(F.col("rnk") <= k)
+    other = (
+        ranked.where(F.col("rnk") > k)
+        .groupBy(group_col)
+        .agg(F.sum("n_rows").cast("long").alias("n_rows"))
+        .select(
+            F.col(group_col),
+            F.lit("(other)").alias(key_col),
+            "n_rows",
+            F.lit(k + 1).cast("long").alias("rnk"),
+        )
+    )
+    return top.select(group_col, key_col, "n_rows", "rnk").unionByName(other)

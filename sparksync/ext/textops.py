@@ -1051,3 +1051,33 @@ def encoding_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         ratio.alias("ascii_ratio"),
         ((ratio >= 0.8) & (repl == 0)).cast("long").alias("flag_ok"),
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-fertility profile per language: BPE-ish tokens per
+    whitespace word (sum ratio from exact integer token counts, ONE
+    double division) — the metric that says which languages pay a
+    token-budget premium under a given tokenizer, driving mixture
+    weights and cost forecasts. Reuses token_counts' two counters in
+    one partial-agg groupBy. Output: (group, n_docs, ws_tokens,
+    bpe_tokens, fertility)."""
+    counted = token_counts(df, text_col, keep=[group_col])
+    agg = counted.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ws_tokens").cast("long").alias("ws_tokens"),
+        F.sum("bpe_tokens").cast("long").alias("bpe_tokens"),
+    )
+    return agg.select(
+        group_col,
+        "n_docs",
+        "ws_tokens",
+        "bpe_tokens",
+        (
+            F.col("bpe_tokens").cast("double")
+            / F.greatest(F.col("ws_tokens"), F.lit(1)).cast("double")
+        ).alias("fertility"),
+    )

@@ -6228,6 +6228,88 @@ from d cross join c
 """
 
 
+def q185_topk_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k + '(other)' residual rollup (ext/sampling.topk_with_other):
+    top-3 event types per user-id decile bucket with the long tail
+    collapsed to one row — the k+1-rows-per-group dashboard shape."""
+    from .ext import sampling
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "bucket", F.pmod(F.col("user_id"), F.lit(10)).cast("long")
+    )
+    return sampling.topk_with_other(ev, "bucket", "event_type", k=3)
+
+
+ORACLE_Q185 = """
+with cnt as (
+  select user_id % 10 as bucket, event_type,
+         cast(count(*) as bigint) as n_rows
+  from events group by 1, 2),
+ranked as (
+  select *, cast(row_number() over (
+    partition by bucket order by n_rows desc, event_type asc) as bigint)
+      as rnk
+  from cnt)
+select bucket, event_type, n_rows, rnk from ranked where rnk <= 3
+union all
+select bucket, '(other)' as event_type,
+       cast(sum(n_rows) as bigint) as n_rows, cast(4 as bigint) as rnk
+from ranked where rnk > 3 group by bucket
+"""
+
+
+def q186_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness report (compare.freshness_audit): per event_type, the
+    latest event, staleness vs the corpus watermark, and trailing
+    1-day/7-day row counts — the is-this-feed-alive table, exact
+    integer seconds."""
+    from .compare import freshness_audit
+
+    return freshness_audit(load(spark, sf_dir, "events"), "event_type", "ts")
+
+
+ORACLE_Q186 = """
+with wm as (select max(ts) as w from events)
+select event_type,
+       max(ts) as last_ts,
+       cast((epoch_us(w) - epoch_us(max(ts))) // 1000000
+            as bigint) as staleness_s,
+       cast(sum(case when (epoch_us(w) - epoch_us(ts)) // 1000000 <= 86400
+                     then 1 else 0 end) as bigint) as rows_1d,
+       cast(sum(case when (epoch_us(w) - epoch_us(ts)) // 1000000 <= 604800
+                     then 1 else 0 end) as bigint) as rows_7d,
+       cast(count(*) as bigint) as n_rows
+from events cross join wm
+group by event_type, w
+"""
+
+
+def q187_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility profile (ext/textops.tokenizer_fertility):
+    BPE-ish tokens per whitespace word per language from exact integer
+    counts — which languages pay a token-budget premium."""
+    from .ext import textops
+
+    return textops.tokenizer_fertility(load(spark, sf_dir, "documents"), "lang")
+
+
+ORACLE_Q187 = """
+with t as (
+  select lang,
+         cast(len(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+              as bigint) as ws,
+         cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+              as bigint) as bpe
+  from documents)
+select lang, cast(count(*) as bigint) as n_docs,
+       cast(sum(ws) as bigint) as ws_tokens,
+       cast(sum(bpe) as bigint) as bpe_tokens,
+       cast(sum(bpe) as double)
+         / cast(greatest(sum(ws), 1) as double) as fertility
+from t group by lang
+"""
+
+
 # one block per FIXTURE_FOREIGN_KEYS row (kept literal-in-code so the
 # oracle stays independent of compare.py's implementation)
 ORACLE_Q177 = "\nunion all\n".join(
@@ -6431,6 +6513,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q182_lag1_autocorr": q182_lag1_autocorr,
     "q183_rrf_fusion": q183_rrf_fusion,
     "q184_minhash_recall_audit": q184_minhash_recall_audit,
+    "q185_topk_with_other": q185_topk_with_other,
+    "q186_freshness_audit": q186_freshness_audit,
+    "q187_tokenizer_fertility": q187_tokenizer_fertility,
 }
 
 ORACLES: dict[str, str] = {
@@ -6618,4 +6703,7 @@ ORACLES: dict[str, str] = {
     "q182_lag1_autocorr": ORACLE_Q182,
     "q183_rrf_fusion": ORACLE_Q183,
     "q184_minhash_recall_audit": ORACLE_Q184,
+    "q185_topk_with_other": ORACLE_Q185,
+    "q186_freshness_audit": ORACLE_Q186,
+    "q187_tokenizer_fertility": ORACLE_Q187,
 }

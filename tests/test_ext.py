@@ -3126,3 +3126,57 @@ def test_minhash_recall_audit_full_and_sampled(spark, docs):
     s = dedup.minhash_recall_audit(docs, 0.8, sample_mod=2).collect()[0]
     assert 0 < s.n_docs < r.n_docs
     assert s.n_missed == 0 and s.precision == 1.0
+
+
+def test_topk_with_other_shape(spark):
+    """Exactly k+1 rows per group when a tail exists, residual sums the
+    tail, groups without a tail emit no '(other)' row."""
+    from sparksync.ext import sampling
+
+    rows = [("g1", f"k{i % 5}") for i in range(50)] + [("g2", "only")] * 7
+    df = spark.createDataFrame(rows, "g string, k string")
+    out = sampling.topk_with_other(df, "g", "k", k=3).collect()
+    g1 = sorted([r for r in out if r.g == "g1"], key=lambda r: r.rnk)
+    assert len(g1) == 4 and g1[-1].k == "(other)" and g1[-1].rnk == 4
+    assert sum(r.n_rows for r in g1) == 50
+    g2 = [r for r in out if r.g == "g2"]
+    assert len(g2) == 1 and g2[0].k == "only" and g2[0].n_rows == 7
+
+
+def test_freshness_audit_staleness(spark):
+    """The freshest group has staleness 0; an older group's staleness
+    is the exact second gap to the corpus watermark, and window counts
+    see only rows inside the trailing windows."""
+    import datetime
+
+    from sparksync.compare import freshness_audit
+
+    wm = datetime.datetime(2024, 6, 1, 0, 0, 0)
+    rows = [
+        ("live", wm),
+        ("live", wm - datetime.timedelta(hours=1)),
+        ("live", wm - datetime.timedelta(days=3)),
+        ("stale", wm - datetime.timedelta(days=10)),
+        ("stale", wm - datetime.timedelta(days=30)),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    out = {r.g: r for r in freshness_audit(df, "g", "ts").collect()}
+    assert out["live"].staleness_s == 0
+    assert (out["live"].rows_1d, out["live"].rows_7d) == (2, 3)
+    assert out["stale"].staleness_s == 10 * 86400
+    assert (out["stale"].rows_1d, out["stale"].rows_7d) == (0, 0)
+
+
+def test_tokenizer_fertility_known(spark):
+    """Punctuation-heavy text fertilizes above 1.0; plain words sit at
+    exactly 1.0 (one BPE-ish token per whitespace word)."""
+    from sparksync.ext import textops
+
+    rows = [
+        (1, "plain words only here", "en"),
+        (2, "hi! you're (not) done...", "pn"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.lang: r for r in textops.tokenizer_fertility(df, "lang").collect()}
+    assert out["en"].fertility == 1.0
+    assert out["pn"].fertility > 1.5

@@ -656,7 +656,8 @@ def test_round5_queries_no_cartesian(spark):
         "q178_semantic_dedup", "q179_source_concentration",
         "q180_cross_source_dup_matrix", "q181_benford_audit",
         "q182_lag1_autocorr", "q183_rrf_fusion",
-        "q184_minhash_recall_audit",
+        "q184_minhash_recall_audit", "q185_topk_with_other",
+        "q186_freshness_audit", "q187_tokenizer_fertility",
     ]
     for q in new_qs:
         plan = plan_of(QUERIES[q](spark, SF_SMOKE))
