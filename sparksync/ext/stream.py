@@ -459,3 +459,23 @@ def zone_map_stream(
             .alias(f"{value_col}_nulls"),
         )
     )
+
+
+def freshness_stream(
+    rows: DataFrame,
+    group_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Streaming freshness maintenance: per-group last-event timestamp
+    and row count kept live as data lands — the always-current
+    is-this-feed-alive table (compare.freshness_audit is the batch
+    report; this is its unbounded twin). max/count are commutative-
+    mergeable, so state is ONE row per group by construction (no
+    watermark needed); staleness against the corpus watermark is a
+    join-free batch-side computation over this tiny table at read
+    time. A drained stream's table equals the batch aggregate —
+    parity-tested."""
+    return rows.groupBy(F.col(group_col)).agg(
+        F.max(F.col(ts_col)).alias("last_ts"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )

@@ -511,3 +511,31 @@ def test_zone_map_stream_matches_batch(spark, tmp_path):
         for r in zone_map_stats(li, "l_orderkey", 1000, "l_shipdate").collect()
     }
     assert got == batch and len(got) > 0
+
+
+def test_freshness_stream_matches_batch(spark, tmp_path):
+    """The streamed per-group freshness table drained over the fixture
+    equals the batch freshness_audit's (group, last_ts, n_rows) slice —
+    one-row-per-group state, no watermark needed."""
+    from sparksync.compare import freshness_audit
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_type", "ts")
+    src = str(tmp_path / "fresh_in")
+    ev.write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    s = spark.readStream.schema(schema).parquet(src)
+    q = (
+        stream.freshness_stream(s, "event_type", "ts")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("freshness")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("select * from freshness").collect()}
+    batch = {
+        (r.event_type, r.last_ts, r.n_rows)
+        for r in freshness_audit(ev, "event_type", "ts").collect()
+    }
+    assert got == batch and len(got) == 5
