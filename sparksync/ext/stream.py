@@ -479,3 +479,75 @@ def freshness_stream(
         F.max(F.col(ts_col)).alias("last_ts"),
         F.count(F.lit(1)).cast("long").alias("n_rows"),
     )
+
+
+INTERARRIVAL_STATE_SCHEMA = "last_us long, last_id long"
+INTERARRIVAL_OUT_SCHEMA = (
+    "event_type string, user_id long, bucket string, n_gaps long"
+)
+
+
+def interarrival_stream(events: DataFrame) -> DataFrame:
+    """Live inter-arrival bucketing via applyInPandasWithState: per
+    (event_type, user), the last event's micros survive across
+    micro-batches, each batch's rows sort by (ts, id) — the SAME
+    tie-break as the batch lag window — and the gaps emit as
+    per-batch bucket-count increments. The increments are plain
+    commutative counts, so the always-live histogram is one
+    downstream SUM per (event_type, bucket) — mergeable anywhere,
+    exactly ext/asof.interarrival_histogram's table when drained
+    (parity-tested). Assumes per-user event-time order across
+    batches (the usual per-key log-append contract); bounded state:
+    two longs per (group, user); production adds a state timeout."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from .asof import _GAP_BUCKETS
+
+    ev = _as_instant(events).select(
+        "event_type",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.col("event_id"),
+    )
+
+    def label(gap_us: int) -> str:
+        for ub, lab in _GAP_BUCKETS:
+            if gap_us <= ub * 1_000_000:
+                return lab
+        return ">1d"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        last = state.get if state.exists else None
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                (int(u), int(i)) for u, i in zip(pdf["us"], pdf["event_id"])
+            )
+        rows.sort()
+        counts: dict = {}
+        for us, eid in rows:
+            if last is not None:
+                b = label(us - last[0])
+                counts[b] = counts.get(b, 0) + 1
+            last = (us, eid)
+        if counts:
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]] * len(counts),
+                    "user_id": [key[1]] * len(counts),
+                    "bucket": list(counts),
+                    "n_gaps": list(counts.values()),
+                }
+            )
+        if last is not None:
+            state.update((last[0], last[1]))
+
+    return ev.groupBy("event_type", "user_id").applyInPandasWithState(
+        update,
+        outputStructType=INTERARRIVAL_OUT_SCHEMA,
+        stateStructType=INTERARRIVAL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

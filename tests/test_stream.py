@@ -539,3 +539,55 @@ def test_freshness_stream_matches_batch(spark, tmp_path):
         for r in freshness_audit(ev, "event_type", "ts").collect()
     }
     assert got == batch and len(got) == 5
+
+
+def test_interarrival_stream_matches_batch(spark, tmp_path):
+    """The streamed per-batch bucket increments, rolled up after a
+    TWO-batch drain (state must carry each user's last event across
+    the batch boundary), equal the batch interarrival_histogram."""
+    from pyspark.sql import functions as F
+
+    from sparksync.ext.asof import interarrival_histogram
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_type", "user_id", "ts", "event_id"
+    )
+    src = str(tmp_path / "ia_in")
+    # two files = two availableNow micro-batches, split on event time so
+    # cross-batch gaps exercise the saved state (NTZ has no double
+    # cast; diff against the epoch instead)
+    epoch = (
+        "timestampdiff(SECOND, timestamp_ntz '1970-01-01 00:00:00', ts)"
+    )
+    cut = ev.selectExpr(f"percentile({epoch}, 0.5) p").collect()[0].p
+    ev.where(F.expr(epoch) <= cut).coalesce(1).write.mode("append").parquet(src)
+    ev.where(F.expr(epoch) > cut).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.interarrival_stream(s)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ia")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.event_type, r.bucket): r.n
+        for r in spark.sql(
+            "select event_type, bucket, cast(sum(n_gaps) as bigint) n "
+            "from ia group by 1, 2"
+        ).collect()
+    }
+    want = {
+        (r.event_type, r.bucket): r.n_gaps
+        for r in interarrival_histogram(
+            ev, "event_type", "user_id", "ts", "event_id"
+        ).collect()
+    }
+    assert got == want and len(got) > 0
