@@ -55,7 +55,26 @@ HEADLINE = [
     # round-5 pipeline) and the global_cumsum percentile merge
     "q159_cluster_keeper",
     "q167_reference_percentile",
+    # round-7 addition (VERDICT r6 #7): the semantic-dedup capstone —
+    # RP-LSH banded pairs -> connected components -> keeper, the
+    # embedding-space twin of q159's lexical pipeline
+    "q178_semantic_dedup",
 ]
+
+
+def _calibration(spark, runs: int = 3) -> float:
+    """Fixed all-core reference measurement (VERDICT r6 #2): the median
+    wall time of a constant JVM-side workload (sum over range(5e8),
+    whole-stage codegen, no I/O). Ambient driver-machine load shows up
+    here exactly as it does in the query times, so round-over-round
+    comparisons can normalize by the calibration ratio instead of
+    hand-diagnosing "probably load" from uniform drift."""
+    samples = []
+    for _ in range(runs):
+        t0 = time.time()
+        spark.range(500_000_000).selectExpr("sum(id) AS s").collect()
+        samples.append(time.time() - t0)
+    return round(statistics.median(samples), 3)
 
 
 def main() -> int:
@@ -73,6 +92,8 @@ def main() -> int:
     # warm the JVM/session on the smallest SF so startup cost isn't
     # attributed to the first query
     QUERIES["q09_count_compare"](spark, "/root/testdata/sf0.001").collect()
+    load_before = os.getloadavg()
+    calibration = _calibration(spark)
 
     for name in HEADLINE:
         samples = []
@@ -147,6 +168,14 @@ def main() -> int:
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # load sentinel (VERDICT r6 #2): 1/5/15-min loadavg
+                # sampled before and after the run, plus a fixed
+                # calibration measurement. To compare rounds, divide
+                # each round's times by its calibration ratio vs the
+                # baseline round's calibration (protocol in BASELINE.md).
+                "loadavg_before": [round(x, 2) for x in load_before],
+                "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+                "calibration_range_sum_sec": calibration,
             }
         )
     )
