@@ -197,8 +197,17 @@ def _band_buckets(
             for b in range(bands)
         ]
     )
-    return sig.select(F.col(id_col), F.explode(band_keys).alias("bk")).select(
+    # sigall = one hash of the FULL signature, computed once per doc
+    # before the band explode: the level-2 re-split key for buckets
+    # that stay hot even after next-band refinement (_cap_buckets) —
+    # identical docs have identical sigall, so the jaccard-1.0 recall
+    # floor survives any number of re-splits
+    sigall = F.xxhash64(*[F.col(f"h{i}") for i in range(bands * rows)])
+    return sig.select(
+        F.col(id_col), sigall.alias("sigall"), F.explode(band_keys).alias("bk")
+    ).select(
         id_col,
+        "sigall",
         F.col("bk.band").alias("band"),
         F.col("bk.key").alias("key"),
         F.col("bk.nxt").alias("nxt"),
@@ -211,19 +220,33 @@ def _cap_buckets(
     bucket_cap: int | None,
     census: DataFrame | None = None,
 ) -> DataFrame:
-    """Bound the banded join's quadratic term: any (band, key) bucket
-    larger than bucket_cap is re-split by the NEXT band's key, exactly
-    the simhash_pairs/hamming_pairs trade — inside a re-split bucket
-    the LSH guarantee weakens to "agrees on this band AND the next";
-    jaccard-1.0 pairs (identical signatures) always survive, near-cap
-    pairs trade a little recall for a bounded join.
+    """Bound the banded join's quadratic term, two levels deep:
+
+    Level 1: any (band, key) bucket larger than bucket_cap is re-split
+    by the NEXT band's key — inside a re-split bucket the LSH guarantee
+    weakens to "agrees on this band AND the next".
+
+    Level 2 (round 7, found by the skew stress fixture): a
+    template-heavy corpus (boilerplate body + tiny unique serial — the
+    classic crawl pathology) collides on the NEXT band too, so level 1
+    barely moves the bucket size (measured: 1922 -> 1802 on the stress
+    fixture). Buckets still above bucket_cap after the next-band
+    refinement are shattered by `sigall`, the full-signature hash: the
+    bucket degenerates to groups of signature-identical docs, whose
+    size is the corpus's max signature multiplicity — which upstream
+    EXACT dedup (q18, the documented first stage of corpus prep, q50)
+    keeps at ~1. jaccard-1.0 pairs (identical signatures -> identical
+    sigall) survive BOTH levels, so the recall floor is unchanged;
+    near-dup pairs inside a doubly-hot bucket trade recall for a
+    bounded join, the same trade level 1 already made.
 
     Unlike simhash (<= n_bands * 2^width enumerable keys), minhash
     bucket keys are 64-bit hashes, so the full size census is NOT
     broadcastable at corpus scale. Only the OVERSIZED buckets are
     joined back (at most total_rows/bucket_cap of them — tiny for any
-    sane cap), via a left join with no broadcast hint so AQE picks the
-    strategy from the hot set's real size.
+    sane cap), via left joins with no broadcast hint so AQE picks the
+    strategy from the hot set's real size; the level-2 census only
+    aggregates rows already known hot.
 
     census: buckets to measure sizes over (default: `buckets` itself).
     The cross-corpus variant passes the CORPUS side's buckets as the
@@ -231,25 +254,46 @@ def _cap_buckets(
     on the two join inputs (a one-sided refinement would silently drop
     matching pairs)."""
     if bucket_cap is None:
-        return buckets.drop("nxt")
+        return buckets.drop("nxt", "sigall")
+    cen = census if census is not None else buckets
     hot = (
-        (census if census is not None else buckets).groupBy("band", "key")
+        cen.groupBy("band", "key")
         .agg(F.count(F.lit(1)).alias("_n"))
         .where(F.col("_n") > bucket_cap)
         .select("band", "key", F.lit(True).alias("_hot"))
     )
-    return buckets.join(hot, ["band", "key"], "left").select(
-        id_col,
-        "band",
-        # re-split key = hash(key, nxt), salted so refined keys cannot
-        # collide back into the plain-key space except with xxhash64
-        # probability (a collision only ADDS candidates, which exact
-        # verification removes)
-        F.when(
-            F.col("_hot"), F.xxhash64(F.lit("resplit"), F.col("key"), F.col("nxt"))
+    # level-2 census: sizes of the level-1 refined groups, measured
+    # over hot rows only (a semi-join-sized aggregate)
+    hot2 = (
+        cen.join(hot, ["band", "key"])
+        .groupBy("band", "key", "nxt")
+        .agg(F.count(F.lit(1)).alias("_n2"))
+        .where(F.col("_n2") > bucket_cap)
+        .select("band", "key", "nxt", F.lit(True).alias("_hot2"))
+    )
+    return (
+        buckets.join(hot, ["band", "key"], "left")
+        .join(hot2, ["band", "key", "nxt"], "left")
+        .select(
+            id_col,
+            "band",
+            # re-split keys are salted so refined keys cannot collide
+            # back into the plain-key space except with xxhash64
+            # probability (a collision only ADDS candidates, which
+            # exact verification removes)
+            F.when(
+                F.col("_hot2"),
+                F.xxhash64(
+                    F.lit("resplit2"), F.col("key"), F.col("nxt"), F.col("sigall")
+                ),
+            )
+            .when(
+                F.col("_hot"),
+                F.xxhash64(F.lit("resplit"), F.col("key"), F.col("nxt")),
+            )
+            .otherwise(F.col("key"))
+            .alias("key"),
         )
-        .otherwise(F.col("key"))
-        .alias("key"),
     )
 
 

@@ -1195,16 +1195,26 @@ def test_ivf_batch_recall_vs_brute(emb):
 def test_minhash_cap_prunes_template_corpus(spark):
     """The hot-bucket re-split must do real work on the corpus shape it
     was built for: many DISTINCT docs sharing a dominant template (so
-    whole bands collide) with small unique tails. With a tight cap the
+    whole bands collide — including the NEXT band, so level 1 alone
+    cannot bound it) with small unique tails. With a tight cap the
     candidate-pair set (threshold=0.0 exposes it through the public
-    API) must shrink strictly, results stay a subset of uncapped, and
-    high-similarity pairs survive the re-split."""
+    API) must shrink to ~cap-bounded quadratic work, stay a subset of
+    uncapped, and the jaccard-1.0 recall floor must hold exactly:
+    planted verbatim duplicates survive BOTH re-split levels (identical
+    signatures -> identical band keys and identical sigall).
+
+    History: before round 7's level-2 shatter this test asserted 80% of
+    j>=0.85 pairs survive cap=20 on an every-bucket-hot corpus — which
+    only passed because the single-level re-split FAILED to split (the
+    next band collides too), i.e. the cap did no bounding at all. The
+    skew stress fixture (test_skew_stress.py) exposed that; the recall
+    trade inside doubly-hot buckets is now real and documented."""
     from pyspark.sql import functions as F
 
     from sparksync.ext import dedup
 
     template = " ".join(f"tmpl{i}" for i in range(30))
-    docs = spark.range(300).select(
+    base = spark.range(300).select(
         F.col("id").alias("doc_id"),
         F.concat(
             F.lit(template + " "),
@@ -1215,6 +1225,11 @@ def test_minhash_cap_prunes_template_corpus(spark):
             ),
         ).alias("text"),
     )
+    # plant verbatim duplicates of the first 20 docs (recall floor)
+    dups = base.where("doc_id < 20").select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    docs = base.unionByName(dups)
     uncapped = {
         (r["d1"], r["d2"]): r["jacc"]
         for r in dedup.minhash_dedup_pairs(
@@ -1228,10 +1243,12 @@ def test_minhash_cap_prunes_template_corpus(spark):
         ).collect()
     }
     assert set(capped) <= set(uncapped)
-    assert len(capped) < len(uncapped), (len(capped), len(uncapped))
-    high = {p for p, j in uncapped.items() if j >= 0.85}
-    kept = high & set(capped)
-    assert len(kept) >= 0.8 * len(high), (len(kept), len(high))
+    # the cap now BOUNDS: candidate work collapses from all-pairs to
+    # signature-multiplicity groups
+    assert len(capped) < 0.05 * len(uncapped), (len(capped), len(uncapped))
+    # jaccard-1.0 floor: every planted verbatim pair survives
+    for i in range(20):
+        assert (i, i + 1000) in capped, f"verbatim dup {i} lost to the cap"
 
 
 def test_funnel_conversion_ordering(spark):

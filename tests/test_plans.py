@@ -226,8 +226,10 @@ def test_minhash_hot_bucket_resplit_and_no_cartesian(spark):
 
     # (a) unit: a 6-row bucket with cap 3 re-splits by nxt; a small
     # bucket keeps its raw key
-    rows = [(i, 0, 7, i % 2) for i in range(6)] + [(9, 1, 42, 5)]
-    raw = spark.createDataFrame(rows, "doc_id long, band int, key long, nxt long")
+    rows = [(i, 0, 7, i % 2, 100 + i) for i in range(6)] + [(9, 1, 42, 5, 999)]
+    raw = spark.createDataFrame(
+        rows, "doc_id long, band int, key long, nxt long, sigall long"
+    )
     capped = dedup._cap_buckets(raw, "doc_id", 3).collect()
     hot_keys = {r.key for r in capped if r.band == 0}
     assert 7 not in hot_keys and len(hot_keys) == 2, hot_keys  # split in two
