@@ -865,3 +865,38 @@ def interarrival_histogram(
         .groupBy(group_col, "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("n_gaps"))
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for each (from_type, to_type) adjacency in a user's
+    (ts, id)-ordered history, the count and the row-normalized
+    probability — the journey fingerprint that surfaces broken flows
+    (a purchase->view spike after a redirect change) without
+    hand-listing funnels. One lag window partitioned by user (parallel
+    — never a global sort), one partial-agg groupBy; p divides exact
+    bigints once. First events have no predecessor and are excluded.
+    Output: (from_type, to_type, n, p)."""
+    us = _epoch_us(events, ts_col)
+    w = Window.partitionBy(user_col).orderBy(F.col("_us"), F.col(id_col))
+    prev = F.lag(type_col).over(w)
+    pairs = (
+        events.select(F.col(user_col), us.alias("_us"), F.col(id_col), F.col(type_col))
+        .withColumn("from_type", prev)
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col(type_col).alias("to_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = pairs.groupBy("from_type").agg(F.sum("n").cast("long").alias("_row_n"))
+    return pairs.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.col("_row_n").cast("double")).alias("p"),
+    )

@@ -1017,3 +1017,47 @@ def lag1_autocorr(
         F.lit(None).cast("double")
     )
     return agg.select(group_col, "n_pairs", corr.alias("autocorr"))
+
+
+def chisq_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Chi-square independence table for two categorical columns: per
+    (a, b) cell the observed count, the independence-expected count
+    (row_total * col_total / grand_total) and the cell's chi-square
+    contribution (obs - exp)^2 / exp — the audit that catches a
+    dependence the mixture design assumes away (language concentrated
+    in one crawl source means dropping that source silently drops the
+    language). One partial-agg groupBy over the data plus two
+    marginal aggregates broadcast back; expected divides exact bigints
+    once, so every double is engine-portable. Callers sum
+    `contribution` for the statistic; the per-cell table is the
+    actionable part. Output: (a, b, observed, expected,
+    contribution)."""
+    cells = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("observed"))
+    row_t = cells.groupBy("a").agg(F.sum("observed").cast("long").alias("_ra"))
+    col_t = cells.groupBy("b").agg(F.sum("observed").cast("long").alias("_cb"))
+    grand = cells.agg(F.sum("observed").cast("long").alias("_n"))
+    exp = (
+        (F.col("_ra") * F.col("_cb")).cast("double") / F.col("_n").cast("double")
+    )
+    return (
+        cells.join(F.broadcast(row_t), "a")
+        .join(F.broadcast(col_t), "b")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "a",
+            "b",
+            "observed",
+            exp.alias("expected"),
+            (
+                (F.col("observed").cast("double") - exp)
+                * (F.col("observed").cast("double") - exp)
+                / exp
+            ).alias("contribution"),
+        )
+    )

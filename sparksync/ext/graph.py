@@ -54,12 +54,17 @@ def connected_components(
     component is the smallest node id reachable through the undirected
     edge set.
 
-    Label propagation converges in <= diameter rounds. If the loop
-    exhausts max_iter while labels are still changing the result is
-    WRONG (partially-merged components), so strict=True (default)
-    raises instead of silently returning it; strict=False logs a
-    warning and returns the non-converged labels for callers that
-    prefer partial merges over failure."""
+    Label propagation converges once every node has seen the component
+    minimum — <= diameter hops. Initialization folds the first hop
+    into label creation and each round performs TWO hops before its
+    checkpoint + convergence check (the per-round fixed costs dominate
+    on the shallow graphs near-dup clusters form), so max_iter rounds
+    cover up to 2*max_iter+1 hops. If the loop exhausts max_iter while
+    labels are still changing the result is WRONG (partially-merged
+    components), so strict=True (default) raises instead of silently
+    returning it; strict=False logs a warning and returns the
+    non-converged labels for callers that prefer partial merges over
+    failure."""
     # materialize the undirected pair graph ONCE: `edges` is typically a
     # whole discovery pipeline (minhash LSH banding + verify, cosine
     # scoring, ...), and every propagation round below reads `und` — an
@@ -72,38 +77,48 @@ def connected_components(
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .localCheckpoint(eager=True)
     )
+    # init folds the FIRST propagation hop into label creation: every
+    # node starts at min(self, min neighbor) — one groupBy instead of a
+    # distinct + a full first round (round-7 fixed-cost trim: each
+    # saved round is a checkpoint job + a convergence job, which
+    # dominates wall time on the shallow graphs near-dup clusters form)
     labels = (
-        und.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        und.groupBy(F.col("a").alias("node"))
+        .agg(F.least(F.min("b"), F.col("a")).alias("label"))
         .localCheckpoint(eager=True)
     )
+    ckpt = labels  # the df actually holding this round's blocks
     changed = 0
     for _ in range(max_iter):
-        # message = neighbor's current label; new label = min(own, msgs)
-        msgs = (
-            und.join(labels, und["b"] == labels["node"])
-            .select(F.col("a").alias("node"), F.col("label").alias("nl"))
-        )
+        # two propagation hops per checkpointed round, and the OLD
+        # label rides along the aggregation so convergence needs no
+        # join: each node's self row (exactly one per node) carries
+        # `old`; message rows carry null, which min/max skip.
+        stepped = labels.select("node", "label", F.col("label").alias("old"))
+        for _hop in range(2):
+            msgs = und.join(stepped, und["b"] == stepped["node"]).select(
+                F.col("a").alias("node"),
+                F.col("label"),
+                F.lit(None).cast("long").alias("old"),
+            )
+            stepped = (
+                stepped.unionByName(msgs)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"), F.max("old").alias("old"))
+            )
         # eager localCheckpoint truncates lineage: each round's plan is
         # flat (scan-of-blocks -> join -> agg), not 2^round deep
-        new_labels = (
-            labels.unionByName(msgs.withColumnRenamed("nl", "label"))
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        # old round's blocks are never read again (new_labels is already
+        stepped = stepped.localCheckpoint(eager=True)
+        # convergence scan runs over the materialized blocks — no
+        # shuffle, no second derivation of the round
+        changed = stepped.where(F.col("label") != F.col("old")).count()
+        # old round's blocks are never read again (stepped is already
         # materialized), so dropping them is safe even though a
-        # checkpointed plan can't recompute
-        _release_checkpoint(labels)
-        labels = new_labels
+        # checkpointed plan can't recompute. Release the CHECKPOINTED
+        # df, not the projection over it.
+        _release_checkpoint(ckpt)
+        ckpt = stepped
+        labels = stepped.select("node", "label")
         if changed == 0:
             break
     # the loop never reads the pair graph again; labels is independently
@@ -116,7 +131,7 @@ def connected_components(
             f"max_iter; labels are partially merged"
         )
         if strict:
-            _release_checkpoint(labels)
+            _release_checkpoint(ckpt)
             raise RuntimeError(msg)
         import warnings
 

@@ -157,15 +157,37 @@ def _lsh_scored_pairs(
         raise ValueError("n_planes must divide evenly into n_bands")
     width = n_planes // n_bands
     e = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
+    # ONE nested-array literal for the whole 32x64 plane matrix + a
+    # transform lambda, instead of 32 per-plane F.array(*[F.lit(x)...])
+    # expressions. The old formulation built ~2,300 py4j Column calls
+    # and a ~16k-node expression tree that Catalyst re-analyzed on
+    # every consumer of the (persisted) projection — measured 7.6 s to
+    # count 36k candidate pairs over 2,000 vectors at sf0.1, nearly all
+    # of it driver-side plan work. Bit values are unchanged: the dot is
+    # the same sequential zip_with+aggregate fold per plane, so signs,
+    # buckets, and the inlined-plane DuckDB oracles (q32/q178) agree
+    # bit-for-bit.
     planes = _rp_planes(n_planes, dim)
-    bits = [
-        F.when(dot(F.col("v"), F.array(*[F.lit(x) for x in plane])) >= 0, 1).otherwise(0)
-        for plane in planes
-    ]
-    band_vals = [
-        sum(b * (2**i) for i, b in enumerate(bits[bi * width : (bi + 1) * width]))
-        for bi in range(n_bands)
-    ]
+    bits_col = F.transform(
+        F.lit(planes),
+        lambda plane: F.when(dot(F.col("v"), plane) >= 0, F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    pow2 = F.lit([2**i for i in range(width)])
+
+    def band_from_bits(bits, bi):
+        # sum(bit_i * 2^i) over band bi's slice — integer-exact in any
+        # fold order; bi is a Column (sequence index)
+        return F.aggregate(
+            F.zip_with(
+                F.slice(bits, bi * width + 1, F.lit(width)),
+                pow2,
+                lambda b, p: (b * p).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
     # One struct per band carrying (band, bucket, nxt) where nxt is the
     # NEXT band's value, used for bucket-cap re-splitting. The projected
     # (id, v, cells) row is PERSISTED before fan-out: the size census and
@@ -173,15 +195,28 @@ def _lsh_scored_pairs(
     # n_planes dot products over the full corpus (measured 3x projection
     # cost at sf0.1). Cache row = vector + n_bands longs, i.e. barely
     # more than the input the executors already hold.
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                band_vals[i].cast("long").alias("bucket"),
-                band_vals[(i + 1) % n_bands].cast("long").alias("nxt"),
-            )
-            for i in range(n_bands)
-        ]
+    #
+    # The one-element-array transform is a let-binding: the 32-dot bits
+    # array evaluates ONCE per row, then all n_bands (bucket, nxt)
+    # pairs read the bound lambda variable. Building the cells from 8
+    # separate band_val expressions instead would let CollapseProject
+    # inline the full bits transform into each one — 8x the projection
+    # CPU on the corpus-sized pass.
+    cells = F.element_at(
+        F.transform(
+            F.array(F.struct(bits_col.alias("b"))),
+            lambda s: F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda bi: F.struct(
+                    bi.cast("int").alias("band"),
+                    band_from_bits(s["b"], bi).alias("bucket"),
+                    band_from_bits(
+                        s["b"], F.pmod(bi + 1, F.lit(n_bands))
+                    ).alias("nxt"),
+                ),
+            ),
+        ),
+        1,
     )
     hashed = e.select(id_col, "v", cells.alias("_cells")).persist(
         StorageLevel.MEMORY_AND_DISK
@@ -833,4 +868,94 @@ def rrf_fuse(
     w = Window.partitionBy(pk).orderBy(F.col("rrf").desc(), F.col(id_col))
     return scored.withColumn(
         "fused_rank", F.row_number().over(w).cast("long")
+    )
+
+
+def lsh_precision_audit(
+    emb: DataFrame,
+    threshold: float = 0.42,
+    n_planes: int = 32,
+    n_bands: int = 4,
+    dim: int = 64,
+    bucket_cap: int | None = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Precision profile of the RP-LSH candidate generator — the
+    complement of the MinHash RECALL audit (dedup.minhash_recall_audit):
+    bucket every candidate pair by its exact cosine (width-0.2 bins)
+    and report counts, the share of all candidates, and whether the bin
+    clears the dedup threshold. A precision collapse (candidates piling
+    into low-cosine bins) means the banding is too coarse for the
+    embedding distribution and the verify stage is paying for it — the
+    dial this table drives is n_bands/width, BEFORE the corpus gets
+    100x bigger. Cosines are bit-identical to the oracle's (sequential
+    fold), so floor() lands identically; share divides exact bigints.
+    Output: (cos_bin, n_pairs, share, above_threshold)."""
+    scored = _lsh_scored_pairs(
+        emb, n_planes, n_bands, dim, bucket_cap, id_col, vec_col
+    )
+    binned = scored.groupBy(
+        (F.floor(F.col("cos") * 5) / F.lit(5.0)).alias("cos_bin")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    tot = binned.agg(F.sum("n_pairs").cast("long").alias("_t"))
+    return binned.crossJoin(F.broadcast(tot)).select(
+        "cos_bin",
+        "n_pairs",
+        (F.col("n_pairs").cast("double") / F.col("_t").cast("double")).alias(
+            "share"
+        ),
+        (F.col("cos_bin") >= threshold).cast("long").alias("above_threshold"),
+    )
+
+
+def quantization_error_audit(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector int8 quantization error: quantize each dimension to
+    256 levels over that dimension's corpus [min, max] (symmetric
+    affine, round-half-up), dequantize, and report per-vector MSE and
+    the cosine between original and dequantized — the audit run before
+    shipping an embedding corpus to a quantized ANN index, answering
+    "is 4x smaller worth it for THIS distribution" with a table
+    instead of a hunch. Per-dimension min/max come from one
+    posexplode+groupBy (exact), collected into two 64-wide arrays on a
+    single broadcast row; the per-vector pass is a narrow zip_with +
+    sequential folds, so every double is engine-portable (no
+    cross-row float sums anywhere). Output: (id, mse, cos_orig_deq)."""
+    e = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
+    dims = e.select(F.posexplode("v").alias("pos", "x")).groupBy("pos").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    bounds = dims.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "mn"))).alias("_mns"),
+        F.array_sort(F.collect_list(F.struct("pos", "mx"))).alias("_mxs"),
+    ).select(
+        F.transform("_mns", lambda s: s["mn"]).alias("mns"),
+        F.transform("_mxs", lambda s: s["mx"]).alias("mxs"),
+    )
+    withb = e.crossJoin(F.broadcast(bounds))
+    # deq_i = mn + round_half_up((x-mn)/(mx-mn)*255) * (mx-mn)/255;
+    # degenerate dimensions (mx == mn) dequantize to mn exactly
+    rng = F.zip_with("mns", "mxs", lambda a, b: b - a)
+    deq = F.zip_with(
+        F.zip_with("v", "mns", lambda x, a: F.struct(x.alias("x"), a.alias("a"))),
+        rng,
+        lambda s, r: F.when(r > 0,
+            s["a"]
+            + F.floor((s["x"] - s["a"]) / r * 255 + F.lit(0.5)) * r / 255
+        ).otherwise(s["a"]),
+    )
+    scored = withb.select(F.col(id_col), F.col("v"), deq.alias("dq"))
+    sqerr = F.aggregate(
+        F.zip_with("v", "dq", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return scored.select(
+        F.col(id_col),
+        (sqerr / F.size("v")).alias("mse"),
+        cosine(F.col("v"), F.col("dq")).alias("cos_orig_deq"),
     )

@@ -1081,3 +1081,106 @@ def tokenizer_fertility(
             / F.greatest(F.col("ws_tokens"), F.lit(1)).cast("double")
         ).alias("fertility"),
     )
+
+
+def charclass_entropy(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Character-class composition + Shannon entropy per group: letters
+    / digits / whitespace / other counted exactly per doc (ASCII
+    classes only — Unicode letter classes disagree across regex
+    engines), summed per group, one ln() pass at the end. A crawl
+    feed whose entropy collapses (all digits: logs; all punctuation:
+    minified code) or jumps is misclassified content — the cheap
+    per-source composition monitor a mixture pipeline tails daily.
+    Integers until the final divisions; ln is cross-engine stable.
+    Output: (group, letters, digits, spaces, others, total_chars,
+    entropy)."""
+    t = F.col(text_col)
+    n = F.length(t).cast("long")
+    letters = F.length(t) - F.length(F.regexp_replace(t, "[A-Za-z]", ""))
+    digits = F.length(t) - F.length(F.regexp_replace(t, "[0-9]", ""))
+    spaces = F.length(t) - F.length(F.regexp_replace(t, "[ \\t\\n\\r]", ""))
+    agg = df.select(
+        F.col(group_col),
+        n.alias("_n"),
+        letters.cast("long").alias("_l"),
+        digits.cast("long").alias("_d"),
+        spaces.cast("long").alias("_s"),
+    ).groupBy(group_col).agg(
+        F.sum("_l").cast("long").alias("letters"),
+        F.sum("_d").cast("long").alias("digits"),
+        F.sum("_s").cast("long").alias("spaces"),
+        F.sum("_n").cast("long").alias("total_chars"),
+    )
+    others = (
+        F.col("total_chars") - F.col("letters") - F.col("digits") - F.col("spaces")
+    )
+
+    def term(c):
+        p = c.cast("double") / F.col("total_chars").cast("double")
+        return F.when(c > 0, -p * F.log(p)).otherwise(F.lit(0.0))
+
+    return agg.select(
+        group_col,
+        "letters",
+        "digits",
+        "spaces",
+        others.cast("long").alias("others"),
+        "total_chars",
+        (
+            term(F.col("letters"))
+            + term(F.col("digits"))
+            + term(F.col("spaces"))
+            + term(others)
+        ).alias("entropy"),
+    )
+
+
+def truncation_loss(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    max_len: int = 64,
+) -> DataFrame:
+    """Context-window truncation audit per group: how many docs exceed
+    max_len whitespace tokens and what fraction of the group's tokens a
+    hard truncation at max_len would discard — the number that decides
+    whether a feed needs chunking (chunk_documents) before packing
+    (pack_sequences) instead of silent tail loss. Exact integer token
+    counts, two double divisions at the end; the p50/p95 token-count
+    percentiles use exact interpolation (cross-engine stable).
+    Output: (group, n_docs, total_tokens, docs_truncated, tokens_lost,
+    doc_trunc_frac, token_loss_frac, p50_tokens, p95_tokens)."""
+    ws = F.size(tokens(text_col)).cast("long")
+    per_doc = df.select(F.col(group_col), ws.alias("_ws"))
+    agg = per_doc.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_ws").cast("long").alias("total_tokens"),
+        F.sum((F.col("_ws") > max_len).cast("long")).cast("long").alias(
+            "docs_truncated"
+        ),
+        F.sum(F.greatest(F.col("_ws") - max_len, F.lit(0))).cast("long").alias(
+            "tokens_lost"
+        ),
+        F.expr("percentile(_ws, 0.5)").alias("p50_tokens"),
+        F.expr("percentile(_ws, 0.95)").alias("p95_tokens"),
+    )
+    return agg.select(
+        group_col,
+        "n_docs",
+        "total_tokens",
+        "docs_truncated",
+        "tokens_lost",
+        (
+            F.col("docs_truncated").cast("double") / F.col("n_docs").cast("double")
+        ).alias("doc_trunc_frac"),
+        (
+            F.col("tokens_lost").cast("double")
+            / F.greatest(F.col("total_tokens"), F.lit(1)).cast("double")
+        ).alias("token_loss_frac"),
+        "p50_tokens",
+        "p95_tokens",
+    )

@@ -6328,6 +6328,266 @@ ORACLE_Q177 = "\nunion all\n".join(
 
 
 
+def q188_lsh_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RP-LSH candidate precision profile (ext/similarity.
+    lsh_precision_audit): every candidate pair bucketed by exact cosine
+    (width-0.2 bins) with counts, share, and threshold flag — the
+    complement of q184's recall audit, measuring what the verify stage
+    PAYS for the banding. Cosines replay bit-for-bit (sequential
+    folds), so the floor() binning agrees across engines."""
+    from .ext import similarity
+
+    return similarity.lsh_precision_audit(
+        load(spark, sf_dir, "embeddings"), threshold=0.42
+    )
+
+
+def _oracle_q188() -> str:
+    """q178's inlined-plane keyed CTE + exact cosine, then the same
+    floor(cos*5)/5 binning; share divides exact bigints."""
+    from .ext.similarity import _rp_planes
+
+    n_planes, n_bands, dim = 32, 4, 64
+    width = n_planes // n_bands
+    planes = _rp_planes(n_planes, dim)
+
+    def lit(plane: list) -> str:
+        return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+    def bucket(bi: int) -> str:
+        return " + ".join(
+            f"(case when list_dot_product(v, {lit(planes[bi * width + i])}) >= 0"
+            f" then {2 ** i} else 0 end)"
+            for i in range(width)
+        )
+
+    keyed = "\nunion all\n".join(
+        f"select vec_id, v, {bi} as band, {bucket(bi)} as bucket from e"
+        for bi in range(n_bands)
+    )
+    return f"""
+with e as (select vec_id,
+                  list_transform(embedding, x -> cast(x as double)) as v
+           from embeddings),
+keyed as (
+{keyed}
+),
+cand as (
+  select distinct a.vec_id as d1, b.vec_id as d2
+  from keyed a join keyed b
+    on a.band = b.band and a.bucket = b.bucket and a.vec_id < b.vec_id),
+scored as (
+  select list_dot_product(ea.v, eb.v)
+           / (sqrt(list_dot_product(ea.v, ea.v))
+              * sqrt(list_dot_product(eb.v, eb.v))) as cos
+  from cand join e ea on ea.vec_id = cand.d1
+            join e eb on eb.vec_id = cand.d2),
+binned as (
+  select cast(floor(cos * 5) as double) / cast(5.0 as double) as cos_bin,
+         cast(count(*) as bigint) as n_pairs
+  from scored group by 1),
+tot as (select cast(sum(n_pairs) as bigint) as t from binned)
+select cos_bin, n_pairs,
+       cast(n_pairs as double) / cast(t as double) as share,
+       cast(case when cos_bin >= cast(0.42 as double) then 1 else 0 end
+            as bigint) as above_threshold
+from binned, tot
+"""
+
+
+ORACLE_Q188 = _oracle_q188()
+
+
+def q189_charclass_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition + entropy per source
+    (ext/textops.charclass_entropy): exact ASCII-class counts, one
+    ln() pass — the per-feed composition monitor that catches
+    misclassified content (all-digit logs, minified code) before it
+    poisons a training mix."""
+    from .ext import textops
+
+    return textops.charclass_entropy(load(spark, sf_dir, "documents"), "source")
+
+
+ORACLE_Q189 = r"""
+with t as (
+  select source,
+         cast(sum(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+              as bigint) as letters,
+         cast(sum(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+              as bigint) as digits,
+         cast(sum(length(text) - length(regexp_replace(text, '[ \t\n\r]', '', 'g')))
+              as bigint) as spaces,
+         cast(sum(length(text)) as bigint) as total_chars
+  from documents group by source)
+select source, letters, digits, spaces,
+       cast(total_chars - letters - digits - spaces as bigint) as others,
+       total_chars,
+       (case when letters > 0 then
+          -(cast(letters as double) / cast(total_chars as double))
+            * ln(cast(letters as double) / cast(total_chars as double))
+        else cast(0.0 as double) end)
+       + (case when digits > 0 then
+          -(cast(digits as double) / cast(total_chars as double))
+            * ln(cast(digits as double) / cast(total_chars as double))
+        else cast(0.0 as double) end)
+       + (case when spaces > 0 then
+          -(cast(spaces as double) / cast(total_chars as double))
+            * ln(cast(spaces as double) / cast(total_chars as double))
+        else cast(0.0 as double) end)
+       + (case when total_chars - letters - digits - spaces > 0 then
+          -(cast(total_chars - letters - digits - spaces as double)
+              / cast(total_chars as double))
+            * ln(cast(total_chars - letters - digits - spaces as double)
+                 / cast(total_chars as double))
+        else cast(0.0 as double) end) as entropy
+from t
+"""
+
+
+def q190_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window truncation audit (ext/textops.truncation_loss):
+    per source, docs over 64 whitespace tokens and the token share a
+    hard cut would discard — the chunk-or-truncate decision table.
+    Exact integer counts; the percentiles use exact interpolation."""
+    from .ext import textops
+
+    return textops.truncation_loss(
+        load(spark, sf_dir, "documents"), "source", max_len=64
+    )
+
+
+ORACLE_Q190 = """
+with t as (
+  select source,
+         cast(len(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+              as bigint) as ws
+  from documents),
+a as (
+  select source,
+         cast(count(*) as bigint) as n_docs,
+         cast(sum(ws) as bigint) as total_tokens,
+         cast(sum(case when ws > 64 then 1 else 0 end) as bigint)
+           as docs_truncated,
+         cast(sum(greatest(ws - 64, 0)) as bigint) as tokens_lost,
+         quantile_cont(ws, 0.5) as p50_tokens,
+         quantile_cont(ws, 0.95) as p95_tokens
+  from t group by source)
+select source, n_docs, total_tokens, docs_truncated, tokens_lost,
+       cast(docs_truncated as double) / cast(n_docs as double)
+         as doc_trunc_frac,
+       cast(tokens_lost as double)
+         / cast(greatest(total_tokens, 1) as double) as token_loss_frac,
+       p50_tokens, p95_tokens
+from a
+"""
+
+
+def q191_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (ext/asof.event_transitions): (from, to) adjacency counts
+    + row-normalized probabilities from one parallel lag window — the
+    journey fingerprint that flags broken flows without hand-listed
+    funnels (q122 emits the raw training PAIRS; this is the aggregated
+    audit table)."""
+    from .ext import asof as asofmod
+
+    return asofmod.event_transitions(load(spark, sf_dir, "events"))
+
+
+ORACLE_Q191 = """
+with l as (
+  select event_type as to_type,
+         lag(event_type) over (partition by user_id
+                               order by ts, event_id) as from_type
+  from events),
+pairs as (
+  select from_type, to_type, cast(count(*) as bigint) as n
+  from l where from_type is not null group by 1, 2),
+tot as (
+  select from_type, cast(sum(n) as bigint) as row_n
+  from pairs group by from_type)
+select p.from_type, p.to_type, p.n,
+       cast(p.n as double) / cast(t.row_n as double) as p
+from pairs p join tot t using (from_type)
+"""
+
+
+def q192_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 quantization error audit (ext/similarity.
+    quantization_error_audit): per vector, the MSE and original-vs-
+    dequantized cosine under per-dimension [min, max] affine int8
+    quantization — the 'is 4x smaller safe for THIS corpus' table. All
+    folds are sequential and per-row, so every double replays
+    bit-for-bit."""
+    from .ext import similarity
+
+    return similarity.quantization_error_audit(load(spark, sf_dir, "embeddings"))
+
+
+ORACLE_Q192 = """
+with e as (select vec_id,
+                  list_transform(embedding, x -> cast(x as double)) as v
+           from embeddings),
+flat as (select generate_subscripts(v, 1) as pos, unnest(v) as x from e),
+dims as (select pos, min(x) as mn, max(x) as mx from flat group by pos),
+bounds as (select list(mn order by pos) as mns, list(mx order by pos) as mxs
+           from dims),
+deq as (
+  select vec_id, v,
+         list_transform(range(1, 65), i ->
+           case when mxs[i] > mns[i] then
+             mns[i] + floor((v[i] - mns[i]) / (mxs[i] - mns[i]) * 255
+                            + cast(0.5 as double))
+                      * (mxs[i] - mns[i]) / 255
+           else mns[i] end) as dq
+  from e, bounds)
+select vec_id,
+       list_reduce(list_transform(range(1, 65),
+                                  i -> (v[i] - dq[i]) * (v[i] - dq[i])),
+                   (a, b) -> a + b) / 64 as mse,
+       list_reduce(list_transform(range(1, 65), i -> v[i] * dq[i]),
+                   (a, b) -> a + b)
+         / (sqrt(list_reduce(list_transform(range(1, 65), i -> v[i] * v[i]),
+                             (a, b) -> a + b))
+            * sqrt(list_reduce(list_transform(range(1, 65), i -> dq[i] * dq[i]),
+                               (a, b) -> a + b))) as cos_orig_deq
+from deq
+"""
+
+
+def q193_chisq_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence table for language x source
+    (ext/features.chisq_independence): per-cell observed, expected
+    under independence, and chi2 contribution — the audit that catches
+    a language concentrated in one crawl source before a source drop
+    silently drops the language. Expected divides exact bigints once."""
+    from .ext import features
+
+    return features.chisq_independence(
+        load(spark, sf_dir, "documents"), "lang", "source"
+    )
+
+
+ORACLE_Q193 = """
+with cells as (
+  select lang as a, source as b, cast(count(*) as bigint) as observed
+  from documents group by 1, 2),
+rt as (select a, cast(sum(observed) as bigint) as ra from cells group by a),
+ct as (select b, cast(sum(observed) as bigint) as cb from cells group by b),
+g as (select cast(sum(observed) as bigint) as n from cells)
+select c.a, c.b, c.observed,
+       cast(rt.ra * ct.cb as double) / cast(g.n as double) as expected,
+       (cast(c.observed as double)
+          - cast(rt.ra * ct.cb as double) / cast(g.n as double))
+       * (cast(c.observed as double)
+          - cast(rt.ra * ct.cb as double) / cast(g.n as double))
+       / (cast(rt.ra * ct.cb as double) / cast(g.n as double))
+         as contribution
+from cells c join rt using (a) join ct using (b), g
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -6516,6 +6776,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q185_topk_with_other": q185_topk_with_other,
     "q186_freshness_audit": q186_freshness_audit,
     "q187_tokenizer_fertility": q187_tokenizer_fertility,
+    "q188_lsh_precision_audit": q188_lsh_precision_audit,
+    "q189_charclass_entropy": q189_charclass_entropy,
+    "q190_truncation_loss": q190_truncation_loss,
+    "q191_event_transitions": q191_event_transitions,
+    "q192_quantization_error": q192_quantization_error,
+    "q193_chisq_lang_source": q193_chisq_lang_source,
 }
 
 ORACLES: dict[str, str] = {
@@ -6706,4 +6972,10 @@ ORACLES: dict[str, str] = {
     "q185_topk_with_other": ORACLE_Q185,
     "q186_freshness_audit": ORACLE_Q186,
     "q187_tokenizer_fertility": ORACLE_Q187,
+    "q188_lsh_precision_audit": ORACLE_Q188,
+    "q189_charclass_entropy": ORACLE_Q189,
+    "q190_truncation_loss": ORACLE_Q190,
+    "q191_event_transitions": ORACLE_Q191,
+    "q192_quantization_error": ORACLE_Q192,
+    "q193_chisq_lang_source": ORACLE_Q193,
 }
