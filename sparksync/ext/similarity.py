@@ -873,7 +873,7 @@ def rrf_fuse(
 
 def lsh_precision_audit(
     emb: DataFrame,
-    threshold: float = 0.42,
+    threshold: float = 0.4,
     n_planes: int = 32,
     n_bands: int = 4,
     dim: int = 64,
@@ -891,6 +891,15 @@ def lsh_precision_audit(
     dial this table drives is n_bands/width, BEFORE the corpus gets
     100x bigger. Cosines are bit-identical to the oracle's (sequential
     fold), so floor() lands identically; share divides exact bigints.
+
+    above_threshold compares the bin's LEFT edge, i.e. it is 1 only
+    when the bin's ENTIRE [edge, edge+0.2) range clears the threshold
+    — so the default threshold is a bin edge (0.4). A mid-bin
+    threshold (round 7 shipped 0.42) silently reports the straddling
+    bin as below-threshold even though most of its pairs clear it
+    (ADVICE r7), which misleads exactly the banding decision this
+    table drives. Non-edge thresholds are still accepted; the
+    left-edge semantics above is the contract.
     Output: (cos_bin, n_pairs, share, above_threshold)."""
     scored = _lsh_scored_pairs(
         emb, n_planes, n_bands, dim, bucket_cap, id_col, vec_col

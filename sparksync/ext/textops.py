@@ -1087,17 +1087,29 @@ def charclass_entropy(
     df: DataFrame,
     group_col: str = "source",
     text_col: str = "text",
+    include_entropy: bool = False,
 ) -> DataFrame:
-    """Character-class composition + Shannon entropy per group: letters
-    / digits / whitespace / other counted exactly per doc (ASCII
-    classes only — Unicode letter classes disagree across regex
-    engines), summed per group, one ln() pass at the end. A crawl
-    feed whose entropy collapses (all digits: logs; all punctuation:
-    minified code) or jumps is misclassified content — the cheap
-    per-source composition monitor a mixture pipeline tails daily.
-    Integers until the final divisions; ln is cross-engine stable.
+    """Character-class composition per group: letters / digits /
+    whitespace / other counted exactly per doc (ASCII classes only —
+    Unicode letter classes disagree across regex engines), summed per
+    group, plus each class's share (ONE double division of exact
+    bigints — bit-replayable). A crawl feed whose composition
+    collapses (all digits: logs; all punctuation: minified code) or
+    jumps is misclassified content — the cheap per-source composition
+    monitor a mixture pipeline tails daily.
+
+    include_entropy=True appends the Shannon entropy double. It is NOT
+    part of the gated/oracle output: ln() is not correctly-rounded, so
+    JVM Math.log and DuckDB/libm differ by 1 ulp on some arguments —
+    exactly how the round-7 q189 gate failed hash parity (VERDICT r7
+    #2; same discipline as the rational-idf q60/q118 gates). The
+    entropy column is covered by a tolerance pytest instead
+    (tests/test_ext.py), and the four exact counts + four shares
+    carry the same monitoring signal: entropy is a deterministic
+    function of the shares.
+
     Output: (group, letters, digits, spaces, others, total_chars,
-    entropy)."""
+    letter_share, digit_share, space_share, other_share[, entropy])."""
     t = F.col(text_col)
     n = F.length(t).cast("long")
     letters = F.length(t) - F.length(F.regexp_replace(t, "[A-Za-z]", ""))
@@ -1119,24 +1131,36 @@ def charclass_entropy(
         F.col("total_chars") - F.col("letters") - F.col("digits") - F.col("spaces")
     )
 
-    def term(c):
-        p = c.cast("double") / F.col("total_chars").cast("double")
-        return F.when(c > 0, -p * F.log(p)).otherwise(F.lit(0.0))
+    def share(c):
+        return c.cast("double") / F.col("total_chars").cast("double")
 
-    return agg.select(
-        group_col,
-        "letters",
-        "digits",
-        "spaces",
+    cols = [
+        F.col(group_col),
+        F.col("letters"),
+        F.col("digits"),
+        F.col("spaces"),
         others.cast("long").alias("others"),
-        "total_chars",
-        (
-            term(F.col("letters"))
-            + term(F.col("digits"))
-            + term(F.col("spaces"))
-            + term(others)
-        ).alias("entropy"),
-    )
+        F.col("total_chars"),
+        share(F.col("letters")).alias("letter_share"),
+        share(F.col("digits")).alias("digit_share"),
+        share(F.col("spaces")).alias("space_share"),
+        share(others).alias("other_share"),
+    ]
+    if include_entropy:
+
+        def term(c):
+            p = share(c)
+            return F.when(c > 0, -p * F.log(p)).otherwise(F.lit(0.0))
+
+        cols.append(
+            (
+                term(F.col("letters"))
+                + term(F.col("digits"))
+                + term(F.col("spaces"))
+                + term(others)
+            ).alias("entropy")
+        )
+    return agg.select(*cols)
 
 
 def truncation_loss(

@@ -6334,11 +6334,14 @@ def q188_lsh_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (width-0.2 bins) with counts, share, and threshold flag — the
     complement of q184's recall audit, measuring what the verify stage
     PAYS for the banding. Cosines replay bit-for-bit (sequential
-    folds), so the floor() binning agrees across engines."""
+    folds), so the floor() binning agrees across engines. Threshold
+    sits on a bin edge (0.4): above_threshold means the bin's ENTIRE
+    range clears it — round 7's mid-bin 0.42 flagged the straddling
+    [0.4, 0.6) bin as below-threshold (ADVICE r7)."""
     from .ext import similarity
 
     return similarity.lsh_precision_audit(
-        load(spark, sf_dir, "embeddings"), threshold=0.42
+        load(spark, sf_dir, "embeddings"), threshold=0.4
     )
 
 
@@ -6389,7 +6392,7 @@ binned as (
 tot as (select cast(sum(n_pairs) as bigint) as t from binned)
 select cos_bin, n_pairs,
        cast(n_pairs as double) / cast(t as double) as share,
-       cast(case when cos_bin >= cast(0.42 as double) then 1 else 0 end
+       cast(case when cos_bin >= cast(0.4 as double) then 1 else 0 end
             as bigint) as above_threshold
 from binned, tot
 """
@@ -6398,12 +6401,16 @@ from binned, tot
 ORACLE_Q188 = _oracle_q188()
 
 
-def q189_charclass_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-class composition + entropy per source
-    (ext/textops.charclass_entropy): exact ASCII-class counts, one
-    ln() pass — the per-feed composition monitor that catches
-    misclassified content (all-digit logs, minified code) before it
-    poisons a training mix."""
+def q189_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition per source
+    (ext/textops.charclass_entropy): exact ASCII-class counts + shares
+    — the per-feed composition monitor that catches misclassified
+    content (all-digit logs, minified code) before it poisons a
+    training mix. Round 8 re-gated log-free: the round-7 entropy
+    column failed hash parity by 1 ulp of ln() between JVM Math.log
+    and DuckDB libm (VERDICT r7 #2); entropy stays available via
+    include_entropy=True under a tolerance pytest, while the gate
+    hashes only exact bigints and single divisions of them."""
     from .ext import textops
 
     return textops.charclass_entropy(load(spark, sf_dir, "documents"), "source")
@@ -6423,24 +6430,11 @@ with t as (
 select source, letters, digits, spaces,
        cast(total_chars - letters - digits - spaces as bigint) as others,
        total_chars,
-       (case when letters > 0 then
-          -(cast(letters as double) / cast(total_chars as double))
-            * ln(cast(letters as double) / cast(total_chars as double))
-        else cast(0.0 as double) end)
-       + (case when digits > 0 then
-          -(cast(digits as double) / cast(total_chars as double))
-            * ln(cast(digits as double) / cast(total_chars as double))
-        else cast(0.0 as double) end)
-       + (case when spaces > 0 then
-          -(cast(spaces as double) / cast(total_chars as double))
-            * ln(cast(spaces as double) / cast(total_chars as double))
-        else cast(0.0 as double) end)
-       + (case when total_chars - letters - digits - spaces > 0 then
-          -(cast(total_chars - letters - digits - spaces as double)
-              / cast(total_chars as double))
-            * ln(cast(total_chars - letters - digits - spaces as double)
-                 / cast(total_chars as double))
-        else cast(0.0 as double) end) as entropy
+       cast(letters as double) / cast(total_chars as double) as letter_share,
+       cast(digits as double) / cast(total_chars as double) as digit_share,
+       cast(spaces as double) / cast(total_chars as double) as space_share,
+       cast(total_chars - letters - digits - spaces as double)
+         / cast(total_chars as double) as other_share
 from t
 """
 
@@ -6483,33 +6477,34 @@ from a
 """
 
 
-def q191_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-order Markov transition matrix over per-user event
-    sequences (ext/asof.event_transitions): (from, to) adjacency counts
-    + row-normalized probabilities from one parallel lag window — the
-    journey fingerprint that flags broken flows without hand-listed
-    funnels (q122 emits the raw training PAIRS; this is the aggregated
-    audit table)."""
+def q191_transitions_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day-sliced transition matrices
+    (ext/asof.event_transitions_by_hour): the q96 matrix per source-
+    event hour bucket, normalized within (hour, prev_type) — the
+    diurnal-drift view that catches journey changes confined to one
+    shift. Round 8 replaces round 7's q191, which gated the identical
+    all-day matrix as q96 under renamed columns (VERDICT r7 #4/#6)."""
     from .ext import asof as asofmod
 
-    return asofmod.event_transitions(load(spark, sf_dir, "events"))
+    return asofmod.event_transitions_by_hour(load(spark, sf_dir, "events"))
 
 
 ORACLE_Q191 = """
 with l as (
-  select event_type as to_type,
-         lag(event_type) over (partition by user_id
-                               order by ts, event_id) as from_type
-  from events),
+  select event_type as next_type,
+         lag(event_type) over w as prev_type,
+         lag(cast(extract(hour from ts) as bigint)) over w as hour
+  from events
+  window w as (partition by user_id order by ts, event_id)),
 pairs as (
-  select from_type, to_type, cast(count(*) as bigint) as n
-  from l where from_type is not null group by 1, 2),
+  select hour, prev_type, next_type, cast(count(*) as bigint) as n
+  from l where prev_type is not null group by 1, 2, 3),
 tot as (
-  select from_type, cast(sum(n) as bigint) as row_n
-  from pairs group by from_type)
-select p.from_type, p.to_type, p.n,
-       cast(p.n as double) / cast(t.row_n as double) as p
-from pairs p join tot t using (from_type)
+  select hour, prev_type, cast(sum(n) as bigint) as row_n
+  from pairs group by 1, 2)
+select p.hour, p.prev_type, p.next_type, p.n,
+       cast(p.n as double) / cast(t.row_n as double) as prob
+from pairs p join tot t using (hour, prev_type)
 """
 
 
@@ -6777,9 +6772,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q186_freshness_audit": q186_freshness_audit,
     "q187_tokenizer_fertility": q187_tokenizer_fertility,
     "q188_lsh_precision_audit": q188_lsh_precision_audit,
-    "q189_charclass_entropy": q189_charclass_entropy,
+    "q189_charclass_profile": q189_charclass_profile,
     "q190_truncation_loss": q190_truncation_loss,
-    "q191_event_transitions": q191_event_transitions,
+    "q191_transitions_by_hour": q191_transitions_by_hour,
     "q192_quantization_error": q192_quantization_error,
     "q193_chisq_lang_source": q193_chisq_lang_source,
 }
@@ -6973,9 +6968,9 @@ ORACLES: dict[str, str] = {
     "q186_freshness_audit": ORACLE_Q186,
     "q187_tokenizer_fertility": ORACLE_Q187,
     "q188_lsh_precision_audit": ORACLE_Q188,
-    "q189_charclass_entropy": ORACLE_Q189,
+    "q189_charclass_profile": ORACLE_Q189,
     "q190_truncation_loss": ORACLE_Q190,
-    "q191_event_transitions": ORACLE_Q191,
+    "q191_transitions_by_hour": ORACLE_Q191,
     "q192_quantization_error": ORACLE_Q192,
     "q193_chisq_lang_source": ORACLE_Q193,
 }

@@ -3197,3 +3197,123 @@ def test_tokenizer_fertility_known(spark):
     out = {r.lang: r for r in textops.tokenizer_fertility(df, "lang").collect()}
     assert out["en"].fertility == 1.0
     assert out["pn"].fertility > 1.5
+
+
+# ---- round-8 invariant tests for the q188-q193 surface (VERDICT r7 #5:
+# the round-7 additions shipped with no invariant tests at all) ----
+
+
+def test_lsh_precision_audit_shares_and_flag(emb):
+    """Shares are a probability distribution over bins, and
+    above_threshold implements the documented LEFT-EDGE contract
+    (1 iff the bin's entire range clears the threshold)."""
+    rows = similarity.lsh_precision_audit(emb).collect()
+    assert rows  # fixture produces candidates
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-12
+    for r in rows:
+        assert r.n_pairs > 0
+        assert r.above_threshold == (1 if r.cos_bin >= 0.4 else 0)
+
+
+def test_charclass_profile_entropy_tolerance(docs):
+    """The gated output carries exact counts + shares; the optional
+    entropy column (ln-based, NOT oracle-hashed — 1-ulp JVM/libm
+    divergence, VERDICT r7 #2) must agree with Python's libm recompute
+    from the same shares to float tolerance, and the shares must
+    partition 1."""
+    import math
+
+    from sparksync.ext import textops
+
+    out = textops.charclass_entropy(docs, "source", include_entropy=True)
+    for r in out.collect():
+        shares = (r.letter_share, r.digit_share, r.space_share, r.other_share)
+        assert abs(sum(shares) - 1.0) < 1e-12
+        assert r.letters + r.digits + r.spaces + r.others == r.total_chars
+        expect = -sum(p * math.log(p) for p in shares if p > 0)
+        assert abs(r.entropy - expect) < 1e-9
+
+
+def test_truncation_loss_fractions_bounded(docs):
+    from sparksync.ext import textops
+
+    for r in textops.truncation_loss(docs, "source").collect():
+        assert 0 <= r.docs_truncated <= r.n_docs
+        assert 0.0 <= r.doc_trunc_frac <= 1.0
+        assert 0.0 <= r.token_loss_frac <= 1.0
+        assert 0 <= r.tokens_lost <= r.total_tokens
+        assert r.p50_tokens <= r.p95_tokens
+
+
+def test_event_transitions_by_hour_consistency(spark):
+    """Per-(hour, prev_type) probs sum to 1, hours are valid, and the
+    hour slices PARTITION the all-day matrix: summing n over hours
+    reproduces event_transitions' n exactly (same lag, same ordering
+    — bucketing happens after the lag, so no transition is lost or
+    double-counted at hour boundaries)."""
+    from sparksync.ext import asof
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    by_hour = asof.event_transitions_by_hour(ev).collect()
+    assert by_hour
+    sums: dict = {}
+    pair_n: dict = {}
+    for r in by_hour:
+        assert 0 <= r.hour <= 23
+        sums[(r.hour, r.prev_type)] = sums.get((r.hour, r.prev_type), 0.0) + r.prob
+        pair_n[(r.prev_type, r.next_type)] = (
+            pair_n.get((r.prev_type, r.next_type), 0) + r.n
+        )
+    for k, s in sums.items():
+        assert abs(s - 1.0) < 1e-9, k
+    all_day = {
+        (r.prev_type, r.next_type): r.n
+        for r in asof.event_transitions(ev).collect()
+    }
+    assert pair_n == all_day
+
+
+def test_quantization_error_audit_bounds(emb):
+    """MSE is nonnegative and bounded by the worst per-dim rounding
+    error (half a quantization step of the widest dimension); the
+    original-vs-dequantized cosine is a valid cosine and stays high on
+    smooth embedding fixtures."""
+    from sparksync.ext import similarity as sim
+
+    vecs = {r.vec_id: r.embedding for r in emb.select("vec_id", "embedding").collect()}
+    dim = len(next(iter(vecs.values())))
+    ranges = [
+        max(v[i] for v in vecs.values()) - min(v[i] for v in vecs.values())
+        for i in range(dim)
+    ]
+    worst_step = max(ranges) / 255.0
+    bound = (worst_step / 2) ** 2 * 1.000001 + 1e-18
+    rows = sim.quantization_error_audit(emb).collect()
+    assert len(rows) == len(vecs)
+    for r in rows:
+        assert 0.0 <= r.mse <= bound
+        assert -1.0 - 1e-12 <= r.cos_orig_deq <= 1.0 + 1e-12
+
+
+def test_chisq_independence_cells(docs):
+    """Chi-square cells: contributions nonnegative and every expected
+    count equals row_margin * col_margin / grand_total recomputed from
+    the emitted observed cells (exact: margins over OBSERVED cells are
+    the true margins, since zero-observed cells contribute nothing to
+    a margin), and contribution = (o - e)^2 / e."""
+    from sparksync.ext import features
+
+    rows = features.chisq_independence(docs, "lang", "source").collect()
+    assert rows
+    n = sum(r.observed for r in rows)
+    ra: dict = {}
+    cb: dict = {}
+    for r in rows:
+        ra[r.a] = ra.get(r.a, 0) + r.observed
+        cb[r.b] = cb.get(r.b, 0) + r.observed
+    for r in rows:
+        assert r.contribution >= 0.0
+        expect = ra[r.a] * cb[r.b] / n
+        assert abs(r.expected - expect) < 1e-9 * max(expect, 1.0), r
+        contrib = (r.observed - r.expected) ** 2 / r.expected
+        assert abs(r.contribution - contrib) < 1e-9 * max(contrib, 1.0), r

@@ -634,33 +634,22 @@ def test_minhash_single_signature_pass(spark):
     features.release_pinned()
 
 
-def test_round5_queries_no_cartesian(spark):
-    """q153-q170: no unbounded CartesianProduct anywhere (the only
-    nested-loop joins allowed are broadcast one-row/tiny-relation
-    crossJoins), and the bloom audit's bitmap lookup is a broadcast
-    hash join, never a shuffle of the probe side against the bitmap."""
+def test_round5_plus_queries_no_cartesian(spark):
+    """Every query from q153 up: no unbounded CartesianProduct anywhere
+    (the only nested-loop joins allowed are broadcast one-row/
+    tiny-relation crossJoins), and the bloom audit's bitmap lookup is a
+    broadcast hash join, never a shuffle of the probe side against the
+    bitmap. The list is DERIVED from the registry (VERDICT r7 #5: the
+    hand-maintained list stopped at q187 and the round-7 additions
+    shipped unguarded), so registering a new qNNN automatically
+    enrolls it here."""
     from sparksync.ext import features
 
     features.release_pinned()
-    new_qs = [
-        "q153_ols_trend", "q154_cumulative_uniques",
-        "q155_new_vs_returning", "q156_twap", "q157_vocab_growth",
-        "q158_ngram_novelty", "q159_cluster_keeper",
-        "q160_zone_map_pruning", "q161_unpivot_metrics",
-        "q162_shard_balance", "q163_bloom_semi_audit",
-        "q164_join_forecast", "q165_salting_model",
-        "q166_partial_agg_merge", "q167_reference_percentile",
-        "q168_clustering_coefficient", "q169_encoding_profile",
-        "q170_quantile_error_audit", "q171_calendar_gaps",
-        "q172_k_anonymity_audit", "q173_mode_by_group",
-        "q174_stickiness", "q175_winsorized_stats",
-        "q176_interarrival_histogram", "q177_fk_completeness",
-        "q178_semantic_dedup", "q179_source_concentration",
-        "q180_cross_source_dup_matrix", "q181_benford_audit",
-        "q182_lag1_autocorr", "q183_rrf_fusion",
-        "q184_minhash_recall_audit", "q185_topk_with_other",
-        "q186_freshness_audit", "q187_tokenizer_fertility",
-    ]
+    new_qs = sorted(
+        q for q in QUERIES if int(q[1:].split("_", 1)[0]) >= 153
+    )
+    assert len(new_qs) >= 41  # q153-q193 as of round 8; grows only
     for q in new_qs:
         plan = plan_of(QUERIES[q](spark, SF_SMOKE))
         assert "CartesianProduct" not in plan, q
