@@ -1210,6 +1210,93 @@ def cross_source_dup_matrix(
     )
 
 
+def dedup_survivorship(
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source impact table of the dedup DECISION: for every source,
+    how many docs it contributes, how many sit in a near-dup cluster
+    at all, and how many the canonical-keeper rule would actually drop
+    — the "what does dedup cost each feed" report a mixture owner
+    reads before signing off on a corpus cut (a source that loses 40%
+    of its docs to clusters another source keeps is being silently
+    down-weighted; q180's pair matrix shows WHERE duplication flows,
+    this shows WHO pays). Clusters come from the exact-Jaccard pair
+    graph (bit-identical to the MinHash LSH path at gate SF —
+    test_minhash_equals_exact_jaccard) via the shared checkpointed
+    connected components; the rollup is one left join of the
+    doc->keeper map onto (id, source) and one count aggregate.
+    drop_share divides exact bigints once. Output: (source, n_docs,
+    dup_members, dropped, drop_share)."""
+    from .graph import dedup_groups
+
+    pairs = jaccard_pairs(df, threshold, id_col, text_col)
+    groups = dedup_groups(pairs)
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(source_col))
+    j = base.join(groups, "doc_id", "left")
+    return j.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("keep_id").isNotNull().cast("long")).cast("long").alias(
+            "dup_members"
+        ),
+        F.sum(
+            (F.col("keep_id").isNotNull() & (F.col("keep_id") != F.col("doc_id")))
+            .cast("long")
+        ).cast("long").alias("dropped"),
+    ).select(
+        source_col,
+        "n_docs",
+        "dup_members",
+        "dropped",
+        (F.col("dropped").cast("double") / F.col("n_docs").cast("double")).alias(
+            "drop_share"
+        ),
+    )
+
+
+_CLUSTER_SIZE_BUCKETS = ((2, "2"), (5, "3-5"), (10, "6-10"))
+
+
+def dup_cluster_histogram(
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup cluster-size histogram: how many duplicate clusters
+    exist at size 2, 3-5, 6-10, >10, and how many docs they hold — the
+    corpus-level "how pathological is our duplication" topline that
+    decides whether dedup is a trim (all pairs) or a rescue (mega-
+    clusters from template spam; the >10 bucket is the one that
+    explodes on boilerplate-heavy crawls and the reason _cap_buckets
+    exists). Same cluster derivation as dedup_survivorship; sizes are
+    one count per keeper, the histogram one CASE + count over
+    cluster-cardinality rows (tiny). Output: (size_bucket, n_clusters,
+    n_docs)."""
+    from .graph import dedup_groups
+
+    pairs = jaccard_pairs(df, threshold, id_col, text_col)
+    sizes = (
+        dedup_groups(pairs)
+        .groupBy("keep_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("_sz"))
+    )
+    b = F.lit(">10")
+    for ub, label in reversed(_CLUSTER_SIZE_BUCKETS):
+        b = F.when(F.col("_sz") <= ub, F.lit(label)).otherwise(b)
+    return (
+        sizes.select(b.alias("size_bucket"), F.col("_sz"))
+        .groupBy("size_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("_sz").cast("long").alias("n_docs"),
+        )
+    )
+
+
 def minhash_recall_audit(
     df: DataFrame,
     threshold: float = 0.8,

@@ -481,6 +481,28 @@ def freshness_stream(
     )
 
 
+def hll_registers_stream(
+    rows: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Streaming HyperLogLog maintenance: the per-(group, register)
+    max-rank table of ext/skew.approx_distinct_hll kept live as data
+    lands — an always-current approximate-distinct per group (live
+    unique users per event type) whose STATE is <= 256 rows per group
+    by construction. max is commutative-mergeable, so no watermark is
+    needed and the drained register table is bit-identical to the
+    batch sketch over the same rows (parity-tested, including across
+    a restart from checkpoint); the estimate is the shared
+    skew.hll_estimate finisher over this tiny table at read time, so
+    stream and batch can never disagree on the estimator. The batch
+    gate q194 proves the estimator itself against the DuckDB oracle;
+    this twin only maintains its state."""
+    from .skew import hll_registers
+
+    return hll_registers(rows, group_col, value_col)
+
+
 INTERARRIVAL_STATE_SCHEMA = "last_us long, last_id long"
 INTERARRIVAL_OUT_SCHEMA = (
     "event_type string, user_id long, bucket string, n_gaps long"

@@ -6583,6 +6583,135 @@ from cells c join rt using (a) join ct using (b), g
 """
 
 
+def q194_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable HyperLogLog distinct users per event type
+    (ext/skew.approx_distinct_hll): md5-derived registers, rank via
+    length(bin(r)) (never log2), harmonic sum in exact int64 scaled by
+    2^53 — the estimate itself hash-matches the oracle, closing the
+    sketch family's one rows-only gap (q48 keeps demonstrating Spark's
+    native HLL++; q85's KMV is the order-statistics portable sketch,
+    this is the register-max one)."""
+    from .ext import skew
+
+    return skew.approx_distinct_hll(load(spark, sf_dir, "events"), "event_type", "user_id")
+
+
+def _oracle_q194() -> str:
+    from .ext.skew import HLL_ALPHA, HLL_LINEAR_TABLE, HLL_M
+
+    two53 = 1 << 53
+    # e0 suffix forces DuckDB to parse each element as DOUBLE — a bare
+    # decimal literal becomes DECIMAL and re-rounds differently
+    table = "[" + ", ".join(f"{x!r}e0" for x in HLL_LINEAR_TABLE) + "]"
+    return f"""
+with h as (
+  select event_type as grp,
+         cast(cast('0x' || substring(md5(cast(user_id as varchar)), 1, 15)
+                   as ubigint) as bigint) as h
+  from events where user_id is not null),
+rj as (
+  select grp, h % {HLL_M} as j,
+         case when h // {HLL_M} > 0 then 53 - length(bin(h // {HLL_M}))
+              else 53 end as rank
+  from h),
+regs as (select grp, j, max(rank) as m from rj group by 1, 2),
+agg as (select grp, cast(count(*) as bigint) as nreg,
+               cast(sum(1::bigint << (53 - m)) as bigint) as sne
+        from regs group by 1),
+est as (
+  select grp, nreg, {HLL_M} - nreg as zeros,
+         cast({HLL_ALPHA!r} as double) * cast({HLL_M * HLL_M} as double)
+           * cast({two53} as double)
+           / cast(({HLL_M} - nreg) * {two53}::bigint + sne as double) as raw
+  from agg)
+select grp as event_type, nreg as nonzero_registers,
+       case when raw <= cast({2.5 * HLL_M!r} as double) and zeros > 0
+            then ({table})[greatest(zeros, 1)]
+            else raw end as hll_est
+from est
+"""
+
+
+ORACLE_Q194 = _oracle_q194()
+
+
+# the q49 recursive-CTE cluster derivation (exact-Jaccard pair graph ->
+# min-label transitive closure), shared by the q195/q196 oracles
+_CC_CTE = """
+with recursive
+docs as (
+  select doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') as toks
+  from documents),
+docs3 as (select * from docs where len(toks) >= 3),
+sh as (
+  select distinct doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] as shingle
+  from docs3, unnest(range(1, len(toks) - 1)) t(i)),
+sizes as (select doc_id, count(*) as n from sh group by doc_id),
+common as (
+  select a.doc_id as d1, b.doc_id as d2, count(*) as c
+  from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+  group by 1, 2),
+pairs as (
+  select d1, d2 from common
+  join sizes na on na.doc_id = d1
+  join sizes nb on nb.doc_id = d2
+  where cast(c as double) / cast(na.n + nb.n - c as double) >= 0.8),
+edges as (select d1 as a, d2 as b from pairs
+          union all select d2, d1 from pairs),
+reach(a, b) as (
+  select a, b from edges
+  union
+  select r.a, e.b from reach r join edges e on r.b = e.a),
+nodes as (select distinct a as node from edges),
+cc as (
+  select n.node as doc_id, least(n.node, min(r.b)) as keep_id
+  from nodes n left join reach r on r.a = n.node
+  group by n.node)
+"""
+
+
+def q195_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup impact (ext/dedup.dedup_survivorship): docs
+    contributed, docs in any near-dup cluster, docs the canonical-
+    keeper rule drops, and the drop share — who PAYS for dedup, the
+    sign-off table before a corpus cut (q180 shows where duplication
+    flows between sources; this shows the cost per source)."""
+    return dedup.dedup_survivorship(load(spark, sf_dir, "documents"))
+
+
+ORACLE_Q195 = _CC_CTE + """
+select d.source,
+       cast(count(*) as bigint) as n_docs,
+       cast(sum(case when cc.doc_id is not null then 1 else 0 end)
+            as bigint) as dup_members,
+       cast(sum(case when cc.keep_id is not null and cc.keep_id <> d.doc_id
+                     then 1 else 0 end) as bigint) as dropped,
+       cast(sum(case when cc.keep_id is not null and cc.keep_id <> d.doc_id
+                     then 1 else 0 end) as double)
+         / cast(count(*) as double) as drop_share
+from documents d left join cc on cc.doc_id = d.doc_id
+group by 1
+"""
+
+
+def q196_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram (ext/dedup.
+    dup_cluster_histogram): clusters and docs per size bucket
+    (2, 3-5, 6-10, >10) — is duplication a trim or a template-spam
+    rescue; the >10 bucket is the one _cap_buckets exists for."""
+    return dedup.dup_cluster_histogram(load(spark, sf_dir, "documents"))
+
+
+ORACLE_Q196 = _CC_CTE + """
+, csz as (select keep_id, cast(count(*) as bigint) as sz from cc group by 1)
+select case when sz <= 2 then '2' when sz <= 5 then '3-5'
+            when sz <= 10 then '6-10' else '>10' end as size_bucket,
+       cast(count(*) as bigint) as n_clusters,
+       cast(sum(sz) as bigint) as n_docs
+from csz group by 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -6777,6 +6906,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q191_transitions_by_hour": q191_transitions_by_hour,
     "q192_quantization_error": q192_quantization_error,
     "q193_chisq_lang_source": q193_chisq_lang_source,
+    "q194_hll_distinct": q194_hll_distinct,
+    "q195_dedup_survivorship": q195_dedup_survivorship,
+    "q196_cluster_size_histogram": q196_cluster_size_histogram,
 }
 
 ORACLES: dict[str, str] = {
@@ -6973,4 +7105,7 @@ ORACLES: dict[str, str] = {
     "q191_transitions_by_hour": ORACLE_Q191,
     "q192_quantization_error": ORACLE_Q192,
     "q193_chisq_lang_source": ORACLE_Q193,
+    "q194_hll_distinct": ORACLE_Q194,
+    "q195_dedup_survivorship": ORACLE_Q195,
+    "q196_cluster_size_histogram": ORACLE_Q196,
 }

@@ -3317,3 +3317,75 @@ def test_chisq_independence_cells(docs):
         assert abs(r.expected - expect) < 1e-9 * max(expect, 1.0), r
         contrib = (r.observed - r.expected) ** 2 / r.expected
         assert abs(r.contribution - contrib) < 1e-9 * max(contrib, 1.0), r
+
+
+def test_hll_portable_accuracy_and_registers(spark):
+    """The portable HLL estimate lands within the sketch's error band
+    of the EXACT distinct count (m=256 -> ~6.5% standard error; assert
+    4 sigma = 26%), and nonzero_registers is bounded by min(m, exact)."""
+    from sparksync.ext import skew
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    got = skew.approx_distinct_hll(ev, "event_type", "user_id").collect()
+    assert {r.event_type for r in got} == set(exact)
+    for r in got:
+        n = exact[r.event_type]
+        assert 1 <= r.nonzero_registers <= min(256, n)
+        assert abs(r.hll_est - n) <= 0.26 * n, (r.event_type, r.hll_est, n)
+
+
+def test_hll_portable_exact_on_crafted(spark):
+    """One group with ONE distinct value: exactly one register is hit,
+    regardless of row multiplicity (the sketch sees values, not rows)."""
+    from sparksync.ext import skew
+
+    df = spark.createDataFrame(
+        [("g", 7)] * 50, "grp string, v long"
+    )
+    rows = skew.approx_distinct_hll(df, "grp", "v").collect()
+    assert len(rows) == 1
+    assert rows[0].nonzero_registers == 1
+    assert 0 < rows[0].hll_est < 3  # raw estimator near 1, never 0
+
+
+def test_dedup_survivorship_consistency(spark, docs):
+    """Per-source counters nest (dropped <= dup_members <= n_docs),
+    n_docs totals the corpus, and the global dropped count equals the
+    dedup_groups view's non-keeper count."""
+    from sparksync.ext import dedup as dd
+    from sparksync.ext.graph import dedup_groups
+
+    out = dd.dedup_survivorship(docs).collect()
+    assert sum(r.n_docs for r in out) == docs.count()
+    for r in out:
+        assert 0 <= r.dropped <= r.dup_members <= r.n_docs
+        assert abs(r.drop_share - r.dropped / r.n_docs) < 1e-12
+    groups = dedup_groups(dd.jaccard_pairs(docs, 0.8)).collect()
+    dropped_global = sum(1 for g in groups if g.keep_id != g.doc_id)
+    assert sum(r.dropped for r in out) == dropped_global
+    assert sum(r.dup_members for r in out) == len(groups)
+
+
+def test_cluster_size_histogram_consistency(spark, docs):
+    """Histogram buckets partition the cluster set: every cluster has
+    >= 2 docs, bucket doc counts are consistent with bucket sizes, and
+    totals equal the dedup_groups member count."""
+    from sparksync.ext import dedup as dd
+    from sparksync.ext.graph import dedup_groups
+
+    out = dd.dup_cluster_histogram(docs).collect()
+    assert out
+    lo = {"2": 2, "3-5": 3, "6-10": 6, ">10": 11}
+    hi = {"2": 2, "3-5": 5, "6-10": 10, ">10": 10**9}
+    for r in out:
+        assert r.size_bucket in lo
+        assert lo[r.size_bucket] * r.n_clusters <= r.n_docs
+        assert r.n_docs <= hi[r.size_bucket] * r.n_clusters
+    members = dedup_groups(dd.jaccard_pairs(docs, 0.8)).count()
+    assert sum(r.n_docs for r in out) == members

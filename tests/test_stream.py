@@ -809,3 +809,86 @@ def test_freshness_stream_restart_recovers_state(spark, tmp_path):
         for r in freshness_audit(ev, "event_type", "ts").collect()
     }
     assert got == batch and len(got) == 5
+
+
+def test_hll_stream_matches_batch(spark, tmp_path):
+    """The drained streaming HLL register table is BIT-IDENTICAL to the
+    batch sketch over the same rows (register-max is commutative-
+    mergeable), and the shared finisher over it reproduces the batch
+    estimate exactly — stream and batch cannot disagree on the
+    estimator by construction."""
+    from sparksync.ext import skew
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_type", "user_id")
+    src = str(tmp_path / "hll_in")
+    ev.write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    s = spark.readStream.schema(schema).parquet(src)
+    q = (
+        stream.hll_registers_stream(s, "event_type", "user_id")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hllregs")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    live = spark.sql("select * from hllregs")
+    got = {tuple(r) for r in live.collect()}
+    batch = {
+        tuple(r)
+        for r in skew.hll_registers(ev, "event_type", "user_id").collect()
+    }
+    assert got == batch and len(got) > 0
+    est_live = {
+        tuple(r) for r in skew.hll_estimate(live, "event_type").collect()
+    }
+    est_batch = {
+        tuple(r)
+        for r in skew.approx_distinct_hll(ev, "event_type", "user_id").collect()
+    }
+    assert est_live == est_batch
+
+
+def test_hll_stream_restart_recovers_state(spark, tmp_path):
+    """Restart for the streaming HLL: after a cold restart + second
+    drain from the same checkpoint, the complete-mode register table
+    equals the batch sketch over ALL data — the per-(group, register)
+    max state round-tripped the state store."""
+    from sparksync.ext import skew
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_type", "user_id", "ts"
+    )
+    src = str(tmp_path / "hllr_in")
+    ckpt = str(tmp_path / "hllr_ckpt")
+    second = _two_files_by_time(ev, src)
+    schema = spark.read.parquet(src).schema
+
+    def drain(qname):
+        s = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream.hll_registers_stream(s, "event_type", "user_id")
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain("hllr1")
+    second.coalesce(1).write.mode("append").parquet(src)
+    drain("hllr2")
+    got = {
+        tuple(r)
+        for r in spark.sql("select grp, _j, _m from hllr2").collect()
+    }
+    batch = {
+        tuple(r)
+        for r in skew.hll_registers(
+            ev.select("event_type", "user_id"), "event_type", "user_id"
+        ).collect()
+    }
+    assert got == batch and len(got) > 0
