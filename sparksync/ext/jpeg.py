@@ -1,11 +1,21 @@
-"""Baseline JPEG codec in pure numpy — no PIL, no libjpeg.
+"""Baseline + progressive JPEG codec in pure numpy — no PIL, no
+libjpeg.
 
-Decoder: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr
-with 4:4:4 / 4:2:2 / 4:2:0 sampling, restart markers and
-progressive (SOF2) / arithmetic coding rejected with ValueError.
-Encoder: 4:4:4 baseline with the Annex-K standard quantization and
-Huffman tables (quality scales the quant tables), used by the tests
-to round-trip and by resize_media to re-emit.
+Decoder: sequential DCT (SOF0/SOF1) AND progressive DCT (SOF2 — all
+four scan kinds: DC first with point transform, DC successive-
+approximation refinement, AC spectral-selection first scans with EOB
+runs, AC successive-approximation refinement), 8-bit, grayscale or
+YCbCr with 4:4:4 / 4:2:2 / 4:2:0 sampling; restart markers and
+arithmetic coding rejected with ValueError. Every scan accumulates
+into per-component integer coefficient arrays; dequantization + IDCT
+run once at EOI, so sequential and progressive streams of the same
+coefficients decode to IDENTICAL pixels (the round-trip tests assert
+exact equality against the baseline path).
+Encoder: 4:4:4 baseline (emit_jpeg) and 6-scan progressive
+(emit_progressive_jpeg: DC Al=1 + DC refine, luma AC Al=1 + AC
+refine, full-precision chroma AC) with the Annex-K standard
+quantization and Huffman tables (quality scales the quant tables),
+used by the tests to round-trip and by resize_media to re-emit.
 
 JPEG is lossy: round-trips are tolerance-checked, except DC-only
 inputs (solid blocks), which reconstruct exactly by construction.
@@ -203,9 +213,12 @@ def _extend(v: int, size: int) -> int:
 
 
 def parse_jpeg(b: bytes) -> np.ndarray:
-    """Decode baseline JPEG bytes to (h, w, 3) uint8 RGB (grayscale
-    replicates into 3 channels). Raises ValueError on progressive /
-    arithmetic / malformed streams."""
+    """Decode baseline (SOF0/1) or progressive (SOF2) JPEG bytes to
+    (h, w, 3) uint8 RGB (grayscale replicates into 3 channels).
+    Raises ValueError on arithmetic / hierarchical / malformed
+    streams. Scans accumulate integer coefficients; dequant + IDCT
+    run once at the end (identical pixels for identical coefficients
+    regardless of scan structure)."""
     if len(b) < 4 or b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream")
     pos = 2
@@ -213,8 +226,9 @@ def parse_jpeg(b: bytes) -> np.ndarray:
     huff_dc: dict[int, _HuffTable] = {}
     huff_ac: dict[int, _HuffTable] = {}
     frame = None
-    restart_interval = 0
-    while pos + 4 <= len(b):
+    coef: dict[int, np.ndarray] = {}
+    saw_scan = False
+    while pos + 2 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
         marker = b[pos + 1]
@@ -248,7 +262,9 @@ def parse_jpeg(b: bytes) -> np.ndarray:
                 values = list(seg[p + 17 : p + 17 + nv])
                 (huff_ac if tc else huff_dc)[th] = _HuffTable(bits, values)
                 p += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+            if frame is not None:
+                raise ValueError("multiple SOF segments")
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8 or nc not in (1, 3):
                 raise ValueError(f"unsupported JPEG precision={prec} nc={nc}")
@@ -258,13 +274,19 @@ def parse_jpeg(b: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": samp >> 4, "v": samp & 0x0F, "tq": tq}
                 )
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {
+                "h": h, "w": w, "comps": comps, "prog": marker == 0xC2,
+            }
+            _frame_geometry(frame)
+            coef = {
+                c["id"]: np.zeros((c["bh"], c["bw"], 64), dtype=np.int64)
+                for c in comps
+            }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline JPEG (progressive/arithmetic)")
+            raise ValueError("unsupported JPEG coding (arith/hierarchical)")
         elif marker == 0xDD:  # DRI
-            restart_interval = struct.unpack(">H", seg[:2])[0]
-            if restart_interval:
+            if struct.unpack(">H", seg[:2])[0]:
                 raise ValueError("JPEG restart intervals unsupported")
         elif marker == 0xDA:  # SOS
             if frame is None:
@@ -275,49 +297,238 @@ def parse_jpeg(b: bytes) -> np.ndarray:
                 cs, tda = seg[1 + 2 * i : 3 + 2 * i]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append({**comp, "td": tda >> 4, "ta": tda & 0x0F})
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
             data_pos = pos + ln
-            return _decode_scan(
-                b, data_pos, frame, scan, qt, huff_dc, huff_ac,
-                restart_interval,
+            _decode_scan_into(
+                b, data_pos, frame, scan, huff_dc, huff_ac, coef,
+                ss, se, ah, al,
             )
+            saw_scan = True
+            pos = _entropy_end(b, data_pos)
+            continue
         pos += ln
-    raise ValueError("JPEG has no scan")
+    if frame is None or not saw_scan:
+        raise ValueError("JPEG has no scan")
+    return _finish_frame(frame, coef, qt)
 
 
-def _decode_scan(b, pos, frame, scan, qt, huff_dc, huff_ac, dri):
-    h, w = frame["h"], frame["w"]
-    hmax = max(c["h"] for c in scan)
-    vmax = max(c["v"] for c in scan)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    planes = {
-        c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8))
-        for c in scan
-    }
-    pred = {c["id"]: 0 for c in scan}
+def _frame_geometry(frame) -> None:
+    """Attach block-grid geometry to each component: the MCU-padded
+    grid (bh, bw — interleaved addressing) and the component's true
+    block dims (nbh, nbw — non-interleaved scans are NOT padded to
+    MCU multiples, per spec A.2.2)."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if any(c["h"] < 1 or c["v"] < 1 or c["h"] > 4 or c["v"] > 4 for c in comps):
+        raise ValueError("bad JPEG sampling factors")
+    frame["hmax"], frame["vmax"] = hmax, vmax
+    frame["mcux"] = -(-frame["w"] // (8 * hmax))
+    frame["mcuy"] = -(-frame["h"] // (8 * vmax))
+    for c in comps:
+        c["bw"] = frame["mcux"] * c["h"]
+        c["bh"] = frame["mcuy"] * c["v"]
+        c["nbw"] = -(-(-(-frame["w"] * c["h"] // hmax)) // 8)
+        c["nbh"] = -(-(-(-frame["h"] * c["v"] // vmax)) // 8)
+
+
+def _entropy_end(b: bytes, pos: int) -> int:
+    """First position of a real marker (not a stuffed FF00 or RST)
+    after an entropy-coded segment."""
+    while pos + 1 < len(b):
+        if b[pos] == 0xFF:
+            nxt = b[pos + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    return len(b)
+
+
+def _decode_scan_into(b, pos, frame, scan, huff_dc, huff_ac, coef,
+                      ss, se, ah, al):
+    """Decode one scan's entropy data into the per-component integer
+    coefficient arrays (zigzag order). Handles the baseline full-block
+    scan and all four progressive scan kinds."""
     r = _BitReader(b, pos)
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for c in scan:
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        blk = _decode_block(
-                            r, huff_dc[c["td"]], huff_ac[c["ta"]],
-                            qt[c["tq"]], pred, c["id"],
-                        )
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = blk
-            mcu_count += 1
+    prog = frame["prog"]
+    if prog and not (
+        (ss == 0 and se == 0) or (0 < ss <= se <= 63)
+    ):
+        raise ValueError("bad progressive spectral selection")
+    if prog and ss > 0 and len(scan) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    pred = {c["id"]: 0 for c in scan}
+    eobrun = [0]
+    if len(scan) == 1:
+        # non-interleaved: raster over the component's TRUE block grid
+        c = scan[0]
+        for by in range(c["nbh"]):
+            for bx in range(c["nbw"]):
+                _decode_block_into(
+                    r, c, coef[c["id"]][by, bx], huff_dc, huff_ac,
+                    pred, eobrun, prog, ss, se, ah, al,
+                )
+    else:
+        for my in range(frame["mcuy"]):
+            for mx in range(frame["mcux"]):
+                for c in scan:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            _decode_block_into(
+                                r, c,
+                                coef[c["id"]][my * c["v"] + by,
+                                              mx * c["h"] + bx],
+                                huff_dc, huff_ac, pred, eobrun,
+                                prog, ss, se, ah, al,
+                            )
+
+
+def _decode_block_into(r, c, zz, huff_dc, huff_ac, pred, eobrun,
+                       prog, ss, se, ah, al):
+    if not prog:
+        _block_full(r, huff_dc[c["td"]], huff_ac[c["ta"]], zz, pred, c["id"])
+    elif ss == 0:
+        if ah == 0:
+            _block_dc_first(r, huff_dc[c["td"]], zz, pred, c["id"], al)
+        else:
+            # DC refinement: one raw bit per block, no Huffman table
+            zz[0] |= r.bits(1) << al
+    elif ah == 0:
+        _block_ac_first(r, huff_ac[c["ta"]], zz, ss, se, al, eobrun)
+    else:
+        _block_ac_refine(r, huff_ac[c["ta"]], zz, ss, se, al, eobrun)
+
+
+def _block_full(r, tdc, tac, zz, pred, cid):
+    """Baseline sequential block: DC diff + AC run-lengths to EOB."""
+    s = r.huff(tdc)
+    pred[cid] += _extend(r.bits(s), s)
+    zz[0] = pred[cid]
+    k = 1
+    while k < 64:
+        rs = r.huff(tac)
+        rr, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if rr == 15:
+                k += 16
+                continue
+            break  # EOB
+        k += rr
+        if k >= 64:
+            raise ValueError("AC run past block end")
+        zz[k] = _extend(r.bits(s), s)
+        k += 1
+
+
+def _block_dc_first(r, tdc, zz, pred, cid, al):
+    """Progressive DC first scan: the usual DC diff, shifted up by the
+    point transform."""
+    s = r.huff(tdc)
+    pred[cid] += _extend(r.bits(s), s)
+    zz[0] = pred[cid] << al
+    # negative predictors shift fine: Python << on negatives is
+    # arithmetic, matching the spec's point transform
+
+
+def _block_ac_first(r, tac, zz, ss, se, al, eobrun):
+    """Progressive AC first scan (Ah=0): run-lengths within the
+    spectral band, with EOB-run symbols spanning blocks."""
+    if eobrun[0] > 0:
+        eobrun[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = r.huff(tac)
+        rr, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if rr < 15:
+                eobrun[0] = (1 << rr) - 1
+                if rr:
+                    eobrun[0] += r.bits(rr)
+                break
+            k += 16  # ZRL
+            continue
+        k += rr
+        if k > se:
+            raise ValueError("AC run past spectral band")
+        zz[k] = _extend(r.bits(s), s) << al
+        k += 1
+
+
+def _block_ac_refine(r, tac, zz, ss, se, al, eobrun):
+    """Progressive AC refinement (Ah>0): correction bits for already-
+    nonzero coefficients, +-1<<Al insertions for newly significant
+    ones, EOB runs carrying trailing corrections (spec G.1.2.3; the
+    two's-complement +-(1<<Al) append trick makes the magnitude-domain
+    bit append exact for negatives too)."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun[0] == 0:
+        while k <= se:
+            rs = r.huff(tac)
+            rr, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if rr < 15:
+                    eobrun[0] = 1 << rr
+                    if rr:
+                        eobrun[0] += r.bits(rr)
+                    break  # remainder handled in the EOB sweep below
+                # rr == 15: ZRL — advance over 16 zero-history coeffs
+            else:
+                if s != 1:
+                    raise ValueError("bad AC refinement magnitude")
+                val = p1 if r.bits(1) else m1
+            while k <= se:
+                if zz[k] != 0:
+                    if r.bits(1) and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                else:
+                    if rr == 0:
+                        break
+                    rr -= 1
+                k += 1
+            if val != 0:
+                if k > se:
+                    raise ValueError("AC refinement past band")
+                zz[k] = val
+            k += 1
+    if eobrun[0] > 0:
+        while k <= se:
+            if zz[k] != 0:
+                if r.bits(1) and (zz[k] & p1) == 0:
+                    zz[k] += p1 if zz[k] >= 0 else m1
+            k += 1
+        eobrun[0] -= 1
+
+
+def _finish_frame(frame, coef, qt) -> np.ndarray:
+    """Dequantize + IDCT every block, upsample subsampled chroma,
+    color-convert — shared by the sequential and progressive paths."""
+    h, w = frame["h"], frame["w"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
     out = []
-    for c in scan:
-        p = planes[c["id"]]
+    for c in frame["comps"]:
+        q = qt[c["tq"]]
+        arr = coef[c["id"]]
+        plane = np.zeros((c["bh"] * 8, c["bw"] * 8))
+        for by in range(c["bh"]):
+            for bx in range(c["bw"]):
+                co = np.zeros(64)
+                co[ZIGZAG] = arr[by, bx].astype(np.float64) * q
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _idct2(
+                    co.reshape(8, 8)
+                )
         if c["h"] != hmax or c["v"] != vmax:
-            p = np.repeat(
-                np.repeat(p, hmax // c["h"], axis=1), vmax // c["v"], axis=0
+            plane = np.repeat(
+                np.repeat(plane, hmax // c["h"], axis=1),
+                vmax // c["v"], axis=0,
             )
-        out.append(p[:h, :w])
+        out.append(plane[:h, :w])
     if len(out) == 1:
         g = np.clip(out[0] + 128.0, 0, 255).astype(np.uint8)
         return np.stack([g, g, g], axis=-1)
@@ -328,31 +539,6 @@ def _decode_scan(b, pos, frame, scan, qt, huff_dc, huff_ac, dri):
     return np.clip(np.stack([rch, gch, bch], axis=-1), 0, 255).astype(
         np.uint8
     )
-
-
-def _decode_block(r, tdc, tac, q, pred, cid):
-    zz = np.zeros(64)
-    s = r.huff(tdc)
-    diff = _extend(r.bits(s), s)
-    pred[cid] += diff
-    zz[0] = pred[cid]
-    k = 1
-    while k < 64:
-        rs = r.huff(tac)
-        rr, ss = rs >> 4, rs & 0x0F
-        if ss == 0:
-            if rr == 15:
-                k += 16
-                continue
-            break  # EOB
-        k += rr
-        if k >= 64:
-            raise ValueError("AC run past block end")
-        zz[k] = _extend(r.bits(ss), ss)
-        k += 1
-    coef = np.zeros(64)
-    coef[ZIGZAG] = zz * q
-    return _idct2(coef.reshape(8, 8))
 
 
 # ---------------------------------------------------------------- encode
@@ -517,6 +703,276 @@ def _encode_block(bw, qzz, pred, ci, dc_map, ac_map):
     if last_nz < 63:
         ln, code = ac_map[0x00]
         bw.put(code, ln)
+
+
+def _quantized_blocks_444(arr: np.ndarray, quality: int):
+    """Forward path shared with the progressive encoder: RGB ->
+    YCbCr -> per-8x8 DCT -> Annex-K quantization at 4:4:4, returning
+    one (nbh, nbw, 64) int zigzag array per component plus the two
+    quant tables."""
+    h, w = arr.shape[:2]
+    a = arr.astype(np.float64)
+    y = 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2] - 128.0
+    cb = -0.168736 * a[..., 0] - 0.331264 * a[..., 1] + 0.5 * a[..., 2]
+    cr = 0.5 * a[..., 0] - 0.418688 * a[..., 1] - 0.081312 * a[..., 2]
+    qy = _quality_scale(STD_LUMA_Q.astype(np.int64), quality)
+    qc = _quality_scale(STD_CHROMA_Q.astype(np.int64), quality)
+    qt = [qy, qc, qc]
+    nbx, nby = -(-w // 8), -(-h // 8)
+    out = []
+    for ci, p in enumerate((y, cb, cr)):
+        pp = _pad_plane(p, nby * 8, nbx * 8)
+        qzz = np.zeros((nby, nbx, 64), dtype=np.int64)
+        for by in range(nby):
+            for bx in range(nbx):
+                coefs = _dct2(pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8])
+                qzz[by, bx] = np.round(
+                    coefs.reshape(-1)[ZIGZAG] / qt[ci].astype(np.float64)
+                ).astype(np.int64)
+        out.append(qzz)
+    return out, qy, qc
+
+
+class _ScanWriter:
+    """Entropy writer for one progressive scan: wraps _BitWriter with
+    the EOB-run buffering both AC scan kinds need (pending EOB count
+    plus the correction bits that ride with it in refinement scans)."""
+
+    def __init__(self, ac_map):
+        self.bw = _BitWriter()
+        self.ac_map = ac_map
+        self.eobrun = 0
+        self.pending_bits: list[int] = []
+
+    def sym(self, symbol: int) -> None:
+        ln, code = self.ac_map[symbol]
+        self.bw.put(code, ln)
+
+    def flush_eob(self) -> None:
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            self.sym(r << 4)
+            if r:
+                self.bw.put(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for bit in self.pending_bits:
+            self.bw.put(bit, 1)
+        self.pending_bits = []
+
+    def add_eob(self, corrections: list[int]) -> None:
+        self.eobrun += 1
+        self.pending_bits.extend(corrections)
+        if self.eobrun == 0x7FFF:
+            self.flush_eob()
+
+    def finish(self) -> bytes:
+        self.flush_eob()
+        self.bw.flush()
+        return bytes(self.bw.out)
+
+
+def _encode_dc_first(qzz_comps, enc_dc, al) -> bytes:
+    """Interleaved (4:4:4 -> one block per component per MCU) DC first
+    scan at point transform Al."""
+    bw = _BitWriter()
+    pred = [0] * len(qzz_comps)
+    nby, nbx = qzz_comps[0].shape[:2]
+    for by in range(nby):
+        for bx in range(nbx):
+            for ci, qzz in enumerate(qzz_comps):
+                v = int(qzz[by, bx, 0]) >> al  # arithmetic, per spec
+                diff = v - pred[ci]
+                pred[ci] = v
+                s = abs(diff).bit_length()
+                mag = diff if diff >= 0 else diff + (1 << s) - 1
+                ln, code = enc_dc[ci][s]
+                bw.put(code, ln)
+                if s:
+                    bw.put(mag & ((1 << s) - 1), s)
+    bw.flush()
+    return bytes(bw.out)
+
+
+def _encode_dc_refine(qzz_comps, al) -> bytes:
+    """DC refinement: the Al-th bit of each block's DC, interleaved;
+    no Huffman coding at all."""
+    bw = _BitWriter()
+    nby, nbx = qzz_comps[0].shape[:2]
+    for by in range(nby):
+        for bx in range(nbx):
+            for qzz in qzz_comps:
+                bw.put((int(qzz[by, bx, 0]) >> al) & 1, 1)
+    bw.flush()
+    return bytes(bw.out)
+
+
+def _encode_ac_first(qzz, ac_map, ss, se, al) -> bytes:
+    """Single-component AC first scan: run-lengths of the point-
+    transformed band with cross-block EOB runs."""
+    sw = _ScanWriter(ac_map)
+    nby, nbx = qzz.shape[:2]
+    for by in range(nby):
+        for bx in range(nbx):
+            blk = qzz[by, bx]
+            vals = {}
+            for k in range(ss, se + 1):
+                c = int(blk[k])
+                t = (abs(c) >> al)
+                if t:
+                    vals[k] = t if c >= 0 else -t
+            if not vals:
+                sw.add_eob([])
+                continue
+            sw.flush_eob()
+            last = max(vals)
+            run = 0
+            for k in range(ss, last + 1):
+                v = vals.get(k)
+                if v is None:
+                    run += 1
+                    continue
+                while run > 15:
+                    sw.sym(0xF0)
+                    run -= 16
+                s = abs(v).bit_length()
+                mag = v if v >= 0 else v + (1 << s) - 1
+                sw.sym((run << 4) | s)
+                sw.bw.put(mag & ((1 << s) - 1), s)
+                run = 0
+            if last < se:
+                sw.add_eob([])
+    return sw.finish()
+
+
+def _encode_ac_refine(qzz, ac_map, ss, se, al) -> bytes:
+    """Single-component AC refinement scan (spec G.1.2.3): +-1
+    insertions for newly significant coefficients, buffered correction
+    bits for already-significant ones, EOB runs carrying the trailing
+    corrections — the exact inverse of _block_ac_refine."""
+    sw = _ScanWriter(ac_map)
+    nby, nbx = qzz.shape[:2]
+    for by in range(nby):
+        for bx in range(nbx):
+            blk = qzz[by, bx]
+            absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+            # EOB position: after the LAST newly-significant coefficient
+            last_new = -1
+            for i, t in enumerate(absv):
+                if t == 1:
+                    last_new = i
+            run = 0
+            corrections: list[int] = []
+            for i, t in enumerate(absv):
+                if i > last_new:
+                    # tail: zeros fold into the EOB run; corrections for
+                    # already-significant coeffs ride with it
+                    if t > 1:
+                        corrections.append(t & 1)
+                    continue
+                if t == 0:
+                    run += 1
+                    continue
+                # ZRL boundaries must be emitted at EVERY nonzero
+                # coefficient (correction or insertion) so the decoder
+                # consumes buffered correction bits in positional order
+                # while crossing each 16-zero span (jcphuff ordering —
+                # flushing only at insertions interleaves wrongly when
+                # corrections sit among >16 zeros)
+                while run > 15:
+                    sw.flush_eob()
+                    sw.sym(0xF0)
+                    for bit in corrections:
+                        sw.bw.put(bit, 1)
+                    corrections = []
+                    run -= 16
+                if t > 1:
+                    corrections.append(t & 1)
+                    continue
+                # newly significant
+                sw.flush_eob()
+                sw.sym((run << 4) | 1)
+                sw.bw.put(1 if int(blk[ss + i]) >= 0 else 0, 1)
+                for bit in corrections:
+                    sw.bw.put(bit, 1)
+                corrections = []
+                run = 0
+            if last_new < len(absv) - 1 or corrections:
+                sw.add_eob(corrections)
+    return sw.finish()
+
+
+# Progressive AC scans need EOBn symbols (0x10..0xE0), which the
+# Annex-K baseline AC tables do not define — real encoders ship custom
+# tables in every progressive file. This one is deliberately simple:
+# every symbol we can emit (EOB0..EOB14, ZRL, and run 0-15 x size 1-12)
+# at a flat 8-bit code length — 208 symbols, Kraft sum 208/256 <= 1,
+# so it is a valid canonical table any decoder accepts (bigger files
+# than an optimized table, which is irrelevant for a codec-parity test
+# path).
+PROG_AC_SPEC = (
+    [0] * 7 + [208] + [0] * 8,
+    [r << 4 for r in range(15)]        # EOB0..EOB14
+    + [0xF0]                            # ZRL
+    + [(r << 4) | s for r in range(16) for s in range(1, 13)],
+)
+
+
+def emit_progressive_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
+    """Encode (h, w, 3) uint8 RGB as a 6-scan progressive (SOF2)
+    4:4:4 JPEG carrying EXACTLY the same quantized coefficients as
+    emit_jpeg at the same quality — entropy coding is lossless, so
+    parse_jpeg must decode both to identical pixels (asserted by the
+    round-trip tests). Scan script exercises every progressive decode
+    path: DC first at Al=1 + DC refinement, luma AC spectral band at
+    Al=1 + AC refinement (insertions, correction bits, EOB runs), and
+    full-precision chroma AC scans."""
+    h, w = arr.shape[:2]
+    qzz, qy, qc = _quantized_blocks_444(arr, quality)
+    dc_l = _HuffTable(*STD_DC_LUMA)
+    dc_c = _HuffTable(*STD_DC_CHROMA)
+    ac_p = _HuffTable(*PROG_AC_SPEC)
+    enc_dc = [dc_l.encode_map(), dc_c.encode_map(), dc_c.encode_map()]
+    ac_maps = [ac_p.encode_map()] * 3
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    def sos(comps: list, ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comps)])
+        for cid, td, ta in comps:
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes(qy.astype(np.uint8)))
+    out += seg(0xDB, bytes([1]) + bytes(qc.astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        sof += bytes([cid, 0x11, tq])
+    out += seg(0xC2, sof)
+    for tcth, (bits, values) in (
+        (0x00, STD_DC_LUMA), (0x01, STD_DC_CHROMA),
+        (0x10, PROG_AC_SPEC),
+    ):
+        out += seg(0xC4, bytes([tcth]) + bytes(bits) + bytes(values))
+    # scan 1+2: DC at Al=1, then the refinement bit
+    out += sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 0, 1)
+    out += _encode_dc_first(qzz, enc_dc, 1)
+    out += sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 1, 0)
+    out += _encode_dc_refine(qzz, 0)
+    # scan 3+4: luma AC band at Al=1, then its refinement
+    out += sos([(1, 0, 0)], 1, 63, 0, 1)
+    out += _encode_ac_first(qzz[0], ac_maps[0], 1, 63, 1)
+    out += sos([(1, 0, 0)], 1, 63, 1, 0)
+    out += _encode_ac_refine(qzz[0], ac_maps[0], 1, 63, 0)
+    # scans 5+6: chroma AC at full precision (AC table 0 is the shared
+    # progressive table)
+    for ci, cid in ((1, 2), (2, 3)):
+        out += sos([(cid, 0, 0)], 1, 63, 0, 0)
+        out += _encode_ac_first(qzz[ci], ac_maps[ci], 1, 63, 0)
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def jpeg_features(b: bytes) -> dict:

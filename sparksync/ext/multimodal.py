@@ -6,15 +6,15 @@ Two decode tiers:
   with duration/RMS/peak features; 24-bit BMP parse/emit/resize; and
   8-bit truecolor PNG decode/encode/resize (stdlib zlib inflate +
   scanline unfilter, CRC-verified chunks) first-frame GIF87a/89a
-  decode/encode/resize (pure-Python LZW), and BASELINE JPEG decode/
-  encode/resize (ext/jpeg: Huffman + exact orthonormal IDCT, 4:4:4 /
-  4:2:2 / 4:2:0, Annex-K-table encoder; progressive rejected) — see media_features /
+  decode/encode/resize (pure-Python LZW), and JPEG decode/encode/
+  resize — BASELINE and PROGRESSIVE (ext/jpeg: Huffman + exact
+  orthonormal IDCT, 4:4:4 / 4:2:2 / 4:2:0, all four SOF2 progressive
+  scan kinds; round 8 un-stubbed progressive) — see media_features /
   resize_media below. Per-row error capture: corrupt or compressed
   payloads classify ('corrupt' / 'unsupported') instead of killing
   the Arrow batch.
-- STUBBED (codecs needing real external libs — progressive JPEG,
-  MP3, non-MJPEG video need libjpeg/ffmpeg, absent in this
-  container): `extract_features(fake=True)` derives a deterministic
+- STUBBED (codecs needing real external libs — MP3 and non-MJPEG
+  video need ffmpeg-class decoders, absent in this container): `extract_features(fake=True)` derives a deterministic
   sha-based pseudo feature vector for those rows ONLY — any payload
   the real codecs can decode always takes the real path (VERDICT r4
   #5 retired the legacy decode_image/resize_image stubs that could
@@ -55,8 +55,8 @@ FEATURES_SCHEMA = T.StructType(
 
 def _pseudo_features(content: bytes) -> list[float]:
     """Deterministic sha-derived pseudo-vector for payloads no real
-    codec in this container can decode (progressive JPEG/MP3/
-    non-MJPEG video) — keeps downstream ANN shapes honest and
+    codec in this container can decode (MP3, non-MJPEG video) —
+    keeps downstream ANN shapes honest and
     testable. NEVER used for a decodable payload."""
     h = hashlib.sha256(content or b"").digest()
     return [h[i] / 255.0 for i in range(FEATURE_DIM)]

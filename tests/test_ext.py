@@ -2202,7 +2202,7 @@ def test_media_features_gif_decode(spark):
 def test_jpeg_codec_roundtrip_quality(spark):
     """Baseline JPEG decodes for real: solid color reconstructs within
     1 LSB, a smooth gradient within 1 LSB at q95, 4:2:0 exercises the
-    chroma-upsample path, and progressive/truncated streams raise."""
+    chroma-upsample path, and mislabeled/truncated streams raise."""
     import numpy as np
     import pytest as pt
 
@@ -2216,14 +2216,73 @@ def test_jpeg_codec_roundtrip_quality(spark):
     grad = np.stack([np.tile(x, (21, 1))] * 3, axis=-1).astype(np.uint8)
     d = J.parse_jpeg(J.emit_jpeg(grad, quality=95))
     assert np.abs(d.astype(int) - grad.astype(int)).max() <= 2
-    # a progressive SOF2 marker is rejected, not mis-decoded
+    # a baseline stream MISLABELED as SOF2 is rejected (its 0..63 scan
+    # is illegal progressive spectral selection), not mis-decoded
     b = bytearray(J.emit_jpeg(solid))
     sof = b.find(b"\xff\xc0")
     b[sof + 1] = 0xC2
-    with pt.raises(ValueError, match="non-baseline"):
+    with pt.raises(ValueError, match="spectral selection"):
         J.parse_jpeg(bytes(b))
     with pt.raises(ValueError):
         J.parse_jpeg(J.emit_jpeg(solid)[:40])
+
+
+def test_jpeg_progressive_matches_baseline_exactly(spark):
+    """Progressive (SOF2) decode is real, not stubbed: the 6-scan
+    progressive encoder carries the same quantized coefficients as the
+    baseline encoder, entropy coding is lossless, so decoded pixels
+    must be BIT-IDENTICAL across the two scan structures — on solid,
+    gradient, checkerboard, and seeded-noise images across qualities
+    (the noise cases drive EOB runs, ZRL-in-refinement, and buffered
+    correction bits through the AC refinement scan)."""
+    import numpy as np
+    import pytest as pt
+
+    from sparksync.ext import jpeg as J
+
+    rng = np.random.default_rng(7)
+    x = np.linspace(0, 255, 33)
+    cases = [
+        np.full((20, 28, 3), [120, 60, 200], dtype=np.uint8),
+        np.stack([np.tile(x, (21, 1))] * 3, axis=-1).astype(np.uint8),
+        rng.integers(0, 256, (24, 17, 3), dtype=np.int64).astype(np.uint8),
+        (np.indices((16, 16)).sum(axis=0) % 2 * 255).astype(np.uint8)[
+            ..., None
+        ].repeat(3, -1),
+    ]
+    for img in cases:
+        for q in (30, 75, 92):
+            base = J.parse_jpeg(J.emit_jpeg(img, quality=q))
+            prog = J.parse_jpeg(J.emit_progressive_jpeg(img, quality=q))
+            assert np.array_equal(base, prog), (img.shape, q)
+    # truncated progressive raises, like truncated baseline
+    pb = J.emit_progressive_jpeg(cases[0])
+    with pt.raises(ValueError):
+        J.parse_jpeg(pb[: len(pb) // 2])
+
+
+def test_media_features_progressive_jpeg(spark):
+    """Progressive JPEG bytes ride the standard media path end to end:
+    media_features classifies them as decodable images with correct
+    dimensions and means (not 'unsupported' — the round-7 stub is
+    gone)."""
+    import numpy as np
+
+    from sparksync.ext import jpeg as J, multimodal
+
+    img = np.full((12, 9, 3), [200, 40, 90], dtype=np.uint8)
+    pb = J.emit_progressive_jpeg(img, quality=92)
+    feats = J.jpeg_features(pb)
+    assert (feats["img_width"], feats["img_height"]) == (9, 12)
+    assert abs(feats["mean_r"] - 200) <= 2
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(pb), 9, 12)],
+        "media_id long, kind string, content binary, width long, height long",
+    )
+    rows = multimodal.media_features(df).collect()
+    assert len(rows) == 1
+    r = rows[0].asDict()
+    assert (r["img_width"], r["img_height"]) == (9, 12)
 
 
 def test_media_features_jpeg_decode(spark):
