@@ -13,8 +13,16 @@ Two decode tiers:
   resize_media below. Per-row error capture: corrupt or compressed
   payloads classify ('corrupt' / 'unsupported') instead of killing
   the Arrow batch.
-- STUBBED (codecs needing real external libs — MP3 and non-MJPEG
-  video need ffmpeg-class decoders, absent in this container): `extract_features(fake=True)` derives a deterministic
+- METADATA (round 8): MP3 frame-header walk (duration/sample-rate/
+  frame count, VBR-true average bitrate) and MP4/ISO-BMFF box walk
+  (mvhd duration, video-trak dimensions, handler types) parse for
+  REAL in pure struct code — the per-object triage a 100 TB media
+  pipeline runs over everything; only the SIGNAL decode (PCM samples,
+  frames) needs external codecs and stays stubbed, so these rows
+  classify as status='metadata', never 'decoded'.
+- STUBBED (signal decode needing real external libs — MP3 PCM and
+  non-MJPEG video frames need ffmpeg-class decoders, absent in this
+  container): `extract_features(fake=True)` derives a deterministic
   sha-based pseudo feature vector for those rows ONLY — any payload
   the real codecs can decode always takes the real path (VERDICT r4
   #5 retired the legacy decode_image/resize_image stubs that could
@@ -46,7 +54,7 @@ FEATURE_DIM = 8
 FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
-        T.StructField("status", T.StringType()),  # decoded|pseudo|unsupported|corrupt
+        T.StructField("status", T.StringType()),  # decoded|metadata|pseudo|unsupported|corrupt
         T.StructField("n_bytes", T.LongType()),
         T.StructField("features", T.ArrayType(T.FloatType())),
     ]
@@ -90,10 +98,12 @@ def extract_features(df: DataFrame, fake: bool = False) -> DataFrame:
     scale the input should be repartitioned so batches are ~100 MB.
 
     ONE decode entry point (VERDICT r4 #5): payloads the real codecs
-    handle (WAV/BMP/PNG/GIF/baseline-JPEG/MJPEG-AVI) get features from
-    the REAL decode (status 'decoded'); undecodable payloads get a
-    sha-derived pseudo-vector only when fake=True (status 'pseudo'),
-    else NULL features with status 'unsupported'/'corrupt'."""
+    handle (WAV/BMP/PNG/GIF/JPEG incl. progressive/MJPEG-AVI) get
+    features from the REAL decode (status 'decoded'); MP3/MP4 get
+    features from their REAL container metadata (status 'metadata');
+    undecodable payloads get a sha-derived pseudo-vector only when
+    fake=True (status 'pseudo'), else NULL features with status
+    'unsupported'/'corrupt'."""
 
     def one(media_id, kind, content) -> dict:
         m = _classify_media(media_id, kind, content)
@@ -103,7 +113,10 @@ def extract_features(df: DataFrame, fake: bool = False) -> DataFrame:
             "n_bytes": m["n_bytes"],
             "features": None,
         }
-        if m["status"] == "decoded":
+        if m["status"] in ("decoded", "metadata"):
+            # metadata-tier rows (MP3/MP4) carry REAL parsed numbers
+            # (duration, rate, dims); the vector formula handles the
+            # absent signal stats as zeros
             out["features"] = _decoded_features(m)
         elif fake:
             out["status"] = "pseudo"
@@ -156,10 +169,10 @@ def audio_chunk_plan(df: DataFrame, chunk_bytes: int = 4000) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# REAL decode for uncompressed containers (pure numpy/struct — no codec libs).
-# WAV/PCM and BMP need no external decoder, so these paths are genuinely
-# end-to-end; formats needing external libs (JPEG/MP3/video) stay stubbed
-# above. The production shape: never throw on a bad row — classify it.
+# REAL decode for containers that need no codec libs (pure numpy/struct):
+# WAV/PCM, BMP, PNG, GIF, JPEG (ext/jpeg, incl. progressive), MJPEG-AVI
+# are genuinely end-to-end; MP3/MP4 parse to the metadata tier below.
+# The production shape: never throw on a bad row — classify it.
 # ---------------------------------------------------------------------------
 
 import struct
@@ -170,7 +183,7 @@ MEDIA_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
         T.StructField("kind", T.StringType()),
-        T.StructField("status", T.StringType()),  # decoded|unsupported|corrupt
+        T.StructField("status", T.StringType()),  # decoded|metadata|unsupported|corrupt
         T.StructField("n_bytes", T.LongType()),
         # audio features (NULL for images)
         T.StructField("sample_rate", T.IntegerType()),
@@ -470,6 +483,20 @@ def _classify_media(media_id, kind, content) -> dict:
 
             row.update(jpeg_features(content))
             row["status"] = "decoded"
+        elif content is not None and (
+            content[:3] == b"ID3"
+            or (len(content) >= 2 and content[0] == 0xFF
+                and (content[1] & 0xE0) == 0xE0)
+        ):
+            # MP3: frame headers parse for real (duration/rate/frames);
+            # PCM decode needs an external codec -> metadata tier
+            row.update(mp3_features(content))
+            row["status"] = "metadata"
+        elif content is not None and len(content) >= 12 and content[4:8] == b"ftyp":
+            # MP4/ISO-BMFF: box structure parses for real
+            # (duration/dims); frame decode needs a codec -> metadata
+            row.update(mp4_features(content))
+            row["status"] = "metadata"
         else:
             row["status"] = "unsupported"
     except (ValueError, struct.error):
@@ -881,3 +908,251 @@ def mjpeg_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, MJPEG_FRAMES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Metadata-tier parsers (round 8): MP3 and MP4 cannot be PCM/pixel-
+# decoded without external codec libs, but their CONTAINERS parse fine
+# in pure struct code — and duration/rate/dimension triage is what a
+# 100 TB media pipeline actually runs over every object (full signal
+# decode happens on the tiny filtered subset). These classify as
+# status='metadata': real parsed numbers, honestly distinct from the
+# 'decoded' tier that carries signal statistics.
+# ---------------------------------------------------------------------------
+
+# MPEG audio Layer III tables: bitrate kbps by version, sample rates
+_MP3_BITRATES_V1 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                    224, 256, 320, -1]
+_MP3_BITRATES_V2 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                    144, 160, -1]
+_MP3_RATES = {3: [44100, 48000, 32000],   # MPEG1
+              2: [22050, 24000, 16000],   # MPEG2
+              0: [11025, 12000, 8000]}    # MPEG2.5
+
+
+def parse_mp3(b: bytes) -> dict:
+    """Walk MPEG Layer III audio frame headers: skip an ID3v2 tag,
+    validate every frame's sync/version/bitrate/samplerate fields,
+    compute per-frame byte length (144 or 72 * bitrate/samplerate +
+    padding) and duration (1152 or 576 samples per frame). Accepts a
+    trailing ID3v1 tag. Raises ValueError on malformed/Layer I/II/
+    free-bitrate streams. Returns {sample_rate, duration_s, n_frames,
+    bitrate_kbps} — bitrate averaged over frames, so VBR reads true."""
+    if b is None or len(b) < 4:
+        raise ValueError("not an MP3 stream")
+    pos = 0
+    if b[:3] == b"ID3":
+        if len(b) < 10:
+            raise ValueError("truncated ID3v2 tag")
+        sz = (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]
+        pos = 10 + sz
+    n_frames = 0
+    samples = 0
+    sr_seen = None
+    kbps_sum = 0
+    while pos + 4 <= len(b):
+        if b[pos : pos + 3] == b"TAG":  # ID3v1 trailer
+            if len(b) - pos == 128:
+                pos = len(b)
+                break
+            raise ValueError("bad ID3v1 trailer")
+        h = struct.unpack(">I", b[pos : pos + 4])[0]
+        if (h >> 21) & 0x7FF != 0x7FF:
+            raise ValueError("lost MP3 frame sync")
+        ver = (h >> 19) & 0x3
+        layer = (h >> 17) & 0x3
+        if ver == 1 or layer != 1:
+            raise ValueError("only MPEG Layer III supported")
+        bri = (h >> 12) & 0xF
+        sri = (h >> 10) & 0x3
+        pad = (h >> 9) & 0x1
+        if sri == 3:
+            raise ValueError("bad MP3 sample-rate index")
+        kbps = (_MP3_BITRATES_V1 if ver == 3 else _MP3_BITRATES_V2)[bri]
+        if kbps <= 0:
+            raise ValueError("free/bad MP3 bitrate unsupported")
+        sr = _MP3_RATES[ver][sri]
+        if sr_seen is None:
+            sr_seen = sr
+        coef = 144 if ver == 3 else 72
+        flen = coef * kbps * 1000 // sr + pad
+        if flen < 4 or pos + flen > len(b):
+            raise ValueError("truncated MP3 frame")
+        n_frames += 1
+        samples += 1152 if ver == 3 else 576
+        kbps_sum += kbps
+        pos += flen
+    if n_frames == 0 or pos != len(b):
+        raise ValueError("no clean MP3 frame sequence")
+    return {
+        "sample_rate": int(sr_seen),
+        "duration_s": samples / float(sr_seen),
+        "n_frames": n_frames,
+        "bitrate_kbps": kbps_sum / n_frames,
+    }
+
+
+def emit_mp3(n_frames: int = 30, bitrate_kbps: int = 128,
+             sample_rate: int = 44100, id3: bytes | None = None) -> bytes:
+    """Spec-valid CBR MPEG1/2 Layer III frame sequence with zeroed
+    audio payloads (a container-level fixture: headers parse with any
+    MP3 tool, audio is silence-shaped garbage — this module never
+    claims PCM decode). Optional ID3v2 payload is wrapped in a real
+    tag header."""
+    v1 = sample_rate in _MP3_RATES[3]
+    ver = 3 if v1 else (2 if sample_rate in _MP3_RATES[2] else 0)
+    sri = _MP3_RATES[ver].index(sample_rate)
+    bri = (_MP3_BITRATES_V1 if ver == 3 else _MP3_BITRATES_V2).index(
+        bitrate_kbps
+    )
+    coef = 144 if ver == 3 else 72
+    flen = coef * bitrate_kbps * 1000 // sample_rate
+    h = (0x7FF << 21) | (ver << 19) | (1 << 17) | (1 << 16)
+    h |= (bri << 12) | (sri << 10) | (3 << 6)  # mono, no padding
+    frame = struct.pack(">I", h) + bytes(flen - 4)
+    out = bytearray()
+    if id3 is not None:
+        sz = len(id3)
+        ss = bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                    (sz >> 7) & 0x7F, sz & 0x7F])
+        out += b"ID3\x04\x00\x00" + ss + id3
+    out += frame * n_frames
+    return bytes(out)
+
+
+def mp3_features(b: bytes) -> dict:
+    """Metadata-tier audio features from MP3 frame headers: duration +
+    sample rate + frame count (no rms/peak — those need PCM decode)."""
+    m = parse_mp3(b)
+    return {
+        "sample_rate": m["sample_rate"],
+        "duration_s": m["duration_s"],
+        "n_frames": m["n_frames"],
+    }
+
+
+def parse_mp4(b: bytes) -> dict:
+    """Minimal ISO-BMFF (MP4/MOV) box walk: ftyp brand, mvhd timescale
+    + duration, per-trak handler types, and the first video trak's
+    tkhd dimensions (16.16 fixed point). Handles version-0 and
+    version-1 mvhd/tkhd. Raises ValueError on non-BMFF or truncated
+    boxes. Returns {duration_s, n_tracks, img_width, img_height,
+    brand, handlers}."""
+
+    def boxes(buf, pos, end):
+        while pos + 8 <= end:
+            sz, typ = struct.unpack(">I4s", buf[pos : pos + 8])
+            hdr = 8
+            if sz == 1:
+                if pos + 16 > end:
+                    raise ValueError("truncated MP4 largesize box")
+                sz = struct.unpack(">Q", buf[pos + 8 : pos + 16])[0]
+                hdr = 16
+            elif sz == 0:
+                sz = end - pos
+            if sz < hdr or pos + sz > end:
+                raise ValueError("truncated MP4 box")
+            yield typ, pos + hdr, pos + sz
+            pos += sz
+
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF stream")
+    brand = b[8:12].decode("latin1")
+    duration_s = None
+    n_tracks = 0
+    handlers = []
+    vw = vh = None
+    for typ, s, e in boxes(b, 0, len(b)):
+        if typ != b"moov":
+            continue
+        for t2, s2, e2 in boxes(b, s, e):
+            if t2 == b"mvhd":
+                ver = b[s2]
+                if ver == 1:
+                    ts, dur = struct.unpack(">IQ", b[s2 + 20 : s2 + 32])
+                else:
+                    ts, dur = struct.unpack(">II", b[s2 + 12 : s2 + 20])
+                if ts == 0:
+                    raise ValueError("bad MP4 timescale")
+                duration_s = dur / float(ts)
+            elif t2 == b"trak":
+                n_tracks += 1
+                tw = th = None
+                handler = None
+                for t3, s3, e3 in boxes(b, s2, e2):
+                    if t3 == b"tkhd":
+                        # v0 body: ver/flags 4 + times 8 + track 4 +
+                        # resv 4 + dur 4 + resv 8 + layer/alt/vol/resv 8
+                        # + matrix 36 = 76 to width; v1 widens the three
+                        # time fields by 12
+                        ver = b[s3]
+                        off = s3 + (88 if ver == 1 else 76)
+                        w16, h16 = struct.unpack(">II", b[off : off + 8])
+                        tw, th = w16 >> 16, h16 >> 16
+                    elif t3 == b"mdia":
+                        for t4, s4, e4 in boxes(b, s3, e3):
+                            if t4 == b"hdlr":
+                                handler = b[s4 + 8 : s4 + 12].decode("latin1")
+                if handler:
+                    handlers.append(handler)
+                if handler == "vide" and vw is None and tw:
+                    vw, vh = tw, th
+    if duration_s is None:
+        raise ValueError("MP4 has no mvhd")
+    return {
+        "duration_s": duration_s,
+        "n_tracks": n_tracks,
+        "img_width": vw,
+        "img_height": vh,
+        "brand": brand,
+        "handlers": handlers,
+    }
+
+
+def emit_mp4(duration_s: float = 2.5, width: int = 64, height: int = 36,
+             handler: bytes = b"vide") -> bytes:
+    """Minimal spec-shaped MP4: ftyp + moov(mvhd + trak(tkhd +
+    mdia(hdlr))) + empty mdat — a parser-level fixture with real box
+    structure and 16.16 fixed-point track dimensions."""
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return struct.pack(">I4s", len(body) + 8, typ) + body
+
+    ts = 1000
+    dur = int(round(duration_s * ts))
+    mvhd = box(
+        b"mvhd",
+        bytes(4) + struct.pack(">II", 0, 0) + struct.pack(">II", ts, dur)
+        + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+        + bytes(10) + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0,
+                                  0, 0x40000000)
+        + bytes(24) + struct.pack(">I", 2),
+    )
+    tkhd = box(
+        b"tkhd",
+        bytes([0, 0, 0, 7]) + struct.pack(">II", 0, 0)
+        + struct.pack(">I", 1) + bytes(4) + struct.pack(">I", dur)
+        + bytes(8) + struct.pack(">4H", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                      0x40000000)
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    hdlr = box(
+        b"hdlr", bytes(8) + handler + bytes(12) + b"h\x00"
+    )
+    mdia = box(b"mdia", hdlr)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    return ftyp + moov + box(b"mdat", b"")
+
+
+def mp4_features(b: bytes) -> dict:
+    """Metadata-tier video features from the MP4 box structure:
+    duration + first video track dimensions (no frame decode)."""
+    m = parse_mp4(b)
+    out = {"duration_s": m["duration_s"]}
+    if m["img_width"]:
+        out["img_width"] = int(m["img_width"])
+        out["img_height"] = int(m["img_height"])
+    return out

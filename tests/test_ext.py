@@ -3448,3 +3448,57 @@ def test_cluster_size_histogram_consistency(spark, docs):
         assert r.n_docs <= hi[r.size_bucket] * r.n_clusters
     members = dedup_groups(dd.jaccard_pairs(docs, 0.8)).count()
     assert sum(r.n_docs for r in out) == members
+
+
+def test_mp3_mp4_metadata_parsers(spark):
+    """Round-8 metadata tier: MP3 frame-header walk and MP4 box walk
+    parse real numbers from spec-valid synthesized containers, reject
+    corrupt ones, and classify as status='metadata' (never 'decoded' —
+    signal decode is honestly out of scope) through the full Spark
+    media_features path."""
+    import pytest as pt
+
+    from sparksync.ext import multimodal as M
+
+    m = M.parse_mp3(M.emit_mp3(40, 128, 44100, id3=b"t" * 33))
+    assert m["n_frames"] == 40 and m["sample_rate"] == 44100
+    assert abs(m["duration_s"] - 40 * 1152 / 44100) < 1e-9
+    assert m["bitrate_kbps"] == 128.0
+    m2 = M.parse_mp3(M.emit_mp3(10, 64, 22050))  # MPEG2 branch
+    assert m2["n_frames"] == 10 and abs(
+        m2["duration_s"] - 10 * 576 / 22050
+    ) < 1e-9
+    v = M.parse_mp4(M.emit_mp4(2.5, 640, 360))
+    assert v["duration_s"] == 2.5 and (v["img_width"], v["img_height"]) == (
+        640, 360,
+    )
+    assert v["handlers"] == ["vide"]
+    a = M.parse_mp4(M.emit_mp4(1.25, 0, 0, handler=b"soun"))
+    assert a["handlers"] == ["soun"] and a["img_width"] is None
+    for bad in (M.emit_mp3(5)[:-3], b"\xff\xe3garbage"):
+        with pt.raises(ValueError):
+            M.parse_mp3(bad)
+    with pt.raises(ValueError):
+        M.parse_mp4(M.emit_mp4(1.0)[:20])
+    rows = M.media_features(
+        spark.createDataFrame(
+            [
+                (1, "audio", bytearray(M.emit_mp3(40))),
+                (2, "video", bytearray(M.emit_mp4(2.5, 64, 36))),
+                (3, "audio", bytearray(M.emit_mp3(8)[:-5])),
+            ],
+            "media_id long, kind string, content binary",
+        )
+    ).collect()
+    by = {r.media_id: r for r in rows}
+    assert by[1].status == "metadata" and by[1].sample_rate == 44100
+    assert by[2].status == "metadata" and by[2].img_width == 64
+    assert by[2].duration_s == 2.5
+    assert by[3].status == "corrupt"
+    feats = M.extract_features(
+        spark.createDataFrame(
+            [(1, "audio", bytearray(M.emit_mp3(40)))],
+            "media_id long, kind string, content binary",
+        )
+    ).collect()
+    assert feats[0].status == "metadata" and feats[0].features is not None
