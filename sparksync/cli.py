@@ -102,7 +102,12 @@ def main(argv: list[str] | None = None) -> int:
     aud.add_argument(
         "--kind",
         required=True,
-        choices=["pruning", "bloom", "quantile", "dedup"],
+        choices=[
+            "pruning", "bloom", "quantile", "dedup",
+            # round 8: per-source dedup cost, cluster-size histogram,
+            # engine-portable HLL distinct (X189/X190/X188)
+            "survivorship", "clusters", "hll",
+        ],
     )
     aud.add_argument("--table", help="pruning/quantile: table to audit")
     aud.add_argument("--bucket", help="pruning: bucket column")
@@ -463,6 +468,34 @@ def main(argv: list[str] | None = None) -> int:
                 args.value,
                 args.id,
                 rate=args.rate,
+            )
+        elif args.kind == "survivorship":
+            # X189: who pays for dedup, per source
+            from .ext.dedup import dedup_survivorship
+
+            if args.table is None:
+                p.error("audit --kind survivorship needs --table")
+            out = dedup_survivorship(
+                job._read_source(args.table), threshold=args.threshold
+            )
+        elif args.kind == "clusters":
+            # X190: near-dup cluster-size histogram
+            from .ext.dedup import dup_cluster_histogram
+
+            if args.table is None:
+                p.error("audit --kind clusters needs --table")
+            out = dup_cluster_histogram(
+                job._read_source(args.table), threshold=args.threshold
+            )
+        elif args.kind == "hll":
+            # X188: engine-portable approximate distinct per group
+            from .ext.skew import approx_distinct_hll
+
+            for a in ("table", "group", "value"):
+                if getattr(args, a) is None:
+                    p.error(f"audit --kind hll needs --{a}")
+            out = approx_distinct_hll(
+                job._read_source(args.table), args.group, args.value
             )
         else:
             # X176: LSH dedup recall vs exact pairs

@@ -1054,3 +1054,38 @@ def test_cli_full_sync_to_live_derby(spark, tmp_path, capsys):
             spark._jvm.java.sql.DriverManager.getConnection(url + ";drop=true")
         except Exception:
             pass
+
+
+def test_cli_audit_round8_kinds(tmp_path, capsys):
+    """The round-8 audits ride the same `audit` verb: per-source dedup
+    survivorship (X189), cluster-size histogram (X190), and the
+    engine-portable HLL distinct (X188) — JSON rows with the gate
+    queries' invariants."""
+    import json as _json
+
+    from sparksync.cli import main
+
+    out = str(tmp_path / "dest")
+    base = ["--src", SF_SMOKE, "--dest", out]
+
+    assert main(base + ["audit", "--kind", "survivorship",
+                        "--table", "documents"]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert rows and all(
+        0 <= r["dropped"] <= r["dup_members"] <= r["n_docs"] for r in rows
+    )
+
+    assert main(base + ["audit", "--kind", "clusters",
+                        "--table", "documents"]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert rows and all(r["n_docs"] >= 2 * r["n_clusters"] for r in rows)
+
+    assert main(base + ["audit", "--kind", "hll", "--table", "events",
+                        "--group", "event_type", "--value", "user_id"]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert rows and all(r["hll_est"] > 0 for r in rows)
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(base + ["audit", "--kind", "hll", "--table", "events"])
