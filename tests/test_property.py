@@ -308,3 +308,31 @@ def test_jpeg_roundtrip_smooth_bounded(h, w, ss, seed):
     d = parse_jpeg(emit_jpeg(a, quality=92, subsampling=ss))
     assert d.shape == a.shape
     assert np.abs(d.astype(int) - a.astype(int)).max() <= 2
+
+
+@given(
+    h=st.integers(1, 28),
+    w=st.integers(1, 28),
+    quality=st.integers(10, 95),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=15, deadline=None)
+def test_jpeg_progressive_baseline_parity_property(h, w, quality, seed):
+    """For ANY image content, size, and quality: the progressive
+    encoder's scans carry the same quantized coefficients as the
+    baseline encoder, so decoded pixels must be BIT-IDENTICAL between
+    the two scan structures (random noise maximizes AC-refinement
+    stress: EOB runs, correction bits, ZRL spans)."""
+    import numpy as np
+
+    from sparksync.ext.jpeg import (
+        emit_jpeg,
+        emit_progressive_jpeg,
+        parse_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    base = parse_jpeg(emit_jpeg(a, quality=quality))
+    prog = parse_jpeg(emit_progressive_jpeg(a, quality=quality))
+    assert np.array_equal(base, prog)
