@@ -27,10 +27,12 @@ def _rotated(d: dict) -> dict:
     q153-q187 + q51-q65 set — the round-7 rotation this comment
     promised was NOT executed (VERDICT r7 #1), so as of round 8 the
     never-driver-checked slices are q66-q76 (11), q110-q119 (10), and
-    q188-q196 (9: q189/q191 reworked and q194-q196 added this round).
-    Round-8 top-50 is exactly those 30 plus 20 re-anchors: q01-q17
-    (the ported core, driver-green every sampled round) and the three
-    heaviest queries whose implementation changed in round 8 (q96's
+    q188-q198 (11: q189/q191 reworked, q194-q198 added this round).
+    Round-8 top-50 is exactly those 32 plus 18 re-anchors: q01-q15
+    (the ported core, driver-green every sampled round; q16/q17 sit
+    this round out — they have driver evidence from every prior
+    sampled round and both committed sweeps) and the three heaviest
+    queries whose implementation changed in round 8 (q96's
     shadowed-definition fix, q159/q178 on the reverted one-hop
     components loop; q20/q49 also changed but keep driver evidence
     from rounds 1-3 plus both committed sweeps, and q20 is re-measured
@@ -44,9 +46,9 @@ def _rotated(d: dict) -> dict:
 
     def key(name: str):
         n = int(name[1:].split("_", 1)[0])
-        if 66 <= n <= 76 or 110 <= n <= 119 or 188 <= n <= 196:
+        if 66 <= n <= 76 or 110 <= n <= 119 or 188 <= n <= 198:
             return (0, n)
-        if 1 <= n <= 17:
+        if 1 <= n <= 15:
             return (1, n)
         if n in changed_r8_heavy:
             return (2, n)

@@ -59,6 +59,12 @@ HEADLINE = [
     # RP-LSH banded pairs -> connected components -> keeper, the
     # embedding-space twin of q159's lexical pipeline
     "q178_semantic_dedup",
+    # round-8 additions: the engine-portable HLL sketch (one register
+    # groupBy + finisher) and the dedup-survivorship capstone (pair
+    # graph -> components -> per-source cost rollup). Totals grow by
+    # two queries vs BENCH_r07 — compare per-query
+    "q194_hll_distinct",
+    "q195_dedup_survivorship",
 ]
 
 

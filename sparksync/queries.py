@@ -6712,6 +6712,126 @@ from csz group by 1
 """
 
 
+def q197_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout keys over events (ext/layout.zorder_key):
+    user_id x event-time bucketed to 2^16 cells and Morton-interleaved
+    — the clustering key behind multi-dimension row-group pruning
+    (Delta/Iceberg's OPTIMIZE ZORDER BY, composed from one min/max
+    broadcast + pure integer bit math). Exact integers end to end."""
+    from .ext import layout
+
+    ev = load(spark, sf_dir, "events")
+    ysec = F.expr(
+        "timestampdiff(SECOND, timestamp_ntz '1970-01-01 00:00:00', ts)"
+    )
+    return layout.zorder_key(ev, "user_id", ysec).select(
+        "event_id",
+        F.col("_bx").alias("bx"),
+        F.col("_by").alias("by"),
+        "zval",
+    )
+
+
+def _zorder_interleave_sql(bx: str, by: str, bits: int = 16) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({bx} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({by} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def _oracle_q197() -> str:
+    return f"""
+with base as (
+  select event_id, cast(user_id as bigint) as zx,
+         date_diff('second', timestamp '1970-01-01 00:00:00', ts) as zy
+  from events),
+mm as (select min(zx) as ux, max(zx) as vx,
+              min(zy) as uy, max(zy) as vy from base),
+b as (
+  select event_id,
+         ((zx - ux) * 65536) // (vx - ux + 1) as bx,
+         ((zy - uy) * 65536) // (vy - uy + 1) as by
+  from base, mm)
+select event_id, bx, by,
+       cast({_zorder_interleave_sql("bx", "by")} as bigint) as zval
+from b
+"""
+
+
+ORACLE_Q197 = _oracle_q197()
+
+
+def q198_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The layout decision PRICED from zone maps
+    (ext/layout.zorder_layout_audit): the same events laid into
+    256-row files under a linear user_id sort vs the z-order key, and
+    the files a 2-D (user x time) range predicate skips under each —
+    measure the layout before rewriting 100 TB (the measure-the-
+    shortcut family applied to data layout)."""
+    from .ext import layout
+
+    ev = load(spark, sf_dir, "events")
+    ysec = F.expr(
+        "timestampdiff(SECOND, timestamp_ntz '1970-01-01 00:00:00', ts)"
+    )
+    return layout.zorder_layout_audit(
+        ev, "user_id", ysec, "event_id", rows_per_file=256
+    )
+
+
+def _oracle_q198() -> str:
+    cells = 1 << 16
+    lo_x, hi_x, lo_y, hi_y = (
+        cells * 25 // 100, cells * 35 // 100,
+        cells * 30 // 100, cells * 50 // 100,
+    )
+    body = f"""
+with base as (
+  select event_id, cast(user_id as bigint) as zx,
+         date_diff('second', timestamp '1970-01-01 00:00:00', ts) as zy
+  from events),
+mm as (select min(zx) as ux, max(zx) as vx,
+              min(zy) as uy, max(zy) as vy from base),
+b as (
+  select event_id,
+         ((zx - ux) * 65536) // (vx - ux + 1) as bx,
+         ((zy - uy) * 65536) // (vy - uy + 1) as by
+  from base, mm),
+k as (select event_id, bx, by,
+             cast({_zorder_interleave_sql("bx", "by")} as bigint) as zval
+      from b)
+"""
+
+    def one(name: str, order: str) -> str:
+        return f"""
+select '{name}' as layout,
+       cast(count(*) as bigint) as n_files,
+       cast(sum(case when pr then 0 else 1 end) as bigint) as files_scanned,
+       cast(sum(n) as bigint) as rows_total,
+       cast(sum(case when pr then 0 else n end) as bigint) as rows_scanned,
+       cast(sum(n) - sum(case when pr then 0 else n end) as double)
+         / cast(sum(n) as double) as skip_fraction
+from (
+  select f, count(*) as n,
+         (max(bx) < {lo_x} or min(bx) > {hi_x}
+          or max(by) < {lo_y} or min(by) > {hi_y}) as pr
+  from (select *, (row_number() over (order by {order}) - 1) // 256 as f
+        from k)
+  group by f)
+"""
+
+    return (
+        body
+        + one("linear_x", "bx, event_id")
+        + "union all"
+        + one("zorder", "zval, event_id")
+    )
+
+
+ORACLE_Q198 = _oracle_q198()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -6909,6 +7029,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q194_hll_distinct": q194_hll_distinct,
     "q195_dedup_survivorship": q195_dedup_survivorship,
     "q196_cluster_size_histogram": q196_cluster_size_histogram,
+    "q197_zorder_key": q197_zorder_key,
+    "q198_zorder_pruning": q198_zorder_pruning,
 }
 
 ORACLES: dict[str, str] = {
@@ -7108,4 +7230,6 @@ ORACLES: dict[str, str] = {
     "q194_hll_distinct": ORACLE_Q194,
     "q195_dedup_survivorship": ORACLE_Q195,
     "q196_cluster_size_histogram": ORACLE_Q196,
+    "q197_zorder_key": ORACLE_Q197,
+    "q198_zorder_pruning": ORACLE_Q198,
 }

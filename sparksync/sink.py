@@ -103,6 +103,34 @@ class ParquetSink:
         layout choice for any append-mostly 100 TB fact table."""
         df.write.mode(mode).partitionBy(*partition_cols).parquet(self.path(table))
 
+    def write_zordered(
+        self,
+        df: DataFrame,
+        table: str,
+        x_col: str,
+        y_col,
+        n_files: int = 32,
+        mode: str = "overwrite",
+    ) -> None:
+        """Z-order clustered layout (round 8): rows range-partitioned
+        and sorted by the Morton interleave of two bucketed dimensions
+        (ext/layout.zorder_key), so parquet row-group min/max footers
+        prune on BOTH dimensions — the OPTIMIZE ZORDER BY of the lake
+        formats, expressed with vanilla repartitionByRange +
+        sortWithinPartitions. Measure the expected benefit FIRST with
+        ext/layout.zorder_layout_audit (q198); the key column is
+        dropped from the written files."""
+        from .ext.layout import zorder_key
+
+        keyed = zorder_key(df, x_col, y_col)
+        (
+            keyed.repartitionByRange(n_files, "zval")
+            .sortWithinPartitions("zval")
+            .drop("_bx", "_by", "zval")
+            .write.mode(mode)
+            .parquet(self.path(table))
+        )
+
     def write_sized(
         self,
         df: DataFrame,

@@ -3502,3 +3502,75 @@ def test_mp3_mp4_metadata_parsers(spark):
         )
     ).collect()
     assert feats[0].status == "metadata" and feats[0].features is not None
+
+
+def test_zorder_key_interleave_inverse(spark):
+    """zval decodes back to (bx, by) exactly (Morton interleave is a
+    bijection), and buckets cover [0, 2^16)."""
+    from pyspark.sql import functions as F
+
+    from sparksync.ext import layout
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    ysec = F.expr(
+        "timestampdiff(SECOND, timestamp_ntz '1970-01-01 00:00:00', ts)"
+    )
+    rows = layout.zorder_key(ev, "user_id", ysec).select(
+        "_bx", "_by", "zval"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r._bx < 65536 and 0 <= r._by < 65536
+        bx = by = 0
+        for i in range(16):
+            bx |= ((r.zval >> (2 * i)) & 1) << i
+            by |= ((r.zval >> (2 * i + 1)) & 1) << i
+        assert (bx, by) == (r._bx, r._by)
+
+
+def test_zorder_beats_linear_on_2d_box(spark):
+    """On a uniform 64x64 grid with 64-row files, a 2-D range box must
+    skip strictly MORE rows under the z-order layout than under the
+    linear-x layout (linear files span the full y range, so y-pruning
+    never fires; z-order files are 2-D tiles) — the measured claim the
+    layout audit exists to price."""
+    from sparksync.ext import layout
+
+    grid = spark.createDataFrame(
+        [(x * 64 + y, x, y) for x in range(64) for y in range(64)],
+        "id long, x long, y long",
+    )
+    out = {
+        r.layout: r
+        for r in layout.zorder_layout_audit(
+            grid, "x", "y", "id", rows_per_file=64,
+            box_pct=(25, 35, 30, 50),
+        ).collect()
+    }
+    assert set(out) == {"linear_x", "zorder"}
+    for r in out.values():
+        assert r.n_files == 64
+        assert r.rows_total == 64 * 64
+        assert 0.0 <= r.skip_fraction <= 1.0
+    assert out["zorder"].skip_fraction > out["linear_x"].skip_fraction
+
+
+def test_write_zordered_roundtrip(spark, tmp_path):
+    """write_zordered lays the rows out range-partitioned on the Morton
+    key, drops the helper columns, and round-trips content exactly."""
+    from pyspark.sql import functions as F
+
+    from sparksync.sink import ParquetSink
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    ysec = F.expr(
+        "timestampdiff(SECOND, timestamp_ntz '1970-01-01 00:00:00', ts)"
+    )
+    sink = ParquetSink(spark, str(tmp_path))
+    sink.write_zordered(ev, "ev_z", "user_id", ysec, n_files=4)
+    back = sink.read("ev_z")
+    assert set(back.columns) == set(ev.columns)
+    assert back.count() == ev.count()
+    a = {r.event_id for r in ev.select("event_id").collect()}
+    b = {r.event_id for r in back.select("event_id").collect()}
+    assert a == b
