@@ -11,9 +11,9 @@ into per-component integer coefficient arrays; dequantization + IDCT
 run once at EOI, so sequential and progressive streams of the same
 coefficients decode to IDENTICAL pixels (the round-trip tests assert
 exact equality against the baseline path).
-Encoder: 4:4:4 baseline (emit_jpeg) and 6-scan progressive
-(emit_progressive_jpeg: DC Al=1 + DC refine, luma AC Al=1 + AC
-refine, full-precision chroma AC) with the Annex-K standard
+Encoder: baseline (emit_jpeg, 4:4:4/4:2:0) and 6-scan progressive
+(emit_progressive_jpeg, 4:4:4/4:2:0: DC Al=1 + DC refine, luma AC
+Al=1 + AC refine, full-precision chroma AC) with the Annex-K standard
 quantization and Huffman tables (quality scales the quant tables),
 used by the tests to round-trip and by resize_media to re-emit.
 
@@ -705,11 +705,17 @@ def _encode_block(bw, qzz, pred, ci, dc_map, ac_map):
         bw.put(code, ln)
 
 
-def _quantized_blocks_444(arr: np.ndarray, quality: int):
+def _quantized_blocks(arr: np.ndarray, quality: int,
+                      subsampling: str = "444"):
     """Forward path shared with the progressive encoder: RGB ->
-    YCbCr -> per-8x8 DCT -> Annex-K quantization at 4:4:4, returning
-    one (nbh, nbw, 64) int zigzag array per component plus the two
-    quant tables."""
+    YCbCr (box-downsampled chroma at 4:2:0) -> per-8x8 DCT -> Annex-K
+    quantization. Per component, a dict with the MCU-padded zigzag
+    coefficient grid `qzz` ((bh, bw, 64) ints — what interleaved DC
+    scans walk), the sampling factors (sh, sv), and the TRUE block
+    dims (nbh, nbw — what non-interleaved AC scans walk, per spec
+    A.2.2). Returns (comps, qy, qc)."""
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
     h, w = arr.shape[:2]
     a = arr.astype(np.float64)
     y = 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2] - 128.0
@@ -718,19 +724,40 @@ def _quantized_blocks_444(arr: np.ndarray, quality: int):
     qy = _quality_scale(STD_LUMA_Q.astype(np.int64), quality)
     qc = _quality_scale(STD_CHROMA_Q.astype(np.int64), quality)
     qt = [qy, qc, qc]
-    nbx, nby = -(-w // 8), -(-h // 8)
-    out = []
+    if subsampling == "444":
+        sampv = [(1, 1), (1, 1), (1, 1)]
+        mcu_px = 8
+    else:
+        sampv = [(2, 2), (1, 1), (1, 1)]
+        mcu_px = 16
+        eh, ew = -(-h // 2) * 2, -(-w // 2) * 2
+        cb = _pad_plane(cb, eh, ew).reshape(eh // 2, 2, ew // 2, 2).mean(
+            axis=(1, 3)
+        )
+        cr = _pad_plane(cr, eh, ew).reshape(eh // 2, 2, ew // 2, 2).mean(
+            axis=(1, 3)
+        )
+    mcux, mcuy = -(-w // mcu_px), -(-h // mcu_px)
+    hmax = max(s for s, _ in sampv)
+    vmax = max(v for _, v in sampv)
+    comps = []
     for ci, p in enumerate((y, cb, cr)):
-        pp = _pad_plane(p, nby * 8, nbx * 8)
-        qzz = np.zeros((nby, nbx, 64), dtype=np.int64)
-        for by in range(nby):
-            for bx in range(nbx):
+        sh, sv = sampv[ci]
+        bw_, bh_ = mcux * sh, mcuy * sv
+        pp = _pad_plane(p, bh_ * 8, bw_ * 8)
+        qzz = np.zeros((bh_, bw_, 64), dtype=np.int64)
+        for by in range(bh_):
+            for bx in range(bw_):
                 coefs = _dct2(pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8])
                 qzz[by, bx] = np.round(
                     coefs.reshape(-1)[ZIGZAG] / qt[ci].astype(np.float64)
                 ).astype(np.int64)
-        out.append(qzz)
-    return out, qy, qc
+        comps.append({
+            "qzz": qzz, "sh": sh, "sv": sv,
+            "nbw": -(-(-(-w * sh // hmax)) // 8),
+            "nbh": -(-(-(-h * sv // vmax)) // 8),
+        })
+    return comps, qy, qc
 
 
 class _ScanWriter:
@@ -771,48 +798,59 @@ class _ScanWriter:
         return bytes(self.bw.out)
 
 
-def _encode_dc_first(qzz_comps, enc_dc, al) -> bytes:
-    """Interleaved (4:4:4 -> one block per component per MCU) DC first
-    scan at point transform Al."""
+def _mcu_blocks(comps):
+    """Yield (ci, by, bx) in interleaved MCU order — per MCU, each
+    component contributes sv x sh blocks of its padded grid (the same
+    walk the decoder's interleaved path performs)."""
+    sv0, sh0 = comps[0]["sv"], comps[0]["sh"]
+    mcuy = comps[0]["qzz"].shape[0] // sv0
+    mcux = comps[0]["qzz"].shape[1] // sh0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, c in enumerate(comps):
+                for by in range(c["sv"]):
+                    for bx in range(c["sh"]):
+                        yield ci, my * c["sv"] + by, mx * c["sh"] + bx
+
+
+def _encode_dc_first(comps, enc_dc, al) -> bytes:
+    """Interleaved DC first scan at point transform Al (any sampling:
+    4:2:0 MCUs carry four luma blocks then one of each chroma)."""
     bw = _BitWriter()
-    pred = [0] * len(qzz_comps)
-    nby, nbx = qzz_comps[0].shape[:2]
-    for by in range(nby):
-        for bx in range(nbx):
-            for ci, qzz in enumerate(qzz_comps):
-                v = int(qzz[by, bx, 0]) >> al  # arithmetic, per spec
-                diff = v - pred[ci]
-                pred[ci] = v
-                s = abs(diff).bit_length()
-                mag = diff if diff >= 0 else diff + (1 << s) - 1
-                ln, code = enc_dc[ci][s]
-                bw.put(code, ln)
-                if s:
-                    bw.put(mag & ((1 << s) - 1), s)
+    pred = [0] * len(comps)
+    for ci, by, bx in _mcu_blocks(comps):
+        v = int(comps[ci]["qzz"][by, bx, 0]) >> al  # arithmetic, per spec
+        diff = v - pred[ci]
+        pred[ci] = v
+        s = abs(diff).bit_length()
+        mag = diff if diff >= 0 else diff + (1 << s) - 1
+        ln, code = enc_dc[ci][s]
+        bw.put(code, ln)
+        if s:
+            bw.put(mag & ((1 << s) - 1), s)
     bw.flush()
     return bytes(bw.out)
 
 
-def _encode_dc_refine(qzz_comps, al) -> bytes:
+def _encode_dc_refine(comps, al) -> bytes:
     """DC refinement: the Al-th bit of each block's DC, interleaved;
     no Huffman coding at all."""
     bw = _BitWriter()
-    nby, nbx = qzz_comps[0].shape[:2]
-    for by in range(nby):
-        for bx in range(nbx):
-            for qzz in qzz_comps:
-                bw.put((int(qzz[by, bx, 0]) >> al) & 1, 1)
+    for ci, by, bx in _mcu_blocks(comps):
+        bw.put((int(comps[ci]["qzz"][by, bx, 0]) >> al) & 1, 1)
     bw.flush()
     return bytes(bw.out)
 
 
-def _encode_ac_first(qzz, ac_map, ss, se, al) -> bytes:
+def _encode_ac_first(comp, ac_map, ss, se, al) -> bytes:
     """Single-component AC first scan: run-lengths of the point-
-    transformed band with cross-block EOB runs."""
+    transformed band with cross-block EOB runs. Walks the component's
+    TRUE block grid (nbh x nbw) — non-interleaved scans are not padded
+    to MCU multiples (spec A.2.2), exactly what the decoder reads."""
     sw = _ScanWriter(ac_map)
-    nby, nbx = qzz.shape[:2]
-    for by in range(nby):
-        for bx in range(nbx):
+    qzz = comp["qzz"]
+    for by in range(comp["nbh"]):
+        for bx in range(comp["nbw"]):
             blk = qzz[by, bx]
             vals = {}
             for k in range(ss, se + 1):
@@ -844,15 +882,16 @@ def _encode_ac_first(qzz, ac_map, ss, se, al) -> bytes:
     return sw.finish()
 
 
-def _encode_ac_refine(qzz, ac_map, ss, se, al) -> bytes:
+def _encode_ac_refine(comp, ac_map, ss, se, al) -> bytes:
     """Single-component AC refinement scan (spec G.1.2.3): +-1
     insertions for newly significant coefficients, buffered correction
     bits for already-significant ones, EOB runs carrying the trailing
-    corrections — the exact inverse of _block_ac_refine."""
+    corrections — the exact inverse of _block_ac_refine. Walks the
+    TRUE block grid like _encode_ac_first."""
     sw = _ScanWriter(ac_map)
-    nby, nbx = qzz.shape[:2]
-    for by in range(nby):
-        for bx in range(nbx):
+    qzz = comp["qzz"]
+    for by in range(comp["nbh"]):
+        for bx in range(comp["nbw"]):
             blk = qzz[by, bx]
             absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
             # EOB position: after the LAST newly-significant coefficient
@@ -917,29 +956,34 @@ PROG_AC_SPEC = (
 )
 
 
-def emit_progressive_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
-    """Encode (h, w, 3) uint8 RGB as a 6-scan progressive (SOF2)
-    4:4:4 JPEG carrying EXACTLY the same quantized coefficients as
-    emit_jpeg at the same quality — entropy coding is lossless, so
+def emit_progressive_jpeg(
+    arr: np.ndarray, quality: int = 90, subsampling: str = "444"
+) -> bytes:
+    """Encode (h, w, 3) uint8 RGB as a 6-scan progressive (SOF2) JPEG
+    carrying EXACTLY the same quantized coefficients as emit_jpeg at
+    the same quality and subsampling — entropy coding is lossless, so
     parse_jpeg must decode both to identical pixels (asserted by the
-    round-trip tests). Scan script exercises every progressive decode
-    path: DC first at Al=1 + DC refinement, luma AC spectral band at
-    Al=1 + AC refinement (insertions, correction bits, EOB runs), and
+    round-trip tests). subsampling='420' (the web's dominant
+    progressive layout) interleaves four luma blocks per MCU in the DC
+    scans and walks TRUE (unpadded) chroma block grids in the AC scans.
+    Scan script exercises every progressive decode path: DC first at
+    Al=1 + DC refinement, luma AC spectral band at Al=1 + AC
+    refinement (insertions, correction bits, EOB runs), and
     full-precision chroma AC scans."""
     h, w = arr.shape[:2]
-    qzz, qy, qc = _quantized_blocks_444(arr, quality)
+    comps, qy, qc = _quantized_blocks(arr, quality, subsampling)
     dc_l = _HuffTable(*STD_DC_LUMA)
     dc_c = _HuffTable(*STD_DC_CHROMA)
     ac_p = _HuffTable(*PROG_AC_SPEC)
     enc_dc = [dc_l.encode_map(), dc_c.encode_map(), dc_c.encode_map()]
-    ac_maps = [ac_p.encode_map()] * 3
+    ac_map = ac_p.encode_map()
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
-    def sos(comps: list, ss: int, se: int, ah: int, al: int) -> bytes:
-        body = bytes([len(comps)])
-        for cid, td, ta in comps:
+    def sos(scomps: list, ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(scomps)])
+        for cid, td, ta in scomps:
             body += bytes([cid, (td << 4) | ta])
         body += bytes([ss, se, (ah << 4) | al])
         return seg(0xDA, body)
@@ -948,8 +992,9 @@ def emit_progressive_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
     out += seg(0xDB, bytes([0]) + bytes(qy.astype(np.uint8)))
     out += seg(0xDB, bytes([1]) + bytes(qc.astype(np.uint8)))
     sof = struct.pack(">BHHB", 8, h, w, 3)
-    for cid, tq in ((1, 0), (2, 1), (3, 1)):
-        sof += bytes([cid, 0x11, tq])
+    for ci, (cid, tq) in enumerate(((1, 0), (2, 1), (3, 1))):
+        samp = (comps[ci]["sh"] << 4) | comps[ci]["sv"]
+        sof += bytes([cid, samp, tq])
     out += seg(0xC2, sof)
     for tcth, (bits, values) in (
         (0x00, STD_DC_LUMA), (0x01, STD_DC_CHROMA),
@@ -958,19 +1003,19 @@ def emit_progressive_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
         out += seg(0xC4, bytes([tcth]) + bytes(bits) + bytes(values))
     # scan 1+2: DC at Al=1, then the refinement bit
     out += sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 0, 1)
-    out += _encode_dc_first(qzz, enc_dc, 1)
+    out += _encode_dc_first(comps, enc_dc, 1)
     out += sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 1, 0)
-    out += _encode_dc_refine(qzz, 0)
+    out += _encode_dc_refine(comps, 0)
     # scan 3+4: luma AC band at Al=1, then its refinement
     out += sos([(1, 0, 0)], 1, 63, 0, 1)
-    out += _encode_ac_first(qzz[0], ac_maps[0], 1, 63, 1)
+    out += _encode_ac_first(comps[0], ac_map, 1, 63, 1)
     out += sos([(1, 0, 0)], 1, 63, 1, 0)
-    out += _encode_ac_refine(qzz[0], ac_maps[0], 1, 63, 0)
+    out += _encode_ac_refine(comps[0], ac_map, 1, 63, 0)
     # scans 5+6: chroma AC at full precision (AC table 0 is the shared
     # progressive table)
     for ci, cid in ((1, 2), (2, 3)):
         out += sos([(cid, 0, 0)], 1, 63, 0, 0)
-        out += _encode_ac_first(qzz[ci], ac_maps[ci], 1, 63, 0)
+        out += _encode_ac_first(comps[ci], ac_map, 1, 63, 0)
     out += b"\xff\xd9"
     return bytes(out)
 

@@ -2233,8 +2233,10 @@ def test_jpeg_progressive_matches_baseline_exactly(spark):
     baseline encoder, entropy coding is lossless, so decoded pixels
     must be BIT-IDENTICAL across the two scan structures — on solid,
     gradient, checkerboard, and seeded-noise images across qualities
-    (the noise cases drive EOB runs, ZRL-in-refinement, and buffered
-    correction bits through the AC refinement scan)."""
+    AND both 4:4:4 and 4:2:0 (the web's dominant progressive layout:
+    four-luma-block interleaved DC MCUs + true-dim subsampled chroma
+    AC scans; the noise cases drive EOB runs, ZRL-in-refinement, and
+    buffered correction bits through the AC refinement scan)."""
     import numpy as np
     import pytest as pt
 
@@ -2252,9 +2254,12 @@ def test_jpeg_progressive_matches_baseline_exactly(spark):
     ]
     for img in cases:
         for q in (30, 75, 92):
-            base = J.parse_jpeg(J.emit_jpeg(img, quality=q))
-            prog = J.parse_jpeg(J.emit_progressive_jpeg(img, quality=q))
-            assert np.array_equal(base, prog), (img.shape, q)
+            for ss in ("444", "420"):
+                base = J.parse_jpeg(J.emit_jpeg(img, quality=q, subsampling=ss))
+                prog = J.parse_jpeg(
+                    J.emit_progressive_jpeg(img, quality=q, subsampling=ss)
+                )
+                assert np.array_equal(base, prog), (img.shape, q, ss)
     # truncated progressive raises, like truncated baseline
     pb = J.emit_progressive_jpeg(cases[0])
     with pt.raises(ValueError):
