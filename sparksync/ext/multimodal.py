@@ -150,7 +150,8 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
 def resize(df: DataFrame, width: int, height: int) -> DataFrame:
     """One resize entry point (VERDICT r4 #5 retired the sha-fake
     resize_image stub): delegates to resize_media, the REAL
-    BMP/PNG/GIF/baseline-JPEG resampler; payloads no codec here can
+    BMP/PNG/GIF/JPEG resampler (progressive JPEG inputs decode too;
+    re-emitted bytes are baseline); payloads no codec here can
     decode pass through untouched with their original metadata."""
     return resize_media(df, width, height)
 

@@ -3579,3 +3579,30 @@ def test_write_zordered_roundtrip(spark, tmp_path):
     a = {r.event_id for r in ev.select("event_id").collect()}
     b = {r.event_id for r in back.select("event_id").collect()}
     assert a == b
+
+
+def test_zorder_audit_partitioning_invariant(spark):
+    """The layout audit is a function of the DATA, not of the input's
+    physical partitioning: a shuffled 13-partition copy of the grid
+    must produce byte-identical audit rows (global_rank's two-phase
+    rank is a total order; everything downstream is exact integer
+    math). The determinism the oracle hash-match relies on."""
+    from sparksync.ext import layout
+
+    grid = spark.createDataFrame(
+        [(x * 31 + y, x % 50, y % 40) for x in range(50) for y in range(40)],
+        "id long, x long, y long",
+    )
+    a = {
+        tuple(r)
+        for r in layout.zorder_layout_audit(
+            grid, "x", "y", "id", rows_per_file=100
+        ).collect()
+    }
+    b = {
+        tuple(r)
+        for r in layout.zorder_layout_audit(
+            grid.repartition(13), "x", "y", "id", rows_per_file=100
+        ).collect()
+    }
+    assert a == b and len(a) == 2
