@@ -5,8 +5,10 @@ Decoder: sequential DCT (SOF0/SOF1) AND progressive DCT (SOF2 — all
 four scan kinds: DC first with point transform, DC successive-
 approximation refinement, AC spectral-selection first scans with EOB
 runs, AC successive-approximation refinement), 8-bit, grayscale or
-YCbCr with 4:4:4 / 4:2:2 / 4:2:0 sampling; restart markers and
-arithmetic coding rejected with ValueError. Every scan accumulates
+YCbCr with 4:4:4 / 4:2:2 / 4:2:0 sampling and restart intervals
+(DRI/RSTn with sequence verification — the camera-emitted
+error-resilience layout); arithmetic coding rejected with
+ValueError. Every scan accumulates
 into per-component integer coefficient arrays; dequantization + IDCT
 run once at EOI, so sequential and progressive streams of the same
 coefficients decode to IDENTICAL pixels (the round-trip tests assert
@@ -156,7 +158,8 @@ class _HuffTable:
 
 class _BitReader:
     """MSB-first entropy-segment reader with FF00 unstuffing; RST
-    markers surface as events (byte-realign + caller resets DC)."""
+    markers are consumed explicitly via restart() at interval
+    boundaries (byte-realign + caller resets entropy state)."""
 
     def __init__(self, b: bytes, pos: int):
         self.b = b
@@ -173,10 +176,11 @@ class _BitReader:
                 nxt = self.b[self.pos + 1] if self.pos + 1 < len(self.b) else None
                 if nxt == 0x00:
                     self.pos += 2
-                elif nxt is not None and 0xD0 <= nxt <= 0xD7:
-                    raise ValueError("JPEG restart markers unsupported")
                 else:
-                    # EOI or next segment: feed zero pad bits (spec)
+                    # RST / EOI / next segment: never consume — feed
+                    # zero pad bits (spec F.2.2.5); the scan loop
+                    # consumes RST markers via restart() at interval
+                    # boundaries
                     self.acc = self.acc << 8
                     self.nbits += 8
                     continue
@@ -201,6 +205,25 @@ class _BitReader:
             if sym is not None:
                 return sym
         raise ValueError("bad Huffman code")
+
+    def restart(self, idx: int) -> None:
+        """Consume an expected RSTm marker at an interval boundary:
+        discard buffered bits (the segment's pad bits plus any
+        zero-fills fed at the marker — pos never advanced past it),
+        verify the marker's modulo-8 sequence number, and byte-align
+        after it. Entropy state (DC predictors, EOB run) is the
+        CALLER's to reset."""
+        self.acc = 0
+        self.nbits = 0
+        if (
+            self.pos + 1 >= len(self.b)
+            or self.b[self.pos] != 0xFF
+            or not (0xD0 <= self.b[self.pos + 1] <= 0xD7)
+        ):
+            raise ValueError("expected JPEG restart marker")
+        if self.b[self.pos + 1] - 0xD0 != idx % 8:
+            raise ValueError("JPEG restart marker out of sequence")
+        self.pos += 2
 
 
 def _extend(v: int, size: int) -> int:
@@ -228,6 +251,7 @@ def parse_jpeg(b: bytes) -> np.ndarray:
     frame = None
     coef: dict[int, np.ndarray] = {}
     saw_scan = False
+    dri = 0  # restart interval in MCUs (0 = none); DRI may change per scan
     while pos + 2 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
@@ -286,8 +310,7 @@ def parse_jpeg(b: bytes) -> np.ndarray:
                         0xCD, 0xCE, 0xCF):
             raise ValueError("unsupported JPEG coding (arith/hierarchical)")
         elif marker == 0xDD:  # DRI
-            if struct.unpack(">H", seg[:2])[0]:
-                raise ValueError("JPEG restart intervals unsupported")
+            dri = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
@@ -302,7 +325,7 @@ def parse_jpeg(b: bytes) -> np.ndarray:
             data_pos = pos + ln
             _decode_scan_into(
                 b, data_pos, frame, scan, huff_dc, huff_ac, coef,
-                ss, se, ah, al,
+                ss, se, ah, al, dri,
             )
             saw_scan = True
             pos = _entropy_end(b, data_pos)
@@ -348,10 +371,13 @@ def _entropy_end(b: bytes, pos: int) -> int:
 
 
 def _decode_scan_into(b, pos, frame, scan, huff_dc, huff_ac, coef,
-                      ss, se, ah, al):
+                      ss, se, ah, al, dri=0):
     """Decode one scan's entropy data into the per-component integer
     coefficient arrays (zigzag order). Handles the baseline full-block
-    scan and all four progressive scan kinds."""
+    scan and all four progressive scan kinds, plus restart intervals
+    (every `dri` MCUs: consume the RSTm marker, byte-align, reset DC
+    predictors and the EOB run — in a non-interleaved scan the MCU is
+    one block, per spec)."""
     r = _BitReader(b, pos)
     prog = frame["prog"]
     if prog and not (
@@ -362,16 +388,34 @@ def _decode_scan_into(b, pos, frame, scan, huff_dc, huff_ac, coef,
         raise ValueError("progressive AC scan must be single-component")
     pred = {c["id"]: 0 for c in scan}
     eobrun = [0]
+    rst = [0, 0]  # MCUs since restart, next marker sequence number
+
+    def maybe_restart(n_total, n_done):
+        rst[0] += 1
+        if dri and rst[0] == dri and n_done < n_total:
+            r.restart(rst[1])
+            rst[0] = 0
+            rst[1] += 1
+            for k in pred:
+                pred[k] = 0
+            eobrun[0] = 0
+
     if len(scan) == 1:
         # non-interleaved: raster over the component's TRUE block grid
         c = scan[0]
+        total = c["nbh"] * c["nbw"]
+        done = 0
         for by in range(c["nbh"]):
             for bx in range(c["nbw"]):
                 _decode_block_into(
                     r, c, coef[c["id"]][by, bx], huff_dc, huff_ac,
                     pred, eobrun, prog, ss, se, ah, al,
                 )
+                done += 1
+                maybe_restart(total, done)
     else:
+        total = frame["mcuy"] * frame["mcux"]
+        done = 0
         for my in range(frame["mcuy"]):
             for mx in range(frame["mcux"]):
                 for c in scan:
@@ -384,6 +428,8 @@ def _decode_scan_into(b, pos, frame, scan, huff_dc, huff_ac, coef,
                                 huff_dc, huff_ac, pred, eobrun,
                                 prog, ss, se, ah, al,
                             )
+                done += 1
+                maybe_restart(total, done)
 
 
 def _decode_block_into(r, c, zz, huff_dc, huff_ac, pred, eobrun,
@@ -586,13 +632,16 @@ def _pad_plane(p: np.ndarray, ph: int, pw: int) -> np.ndarray:
 
 
 def emit_jpeg(
-    arr: np.ndarray, quality: int = 90, subsampling: str = "444"
+    arr: np.ndarray, quality: int = 90, subsampling: str = "444",
+    restart_interval: int = 0
 ) -> bytes:
     """Encode (h, w, 3) uint8 RGB as baseline JPEG with the Annex-K
     standard tables (quality scales quantization). subsampling='444'
     keeps full-resolution chroma; '420' downsamples chroma 2x2 (the
     web's dominant layout) — which is also how the decoder's chroma
-    upsampling path gets exercised by our own tests."""
+    upsampling path gets exercised by our own tests. restart_interval
+    > 0 writes a DRI segment and an RSTm marker every N MCUs with DC
+    predictors reset — the error-resilience layout cameras emit."""
     if subsampling not in ("444", "420"):
         raise ValueError("subsampling must be '444' or '420'")
     h, w = arr.shape[:2]
@@ -628,6 +677,8 @@ def emit_jpeg(
         planes.append(_pad_plane(p, mcuy * sv * 8, mcux * sh * 8))
     bw = _BitWriter()
     pred = [0, 0, 0]
+    mcu_done = 0
+    rst_seq = 0
     for my in range(mcuy):
         for mx in range(mcux):
             for ci in range(3):
@@ -645,6 +696,16 @@ def emit_jpeg(
                         _encode_block(
                             bw, qzz, pred, ci, enc_dc[ci], enc_ac[ci]
                         )
+            mcu_done += 1
+            if (
+                restart_interval
+                and mcu_done % restart_interval == 0
+                and mcu_done < mcux * mcuy
+            ):
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst_seq % 8])
+                rst_seq += 1
+                pred = [0, 0, 0]
     bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -663,6 +724,8 @@ def emit_jpeg(
         (0x01, STD_DC_CHROMA), (0x11, STD_AC_CHROMA),
     ):
         out += seg(0xC4, bytes([tcth]) + bytes(bits) + bytes(values))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([3]) + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + bytes([0, 63, 0])
     out += seg(0xDA, sos)
     out += bw.out
@@ -792,6 +855,13 @@ class _ScanWriter:
         if self.eobrun == 0x7FFF:
             self.flush_eob()
 
+    def restart(self, rst_seq: int) -> None:
+        """Interval boundary: flush the pending EOB run + buffered
+        bits, byte-align, write the RSTm marker. Entropy state resets
+        by construction (eobrun/pending are now empty)."""
+        self.flush_eob()
+        _emit_restart(self.bw, rst_seq)
+
     def finish(self) -> bytes:
         self.flush_eob()
         self.bw.flush()
@@ -799,26 +869,43 @@ class _ScanWriter:
 
 
 def _mcu_blocks(comps):
-    """Yield (ci, by, bx) in interleaved MCU order — per MCU, each
-    component contributes sv x sh blocks of its padded grid (the same
-    walk the decoder's interleaved path performs)."""
+    """Yield (mcu_index, n_mcus, ci, by, bx) in interleaved MCU order
+    — per MCU, each component contributes sv x sh blocks of its padded
+    grid (the same walk the decoder's interleaved path performs); the
+    MCU index lets callers place restart markers at interval
+    boundaries."""
     sv0, sh0 = comps[0]["sv"], comps[0]["sh"]
     mcuy = comps[0]["qzz"].shape[0] // sv0
     mcux = comps[0]["qzz"].shape[1] // sh0
+    n = mcuy * mcux
     for my in range(mcuy):
         for mx in range(mcux):
+            m = my * mcux + mx
             for ci, c in enumerate(comps):
                 for by in range(c["sv"]):
                     for bx in range(c["sh"]):
-                        yield ci, my * c["sv"] + by, mx * c["sh"] + bx
+                        yield m, n, ci, my * c["sv"] + by, mx * c["sh"] + bx
 
 
-def _encode_dc_first(comps, enc_dc, al) -> bytes:
+def _emit_restart(bw, rst_seq: int) -> None:
+    bw.flush()
+    bw.out += bytes([0xFF, 0xD0 + rst_seq % 8])
+
+
+def _encode_dc_first(comps, enc_dc, al, dri=0) -> bytes:
     """Interleaved DC first scan at point transform Al (any sampling:
-    4:2:0 MCUs carry four luma blocks then one of each chroma)."""
+    4:2:0 MCUs carry four luma blocks then one of each chroma), with
+    optional restart markers every dri MCUs."""
     bw = _BitWriter()
     pred = [0] * len(comps)
-    for ci, by, bx in _mcu_blocks(comps):
+    last_m = -1
+    rst = 0
+    for m, n, ci, by, bx in _mcu_blocks(comps):
+        if m != last_m and last_m >= 0 and dri and m % dri == 0:
+            _emit_restart(bw, rst)
+            rst += 1
+            pred = [0] * len(comps)
+        last_m = m
         v = int(comps[ci]["qzz"][by, bx, 0]) >> al  # arithmetic, per spec
         diff = v - pred[ci]
         pred[ci] = v
@@ -832,25 +919,38 @@ def _encode_dc_first(comps, enc_dc, al) -> bytes:
     return bytes(bw.out)
 
 
-def _encode_dc_refine(comps, al) -> bytes:
+def _encode_dc_refine(comps, al, dri=0) -> bytes:
     """DC refinement: the Al-th bit of each block's DC, interleaved;
-    no Huffman coding at all."""
+    no Huffman coding at all (restart markers still byte-align)."""
     bw = _BitWriter()
-    for ci, by, bx in _mcu_blocks(comps):
+    last_m = -1
+    rst = 0
+    for m, n, ci, by, bx in _mcu_blocks(comps):
+        if m != last_m and last_m >= 0 and dri and m % dri == 0:
+            _emit_restart(bw, rst)
+            rst += 1
+        last_m = m
         bw.put((int(comps[ci]["qzz"][by, bx, 0]) >> al) & 1, 1)
     bw.flush()
     return bytes(bw.out)
 
 
-def _encode_ac_first(comp, ac_map, ss, se, al) -> bytes:
+def _encode_ac_first(comp, ac_map, ss, se, al, dri=0) -> bytes:
     """Single-component AC first scan: run-lengths of the point-
     transformed band with cross-block EOB runs. Walks the component's
     TRUE block grid (nbh x nbw) — non-interleaved scans are not padded
     to MCU multiples (spec A.2.2), exactly what the decoder reads."""
     sw = _ScanWriter(ac_map)
     qzz = comp["qzz"]
+    total = comp["nbh"] * comp["nbw"]
+    done = 0
+    rst = 0
     for by in range(comp["nbh"]):
         for bx in range(comp["nbw"]):
+            if dri and done and done % dri == 0:
+                sw.restart(rst)
+                rst += 1
+            done += 1
             blk = qzz[by, bx]
             vals = {}
             for k in range(ss, se + 1):
@@ -882,7 +982,7 @@ def _encode_ac_first(comp, ac_map, ss, se, al) -> bytes:
     return sw.finish()
 
 
-def _encode_ac_refine(comp, ac_map, ss, se, al) -> bytes:
+def _encode_ac_refine(comp, ac_map, ss, se, al, dri=0) -> bytes:
     """Single-component AC refinement scan (spec G.1.2.3): +-1
     insertions for newly significant coefficients, buffered correction
     bits for already-significant ones, EOB runs carrying the trailing
@@ -890,8 +990,15 @@ def _encode_ac_refine(comp, ac_map, ss, se, al) -> bytes:
     TRUE block grid like _encode_ac_first."""
     sw = _ScanWriter(ac_map)
     qzz = comp["qzz"]
+    total = comp["nbh"] * comp["nbw"]
+    done = 0
+    rst = 0
     for by in range(comp["nbh"]):
         for bx in range(comp["nbw"]):
+            if dri and done and done % dri == 0:
+                sw.restart(rst)
+                rst += 1
+            done += 1
             blk = qzz[by, bx]
             absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
             # EOB position: after the LAST newly-significant coefficient
@@ -957,7 +1064,8 @@ PROG_AC_SPEC = (
 
 
 def emit_progressive_jpeg(
-    arr: np.ndarray, quality: int = 90, subsampling: str = "444"
+    arr: np.ndarray, quality: int = 90, subsampling: str = "444",
+    restart_interval: int = 0
 ) -> bytes:
     """Encode (h, w, 3) uint8 RGB as a 6-scan progressive (SOF2) JPEG
     carrying EXACTLY the same quantized coefficients as emit_jpeg at
@@ -1001,21 +1109,24 @@ def emit_progressive_jpeg(
         (0x10, PROG_AC_SPEC),
     ):
         out += seg(0xC4, bytes([tcth]) + bytes(bits) + bytes(values))
+    dri = restart_interval
+    if dri:
+        out += seg(0xDD, struct.pack(">H", dri))
     # scan 1+2: DC at Al=1, then the refinement bit
     out += sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 0, 1)
-    out += _encode_dc_first(comps, enc_dc, 1)
+    out += _encode_dc_first(comps, enc_dc, 1, dri)
     out += sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 1, 0)
-    out += _encode_dc_refine(comps, 0)
+    out += _encode_dc_refine(comps, 0, dri)
     # scan 3+4: luma AC band at Al=1, then its refinement
     out += sos([(1, 0, 0)], 1, 63, 0, 1)
-    out += _encode_ac_first(comps[0], ac_map, 1, 63, 1)
+    out += _encode_ac_first(comps[0], ac_map, 1, 63, 1, dri)
     out += sos([(1, 0, 0)], 1, 63, 1, 0)
-    out += _encode_ac_refine(comps[0], ac_map, 1, 63, 0)
+    out += _encode_ac_refine(comps[0], ac_map, 1, 63, 0, dri)
     # scans 5+6: chroma AC at full precision (AC table 0 is the shared
     # progressive table)
     for ci, cid in ((1, 2), (2, 3)):
         out += sos([(cid, 0, 0)], 1, 63, 0, 0)
-        out += _encode_ac_first(comps[ci], ac_map, 1, 63, 0)
+        out += _encode_ac_first(comps[ci], ac_map, 1, 63, 0, dri)
     out += b"\xff\xd9"
     return bytes(out)
 

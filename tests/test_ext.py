@@ -3606,3 +3606,37 @@ def test_zorder_audit_partitioning_invariant(spark):
         ).collect()
     }
     assert a == b and len(a) == 2
+
+
+def test_jpeg_restart_markers_roundtrip(spark):
+    """Restart intervals (DRI/RSTn — the error-resilience layout real
+    cameras emit) decode bit-identically to the marker-free stream, in
+    BOTH baseline and progressive scan structures at both samplings;
+    an out-of-sequence restart marker raises instead of desyncing."""
+    import numpy as np
+    import pytest as pt
+
+    from sparksync.ext import jpeg as J
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (40, 52, 3)).astype(np.uint8)
+    for ss in ("444", "420"):
+        ref = J.parse_jpeg(J.emit_jpeg(img, quality=80, subsampling=ss))
+        for dri in (1, 2, 5):
+            b = J.parse_jpeg(
+                J.emit_jpeg(img, quality=80, subsampling=ss,
+                            restart_interval=dri)
+            )
+            p = J.parse_jpeg(
+                J.emit_progressive_jpeg(img, quality=80, subsampling=ss,
+                                        restart_interval=dri)
+            )
+            assert np.array_equal(ref, b), (ss, dri, "baseline")
+            assert np.array_equal(ref, p), (ss, dri, "progressive")
+    # corrupt the first restart marker's sequence number -> ValueError
+    stream = bytearray(J.emit_jpeg(img, quality=80, restart_interval=2))
+    i = stream.find(b"\xff\xd0")
+    assert i > 0
+    stream[i + 1] = 0xD3
+    with pt.raises(ValueError, match="restart marker"):
+        J.parse_jpeg(bytes(stream))
