@@ -13,9 +13,10 @@ into per-component integer coefficient arrays; dequantization + IDCT
 run once at EOI, so sequential and progressive streams of the same
 coefficients decode to IDENTICAL pixels (the round-trip tests assert
 exact equality against the baseline path).
-Encoder: baseline (emit_jpeg, 4:4:4/4:2:0) and 6-scan progressive
-(emit_progressive_jpeg, 4:4:4/4:2:0: DC Al=1 + DC refine, luma AC
-Al=1 + AC refine, full-precision chroma AC) with the Annex-K standard
+Encoder: baseline (emit_jpeg, 4:4:4/4:2:0/4:2:2 + grayscale via
+emit_gray_jpeg) and 6-scan progressive (emit_progressive_jpeg,
+4:4:4/4:2:0/4:2:2: DC Al=1 + DC refine, luma AC Al=1 + AC refine,
+full-precision chroma AC) with the Annex-K standard
 quantization and Huffman tables (quality scales the quant tables),
 used by the tests to round-trip and by resize_media to re-emit.
 
@@ -619,6 +620,30 @@ class _BitWriter:
             self.put((1 << pad) - 1, pad)
 
 
+def _subsample_chroma(subsampling: str, cb, cr, h: int, w: int):
+    """Shared chroma layout stage for both encoders: sampling factors
+    plus box-downsampled chroma planes. 444 = full-res; 420 = 2x2
+    boxes (the web default); 422 = horizontal 1x2 boxes (the broadcast
+    /camera default — full vertical chroma)."""
+    if subsampling == "444":
+        return [(1, 1), (1, 1), (1, 1)], cb, cr
+    if subsampling == "420":
+        eh, ew = -(-h // 2) * 2, -(-w // 2) * 2
+        cb = _pad_plane(cb, eh, ew).reshape(eh // 2, 2, ew // 2, 2).mean(
+            axis=(1, 3)
+        )
+        cr = _pad_plane(cr, eh, ew).reshape(eh // 2, 2, ew // 2, 2).mean(
+            axis=(1, 3)
+        )
+        return [(2, 2), (1, 1), (1, 1)], cb, cr
+    if subsampling == "422":
+        ew = -(-w // 2) * 2
+        cb = _pad_plane(cb, h, ew).reshape(h, ew // 2, 2).mean(axis=2)
+        cr = _pad_plane(cr, h, ew).reshape(h, ew // 2, 2).mean(axis=2)
+        return [(2, 1), (1, 1), (1, 1)], cb, cr
+    raise ValueError("subsampling must be '444', '420' or '422'")
+
+
 def _pad_plane(p: np.ndarray, ph: int, pw: int) -> np.ndarray:
     """Edge-replicate pad to (ph, pw) so padding never rings."""
     h, w = p.shape
@@ -642,8 +667,6 @@ def emit_jpeg(
     upsampling path gets exercised by our own tests. restart_interval
     > 0 writes a DRI segment and an RSTm marker every N MCUs with DC
     predictors reset — the error-resilience layout cameras emit."""
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
     h, w = arr.shape[:2]
     a = arr.astype(np.float64)
     y = 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2] - 128.0
@@ -656,21 +679,10 @@ def emit_jpeg(
     enc_dc = [dc_l.encode_map(), dc_c.encode_map(), dc_c.encode_map()]
     enc_ac = [ac_l.encode_map(), ac_c.encode_map(), ac_c.encode_map()]
     qt = [qy, qc, qc]
-    if subsampling == "444":
-        sampv = [(1, 1), (1, 1), (1, 1)]
-        mcu_px = 8
-    else:
-        sampv = [(2, 2), (1, 1), (1, 1)]
-        mcu_px = 16
-        # chroma 2x2 box downsample over an even-padded frame
-        eh, ew = -(-h // 2) * 2, -(-w // 2) * 2
-        cb = _pad_plane(cb, eh, ew).reshape(eh // 2, 2, ew // 2, 2).mean(
-            axis=(1, 3)
-        )
-        cr = _pad_plane(cr, eh, ew).reshape(eh // 2, 2, ew // 2, 2).mean(
-            axis=(1, 3)
-        )
-    mcux, mcuy = -(-w // mcu_px), -(-h // mcu_px)
+    sampv, cb, cr = _subsample_chroma(subsampling, cb, cr, h, w)
+    hmax = max(sh for sh, _ in sampv)
+    vmax = max(sv for _, sv in sampv)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     planes = []
     for ci, p in enumerate((y, cb, cr)):
         sh, sv = sampv[ci]
@@ -777,8 +789,6 @@ def _quantized_blocks(arr: np.ndarray, quality: int,
     scans walk), the sampling factors (sh, sv), and the TRUE block
     dims (nbh, nbw — what non-interleaved AC scans walk, per spec
     A.2.2). Returns (comps, qy, qc)."""
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
     h, w = arr.shape[:2]
     a = arr.astype(np.float64)
     y = 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2] - 128.0
@@ -787,22 +797,10 @@ def _quantized_blocks(arr: np.ndarray, quality: int,
     qy = _quality_scale(STD_LUMA_Q.astype(np.int64), quality)
     qc = _quality_scale(STD_CHROMA_Q.astype(np.int64), quality)
     qt = [qy, qc, qc]
-    if subsampling == "444":
-        sampv = [(1, 1), (1, 1), (1, 1)]
-        mcu_px = 8
-    else:
-        sampv = [(2, 2), (1, 1), (1, 1)]
-        mcu_px = 16
-        eh, ew = -(-h // 2) * 2, -(-w // 2) * 2
-        cb = _pad_plane(cb, eh, ew).reshape(eh // 2, 2, ew // 2, 2).mean(
-            axis=(1, 3)
-        )
-        cr = _pad_plane(cr, eh, ew).reshape(eh // 2, 2, ew // 2, 2).mean(
-            axis=(1, 3)
-        )
-    mcux, mcuy = -(-w // mcu_px), -(-h // mcu_px)
-    hmax = max(s for s, _ in sampv)
-    vmax = max(v for _, v in sampv)
+    sampv, cb, cr = _subsample_chroma(subsampling, cb, cr, h, w)
+    hmax = max(sh for sh, _ in sampv)
+    vmax = max(sv for _, sv in sampv)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     comps = []
     for ci, p in enumerate((y, cb, cr)):
         sh, sv = sampv[ci]
@@ -1127,6 +1125,46 @@ def emit_progressive_jpeg(
     for ci, cid in ((1, 2), (2, 3)):
         out += sos([(cid, 0, 0)], 1, 63, 0, 0)
         out += _encode_ac_first(comps[ci], ac_map, 1, 63, 0, dri)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def emit_gray_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
+    """Encode a 2-D uint8 array as a single-component (grayscale)
+    baseline JPEG — exercises the decoder's 1-component path (scanner
+    and fax outputs), which parse_jpeg replicates into 3 channels."""
+    if arr.ndim != 2:
+        raise ValueError("emit_gray_jpeg takes a 2-D array")
+    h, w = arr.shape
+    y = arr.astype(np.float64) - 128.0
+    qy = _quality_scale(STD_LUMA_Q.astype(np.int64), quality)
+    dc_l, ac_l = _HuffTable(*STD_DC_LUMA), _HuffTable(*STD_AC_LUMA)
+    dc_map, ac_map = dc_l.encode_map(), ac_l.encode_map()
+    nbx, nby = -(-w // 8), -(-h // 8)
+    pp = _pad_plane(y, nby * 8, nbx * 8)
+    bw = _BitWriter()
+    pred = [0]
+    for by in range(nby):
+        for bx in range(nbx):
+            coefs = _dct2(pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8])
+            qzz = np.round(
+                coefs.reshape(-1)[ZIGZAG] / qy.astype(np.float64)
+            ).astype(int)
+            _encode_block(bw, qzz, pred, 0, dc_map, ac_map)
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes(qy.astype(np.uint8)))
+    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    for tcth, (bits, values) in (
+        (0x00, STD_DC_LUMA), (0x10, STD_AC_LUMA),
+    ):
+        out += seg(0xC4, bytes([tcth]) + bytes(bits) + bytes(values))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += bw.out
     out += b"\xff\xd9"
     return bytes(out)
 

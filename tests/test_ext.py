@@ -3640,3 +3640,42 @@ def test_jpeg_restart_markers_roundtrip(spark):
     stream[i + 1] = 0xD3
     with pt.raises(ValueError, match="restart marker"):
         J.parse_jpeg(bytes(stream))
+
+
+def test_jpeg_422_and_grayscale_paths(spark):
+    """The decoder's remaining claimed layouts are driven by our own
+    encoders: 4:2:2 (horizontal-only chroma subsampling — broadcast/
+    camera default) decodes bit-identically between baseline and
+    progressive scan structures, and a single-component grayscale
+    stream decodes through the 1-component path into replicated
+    channels within codec tolerance."""
+    import numpy as np
+
+    from sparksync.ext import jpeg as J
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (37, 45, 3)).astype(np.uint8)
+    base = J.parse_jpeg(J.emit_jpeg(img, quality=85, subsampling="422"))
+    prog = J.parse_jpeg(
+        J.emit_progressive_jpeg(img, quality=85, subsampling="422")
+    )
+    rst = J.parse_jpeg(
+        J.emit_progressive_jpeg(
+            img, quality=85, subsampling="422", restart_interval=2
+        )
+    )
+    assert np.array_equal(base, prog) and np.array_equal(base, rst)
+    solid = np.full((20, 28, 3), [120, 60, 200], dtype=np.uint8)
+    d = J.parse_jpeg(J.emit_jpeg(solid, quality=92, subsampling="422"))
+    assert np.abs(d.astype(int) - solid.astype(int)).max() <= 1
+
+    g = np.clip(
+        np.outer(np.linspace(10, 240, 23), np.ones(31))
+        + rng.normal(0, 3, (23, 31)),
+        0, 255,
+    ).astype(np.uint8)
+    d = J.parse_jpeg(J.emit_gray_jpeg(g, quality=92))
+    assert d.shape == (23, 31, 3)
+    assert np.array_equal(d[..., 0], d[..., 1])
+    assert np.array_equal(d[..., 1], d[..., 2])
+    assert np.abs(d[..., 0].astype(int) - g.astype(int)).max() <= 12

@@ -290,7 +290,7 @@ def test_gif_roundtrip_any_palette(h, w, ncolors, seed):
 @given(
     h=st.integers(1, 24),
     w=st.integers(1, 24),
-    ss=st.sampled_from(["444", "420"]),
+    ss=st.sampled_from(["444", "420", "422"]),
     seed=st.integers(0, 2**31 - 1),
 )
 @settings(max_examples=15, deadline=None)
