@@ -107,6 +107,8 @@ def main(argv: list[str] | None = None) -> int:
             # round 8: per-source dedup cost, cluster-size histogram,
             # engine-portable HLL distinct (X189/X190/X188)
             "survivorship", "clusters", "hll",
+            # round 8: z-order vs linear layout pricing (X193)
+            "layout",
         ],
     )
     aud.add_argument("--table", help="pruning/quantile: table to audit")
@@ -122,7 +124,10 @@ def main(argv: list[str] | None = None) -> int:
     aud.add_argument("--m-bits", type=int, default=256)
     aud.add_argument("--k", type=int, default=3)
     aud.add_argument("--group", help="quantile: group column")
-    aud.add_argument("--id", help="quantile: deterministic-sample id column")
+    aud.add_argument("--id", help="quantile/layout: unique id column")
+    aud.add_argument("--x-col", help="layout: first dimension column")
+    aud.add_argument("--y-col", help="layout: second dimension column")
+    aud.add_argument("--rows-per-file", type=int, default=256)
     aud.add_argument("--rate", type=float, default=0.2)
     aud.add_argument("--threshold", type=float, default=0.8)
     aud.add_argument(
@@ -486,6 +491,20 @@ def main(argv: list[str] | None = None) -> int:
                 p.error("audit --kind clusters needs --table")
             out = dup_cluster_histogram(
                 job._read_source(args.table), threshold=args.threshold
+            )
+        elif args.kind == "layout":
+            # X193: price linear-x vs z-order from zone maps alone
+            from .ext.layout import zorder_layout_audit
+
+            for a in ("table", "x_col", "y_col", "id"):
+                if getattr(args, a) is None:
+                    p.error(f"audit --kind layout needs --{a.replace('_', '-')}")
+            out = zorder_layout_audit(
+                job._read_source(args.table),
+                args.x_col,
+                args.y_col,
+                args.id,
+                rows_per_file=args.rows_per_file,
             )
         elif args.kind == "hll":
             # X188: engine-portable approximate distinct per group

@@ -743,3 +743,20 @@ def test_cluster_keeper_single_discovery_pass(spark):
         "reads/pair (expected 2) - pair graph re-derived downstream"
     )
     features.release_pinned()
+
+
+def test_zorder_query_plans(spark):
+    """q197's min/max bounds ride ONE broadcast row (never a shuffle of
+    the fact side against stats), and q198's file assignment is
+    range-partitioned two-phase rank — no single giant sort task."""
+    plan = plan_of(QUERIES["q197_zorder_key"](spark, SF_SMOKE))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    from sparksync.ext import features
+
+    features.release_pinned()
+    plan = plan_of(QUERIES["q198_zorder_pruning"](spark, SF_SMOKE))
+    assert "rangepartitioning" in plan.lower()
+    assert "CartesianProduct" not in plan
+    features.release_pinned()

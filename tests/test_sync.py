@@ -1089,3 +1089,29 @@ def test_cli_audit_round8_kinds(tmp_path, capsys):
 
     with _pytest.raises(SystemExit):
         main(base + ["audit", "--kind", "hll", "--table", "events"])
+
+
+def test_cli_audit_layout_kind(tmp_path, capsys):
+    """`audit --kind layout` prices linear-x vs z-order for a 2-D
+    predicate from zone maps alone (X193) — one JSON row per layout,
+    consistent file/row accounting."""
+    import json as _json
+
+    from sparksync.cli import main
+
+    out = str(tmp_path / "dest")
+    base = ["--src", SF_SMOKE, "--dest", out]
+    assert main(base + ["audit", "--kind", "layout", "--table", "events",
+                        "--x-col", "user_id", "--y-col", "event_id",
+                        "--id", "event_id"]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert {r["layout"] for r in rows} == {"linear_x", "zorder"}
+    for r in rows:
+        assert 0 <= r["files_scanned"] <= r["n_files"]
+        assert 0 <= r["rows_scanned"] <= r["rows_total"]
+        assert 0.0 <= r["skip_fraction"] <= 1.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(base + ["audit", "--kind", "layout", "--table", "events"])
