@@ -315,9 +315,11 @@ def test_jpeg_roundtrip_smooth_bounded(h, w, ss, seed):
     w=st.integers(1, 28),
     quality=st.integers(10, 95),
     seed=st.integers(0, 2**31 - 1),
+    ss=st.sampled_from(["444", "420", "422"]),
+    dri=st.sampled_from([0, 1, 3]),
 )
 @settings(max_examples=15, deadline=None)
-def test_jpeg_progressive_baseline_parity_property(h, w, quality, seed):
+def test_jpeg_progressive_baseline_parity_property(h, w, quality, seed, ss, dri):
     """For ANY image content, size, and quality: the progressive
     encoder's scans carry the same quantized coefficients as the
     baseline encoder, so decoded pixels must be BIT-IDENTICAL between
@@ -333,6 +335,10 @@ def test_jpeg_progressive_baseline_parity_property(h, w, quality, seed):
 
     rng = np.random.default_rng(seed)
     a = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
-    base = parse_jpeg(emit_jpeg(a, quality=quality))
-    prog = parse_jpeg(emit_progressive_jpeg(a, quality=quality))
+    base = parse_jpeg(emit_jpeg(a, quality=quality, subsampling=ss))
+    prog = parse_jpeg(
+        emit_progressive_jpeg(
+            a, quality=quality, subsampling=ss, restart_interval=dri
+        )
+    )
     assert np.array_equal(base, prog)
