@@ -3679,3 +3679,27 @@ def test_jpeg_422_and_grayscale_paths(spark):
     assert np.array_equal(d[..., 0], d[..., 1])
     assert np.array_equal(d[..., 1], d[..., 2])
     assert np.abs(d[..., 0].astype(int) - g.astype(int)).max() <= 12
+
+
+def test_resize_media_accepts_progressive_jpeg(spark):
+    """resize_media's documented contract for progressive inputs:
+    decodes (via the SOF2 path), resizes, re-emits BASELINE bytes with
+    updated metadata — the normalize-on-ingest shape."""
+    import numpy as np
+
+    from sparksync.ext import jpeg as J, multimodal
+
+    img = np.full((24, 18, 3), [10, 200, 60], dtype=np.uint8)
+    pb = J.emit_progressive_jpeg(img, quality=92)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(pb), 18, 24)],
+        "media_id long, kind string, content binary, width int, height int",
+    )
+    rows = multimodal.resize_media(df, 9, 12).collect()
+    assert len(rows) == 1
+    out = bytes(rows[0].content)
+    assert (rows[0].width, rows[0].height) == (9, 12)
+    decoded = J.parse_jpeg(out)
+    assert decoded.shape == (12, 9, 3)
+    # re-emitted bytes are baseline (SOF0), not progressive
+    assert out.find(b"\xff\xc0") > 0 and out.find(b"\xff\xc2") < 0
