@@ -21,38 +21,31 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _rotated(d: dict) -> dict:
     """The driver's CORRECTNESS report samples at most 50 queries; the
-    surface is 193, so allocation is explicit and rotates each round
-    toward the slices with the weakest external evidence (VERDICT r5
-    #4). Honest ledger: r6 AND r7 both sampled the identical
-    q153-q187 + q51-q65 set — the round-7 rotation this comment
-    promised was NOT executed (VERDICT r7 #1), so as of round 8 the
-    never-driver-checked slices are q66-q76 (11), q110-q119 (10), and
-    q188-q198 (11: q189/q191 reworked, q194-q198 added this round).
-    Round-8 top-50 is exactly those 32 plus 18 re-anchors: q01-q15
-    (the ported core, driver-green every sampled round; q16/q17 sit
-    this round out — they have driver evidence from every prior
-    sampled round and both committed sweeps) and the three heaviest
-    queries whose implementation changed in round 8 (q96's
-    shadowed-definition fix, q159/q178 on the reverted one-hop
-    components loop; q20/q49 also changed but keep driver evidence
-    from rounds 1-3 plus both committed sweeps, and q20 is re-measured
-    every round by BENCH). After this round every registered query has
-    direct driver evidence at least once. Overflow keeps its hard
-    evidence: committed selfcheck sweeps at sf0.01 + sf0.1 plus prior
-    driver rounds. Every key keeps its name — only dict insertion
-    order changes."""
+    surface is len(QUERIES) (199 as of round 9 — test_meta asserts the
+    exact count), so allocation is explicit and rotates each round
+    toward the weakest external evidence (VERDICT r5 #4). As of round
+    8 every registered query has direct driver evidence at least once
+    (CORRECTNESS_r08 executed the promised 50/50), so round 9 rotates
+    by AGE (VERDICT r8 #3): the stalest direct driver rows are
+    q16-q47 (rounds 1-3) and q51-q65 (r6/r7 sampled them last) — 47
+    queries — plus the three whose implementation changed in round 9:
+    q195/q196 (rollups refactored onto the shared pairs= path) and
+    q199 (new composed dedup report). q48-q50 have r4-era evidence
+    plus q50 in every BENCH; q191's floor-div hour fix is
+    behavior-neutral at gate SF (negative-epoch-only) and keeps its
+    fresh r8 row; both committed selfcheck sweeps cover everything at
+    2 SFs. Every key keeps its name — only dict insertion order
+    changes."""
 
-    changed_r8_heavy = {96, 159, 178}
+    changed_r9 = {195, 196, 199}
 
     def key(name: str):
         n = int(name[1:].split("_", 1)[0])
-        if 66 <= n <= 76 or 110 <= n <= 119 or 188 <= n <= 198:
+        if 16 <= n <= 47 or 51 <= n <= 65:
             return (0, n)
-        if 1 <= n <= 15:
+        if n in changed_r9:
             return (1, n)
-        if n in changed_r8_heavy:
-            return (2, n)
-        return (3, n)
+        return (2, n)
 
     return {k: d[k] for k in sorted(d, key=key)}
 

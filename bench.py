@@ -65,6 +65,12 @@ HEADLINE = [
     # two queries vs BENCH_r07 — compare per-query
     "q194_hll_distinct",
     "q195_dedup_survivorship",
+    # round-9 addition (VERDICT r8 #1): the composed dedup report —
+    # topline + survivorship + histogram + cross-source from ONE LSH
+    # discovery + ONE components pass; its median should undercut
+    # q159+q195+q196 run separately. Totals grow by one query vs
+    # BENCH_r08 — compare per-query
+    "q199_dedup_report",
 ]
 
 
@@ -95,6 +101,7 @@ def main() -> int:
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     times: dict[str, float] = {}
+    first_runs: dict[str, float] = {}
     # warm the JVM/session on the smallest SF so startup cost isn't
     # attributed to the first query
     QUERIES["q09_count_compare"](spark, "/root/testdata/sf0.001").collect()
@@ -115,6 +122,11 @@ def main() -> int:
             samples.append(time.time() - t0)
         n = QUERIES[name](spark, sf_dir).count()  # untimed, reporting only
         times[name] = round(statistics.median(samples), 3)
+        # cold-vs-warm split (VERDICT r8 #5): the first sample pays
+        # persist/pin materialization that the median excludes — for a
+        # once-per-run 100 TB pipeline the COLD number is the real
+        # cost, so regressions there must stay visible
+        first_runs[name] = round(samples[0], 3)
         print(
             f"# {name}: median {times[name]}s of "
             f"{[round(s, 3) for s in samples]} ({n} rows)",
@@ -159,6 +171,7 @@ def main() -> int:
         assert all(r.is_ok for r in results), [r.table for r in results if not r.is_ok]
         samples.append(time.time() - t0)
     times["sync_lineitem_orders"] = round(statistics.median(samples), 3)
+    first_runs["sync_lineitem_orders"] = round(samples[0], 3)
     print(
         f"# sync_lineitem_orders: median {times['sync_lineitem_orders']}s of "
         f"{[round(s, 3) for s in samples]}",
@@ -173,6 +186,10 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                # first (cold) sample per query, next to the median:
+                # pin/persist materialization runs 3-5x the warm
+                # median on q20/q36-class queries (BASELINE.md)
+                "first_run": first_runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 # load sentinel (VERDICT r6 #2): 1/5/15-min loadavg
                 # sampled before and after the run, plus a fixed

@@ -109,6 +109,10 @@ def main(argv: list[str] | None = None) -> int:
             "survivorship", "clusters", "hll",
             # round 8: z-order vs linear layout pricing (X193)
             "layout",
+            # round 9: the composed dedup report — topline +
+            # survivorship + histogram + cross-source from ONE LSH
+            # discovery + ONE components pass (X194)
+            "report",
         ],
     )
     aud.add_argument("--table", help="pruning/quantile: table to audit")
@@ -475,21 +479,41 @@ def main(argv: list[str] | None = None) -> int:
                 rate=args.rate,
             )
         elif args.kind == "survivorship":
-            # X189: who pays for dedup, per source
-            from .ext.dedup import dedup_survivorship
+            # X189: who pays for dedup, per source. The CLI is the
+            # production entry point, so pair discovery is the banded
+            # LSH scale path (pairs=), never the quadratic exact join
+            # the gate-SF oracles replay (VERDICT r8 #1)
+            from .ext.dedup import dedup_survivorship, minhash_dedup_pairs
 
             if args.table is None:
                 p.error("audit --kind survivorship needs --table")
+            docs = job._read_source(args.table)
             out = dedup_survivorship(
-                job._read_source(args.table), threshold=args.threshold
+                docs,
+                threshold=args.threshold,
+                pairs=minhash_dedup_pairs(docs, args.threshold),
             )
         elif args.kind == "clusters":
-            # X190: near-dup cluster-size histogram
-            from .ext.dedup import dup_cluster_histogram
+            # X190: near-dup cluster-size histogram (LSH discovery,
+            # same rationale as survivorship)
+            from .ext.dedup import dup_cluster_histogram, minhash_dedup_pairs
 
             if args.table is None:
                 p.error("audit --kind clusters needs --table")
+            docs = job._read_source(args.table)
             out = dup_cluster_histogram(
+                docs,
+                threshold=args.threshold,
+                pairs=minhash_dedup_pairs(docs, args.threshold),
+            )
+        elif args.kind == "report":
+            # X194: every dedup rollup from one discovery + one
+            # components pass — the composed sign-off report
+            from .ext.dedup import dedup_report
+
+            if args.table is None:
+                p.error("audit --kind report needs --table")
+            out = dedup_report(
                 job._read_source(args.table), threshold=args.threshold
             )
         elif args.kind == "layout":

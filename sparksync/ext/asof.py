@@ -906,12 +906,21 @@ def event_transitions_by_hour(
         F.col(id_col),
         F.col(type_col),
     ).withColumn(
-        # hour-of-day from integer `div` on epoch micros (never `/`,
-        # which is double division and can land a boundary value in
-        # the wrong hour); micros are non-negative for epoch-after-1970
-        # fixtures, so div+pmod is exact
+        # hour-of-day from exact integer FLOOR division on epoch
+        # micros (never `/`: double division loses exactness past
+        # 2^53 us ~ year 2255, and never bare `div`: it truncates
+        # toward zero, so 1969-12-31T23:30 would land in hour 0
+        # instead of 23 — ADVICE r8). `div` is corrected to floor by
+        # subtracting 1 on negative non-exact quotients; pmod then
+        # yields the wall-clock hour for ANY epoch sign, matching the
+        # oracle's extract(hour).
         "_hr",
-        F.pmod(F.expr("_us div 3600000000"), F.lit(24)).cast("long"),
+        F.pmod(
+            F.expr(
+                "(_us div 3600000000) - if(_us < 0 and _us % 3600000000 != 0, 1, 0)"
+            ),
+            F.lit(24),
+        ).cast("long"),
     ).select(
         F.col(type_col),
         F.lag(type_col).over(w).alias("prev_type"),

@@ -95,16 +95,57 @@ def jaccard_pairs(
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard >= threshold via inverted-index
-    self-join. Output: (d1, d2, jacc), d1 < d2."""
+    self-join. Output: (d1, d2, jacc), d1 < d2.
+
+    `max_df` is the defense-in-depth cap (VERDICT r8 #2): the
+    self-join's cost is sum(|posting list|^2), so ONE boilerplate
+    shingle shared by 1e6 docs is a 1e12-pair bucket — the exact
+    blowup _cap_buckets prevents on the LSH path. With max_df set,
+    shingles whose document frequency exceeds it are dropped from the
+    JOIN side only; per-doc sizes stay full, so for any surviving pair
+    the computed intersection can only shrink and the union can only
+    grow — computed jacc <= true jacc, meaning every emitted pair is a
+    true >= threshold pair (precision 1.0) and the only possible error
+    is a MISSED pair whose overlap hides inside ultra-common shingles
+    (for realistic doc sizes a shingle in >max_df docs cannot by
+    itself certify a 0.8 pair). When the cap binds a warning names the
+    number of pruned shingles; q184's minhash_recall_audit measures
+    the recall cost on a sample. Default None keeps the exact
+    semantics the oracles replay."""
     # no .cache(): shingles are a narrow recompute from the scan, and
     # pinning a ~10x-text-size exploded set in executor memory is the
     # wrong trade at 100 TB (and leaks across calls in one session)
     sh = shingles(df, id_col, text_col)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col(id_col).alias("d1"), "shingle")
-    b = sh.select(F.col(id_col).alias("d2"), "shingle")
+    join_sh = sh
+    if max_df is not None:
+        # hot set is heavy-hitter-bounded (<= total postings / max_df
+        # distinct shingles), so checkpointing + counting it is cheap;
+        # the count is the "cap binds" flag the caller asked for
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_df)
+            .select("shingle")
+            .localCheckpoint(eager=True)
+        )
+        n_hot = hot.count()
+        if n_hot:
+            import warnings
+
+            warnings.warn(
+                f"jaccard_pairs: max_df={max_df} pruned {n_hot} hot "
+                "shingle(s) from the inverted index - output is a "
+                "subset of the exact pair set (precision 1.0, recall "
+                "may drop); measure with minhash_recall_audit",
+                stacklevel=2,
+            )
+        join_sh = sh.join(hot, "shingle", "left_anti")
+    a = join_sh.select(F.col(id_col).alias("d1"), "shingle")
+    b = join_sh.select(F.col(id_col).alias("d2"), "shingle")
     common = (
         a.join(b, "shingle")
         .where(F.col("d1") < F.col("d2"))
@@ -1186,6 +1227,14 @@ def cross_source_dup_matrix(
     is on the pair side) and one count aggregate. Output: (source_a,
     source_b, n_pairs), source_a <= source_b."""
     pairs = minhash_dedup_pairs(df, threshold, id_col, text_col)
+    return _cross_source_rollup(df, pairs, id_col, source_col)
+
+
+def _cross_source_rollup(
+    df: DataFrame, pairs: DataFrame, id_col: str, source_col: str
+) -> DataFrame:
+    """The cross-source matrix given an existing pair graph — shared
+    with dedup_report (one discovery pass)."""
     src = df.select(F.col(id_col), F.col(source_col))
     j = (
         pairs.join(
@@ -1216,6 +1265,7 @@ def dedup_survivorship(
     id_col: str = "doc_id",
     text_col: str = "text",
     source_col: str = "source",
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Per-source impact table of the dedup DECISION: for every source,
     how many docs it contributes, how many sit in a near-dup cluster
@@ -1230,11 +1280,27 @@ def dedup_survivorship(
     connected components; the rollup is one left join of the
     doc->keeper map onto (id, source) and one count aggregate.
     drop_share divides exact bigints once. Output: (source, n_docs,
-    dup_members, dropped, drop_share)."""
+    dup_members, dropped, drop_share).
+
+    `pairs` (VERDICT r8 #1, pattern: cluster_keeper_from_pairs): a
+    production run supplies the (d1, d2) pair graph — typically
+    minhash_dedup_pairs output, ideally localCheckpoint'ed and shared
+    with every other rollup (see dedup_report) — because the default
+    exact-Jaccard discovery is quadratic in posting lists and exists
+    as the gate-SF oracle, not the 100 TB plan."""
     from .graph import dedup_groups
 
-    pairs = jaccard_pairs(df, threshold, id_col, text_col)
-    groups = dedup_groups(pairs)
+    if pairs is None:
+        pairs = jaccard_pairs(df, threshold, id_col, text_col)
+    return _survivorship_rollup(df, dedup_groups(pairs), id_col, source_col)
+
+
+def _survivorship_rollup(
+    df: DataFrame, groups: DataFrame, id_col: str, source_col: str
+) -> DataFrame:
+    """The survivorship aggregate given an already-resolved (doc_id,
+    keep_id) cluster map — shared by dedup_survivorship and
+    dedup_report so the composed report reuses ONE components pass."""
     base = df.select(F.col(id_col).alias("doc_id"), F.col(source_col))
     j = base.join(groups, "doc_id", "left")
     return j.groupBy(source_col).agg(
@@ -1265,6 +1331,7 @@ def dup_cluster_histogram(
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup cluster-size histogram: how many duplicate clusters
     exist at size 2, 3-5, 6-10, >10, and how many docs they hold — the
@@ -1275,14 +1342,22 @@ def dup_cluster_histogram(
     exists). Same cluster derivation as dedup_survivorship; sizes are
     one count per keeper, the histogram one CASE + count over
     cluster-cardinality rows (tiny). Output: (size_bucket, n_clusters,
-    n_docs)."""
+    n_docs).
+
+    `pairs` as in dedup_survivorship: supply the LSH pair graph at
+    scale; the exact-Jaccard default is the gate-SF oracle form."""
     from .graph import dedup_groups
 
-    pairs = jaccard_pairs(df, threshold, id_col, text_col)
-    sizes = (
-        dedup_groups(pairs)
-        .groupBy("keep_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("_sz"))
+    if pairs is None:
+        pairs = jaccard_pairs(df, threshold, id_col, text_col)
+    return _histogram_rollup(dedup_groups(pairs))
+
+
+def _histogram_rollup(groups: DataFrame) -> DataFrame:
+    """The cluster-size histogram given a resolved (doc_id, keep_id)
+    map — shared with dedup_report (one components pass)."""
+    sizes = groups.groupBy("keep_id").agg(
+        F.count(F.lit(1)).cast("long").alias("_sz")
     )
     b = F.lit(">10")
     for ub, label in reversed(_CLUSTER_SIZE_BUCKETS):
@@ -1294,6 +1369,106 @@ def dup_cluster_histogram(
             F.count(F.lit(1)).cast("long").alias("n_clusters"),
             F.sum("_sz").cast("long").alias("n_docs"),
         )
+    )
+
+
+def dedup_report(
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """EVERY dedup rollup from ONE discovery + ONE components pass
+    (VERDICT r8 #1/#2): a real pipeline run wants the corpus topline,
+    the per-source survivorship, the cluster-size histogram, and the
+    cross-source matrix together before signing off a corpus cut —
+    and until round 9 each of those queries re-derived its own pair
+    graph and re-ran its own components loop (q159 4.5 s + q195 4.2 s
+    + q196 + q180 at sf0.1; at 100 TB each re-derivation is a full
+    corpus scan + LSH banding). Here the pair graph is discovered once
+    (MinHash+LSH by default — the bucketed, capped scale path; pass
+    `pairs` to reuse an existing graph), localCheckpoint'ed so every
+    consumer reads materialized pair-cardinality blocks, and resolved
+    to clusters by ONE connected-components run whose labels are
+    themselves checkpoint-backed; the three corpus-facing rollups and
+    the topline then cost one aggregate each (the topline is summed
+    from the source-cardinality survivorship table — zero extra corpus
+    passes). Single long-format output so one job serves the whole
+    report:
+      (section, key_a, key_b, n1, n2, n3, share) with
+      section='topline'      key_a='corpus'  n1=docs, n2=in-cluster,
+                             n3=dropped, share=drop ratio
+      section='survivorship' key_a=source    n1=n_docs, n2=dup_members,
+                             n3=dropped, share=drop_share
+      section='cluster_histogram' key_a=size_bucket n1=n_clusters,
+                             n2=n_docs
+      section='cross_source' key_a/key_b=source pair, n1=n_pairs
+    Discovery-executes-once is accumulator-asserted
+    (test_dedup_report_single_discovery_pass), components-runs-once is
+    call-count-asserted in the same test."""
+    from .graph import dedup_groups
+
+    if pairs is None:
+        pairs = minhash_dedup_pairs(df, threshold, id_col, text_col)
+    # materialize the pair graph ONCE; components, the histogram and
+    # the cross-source rollup all read these (tiny) blocks instead of
+    # re-running the discovery pipeline
+    pairs = pairs.select("d1", "d2").localCheckpoint(eager=True)
+    groups = dedup_groups(pairs)  # one components pass, checkpoint-backed
+    # survivorship is source-cardinality — checkpoint it so the topline
+    # sums its rows instead of re-running the corpus join
+    surv = _survivorship_rollup(df, groups, id_col, source_col).localCheckpoint(
+        eager=True
+    )
+    nul_s = F.lit(None).cast("string")
+    nul_l = F.lit(None).cast("long")
+    nul_d = F.lit(None).cast("double")
+    sec_surv = surv.select(
+        F.lit("survivorship").alias("section"),
+        F.col(source_col).cast("string").alias("key_a"),
+        nul_s.alias("key_b"),
+        F.col("n_docs").alias("n1"),
+        F.col("dup_members").alias("n2"),
+        F.col("dropped").alias("n3"),
+        F.col("drop_share").alias("share"),
+    )
+    sec_top = surv.agg(
+        F.sum("n_docs").cast("long").alias("n1"),
+        F.sum("dup_members").cast("long").alias("n2"),
+        F.sum("dropped").cast("long").alias("n3"),
+    ).select(
+        F.lit("topline").alias("section"),
+        F.lit("corpus").alias("key_a"),
+        nul_s.alias("key_b"),
+        "n1",
+        "n2",
+        "n3",
+        (F.col("n3").cast("double") / F.col("n1").cast("double")).alias("share"),
+    )
+    sec_hist = _histogram_rollup(groups).select(
+        F.lit("cluster_histogram").alias("section"),
+        F.col("size_bucket").alias("key_a"),
+        nul_s.alias("key_b"),
+        F.col("n_clusters").alias("n1"),
+        F.col("n_docs").alias("n2"),
+        nul_l.alias("n3"),
+        nul_d.alias("share"),
+    )
+    sec_xs = _cross_source_rollup(df, pairs, id_col, source_col).select(
+        F.lit("cross_source").alias("section"),
+        F.col("source_a").cast("string").alias("key_a"),
+        F.col("source_b").cast("string").alias("key_b"),
+        F.col("n_pairs").alias("n1"),
+        nul_l.alias("n2"),
+        nul_l.alias("n3"),
+        nul_d.alias("share"),
+    )
+    return (
+        sec_top.unionByName(sec_surv)
+        .unionByName(sec_hist)
+        .unionByName(sec_xs)
     )
 
 

@@ -70,23 +70,31 @@ def zorder_key(
         F.min("_zx").alias("_ux"), F.max("_zx").alias("_vx"),
         F.min("_zy").alias("_uy"), F.max("_zy").alias("_vy"),
     )
-    # overflow guard folded into a USED column (a free-standing guard
-    # column would be pruned by Catalyst and never fire)
+    # overflow guard folded into USED columns (a free-standing guard
+    # column would be pruned by Catalyst and never fire). BOTH min
+    # columns carry the full guard (ADVICE r8): round 8 guarded only
+    # _ux, so a future caller selecting just _by would let a y-range
+    # overflow silently wrap; now either bucket expression — and
+    # therefore any consumer of _bx, _by, or zval — trips on any
+    # overflowing dimension.
     over = ((F.col("_vx") - F.col("_ux")) > F.lit(1 << 46)) | (
         (F.col("_vy") - F.col("_uy")) > F.lit(1 << 46)
     )
-    mm = agg.select(
-        F.when(
-            over,
-            F.raise_error(
-                "zorder_key: dimension range exceeds 2^46 - pre-bucket it"
-            ).cast("long"),
+
+    def _guarded(min_col: str) -> F.Column:
+        return (
+            F.when(
+                over,
+                F.raise_error(
+                    "zorder_key: dimension range exceeds 2^46 - pre-bucket it"
+                ).cast("long"),
+            )
+            .otherwise(F.col(min_col))
+            .alias(min_col)
         )
-        .otherwise(F.col("_ux"))
-        .alias("_ux"),
-        F.col("_vx"),
-        F.col("_uy"),
-        F.col("_vy"),
+
+    mm = agg.select(
+        _guarded("_ux"), F.col("_vx"), _guarded("_uy"), F.col("_vy")
     )
 
     def bucket(col, u, v):

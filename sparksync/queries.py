@@ -6675,8 +6675,16 @@ def q195_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributed, docs in any near-dup cluster, docs the canonical-
     keeper rule drops, and the drop share — who PAYS for dedup, the
     sign-off table before a corpus cut (q180 shows where duplication
-    flows between sources; this shows the cost per source)."""
-    return dedup.dedup_survivorship(load(spark, sf_dir, "documents"))
+    flows between sources; this shows the cost per source). Round 9
+    (VERDICT r8 #1): pair discovery is the banded MinHash+LSH scale
+    path via pairs= — q159's precedent: LSH pairs against the
+    exact-Jaccard oracle, bit-identical at gate SF
+    (test_minhash_equals_exact_jaccard); exact discovery stays the
+    function DEFAULT for oracle replay."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.dedup_survivorship(
+        docs, pairs=dedup.minhash_dedup_pairs(docs)
+    )
 
 
 ORACLE_Q195 = _CC_CTE + """
@@ -6698,8 +6706,13 @@ def q196_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster-size histogram (ext/dedup.
     dup_cluster_histogram): clusters and docs per size bucket
     (2, 3-5, 6-10, >10) — is duplication a trim or a template-spam
-    rescue; the >10 bucket is the one _cap_buckets exists for."""
-    return dedup.dup_cluster_histogram(load(spark, sf_dir, "documents"))
+    rescue; the >10 bucket is the one _cap_buckets exists for. LSH
+    pair discovery via pairs= as in q195 (exact-Jaccard oracle is
+    bit-identical at gate SF)."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.dup_cluster_histogram(
+        docs, pairs=dedup.minhash_dedup_pairs(docs)
+    )
 
 
 ORACLE_Q196 = _CC_CTE + """
@@ -6830,6 +6843,64 @@ from (
 
 
 ORACLE_Q198 = _oracle_q198()
+
+
+def q199_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed dedup sign-off report (ext/dedup.dedup_report,
+    VERDICT r8 #1): corpus topline + per-source survivorship +
+    cluster-size histogram + cross-source matrix from ONE MinHash+LSH
+    pair discovery and ONE connected-components pass — what q159-shape
+    keeper + q195 + q196 + q180 used to pay three discoveries for.
+    Long format (section, key_a, key_b, n1, n2, n3, share)."""
+    return dedup.dedup_report(load(spark, sf_dir, "documents"))
+
+
+ORACLE_Q199 = _CC_CTE + """
+, base as (
+  select d.doc_id, d.source, cc.keep_id
+  from documents d left join cc on cc.doc_id = d.doc_id),
+surv as (
+  select source as key_a,
+         cast(count(*) as bigint) as n1,
+         cast(sum(case when keep_id is not null then 1 else 0 end)
+              as bigint) as n2,
+         cast(sum(case when keep_id is not null and keep_id <> doc_id
+                       then 1 else 0 end) as bigint) as n3
+  from base group by 1),
+csz as (select keep_id, cast(count(*) as bigint) as sz from cc group by 1),
+hist as (
+  select case when sz <= 2 then '2' when sz <= 5 then '3-5'
+              when sz <= 10 then '6-10' else '>10' end as key_a,
+         cast(count(*) as bigint) as n1,
+         cast(sum(sz) as bigint) as n2
+  from csz group by 1),
+xs as (
+  select least(s1.source, s2.source) as key_a,
+         greatest(s1.source, s2.source) as key_b,
+         cast(count(*) as bigint) as n1
+  from pairs p
+  join documents s1 on s1.doc_id = p.d1
+  join documents s2 on s2.doc_id = p.d2
+  group by 1, 2)
+select 'topline' as section, 'corpus' as key_a,
+       cast(null as varchar) as key_b,
+       cast(sum(n1) as bigint) as n1, cast(sum(n2) as bigint) as n2,
+       cast(sum(n3) as bigint) as n3,
+       cast(sum(n3) as double) / cast(sum(n1) as double) as share
+from surv
+union all
+select 'survivorship', key_a, cast(null as varchar), n1, n2, n3,
+       cast(n3 as double) / cast(n1 as double)
+from surv
+union all
+select 'cluster_histogram', key_a, cast(null as varchar), n1, n2,
+       cast(null as bigint), cast(null as double)
+from hist
+union all
+select 'cross_source', key_a, key_b, n1, cast(null as bigint),
+       cast(null as bigint), cast(null as double)
+from xs
+"""
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -7031,6 +7102,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q196_cluster_size_histogram": q196_cluster_size_histogram,
     "q197_zorder_key": q197_zorder_key,
     "q198_zorder_pruning": q198_zorder_pruning,
+    "q199_dedup_report": q199_dedup_report,
 }
 
 ORACLES: dict[str, str] = {
@@ -7232,4 +7304,5 @@ ORACLES: dict[str, str] = {
     "q196_cluster_size_histogram": ORACLE_Q196,
     "q197_zorder_key": ORACLE_Q197,
     "q198_zorder_pruning": ORACLE_Q198,
+    "q199_dedup_report": ORACLE_Q199,
 }

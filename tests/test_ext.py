@@ -3337,6 +3337,28 @@ def test_event_transitions_by_hour_consistency(spark):
     assert pair_n == all_day
 
 
+def test_event_transitions_by_hour_negative_epoch(spark):
+    """Pre-1970 timestamps get the correct wall-clock hour (ADVICE
+    r8): `div` truncates toward zero, so 1969-12-31T23:30 naively
+    lands in hour 0; the floor correction must put it in hour 23."""
+    from sparksync.ext import asof
+
+    ev = spark.createDataFrame(
+        [
+            ("u", "1969-12-31 23:30:00", 1, "a"),
+            ("u", "1969-12-31 23:45:00", 2, "b"),  # source hour 23
+            ("u", "1970-01-01 00:10:00", 3, "c"),  # source hour 23
+            ("u", "1970-01-01 00:20:00", 4, "a"),  # source hour 0
+        ],
+        "user_id string, ts string, event_id long, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        (r.hour, r.prev_type, r.next_type)
+        for r in asof.event_transitions_by_hour(ev).collect()
+    }
+    assert got == {(23, "a", "b"), (23, "b", "c"), (0, "c", "a")}
+
+
 def test_quantization_error_audit_bounds(emb):
     """MSE is nonnegative and bounded by the worst per-dim rounding
     error (half a quantization step of the widest dimension); the
@@ -3453,6 +3475,98 @@ def test_cluster_size_histogram_consistency(spark, docs):
         assert r.n_docs <= hi[r.size_bucket] * r.n_clusters
     members = dedup_groups(dd.jaccard_pairs(docs, 0.8)).count()
     assert sum(r.n_docs for r in out) == members
+
+
+def test_dedup_report_consistency(spark, docs):
+    """The composed report's sections reproduce the standalone rollups
+    bit-for-bit (same pair graph -> same numbers), and the topline is
+    the exact sum of the survivorship rows — the report is composition,
+    never a reimplementation that can drift."""
+    from sparksync.ext import dedup as dd
+
+    rows = dd.dedup_report(docs).collect()
+    by_sec = {}
+    for r in rows:
+        by_sec.setdefault(r.section, []).append(r)
+
+    surv = {r.source: r for r in dd.dedup_survivorship(docs).collect()}
+    got_surv = {r.key_a: r for r in by_sec["survivorship"]}
+    assert set(got_surv) == set(surv)
+    for s, r in got_surv.items():
+        assert (r.n1, r.n2, r.n3) == (
+            surv[s].n_docs, surv[s].dup_members, surv[s].dropped
+        )
+        assert abs(r.share - surv[s].drop_share) < 1e-12
+
+    (top,) = by_sec["topline"]
+    assert top.key_a == "corpus"
+    assert top.n1 == sum(r.n1 for r in by_sec["survivorship"])
+    assert top.n2 == sum(r.n2 for r in by_sec["survivorship"])
+    assert top.n3 == sum(r.n3 for r in by_sec["survivorship"])
+
+    hist = {r.size_bucket: r for r in dd.dup_cluster_histogram(docs).collect()}
+    got_hist = {r.key_a: r for r in by_sec["cluster_histogram"]}
+    assert set(got_hist) == set(hist)
+    for b, r in got_hist.items():
+        assert (r.n1, r.n2) == (hist[b].n_clusters, hist[b].n_docs)
+
+    xs = {
+        (r.source_a, r.source_b): r.n_pairs
+        for r in dd.cross_source_dup_matrix(docs).collect()
+    }
+    got_xs = {(r.key_a, r.key_b): r.n1 for r in by_sec["cross_source"]}
+    assert got_xs == xs
+
+
+def test_rollups_accept_supplied_pairs(spark, docs):
+    """dedup_survivorship / dup_cluster_histogram with pairs= (the
+    100 TB form: feed the LSH graph) equal their exact-Jaccard
+    defaults at fixture SF, where LSH == exact is already proven."""
+    from sparksync.ext import dedup as dd
+
+    pairs = dd.minhash_dedup_pairs(docs, 0.8).localCheckpoint(eager=True)
+    a = {tuple(r) for r in dd.dedup_survivorship(docs).collect()}
+    b = {tuple(r) for r in dd.dedup_survivorship(docs, pairs=pairs).collect()}
+    assert a == b
+    a = {tuple(r) for r in dd.dup_cluster_histogram(docs).collect()}
+    b = {tuple(r) for r in dd.dup_cluster_histogram(docs, pairs=pairs).collect()}
+    assert a == b
+
+
+def test_jaccard_pairs_max_df_hostile(spark):
+    """Defense-in-depth cap (VERDICT r8 #2): a boilerplate shingle
+    shared by EVERY doc — the sum(|posting|^2) blowup — is pruned from
+    the join side when max_df is set, with a warning naming the bind;
+    a planted true-dup pair whose overlap lives in rare shingles
+    survives (computed jacc underestimates, so emitted pairs are a
+    subset of the exact set: precision 1.0, recall documented)."""
+    import pytest as pt
+
+    from sparksync.ext import dedup as dd
+
+    n = 120
+    rows = [
+        # every doc opens with the same 3 tokens -> ONE shingle with
+        # document frequency n; the rest is per-doc-unique filler
+        (i, f"hot1 hot2 hot3 u{i}a u{i}b u{i}c u{i}d u{i}e", "s")
+        for i in range(n)
+    ]
+    # planted near-identical pair: long shared tail of rare shingles
+    twin = "hot1 hot2 hot3 " + " ".join(f"tw{j}" for j in range(16))
+    rows += [(n, twin, "s"), (n + 1, twin + " extra", "s")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    with pt.warns(UserWarning, match="pruned 1 hot"):
+        capped = dd.jaccard_pairs(df, 0.8, max_df=10).collect()
+    got = {(r.d1, r.d2) for r in capped}
+    assert got == {(n, n + 1)}  # the twins survive; no boilerplate pairs
+    # subset-of-exact (precision 1.0) and underestimated jacc
+    exact = {(r.d1, r.d2): r.jacc for r in dd.jaccard_pairs(df, 0.8).collect()}
+    assert got <= set(exact)
+    (twin_row,) = capped
+    assert twin_row.jacc <= exact[(n, n + 1)] + 1e-12
+    # unset cap keeps exact semantics (no warning path, identical set)
+    assert set(exact) == {(n, n + 1)}
 
 
 def test_mp3_mp4_metadata_parsers(spark):
@@ -3579,6 +3693,104 @@ def test_write_zordered_roundtrip(spark, tmp_path):
     a = {r.event_id for r in ev.select("event_id").collect()}
     b = {r.event_id for r in back.select("event_id").collect()}
     assert a == b
+
+
+def test_zorder_key_overflow_guard_each_dimension(spark):
+    """Each dimension trips the 2^46 range guard through its OWN
+    bucket column (ADVICE r8): a y-range overflow must raise even for
+    a caller that selects only _by and never touches _bx/zval."""
+    import pytest as pt
+
+    from sparksync.ext import layout
+
+    wide_y = spark.createDataFrame(
+        [(0, 0, 0), (1, 1, 1 << 47)], "id long, x long, y long"
+    )
+    for col in ("_bx", "_by"):
+        with pt.raises(Exception, match="exceeds 2\\^46"):
+            layout.zorder_key(wide_y, "x", "y").select(col).collect()
+    wide_x = spark.createDataFrame(
+        [(0, 0, 0), (1, 1 << 47, 1)], "id long, x long, y long"
+    )
+    for col in ("_bx", "_by"):
+        with pt.raises(Exception, match="exceeds 2\\^46"):
+            layout.zorder_key(wide_x, "x", "y").select(col).collect()
+
+
+def _scan_metrics(df) -> dict:
+    """Execute df and return the parquet scan node's SQL metrics —
+    numOutputRows on the scan counts rows AFTER parquet row-group
+    skipping (pushed min/max filters) and BEFORE Spark's row filter,
+    so it measures exactly what zone maps saved."""
+    df.collect()
+    def leaves(p):
+        try:
+            n = p.children().size()
+        except Exception:
+            return [p]
+        if n == 0:
+            return [p]
+        out = []
+        for i in range(n):
+            out += leaves(p.children().apply(i))
+        return out
+    for leaf in leaves(df._jdf.queryExecution().executedPlan()):
+        if "Scan" in leaf.nodeName():
+            vals, it = {}, leaf.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                vals[kv._1()] = kv._2().value()
+            return vals
+    raise AssertionError("no scan node found")
+
+
+def test_write_zordered_measured_pruning_matches_audit(spark, tmp_path):
+    """The REAL pruning proof behind q198 (VERDICT r8 #4): write the
+    grid as actual z-ordered parquet (write_zordered) and as a linear
+    x-sort layout, run the audit's 2-D box predicate through a real
+    Spark parquet scan, and read the scan node's numOutputRows — the
+    rows that survived row-group min/max skipping. The z layout must
+    skip strictly more than the linear one, and both measurements must
+    match zorder_layout_audit's zone-map prediction, closing the loop
+    from the audit's priced model to bytes a reader actually skips.
+    (Written files carry one row group each, so row-group skipping ==
+    file skipping here — the audit's unit.)"""
+    from sparksync.ext import layout
+    from sparksync.sink import ParquetSink
+
+    grid = spark.createDataFrame(
+        [(x * 64 + y, x, y) for x in range(64) for y in range(64)],
+        "id long, x long, y long",
+    )
+    pred = {
+        r.layout: r
+        for r in layout.zorder_layout_audit(
+            grid, "x", "y", "id", rows_per_file=64
+        ).collect()
+    }
+    sink = ParquetSink(spark, str(tmp_path))
+    sink.write_zordered(grid, "gz", "x", "y", n_files=64)
+    grid.repartitionByRange(64, "x", "id").sortWithinPartitions(
+        "x", "id"
+    ).write.mode("overwrite").parquet(sink.path("glin"))
+
+    # the audit's box_pct (25,35,30,50) of 2^16 cells in raw space:
+    # bucket(v) = v*1024 -> x in [16,22], y in [20,32]
+    box = "x between 16 and 22 and y between 20 and 32"
+    measured = {}
+    for name, table in (("zorder", "gz"), ("linear_x", "glin")):
+        df = spark.read.parquet(sink.path(table)).where(box)
+        assert df.count() == 7 * 13  # pruning never changes the answer
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan and "GreaterThanOrEqual(x,16)" in plan
+        measured[name] = _scan_metrics(df)["numOutputRows"]
+
+    assert measured["zorder"] < measured["linear_x"]
+    for name in ("zorder", "linear_x"):
+        want = pred[name].rows_scanned
+        # repartitionByRange boundaries come from sampling, so allow
+        # one file of wobble either side of the audit's exact-rank model
+        assert abs(measured[name] - want) <= 2 * 64, (name, measured, want)
 
 
 def test_zorder_audit_partitioning_invariant(spark):

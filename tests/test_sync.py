@@ -1091,6 +1091,29 @@ def test_cli_audit_round8_kinds(tmp_path, capsys):
         main(base + ["audit", "--kind", "hll", "--table", "events"])
 
 
+def test_cli_audit_report_kind(tmp_path, capsys):
+    """`audit --kind report` (X194) emits the composed dedup report —
+    one discovery + one components pass — as long-format JSON rows:
+    exactly one topline whose counters sum the survivorship section,
+    plus histogram and cross-source sections."""
+    import json as _json
+
+    from sparksync.cli import main
+
+    out = str(tmp_path / "dest")
+    base = ["--src", SF_SMOKE, "--dest", out]
+    assert main(base + ["audit", "--kind", "report",
+                        "--table", "documents"]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    secs = {r["section"] for r in rows}
+    assert secs == {"topline", "survivorship", "cluster_histogram",
+                    "cross_source"}
+    (top,) = [r for r in rows if r["section"] == "topline"]
+    surv = [r for r in rows if r["section"] == "survivorship"]
+    assert top["n1"] == sum(r["n1"] for r in surv)
+    assert top["n3"] == sum(r["n3"] for r in surv)
+
+
 def test_cli_audit_layout_kind(tmp_path, capsys):
     """`audit --kind layout` prices linear-x vs z-order for a 2-D
     predicate from zone maps alone (X193) — one JSON row per layout,
