@@ -816,3 +816,72 @@ def test_dedup_report_single_discovery_pass(spark, monkeypatch):
         "reads/pair (expected 1) - pair graph re-derived by a rollup"
     )
     features.release_pinned()
+
+
+def test_keeper_and_report_share_one_components_pass(spark, monkeypatch):
+    """The full composed pipeline of VERDICT r8 #2: doc-level keeper
+    (cluster_keeper_from_pairs) AND the aggregate dedup_report off the
+    SAME pair graph and the SAME components labels — one discovery
+    materialization (accumulator: 1 read/pair at the caller's
+    checkpoint, +2 inside connected_components' undirected union) and
+    exactly one connected_components invocation for BOTH outputs."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from sparksync.ext import dedup, features, graph
+    from sparksync.source import load_table
+
+    features.release_pinned()
+    docs = load_table(spark, SF_SMOKE, "documents")
+    raw = dedup.minhash_dedup_pairs(docs)
+    n_pairs = raw.count()
+    assert n_pairs > 0
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def _tick(x):
+        acc.add(1)
+        return x
+
+    tick = F.udf(_tick, LongType())
+
+    calls = {"n": 0}
+    real_cc = graph.connected_components
+
+    def counting_cc(*a, **k):
+        calls["n"] += 1
+        return real_cc(*a, **k)
+
+    monkeypatch.setattr(graph, "connected_components", counting_cc)
+
+    # the composed pattern a pipeline runs: checkpoint the discovered
+    # graph once, resolve components once, feed both consumers
+    pairs = (
+        raw.withColumn("d1", tick(F.col("d1")))
+        .select("d1", "d2")
+        .localCheckpoint(eager=True)
+    )
+    comp = graph.connected_components(pairs, "d1", "d2")
+    quality = docs.select(
+        F.col("doc_id"), F.length("text").cast("long").alias("quality")
+    )
+    keeper = dedup.cluster_keeper_from_pairs(
+        pairs, quality, "doc_id", components=comp
+    )
+    report = dedup.dedup_report(docs, pairs=pairs, components=comp)
+    keeper.write.format("noop").mode("overwrite").save()
+    report.write.format("noop").mode("overwrite").save()
+
+    assert calls["n"] == 1, (
+        f"connected_components ran {calls['n']}x for keeper+report "
+        "(expected 1 shared pass)"
+    )
+    assert acc.value == n_pairs, (
+        f"discovery executed {acc.value / max(1, n_pairs):.1f} reads/pair "
+        "(expected 1: the caller's checkpoint) - a consumer re-derived it"
+    )
+    # the two outputs agree on the cluster structure they share
+    k = {r.doc_id: r.cluster_id for r in keeper.collect() if r.n_members > 1}
+    top = [r for r in report.collect() if r.section == "topline"][0]
+    assert top.n2 == len(k)  # docs in clusters
+    features.release_pinned()
