@@ -114,7 +114,14 @@ def jaccard_pairs(
     itself certify a 0.8 pair). When the cap binds a warning names the
     number of pruned shingles; q184's minhash_recall_audit measures
     the recall cost on a sample. Default None keeps the exact
-    semantics the oracles replay."""
+    semantics the oracles replay.
+
+    Setting max_df is EAGER by contract: the bind flag requires the
+    hot-shingle census (one shingle groupBy) to run at call time, and
+    the (heavy-hitter-bounded, tiny) hot set stays checkpointed for
+    the life of the returned plan because the anti-join reads it.
+    Only compose this path into pipelines you will actually execute;
+    the default (max_df=None) builds fully lazily."""
     # no .cache(): shingles are a narrow recompute from the scan, and
     # pinning a ~10x-text-size exploded set in executor memory is the
     # wrong trade at 100 TB (and leaks across calls in one session)
@@ -1175,7 +1182,7 @@ def near_dup_cluster_keeper(
 
 
 def cluster_keeper_from_pairs(
-    pairs: DataFrame,
+    pairs: DataFrame | None,
     quality: DataFrame,
     id_col: str,
     components: DataFrame | None = None,
@@ -1194,14 +1201,19 @@ def cluster_keeper_from_pairs(
     so a pipeline computing keeper + dedup_report pays ONE discovery
     and ONE components pass for everything (the labels are
     checkpoint-backed, so sharing them across consumers reads blocks,
-    not lineage)."""
-    from .graph import connected_components
+    not lineage). With components supplied, `pairs` is never read and
+    may be None — exactly one of the two must be given."""
+    if components is None and pairs is None:
+        raise ValueError(
+            "cluster_keeper_from_pairs: supply pairs (a (d1, d2) graph) "
+            "or components (resolved labels) - got neither"
+        )
+    if components is not None:
+        comp = components
+    else:
+        from .graph import connected_components
 
-    comp = (
-        components
-        if components is not None
-        else connected_components(pairs, "d1", "d2")
-    )
+        comp = connected_components(pairs, "d1", "d2")
     labeled = quality.join(
         comp.withColumnRenamed("node", id_col), id_col, "left"
     ).withColumn("cluster_id", F.coalesce("component", F.col(id_col)))
@@ -1427,7 +1439,18 @@ def dedup_report(
     the same pair graph to share the labels with a keeper computation
     (cluster_keeper_from_pairs takes the same argument) — keeper +
     full report then cost ONE discovery + ONE components pass total
-    (test_keeper_and_report_share_one_components_pass)."""
+    (test_keeper_and_report_share_one_components_pass). components
+    REQUIRES pairs (the graph the labels were resolved from, already
+    localCheckpoint'ed by the caller — the cross-source section reads
+    it): deriving a fresh graph here would silently run a second
+    discovery AND could disagree with the supplied labels, so that
+    combination raises instead."""
+    if components is not None and pairs is None:
+        raise ValueError(
+            "dedup_report: components requires pairs (the checkpointed "
+            "graph the labels came from) - a fresh discovery here would "
+            "not match the supplied labels"
+        )
     if pairs is None:
         pairs = minhash_dedup_pairs(df, threshold, id_col, text_col)
     if components is not None:

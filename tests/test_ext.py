@@ -3533,6 +3533,24 @@ def test_rollups_accept_supplied_pairs(spark, docs):
     assert a == b
 
 
+def test_dedup_sharing_arg_guards(spark, docs):
+    """The shared-pipeline arguments fail loudly on contract misuse:
+    dedup_report with components but no pairs would silently run a
+    second discovery whose graph may not match the supplied labels
+    (raises instead); cluster_keeper_from_pairs needs pairs or
+    components (neither raises)."""
+    import pytest as pt
+
+    from sparksync.ext import dedup as dd
+
+    fake_comp = spark.createDataFrame([(1, 1)], "node long, component long")
+    with pt.raises(ValueError, match="components requires pairs"):
+        dd.dedup_report(docs, components=fake_comp)
+    q = docs.select("doc_id", F.length("text").cast("long").alias("quality"))
+    with pt.raises(ValueError, match="got neither"):
+        dd.cluster_keeper_from_pairs(None, q, "doc_id")
+
+
 def test_jaccard_pairs_max_df_hostile(spark):
     """Defense-in-depth cap (VERDICT r8 #2): a boilerplate shingle
     shared by EVERY doc — the sum(|posting|^2) blowup — is pruned from

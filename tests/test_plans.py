@@ -865,8 +865,9 @@ def test_keeper_and_report_share_one_components_pass(spark, monkeypatch):
     quality = docs.select(
         F.col("doc_id"), F.length("text").cast("long").alias("quality")
     )
+    # pairs may be None when components is supplied (never read)
     keeper = dedup.cluster_keeper_from_pairs(
-        pairs, quality, "doc_id", components=comp
+        None, quality, "doc_id", components=comp
     )
     report = dedup.dedup_report(docs, pairs=pairs, components=comp)
     keeper.write.format("noop").mode("overwrite").save()
