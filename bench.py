@@ -71,6 +71,14 @@ HEADLINE = [
     # q159+q195+q196 run separately. Totals grow by one query vs
     # BENCH_r08 — compare per-query
     "q199_dedup_report",
+    # round-9 surface growth: the bigram-LM surprisal quality filter
+    # (corpus-wide LM train + score in one plan), winnowing
+    # fingerprint overlap (ordered k-gram window min + fp self-join),
+    # and DSIR target affinity (two LMs from one corpus pass). Totals
+    # grow by three more queries vs BENCH_r08 — compare per-query
+    "q200_lm_surprisal",
+    "q201_winnow_pairs",
+    "q202_target_affinity",
 ]
 
 

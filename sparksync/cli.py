@@ -113,9 +113,18 @@ def main(argv: list[str] | None = None) -> int:
             # survivorship + histogram + cross-source from ONE LSH
             # discovery + ONE components pass (X194)
             "report",
+            # round 9: bigram-LM perplexity quality filter (X195),
+            # winnowing fingerprint overlap (X196), and DSIR target
+            # affinity (X197)
+            "quality", "winnow", "affinity",
         ],
     )
     aud.add_argument("--table", help="pruning/quantile: table to audit")
+    aud.add_argument(
+        "--target",
+        help="affinity: boolean SQL expression selecting target docs "
+        "(e.g. \"lang = 'en'\")",
+    )
     aud.add_argument("--bucket", help="pruning: bucket column")
     aud.add_argument("--bucket-width", type=int, default=1000)
     aud.add_argument("--value", help="pruning/quantile: value column")
@@ -515,6 +524,43 @@ def main(argv: list[str] | None = None) -> int:
                 p.error("audit --kind report needs --table")
             out = dedup_report(
                 job._read_source(args.table), threshold=args.threshold
+            )
+        elif args.kind == "quality":
+            # X195: the CLI is the production entry point, so the LM
+            # quality filter runs mode='ln' — true perplexity — not
+            # the fixed-point gate form the oracles replay
+            from .ext.textops import ngram_lm_score
+
+            if args.table is None:
+                p.error("audit --kind quality needs --table")
+            out = ngram_lm_score(job._read_source(args.table), mode="ln")
+        elif args.kind == "affinity":
+            # X197: the production form is the true DSIR importance
+            # weight (ln geometric-mean likelihood ratio), target
+            # selected by a user SQL predicate
+            from pyspark.sql import functions as F
+
+            from .ext.textops import lm_target_affinity
+
+            for a in ("table", "target"):
+                if getattr(args, a) is None:
+                    p.error(f"audit --kind affinity needs --{a}")
+            out = lm_target_affinity(
+                job._read_source(args.table), F.expr(args.target), mode="ln"
+            )
+        elif args.kind == "winnow":
+            # X196: winnowing overlap pairs; production sets the
+            # max_df join-side cap (the jaccard_pairs discipline) so a
+            # boilerplate fingerprint can never quadratic-blow the
+            # self-join
+            from .ext.dedup import winnow_overlap_pairs
+
+            if args.table is None:
+                p.error("audit --kind winnow needs --table")
+            out = winnow_overlap_pairs(
+                job._read_source(args.table),
+                max_df=1000,
+                limit=100,
             )
         elif args.kind == "layout":
             # X193: price linear-x vs z-order from zone maps alone

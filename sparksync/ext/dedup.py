@@ -1578,3 +1578,134 @@ def minhash_recall_audit(
             (F.col("n_lsh_pairs") - F.col("n_extra")).cast("double") / safel
         ).alias("precision"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's
+    MOSS algorithm): slide a w-wide window over the document's ORDERED
+    k-gram hash stream and keep each window's minimum hash. The
+    classic guarantee: any run of >= w + k - 1 tokens shared by two
+    documents selects at least one common fingerprint, at an expected
+    density of only 2/(w+1) fingerprints per position — the
+    position-robust near-dup primitive plain shingle sampling lacks
+    (an edit far away never changes which hashes a local window
+    keeps).
+
+    Hashes ride md5_token_hash (the portable 60-bit hash), so the
+    fingerprints — and everything joined on them — replay bit-exactly
+    in any engine (the q21/q194 portability discipline). Docs with
+    < k tokens have no k-grams and drop out; docs with fewer than w
+    k-grams contribute the single minimum of what exists (standard
+    short-document degeneration). Unlike `shingles`, the k-gram
+    stream here is NOT array_distinct'ed: winnowing is defined over
+    positions, so repeats must stay.
+
+    Scale shape: one posexplode over the ordered k-gram expression
+    (the expression rides the explode directly — the `shingles`
+    lesson: an aliased array attribute re-inlines the tokenize into a
+    pushed filter, measured 10x slower), one window min partitioned by
+    doc, then distinct (doc, fp) with map-side combine. Output:
+    (id_col, fp)."""
+    from pyspark.sql import Window
+
+    from .textops import _ngrams
+
+    base = df.select(F.col(id_col), tokens(text_col).alias("toks")).where(
+        F.size("toks") >= k
+    )
+    grams = base.select(
+        F.col(id_col),
+        (F.size("toks") - F.lit(k - 1)).alias("_m"),
+        F.posexplode(_ngrams(F.col("toks"), k)).alias("_pos", "_g"),
+    )
+    w_win = Window.partitionBy(id_col).orderBy("_pos").rowsBetween(0, w - 1)
+    sel = (
+        grams.withColumn("_fp", F.min(md5_token_hash(F.col("_g"))).over(w_win))
+        # windows start at positions 0 .. m-w (or just position 0 when
+        # the doc has fewer than w k-grams); later rows are partial
+        # suffix windows winnowing does not define
+        .where(F.col("_pos") <= F.greatest(F.col("_m") - F.lit(w), F.lit(0)))
+    )
+    return sel.select(F.col(id_col), F.col("_fp").alias("fp")).distinct()
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+    limit: int | None = None,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Near-dup candidate pairs ranked by shared winnowed
+    fingerprints: the MOSS report shape (who shares how much local
+    structure with whom), built on winnow_fingerprints' guarantee that
+    every shared >= w+k-1-token run is represented.
+
+    `max_df` is the jaccard_pairs defense-in-depth discipline: the
+    fp self-join costs sum(|posting list|^2), so fingerprints whose
+    document frequency exceeds the cap are pruned from the JOIN side
+    only — n_shared can then only undercount, so every emitted pair
+    truly shares >= its reported n_shared (precision 1.0) and the only
+    possible error is a whole MISSED pair hiding entirely inside
+    boilerplate fingerprints; a warning names the pruned count when
+    the cap binds (eager census, the jaccard_pairs contract). `limit`
+    returns the top pairs by (n_shared desc, d1, d2) via the salted
+    two-phase window — never one global sort of the full pair set.
+    Output: (d1, d2, n_shared), d1 < d2, all exact integers."""
+    from pyspark.sql import Window
+
+    fps = winnow_fingerprints(df, k, w, id_col, text_col)
+    join_fps = fps
+    if max_df is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_df)
+            .select("fp")
+            .localCheckpoint(eager=True)
+        )
+        n_hot = hot.count()
+        if n_hot:
+            import warnings
+
+            warnings.warn(
+                f"winnow_overlap_pairs: max_df={max_df} pruned {n_hot} "
+                "hot fingerprint(s) from the inverted index - n_shared "
+                "undercounts and whole pairs may be missed (precision "
+                "1.0 on what is emitted)",
+                stacklevel=2,
+            )
+        join_fps = fps.join(hot, "fp", "left_anti")
+    a = join_fps.select(F.col(id_col).alias("d1"), "fp")
+    b = join_fps.select(F.col(id_col).alias("d2"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    if limit is None:
+        return pairs
+    w_pre = Window.partitionBy("_salt").orderBy(
+        F.desc("n_shared"), F.col("d1"), F.col("d2")
+    )
+    w_fin = Window.orderBy(F.desc("n_shared"), F.col("d1"), F.col("d2"))
+    return (
+        pairs.withColumn("_salt", F.pmod(F.xxhash64("d1"), F.lit(n_salts)))
+        .withColumn("_r", F.row_number().over(w_pre))
+        .where(F.col("_r") <= limit)
+        .withColumn("_rn", F.row_number().over(w_fin))
+        .where(F.col("_rn") <= limit)
+        .select("d1", "d2", "n_shared")
+    )

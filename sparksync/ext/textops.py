@@ -1208,3 +1208,342 @@ def truncation_loss(
         "p50_tokens",
         "p95_tokens",
     )
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_k: int = 512,
+    mode: str = "ln",
+    scale_bits: int = 20,
+    limit: int = 20,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Bigram language-model surprisal filter — the CCNet/KenLM-shaped
+    quality gate: train an add-one-smoothed bigram LM on the corpus
+    itself, score every document by how improbable its text is under
+    that model, and surface the most surprising docs (gibberish,
+    boilerplate, wrong-language — the candidates a quality pipeline
+    drops or down-weights before training).
+
+    The vocabulary is CAPPED: the top `vocab_k` tokens by corpus
+    frequency (ties by token asc) keep their identity, everything else
+    maps to '<unk>'. The cap is what bounds the model no matter how
+    large the corpus — at most (vocab_k+1)^2 observed bigram types —
+    so the model side of the scoring join stays broadcast-sized at
+    100 TB while the corpus side streams through.
+
+    mode='ln' (production): per-doc perplexity exp(-mean ln p), the
+    standard number. mode='fixed' (the oracle-replayable gate — the
+    q60/q118 no-libm discipline): per-bigram reciprocal likelihood
+    1/p = (c1 + V_eff) / (c12 + 1) in fixed point,
+    floor((c1 + V_eff) << scale_bits / (c12 + 1)) — exact int64
+    arithmetic end to end, ONE double division per doc at the finish,
+    so every value replays bit-exactly in any engine. Mean 1/p ranks
+    "surprising" the same way perplexity does for filtering purposes.
+
+    Scale shape: one explode -> unigram counts with map-side combine;
+    vocab top-k via the salted two-phase window (vocab_topk's
+    discipline — never a single global sort of the whole vocabulary);
+    the vocab membership join is an explicit broadcast (vocab_k rows);
+    bigram assembly is one window shuffle partitioned by doc (the
+    per-doc stats branch needs no window at all — Catalyst prunes the
+    unused lead, leaving a plain token-level aggregate); the scoring
+    join keys on (w, w2) against the model table, explicitly broadcast
+    when its (vocab_k+1)^2 ceiling is provably broadcast-sized and
+    left to AQE's runtime stats otherwise. Overflow guard:
+    (c1 + V_eff) << scale_bits must fit int64;
+    the guard is folded into the used term column (a free-standing
+    guard would be pruned) and raises with advice instead of wrapping.
+
+    Output: the `limit` most-surprising docs
+    (id, n_tokens, n_unk, n_bigrams, lm_surprisal), lm_surprisal
+    descending, ties by id asc. lm_surprisal is mean 1/p for
+    mode='fixed', perplexity for mode='ln'. Docs with < 2 tokens have
+    no bigram evidence and are excluded.
+    """
+    if mode not in ("ln", "fixed"):
+        raise ValueError(f"ngram_lm_score: unknown mode {mode!r}")
+    scale = 1 << scale_bits
+    cap = ((1 << 63) - 1) >> scale_bits
+
+    stats, types, veff = _lm_base(df, text_col, id_col, vocab_k, n_salts)
+    c12 = types.groupBy("_w", "_w2").agg(F.sum("_k").alias("_c12"))
+    c1 = c12.groupBy("_w").agg(F.sum("_c12").alias("_c1"))
+    model = _lm_broadcastable(
+        c12.join(c1, "_w").crossJoin(F.broadcast(veff)), vocab_k
+    )
+
+    scored = types.join(model, ["_w", "_w2"]).withColumn(
+        "_num",
+        F.when(
+            (F.col("_c1") + F.col("_veff")) > F.lit(cap),
+            F.raise_error(
+                f"ngram_lm_score: (c1 + V_eff) << {scale_bits} overflows "
+                "int64 - lower scale_bits"
+            ).cast("long"),
+        ).otherwise(F.col("_c1") + F.col("_veff")),
+    )
+    if mode == "fixed":
+        term = F.expr(f"_k * ((_num * {scale}L) div (_c12 + 1L))")
+        per_doc = scored.groupBy(id_col).agg(
+            F.sum(term).cast("long").alias("_sum_fp"),
+            F.sum("_k").cast("long").alias("n_bigrams"),
+        )
+        surprisal = F.col("_sum_fp").cast("double") / (
+            F.col("n_bigrams") * F.lit(scale)
+        ).cast("double")
+    else:
+        term = F.col("_k").cast("double") * -F.log(
+            (F.col("_c12") + F.lit(1)).cast("double")
+            / F.col("_num").cast("double")
+        )
+        per_doc = scored.groupBy(id_col).agg(
+            F.sum(term).alias("_sum_ln"),
+            F.sum("_k").cast("long").alias("n_bigrams"),
+        )
+        surprisal = F.exp(
+            F.col("_sum_ln") / F.col("n_bigrams").cast("double")
+        )
+
+    full = stats.join(per_doc, id_col).withColumn("lm_surprisal", surprisal)
+    return _lm_topk_docs(
+        full,
+        "lm_surprisal",
+        id_col,
+        limit,
+        n_salts,
+        [id_col, "n_tokens", "n_unk", "n_bigrams", "lm_surprisal"],
+    )
+
+
+def _lm_base(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab_k: int,
+    n_salts: int,
+    flag: Column | None = None,
+):
+    """The shared bigram-LM corpus pass behind ngram_lm_score and
+    lm_target_affinity: tokenize, cap the vocabulary at the top
+    `vocab_k` corpus tokens (salted two-phase top-k — never one global
+    sort of the whole vocabulary; ties by token asc), map everything
+    else to '<unk>' via an explicit vocab broadcast, and assemble
+    bigrams with one window shuffle partitioned by doc (the per-doc
+    stats branch needs no window at all — Catalyst prunes the unused
+    lead, leaving a plain token-level aggregate). Docs with < 2 tokens
+    drop out (no bigram evidence).
+
+    `flag` optionally carries a per-doc boolean through as `_tgt`
+    (constant within a doc, so adding it to the grouping keys changes
+    no group). Returns (stats, types, veff): per-doc
+    (id[, _tgt], n_tokens, n_unk); per-doc bigram types
+    (id[, _tgt], _w, _w2, _k); and the one-row smoothing denominator
+    |vocab| + 1."""
+    keep = [F.col(id_col)]
+    gcols = [id_col]
+    if flag is not None:
+        keep.append(flag.cast("boolean").alias("_tgt"))
+        gcols.append("_tgt")
+    d2 = df.select(*keep, tokens(text_col).alias("_toks")).where(
+        F.size("_toks") >= 2
+    )
+    tok = d2.select(*gcols, F.posexplode("_toks").alias("_pos", "_tok"))
+    uni = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_freq"))
+    w_salt = Window.partitionBy("_salt").orderBy(F.desc("_freq"), F.col("_tok"))
+    w_all = Window.orderBy(F.desc("_freq"), F.col("_tok"))
+    vocab = (
+        uni.withColumn("_salt", F.pmod(F.xxhash64("_tok"), F.lit(n_salts)))
+        .withColumn("_r", F.row_number().over(w_salt))
+        .where(F.col("_r") <= vocab_k)
+        .withColumn("_rn", F.row_number().over(w_all))
+        .where(F.col("_rn") <= vocab_k)
+        .select("_tok")
+    )
+    mapped = tok.join(
+        F.broadcast(vocab.withColumn("_v", F.lit(1))), "_tok", "left"
+    ).select(
+        *gcols,
+        F.col("_pos"),
+        F.when(F.col("_v") == 1, F.col("_tok"))
+        .otherwise(F.lit("<unk>"))
+        .alias("_w"),
+    )
+    w_doc = Window.partitionBy(id_col).orderBy("_pos")
+    big = mapped.withColumn("_w2", F.lead("_w").over(w_doc))
+    stats = big.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum((F.col("_w") == "<unk>").cast("long")).cast("long").alias("n_unk"),
+    )
+    types = (
+        big.where(F.col("_w2").isNotNull())
+        .groupBy(*gcols, "_w", "_w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("_k"))
+    )
+    veff = vocab.groupBy().agg(
+        (F.count(F.lit(1)) + F.lit(1)).cast("long").alias("_veff")
+    )
+    return stats, types, veff
+
+
+def _lm_broadcastable(model: DataFrame, vocab_k: int) -> DataFrame:
+    """The model's row ceiling is (vocab_k+1)^2 BY CONSTRUCTION (every
+    token outside the vocab is '<unk>'), so for default-sized vocabs
+    the scoring join never needs a shuffle of the corpus side; past a
+    ~4M ceiling the observed-bigram count is data-dependent and the
+    broadcast call is left to AQE's runtime statistics instead."""
+    return F.broadcast(model) if (vocab_k + 1) ** 2 <= 4_000_000 else model
+
+
+def _lm_topk_docs(
+    full: DataFrame,
+    score_col: str,
+    id_col: str,
+    limit: int,
+    n_salts: int,
+    out_cols: list[str],
+) -> DataFrame:
+    """Global top-`limit` docs by (score desc, id asc) via the salted
+    two-phase window discipline — never one global sort of the full
+    per-doc table."""
+    w_pre = Window.partitionBy("_salt").orderBy(
+        F.desc(score_col), F.col(id_col)
+    )
+    w_fin = Window.orderBy(F.desc(score_col), F.col(id_col))
+    return (
+        full.withColumn("_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)))
+        .withColumn("_r", F.row_number().over(w_pre))
+        .where(F.col("_r") <= limit)
+        .withColumn("_rn", F.row_number().over(w_fin))
+        .where(F.col("_rn") <= limit)
+        .select(*out_cols)
+    )
+
+
+def lm_target_affinity(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_k: int = 512,
+    mode: str = "ln",
+    scale_bits: int = 20,
+    limit: int = 20,
+    n_salts: int = 32,
+) -> DataFrame:
+    """DSIR-shaped importance scoring for training-data selection
+    (Xie et al., "Data Selection for Language Models via Importance
+    Resampling"): train TWO add-one bigram LMs in one pass — a target
+    model on the docs where `target` holds and a raw model on the
+    whole corpus — and score every document by how much better the
+    target model predicts it. The top non-target docs are the raw-pool
+    candidates to up-sample toward the target distribution.
+
+    Both models share ONE bigram pipeline and one feature space (the
+    capped top-`vocab_k` vocabulary of the WHOLE corpus, '<unk>'
+    elsewhere): the target counts are a conditional sum inside the
+    same bigram aggregation, so the second model costs one extra
+    column, not a second tokenize/window/aggregate pipeline. (Like
+    any LM train, the plan still reads the corpus more than once —
+    the vocabulary census must finish before tokens can be mapped —
+    but the pass count is a constant independent of the target
+    choice.) Smoothing caveat shared with all
+    differently-sized-corpus LM ratios: bigrams unseen in BOTH models
+    still differ through their context counts (the raw corpus is
+    bigger), so pure-noise docs carry a small constant target-ward
+    shift rather than zero — orderings among genuinely
+    distinguishable docs are unaffected.
+
+    mode='ln' (production): per-doc geometric-mean likelihood ratio
+    exp(mean ln(p_t/p_r)) — the length-normalized DSIR importance
+    weight (> 1 means target-like). mode='fixed' (the
+    oracle-replayable gate): mean reciprocal-likelihood difference
+    mean(1/p_r - 1/p_t) in exact int64 fixed point (> 0 means
+    target-like), ONE double division per doc — the q60/q118 no-libm
+    discipline. Both rank "target-like" the same way per bigram.
+
+    Scale shape: identical to ngram_lm_score (shared _lm_base) plus
+    one conditional-sum column; the overflow guard rides the raw
+    context count, which bounds the target one (c1_t <= c1_r always).
+    Output: top `limit` docs by (affinity desc, id asc) —
+    (id, is_target, n_bigrams, target_affinity)."""
+    if mode not in ("ln", "fixed"):
+        raise ValueError(f"lm_target_affinity: unknown mode {mode!r}")
+    scale = 1 << scale_bits
+    cap = ((1 << 63) - 1) >> scale_bits
+
+    # stats (n_tokens/n_unk) deliberately unused here: the affinity
+    # report carries is_target instead, and skipping the join keeps
+    # the plan one aggregation narrower
+    _stats, types, veff = _lm_base(
+        df, text_col, id_col, vocab_k, n_salts, flag=target
+    )
+    c12 = types.groupBy("_w", "_w2").agg(
+        F.sum("_k").alias("_c12r"),
+        F.sum(F.when(F.col("_tgt"), F.col("_k")).otherwise(F.lit(0))).alias(
+            "_c12t"
+        ),
+    )
+    c1 = c12.groupBy("_w").agg(
+        F.sum("_c12r").alias("_c1r"), F.sum("_c12t").alias("_c1t")
+    )
+    model = _lm_broadcastable(
+        c12.join(c1, "_w").crossJoin(F.broadcast(veff)), vocab_k
+    )
+    scored = (
+        types.join(model, ["_w", "_w2"])
+        .withColumn(
+            "_numr",
+            F.when(
+                (F.col("_c1r") + F.col("_veff")) > F.lit(cap),
+                F.raise_error(
+                    f"lm_target_affinity: (c1 + V_eff) << {scale_bits} "
+                    "overflows int64 - lower scale_bits"
+                ).cast("long"),
+            ).otherwise(F.col("_c1r") + F.col("_veff")),
+        )
+        # c1_t <= c1_r by construction, so _numr's guard covers _numt
+        .withColumn("_numt", F.col("_c1t") + F.col("_veff"))
+    )
+    if mode == "fixed":
+        term = F.expr(
+            f"_k * (((_numr * {scale}L) div (_c12r + 1L))"
+            f" - ((_numt * {scale}L) div (_c12t + 1L)))"
+        )
+        per_doc = scored.groupBy(id_col, "_tgt").agg(
+            F.sum(term).cast("long").alias("_sum_fp"),
+            F.sum("_k").cast("long").alias("n_bigrams"),
+        )
+        affinity = F.col("_sum_fp").cast("double") / (
+            F.col("n_bigrams") * F.lit(scale)
+        ).cast("double")
+    else:
+        term = F.col("_k").cast("double") * (
+            F.log(
+                (F.col("_c12t") + F.lit(1)).cast("double")
+                / F.col("_numt").cast("double")
+            )
+            - F.log(
+                (F.col("_c12r") + F.lit(1)).cast("double")
+                / F.col("_numr").cast("double")
+            )
+        )
+        per_doc = scored.groupBy(id_col, "_tgt").agg(
+            F.sum(term).alias("_sum_ln"),
+            F.sum("_k").cast("long").alias("n_bigrams"),
+        )
+        affinity = F.exp(F.col("_sum_ln") / F.col("n_bigrams").cast("double"))
+
+    full = per_doc.withColumn("target_affinity", affinity).withColumn(
+        "is_target", F.col("_tgt")
+    )
+    return _lm_topk_docs(
+        full,
+        "target_affinity",
+        id_col,
+        limit,
+        n_salts,
+        [id_col, "is_target", "n_bigrams", "target_affinity"],
+    )

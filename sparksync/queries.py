@@ -6903,6 +6903,184 @@ from xs
 """
 
 
+def q200_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM surprisal filter (ext/textops.ngram_lm_score) — the
+    CCNet/KenLM quality-gate shape: add-one-smoothed bigram LM over a
+    capped top-512 vocabulary ('<unk>' elsewhere), top-20 most
+    improbable docs. The gate runs mode='fixed' (the q60/q118 no-libm
+    discipline: per-bigram reciprocal likelihood in exact int64 fixed
+    point, one double division per doc, so even the double score
+    replays bit-for-bit); production default is standard ln
+    perplexity."""
+    return textops.ngram_lm_score(
+        load(spark, sf_dir, "documents"), mode="fixed"
+    )
+
+
+ORACLE_Q200 = """
+with docs as (
+  select doc_id,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') as toks
+  from documents),
+d2 as (select doc_id, toks from docs where len(toks) >= 2),
+tok as (
+  select doc_id, i as pos, toks[i] as tok
+  from d2, unnest(range(1, len(toks) + 1)) t(i)),
+uni as (select tok, count(*) as freq from tok group by 1),
+vocab as (select tok from uni order by freq desc, tok limit 512),
+mapped as (
+  select t.doc_id, t.pos,
+         case when v.tok is not null then t.tok else '<unk>' end as w
+  from tok t left join vocab v on t.tok = v.tok),
+big as (
+  select doc_id, w,
+         lead(w) over (partition by doc_id order by pos) as w2
+  from mapped),
+stats as (
+  select doc_id, cast(count(*) as bigint) as n_tokens,
+         cast(sum(case when w = '<unk>' then 1 else 0 end) as bigint) as n_unk
+  from big group by 1),
+types as (
+  select doc_id, w, w2, cast(count(*) as bigint) as k
+  from big where w2 is not null group by 1, 2, 3),
+c12 as (select w, w2, cast(sum(k) as bigint) as c12 from types group by 1, 2),
+c1 as (select w, cast(sum(c12) as bigint) as c1 from c12 group by 1),
+vsz as (select cast(count(*) + 1 as bigint) as veff from vocab),
+terms as (
+  select t.doc_id,
+         t.k * (((c.c1 + vsz.veff) * 1048576) // (b.c12 + 1)) as term,
+         t.k
+  from types t
+  join c12 b on t.w = b.w and t.w2 = b.w2
+  join c1 c on t.w = c.w
+  cross join vsz),
+perdoc as (
+  select doc_id, cast(sum(term) as bigint) as sum_fp,
+         cast(sum(k) as bigint) as n_bigrams
+  from terms group by 1)
+select s.doc_id, s.n_tokens, s.n_unk, p.n_bigrams,
+       cast(p.sum_fp as double) / cast(p.n_bigrams * 1048576 as double)
+         as lm_surprisal
+from stats s join perdoc p on s.doc_id = p.doc_id
+order by lm_surprisal desc, s.doc_id
+limit 20
+"""
+
+
+def q201_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing near-dup pairs (ext/dedup.winnow_overlap_pairs): MOSS
+    fingerprints — each 4-window's minimum over the ordered 3-gram
+    md5-portable hash stream — self-joined into the top-20 pairs by
+    shared fingerprint count. Every shared run of >= 6 tokens is
+    guaranteed represented; output is all exact integers (d1, d2,
+    n_shared)."""
+    return dedup.winnow_overlap_pairs(
+        load(spark, sf_dir, "documents"), k=3, w=4, min_shared=2, limit=20
+    )
+
+
+ORACLE_Q201 = """
+with docs as (
+  select doc_id,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') as toks
+  from documents),
+dk as (
+  select doc_id, toks, len(toks) - 2 as m
+  from docs where len(toks) >= 3),
+h as (
+  select doc_id, m, i as pos,
+         cast(cast('0x' || substring(md5(
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         ), 1, 15) as ubigint) as bigint) as h
+  from dk, unnest(range(1, m + 1)) t(i)),
+wmin as (
+  select doc_id, m, pos,
+         min(h) over (partition by doc_id order by pos
+                      rows between current row and 3 following) as fp
+  from h),
+fps as (
+  select distinct doc_id, fp
+  from wmin where pos <= greatest(m - 3, 1)),
+pairs as (
+  select a.doc_id as d1, b.doc_id as d2,
+         cast(count(*) as bigint) as n_shared
+  from fps a join fps b on a.fp = b.fp and a.doc_id < b.doc_id
+  group by 1, 2)
+select d1, d2, n_shared from pairs where n_shared >= 2
+order by n_shared desc, d1, d2
+limit 20
+"""
+
+
+def q202_target_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped importance scoring (ext/textops.lm_target_affinity):
+    target LM (lang='en') and raw LM from ONE shared bigram pipeline
+    over a shared capped vocabulary, every doc scored by how much
+    better the target model predicts it; top-20 most target-like. The
+    gate runs
+    mode='fixed' (exact int64 reciprocal-likelihood difference, one
+    double division per doc); production default is the ln
+    geometric-mean likelihood ratio — the DSIR importance weight."""
+    return textops.lm_target_affinity(
+        load(spark, sf_dir, "documents"),
+        F.col("lang") == "en",
+        mode="fixed",
+    )
+
+
+ORACLE_Q202 = """
+with docs as (
+  select doc_id, lang = 'en' as tgt,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') as toks
+  from documents),
+d2 as (select doc_id, tgt, toks from docs where len(toks) >= 2),
+tok as (
+  select doc_id, tgt, i as pos, toks[i] as tok
+  from d2, unnest(range(1, len(toks) + 1)) t(i)),
+uni as (select tok, count(*) as freq from tok group by 1),
+vocab as (select tok from uni order by freq desc, tok limit 512),
+mapped as (
+  select t.doc_id, t.tgt, t.pos,
+         case when v.tok is not null then t.tok else '<unk>' end as w
+  from tok t left join vocab v on t.tok = v.tok),
+big as (
+  select doc_id, tgt, w,
+         lead(w) over (partition by doc_id order by pos) as w2
+  from mapped),
+types as (
+  select doc_id, tgt, w, w2, cast(count(*) as bigint) as k
+  from big where w2 is not null group by 1, 2, 3, 4),
+c12 as (
+  select w, w2, cast(sum(k) as bigint) as c12r,
+         cast(sum(case when tgt then k else 0 end) as bigint) as c12t
+  from types group by 1, 2),
+c1 as (
+  select w, cast(sum(c12r) as bigint) as c1r,
+         cast(sum(c12t) as bigint) as c1t
+  from c12 group by 1),
+vsz as (select cast(count(*) + 1 as bigint) as veff from vocab),
+terms as (
+  select t.doc_id, t.tgt,
+         t.k * ((((c.c1r + vsz.veff) * 1048576) // (b.c12r + 1))
+                - (((c.c1t + vsz.veff) * 1048576) // (b.c12t + 1))) as term,
+         t.k
+  from types t
+  join c12 b on t.w = b.w and t.w2 = b.w2
+  join c1 c on t.w = c.w
+  cross join vsz),
+perdoc as (
+  select doc_id, tgt, cast(sum(term) as bigint) as sum_fp,
+         cast(sum(k) as bigint) as n_bigrams
+  from terms group by 1, 2)
+select doc_id, tgt as is_target, n_bigrams,
+       cast(sum_fp as double) / cast(n_bigrams * 1048576 as double)
+         as target_affinity
+from perdoc
+order by target_affinity desc, doc_id
+limit 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -7103,6 +7281,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q197_zorder_key": q197_zorder_key,
     "q198_zorder_pruning": q198_zorder_pruning,
     "q199_dedup_report": q199_dedup_report,
+    "q200_lm_surprisal": q200_lm_surprisal,
+    "q201_winnow_pairs": q201_winnow_pairs,
+    "q202_target_affinity": q202_target_affinity,
 }
 
 ORACLES: dict[str, str] = {
@@ -7305,4 +7486,7 @@ ORACLES: dict[str, str] = {
     "q197_zorder_key": ORACLE_Q197,
     "q198_zorder_pruning": ORACLE_Q198,
     "q199_dedup_report": ORACLE_Q199,
+    "q200_lm_surprisal": ORACLE_Q200,
+    "q201_winnow_pairs": ORACLE_Q201,
+    "q202_target_affinity": ORACLE_Q202,
 }

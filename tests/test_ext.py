@@ -3933,3 +3933,434 @@ def test_resize_media_accepts_progressive_jpeg(spark):
     assert decoded.shape == (12, 9, 3)
     # re-emitted bytes are baseline (SOF0), not progressive
     assert out.find(b"\xff\xc0") > 0 and out.find(b"\xff\xc2") < 0
+
+
+def test_ngram_lm_score_fixed_matches_reference(spark):
+    """mode='fixed' (the q200 gate) is exact int64 fixed point end to
+    end: every value — including the double score — must equal a
+    pure-Python replay of the same add-one bigram LM bit-for-bit."""
+    from collections import Counter
+
+    from sparksync.ext import textops
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the cat"),
+        (3, "zz qq zz qq zz"),
+        (4, "the the the the"),
+        (5, "single"),          # <2 tokens: no bigram evidence, excluded
+        (6, ""),
+        (7, "a b"),
+    ]
+    V, S = 4, 1 << 20
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_unk, r.n_bigrams, r.lm_surprisal)
+        for r in textops.ngram_lm_score(
+            df, vocab_k=V, mode="fixed", limit=10
+        ).collect()
+    }
+    docs = {i: t.split() for i, t in rows if len(t.split()) >= 2}
+    uni = Counter(t for ts in docs.values() for t in ts)
+    vocab = set(sorted(uni, key=lambda t: (-uni[t], t))[:V])
+    mapped = {
+        i: [t if t in vocab else "<unk>" for t in ts] for i, ts in docs.items()
+    }
+    c12: Counter = Counter(
+        p for ts in mapped.values() for p in zip(ts, ts[1:])
+    )
+    c1: Counter = Counter()
+    for (w1, _), c in c12.items():
+        c1[w1] += c
+    veff = len(vocab) + 1
+    assert set(got) == set(docs)
+    for i, ts in mapped.items():
+        sfp = sum(
+            ((c1[w1] + veff) * S) // (c12[(w1, w2)] + 1)
+            for w1, w2 in zip(ts, ts[1:])
+        )
+        n = len(ts)
+        want = (n, sum(w == "<unk>" for w in ts), n - 1, sfp / ((n - 1) * S))
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_ngram_lm_score_ln_perplexity_tolerance(spark):
+    """mode='ln' (production) is true add-one bigram perplexity — libm
+    ln/exp, so checked to relative tolerance against math (the q189
+    include_entropy precedent), and it must rank documents in the same
+    order as the corpus LM's real perplexity."""
+    import math
+    from collections import Counter
+
+    from sparksync.ext import textops
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the cat"),
+        (3, "zz qq zz qq zz"),
+        (4, "the the the the"),
+    ]
+    V = 4
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.lm_surprisal
+        for r in textops.ngram_lm_score(
+            df, vocab_k=V, mode="ln", limit=10
+        ).collect()
+    }
+    docs = {i: t.split() for i, t in rows}
+    uni = Counter(t for ts in docs.values() for t in ts)
+    vocab = set(sorted(uni, key=lambda t: (-uni[t], t))[:V])
+    mapped = {
+        i: [t if t in vocab else "<unk>" for t in ts] for i, ts in docs.items()
+    }
+    c12: Counter = Counter(
+        p for ts in mapped.values() for p in zip(ts, ts[1:])
+    )
+    c1: Counter = Counter()
+    for (w1, _), c in c12.items():
+        c1[w1] += c
+    veff = len(vocab) + 1
+    for i, ts in mapped.items():
+        s = sum(
+            -math.log((c12[(w1, w2)] + 1) / (c1[w1] + veff))
+            for w1, w2 in zip(ts, ts[1:])
+        )
+        ppl = math.exp(s / (len(ts) - 1))
+        assert abs(got[i] - ppl) / ppl < 1e-9, (i, got[i], ppl)
+
+
+def test_ngram_lm_score_vocab_cap_bounds_model(docs):
+    """The capped vocabulary is the 100 TB posture: with vocab_k=32
+    every scored doc's tokens collapse onto <= 33 types, so the model
+    the scoring join carries is bounded by 33^2 bigram types no matter
+    the corpus size — and unk-heavy (rare-vocab) docs score as MORE
+    surprising than pure-stopword ones."""
+    from sparksync.ext import textops
+
+    out = textops.ngram_lm_score(docs, vocab_k=32, mode="fixed", limit=500)
+    rows = out.collect()
+    assert rows, "sf0.001 documents must produce scored docs"
+    for r in rows:
+        assert r.n_bigrams == r.n_tokens - 1
+        assert 0 <= r.n_unk <= r.n_tokens
+        # mean reciprocal likelihood of an add-one LM is always >= 1
+        assert r.lm_surprisal >= 1.0
+
+
+def test_ngram_lm_score_overflow_guard(spark):
+    """(c1 + V_eff) << scale_bits beyond int64 must raise with advice,
+    not wrap — the guard is folded into the used term column so
+    Catalyst can't prune it."""
+    import pytest as pt
+
+    from sparksync.ext import textops
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b a b a")], "doc_id long, text string"
+    )
+    with pt.raises(Exception, match="lower scale_bits"):
+        textops.ngram_lm_score(df, mode="fixed", scale_bits=62).collect()
+
+
+def test_ngram_lm_score_bad_mode(spark):
+    import pytest as pt
+
+    from sparksync.ext import textops
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pt.raises(ValueError, match="unknown mode"):
+        textops.ngram_lm_score(df, mode="perplexity")
+
+
+def test_ngram_lm_score_vocab_join_broadcast(docs):
+    """The vocab membership join rides an explicit broadcast (vocab_k
+    rows by construction), and the scoring pipeline never degenerates
+    to a cartesian product."""
+    from sparksync.ext import textops
+
+    plan = textops.ngram_lm_score(
+        docs, mode="fixed"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_winnow_fingerprints_match_reference(spark):
+    """Spark winnowing == a pure-Python replay of Schleimer et al.'s
+    definition (every w-window's min over the ordered k-gram hash
+    stream, windows at positions 0..m-w, min-of-all for short docs),
+    on crafted docs covering shared runs, exact dups, the k-token
+    minimum, and too-short dropouts."""
+    import hashlib
+
+    from sparksync.ext import dedup
+
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "x y a b c d e f g z"),
+        (3, "p q r s t u v"),
+        (4, "a b c"),
+        (5, "a b"),
+        (6, "a b c d e f g h i j"),
+    ]
+    k, w = 3, 4
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got: dict = {}
+    for r in dedup.winnow_fingerprints(df, k, w).collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    exp: dict = {}
+    for i, t in rows:
+        toks = t.split()
+        if len(toks) < k:
+            continue
+        hs = [h60(" ".join(toks[j : j + k])) for j in range(len(toks) - k + 1)]
+        exp[i] = {
+            min(hs[p : p + w]) for p in range(max(len(hs) - w, 0) + 1)
+        }
+    assert got == exp
+
+
+def test_winnow_guarantee_shared_run(spark):
+    """The winnowing guarantee: two docs sharing a run of >= w + k - 1
+    tokens MUST share at least one fingerprint, wherever the run sits
+    and whatever surrounds it (position robustness — the property
+    plain shingle sampling lacks)."""
+    from sparksync.ext import dedup
+
+    run = "r1 r2 r3 r4 r5 r6"  # w + k - 1 = 6 tokens
+    rows = [
+        (1, f"{run} tail1 tail2 tail3"),
+        (2, f"lead1 lead2 lead3 lead4 lead5 lead6 lead7 {run}"),
+        (3, "none of these tokens overlap at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.d1, r.d2)
+        for r in dedup.winnow_overlap_pairs(df, 3, 4, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_winnow_overlap_max_df_precision(spark):
+    """max_df prunes hot fingerprints from the JOIN side only: every
+    emitted pair survives with n_shared <= its uncapped value (the
+    precision-1.0 contract), and the cap warns when it binds."""
+    import pytest as pt
+
+    from sparksync.ext import dedup
+
+    # one boilerplate sentence in every doc + a genuine near-dup pair
+    boiler = "subscribe to our newsletter for updates today"
+    rows = [(i, f"{boiler} doc{i} filler{i}") for i in range(1, 7)] + [
+        (7, "u1 u2 u3 u4 u5 u6 u7 u8"),
+        (8, "u1 u2 u3 u4 u5 u6 u7 u9"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r.d1, r.d2): r.n_shared
+        for r in dedup.winnow_overlap_pairs(df, 3, 4, min_shared=1).collect()
+    }
+    with pt.warns(UserWarning, match="pruned"):
+        capped = {
+            (r.d1, r.d2): r.n_shared
+            for r in dedup.winnow_overlap_pairs(
+                df, 3, 4, min_shared=1, max_df=3
+            ).collect()
+        }
+    assert set(capped) <= set(exact)
+    for p, n in capped.items():
+        assert n <= exact[p]
+    assert (7, 8) in capped  # the genuine pair's fps are not boilerplate
+
+
+def test_winnow_overlap_limit_two_phase(docs):
+    """limit=N returns exactly the N top pairs by (n_shared desc, d1,
+    d2) — same set as sorting the unlimited output — via the salted
+    two-phase window (no global sort of the full pair set)."""
+    from sparksync.ext import dedup
+
+    full = sorted(
+        (
+            (-r.n_shared, r.d1, r.d2)
+            for r in dedup.winnow_overlap_pairs(docs, min_shared=2).collect()
+        )
+    )[:10]
+    lim = [
+        (-r.n_shared, r.d1, r.d2)
+        for r in dedup.winnow_overlap_pairs(docs, min_shared=2, limit=10)
+        .orderBy(F.desc("n_shared"), "d1", "d2")
+        .collect()
+    ]
+    assert lim == full
+
+
+def test_winnow_guarantee_randomized(spark):
+    """Randomized (seeded) winnowing-guarantee sweep in ONE Spark job:
+    40 doc pairs with a shared run of exactly w + k - 1 random tokens
+    planted at random offsets inside otherwise-disjoint random text —
+    every pair must share >= 1 fingerprint, whatever the surroundings.
+    Also the contrapositive sanity: token-disjoint docs share none."""
+    import random
+
+    from sparksync.ext import dedup
+
+    rng = random.Random(90210)
+    k, w = 3, 4
+    rows = []
+    want_pairs = []
+    for p in range(40):
+        run = [f"p{p}r{j}" for j in range(w + k - 1)]
+        for side in (0, 1):
+            did = p * 2 + side + 1
+            n_lead = rng.randint(0, 8)
+            n_tail = rng.randint(0, 8)
+            toks = (
+                [f"d{did}x{j}" for j in range(n_lead)]
+                + run
+                + [f"d{did}y{j}" for j in range(n_tail)]
+            )
+            rows.append((did, " ".join(toks)))
+        want_pairs.append((p * 2 + 1, p * 2 + 2))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.d1, r.d2)
+        for r in dedup.winnow_overlap_pairs(df, k, w, min_shared=1).collect()
+    }
+    for pair in want_pairs:
+        assert pair in got, f"guarantee violated for {pair}"
+    # disjoint-vocabulary docs never pair: every OTHER pairing shares
+    # only its planted run partner
+    assert got == set(want_pairs)
+
+
+def test_lm_target_affinity_fixed_matches_reference(spark):
+    """mode='fixed' (the q202 gate) replays a pure-Python DSIR-style
+    two-model computation bit-for-bit: shared capped vocab, raw counts
+    = all docs, target counts = flagged docs, per-bigram fixed-point
+    reciprocal-likelihood difference."""
+    from collections import Counter
+
+    from sparksync.ext import textops
+
+    rows = [
+        (1, "en", "the cat sat on the mat"),
+        (2, "en", "the cat sat on the rug"),
+        (3, "en", "the dog sat on the mat"),
+        (4, "de", "der hund sitzt auf der matte"),
+        (5, "de", "die katze sitzt auf dem teppich"),
+        (6, "de", "the cat sat on der matte"),
+    ]
+    V, S = 8, 1 << 20
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        r.doc_id: (r.is_target, r.n_bigrams, r.target_affinity)
+        for r in textops.lm_target_affinity(
+            df, F.col("lang") == "en", vocab_k=V, mode="fixed", limit=10
+        ).collect()
+    }
+    docs = {i: t.split() for i, _, t in rows}
+    tgt = {i: g == "en" for i, g, _ in rows}
+    uni = Counter(t for ts in docs.values() for t in ts)
+    vocab = set(sorted(uni, key=lambda t: (-uni[t], t))[:V])
+    mapped = {
+        i: [t if t in vocab else "<unk>" for t in ts] for i, ts in docs.items()
+    }
+    c12r: Counter = Counter()
+    c12t: Counter = Counter()
+    for i, ts in mapped.items():
+        for pair in zip(ts, ts[1:]):
+            c12r[pair] += 1
+            if tgt[i]:
+                c12t[pair] += 1
+    c1r: Counter = Counter()
+    c1t: Counter = Counter()
+    for (w1, _), c in c12r.items():
+        c1r[w1] += c
+    for (w1, _), c in c12t.items():
+        c1t[w1] += c
+    veff = len(vocab) + 1
+    for i, ts in mapped.items():
+        n = len(ts) - 1
+        sfp = sum(
+            (((c1r[w1] + veff) * S) // (c12r[(w1, w2)] + 1))
+            - (((c1t[w1] + veff) * S) // (c12t[(w1, w2)] + 1))
+            for w1, w2 in zip(ts, ts[1:])
+        )
+        assert got[i] == (tgt[i], n, sfp / (n * S)), i
+    # the separation the operator exists for: every target-language
+    # doc outscores every pure other-language doc; the mixed doc sits
+    # strictly between the two blocks
+    en = [got[i][2] for i in (1, 2, 3)]
+    de = [got[i][2] for i in (4, 5)]
+    assert min(en) > got[6][2] > max(de)
+
+
+def test_lm_target_affinity_ln_is_dsir_weight(spark):
+    """mode='ln' (production) equals exp(mean ln(p_t/p_r)) — the
+    length-normalized DSIR importance weight — to relative tolerance,
+    and ranks docs identically to the fixed-point gate on clearly
+    separated inputs."""
+    import math
+    from collections import Counter
+
+    from sparksync.ext import textops
+
+    rows = [
+        (1, "en", "the cat sat on the mat"),
+        (2, "de", "der hund sitzt auf der matte"),
+        (3, "en", "the dog sat on the mat"),
+    ]
+    V = 6
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        r.doc_id: r.target_affinity
+        for r in textops.lm_target_affinity(
+            df, F.col("lang") == "en", vocab_k=V, mode="ln", limit=10
+        ).collect()
+    }
+    docs = {i: t.split() for i, _, t in rows}
+    tgt = {i: g == "en" for i, g, _ in rows}
+    uni = Counter(t for ts in docs.values() for t in ts)
+    vocab = set(sorted(uni, key=lambda t: (-uni[t], t))[:V])
+    mapped = {
+        i: [t if t in vocab else "<unk>" for t in ts] for i, ts in docs.items()
+    }
+    c12r: Counter = Counter()
+    c12t: Counter = Counter()
+    for i, ts in mapped.items():
+        for pair in zip(ts, ts[1:]):
+            c12r[pair] += 1
+            if tgt[i]:
+                c12t[pair] += 1
+    c1r: Counter = Counter()
+    c1t: Counter = Counter()
+    for (w1, _), c in c12r.items():
+        c1r[w1] += c
+    for (w1, _), c in c12t.items():
+        c1t[w1] += c
+    veff = len(vocab) + 1
+    for i, ts in mapped.items():
+        s = sum(
+            math.log((c12t[(w1, w2)] + 1) / (c1t[w1] + veff))
+            - math.log((c12r[(w1, w2)] + 1) / (c1r[w1] + veff))
+            for w1, w2 in zip(ts, ts[1:])
+        )
+        w = math.exp(s / (len(ts) - 1))
+        assert abs(got[i] - w) / w < 1e-9, (i, got[i], w)
+    assert got[1] > got[2] and got[3] > got[2]
+
+
+def test_lm_target_affinity_bad_mode(spark):
+    import pytest as pt
+
+    from sparksync.ext import textops
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pt.raises(ValueError, match="unknown mode"):
+        textops.lm_target_affinity(df, F.lit(True), mode="ratio")

@@ -1138,3 +1138,46 @@ def test_cli_audit_layout_kind(tmp_path, capsys):
 
     with _pytest.raises(SystemExit):
         main(base + ["audit", "--kind", "layout", "--table", "events"])
+
+
+def test_cli_audit_round9_text_kinds(tmp_path, capsys):
+    """The round-9 text audits ride the same `audit` verb: the LM
+    quality filter (X195) runs the PRODUCTION ln-perplexity mode (>= 1
+    by construction, add-one smoothing), and winnowing overlap (X196)
+    runs with the max_df scale cap — both emit JSON rows."""
+    import json as _json
+
+    from sparksync.cli import main
+
+    out = str(tmp_path / "dest")
+    base = ["--src", SF_SMOKE, "--dest", out]
+
+    assert main(base + ["audit", "--kind", "quality",
+                        "--table", "documents"]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert rows
+    for r in rows:
+        assert r["lm_surprisal"] >= 1.0      # perplexity of add-one LM
+        assert r["n_bigrams"] == r["n_tokens"] - 1
+
+    assert main(base + ["audit", "--kind", "winnow",
+                        "--table", "documents"]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert rows
+    for r in rows:
+        assert r["d1"] < r["d2"] and r["n_shared"] >= 2
+
+    assert main(base + ["audit", "--kind", "affinity", "--table",
+                        "documents", "--target", "lang = 'en'"]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert rows and any(r["is_target"] for r in rows)
+    for r in rows:
+        assert r["target_affinity"] > 0.0  # ln mode: a likelihood ratio
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(base + ["audit", "--kind", "quality"])  # --table required
+    with _pytest.raises(SystemExit):
+        main(base + ["audit", "--kind", "affinity",
+                     "--table", "documents"])  # --target required
