@@ -573,3 +573,27 @@ def interarrival_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def lm_counts_stream(
+    docs: DataFrame,
+    vocab: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming bigram-LM maintenance: keep the ngram_lm_score count
+    table live over an unbounded document stream against a FROZEN
+    vocabulary (frozen from a historical census — the production
+    split: census once, maintain forever). Counts are plain
+    commutative sums, so no watermark is needed and complete/update
+    mode hands the live model to the scoring join at read time; state
+    is <= (len(vocab)+1)^2 rows BY CONSTRUCTION — the same capped-
+    vocab bound that keeps the batch model broadcastable. The drained
+    table equals textops.lm_bigram_counts over the same rows
+    (parity-tested, including across a restart from checkpoint), so
+    stream and batch can never disagree on the model. Bigrams are
+    assembled array-side (zip_with of two slices) because window lag
+    does not exist on streams — the batch helper deliberately shares
+    that exact expression."""
+    from .textops import lm_bigram_counts
+
+    return lm_bigram_counts(docs, vocab, text_col)

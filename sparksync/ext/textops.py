@@ -1547,3 +1547,53 @@ def lm_target_affinity(
         n_salts,
         [id_col, "is_target", "n_bigrams", "target_affinity"],
     )
+
+
+def lm_bigram_counts(
+    df: DataFrame,
+    vocab: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """Bigram-LM count table over a FROZEN vocabulary — the
+    model-maintenance form of ngram_lm_score's training stage, for
+    when the vocabulary is fixed upfront (frozen from a historical
+    census: vocab_topk / ngram_lm_score's salted top-k at train time)
+    rather than re-derived from the batch at hand.
+
+    Because the vocab is a constant, the whole thing is ONE narrow
+    array-side projection (tokenize -> '<unk>' mapping -> adjacent
+    pairs via zip_with of two slices) plus one count groupBy with
+    map-side combine: no window, no join, no second corpus pass.
+    That shape is exactly what makes the same expression legal on an
+    UNBOUNDED stream (stream.lm_counts_stream): window lag is not
+    available there, array-side pairs are. Output/state is
+    <= (len(vocab)+1)^2 rows BY CONSTRUCTION — the capped-vocab bound
+    that keeps the batch model broadcastable is the same bound that
+    keeps streaming state finite.
+
+    Output: (w, w2, cnt). The context table is one more groupBy
+    (sum cnt by w), and scoring new docs against the maintained model
+    is ngram_lm_score's (w, w2) broadcast-join shape."""
+    vlit = F.array(*[F.lit(t) for t in vocab])
+    toks = tokens(text_col)
+    mapped = F.transform(
+        toks,
+        lambda x: F.when(F.array_contains(vlit, x), x).otherwise(
+            F.lit("<unk>")
+        ),
+    )
+    n = F.size(mapped)
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(mapped, 1, n - 1),
+            F.slice(mapped, 2, n - 1),
+            lambda a, b: F.struct(a.alias("w"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w:string,w2:string>>"))
+    return (
+        df.select(F.explode(pairs).alias("_p"))
+        .select(F.col("_p.w").alias("w"), F.col("_p.w2").alias("w2"))
+        .groupBy("w", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )

@@ -892,3 +892,100 @@ def test_hll_stream_restart_recovers_state(spark, tmp_path):
         ).collect()
     }
     assert got == batch and len(got) > 0
+
+
+def _census_vocab(docs, k=64):
+    """Frozen vocabulary the way production would freeze it: top-k
+    corpus tokens by (freq desc, token asc) from a historical census."""
+    from collections import Counter
+
+    uni: Counter = Counter()
+    for r in docs.select("text").collect():
+        uni.update(t for t in r.text.split() if t)
+    return sorted(uni, key=lambda t: (-uni[t], t))[:k]
+
+
+def test_lm_counts_stream_matches_batch(spark, tmp_path):
+    """The drained streaming bigram-LM count table equals the batch
+    lm_bigram_counts over the same rows against the same frozen vocab
+    — and both equal a pure-Python replay, so the array-side pair
+    expression is proven against the definition, not just against
+    itself. State is bounded by (V+1)^2 by construction."""
+    from collections import Counter
+
+    from sparksync.ext import textops
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    vocab = _census_vocab(docs)
+    src = str(tmp_path / "lm_in")
+    docs.write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    s = spark.readStream.schema(schema).parquet(src)
+    q = (
+        stream.lm_counts_stream(s, vocab)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("lm_model")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.w, r.w2): r.cnt
+        for r in spark.sql("select * from lm_model").collect()
+    }
+    batch = {
+        (r.w, r.w2): r.cnt
+        for r in textops.lm_bigram_counts(docs, vocab).collect()
+    }
+    vs = set(vocab)
+    want: Counter = Counter()
+    for r in docs.select("text").collect():
+        ts = [t if t in vs else "<unk>" for t in r.text.split() if t]
+        want.update(zip(ts, ts[1:]))
+    assert got == batch == dict(want) and len(got) > 0
+    assert len(got) <= (len(vocab) + 1) ** 2
+
+
+def test_lm_counts_stream_restart_recovers_state(spark, tmp_path):
+    """Restart for the streaming LM model: after a cold restart +
+    second drain from the same checkpoint, the complete-mode count
+    table equals the batch model over ALL rows — the (w, w2) sums
+    round-tripped the state store."""
+    from pyspark.sql import functions as F
+
+    from sparksync.ext import textops
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    vocab = _census_vocab(docs)
+    src = str(tmp_path / "lmr_in")
+    ckpt = str(tmp_path / "lmr_ckpt")
+    first = docs.where(F.col("doc_id") % 2 == 0)
+    second = docs.where(F.col("doc_id") % 2 == 1)
+    first.coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def drain(qname):
+        s = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream.lm_counts_stream(s, vocab)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain("lmr1")
+    second.coalesce(1).write.mode("append").parquet(src)
+    drain("lmr2")
+    got = {
+        (r.w, r.w2): r.cnt for r in spark.sql("select * from lmr2").collect()
+    }
+    batch = {
+        (r.w, r.w2): r.cnt
+        for r in textops.lm_bigram_counts(docs, vocab).collect()
+    }
+    assert got == batch and len(got) > 0
