@@ -1597,3 +1597,133 @@ def lm_bigram_counts(
         .groupBy("w", "w2")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+
+
+def lm_score_against_model(
+    df: DataFrame,
+    counts: DataFrame,
+    vocab: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "ln",
+    scale_bits: int = 20,
+    limit: int = 20,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Score documents against an EXTERNAL bigram-LM model — the
+    read-time finisher for lm_bigram_counts / a drained
+    stream.lm_counts_stream table, and the train-on-A-score-B form of
+    ngram_lm_score: held-out perplexity of NEW data under an OLD
+    model is the classic quality-drift monitor (a feed whose docs
+    suddenly surprise last month's model changed distribution).
+
+    `counts` is the (w, w2, cnt) table; `vocab` is the SAME frozen
+    list the model was built with (the '<unk>' mapping must match or
+    the scores are about a different feature space). Unlike
+    ngram_lm_score, bigrams the model has never seen are expected
+    here — the scoring join is LEFT with zero-filled counts, and
+    add-one smoothing keeps every probability finite. V_eff is
+    len(vocab)+1, a plan-time constant (no one-row crossJoin needed).
+
+    Same mode contract as ngram_lm_score: 'ln' = perplexity
+    (production), 'fixed' = exact int64 reciprocal-likelihood mean
+    (bit-replayable); same overflow guard, folded into the used
+    column. Scale shape: one narrow array-side projection per doc (no
+    window — the lm_bigram_counts pair expression), one groupBy to
+    per-doc bigram types, one join against the bounded model, salted
+    two-phase top-k. Output: (id, n_tokens, n_unk, n_bigrams,
+    lm_surprisal), most surprising first."""
+    if mode not in ("ln", "fixed"):
+        raise ValueError(f"lm_score_against_model: unknown mode {mode!r}")
+    scale = 1 << scale_bits
+    cap = ((1 << 63) - 1) >> scale_bits
+    veff = len(vocab) + 1
+
+    vlit = F.array(*[F.lit(t) for t in vocab])
+    toks = tokens(text_col)
+    mapped = F.transform(
+        toks,
+        lambda x: F.when(F.array_contains(vlit, x), x).otherwise(
+            F.lit("<unk>")
+        ),
+    )
+    base = df.select(F.col(id_col), mapped.alias("_m")).where(
+        F.size("_m") >= 2
+    )
+    n = F.size("_m")
+    pairs = F.zip_with(
+        F.slice(F.col("_m"), 1, n - 1),
+        F.slice(F.col("_m"), 2, n - 1),
+        lambda a, b: F.struct(a.alias("w"), b.alias("w2")),
+    )
+    stats = base.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.size(F.filter(F.col("_m"), lambda x: x == F.lit("<unk>")))
+        .cast("long")
+        .alias("n_unk"),
+    )
+    types = (
+        base.select(F.col(id_col), F.explode(pairs).alias("_p"))
+        .select(F.col(id_col), F.col("_p.w").alias("w"), F.col("_p.w2").alias("w2"))
+        .groupBy(id_col, "w", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("_k"))
+    )
+    # the context aggregate re-aliases its input columns FIRST: c1 and
+    # the model projection both descend from `counts`, and when that
+    # is a streaming-sink-backed view (a drained lm_counts_stream
+    # memory table) Spark cannot deduplicate the self-join's shared
+    # attribute ids — the fresh Aliases break the reference sharing
+    c1 = (
+        counts.select(F.col("w").alias("w"), F.col("cnt").alias("cnt"))
+        .groupBy("w")
+        .agg(F.sum("cnt").alias("_c1"))
+    )
+    model = counts.join(c1, "w").select(
+        "w", "w2", F.col("cnt").alias("_c12"), "_c1"
+    )
+    if (len(vocab) + 1) ** 2 <= 4_000_000:
+        model = F.broadcast(model)
+    scored = (
+        types.join(model, ["w", "w2"], "left")
+        .withColumn("_c12f", F.coalesce(F.col("_c12"), F.lit(0)))
+        .withColumn(
+            "_num",
+            F.when(
+                (F.coalesce(F.col("_c1"), F.lit(0)) + F.lit(veff)) > F.lit(cap),
+                F.raise_error(
+                    f"lm_score_against_model: (c1 + V_eff) << {scale_bits} "
+                    "overflows int64 - lower scale_bits"
+                ).cast("long"),
+            ).otherwise(F.coalesce(F.col("_c1"), F.lit(0)) + F.lit(veff)),
+        )
+    )
+    if mode == "fixed":
+        term = F.expr(f"_k * ((_num * {scale}L) div (_c12f + 1L))")
+        per_doc = scored.groupBy(id_col).agg(
+            F.sum(term).cast("long").alias("_sum_fp"),
+            F.sum("_k").cast("long").alias("n_bigrams"),
+        )
+        surprisal = F.col("_sum_fp").cast("double") / (
+            F.col("n_bigrams") * F.lit(scale)
+        ).cast("double")
+    else:
+        term = F.col("_k").cast("double") * -F.log(
+            (F.col("_c12f") + F.lit(1)).cast("double")
+            / F.col("_num").cast("double")
+        )
+        per_doc = scored.groupBy(id_col).agg(
+            F.sum(term).alias("_sum_ln"),
+            F.sum("_k").cast("long").alias("n_bigrams"),
+        )
+        surprisal = F.exp(F.col("_sum_ln") / F.col("n_bigrams").cast("double"))
+
+    full = stats.join(per_doc, id_col).withColumn("lm_surprisal", surprisal)
+    return _lm_topk_docs(
+        full,
+        "lm_surprisal",
+        id_col,
+        limit,
+        n_salts,
+        [id_col, "n_tokens", "n_unk", "n_bigrams", "lm_surprisal"],
+    )

@@ -4424,3 +4424,64 @@ def test_lm_target_affinity_empty_target_degenerates(spark):
     for r in rows:
         assert not r.is_target
         assert r.target_affinity <= 0.0
+
+
+def test_lm_score_against_model_self_consistency(docs):
+    """Scoring a corpus against a model built FROM that corpus with
+    the same frozen vocab reproduces ngram_lm_score bit-for-bit in
+    fixed mode — the external-model path and the self-trained path
+    are the same math, so a drained streaming model can never score
+    differently from the batch scorer."""
+    from collections import Counter
+
+    from sparksync.ext import textops
+
+    uni: Counter = Counter()
+    for r in docs.select("text").collect():
+        uni.update(t for t in r.text.split() if t)
+    vocab = sorted(uni, key=lambda t: (-uni[t], t))[:512]
+    counts = textops.lm_bigram_counts(docs, vocab)
+    ext = {
+        tuple(r)
+        for r in textops.lm_score_against_model(
+            docs, counts, vocab, mode="fixed"
+        ).collect()
+    }
+    self_trained = {
+        tuple(r)
+        for r in textops.ngram_lm_score(docs, mode="fixed").collect()
+    }
+    assert ext == self_trained and len(ext) == 20
+
+
+def test_lm_score_against_model_held_out_drift(spark):
+    """The drift-monitor shape: docs full of bigrams the model never
+    saw (left-join zero-fill + add-one smoothing) score finite and
+    strictly MORE surprising than in-distribution docs."""
+    from sparksync.ext import textops
+
+    train = spark.createDataFrame(
+        [(i, "alpha beta gamma delta alpha beta") for i in range(10)],
+        "doc_id long, text string",
+    )
+    vocab = ["alpha", "beta", "delta", "gamma"]
+    counts = textops.lm_bigram_counts(train, vocab)
+    probe = spark.createDataFrame(
+        [(100, "alpha beta gamma delta alpha beta"),   # in-distribution
+         (101, "zz qq rr ss tt uu")],                  # all-unseen
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.lm_surprisal
+        for r in textops.lm_score_against_model(
+            probe, counts, vocab, mode="fixed", limit=10
+        ).collect()
+    }
+    assert got[101] > got[100] > 0
+    ppl = {
+        r.doc_id: r.lm_surprisal
+        for r in textops.lm_score_against_model(
+            probe, counts, vocab, mode="ln", limit=10
+        ).collect()
+    }
+    assert ppl[101] > ppl[100] >= 1.0

@@ -989,3 +989,46 @@ def test_lm_counts_stream_restart_recovers_state(spark, tmp_path):
         for r in textops.lm_bigram_counts(docs, vocab).collect()
     }
     assert got == batch and len(got) > 0
+
+
+def test_lm_score_against_drained_stream_model(spark, tmp_path):
+    """The full production loop: census -> model maintained by a file
+    stream -> drained memory table scored against a fresh corpus.
+    Regression: the scoring join derives its context aggregate from
+    the SAME model table (a self-join over a MemorySink view), which
+    crashes with conflicting attribute ids unless the aggregate's
+    inputs are re-aliased first — and it must equal scoring against
+    the batch-built counts."""
+    from collections import Counter
+
+    from sparksync.ext import textops
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    vocab = _census_vocab(docs, k=128)
+    src = str(tmp_path / "lms_in")
+    docs.write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    s = spark.readStream.schema(schema).parquet(src)
+    q = (
+        stream.lm_counts_stream(s, vocab)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("lm_live_model")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    live = spark.sql("select * from lm_live_model")
+    via_stream = {
+        tuple(r)
+        for r in textops.lm_score_against_model(
+            docs, live, vocab, mode="fixed"
+        ).collect()
+    }
+    via_batch = {
+        tuple(r)
+        for r in textops.lm_score_against_model(
+            docs, textops.lm_bigram_counts(docs, vocab), vocab, mode="fixed"
+        ).collect()
+    }
+    assert via_stream == via_batch and len(via_stream) == 20
