@@ -21,29 +21,29 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _rotated(d: dict) -> dict:
     """The driver's CORRECTNESS report samples at most 50 queries; the
-    surface is len(QUERIES) (202 as of round 9 — test_meta asserts the
+    surface is len(QUERIES) (203 as of round 9 — test_meta asserts the
     exact count), so allocation is explicit and rotates each round
     toward the weakest external evidence (VERDICT r5 #4). As of round
     8 every registered query has direct driver evidence at least once
     (CORRECTNESS_r08 executed the promised 50/50), so round 9 rotates
     by AGE (VERDICT r8 #3): the stalest direct driver rows are
     q16-q47 (rounds 1-3) and q51-q65 (r6/r7 sampled them last) — 47
-    queries — plus the six whose implementation changed or landed in
-    round 9: q195/q196 (rollups refactored onto the shared pairs=
+    queries — plus the seven whose implementation changed or landed
+    in round 9: q195/q196 (rollups refactored onto the shared pairs=
     path), q199 (new composed dedup report), q200 (new bigram-LM
-    surprisal filter), q201 (new winnowing near-dup pairs), and q202
-    (new DSIR-shaped target affinity). Changed/new queries sort FIRST
-    so the 50-cap can never silently drop a query with zero driver
-    evidence; with 6 + 47 = 53 candidates the three cut are q63-q65,
-    the youngest of the stale set (r7 evidence). q48-q50 have r4-era
-    evidence
+    surprisal filter), q201 (new winnowing near-dup pairs), q202 (new
+    DSIR-shaped target affinity), and q203 (new held-out LM drift
+    monitor). Changed/new queries sort FIRST so the 50-cap can never
+    silently drop a query with zero driver evidence; with 7 + 47 = 54
+    candidates the four cut are q62-q65, the youngest of the stale
+    set (r7 evidence). q48-q50 have r4-era evidence
     plus q50 in every BENCH; q191's floor-div hour fix is
     behavior-neutral at gate SF (negative-epoch-only) and keeps its
     fresh r8 row; both committed selfcheck sweeps cover everything at
     2 SFs. Every key keeps its name — only dict insertion order
     changes."""
 
-    changed_r9 = {195, 196, 199, 200, 201, 202}
+    changed_r9 = {195, 196, 199, 200, 201, 202, 203}
 
     def key(name: str):
         n = int(name[1:].split("_", 1)[0])

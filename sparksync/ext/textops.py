@@ -1318,6 +1318,41 @@ def ngram_lm_score(
     )
 
 
+def lm_vocab_census(
+    df: DataFrame,
+    vocab_k: int = 512,
+    text_col: str = "text",
+    n_salts: int = 32,
+) -> DataFrame:
+    """The frozen-vocabulary census — the census-once half of the LM
+    family's census-once/maintain-forever split: top `vocab_k` corpus
+    tokens by (freq desc, token asc) via the salted two-phase top-k
+    (vocab_topk's discipline). Counted over the same population every
+    LM operator scores: documents with >= 2 tokens (bigram evidence),
+    so a vocabulary frozen here matches what ngram_lm_score would
+    derive internally. Collect this (<= vocab_k rows, the
+    centroid-sized-collect precedent) to feed lm_bigram_counts /
+    lm_counts_stream / lm_score_against_model.
+    Output: (tok, freq, rnk)."""
+    uni = (
+        df.select(tokens(text_col).alias("_toks"))
+        .where(F.size("_toks") >= 2)
+        .select(F.explode("_toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w_salt = Window.partitionBy("_salt").orderBy(F.desc("freq"), F.col("tok"))
+    w_all = Window.orderBy(F.desc("freq"), F.col("tok"))
+    return (
+        uni.withColumn("_salt", F.pmod(F.xxhash64("tok"), F.lit(n_salts)))
+        .withColumn("_r", F.row_number().over(w_salt))
+        .where(F.col("_r") <= vocab_k)
+        .withColumn("rnk", F.row_number().over(w_all).cast("long"))
+        .where(F.col("rnk") <= vocab_k)
+        .select("tok", "freq", "rnk")
+    )
+
+
 def _lm_base(
     df: DataFrame,
     text_col: str,
@@ -1351,16 +1386,8 @@ def _lm_base(
         F.size("_toks") >= 2
     )
     tok = d2.select(*gcols, F.posexplode("_toks").alias("_pos", "_tok"))
-    uni = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_freq"))
-    w_salt = Window.partitionBy("_salt").orderBy(F.desc("_freq"), F.col("_tok"))
-    w_all = Window.orderBy(F.desc("_freq"), F.col("_tok"))
-    vocab = (
-        uni.withColumn("_salt", F.pmod(F.xxhash64("_tok"), F.lit(n_salts)))
-        .withColumn("_r", F.row_number().over(w_salt))
-        .where(F.col("_r") <= vocab_k)
-        .withColumn("_rn", F.row_number().over(w_all))
-        .where(F.col("_rn") <= vocab_k)
-        .select("_tok")
+    vocab = lm_vocab_census(df, vocab_k, text_col, n_salts).select(
+        F.col("tok").alias("_tok")
     )
     mapped = tok.join(
         F.broadcast(vocab.withColumn("_v", F.lit(1))), "_tok", "left"

@@ -7081,6 +7081,81 @@ limit 20
 """
 
 
+def q203_lm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out LM drift monitor (ext/textops.lm_score_against_model):
+    the census-once/score-later production split — vocabulary and
+    bigram model frozen from the source<>'src0' slice
+    (lm_vocab_census + lm_bigram_counts, a bounded <= 512-row vocab
+    collect), every document scored against that EXTERNAL model.
+    Unseen bigrams ride the LEFT join's zero-filled counts; top-20
+    most surprising docs. Gate mode='fixed' (exact int64, one double
+    division per doc); production is ln perplexity."""
+    from pyspark.sql import functions as _F
+
+    docs = load(spark, sf_dir, "documents")
+    train = docs.where(_F.col("source") != "src0")
+    vocab = [
+        r.tok
+        for r in textops.lm_vocab_census(train).orderBy("rnk").collect()
+    ]
+    counts = textops.lm_bigram_counts(train, vocab)
+    return textops.lm_score_against_model(docs, counts, vocab, mode="fixed")
+
+
+ORACLE_Q203 = """
+with alld as (
+  select doc_id, source,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') as toks
+  from documents),
+a2 as (select doc_id, source, toks from alld where len(toks) >= 2),
+tok as (
+  select doc_id, source, i as pos, toks[i] as tok
+  from a2, unnest(range(1, len(toks) + 1)) t(i)),
+tuni as (
+  select tok, count(*) as freq from tok where source <> 'src0' group by 1),
+vocab as (select tok from tuni order by freq desc, tok limit 512),
+vsz as (select cast(count(*) + 1 as bigint) as veff from vocab),
+mapped as (
+  select t.doc_id, t.source, t.pos,
+         case when v.tok is not null then t.tok else '<unk>' end as w
+  from tok t left join vocab v on t.tok = v.tok),
+big as (
+  select doc_id, source, w,
+         lead(w) over (partition by doc_id order by pos) as w2
+  from mapped),
+c12 as (
+  select w, w2, cast(count(*) as bigint) as c12
+  from big where w2 is not null and source <> 'src0' group by 1, 2),
+c1 as (select w, cast(sum(c12) as bigint) as c1 from c12 group by 1),
+stats as (
+  select doc_id, cast(count(*) as bigint) as n_tokens,
+         cast(sum(case when w = '<unk>' then 1 else 0 end) as bigint) as n_unk
+  from big group by 1),
+types as (
+  select doc_id, w, w2, cast(count(*) as bigint) as k
+  from big where w2 is not null group by 1, 2, 3),
+terms as (
+  select t.doc_id,
+         t.k * (((coalesce(c.c1, 0) + vsz.veff) * 1048576)
+                // (coalesce(b.c12, 0) + 1)) as term,
+         t.k
+  from types t
+  left join c12 b on t.w = b.w and t.w2 = b.w2
+  left join c1 c on t.w = c.w
+  cross join vsz),
+perdoc as (
+  select doc_id, cast(sum(term) as bigint) as sum_fp,
+         cast(sum(k) as bigint) as n_bigrams
+  from terms group by 1)
+select s.doc_id, s.n_tokens, s.n_unk, p.n_bigrams,
+       cast(p.sum_fp as double) / cast(p.n_bigrams * 1048576 as double)
+         as lm_surprisal
+from stats s join perdoc p on s.doc_id = p.doc_id
+order by lm_surprisal desc, s.doc_id
+limit 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -7284,6 +7359,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q200_lm_surprisal": q200_lm_surprisal,
     "q201_winnow_pairs": q201_winnow_pairs,
     "q202_target_affinity": q202_target_affinity,
+    "q203_lm_drift": q203_lm_drift,
 }
 
 ORACLES: dict[str, str] = {
@@ -7489,4 +7565,5 @@ ORACLES: dict[str, str] = {
     "q200_lm_surprisal": ORACLE_Q200,
     "q201_winnow_pairs": ORACLE_Q201,
     "q202_target_affinity": ORACLE_Q202,
+    "q203_lm_drift": ORACLE_Q203,
 }

@@ -4485,3 +4485,35 @@ def test_lm_score_against_model_held_out_drift(spark):
         ).collect()
     }
     assert ppl[101] > ppl[100] >= 1.0
+
+
+def test_lm_vocab_census_matches_python(docs):
+    """The frozen-vocabulary census equals a pure-Python census over
+    the same population (docs with >= 2 tokens — bigram evidence),
+    ranks by (freq desc, token asc), and is deterministic under
+    repartitioning (the salted two-phase top-k is a total order)."""
+    from collections import Counter
+
+    from sparksync.ext import textops
+
+    uni: Counter = Counter()
+    for r in docs.select("text").collect():
+        ts = [t for t in r.text.split() if t]
+        if len(ts) >= 2:
+            uni.update(ts)
+    want = sorted(uni, key=lambda t: (-uni[t], t))[:64]
+    got = [
+        (r.tok, r.freq)
+        for r in textops.lm_vocab_census(docs, vocab_k=64)
+        .orderBy("rnk")
+        .collect()
+    ]
+    assert [t for t, _ in got] == want
+    assert all(f == uni[t] for t, f in got)
+    again = [
+        r.tok
+        for r in textops.lm_vocab_census(docs.repartition(13), vocab_k=64)
+        .orderBy("rnk")
+        .collect()
+    ]
+    assert again == want
