@@ -1600,7 +1600,15 @@ def lm_bigram_counts(
 
     Output: (w, w2, cnt). The context table is one more groupBy
     (sum cnt by w), and scoring new docs against the maintained model
-    is ngram_lm_score's (w, w2) broadcast-join shape."""
+    is ngram_lm_score's (w, w2) broadcast-join shape.
+
+    Trade on the '<unk>' mapping: array_contains against the literal
+    vocab is an O(|vocab|) scan per token — at default-sized caps
+    that's measured cheaper than any join/reassembly detour (profiled
+    at sf0.1: the mapping+counts job is ~1 s, dwarfed by the census),
+    but for vocabularies in the tens of thousands prefer the
+    broadcast-join mapping of the ngram_lm_score pipeline on the
+    batch side."""
     vlit = F.array(*[F.lit(t) for t in vocab])
     toks = tokens(text_col)
     mapped = F.transform(
