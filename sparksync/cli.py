@@ -114,16 +114,17 @@ def main(argv: list[str] | None = None) -> int:
             # discovery + ONE components pass (X194)
             "report",
             # round 9: bigram-LM perplexity quality filter (X195),
-            # winnowing fingerprint overlap (X196), and DSIR target
-            # affinity (X197)
-            "quality", "winnow", "affinity",
+            # winnowing fingerprint overlap (X196), DSIR target
+            # affinity (X197), and held-out LM drift (X199)
+            "quality", "winnow", "affinity", "drift",
         ],
     )
     aud.add_argument("--table", help="pruning/quantile: table to audit")
     aud.add_argument(
         "--target",
         help="affinity: boolean SQL expression selecting target docs "
-        "(e.g. \"lang = 'en'\")",
+        "(e.g. \"lang = 'en'\"); drift: expression selecting the "
+        "TRAIN slice the model freezes on (e.g. \"source <> 'src0'\")",
     )
     aud.add_argument("--bucket", help="pruning: bucket column")
     aud.add_argument("--bucket-width", type=int, default=1000)
@@ -547,6 +548,29 @@ def main(argv: list[str] | None = None) -> int:
                     p.error(f"audit --kind affinity needs --{a}")
             out = lm_target_affinity(
                 job._read_source(args.table), F.expr(args.target), mode="ln"
+            )
+        elif args.kind == "drift":
+            # X199: held-out drift — census + model frozen on the
+            # --target slice, every doc scored against that external
+            # model; production runs true perplexity (ln)
+            from pyspark.sql import functions as F
+
+            from .ext.textops import (
+                lm_bigram_counts,
+                lm_score_against_model,
+                lm_vocab_census,
+            )
+
+            for a in ("table", "target"):
+                if getattr(args, a) is None:
+                    p.error(f"audit --kind drift needs --{a}")
+            docs = job._read_source(args.table)
+            train = docs.where(F.expr(args.target))
+            vocab = [
+                r.tok for r in lm_vocab_census(train).orderBy("rnk").collect()
+            ]
+            out = lm_score_against_model(
+                docs, lm_bigram_counts(train, vocab), vocab, mode="ln"
             )
         elif args.kind == "winnow":
             # X196: winnowing overlap pairs; production sets the

@@ -1174,10 +1174,21 @@ def test_cli_audit_round9_text_kinds(tmp_path, capsys):
     for r in rows:
         assert r["target_affinity"] > 0.0  # ln mode: a likelihood ratio
 
+    assert main(base + ["audit", "--kind", "drift", "--table", "documents",
+                        "--target", "source <> 'src0'"]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert rows
+    for r in rows:
+        assert r["lm_surprisal"] >= 1.0       # held-out perplexity
+        assert r["n_bigrams"] == r["n_tokens"] - 1
+
     import pytest as _pytest
 
     with _pytest.raises(SystemExit):
         main(base + ["audit", "--kind", "quality"])  # --table required
     with _pytest.raises(SystemExit):
         main(base + ["audit", "--kind", "affinity",
+                     "--table", "documents"])  # --target required
+    with _pytest.raises(SystemExit):
+        main(base + ["audit", "--kind", "drift",
                      "--table", "documents"])  # --target required
