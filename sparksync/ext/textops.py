@@ -1288,7 +1288,7 @@ def ngram_lm_score(
     if mode == "fixed":
         term = F.expr(f"_k * ((_num * {scale}L) div (_c12 + 1L))")
         per_doc = scored.groupBy(id_col).agg(
-            F.sum(term).cast("long").alias("_sum_fp"),
+            _lm_sum_fp(term, "ngram_lm_score").alias("_sum_fp"),
             F.sum("_k").cast("long").alias("n_bigrams"),
         )
         surprisal = F.col("_sum_fp").cast("double") / (
@@ -1424,6 +1424,30 @@ def _lm_broadcastable(model: DataFrame, vocab_k: int) -> DataFrame:
     return F.broadcast(model) if (vocab_k + 1) ** 2 <= 4_000_000 else model
 
 
+def _lm_sum_fp(term, fname: str):
+    """Overflow-symmetric per-doc sum for mode='fixed': Spark's
+    non-ANSI int64 SUM wraps silently while the DuckDB oracle sums
+    into hugeint and RAISES on the bigint cast — an asymmetric failure
+    on very long docs with context counts near the single-term guard.
+    Summing into decimal(38,0) (exact, 38 digits >> any doc's term
+    count x the int64 term bound) and raising on either int64 bound
+    makes both engines fail loudly instead of one wrapping."""
+    mx = (1 << 63) - 1
+    s = F.sum(term.cast("decimal(38,0)"))
+    return (
+        F.when(
+            (s > F.lit(str(mx)).cast("decimal(38,0)"))
+            | (s < F.lit(str(-(1 << 63))).cast("decimal(38,0)")),
+            F.raise_error(
+                f"{fname}: per-doc fixed-point sum overflows int64 - "
+                "lower scale_bits"
+            ).cast("decimal(38,0)"),
+        )
+        .otherwise(s)
+        .cast("long")
+    )
+
+
 def _lm_topk_docs(
     full: DataFrame,
     score_col: str,
@@ -1540,7 +1564,7 @@ def lm_target_affinity(
             f" - ((_numt * {scale}L) div (_c12t + 1L)))"
         )
         per_doc = scored.groupBy(id_col, "_tgt").agg(
-            F.sum(term).cast("long").alias("_sum_fp"),
+            _lm_sum_fp(term, "lm_target_affinity").alias("_sum_fp"),
             F.sum("_k").cast("long").alias("n_bigrams"),
         )
         affinity = F.col("_sum_fp").cast("double") / (
@@ -1714,13 +1738,18 @@ def lm_score_against_model(
         .groupBy("w")
         .agg(F.sum("cnt").alias("_c1"))
     )
-    model = counts.join(c1, "w").select(
-        "w", "w2", F.col("cnt").alias("_c12"), "_c1"
-    )
+    # c1 joins on w ALONE: a novel continuation (w, w2') of a seen
+    # context w must still see c1(w) > 0 — riding _c1 on the (w, w2)
+    # model row would zero-fill it for unseen bigrams and under-report
+    # exactly the drift signal this monitor exists to catch (the
+    # probability must be (c12+1)/(c1+V_eff), not 1/V_eff).
+    model = counts.select("w", "w2", F.col("cnt").alias("_c12"))
     if (len(vocab) + 1) ** 2 <= 4_000_000:
         model = F.broadcast(model)
+        c1 = F.broadcast(c1)
     scored = (
         types.join(model, ["w", "w2"], "left")
+        .join(c1, "w", "left")
         .withColumn("_c12f", F.coalesce(F.col("_c12"), F.lit(0)))
         .withColumn(
             "_num",
@@ -1736,7 +1765,7 @@ def lm_score_against_model(
     if mode == "fixed":
         term = F.expr(f"_k * ((_num * {scale}L) div (_c12f + 1L))")
         per_doc = scored.groupBy(id_col).agg(
-            F.sum(term).cast("long").alias("_sum_fp"),
+            _lm_sum_fp(term, "lm_score_against_model").alias("_sum_fp"),
             F.sum("_k").cast("long").alias("n_bigrams"),
         )
         surprisal = F.col("_sum_fp").cast("double") / (

@@ -4487,6 +4487,58 @@ def test_lm_score_against_model_held_out_drift(spark):
     assert ppl[101] > ppl[100] >= 1.0
 
 
+def test_lm_score_against_model_seen_context_unseen_bigram(spark):
+    """The LEFT join's distinguishing case: a NOVEL continuation of a
+    FREQUENT in-vocab context. c1(w) must come from the context table
+    joined on w ALONE — riding it on the (w, w2) model row zero-fills
+    it for unseen bigrams, turning p into 1/V_eff instead of
+    1/(c1+V_eff) and under-reporting exactly the drift signal this
+    monitor exists to catch. Asserted bit-for-bit against a pure-
+    Python replay of the fixed-point math."""
+    from sparksync.ext import textops
+
+    train = spark.createDataFrame(
+        [(0, "a b a b")], "doc_id long, text string"
+    )
+    vocab = ["a", "b"]
+    counts = textops.lm_bigram_counts(train, vocab)
+    # model: c12(a,b)=2, c12(b,a)=1 -> c1(a)=2, c1(b)=1; V_eff=3
+    c12 = {(r.w, r.w2): r.cnt for r in counts.collect()}
+    assert c12 == {("a", "b"): 2, ("b", "a"): 1}
+
+    def replay(text: str, scale_bits: int = 20) -> float:
+        toks = text.split()
+        c1 = {"a": 2, "b": 1}
+        veff = len(vocab) + 1
+        total = nb = 0
+        for w, w2 in zip(toks, toks[1:]):
+            total += ((c1.get(w, 0) + veff) << scale_bits) // (
+                c12.get((w, w2), 0) + 1
+            )
+            nb += 1
+        return total / (nb << scale_bits)
+
+    probe = spark.createDataFrame(
+        [(1, "a a"),        # (a,a): unseen bigram, SEEN context a
+         (2, "a a b a"),    # mix of unseen (a,a) and seen (a,b),(b,a)
+         (3, "zz a b zz")], # unseen context edges around a seen bigram
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.lm_surprisal
+        for r in textops.lm_score_against_model(
+            probe, counts, vocab, mode="fixed", limit=10
+        ).collect()
+    }
+    # doc 1 is the regression pin: ((2+3)<<20)//(0+1) -> 5.0 exactly,
+    # NOT the zero-filled 3.0
+    assert got[1] == 5.0
+    assert got[1] == replay("a a")
+    assert got[2] == replay("a a b a")
+    # zz maps to <unk>: genuinely-unseen context stays zero-filled
+    assert got[3] == replay("<unk> a b <unk>")
+
+
 def test_lm_vocab_census_matches_python(docs):
     """The frozen-vocabulary census equals a pure-Python census over
     the same population (docs with >= 2 tokens — bigram evidence),
