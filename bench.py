@@ -79,6 +79,15 @@ HEADLINE = [
     "q200_lm_surprisal",
     "q201_winnow_pairs",
     "q202_target_affinity",
+    # round-10 additions (VERDICT r9 #2): the nightly-shaped held-out
+    # drift monitor (census + frozen-model scoring join) and the
+    # cluster-size histogram get recorded numbers; q204 is the new
+    # composed winnowing capstone (fingerprint pairs -> one components
+    # pass -> keeper + full report in one job). Totals grow by three
+    # queries vs BENCH_r09 — compare per-query
+    "q196_cluster_size_histogram",
+    "q203_lm_drift",
+    "q204_winnow_dedup_report",
 ]
 
 

@@ -1523,6 +1523,65 @@ def dedup_report(
     )
 
 
+def dedup_decision_report(
+    df: DataFrame,
+    pairs: DataFrame,
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """The full corpus-cut sign-off artifact: the aggregate
+    dedup_report (topline / survivorship / histogram / cross-source)
+    PLUS the per-document keeper DECISION, all from ONE supplied pair
+    graph and ONE connected-components pass — the shape a production
+    run actually executes before dropping data (reference analog: the
+    row-level verify that accompanies compareDb's aggregate verdict,
+    `cmd/compare.go:102-132`, lifted to corpus level). The pair source
+    is the caller's choice — MinHash+LSH, SimHash, winnowing overlap,
+    embedding RP-LSH all emit (d1, d2) — so the position-robust
+    winnowing graph reaches the same decision path the lexical
+    capstones use.
+
+    The graph is localCheckpoint'ed HERE, once: the components loop,
+    the cross-source rollup, and nothing else re-derive the discovery
+    pipeline (accumulator-asserted,
+    test_decision_report_single_fingerprint_pass). Components run
+    once; dedup_report and cluster_keeper_from_pairs both consume the
+    same checkpoint-backed labels (the VERDICT r8 #2 sharing
+    contract). Keeper rows append to the long format as
+      section='keeper' key_a=doc_id key_b=cluster_id
+                       n1=quality n2=n_members n3=kept
+    so one job yields both the aggregate verdict and the row-level
+    drop list."""
+    from .graph import connected_components
+
+    pairs = pairs.select("d1", "d2").localCheckpoint(eager=True)
+    comp = connected_components(pairs, "d1", "d2")
+    quality = df.select(
+        F.col(id_col), F.col(quality_col).cast("long").alias("quality")
+    )
+    keeper = cluster_keeper_from_pairs(None, quality, id_col, components=comp)
+    report = dedup_report(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        source_col=source_col,
+        pairs=pairs,
+        components=comp,
+    )
+    sec_keeper = keeper.select(
+        F.lit("keeper").alias("section"),
+        F.col(id_col).cast("string").alias("key_a"),
+        F.col("cluster_id").cast("string").alias("key_b"),
+        F.col("quality").alias("n1"),
+        F.col("n_members").alias("n2"),
+        F.col("kept").alias("n3"),
+        F.lit(None).cast("double").alias("share"),
+    )
+    return report.unionByName(sec_keeper)
+
+
 def minhash_recall_audit(
     df: DataFrame,
     threshold: float = 0.8,

@@ -7156,6 +7156,126 @@ limit 20
 """
 
 
+def q204_winnow_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed winnowing dedup capstone (ext/dedup.
+    dedup_decision_report over winnow_overlap_pairs): MOSS fingerprints
+    (each 8-window's minimum over the ordered 5-gram md5-portable hash
+    stream) -> >= 3 shared fingerprints -> ONE connected-components
+    pass -> the full sign-off artifact: corpus topline, per-source
+    survivorship, cluster-size histogram, cross-source matrix AND the
+    per-document keeper decision (highest n_chars, ties to smallest
+    id), in one long-format job. The position-robust pair source
+    reaching the same decision path the MinHash capstones use —
+    VERDICT r9 #1."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.winnow_overlap_pairs(
+        docs, k=5, w=8, min_shared=3
+    )
+    return dedup.dedup_decision_report(docs, pairs, quality_col="n_chars")
+
+
+ORACLE_Q204 = """
+with recursive
+docs as (
+  select doc_id,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') as toks
+  from documents),
+dk as (
+  select doc_id, toks, len(toks) - 4 as m
+  from docs where len(toks) >= 5),
+h as (
+  select doc_id, m, i as pos,
+         cast(cast('0x' || substring(md5(
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+             toks[i+3] || ' ' || toks[i+4]
+         ), 1, 15) as ubigint) as bigint) as h
+  from dk, unnest(range(1, m + 1)) t(i)),
+wmin as (
+  select doc_id, m, pos,
+         min(h) over (partition by doc_id order by pos
+                      rows between current row and 7 following) as fp
+  from h),
+fps as (
+  select distinct doc_id, fp
+  from wmin where pos <= greatest(m - 7, 1)),
+prs as (
+  select a.doc_id as d1, b.doc_id as d2, cast(count(*) as bigint) as ns
+  from fps a join fps b on a.fp = b.fp and a.doc_id < b.doc_id
+  group by 1, 2),
+pairs as (select d1, d2 from prs where ns >= 3),
+edges as (select d1 as a, d2 as b from pairs
+          union all select d2, d1 from pairs),
+reach(a, b) as (
+  select a, b from edges
+  union
+  select r.a, e.b from reach r join edges e on r.b = e.a),
+nodes as (select distinct a as node from edges),
+cc as (
+  select n.node as doc_id, least(n.node, min(r.b)) as keep_id
+  from nodes n left join reach r on r.a = n.node
+  group by n.node),
+base as (
+  select d.doc_id, d.source, cc.keep_id
+  from documents d left join cc on cc.doc_id = d.doc_id),
+surv as (
+  select source as key_a,
+         cast(count(*) as bigint) as n1,
+         cast(sum(case when keep_id is not null then 1 else 0 end)
+              as bigint) as n2,
+         cast(sum(case when keep_id is not null and keep_id <> doc_id
+                       then 1 else 0 end) as bigint) as n3
+  from base group by 1),
+csz as (select keep_id, cast(count(*) as bigint) as sz from cc group by 1),
+hist as (
+  select case when sz <= 2 then '2' when sz <= 5 then '3-5'
+              when sz <= 10 then '6-10' else '>10' end as key_a,
+         cast(count(*) as bigint) as n1,
+         cast(sum(sz) as bigint) as n2
+  from csz group by 1),
+xs as (
+  select least(s1.source, s2.source) as key_a,
+         greatest(s1.source, s2.source) as key_b,
+         cast(count(*) as bigint) as n1
+  from pairs p
+  join documents s1 on s1.doc_id = p.d1
+  join documents s2 on s2.doc_id = p.d2
+  group by 1, 2),
+labeled as (
+  select d.doc_id, cast(d.n_chars as bigint) as quality,
+         coalesce(c.keep_id, d.doc_id) as cluster_id
+  from documents d left join cc c using (doc_id)),
+ranked as (
+  select *, row_number() over (partition by cluster_id
+                               order by quality desc, doc_id asc) as rn,
+         count(*) over (partition by cluster_id) as nm
+  from labeled)
+select 'topline' as section, 'corpus' as key_a,
+       cast(null as varchar) as key_b,
+       cast(sum(n1) as bigint) as n1, cast(sum(n2) as bigint) as n2,
+       cast(sum(n3) as bigint) as n3,
+       cast(sum(n3) as double) / cast(sum(n1) as double) as share
+from surv
+union all
+select 'survivorship', key_a, cast(null as varchar), n1, n2, n3,
+       cast(n3 as double) / cast(n1 as double)
+from surv
+union all
+select 'cluster_histogram', key_a, cast(null as varchar), n1, n2,
+       cast(null as bigint), cast(null as double)
+from hist
+union all
+select 'cross_source', key_a, key_b, n1, cast(null as bigint),
+       cast(null as bigint), cast(null as double)
+from xs
+union all
+select 'keeper', cast(doc_id as varchar), cast(cluster_id as varchar),
+       quality, cast(nm as bigint),
+       cast(case when rn = 1 then 1 else 0 end as bigint),
+       cast(null as double)
+from ranked
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -7360,6 +7480,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q201_winnow_pairs": q201_winnow_pairs,
     "q202_target_affinity": q202_target_affinity,
     "q203_lm_drift": q203_lm_drift,
+    "q204_winnow_dedup_report": q204_winnow_dedup_report,
 }
 
 ORACLES: dict[str, str] = {
@@ -7566,4 +7687,5 @@ ORACLES: dict[str, str] = {
     "q201_winnow_pairs": ORACLE_Q201,
     "q202_target_affinity": ORACLE_Q202,
     "q203_lm_drift": ORACLE_Q203,
+    "q204_winnow_dedup_report": ORACLE_Q204,
 }

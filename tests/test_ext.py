@@ -3518,6 +3518,60 @@ def test_dedup_report_consistency(spark, docs):
     assert got_xs == xs
 
 
+def test_dedup_decision_report_synthetic(spark):
+    """dedup_decision_report on a hand-built graph: keeper rows carry
+    the max-quality decision (ties to smallest id), singletons
+    self-keep, and the aggregate sections agree with a pure-Python
+    replay of the same clusters — the keeper section is a first-class
+    part of the one-job artifact, not a second pipeline."""
+    from sparksync.ext import dedup as dd
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", 10, "x"),
+            (2, "s1", 30, "x"),  # cluster {1,2,3}: keeper 2 (q=30)
+            (3, "s2", 30, "x"),  # tie 30 vs 30 -> smaller id 2 wins
+            (4, "s2", 7, "x"),   # singleton
+            (5, "s1", 5, "x"),
+            (6, "s2", 9, "x"),   # cluster {5,6}: keeper 6
+        ],
+        "doc_id long, source string, n_chars long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "d1 long, d2 long"
+    )
+    rows = dd.dedup_decision_report(docs, pairs).collect()
+    by_sec = {}
+    for r in rows:
+        by_sec.setdefault(r.section, []).append(r)
+
+    keep = {r.key_a: r for r in by_sec["keeper"]}
+    assert set(keep) == {"1", "2", "3", "4", "5", "6"}
+    # (cluster_id, quality, n_members, kept)
+    expect = {
+        "1": ("1", 10, 3, 0),
+        "2": ("1", 30, 3, 1),
+        "3": ("1", 30, 3, 0),
+        "4": ("4", 7, 1, 1),
+        "5": ("5", 5, 2, 0),
+        "6": ("5", 9, 2, 1),
+    }
+    for k, (cid, q, nm, kept) in expect.items():
+        r = keep[k]
+        assert (r.key_b, r.n1, r.n2, r.n3) == (cid, q, nm, kept), k
+
+    (top,) = by_sec["topline"]
+    # 6 docs, 5 in clusters, 3 dropped by the min-id canonical rule
+    assert (top.n1, top.n2, top.n3) == (6, 5, 3)
+    surv = {r.key_a: (r.n1, r.n2, r.n3) for r in by_sec["survivorship"]}
+    # min-id canonical keeps 1 and 5: s1 drops {2}, s2 drops {3, 6}
+    assert surv == {"s1": (3, 3, 1), "s2": (3, 2, 2)}
+    hist = {r.key_a: (r.n1, r.n2) for r in by_sec["cluster_histogram"]}
+    assert hist == {"2": (1, 2), "3-5": (1, 3)}
+    xs = {(r.key_a, r.key_b): r.n1 for r in by_sec["cross_source"]}
+    assert xs == {("s1", "s1"): 1, ("s1", "s2"): 2}
+
+
 def test_rollups_accept_supplied_pairs(spark, docs):
     """dedup_survivorship / dup_cluster_histogram with pairs= (the
     100 TB form: feed the LSH graph) equal their exact-Jaccard

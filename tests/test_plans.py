@@ -886,3 +886,64 @@ def test_keeper_and_report_share_one_components_pass(spark, monkeypatch):
     top = [r for r in report.collect() if r.section == "topline"][0]
     assert top.n2 == len(k)  # docs in clusters
     features.release_pinned()
+
+
+def test_decision_report_single_fingerprint_pass(spark, monkeypatch):
+    """q204's composed contract (VERDICT r9 #1): dedup_decision_report
+    must materialize the supplied winnowing pair pipeline exactly ONCE
+    (its own eager localCheckpoint) even though the components loop,
+    the keeper, all four report rollups and the cross-source matrix
+    consume the graph — and run connected_components exactly once for
+    keeper + report together. Without the checkpoint every consumer
+    would re-run the fingerprint self-join (a full corpus tokenize +
+    posexplode + window at 100 TB)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from sparksync.ext import dedup, features, graph
+    from sparksync.source import load_table
+
+    features.release_pinned()
+    docs = load_table(spark, SF_SMOKE, "documents")
+    raw = dedup.winnow_overlap_pairs(docs, k=5, w=8, min_shared=3)
+    n_pairs = raw.count()
+    assert n_pairs > 0
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def _tick(x):
+        acc.add(1)
+        return x
+
+    tick = F.udf(_tick, LongType())
+    counted = raw.withColumn("d1", tick(F.col("d1")))
+
+    calls = {"n": 0}
+    real_cc = graph.connected_components
+
+    def counting_cc(*a, **k):
+        calls["n"] += 1
+        return real_cc(*a, **k)
+
+    monkeypatch.setattr(graph, "connected_components", counting_cc)
+    out = dedup.dedup_decision_report(docs, counted, quality_col="n_chars")
+    out.write.format("noop").mode("overwrite").save()
+    assert calls["n"] == 1, (
+        f"connected_components ran {calls['n']}x - decision report must "
+        "resolve clusters once for keeper + report"
+    )
+    assert acc.value == n_pairs, (
+        f"fingerprint pipeline executed {acc.value / max(1, n_pairs):.1f} "
+        "reads/pair (expected 1: the report's checkpoint) - a consumer "
+        "re-ran the winnow self-join"
+    )
+    # keeper rows agree with the aggregate topline they ship alongside
+    rows = out.collect()
+    top = [r for r in rows if r.section == "topline"][0]
+    kept_drop = sum(
+        1 for r in rows if r.section == "keeper" and r.n3 == 0 and r.n2 > 1
+    )
+    # each size-s cluster contributes s-1 drops under BOTH rules (the
+    # topline's min-id canonical and the keeper's max-quality pick)
+    assert top.n3 == kept_drop
+    features.release_pinned()
