@@ -1240,8 +1240,17 @@ def ngram_lm_score(
     1/p = (c1 + V_eff) / (c12 + 1) in fixed point,
     floor((c1 + V_eff) << scale_bits / (c12 + 1)) — exact int64
     arithmetic end to end, ONE double division per doc at the finish,
-    so every value replays bit-exactly in any engine. Mean 1/p ranks
-    "surprising" the same way perplexity does for filtering purposes.
+    so every value replays bit-exactly in any engine. The two modes
+    are the arithmetic vs geometric mean of the SAME per-bigram 1/p
+    values, so per doc ln <= fixed always (AM-GM, equality iff the
+    doc's bigram probabilities are uniform) — but they are different
+    summaries, NOT monotone transforms of each other: a doc with one
+    extreme bigram dominates the AM far more than the GM, and the
+    top-k sets overlap without coinciding (measured ~7-15 of 20 on
+    the gate fixtures; test_lm_fixed_vs_ln_mode_relationship pins the
+    inequality, the equality case, and overlap floors). The gate
+    certifies the fixed summary bit-exactly; production ships the
+    perplexity.
 
     Scale shape: one explode -> unigram counts with map-side combine;
     vocab top-k via the salted two-phase window (vocab_topk's
@@ -1600,6 +1609,17 @@ def lm_target_affinity(
     )
 
 
+# Above this vocab size the '<unk>' mapping in lm_bigram_counts (and
+# therefore the streaming twin, which shares the expression) switches
+# from the literal-array scan (O(|vocab|) comparisons per token, cheap
+# and codegen-friendly at census-cap sizes) to broadcast hash joins
+# (O(1) probes per token; the right call for the tens-of-thousands
+# vocabularies where the scan silently turns every token into 50k
+# comparisons). Both shapes are parity-tested against each other and
+# a pure-Python replay.
+LM_VOCAB_JOIN_THRESHOLD = 1024
+
+
 def lm_bigram_counts(
     df: DataFrame,
     vocab: list[str],
@@ -1626,33 +1646,72 @@ def lm_bigram_counts(
     (sum cnt by w), and scoring new docs against the maintained model
     is ngram_lm_score's (w, w2) broadcast-join shape.
 
-    Trade on the '<unk>' mapping: array_contains against the literal
-    vocab is an O(|vocab|) scan per token — at default-sized caps
-    that's measured cheaper than any join/reassembly detour (profiled
-    at sf0.1: the mapping+counts job is ~1 s, dwarfed by the census),
-    but for vocabularies in the tens of thousands prefer the
-    broadcast-join mapping of the ngram_lm_score pipeline on the
-    batch side."""
-    vlit = F.array(*[F.lit(t) for t in vocab])
+    Trade on the '<unk>' mapping (auto-switched, VERDICT r9 #3):
+    array_contains against the literal vocab is an O(|vocab|) scan per
+    token — at default-sized caps that's measured cheaper than any
+    join/reassembly detour (profiled at sf0.1: the mapping+counts job
+    is ~1 s, dwarfed by the census) — but it scales linearly in the
+    vocab, so above LM_VOCAB_JOIN_THRESHOLD tokens the mapping flips
+    to broadcast hash joins: RAW-token bigram pairs are assembled
+    array-side first (the mapping commutes with pair assembly), then
+    each side of the exploded pair left-joins the broadcast vocab —
+    O(1) hash probes per token at any vocab size. The join form is
+    deliberately placed AFTER pair assembly so it stays legal on an
+    unbounded stream (stream-static joins are allowed pre-aggregation;
+    a posexplode + window reassembly is not) and state stays
+    <= (V+1)^2 — mapping BEFORE the stateful count is what bounds it.
+    `vocab` must be distinct (the census guarantees it); duplicates
+    would multiply join rows."""
     toks = tokens(text_col)
-    mapped = F.transform(
-        toks,
-        lambda x: F.when(F.array_contains(vlit, x), x).otherwise(
-            F.lit("<unk>")
-        ),
-    )
-    n = F.size(mapped)
-    pairs = F.when(
+    n = F.size(toks)
+    if len(vocab) <= LM_VOCAB_JOIN_THRESHOLD:
+        vlit = F.array(*[F.lit(t) for t in vocab])
+        mapped = F.transform(
+            toks,
+            lambda x: F.when(F.array_contains(vlit, x), x).otherwise(
+                F.lit("<unk>")
+            ),
+        )
+        pairs = F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice(mapped, 1, n - 1),
+                F.slice(mapped, 2, n - 1),
+                lambda a, b: F.struct(a.alias("w"), b.alias("w2")),
+            ),
+        ).otherwise(F.array().cast("array<struct<w:string,w2:string>>"))
+        return (
+            df.select(F.explode(pairs).alias("_p"))
+            .select(F.col("_p.w").alias("w"), F.col("_p.w2").alias("w2"))
+            .groupBy("w", "w2")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+    raw = F.when(
         n >= 2,
         F.zip_with(
-            F.slice(mapped, 1, n - 1),
-            F.slice(mapped, 2, n - 1),
-            lambda a, b: F.struct(a.alias("w"), b.alias("w2")),
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.struct(a.alias("rw"), b.alias("rw2")),
         ),
-    ).otherwise(F.array().cast("array<struct<w:string,w2:string>>"))
+    ).otherwise(F.array().cast("array<struct<rw:string,rw2:string>>"))
+    vdf = df.sparkSession.createDataFrame(
+        [(t,) for t in vocab], "tok string"
+    )
+    m1 = F.broadcast(vdf.select(F.col("tok").alias("_rw"), F.lit(1).alias("_v1")))
+    m2 = F.broadcast(vdf.select(F.col("tok").alias("_rw2"), F.lit(1).alias("_v2")))
     return (
-        df.select(F.explode(pairs).alias("_p"))
-        .select(F.col("_p.w").alias("w"), F.col("_p.w2").alias("w2"))
+        df.select(F.explode(raw).alias("_p"))
+        .select(F.col("_p.rw").alias("_rw"), F.col("_p.rw2").alias("_rw2"))
+        .join(m1, "_rw", "left")
+        .join(m2, "_rw2", "left")
+        .select(
+            F.when(F.col("_v1") == 1, F.col("_rw"))
+            .otherwise(F.lit("<unk>"))
+            .alias("w"),
+            F.when(F.col("_v2") == 1, F.col("_rw2"))
+            .otherwise(F.lit("<unk>"))
+            .alias("w2"),
+        )
         .groupBy("w", "w2")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )

