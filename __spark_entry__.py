@@ -21,37 +21,39 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _rotated(d: dict) -> dict:
     """The driver's CORRECTNESS report samples at most 50 queries; the
-    surface is len(QUERIES) (203 as of round 9 — test_meta asserts the
-    exact count), so allocation is explicit and rotates each round
-    toward the weakest external evidence (VERDICT r5 #4). As of round
-    8 every registered query has direct driver evidence at least once
-    (CORRECTNESS_r08 executed the promised 50/50), so round 9 rotates
-    by AGE (VERDICT r8 #3): the stalest direct driver rows are
-    q16-q47 (rounds 1-3) and q51-q65 (r6/r7 sampled them last) — 47
-    queries — plus the seven whose implementation changed or landed
-    in round 9: q195/q196 (rollups refactored onto the shared pairs=
-    path), q199 (new composed dedup report), q200 (new bigram-LM
-    surprisal filter), q201 (new winnowing near-dup pairs), q202 (new
-    DSIR-shaped target affinity), and q203 (new held-out LM drift
-    monitor). Changed/new queries sort FIRST so the 50-cap can never
-    silently drop a query with zero driver evidence; with 7 + 47 = 54
-    candidates the four cut are q62-q65, the youngest of the stale
-    set (r7 evidence). q48-q50 have r4-era evidence
-    plus q50 in every BENCH; q191's floor-div hour fix is
-    behavior-neutral at gate SF (negative-epoch-only) and keeps its
-    fresh r8 row; both committed selfcheck sweeps cover everything at
-    2 SFs. Every key keeps its name — only dict insertion order
-    changes."""
+    surface is len(QUERIES) (205 as of round 10 — test_meta asserts
+    the exact count), so allocation is explicit and rotates each round
+    toward the weakest external evidence (VERDICT r5 #4, by AGE since
+    r9). Round 10 heads the 50 with the five queries whose
+    implementation changed or landed this round: q200/q202/q203 (the
+    LM family's context-count join fix, overflow-symmetric fixed-mode
+    sums, and the auto-switched '<unk>' mapping in lm_bigram_counts
+    feed all three scorers), q204 (new composed winnowing dedup
+    capstone) and q205 (new exact shared-run pairs). Then the stalest
+    direct driver evidence per VERDICT r9 #5: q62-q65 (cut in r9,
+    r7-era rows), q48-q50 (r4-era), the q77-q109 band (r4/r5-era,
+    partially refreshed since), and q110-q120 (r4-late) to fill the
+    cap: 5 + 4 + 3 + 33 = 45 explicit + the first 5 of the q110 band
+    = 50. Changed/new queries sort FIRST so the cap can never
+    silently drop a query with zero driver evidence; both committed
+    selfcheck sweeps cover the full surface at 2 SFs regardless.
+    Every key keeps its name — only dict insertion order changes."""
 
-    changed_r9 = {195, 196, 199, 200, 201, 202, 203}
+    changed_r10 = {200, 202, 203, 204, 205}
 
     def key(name: str):
         n = int(name[1:].split("_", 1)[0])
-        if n in changed_r9:
+        if n in changed_r10:
             return (0, n)
-        if 16 <= n <= 47 or 51 <= n <= 65:
+        if 62 <= n <= 65:
             return (1, n)
-        return (2, n)
+        if 48 <= n <= 50:
+            return (2, n)
+        if 77 <= n <= 109:
+            return (3, n)
+        if 110 <= n <= 120:
+            return (4, n)
+        return (5, n)
 
     return {k: d[k] for k in sorted(d, key=key)}
 

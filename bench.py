@@ -88,6 +88,9 @@ HEADLINE = [
     "q196_cluster_size_histogram",
     "q203_lm_drift",
     "q204_winnow_dedup_report",
+    # round-10 new operator: exact longest-shared-run pairs (the
+    # Lee et al. exact-substring criterion) off winnowing candidates
+    "q205_shared_runs",
 ]
 
 

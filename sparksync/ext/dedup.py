@@ -1582,6 +1582,99 @@ def dedup_decision_report(
     return report.unionByName(sec_keeper)
 
 
+def shared_run_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    k: int = 5,
+    min_run: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    limit: int | None = None,
+    n_salts: int = 32,
+) -> DataFrame:
+    """EXACT longest shared token run per candidate pair — the
+    Lee et al. "Deduplicating Training Data Makes Language Models
+    Better" exact-substring criterion (drop/trim any >= N-token run
+    shared verbatim between documents), computed distributed: where
+    MinHash estimates set overlap and winnowing guarantees detection,
+    this measures the actual maximal contiguous span, the number the
+    >=N-token rule needs.
+
+    Diagonal-streak construction: a shared k-gram at positions (i, j)
+    of (d1, d2) extends a shared run along the diagonal i - j, and
+    within one diagonal matched i values are unique, so a maximal run
+    is a streak of consecutive i's — group matches by (pair, diag,
+    i - row_number) and the longest streak s gives a shared span of
+    s + k - 1 tokens. All exact integers; gram hashes ride
+    md5_token_hash so any engine replays bit-for-bit.
+
+    `pairs` is REQUIRED (any (d1, d2) candidate source — winnowing is
+    the natural one: its guarantee means no >= w+k-1-token run escapes
+    the candidate set, so composing winnow -> shared_run_pairs is
+    exact for min_run >= w+k-1 at O(candidates) cost, never O(n^2)).
+    Scale shape: the corpus side is semi-join-pruned to docs in
+    `pairs` BEFORE gram explosion; matches join on (doc, hash) keyed
+    by the pair; the streak window partitions by (pair, diagonal) —
+    state bounded by doc length, never by corpus size. Output:
+    (d1, d2, longest_run, n_runs) with longest_run >= min_run tokens;
+    n_runs counts maximal runs clearing min_run."""
+    from pyspark.sql import Window
+
+    from .textops import _ngrams
+
+    pairs = pairs.select("d1", "d2").localCheckpoint(eager=True)
+    docs_in_play = (
+        pairs.select(F.col("d1").alias(id_col))
+        .unionByName(pairs.select(F.col("d2").alias(id_col)))
+        .distinct()
+    )
+    base = (
+        df.join(docs_in_play, id_col, "left_semi")
+        .select(F.col(id_col), tokens(text_col).alias("toks"))
+        .where(F.size("toks") >= k)
+    )
+    grams = base.select(
+        F.col(id_col),
+        F.posexplode(_ngrams(F.col("toks"), k)).alias("_pos", "_g"),
+    ).select(id_col, "_pos", md5_token_hash(F.col("_g")).alias("_h"))
+    g1 = grams.select(
+        F.col(id_col).alias("d1"), F.col("_pos").alias("_i"), "_h"
+    )
+    g2 = grams.select(
+        F.col(id_col).alias("d2"), F.col("_pos").alias("_j"), "_h"
+    )
+    matches = (
+        pairs.join(g1, "d1")
+        .join(g2, ["d2", "_h"])
+        .select("d1", "d2", "_i", (F.col("_i") - F.col("_j")).alias("_diag"))
+    )
+    w_diag = Window.partitionBy("d1", "d2", "_diag").orderBy("_i")
+    streaks = (
+        matches.withColumn("_grp", F.col("_i") - F.row_number().over(w_diag))
+        .groupBy("d1", "d2", "_diag", "_grp")
+        .agg((F.count(F.lit(1)) + F.lit(k - 1)).cast("long").alias("_run"))
+        .where(F.col("_run") >= min_run)
+    )
+    out = streaks.groupBy("d1", "d2").agg(
+        F.max("_run").alias("longest_run"),
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+    )
+    if limit is None:
+        return out
+    w_pre = Window.partitionBy("_salt").orderBy(
+        F.desc("longest_run"), F.col("d1"), F.col("d2")
+    )
+    w_fin = Window.orderBy(F.desc("longest_run"), F.col("d1"), F.col("d2"))
+    return (
+        out.withColumn("_salt", F.pmod(F.xxhash64("d1"), F.lit(n_salts)))
+        .withColumn("_r", F.row_number().over(w_pre))
+        .where(F.col("_r") <= limit)
+        .withColumn("_rn", F.row_number().over(w_fin))
+        .where(F.col("_rn") <= limit)
+        .select("d1", "d2", "longest_run", "n_runs")
+    )
+
+
 def minhash_recall_audit(
     df: DataFrame,
     threshold: float = 0.8,

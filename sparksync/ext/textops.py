@@ -1757,36 +1757,104 @@ def lm_score_against_model(
     cap = ((1 << 63) - 1) >> scale_bits
     veff = len(vocab) + 1
 
-    vlit = F.array(*[F.lit(t) for t in vocab])
     toks = tokens(text_col)
-    mapped = F.transform(
-        toks,
-        lambda x: F.when(F.array_contains(vlit, x), x).otherwise(
-            F.lit("<unk>")
-        ),
-    )
-    base = df.select(F.col(id_col), mapped.alias("_m")).where(
-        F.size("_m") >= 2
-    )
-    n = F.size("_m")
-    pairs = F.zip_with(
-        F.slice(F.col("_m"), 1, n - 1),
-        F.slice(F.col("_m"), 2, n - 1),
-        lambda a, b: F.struct(a.alias("w"), b.alias("w2")),
-    )
-    stats = base.select(
-        F.col(id_col),
-        n.cast("long").alias("n_tokens"),
-        F.size(F.filter(F.col("_m"), lambda x: x == F.lit("<unk>")))
-        .cast("long")
-        .alias("n_unk"),
-    )
-    types = (
-        base.select(F.col(id_col), F.explode(pairs).alias("_p"))
-        .select(F.col(id_col), F.col("_p.w").alias("w"), F.col("_p.w2").alias("w2"))
-        .groupBy(id_col, "w", "w2")
-        .agg(F.count(F.lit(1)).cast("long").alias("_k"))
-    )
+    if len(vocab) <= LM_VOCAB_JOIN_THRESHOLD:
+        vlit = F.array(*[F.lit(t) for t in vocab])
+        mapped = F.transform(
+            toks,
+            lambda x: F.when(F.array_contains(vlit, x), x).otherwise(
+                F.lit("<unk>")
+            ),
+        )
+        base = df.select(F.col(id_col), mapped.alias("_m")).where(
+            F.size("_m") >= 2
+        )
+        n = F.size("_m")
+        pairs = F.zip_with(
+            F.slice(F.col("_m"), 1, n - 1),
+            F.slice(F.col("_m"), 2, n - 1),
+            lambda a, b: F.struct(a.alias("w"), b.alias("w2")),
+        )
+        stats = base.select(
+            F.col(id_col),
+            n.cast("long").alias("n_tokens"),
+            F.size(F.filter(F.col("_m"), lambda x: x == F.lit("<unk>")))
+            .cast("long")
+            .alias("n_unk"),
+        )
+        types = (
+            base.select(F.col(id_col), F.explode(pairs).alias("_p"))
+            .select(
+                F.col(id_col),
+                F.col("_p.w").alias("w"),
+                F.col("_p.w2").alias("w2"),
+            )
+            .groupBy(id_col, "w", "w2")
+            .agg(F.count(F.lit(1)).cast("long").alias("_k"))
+        )
+    else:
+        # large-vocab form (same auto-switch as lm_bigram_counts): the
+        # literal-array scan is O(|vocab|) per token, so map via
+        # broadcast hash joins instead — stats from one token explode
+        # (n_unk = unmatched rows), types from raw array-side pairs
+        # joined per side. Same number of corpus passes as the array
+        # form (stats and types are separate aggregations either way).
+        vdf = df.sparkSession.createDataFrame(
+            [(t,) for t in vocab], "tok string"
+        )
+        base = df.select(F.col(id_col), toks.alias("_t")).where(
+            F.size("_t") >= 2
+        )
+        stats = (
+            base.select(F.col(id_col), F.explode("_t").alias("_tok"))
+            .join(
+                F.broadcast(
+                    vdf.select(F.col("tok").alias("_tok"), F.lit(1).alias("_v"))
+                ),
+                "_tok",
+                "left",
+            )
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                F.sum(F.col("_v").isNull().cast("long"))
+                .cast("long")
+                .alias("n_unk"),
+            )
+        )
+        n = F.size("_t")
+        raw = F.zip_with(
+            F.slice(F.col("_t"), 1, n - 1),
+            F.slice(F.col("_t"), 2, n - 1),
+            lambda a, b: F.struct(a.alias("rw"), b.alias("rw2")),
+        )
+        m1 = F.broadcast(
+            vdf.select(F.col("tok").alias("_rw"), F.lit(1).alias("_v1"))
+        )
+        m2 = F.broadcast(
+            vdf.select(F.col("tok").alias("_rw2"), F.lit(1).alias("_v2"))
+        )
+        types = (
+            base.select(F.col(id_col), F.explode(raw).alias("_p"))
+            .select(
+                F.col(id_col),
+                F.col("_p.rw").alias("_rw"),
+                F.col("_p.rw2").alias("_rw2"),
+            )
+            .join(m1, "_rw", "left")
+            .join(m2, "_rw2", "left")
+            .select(
+                F.col(id_col),
+                F.when(F.col("_v1") == 1, F.col("_rw"))
+                .otherwise(F.lit("<unk>"))
+                .alias("w"),
+                F.when(F.col("_v2") == 1, F.col("_rw2"))
+                .otherwise(F.lit("<unk>"))
+                .alias("w2"),
+            )
+            .groupBy(id_col, "w", "w2")
+            .agg(F.count(F.lit(1)).cast("long").alias("_k"))
+        )
     # the context aggregate re-aliases its input columns FIRST: c1 and
     # the model projection both descend from `counts`, and when that
     # is a streaming-sink-backed view (a drained lm_counts_stream

@@ -7276,6 +7276,72 @@ from ranked
 """
 
 
+def q205_shared_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact longest-shared-token-run pairs (ext/dedup.
+    shared_run_pairs): the Lee et al. exact-substring dedup criterion
+    measured for real — winnowing candidates (whose guarantee means no
+    >= w+k-1 = 12-token shared run can escape the candidate set), then
+    the diagonal-streak construction turns shared 5-gram positions
+    into maximal contiguous spans. Top-20 pairs by longest exact run;
+    all exact integers."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.winnow_overlap_pairs(docs, k=5, w=8, min_shared=3)
+    return dedup.shared_run_pairs(
+        docs, pairs, k=5, min_run=12, limit=20
+    )
+
+
+ORACLE_Q205 = """
+with
+docs as (
+  select doc_id,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') as toks
+  from documents),
+dk as (
+  select doc_id, toks, len(toks) - 4 as m
+  from docs where len(toks) >= 5),
+h as (
+  select doc_id, m, i as pos,
+         cast(cast('0x' || substring(md5(
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+             toks[i+3] || ' ' || toks[i+4]
+         ), 1, 15) as ubigint) as bigint) as h
+  from dk, unnest(range(1, m + 1)) t(i)),
+wmin as (
+  select doc_id, m, pos,
+         min(h) over (partition by doc_id order by pos
+                      rows between current row and 7 following) as fp
+  from h),
+fps as (
+  select distinct doc_id, fp
+  from wmin where pos <= greatest(m - 7, 1)),
+prs as (
+  select a.doc_id as d1, b.doc_id as d2, count(*) as ns
+  from fps a join fps b on a.fp = b.fp and a.doc_id < b.doc_id
+  group by 1, 2),
+pairs as (select d1, d2 from prs where ns >= 3),
+mtch as (
+  select p.d1, p.d2, h1.pos as i, h1.pos - h2.pos as diag
+  from pairs p
+  join h h1 on h1.doc_id = p.d1
+  join h h2 on h2.doc_id = p.d2 and h2.h = h1.h),
+st as (
+  select d1, d2, diag,
+         i - row_number() over (partition by d1, d2, diag order by i) as grp
+  from mtch),
+runs as (
+  select d1, d2, diag, grp, cast(count(*) + 4 as bigint) as run
+  from st group by 1, 2, 3, 4),
+q as (
+  select d1, d2, cast(max(run) as bigint) as longest_run,
+         cast(count(*) as bigint) as n_runs
+  from runs where run >= 12 group by 1, 2)
+select d1, d2, longest_run, n_runs from q
+order by longest_run desc, d1, d2
+limit 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -7481,6 +7547,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q202_target_affinity": q202_target_affinity,
     "q203_lm_drift": q203_lm_drift,
     "q204_winnow_dedup_report": q204_winnow_dedup_report,
+    "q205_shared_runs": q205_shared_runs,
 }
 
 ORACLES: dict[str, str] = {
@@ -7688,4 +7755,5 @@ ORACLES: dict[str, str] = {
     "q202_target_affinity": ORACLE_Q202,
     "q203_lm_drift": ORACLE_Q203,
     "q204_winnow_dedup_report": ORACLE_Q204,
+    "q205_shared_runs": ORACLE_Q205,
 }

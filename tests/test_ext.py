@@ -4293,6 +4293,81 @@ def test_winnow_guarantee_randomized(spark):
     assert got == set(want_pairs)
 
 
+def test_shared_run_pairs_matches_python(spark):
+    """shared_run_pairs equals a brute-force pure-Python longest
+    common substring (token-level) scan on constructed docs covering
+    the tricky shapes: a run longer than one k-gram, TWO disjoint
+    runs in the same pair (n_runs=2), repeated grams inside one doc
+    (multiple diagonals must not merge streaks), and a shared k-gram
+    island shorter than min_run (excluded)."""
+    from sparksync.ext import dedup as dd
+
+    def brute_runs(t1, t2, k, min_run):
+        a, b = t1.split(), t2.split()
+        # all maximal shared runs via diagonal walk
+        runs = []
+        for d in range(-len(b), len(a) + 1):
+            i, streak = max(0, d), 0
+            while i < len(a) and i - d < len(b):
+                if a[i] == b[i - d]:
+                    streak += 1
+                else:
+                    if streak >= min_run:
+                        runs.append(streak)
+                    streak = 0
+                i += 1
+            if streak >= min_run:
+                runs.append(streak)
+        return (max(runs), len(runs)) if runs else None
+
+    docs = [
+        (1, "a b c d e f g h i j X k l m n o p q r s"),
+        # doc 2: shares two disjoint runs with doc 1 (a..j = 10,
+        # l..s = 8? make both >= min_run=8): a-j (10 tokens) and
+        # k l m n o p q r s (9 tokens, note doc1 has X before k)
+        (2, "a b c d e f g h i j Z Z k l m n o p q r s"),
+        # doc 3: repeated block inside itself + shares a short island
+        (3, "a b c d e a b c d e f g h i j"),
+        # doc 4: shares only 6 tokens with doc 1 (< min_run=8)
+        (4, "m n o p q r 1 2 3 4 5 6 7 8"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3)], "d1 long, d2 long"
+    )
+    got = {
+        (r.d1, r.d2): (r.longest_run, r.n_runs)
+        for r in dd.shared_run_pairs(
+            df, pairs, k=3, min_run=8
+        ).collect()
+    }
+    want = {}
+    texts = dict(docs)
+    for d1, d2 in [(1, 2), (1, 3), (1, 4), (2, 3)]:
+        br = brute_runs(texts[d1], texts[d2], 3, 8)
+        if br:
+            want[(d1, d2)] = br
+    assert got == want and (1, 2) in got
+    assert got[(1, 2)][1] == 2  # two disjoint runs
+    assert (1, 4) not in got    # 6-token island < min_run
+
+
+def test_shared_run_pairs_requires_k_window(spark):
+    """Runs shorter than k produce no shared k-gram and are invisible
+    by construction — min_run < k is a contract error the caller
+    should catch via the winnowing guarantee (min_run >= w+k-1), and
+    a run of EXACTLY k tokens is one gram = streak 1 = k tokens."""
+    from sparksync.ext import dedup as dd
+
+    df = spark.createDataFrame(
+        [(1, "p q r s t u v w"), (2, "x y p q r z w v")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "d1 long, d2 long")
+    got = dd.shared_run_pairs(df, pairs, k=3, min_run=3).collect()
+    assert [(r.longest_run, r.n_runs) for r in got] == [(3, 1)]
+
+
 def test_lm_target_affinity_fixed_matches_reference(spark):
     """mode='fixed' (the q202 gate) replays a pure-Python DSIR-style
     two-model computation bit-for-bit: shared capped vocab, raw counts
@@ -4731,6 +4806,43 @@ def test_lm_bigram_counts_vocab_mapping_auto_switch(spark, docs):
     got_small = {(r.w, r.w2): r.cnt for r in small.collect()}
     got_big = {(r.w, r.w2): r.cnt for r in big.collect()}
     assert got_small == got_big == dict(want) and len(want) > 0
+
+    # the scorer shares the switch: above the threshold its mapping
+    # and scoring must replay bit-for-bit against pure Python (veff
+    # rides the vocab LENGTH, so the small-vocab run is not comparable
+    # — the replay is the ground truth here)
+    n_docs = docs.count()
+    got = {
+        r.doc_id: (r.n_tokens, r.n_unk, r.n_bigrams, r.lm_surprisal)
+        for r in textops.lm_score_against_model(
+            docs, big, big_vocab, mode="fixed", limit=n_docs
+        ).collect()
+    }
+    c12 = {(r.w, r.w2): r.cnt for r in big.collect()}
+    c1: Counter = Counter()
+    for (w, _), c in c12.items():
+        c1[w] += c
+    veff = len(big_vocab) + 1
+    scale = 1 << 20
+    want2 = {}
+    for r in docs.select("doc_id", "text").collect():
+        ts = [t for t in r.text.split() if t]
+        if len(ts) < 2:
+            continue
+        ms = [t if t in vs else "<unk>" for t in ts]
+        total = 0
+        for w, w2 in zip(ms, ms[1:]):
+            total += ((c1.get(w, 0) + veff) * scale) // (
+                c12.get((w, w2), 0) + 1
+            )
+        nb = len(ms) - 1
+        want2[r.doc_id] = (
+            len(ms),
+            sum(1 for t in ms if t == "<unk>"),
+            nb,
+            total / (nb * scale),
+        )
+    assert got == want2 and len(got) > 0
 
 
 def test_lm_vocab_census_matches_python(docs):

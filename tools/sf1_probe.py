@@ -1,0 +1,153 @@
+"""One-off sf1 scale probe (VERDICT r9 #4): run the five heaviest
+capstones once at ~10x the bench SF and record wall times + scaling
+ratios vs sf0.1, so the repo's 100 TB posture claims rest on a measured
+decade of data growth, not only on plan shape.
+
+No sf1 directory exists under /root/testdata (and it is read-only), so
+the probe SYNTHESIZES one at /tmp/sparksync_sf1_probe from sf0.1 by
+structure-preserving replication:
+
+- documents x10: replica r prefixes every token with 'r{r}_' and
+  offsets doc_id by r*N. A token-level bijection preserves every
+  set/sequence relationship WITHIN a replica exactly (Jaccard, shingle,
+  winnowing, MinHash collision structure), while distinct prefixes make
+  cross-replica shingle collisions impossible - so the true pair graph
+  of the 10x corpus is exactly 10 disjoint copies of sf0.1's, and
+  linear scaling is the correct null hypothesis for every dedup
+  capstone.
+- embeddings x10: replica r applies a fixed deterministic PERMUTATION
+  of the 64 dims (seeded per replica) and offsets vec_id by r*N_docs
+  (keeping vec_id==doc_id alignment for the quality join). A
+  permutation is orthogonal, so intra-replica cosine similarities are
+  preserved bit-for-bit; cross-replica similarities scramble to the
+  corpus background level.
+
+The LM probe (q200) sees a 10x corpus whose vocabulary is also 10x
+(prefixed copies) - the census cap still bounds the model, which is
+precisely the property the probe should exercise.
+
+Usage: python tools/sf1_probe.py [--skip-gen]
+Prints one JSON line per query and a summary with sf0.1-vs-sf1 ratios.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+PROBE_DIR = "/tmp/sparksync_sf1_probe"
+SRC_DIR = "/root/testdata/sf0.1"
+N_REPLICAS = 10
+QUERIES_TO_PROBE = [
+    "q20_dedup_minhash",
+    "q159_cluster_keeper",
+    "q178_semantic_dedup",
+    "q199_dedup_report",
+    "q200_lm_surprisal",
+]
+
+
+def generate(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from sparksync.source import load_table
+
+    if os.path.exists(PROBE_DIR):
+        shutil.rmtree(PROBE_DIR)
+    os.makedirs(PROBE_DIR)
+
+    docs = load_table(spark, SRC_DIR, "documents")
+    n_docs = docs.count()
+    reps = []
+    for r in range(N_REPLICAS):
+        pfx = f"r{r}_"
+        reps.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(r * n_docs)).alias("doc_id"),
+                F.concat(
+                    F.lit(pfx),
+                    F.regexp_replace(F.col("text"), " ", " " + pfx),
+                ).alias("text"),
+                "lang",
+                F.concat(F.lit(f"r{r}-"), F.col("source")).alias("source"),
+                "n_chars",
+            )
+        )
+    big_docs = reps[0]
+    for d in reps[1:]:
+        big_docs = big_docs.unionByName(d)
+    big_docs.repartition(32).write.mode("overwrite").parquet(
+        f"{PROBE_DIR}/documents.parquet"
+    )
+
+    emb = load_table(spark, SRC_DIR, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    import hashlib
+
+    ereps = []
+    for r in range(N_REPLICAS):
+        # deterministic permutation of the dims, seeded by replica id
+        order = sorted(
+            range(dim),
+            key=lambda i: hashlib.md5(f"perm-{r}-{i}".encode()).hexdigest(),
+        )
+        perm = F.array(
+            *[F.col("embedding").getItem(i) for i in order]
+        ).cast("array<float>")
+        ereps.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(r * n_docs)).alias("vec_id"),
+                perm.alias("embedding"),
+                "label",
+            )
+        )
+    big_emb = ereps[0]
+    for e in ereps[1:]:
+        big_emb = big_emb.unionByName(e)
+    big_emb.repartition(32).write.mode("overwrite").parquet(
+        f"{PROBE_DIR}/embeddings.parquet"
+    )
+    print(
+        f"# generated {PROBE_DIR}: documents={n_docs * N_REPLICAS} "
+        f"embeddings={big_emb.count()}",
+        file=sys.stderr,
+    )
+
+
+def main() -> int:
+    from sparksync.queries import QUERIES
+    from sparksync.session import get_spark
+
+    spark = get_spark("sparksync-sf1-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    if "--skip-gen" not in sys.argv:
+        generate(spark)
+
+    out: dict[str, dict[str, float]] = {}
+    for name in QUERIES_TO_PROBE:
+        per = {}
+        for label, d in (("sf0.1", SRC_DIR), ("sf1", PROBE_DIR)):
+            samples = []
+            for _ in range(2):  # cold + warm; the WARM pair is the
+                t0 = time.time()  # scaling measurement (pin/persist
+                QUERIES[name](spark, d).write.format("noop").mode(  # noqa: E501
+                    "overwrite"
+                ).save()  # materialization is a fixed cost, not a scale one)
+                samples.append(round(time.time() - t0, 3))
+            per[label + "_cold"] = samples[0]
+            per[label] = samples[1]
+        per["ratio"] = round(per["sf1"] / per["sf0.1"], 2)
+        out[name] = per
+        print(f"# {name}: {per}", file=sys.stderr)
+
+    print(json.dumps({"probe": "sf1", "replicas": N_REPLICAS, "queries": out}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
