@@ -152,7 +152,19 @@ def _lsh_scored_pairs(
     for a bounded join. The cap check is one map-side-combinable count over
     the keys plus a broadcast join — no extra shuffle of vectors.
     Deterministic planes; rows-only gate check (no SQL analogue) —
-    tests assert overlap with brute force."""
+    tests assert overlap with brute force.
+
+    Scaling (MEASURED, BASELINE.md sf1 probe): below the cap the
+    candidate term is C(occupancy, 2) per bucket and occupancy = n /
+    2^width grows linearly with the corpus, so FIXED parameters scale
+    locally quadratically — 5.4x wall for 10x vectors at the
+    defaults, vs 1.1-2.4x for every lexical capstone. Hold occupancy
+    roughly constant by growing band width ~log2(n) (more planes), or
+    set bucket_cap to the per-bucket verify budget you can afford:
+    once the cap binds, worst-case candidates are n*(cap-1)/2 —
+    linear in n (cap=64 measured the same 10x corpus at 2.4x). The
+    10,000 default bounds memory, not verify cost — size it to the
+    corpus."""
     if n_planes % n_bands:
         raise ValueError("n_planes must divide evenly into n_bands")
     width = n_planes // n_bands

@@ -49,6 +49,11 @@ QUERIES_TO_PROBE = [
     "q178_semantic_dedup",
     "q199_dedup_report",
     "q200_lm_surprisal",
+    # round-10 additions: the nightly drift monitor and the two new
+    # capstones deserve the same measured decade
+    "q203_lm_drift",
+    "q204_winnow_dedup_report",
+    "q205_shared_runs",
 ]
 
 
@@ -129,6 +134,30 @@ def main() -> int:
         generate(spark)
 
     out: dict[str, dict[str, float]] = {}
+
+    # q178 variant: the RP-LSH bucket cap is the knob that bounds the
+    # locally-quadratic candidate term (buckets below the cap pay
+    # C(occupancy, 2); occupancy grows linearly with corpus size until
+    # the cap's re-split engages). The fixed-parameter q178 documents
+    # the uncapped-regime growth between these two sizes; this variant
+    # measures the same corpus with the cap actually binding.
+    def q178_cap64(spark, d):
+        from pyspark.sql import functions as FF
+
+        from sparksync.ext import similarity
+        from sparksync.source import load_table as lt
+
+        emb = lt(spark, d, "embeddings")
+        docs = lt(spark, d, "documents").select(
+            FF.col("doc_id").alias("vec_id"),
+            FF.col("n_chars").alias("quality"),
+        )
+        return similarity.semantic_dedup_keeper(
+            emb, docs, threshold=0.42, bucket_cap=64
+        )
+
+    extra = {"q178_semantic_dedup_cap64": q178_cap64}
+
     for name in QUERIES_TO_PROBE:
         per = {}
         for label, d in (("sf0.1", SRC_DIR), ("sf1", PROBE_DIR)):
@@ -138,6 +167,20 @@ def main() -> int:
                 QUERIES[name](spark, d).write.format("noop").mode(  # noqa: E501
                     "overwrite"
                 ).save()  # materialization is a fixed cost, not a scale one)
+                samples.append(round(time.time() - t0, 3))
+            per[label + "_cold"] = samples[0]
+            per[label] = samples[1]
+        per["ratio"] = round(per["sf1"] / per["sf0.1"], 2)
+        out[name] = per
+        print(f"# {name}: {per}", file=sys.stderr)
+
+    for name, fn in extra.items():
+        per = {}
+        for label, d in (("sf0.1", SRC_DIR), ("sf1", PROBE_DIR)):
+            samples = []
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, d).write.format("noop").mode("overwrite").save()
                 samples.append(round(time.time() - t0, 3))
             per[label + "_cold"] = samples[0]
             per[label] = samples[1]
