@@ -123,6 +123,39 @@ def _rp_planes(n_planes: int, dim: int) -> list[list[float]]:
     return planes
 
 
+def rp_lsh_params(
+    n_vectors: int,
+    n_bands: int = 4,
+    target_occupancy: int = 8,
+    verify_budget: int | None = None,
+) -> dict:
+    """Size RP-LSH parameters to the corpus — the occupancy law the
+    sf1 probe measured (BASELINE.md): expected vectors per (band,
+    bucket) is n / 2^width, and below the hot-bucket cap the verify
+    cost per bucket is C(occupancy, 2), so FIXED parameters scale
+    locally quadratically with corpus growth. Holding occupancy at a
+    constant target keeps the candidate set linear in n:
+        width = max(8, ceil(log2(n / target_occupancy)))
+    `n_bands` stays the caller's recall knob (a pair is a candidate if
+    it agrees on ANY band); `verify_budget` caps per-bucket occupancy
+    for skewed regions where the expectation lies (defaults to the
+    operator's 10,000 memory bound). target_occupancy=8 reproduces
+    the operator defaults at the 2,000-vector gate fixture (width 8,
+    32 planes), so the defaults ARE this law evaluated at gate scale.
+    Returns {n_planes, n_bands, bucket_cap} ready to splat into
+    neardup_pairs_lsh / semantic_dedup_keeper."""
+    import math
+
+    if n_vectors < 1 or n_bands < 1 or target_occupancy < 1:
+        raise ValueError("rp_lsh_params: all inputs must be >= 1")
+    width = max(8, math.ceil(math.log2(max(2, n_vectors / target_occupancy))))
+    return {
+        "n_planes": width * n_bands,
+        "n_bands": n_bands,
+        "bucket_cap": verify_budget if verify_budget is not None else 10_000,
+    }
+
+
 def _lsh_scored_pairs(
     emb: DataFrame,
     n_planes: int = 32,

@@ -58,6 +58,39 @@ def test_ivf_recall(emb):
     assert overlap >= 5, (brute, ivf)
 
 
+def test_rp_lsh_params_occupancy_law():
+    """rp_lsh_params encodes the measured sf1 scaling law
+    (BASELINE.md): width grows ~log2(n) to hold expected bucket
+    occupancy constant, reproducing the operator defaults at gate
+    scale and keeping occupancy <= target at every decade."""
+    from sparksync.ext.similarity import rp_lsh_params
+
+    import pytest as _pytest
+
+    # gate fixture scale (2,000 vectors) -> the operator defaults
+    assert rp_lsh_params(2_000) == {
+        "n_planes": 32,
+        "n_bands": 4,
+        "bucket_cap": 10_000,
+    }
+    # the sf1 probe's 20,000 vectors -> width 12 (occupancy ~4.9,
+    # back under the target the defaults were tuned for)
+    p = rp_lsh_params(20_000)
+    assert p["n_planes"] == 48 and p["n_bands"] == 4
+    # occupancy stays <= target across decades; width monotone in n
+    prev = 0
+    for n in (1_000, 10_000, 100_000, 10**7, 10**9):
+        p = rp_lsh_params(n)
+        width = p["n_planes"] // p["n_bands"]
+        assert n / (1 << width) <= 8 or width == 8  # floor at 8 bits
+        assert width >= prev
+        prev = width
+    # verify_budget passes through as the cap
+    assert rp_lsh_params(10**6, verify_budget=64)["bucket_cap"] == 64
+    with _pytest.raises(ValueError):
+        rp_lsh_params(0)
+
+
 def test_rp_lsh_finds_planted_neardups(spark, emb):
     """The fixture embeddings hold no true near-dups (top cosines ~0.5),
     so recall is tested on PLANTED ones: jittered copies of 10 vectors
