@@ -88,9 +88,12 @@ HEADLINE = [
     "q196_cluster_size_histogram",
     "q203_lm_drift",
     "q204_winnow_dedup_report",
-    # round-10 new operator: exact longest-shared-run pairs (the
-    # Lee et al. exact-substring criterion) off winnowing candidates
+    # round-10 new operators: exact longest-shared-run pairs (the
+    # Lee et al. exact-substring criterion) off winnowing candidates,
+    # and the decision half — cut every shared >= 12-token run from
+    # the higher-id copy and rebuild the corpus
     "q205_shared_runs",
+    "q206_trim_shared_runs",
 ]
 
 

@@ -1582,6 +1582,68 @@ def dedup_decision_report(
     return report.unionByName(sec_keeper)
 
 
+def _run_streaks(
+    df: DataFrame,
+    pairs: DataFrame,
+    k: int,
+    min_run: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Shared engine of shared_run_pairs / trim_shared_runs: the
+    diagonal-streak construction over candidate pairs. Returns one row
+    per maximal shared run clearing min_run:
+    (d1, d2, _jmin, _run) — _jmin is the run's 0-based start token
+    position in d2 (the d1 < d2 convention makes d2 the trim victim),
+    _run the shared span length in TOKENS (streak + k - 1)."""
+    from pyspark.sql import Window
+
+    from .textops import _ngrams
+
+    pairs = pairs.select("d1", "d2").localCheckpoint(eager=True)
+    docs_in_play = (
+        pairs.select(F.col("d1").alias(id_col))
+        .unionByName(pairs.select(F.col("d2").alias(id_col)))
+        .distinct()
+    )
+    base = (
+        df.join(docs_in_play, id_col, "left_semi")
+        .select(F.col(id_col), tokens(text_col).alias("toks"))
+        .where(F.size("toks") >= k)
+    )
+    grams = base.select(
+        F.col(id_col),
+        F.posexplode(_ngrams(F.col("toks"), k)).alias("_pos", "_g"),
+    ).select(id_col, "_pos", md5_token_hash(F.col("_g")).alias("_h"))
+    g1 = grams.select(
+        F.col(id_col).alias("d1"), F.col("_pos").alias("_i"), "_h"
+    )
+    g2 = grams.select(
+        F.col(id_col).alias("d2"), F.col("_pos").alias("_j"), "_h"
+    )
+    matches = (
+        pairs.join(g1, "d1")
+        .join(g2, ["d2", "_h"])
+        .select(
+            "d1",
+            "d2",
+            "_i",
+            "_j",
+            (F.col("_i") - F.col("_j")).alias("_diag"),
+        )
+    )
+    w_diag = Window.partitionBy("d1", "d2", "_diag").orderBy("_i")
+    return (
+        matches.withColumn("_grp", F.col("_i") - F.row_number().over(w_diag))
+        .groupBy("d1", "d2", "_diag", "_grp")
+        .agg(
+            F.min("_j").alias("_jmin"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).cast("long").alias("_run"),
+        )
+        .where(F.col("_run") >= min_run)
+    )
+
+
 def shared_run_pairs(
     df: DataFrame,
     pairs: DataFrame,
@@ -1620,41 +1682,7 @@ def shared_run_pairs(
     n_runs counts maximal runs clearing min_run."""
     from pyspark.sql import Window
 
-    from .textops import _ngrams
-
-    pairs = pairs.select("d1", "d2").localCheckpoint(eager=True)
-    docs_in_play = (
-        pairs.select(F.col("d1").alias(id_col))
-        .unionByName(pairs.select(F.col("d2").alias(id_col)))
-        .distinct()
-    )
-    base = (
-        df.join(docs_in_play, id_col, "left_semi")
-        .select(F.col(id_col), tokens(text_col).alias("toks"))
-        .where(F.size("toks") >= k)
-    )
-    grams = base.select(
-        F.col(id_col),
-        F.posexplode(_ngrams(F.col("toks"), k)).alias("_pos", "_g"),
-    ).select(id_col, "_pos", md5_token_hash(F.col("_g")).alias("_h"))
-    g1 = grams.select(
-        F.col(id_col).alias("d1"), F.col("_pos").alias("_i"), "_h"
-    )
-    g2 = grams.select(
-        F.col(id_col).alias("d2"), F.col("_pos").alias("_j"), "_h"
-    )
-    matches = (
-        pairs.join(g1, "d1")
-        .join(g2, ["d2", "_h"])
-        .select("d1", "d2", "_i", (F.col("_i") - F.col("_j")).alias("_diag"))
-    )
-    w_diag = Window.partitionBy("d1", "d2", "_diag").orderBy("_i")
-    streaks = (
-        matches.withColumn("_grp", F.col("_i") - F.row_number().over(w_diag))
-        .groupBy("d1", "d2", "_diag", "_grp")
-        .agg((F.count(F.lit(1)) + F.lit(k - 1)).cast("long").alias("_run"))
-        .where(F.col("_run") >= min_run)
-    )
+    streaks = _run_streaks(df, pairs, k, min_run, id_col, text_col)
     out = streaks.groupBy("d1", "d2").agg(
         F.max("_run").alias("longest_run"),
         F.count(F.lit(1)).cast("long").alias("n_runs"),
@@ -1673,6 +1701,109 @@ def shared_run_pairs(
         .where(F.col("_rn") <= limit)
         .select("d1", "d2", "longest_run", "n_runs")
     )
+
+
+def trim_shared_runs(
+    df: DataFrame,
+    pairs: DataFrame,
+    k: int = 5,
+    min_run: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The DECISION half of the Lee et al. exact-substring rule:
+    shared_run_pairs measures the duplicated spans, this CUTS them —
+    every maximal shared run >= min_run tokens is removed from the
+    HIGHER-id copy (d1 < d2, so d1 owns the text; across a duplicate
+    chain each span survives in the smallest id that carries it,
+    pairwise — the same occurrence-level semantics as the paper's
+    cut-all-but-one), overlapping victim spans are merged with the
+    classic island construction (cumulative max of span end over a
+    start-ordered window), and each trimmed document is rebuilt from
+    its surviving token positions in order.
+
+    Scale shape: _run_streaks' pair-keyed engine (semi-join-pruned
+    grams, diagonal streaks), then ONE window over victim spans
+    (partitioned by doc — bounded by spans-per-doc, never corpus-
+    wide), spans collected to ONE array row per victim doc
+    (spans-per-doc-bounded) and joined back LEFT so untouched docs
+    pass through with n_trimmed = 0; the rebuild is an array-side
+    filter over token positions against the (tiny) merged-span array
+    — no explode of the corpus. Output: (id, n_tokens, n_trimmed,
+    new_text) for EVERY input document."""
+    from pyspark.sql import Window
+
+    runs = _run_streaks(df, pairs, k, min_run, id_col, text_col)
+    spans = runs.select(
+        F.col("d2").alias(id_col),
+        F.col("_jmin").cast("long").alias("_s"),
+        (F.col("_jmin") + F.col("_run") - 1).cast("long").alias("_e"),
+    )
+    # island merge: a span starts a new island iff it begins past the
+    # running max end of everything before it (start-ordered)
+    w_ord = Window.partitionBy(id_col).orderBy("_s", "_e")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    islands = (
+        spans.withColumn("_pmax", F.max("_e").over(w_prev))
+        .withColumn(
+            "_new",
+            (F.col("_pmax").isNull() | (F.col("_s") > F.col("_pmax"))).cast(
+                "int"
+            ),
+        )
+        .withColumn("_isl", F.sum("_new").over(w_ord))
+        .groupBy(id_col, "_isl")
+        .agg(F.min("_s").alias("_s"), F.max("_e").alias("_e"))
+    )
+    cuts = islands.groupBy(id_col).agg(
+        F.collect_list(F.struct("_s", "_e")).alias("_cuts")
+    )
+    toks = tokens(text_col)
+    out = (
+        df.select(F.col(id_col), toks.alias("_t"))
+        .join(cuts, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.size("_t").cast("long").alias("n_tokens"),
+            F.col("_t"),
+            F.coalesce(
+                F.col("_cuts"),
+                F.array().cast("array<struct<_s:bigint,_e:bigint>>"),
+            ).alias("_cuts"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.when(F.size("_t") == 0, F.array().cast("array<string>"))
+            .otherwise(
+                F.transform(
+                    F.filter(
+                        F.zip_with(
+                            F.col("_t"),
+                            F.sequence(F.lit(0), F.size("_t") - 1),
+                            lambda t, p: F.struct(t.alias("t"), p.alias("p")),
+                        ),
+                        lambda s: ~F.exists(
+                            F.col("_cuts"),
+                            lambda c: (s["p"] >= c["_s"])
+                            & (s["p"] <= c["_e"]),
+                        ),
+                    ),
+                    lambda s: s["t"],
+                )
+            )
+            .alias("_keep"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            (F.col("n_tokens") - F.size("_keep")).cast("long").alias(
+                "n_trimmed"
+            ),
+            F.array_join(F.col("_keep"), " ").alias("new_text"),
+        )
+    )
+    return out
 
 
 def minhash_recall_audit(

@@ -7342,6 +7342,84 @@ limit 20
 """
 
 
+def q206_trim_shared_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decision half of the exact-substring rule (ext/dedup.
+    trim_shared_runs): every >= 12-token run shared verbatim between
+    two documents is CUT from the higher-id copy (winnow candidates
+    make the detection exact at >= w+k-1 = 12), overlapping victim
+    spans island-merged, each document rebuilt from its surviving
+    tokens. One row per input document: (doc_id, n_tokens, n_trimmed,
+    new_text) — the corpus AFTER the Lee et al. trim."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.winnow_overlap_pairs(docs, k=5, w=8, min_shared=3)
+    return dedup.trim_shared_runs(docs, pairs, k=5, min_run=12)
+
+
+ORACLE_Q206 = """
+with
+docs as (
+  select doc_id,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') as toks
+  from documents),
+dk as (
+  select doc_id, toks, len(toks) - 4 as m
+  from docs where len(toks) >= 5),
+h as (
+  select doc_id, m, i as pos,
+         cast(cast('0x' || substring(md5(
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+             toks[i+3] || ' ' || toks[i+4]
+         ), 1, 15) as ubigint) as bigint) as h
+  from dk, unnest(range(1, m + 1)) t(i)),
+wmin as (
+  select doc_id, m, pos,
+         min(h) over (partition by doc_id order by pos
+                      rows between current row and 7 following) as fp
+  from h),
+fps as (
+  select distinct doc_id, fp
+  from wmin where pos <= greatest(m - 7, 1)),
+prs as (
+  select a.doc_id as d1, b.doc_id as d2, count(*) as ns
+  from fps a join fps b on a.fp = b.fp and a.doc_id < b.doc_id
+  group by 1, 2),
+pairs as (select d1, d2 from prs where ns >= 3),
+mtch as (
+  select p.d1, p.d2, h1.pos as i, h1.pos - h2.pos as diag
+  from pairs p
+  join h h1 on h1.doc_id = p.d1
+  join h h2 on h2.doc_id = p.d2 and h2.h = h1.h),
+st as (
+  select d1, d2, diag, i,
+         i - row_number() over (partition by d1, d2, diag order by i) as grp
+  from mtch),
+runs as (
+  select d1, d2, diag, grp, min(i) - diag as jmin,
+         cast(count(*) + 4 as bigint) as run
+  from st group by 1, 2, 3, 4),
+spans as (
+  select d2 as doc_id, jmin as s, jmin + run - 1 as e
+  from runs where run >= 12),
+tokpos as (
+  select doc_id, i as pos, toks[i] as tok
+  from docs, unnest(range(1, len(toks) + 1)) t(i)),
+kept as (
+  select t.doc_id, t.pos, t.tok
+  from tokpos t
+  where not exists (
+    select 1 from spans s
+    where s.doc_id = t.doc_id and t.pos between s.s and s.e)),
+agg as (
+  select doc_id, cast(count(*) as bigint) as n_kept,
+         string_agg(tok, ' ' order by pos) as new_text
+  from kept group by 1)
+select d.doc_id, cast(len(d.toks) as bigint) as n_tokens,
+       cast(len(d.toks) - coalesce(a.n_kept, 0) as bigint) as n_trimmed,
+       coalesce(a.new_text, '') as new_text
+from docs d left join agg a using (doc_id)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -7548,6 +7626,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q203_lm_drift": q203_lm_drift,
     "q204_winnow_dedup_report": q204_winnow_dedup_report,
     "q205_shared_runs": q205_shared_runs,
+    "q206_trim_shared_runs": q206_trim_shared_runs,
 }
 
 ORACLES: dict[str, str] = {
@@ -7756,4 +7835,5 @@ ORACLES: dict[str, str] = {
     "q203_lm_drift": ORACLE_Q203,
     "q204_winnow_dedup_report": ORACLE_Q204,
     "q205_shared_runs": ORACLE_Q205,
+    "q206_trim_shared_runs": ORACLE_Q206,
 }

@@ -4401,6 +4401,81 @@ def test_shared_run_pairs_requires_k_window(spark):
     assert [(r.longest_run, r.n_runs) for r in got] == [(3, 1)]
 
 
+def test_trim_shared_runs_matches_python(spark):
+    """trim_shared_runs equals a pure-Python replay of the rule on
+    constructed docs: the higher-id copy loses each shared run,
+    OVERLAPPING victim spans merge (two runs sharing tokens must not
+    double-count n_trimmed), docs with both roles (d1 in one pair, d2
+    in another) keep where they're the smaller id and lose where
+    they're the bigger, and empty/short/untouched docs pass through
+    with n_trimmed=0."""
+    from sparksync.ext import dedup as dd
+
+    texts = {
+        1: "a b c d e f g h i j k l",
+        # shares a..l with doc 1 (loses it) AND m..t with doc 3 as the
+        # SMALLER id (keeps it)
+        2: "a b c d e f g h i j k l m1 m n o p q r s t",
+        3: "z1 z2 m n o p q r s t z3",
+        # overlapping victim spans: positions 2..13 (from doc 1's
+        # a..l) and 8..19 overlap if doc 4 repeats i..l then a..d...
+        # simpler: doc 4 carries a..l twice back to back sharing no
+        # overlap, plus a short 5-token island from doc 1 (< min_run)
+        4: "y1 a b c d e f g h i j k l a b c d e f g h i j k l y2",
+        5: "",
+        6: "lonely",
+    }
+    df = spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 4)], "d1 long, d2 long"
+    )
+    k, min_run = 3, 8
+
+    def brute_spans(victim, owner):
+        a, b = texts[owner].split(), texts[victim].split()
+        spans = []
+        for d in range(-len(a), len(b) + 1):
+            j, streak = max(0, d), 0
+            while j < len(b) and j - d < len(a):
+                if b[j] == a[j - d]:
+                    streak += 1
+                else:
+                    if streak >= min_run:
+                        spans.append((j - streak, j - 1))
+                    streak = 0
+                j += 1
+            if streak >= min_run:
+                spans.append((j - streak, j - 1))
+        return spans
+
+    cut = {i: [] for i in texts}
+    for d1, d2 in [(1, 2), (2, 3), (1, 4)]:
+        cut[d2] += brute_spans(d2, d1)
+    want = {}
+    for i, t in texts.items():
+        ts = t.split()
+        keep = [
+            tok
+            for p, tok in enumerate(ts)
+            if not any(s <= p <= e for s, e in cut[i])
+        ]
+        want[i] = (len(ts), len(ts) - len(keep), " ".join(keep))
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_trimmed, r.new_text)
+        for r in dd.trim_shared_runs(
+            df, pairs, k=k, min_run=min_run
+        ).collect()
+    }
+    assert got == want
+    assert got[2][1] == 12  # lost a..l, kept m..t (smaller id vs 3)
+    assert got[3][1] == 8   # lost m..t to doc 2
+    assert got[4][1] == 24  # both copies of a..l cut
+    assert got[5] == (0, 0, "") and got[6] == (1, 0, "lonely")
+
+
 def test_lm_target_affinity_fixed_matches_reference(spark):
     """mode='fixed' (the q202 gate) replays a pure-Python DSIR-style
     two-model computation bit-for-bit: shared capped vocab, raw counts

@@ -54,6 +54,7 @@ QUERIES_TO_PROBE = [
     "q203_lm_drift",
     "q204_winnow_dedup_report",
     "q205_shared_runs",
+    "q206_trim_shared_runs",
 ]
 
 
