@@ -117,6 +117,10 @@ def main(argv: list[str] | None = None) -> int:
             # winnowing fingerprint overlap (X196), DSIR target
             # affinity (X197), and held-out LM drift (X199)
             "quality", "winnow", "affinity", "drift",
+            # round 10: the composed winnow decision artifact —
+            # keeper rows + all rollups from one graph (X200) — and
+            # the exact-substring trim corpus rewrite (X202)
+            "decision", "trim",
         ],
     )
     aud.add_argument("--table", help="pruning/quantile: table to audit")
@@ -572,6 +576,47 @@ def main(argv: list[str] | None = None) -> int:
             out = lm_score_against_model(
                 docs, lm_bigram_counts(train, vocab), vocab, mode="ln"
             )
+        elif args.kind == "decision":
+            # X200: the full corpus-cut sign-off — aggregate report
+            # PLUS per-doc keeper decision from ONE winnow pair graph
+            # and ONE components pass; production keeps the max_df
+            # join-side cap so boilerplate fingerprints can't
+            # quadratic-blow the candidate self-join
+            from .ext.dedup import dedup_decision_report, winnow_overlap_pairs
+
+            if args.table is None:
+                p.error("audit --kind decision needs --table")
+            docs = job._read_source(args.table)
+            out = dedup_decision_report(
+                docs,
+                winnow_overlap_pairs(
+                    docs, k=5, w=8, min_shared=3, max_df=1000
+                ),
+            )
+        elif args.kind == "trim":
+            # X202: the corpus AFTER the Lee et al. exact-substring
+            # cut — every shared >= w+k-1-token run removed from the
+            # higher-id copy, docs rebuilt
+            from .ext.dedup import trim_shared_runs, winnow_overlap_pairs
+
+            if args.table is None:
+                p.error("audit --kind trim needs --table")
+            docs = job._read_source(args.table)
+            out = trim_shared_runs(
+                docs,
+                winnow_overlap_pairs(
+                    docs, k=5, w=8, min_shared=3, max_df=1000
+                ),
+                k=5,
+                min_run=12,
+            )
+            # the CLI prints a report, and the collect-print loop
+            # below must stay bounded: show only the docs the trim
+            # TOUCHED (bounded by duplicate volume, not corpus size);
+            # the full rewritten corpus is a .write away in a pipeline
+            from pyspark.sql import functions as F
+
+            out = out.where(F.col("n_trimmed") > 0)
         elif args.kind == "winnow":
             # X196: winnowing overlap pairs; production sets the
             # max_df join-side cap (the jaccard_pairs discipline) so a

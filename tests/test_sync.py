@@ -1114,6 +1114,44 @@ def test_cli_audit_report_kind(tmp_path, capsys):
     assert top["n3"] == sum(r["n3"] for r in surv)
 
 
+def test_cli_audit_round10_dedup_kinds(tmp_path, capsys):
+    """`audit --kind decision` (X200) emits the aggregate report PLUS
+    per-doc keeper rows from one winnow graph; `audit --kind trim`
+    (X202) emits only the documents the exact-substring cut touched
+    (the print loop stays bounded by duplicate volume), each with a
+    consistent token accounting."""
+    import json as _json
+
+    from sparksync.cli import main
+
+    out = str(tmp_path / "dest")
+    base = ["--src", SF_SMOKE, "--dest", out]
+
+    assert main(base + ["audit", "--kind", "decision",
+                        "--table", "documents"]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    secs = {r["section"] for r in rows}
+    assert secs == {"topline", "survivorship", "cluster_histogram",
+                    "cross_source", "keeper"}
+    keep = [r for r in rows if r["section"] == "keeper"]
+    (top,) = [r for r in rows if r["section"] == "topline"]
+    assert len(keep) == top["n1"]  # one keeper row per corpus doc
+    # drops agree across the aggregate and row-level views
+    assert top["n3"] == sum(
+        1 for r in keep if r["n3"] == 0 and r["n2"] > 1
+    )
+
+    assert main(base + ["audit", "--kind", "trim",
+                        "--table", "documents"]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert rows  # the fixture corpus has known near-dups
+    for r in rows:
+        assert r["n_trimmed"] > 0  # untouched docs are not printed
+        assert 0 <= r["n_trimmed"] <= r["n_tokens"]
+        n_kept = len([t for t in r["new_text"].split() if t])
+        assert n_kept == r["n_tokens"] - r["n_trimmed"]
+
+
 def test_cli_audit_layout_kind(tmp_path, capsys):
     """`audit --kind layout` prices linear-x vs z-order for a 2-D
     predicate from zone maps alone (X193) — one JSON row per layout,
