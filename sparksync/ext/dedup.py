@@ -1589,13 +1589,26 @@ def _run_streaks(
     min_run: int,
     id_col: str,
     text_col: str,
+    max_gram_freq: int | None = 64,
 ) -> DataFrame:
     """Shared engine of shared_run_pairs / trim_shared_runs: the
     diagonal-streak construction over candidate pairs. Returns one row
     per maximal shared run clearing min_run:
     (d1, d2, _jmin, _run) — _jmin is the run's 0-based start token
     position in d2 (the d1 < d2 convention makes d2 the trim victim),
-    _run the shared span length in TOKENS (streak + k - 1)."""
+    _run the shared span length in TOKENS (streak + k - 1).
+
+    `max_gram_freq` is the degenerate-doc defense (the max_df
+    discipline): the match join costs occ(d1, h) x occ(d2, h) per
+    gram hash, which is quadratic IN DOC LENGTH when one document
+    repeats the same k-gram pathologically ('a a a ...' matched
+    against its twin is m^2 rows). Grams repeating more than
+    max_gram_freq times WITHIN one document are pruned from that
+    document's side (eager census, warning when binding): a normal
+    document never trips it (a 64-fold repeated 5-gram is degenerate
+    repetition, repetition_stats' territory), runs through pruned
+    grams can only be MISSED or split — never invented — and the
+    per-hash join cost is bounded by max_gram_freq^2."""
     from pyspark.sql import Window
 
     from .textops import _ngrams
@@ -1615,6 +1628,25 @@ def _run_streaks(
         F.col(id_col),
         F.posexplode(_ngrams(F.col("toks"), k)).alias("_pos", "_g"),
     ).select(id_col, "_pos", md5_token_hash(F.col("_g")).alias("_h"))
+    if max_gram_freq is not None:
+        hot = (
+            grams.groupBy(id_col, "_h")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .where(F.col("_c") > max_gram_freq)
+            .select(id_col, "_h")
+            .localCheckpoint(eager=True)
+        )
+        n_hot = hot.count()
+        if n_hot:
+            import warnings
+
+            warnings.warn(
+                f"_run_streaks: max_gram_freq={max_gram_freq} pruned "
+                f"{n_hot} degenerate (doc, gram) group(s) - runs through "
+                "them may be missed or split (never invented)",
+                stacklevel=3,
+            )
+        grams = grams.join(hot, [id_col, "_h"], "left_anti")
     g1 = grams.select(
         F.col(id_col).alias("d1"), F.col("_pos").alias("_i"), "_h"
     )
@@ -1653,6 +1685,7 @@ def shared_run_pairs(
     text_col: str = "text",
     limit: int | None = None,
     n_salts: int = 32,
+    max_gram_freq: int | None = 64,
 ) -> DataFrame:
     """EXACT longest shared token run per candidate pair — the
     Lee et al. "Deduplicating Training Data Makes Language Models
@@ -1682,7 +1715,9 @@ def shared_run_pairs(
     n_runs counts maximal runs clearing min_run."""
     from pyspark.sql import Window
 
-    streaks = _run_streaks(df, pairs, k, min_run, id_col, text_col)
+    streaks = _run_streaks(
+        df, pairs, k, min_run, id_col, text_col, max_gram_freq
+    )
     out = streaks.groupBy("d1", "d2").agg(
         F.max("_run").alias("longest_run"),
         F.count(F.lit(1)).cast("long").alias("n_runs"),
@@ -1710,6 +1745,7 @@ def trim_shared_runs(
     min_run: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_gram_freq: int | None = 64,
 ) -> DataFrame:
     """The DECISION half of the Lee et al. exact-substring rule:
     shared_run_pairs measures the duplicated spans, this CUTS them —
@@ -1733,7 +1769,9 @@ def trim_shared_runs(
     new_text) for EVERY input document."""
     from pyspark.sql import Window
 
-    runs = _run_streaks(df, pairs, k, min_run, id_col, text_col)
+    runs = _run_streaks(
+        df, pairs, k, min_run, id_col, text_col, max_gram_freq
+    )
     spans = runs.select(
         F.col("d2").alias(id_col),
         F.col("_jmin").cast("long").alias("_s"),

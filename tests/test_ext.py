@@ -4401,6 +4401,61 @@ def test_shared_run_pairs_requires_k_window(spark):
     assert [(r.longest_run, r.n_runs) for r in got] == [(3, 1)]
 
 
+def test_shared_run_degenerate_doc_guard(spark):
+    """max_gram_freq (the max_df discipline for the run engine): two
+    pathologically repetitive docs would otherwise cost
+    occ(d1,h) x occ(d2,h) = O(len^2) match rows per gram hash. The
+    guard prunes the degenerate (doc, gram) groups with a warning —
+    the pair completes instantly and reports NO runs (repetition is
+    repetition_stats' territory, not the run detector's), while a
+    normal doc pair in the same corpus is untouched and a capless run
+    on normal docs returns identical results."""
+    import warnings as _w
+
+    from sparksync.ext import dedup as dd
+
+    degen = " ".join(["spam"] * 3000)
+    normal1 = " ".join(f"t{i}" for i in range(40))
+    normal2 = "x y " + " ".join(f"t{i}" for i in range(40)) + " z"
+    df = spark.createDataFrame(
+        [(1, degen), (2, degen), (3, normal1), (4, normal2)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "d1 long, d2 long")
+
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        got = {
+            (r.d1, r.d2): (r.longest_run, r.n_runs)
+            for r in dd.shared_run_pairs(
+                df, pairs, k=3, min_run=8
+            ).collect()
+        }
+    assert any("max_gram_freq" in str(w.message) for w in rec)
+    # the degenerate pair is invisible; the normal 40-token run is
+    # found exactly, unaffected by the cap
+    assert got == {(3, 4): (40, 1)}
+    # capless on the normal pair only: identical result
+    uncapped = {
+        (r.d1, r.d2): (r.longest_run, r.n_runs)
+        for r in dd.shared_run_pairs(
+            df,
+            spark.createDataFrame([(3, 4)], "d1 long, d2 long"),
+            k=3,
+            min_run=8,
+            max_gram_freq=None,
+        ).collect()
+    }
+    assert uncapped == {(3, 4): (40, 1)}
+    # trim shares the guard: the degenerate victim is left alone,
+    # the normal victim loses exactly the shared 40 tokens
+    trimmed = {
+        r.doc_id: r.n_trimmed
+        for r in dd.trim_shared_runs(df, pairs, k=3, min_run=8).collect()
+    }
+    assert trimmed == {1: 0, 2: 0, 3: 0, 4: 40}
+
+
 def test_trim_shared_runs_matches_python(spark):
     """trim_shared_runs equals a pure-Python replay of the rule on
     constructed docs: the higher-id copy loses each shared run,
