@@ -593,7 +593,12 @@ def lm_counts_stream(
     stream and batch can never disagree on the model. Bigrams are
     assembled array-side (zip_with of two slices) because window lag
     does not exist on streams — the batch helper deliberately shares
-    that exact expression."""
+    that exact expression. Above LM_VOCAB_JOIN_THRESHOLD the shared
+    '<unk>' mapping auto-switches to stream-static broadcast joins
+    (VERDICT r9 #3) — placed after pair assembly and BEFORE the
+    stateful count, so stream legality and the (V+1)^2 state bound
+    both survive the switch (large-vocab drained==batch==pure-Python
+    parity-tested)."""
     from .textops import lm_bigram_counts
 
     return lm_bigram_counts(docs, vocab, text_col)
