@@ -94,6 +94,9 @@ HEADLINE = [
     # the higher-id copy and rebuild the corpus
     "q205_shared_runs",
     "q206_trim_shared_runs",
+    # round-10: exact-span decontamination (benchmark = the src0
+    # slice; detection exact at >= w+k-1 by the winnow guarantee)
+    "q207_decontaminate",
 ]
 
 

@@ -118,9 +118,10 @@ def main(argv: list[str] | None = None) -> int:
             # affinity (X197), and held-out LM drift (X199)
             "quality", "winnow", "affinity", "drift",
             # round 10: the composed winnow decision artifact —
-            # keeper rows + all rollups from one graph (X200) — and
-            # the exact-substring trim corpus rewrite (X202)
-            "decision", "trim",
+            # keeper rows + all rollups from one graph (X200) — the
+            # exact-substring trim corpus rewrite (X202), and
+            # exact-span benchmark decontamination (X203)
+            "decision", "trim", "decontaminate",
         ],
     )
     aud.add_argument("--table", help="pruning/quantile: table to audit")
@@ -617,6 +618,25 @@ def main(argv: list[str] | None = None) -> int:
             from pyspark.sql import functions as F
 
             out = out.where(F.col("n_trimmed") > 0)
+        elif args.kind == "decontaminate":
+            # X203: exact-span benchmark decontamination — the
+            # --target predicate selects the benchmark slice, the
+            # rest of the table is the training corpus; output is
+            # every contaminated (bench, train) pair with its actual
+            # maximal verbatim overlap in tokens
+            from pyspark.sql import functions as F
+
+            from .ext.dedup import decontaminate_runs
+
+            for a in ("table", "target"):
+                if getattr(args, a) is None:
+                    p.error(f"audit --kind decontaminate needs --{a}")
+            docs = job._read_source(args.table)
+            out = decontaminate_runs(
+                docs.where(~F.expr(args.target)),
+                docs.where(F.expr(args.target)),
+                max_df=1000,
+            )
         elif args.kind == "winnow":
             # X196: winnowing overlap pairs; production sets the
             # max_df join-side cap (the jaccard_pairs discipline) so a

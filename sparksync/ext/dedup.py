@@ -1844,6 +1844,101 @@ def trim_shared_runs(
     return out
 
 
+def decontaminate_runs(
+    docs: DataFrame,
+    bench: DataFrame,
+    k: int = 5,
+    w: int = 8,
+    min_shared: int = 1,
+    min_run: int = 12,
+    id_col: str = "doc_id",
+    bench_id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+    max_gram_freq: int | None = 64,
+) -> DataFrame:
+    """Exact-span DECONTAMINATION — the production benchmark-leak rule
+    (Brown et al. GPT-3 appendix / Lee et al.): flag every training
+    document sharing a >= min_run-token VERBATIM run with any
+    benchmark document. Where contamination_flags tests n-gram
+    containment (any single 8-gram), this measures actual maximal
+    spans, so the threshold is in tokens-of-verbatim-overlap — the
+    number a removal policy is written against.
+
+    Cross-table composition of the winnowing + diagonal-streak
+    engine: fingerprints computed per side, candidates from the CROSS
+    fp join only (never bench x bench or train x train), then
+    shared_run_pairs' _run_streaks over the two corpora with
+    namespaced ids. With min_shared=1 the winnow guarantee makes
+    detection EXACT for min_run >= w+k-1: any qualifying run shares
+    at least one fingerprint, so no contaminated pair can escape the
+    candidate set. `max_df` prunes boilerplate fingerprints from the
+    join (df censused over BOTH sides; precision-1.0 semantics — only
+    whole pairs hiding entirely in boilerplate can be missed, with a
+    warning); `max_gram_freq` is the degenerate-doc guard.
+
+    Scale shape: the benchmark side is the small one by construction
+    (test sets are thousands of docs, the corpus billions) — its
+    fingerprint table broadcasts, the training side streams through
+    one fp join; the run verification is pair-keyed as in X201.
+    Output: (bench_id, doc_id-named train id, longest_run, n_runs),
+    one row per contaminated (benchmark doc, training doc) pair."""
+    b = bench.select(
+        F.concat(F.lit("b:"), F.col(bench_id_col).cast("string")).alias(
+            "_nid"
+        ),
+        F.col(text_col),
+    )
+    t = docs.select(
+        F.concat(F.lit("t:"), F.col(id_col).cast("string")).alias("_nid"),
+        F.col(text_col),
+    )
+    fb = winnow_fingerprints(b, k, w, "_nid", text_col)
+    ft = winnow_fingerprints(t, k, w, "_nid", text_col)
+    if max_df is not None:
+        hot = (
+            fb.unionByName(ft)
+            .groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_df)
+            .select("fp")
+            .localCheckpoint(eager=True)
+        )
+        n_hot = hot.count()
+        if n_hot:
+            import warnings
+
+            warnings.warn(
+                f"decontaminate_runs: max_df={max_df} pruned {n_hot} hot "
+                "fingerprint(s) - contaminated pairs hiding entirely in "
+                "boilerplate may be missed",
+                stacklevel=2,
+            )
+        fb = fb.join(hot, "fp", "left_anti")
+        ft = ft.join(hot, "fp", "left_anti")
+    pairs = (
+        F.broadcast(fb.select(F.col("_nid").alias("d1"), "fp"))
+        .join(ft.select(F.col("_nid").alias("d2"), "fp"), "fp")
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("_ns"))
+        .where(F.col("_ns") >= min_shared)
+        .select("d1", "d2")
+    )
+    runs = _run_streaks(
+        b.unionByName(t), pairs, k, min_run, "_nid", text_col, max_gram_freq
+    )
+    out = runs.groupBy("d1", "d2").agg(
+        F.max("_run").alias("longest_run"),
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+    )
+    return out.select(
+        F.substring("d1", 3, 2**31 - 1).cast("long").alias("bench_id"),
+        F.substring("d2", 3, 2**31 - 1).cast("long").alias(id_col),
+        "longest_run",
+        "n_runs",
+    )
+
+
 def minhash_recall_audit(
     df: DataFrame,
     threshold: float = 0.8,

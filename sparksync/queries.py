@@ -7420,6 +7420,71 @@ from docs d left join agg a using (doc_id)
 """
 
 
+def q207_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-span decontamination (ext/dedup.decontaminate_runs): the
+    source='src0' slice plays the benchmark, everything else the
+    training corpus; every training doc sharing a >= 12-token
+    VERBATIM run with any benchmark doc is flagged with the actual
+    maximal overlap. min_shared=1 + the winnow guarantee make
+    detection exact at this threshold — no contaminated pair can
+    escape the candidate set. All contaminated pairs, exact
+    integers."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("source") == "src0").select("doc_id", "text")
+    train = docs.where(F.col("source") != "src0").select("doc_id", "text")
+    return dedup.decontaminate_runs(train, bench, min_run=12)
+
+
+ORACLE_Q207 = """
+with
+docs as (
+  select doc_id, source,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') as toks
+  from documents),
+dk as (
+  select doc_id, source, toks, len(toks) - 4 as m
+  from docs where len(toks) >= 5),
+h as (
+  select doc_id, source, m, i as pos,
+         cast(cast('0x' || substring(md5(
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+             toks[i+3] || ' ' || toks[i+4]
+         ), 1, 15) as ubigint) as bigint) as h
+  from dk, unnest(range(1, m + 1)) t(i)),
+wmin as (
+  select doc_id, source, m, pos,
+         min(h) over (partition by doc_id order by pos
+                      rows between current row and 7 following) as fp
+  from h),
+fps as (
+  select distinct doc_id, source, fp
+  from wmin where pos <= greatest(m - 7, 1)),
+pairs as (
+  select distinct a.doc_id as bid, b.doc_id as tid
+  from fps a
+  join fps b on a.fp = b.fp
+  where a.source = 'src0' and b.source <> 'src0'),
+mtch as (
+  select p.bid, p.tid, h1.pos as i, h1.pos - h2.pos as diag
+  from pairs p
+  join h h1 on h1.doc_id = p.bid
+  join h h2 on h2.doc_id = p.tid and h2.h = h1.h),
+st as (
+  select bid, tid, diag, i,
+         i - row_number() over (partition by bid, tid, diag order by i)
+           as grp
+  from mtch),
+runs as (
+  select bid, tid, diag, grp, cast(count(*) + 4 as bigint) as run
+  from st group by 1, 2, 3, 4)
+select bid as bench_id, tid as doc_id,
+       cast(max(run) as bigint) as longest_run,
+       cast(count(*) as bigint) as n_runs
+from runs where run >= 12
+group by 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -7627,6 +7692,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q204_winnow_dedup_report": q204_winnow_dedup_report,
     "q205_shared_runs": q205_shared_runs,
     "q206_trim_shared_runs": q206_trim_shared_runs,
+    "q207_decontaminate": q207_decontaminate,
 }
 
 ORACLES: dict[str, str] = {
@@ -7836,4 +7902,5 @@ ORACLES: dict[str, str] = {
     "q204_winnow_dedup_report": ORACLE_Q204,
     "q205_shared_runs": ORACLE_Q205,
     "q206_trim_shared_runs": ORACLE_Q206,
+    "q207_decontaminate": ORACLE_Q207,
 }

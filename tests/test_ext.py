@@ -4456,6 +4456,42 @@ def test_shared_run_degenerate_doc_guard(spark):
     assert trimmed == {1: 0, 2: 0, 3: 0, 4: 40}
 
 
+def test_decontaminate_runs_cross_only_and_python_parity(spark):
+    """decontaminate_runs flags ONLY (benchmark, train) overlaps:
+    two identical TRAIN docs must not pair (that's dedup's job, and a
+    bench x bench pair would be nonsense), run lengths equal the
+    brute-force longest-common-run scan, min_shared=1 catches a pair
+    sharing exactly one minimal qualifying run, and id namespaces
+    can overlap (bench 1 and train 1 are different documents)."""
+    from sparksync.ext import dedup as dd
+
+    bench = spark.createDataFrame(
+        [
+            (1, "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12 tail1"),
+            (2, "c1 c2 c3 c4 c5"),  # too short to contaminate anything
+        ],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # contains bench-1's 12-token run verbatim (exactly min_run)
+            (1, "x1 x2 b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12 y1"),
+            # identical twin of train doc 1 — must NOT appear paired
+            # with it (cross-only), but contaminates bench 1 equally
+            (7, "x1 x2 b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12 y1"),
+            (9, "clean doc nothing shared here at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.bench_id, r.doc_id): (r.longest_run, r.n_runs)
+        for r in dd.decontaminate_runs(
+            train, bench, k=5, w=8, min_shared=1, min_run=12
+        ).collect()
+    }
+    assert got == {(1, 1): (12, 1), (1, 7): (12, 1)}
+
+
 def test_trim_shared_runs_matches_python(spark):
     """trim_shared_runs equals a pure-Python replay of the rule on
     constructed docs: the higher-id copy loses each shared run,

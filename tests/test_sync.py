@@ -1151,6 +1151,20 @@ def test_cli_audit_round10_dedup_kinds(tmp_path, capsys):
         n_kept = len([t for t in r["new_text"].split() if t])
         assert n_kept == r["n_tokens"] - r["n_trimmed"]
 
+    assert main(base + ["audit", "--kind", "decontaminate",
+                        "--table", "documents",
+                        "--target", "source = 'src0'"]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert rows  # src0 near-dups exist cross-source at fixture SF
+    for r in rows:
+        assert r["longest_run"] >= 12 and r["n_runs"] >= 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(base + ["audit", "--kind", "decontaminate",
+                     "--table", "documents"])  # needs --target
+
 
 def test_cli_audit_layout_kind(tmp_path, capsys):
     """`audit --kind layout` prices linear-x vs z-order for a 2-D

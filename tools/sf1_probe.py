@@ -157,7 +157,28 @@ def main() -> int:
             emb, docs, threshold=0.42, bucket_cap=64
         )
 
-    extra = {"q178_semantic_dedup_cap64": q178_cap64}
+    # q207 variant: the probe corpus prefixes sources per replica
+    # (r0-src0, r1-src0, ...), so the gate's source='src0' predicate
+    # would select an empty benchmark at sf1 — use the suffix match
+    # so every replica contributes its src0 slice as benchmark.
+    def q207_suffix(spark, d):
+        from pyspark.sql import functions as FF
+
+        from sparksync.ext import dedup as dd
+        from sparksync.source import load_table as lt
+
+        docs = lt(spark, d, "documents")
+        is_bench = FF.col("source").endswith("src0")
+        return dd.decontaminate_runs(
+            docs.where(~is_bench).select("doc_id", "text"),
+            docs.where(is_bench).select("doc_id", "text"),
+            min_run=12,
+        )
+
+    extra = {
+        "q178_semantic_dedup_cap64": q178_cap64,
+        "q207_decontaminate_suffix": q207_suffix,
+    }
 
     for name in QUERIES_TO_PROBE:
         per = {}
