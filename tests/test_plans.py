@@ -888,6 +888,27 @@ def test_keeper_and_report_share_one_components_pass(spark, monkeypatch):
     features.release_pinned()
 
 
+def test_run_engine_query_plans(spark):
+    """The exact-substring family's scale contracts, pinned in the
+    executed plans: the run engine prunes the corpus to docs-in-pairs
+    BEFORE gram explosion (LeftSemi present in q205/q206/q207), and
+    q207's benchmark side rides broadcast joins (the benchmark is the
+    small side by construction — test sets are thousands of docs, the
+    corpus billions; a shuffle of the corpus against bench
+    fingerprints would be the wrong plan at any scale)."""
+    from sparksync.ext import features
+
+    features.release_pinned()
+    p205 = plan_of(QUERIES["q205_shared_runs"](spark, SF_SMOKE))
+    assert "LeftSemi" in p205 and "CartesianProduct" not in p205
+    p206 = plan_of(QUERIES["q206_trim_shared_runs"](spark, SF_SMOKE))
+    assert "LeftSemi" in p206 and "CartesianProduct" not in p206
+    p207 = plan_of(QUERIES["q207_decontaminate"](spark, SF_SMOKE))
+    assert "LeftSemi" in p207 and "CartesianProduct" not in p207
+    assert "BroadcastHashJoin" in p207
+    features.release_pinned()
+
+
 def test_decision_report_single_fingerprint_pass(spark, monkeypatch):
     """q204's composed contract (VERDICT r9 #1): dedup_decision_report
     must materialize the supplied winnowing pair pipeline exactly ONCE
