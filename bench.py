@@ -83,8 +83,9 @@ HEADLINE = [
     # drift monitor (census + frozen-model scoring join) and the
     # cluster-size histogram get recorded numbers; q204 is the new
     # composed winnowing capstone (fingerprint pairs -> one components
-    # pass -> keeper + full report in one job). Totals grow by three
-    # queries vs BENCH_r09 — compare per-query
+    # pass -> keeper + full report in one job). Totals grow by SIX
+    # queries vs BENCH_r09 (q196/q203/q204/q205/q206/q207) — compare
+    # per-query
     "q196_cluster_size_histogram",
     "q203_lm_drift",
     "q204_winnow_dedup_report",
