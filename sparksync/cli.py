@@ -122,6 +122,9 @@ def main(argv: list[str] | None = None) -> int:
             # exact-substring trim corpus rewrite (X202), and
             # exact-span benchmark decontamination (X203)
             "decision", "trim", "decontaminate",
+            # round 11: semantic (embedding-space) dedup keeper with
+            # corpus-auto-sized RP-LSH bands (X170 / VERDICT r10 #1)
+            "semantic",
         ],
     )
     aud.add_argument("--table", help="pruning/quantile: table to audit")
@@ -143,7 +146,14 @@ def main(argv: list[str] | None = None) -> int:
     aud.add_argument("--m-bits", type=int, default=256)
     aud.add_argument("--k", type=int, default=3)
     aud.add_argument("--group", help="quantile: group column")
-    aud.add_argument("--id", help="quantile/layout: unique id column")
+    aud.add_argument("--id", help="quantile/layout/semantic: unique id column")
+    aud.add_argument(
+        "--quality-table",
+        default="documents",
+        help="semantic: table holding the per-doc quality signal "
+        "(--id maps its key to the embedding table's vec_id; "
+        "--value names the quality column, default n_chars)",
+    )
     aud.add_argument("--x-col", help="layout: first dimension column")
     aud.add_argument("--y-col", help="layout: second dimension column")
     aud.add_argument("--rows-per-file", type=int, default=256)
@@ -637,6 +647,30 @@ def main(argv: list[str] | None = None) -> int:
                 docs.where(F.expr(args.target)),
                 max_df=1000,
             )
+        elif args.kind == "semantic":
+            # X170: semantic dedup keeper. The CLI is the production
+            # entry point, so n_planes stays None -> the band width
+            # auto-sizes to the corpus via rp_lsh_params (VERDICT r10
+            # #1: the sf1 probe measured fixed 32 planes at 5.41x wall
+            # per 10x vectors; sized bands held 2.13x). The gate query
+            # q178 pins n_planes=32 for oracle replay — this path is
+            # the one that must survive 100 TB.
+            from pyspark.sql import functions as F
+
+            from .ext.similarity import semantic_dedup_keeper
+
+            if args.table is None:
+                p.error("audit --kind semantic needs --table")
+            emb = job._read_source(args.table)
+            quality = job._read_source(args.quality_table).select(
+                F.col(args.id or "doc_id").alias("vec_id"),
+                F.col(args.value or "n_chars").alias("quality"),
+            )
+            out = semantic_dedup_keeper(emb, quality, threshold=args.threshold)
+            # bounded print: only the CUT list (rows the dedup drops),
+            # sized by duplicate volume, never corpus volume; kept is
+            # a 0/1 bigint (oracle-portable), not a boolean
+            out = out.where(F.col("kept") == 0)
         elif args.kind == "winnow":
             # X196: winnowing overlap pairs; production sets the
             # max_df join-side cap (the jaccard_pairs discipline) so a

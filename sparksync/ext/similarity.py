@@ -299,10 +299,34 @@ def _lsh_scored_pairs(
     return cand.select("d1", "d2", cosine(F.col("va"), F.col("vb")).alias("cos"))
 
 
+def _sized_lsh_params(
+    emb: DataFrame,
+    n_planes: int | None,
+    n_bands: int,
+    bucket_cap: int | None,
+) -> tuple[int, int | None]:
+    """Resolve (n_planes, bucket_cap) for the production RP-LSH paths.
+
+    n_planes=None (the default) sizes the band width to the corpus via
+    rp_lsh_params — one cheap emb.count() (parquet footer metadata at
+    scan time, no column read) buys the occupancy law the sf1 probe
+    measured: fixed 32 planes ran 5.41x wall for 10x vectors because
+    per-bucket verify cost is C(n/2^width, 2); width ~ log2(n/8) holds
+    it at ~2.1x per decade. Explicit n_planes (the gate queries pin 32)
+    bypasses the count so oracle replays stay bit-identical at any SF.
+    """
+    if n_planes is not None:
+        return n_planes, bucket_cap
+    sized = rp_lsh_params(
+        max(1, emb.count()), n_bands=n_bands, verify_budget=bucket_cap
+    )
+    return sized["n_planes"], sized["bucket_cap"]
+
+
 def neardup_pairs_lsh(
     emb: DataFrame,
     top_n: int = 5,
-    n_planes: int = 32,
+    n_planes: int | None = None,
     n_bands: int = 4,
     dim: int = 64,
     bucket_cap: int | None = 10_000,
@@ -310,7 +334,11 @@ def neardup_pairs_lsh(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Top-n ranked near-dup pairs over the RP-LSH candidate set (see
-    _lsh_scored_pairs for the bucketing/recall story)."""
+    _lsh_scored_pairs for the bucketing/recall story). n_planes=None
+    auto-sizes the bands to the corpus (see _sized_lsh_params); at
+    n <= 2048 vectors the law reproduces the historical 32-plane
+    default exactly."""
+    n_planes, bucket_cap = _sized_lsh_params(emb, n_planes, n_bands, bucket_cap)
     scored = _lsh_scored_pairs(
         emb, n_planes, n_bands, dim, bucket_cap, id_col, vec_col
     )
@@ -325,7 +353,7 @@ def semantic_dedup_keeper(
     emb: DataFrame,
     quality_df: DataFrame,
     threshold: float = 0.9,
-    n_planes: int = 32,
+    n_planes: int | None = None,
     n_bands: int = 4,
     dim: int = 64,
     bucket_cap: int | None = 10_000,
@@ -345,9 +373,15 @@ def semantic_dedup_keeper(
     candidates, never N^2; hot buckets re-split by bucket_cap);
     components iterate over the PAIR graph only; the corpus-sized side
     does one aggregate-free join against the clustered-id map. Output:
-    (id, cluster_id, quality, n_members, kept)."""
+    (id, cluster_id, quality, n_members, kept).
+
+    n_planes=None (the default) auto-sizes the bands to the corpus via
+    rp_lsh_params — the sf1 probe measured fixed 32 planes at 5.41x
+    wall per 10x vectors vs 2.13x sized (BASELINE.md); gate queries pin
+    n_planes=32 explicitly so their DuckDB oracles replay bit-for-bit."""
     from .dedup import cluster_keeper_from_pairs
 
+    n_planes, bucket_cap = _sized_lsh_params(emb, n_planes, n_bands, bucket_cap)
     scored = _lsh_scored_pairs(
         emb, n_planes, n_bands, dim, bucket_cap, id_col, vec_col
     )

@@ -806,8 +806,14 @@ def q32_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic Python constants, so ORACLE_Q32 inlines them as SQL
     list literals and replays the exact band assignment in DuckDB
     (same trick as q21/q36's md5-portable hashes). test_ext.py
-    additionally asserts recall overlap with brute-force q31."""
-    return similarity.neardup_pairs_lsh(load(spark, sf_dir, "embeddings"), top_n=5)
+    additionally asserts recall overlap with brute-force q31.
+
+    Params are PINNED (n_planes=32) so the inlined-plane oracle stays
+    bit-replayable at any SF; the production default is n_planes=None,
+    which auto-sizes the bands via rp_lsh_params (VERDICT r10 #1)."""
+    return similarity.neardup_pairs_lsh(
+        load(spark, sf_dir, "embeddings"), top_n=5, n_planes=32
+    )
 
 
 def _oracle_q32() -> str:
@@ -5914,7 +5920,12 @@ def q178_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("vec_id"), F.col("n_chars").alias("quality")
     )
-    return similarity.semantic_dedup_keeper(emb, docs, threshold=0.42)
+    # n_planes PINNED at 32 so ORACLE_Q178's inlined planes replay
+    # bit-for-bit at any SF; production callers default to
+    # n_planes=None -> rp_lsh_params auto-sizing (VERDICT r10 #1).
+    return similarity.semantic_dedup_keeper(
+        emb, docs, threshold=0.42, n_planes=32
+    )
 
 
 def _oracle_q178() -> str:

@@ -91,6 +91,39 @@ def test_rp_lsh_params_occupancy_law():
         rp_lsh_params(0)
 
 
+def test_rp_lsh_production_defaults_auto_size(spark):
+    """VERDICT r10 #1: n_planes=None (the production default) must
+    resolve through rp_lsh_params at the ACTUAL corpus count — the law
+    with a call site, not documentation. Asserted at two corpus sizes
+    straddling the sizing knee (2k -> 32 planes, 20k -> 48), and that
+    an explicit n_planes (the gate pin) bypasses the count entirely."""
+    from sparksync.ext.similarity import _sized_lsh_params, rp_lsh_params
+
+    small = spark.range(2_000).select(F.col("id").alias("vec_id"))
+    big = spark.range(20_000).select(F.col("id").alias("vec_id"))
+    for df, n in ((small, 2_000), (big, 20_000)):
+        planes, cap = _sized_lsh_params(df, None, 4, 10_000)
+        law = rp_lsh_params(n, n_bands=4, verify_budget=10_000)
+        assert (planes, cap) == (law["n_planes"], law["bucket_cap"])
+    assert _sized_lsh_params(big, None, 4, 10_000)[0] == 48
+    # gate pin: explicit params pass through untouched, no count job
+    assert _sized_lsh_params(big, 32, 4, 10_000) == (32, 10_000)
+    # verify_budget flows through the auto path too
+    assert _sized_lsh_params(big, None, 4, 64)[1] == 64
+
+
+def test_rp_lsh_gate_path_unchanged_by_auto_sizing(emb):
+    """The q32/q178 gate queries pin n_planes=32, so their output must
+    be bit-identical to the pre-auto-sizing behavior — and at the gate
+    fixture's corpus size the auto-sized default must ALSO coincide
+    with 32 planes (the law reproduces the defaults at n <= 2048)."""
+    n = emb.count()
+    assert n <= 2048, "fixture grew past the sizing knee; re-pin this test"
+    pinned = similarity.neardup_pairs_lsh(emb, top_n=5, n_planes=32).collect()
+    auto = similarity.neardup_pairs_lsh(emb, top_n=5).collect()
+    assert [tuple(r) for r in pinned] == [tuple(r) for r in auto]
+
+
 def test_rp_lsh_finds_planted_neardups(spark, emb):
     """The fixture embeddings hold no true near-dups (top cosines ~0.5),
     so recall is tested on PLANTED ones: jittered copies of 10 vectors

@@ -1159,6 +1159,27 @@ def test_cli_audit_round10_dedup_kinds(tmp_path, capsys):
     for r in rows:
         assert r["longest_run"] >= 12 and r["n_runs"] >= 1
 
+
+def test_cli_audit_semantic_auto_sized(tmp_path, capsys):
+    """`audit --kind semantic` (X170 / VERDICT r10 #1): the production
+    semantic-dedup entry point runs with n_planes=None, i.e. RP-LSH
+    bands auto-sized to the corpus via rp_lsh_params. Prints only the
+    CUT list (kept=false rows), bounded by duplicate volume."""
+    import json as _json
+
+    from sparksync.cli import main
+
+    out = str(tmp_path / "dest")
+    base = ["--src", SF_SMOKE, "--dest", out]
+    assert main(base + ["audit", "--kind", "semantic",
+                        "--table", "embeddings",
+                        "--threshold", "0.42"]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert rows  # threshold 0.42 sits inside the fixture cosine range
+    for r in rows:
+        assert int(r["kept"]) == 0
+        assert r["n_members"] >= 2  # a cut row always has a keeper peer
+
     import pytest as _pytest
 
     with _pytest.raises(SystemExit):
