@@ -23,38 +23,36 @@ def _rotated(d: dict) -> dict:
     """The driver's CORRECTNESS report samples at most 50 queries; the
     surface is len(QUERIES) (207 as of round 10 — test_meta asserts
     the exact count), so allocation is explicit and rotates each round
-    toward the weakest external evidence (VERDICT r5 #4, by AGE since
-    r9). Round 10 heads the 50 with the seven queries whose
-    implementation changed or landed this round: q200/q202/q203 (the
-    LM family's context-count join fix, overflow-symmetric fixed-mode
-    sums, and the auto-switched '<unk>' mapping in lm_bigram_counts
-    feed all three scorers), q204 (new composed winnowing dedup
-    capstone), q205 (new exact shared-run pairs), q206 (new
-    exact-substring trim) and q207 (new exact-span decontamination).
-    Then the stalest direct driver evidence per VERDICT r9 #5:
-    q62-q65 (cut in r9, r7-era rows), q48-q50 (r4-era), the q77-q109
-    band (r4/r5-era, partially refreshed since), and q110-q120
-    (r4-late) to fill the cap: 7 + 4 + 3 + 33 = 47 explicit + the
-    first 3 of the q110 band = 50. Changed/new queries sort FIRST so the cap can never
+    toward the weakest external evidence (VERDICT r5 #4, by AGE).
+    Round 11 heads the 50 with the three queries whose implementation
+    or gate changed this round: q48 (re-gated from rows-only native
+    HLL++ to the oracle-checked portable m=64 sketch, VERDICT r10 #5),
+    q32 and q178 (now pin n_planes=32 explicitly while the production
+    default auto-sizes, VERDICT r10 #1 — outputs must be bit-identical
+    to r10). Then q141 FIRST among the stale (ten rounds with zero
+    green driver evidence — its only CORRECTNESS row is a long-fixed
+    round-4 harness error; VERDICT r10 #2 names it explicitly), then
+    the q113-q152 band (33 queries whose newest driver evidence is
+    r4), then q153+ (r7-era) to fill the cap:
+    3 changed + q141 + 39 (q113-q152 minus q141) = 43, + q153-q159
+    = 50. Changed/new queries sort FIRST so the cap can never
     silently drop a query with zero driver evidence; both committed
     selfcheck sweeps cover the full surface at 2 SFs regardless.
     Every key keeps its name — only dict insertion order changes."""
 
-    changed_r10 = {200, 202, 203, 204, 205, 206, 207}
+    changed_r11 = {48, 32, 178}
 
     def key(name: str):
         n = int(name[1:].split("_", 1)[0])
-        if n in changed_r10:
+        if n in changed_r11:
             return (0, n)
-        if 62 <= n <= 65:
+        if n == 141:
             return (1, n)
-        if 48 <= n <= 50:
+        if 113 <= n <= 152:
             return (2, n)
-        if 77 <= n <= 109:
+        if 153 <= n <= 187:
             return (3, n)
-        if 110 <= n <= 120:
-            return (4, n)
-        return (5, n)
+        return (4, n)
 
     return {k: d[k] for k in sorted(d, key=key)}
 

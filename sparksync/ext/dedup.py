@@ -1882,7 +1882,13 @@ def decontaminate_runs(
     fingerprint table broadcasts, the training side streams through
     one fp join; the run verification is pair-keyed as in X201.
     Output: (bench_id, doc_id-named train id, longest_run, n_runs),
-    one row per contaminated (benchmark doc, training doc) pair."""
+    one row per contaminated (benchmark doc, training doc) pair. The
+    id columns come back in each input's ORIGINAL dtype (captured
+    from the schemas before the 'b:'/'t:' namespacing round-trips
+    them through string) — UUID/string keys survive, not just
+    integral ids."""
+    bench_id_type = bench.schema[bench_id_col].dataType
+    train_id_type = docs.schema[id_col].dataType
     b = bench.select(
         F.concat(F.lit("b:"), F.col(bench_id_col).cast("string")).alias(
             "_nid"
@@ -1932,8 +1938,8 @@ def decontaminate_runs(
         F.count(F.lit(1)).cast("long").alias("n_runs"),
     )
     return out.select(
-        F.substring("d1", 3, 2**31 - 1).cast("long").alias("bench_id"),
-        F.substring("d2", 3, 2**31 - 1).cast("long").alias(id_col),
+        F.substring("d1", 3, 2**31 - 1).cast(bench_id_type).alias("bench_id"),
+        F.substring("d2", 3, 2**31 - 1).cast(train_id_type).alias(id_col),
         "longest_run",
         "n_runs",
     )

@@ -168,26 +168,44 @@ def approx_distinct_kmv(
     )
 
 
-HLL_M = 256  # registers; standard error ~1.04/sqrt(m) = 6.5%
-# alpha_m for m >= 128 (Flajolet et al. 2007): 0.7213 / (1 + 1.079/m).
+HLL_M = 256  # default registers; standard error ~1.04/sqrt(m) = 6.5%
+# alpha_m (Flajolet et al. 2007): 0.7213 / (1 + 1.079/m) — the paper's
+# closed form for m >= 128; at m=64 it evaluates to 0.7093 vs the
+# paper's tabulated 0.709, well inside the sketch's own error band, so
+# this PORTABLE sketch uses the one formula at every register count.
 # Inlined as ONE Python float whose repr both the Spark expression and
 # the SQL oracle embed, so the constant is the identical double.
 HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
 
 
-def _hll_linear_table() -> list:
+def hll_alpha(m: int) -> float:
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_rank_base(m: int) -> int:
+    """Max possible rank for a 60-bit md5 hash split as (h mod m,
+    h div m): the remainder keeps 60 - log2(m) bits, ranks run
+    1..that+1 (the +1 is the all-zero remainder). m must be a power of
+    two so the split is exact. m=256 -> 53, the historical constant."""
+    lg = m.bit_length() - 1
+    if m != 1 << lg:
+        raise ValueError("hll register count must be a power of two")
+    return 60 - lg + 1
+
+
+def _hll_linear_table(m: int = HLL_M) -> list:
     """Linear-counting estimates m * ln(m / V) for every possible
     zero-register count V in 1..m — the small-range correction the raw
     HLL estimator needs (it is biased toward alpha*m when most
     registers are empty). ln() is NOT cross-engine bit-stable (the
     q189 lesson), but V is an INTEGER, so the whole correction
-    collapses to this 256-double lookup table computed once by
+    collapses to this m-double lookup table computed once by
     Python's libm and inlined as identical literals in the Spark
     expression and the SQL oracle — both engines index the same
     constants and never call their own log."""
     import math
 
-    return [HLL_M * math.log(HLL_M / v) for v in range(1, HLL_M + 1)]
+    return [m * math.log(m / v) for v in range(1, m + 1)]
 
 
 HLL_LINEAR_TABLE = _hll_linear_table()
@@ -197,6 +215,7 @@ def approx_distinct_hll(
     df: DataFrame,
     group_col: str,
     value_col: str,
+    m: int = HLL_M,
 ) -> DataFrame:
     """ENGINE-PORTABLE HyperLogLog distinct count per group — the HLL
     counterpart of approx_distinct_kmv, closing the one rows-only gap
@@ -232,11 +251,11 @@ def approx_distinct_hll(
     (ext/stream.hll_registers_stream) can keep the register table live
     and reuse the identical finisher. Output: (group,
     nonzero_registers, hll_est)."""
-    return hll_estimate(hll_registers(df, group_col, value_col), group_col)
+    return hll_estimate(hll_registers(df, group_col, value_col, m), group_col, m)
 
 
 def hll_registers(
-    df: DataFrame, group_col: str, value_col: str
+    df: DataFrame, group_col: str, value_col: str, m: int = HLL_M
 ) -> DataFrame:
     """The HLL sketch STATE: per (group, register) max rank — <= m rows
     per group by construction, mergeable by max. Works identically on
@@ -244,52 +263,60 @@ def hll_registers(
     needed). Output: (grp, _j, _m)."""
     from .dedup import md5_token_hash
 
+    rb = hll_rank_base(m)
     h = md5_token_hash(F.col(value_col).cast("string"))
     base = (
         df.where(F.col(value_col).isNotNull())
         .select(F.col(group_col).alias("grp"), h.alias("_h"))
-        .withColumn("_j", F.pmod(F.col("_h"), F.lit(HLL_M)))
-        .withColumn("_r", F.expr(f"_h div {HLL_M}"))
+        .withColumn("_j", F.pmod(F.col("_h"), F.lit(m)))
+        .withColumn("_r", F.expr(f"_h div {m}"))
         .withColumn(
             "_rank",
             F.when(
-                F.col("_r") > 0, F.lit(53) - F.length(F.bin(F.col("_r")))
+                F.col("_r") > 0, F.lit(rb) - F.length(F.bin(F.col("_r")))
             )
-            .otherwise(F.lit(53))
+            .otherwise(F.lit(rb))
             .cast("int"),
         )
     )
     return base.groupBy("grp", "_j").agg(F.max("_rank").alias("_m"))
 
 
-def hll_estimate(regs: DataFrame, group_col: str) -> DataFrame:
+def hll_estimate(regs: DataFrame, group_col: str, m: int = HLL_M) -> DataFrame:
     """Finish a (grp, _j, _m) register table into per-group estimates —
     the batch-side read over the tiny live table in the streaming
-    composition, and the second stage of approx_distinct_hll."""
-    two53 = 1 << 53
+    composition, and the second stage of approx_distinct_hll. The
+    int64 scaling is 2^rank_base: empty registers contribute
+    2^rank_base each, so the exact-sum bound is m * 2^rank_base =
+    2^61 at EVERY power-of-two m (the exponents trade off) — always
+    inside int64."""
+    rb = hll_rank_base(m)
+    two_rb = 1 << rb
+    alpha = hll_alpha(m)
+    table = _hll_linear_table(m) if m != HLL_M else HLL_LINEAR_TABLE
     agg = regs.groupBy("grp").agg(
         F.count(F.lit(1)).cast("long").alias("_nreg"),
         # shiftleft with a column-valued shift needs the SQL form (the
         # Python wrapper only takes a literal int)
-        F.sum(F.expr("shiftleft(cast(1 as bigint), 53 - _m)"))
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {rb} - _m)"))
         .cast("long")
         .alias("_sne"),
     )
-    s_int = (F.lit(HLL_M).cast("long") - F.col("_nreg")) * F.lit(two53) + F.col(
+    s_int = (F.lit(m).cast("long") - F.col("_nreg")) * F.lit(two_rb) + F.col(
         "_sne"
     )
     raw = (
-        F.lit(HLL_ALPHA)
-        * F.lit(float(HLL_M * HLL_M))
-        * F.lit(float(two53))
+        F.lit(alpha)
+        * F.lit(float(m * m))
+        * F.lit(float(two_rb))
         / s_int.cast("double")
     )
-    zeros = F.lit(HLL_M).cast("long") - F.col("_nreg")
+    zeros = F.lit(m).cast("long") - F.col("_nreg")
     lin = F.element_at(
-        F.array(*[F.lit(x) for x in HLL_LINEAR_TABLE]),
+        F.array(*[F.lit(x) for x in table]),
         F.greatest(zeros, F.lit(1)).cast("int"),
     )
-    est = F.when((raw <= F.lit(2.5 * HLL_M)) & (zeros > 0), lin).otherwise(raw)
+    est = F.when((raw <= F.lit(2.5 * m)) & (zeros > 0), lin).otherwise(raw)
     return agg.select(
         F.col("grp").alias(group_col),
         F.col("_nreg").alias("nonzero_registers"),

@@ -1660,8 +1660,11 @@ def lm_bigram_counts(
     unbounded stream (stream-static joins are allowed pre-aggregation;
     a posexplode + window reassembly is not) and state stays
     <= (V+1)^2 — mapping BEFORE the stateful count is what bounds it.
-    `vocab` must be distinct (the census guarantees it); duplicates
-    would multiply join rows."""
+    `vocab` is deduplicated defensively at entry (order-preserving):
+    the census guarantees distinctness, but a duplicated token handed
+    to the join path would silently MULTIPLY bigram rows (the array
+    path is immune), so both paths share one contract here."""
+    vocab = list(dict.fromkeys(vocab))
     toks = tokens(text_col)
     n = F.size(toks)
     if len(vocab) <= LM_VOCAB_JOIN_THRESHOLD:

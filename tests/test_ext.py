@@ -3492,6 +3492,34 @@ def test_hll_portable_accuracy_and_registers(spark):
         assert abs(r.hll_est - n) <= 0.26 * n, (r.event_type, r.hll_est, n)
 
 
+def test_hll_portable_m64_accuracy(spark):
+    """The parameterized register count (VERDICT r10 #5: q48 re-gated
+    to the portable sketch at m=64): estimate within the wider error
+    band (~13% standard error; assert 4 sigma = 52%), registers
+    bounded by 64, and the m=64 and m=256 sketches agree with each
+    other within their combined band."""
+    from sparksync.ext import skew
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    got = skew.approx_distinct_hll(ev, "event_type", "user_id", m=64).collect()
+    assert {r.event_type for r in got} == set(exact)
+    for r in got:
+        n = exact[r.event_type]
+        assert 1 <= r.nonzero_registers <= min(64, n)
+        assert abs(r.hll_est - n) <= max(3, 0.52 * n), (r.event_type, r.hll_est, n)
+    # non-power-of-two register counts are rejected, not mis-sketched
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        skew.hll_rank_base(100)
+
+
 def test_hll_portable_exact_on_crafted(spark):
     """One group with ONE distinct value: exactly one register is hit,
     regardless of row multiplicity (the sketch sees values, not rows)."""
@@ -5107,3 +5135,126 @@ def test_lm_vocab_census_matches_python(docs):
         .collect()
     ]
     assert again == want
+
+
+def test_run_oracles_mirror_gram_cap(spark, tmp_path):
+    """ADVICE r10 #1: the q205/q206/q207 DuckDB oracles must share
+    _run_streaks' max_gram_freq=64 degenerate-doc cap, or a corpus
+    document repeating one k-gram >64 times diverges the gate. This
+    crafts exactly that corpus — a degenerate twin pair (196
+    occurrences of the same 5-gram each) plus a normal 40-token
+    shared run and a planted bench/train contamination — writes it as
+    a documents.parquet fixture dir, and asserts the registered gate
+    query and its oracle agree row-for-row on BOTH q205 and q207.
+    Without the oracle-side cap the degenerate pair appears in the
+    oracle only (run length 200) and this test fails."""
+    import duckdb as _duckdb
+
+    from sparksync import queries as Q
+
+    run = " ".join(f"r{i}" for i in range(40))
+    rows = [
+        (1, " ".join(["spam"] * 200), "en", "src0", 0),
+        (2, " ".join(["spam"] * 200), "en", "src1", 0),
+        (3, "a1 a2 " + run + " a3", "en", "src1", 0),
+        (4, "z9 " + run + " z8 z7", "en", "src2", 0),
+        # bench doc sharing a 20-token verbatim run with docs 3 and 4
+        (5, " ".join(f"r{i}" for i in range(20)), "en", "src0", 0),
+    ]
+    pdf = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).toPandas()
+    d = str(tmp_path)
+    con = _duckdb.connect()
+    con.register("docs_pdf", pdf)
+    con.execute(
+        f"copy (select * from docs_pdf order by doc_id) to '{d}/documents.parquet'"
+    )
+    con.execute(
+        f"create view documents as select * from '{d}/documents.parquet'"
+    )
+    import warnings as _w
+
+    for qname in ("q205_shared_runs", "q207_decontaminate"):
+        with _w.catch_warnings():
+            # the degenerate pair MUST trip the engine's cap warning;
+            # swallow it so the parity assert is the test's verdict
+            _w.simplefilter("ignore")
+            got = sorted(
+                tuple(r) for r in Q.QUERIES[qname](spark, d).collect()
+            )
+        want = sorted(tuple(r) for r in con.sql(Q.ORACLES[qname]).fetchall())
+        assert got == want, (qname, got, want)
+        assert got, qname  # the planted normal runs are found
+        # the degenerate twin pair is pruned from BOTH engines
+        flat = {v for t in got for v in t}
+        assert 200 not in flat, (qname, got)
+    con.close()
+
+
+def test_decontaminate_runs_preserves_id_dtypes(spark):
+    """ADVICE r10 #2: decontaminate_runs namespaces ids through
+    'b:'/'t:' strings internally; the output must come back in each
+    input's ORIGINAL dtype — string/UUID keys included, not just
+    integral ids silently cast to long (which made them NULL)."""
+    from sparksync.ext import dedup as dd
+
+    run12 = " ".join(f"b{i}" for i in range(12))
+    bench = spark.createDataFrame(
+        [("bench-uuid-01", run12 + " tail")],
+        "qid string, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            ("train-uuid-77", "x1 x2 " + run12 + " y1"),
+            ("train-uuid-99", "clean doc nothing shared here at all ok"),
+        ],
+        "tid string, text string",
+    )
+    out = dd.decontaminate_runs(
+        train, bench, min_run=12, id_col="tid", bench_id_col="qid"
+    )
+    assert dict(out.dtypes) == {
+        "bench_id": "string",
+        "tid": "string",
+        "longest_run": "bigint",
+        "n_runs": "bigint",
+    }
+    got = {(r.bench_id, r.tid): r.longest_run for r in out.collect()}
+    assert got == {("bench-uuid-01", "train-uuid-77"): 12}
+    # integral ids still come back integral (the historical contract)
+    benchl = spark.createDataFrame([(5, run12 + " tail")], "doc_id long, text string")
+    trainl = spark.createDataFrame(
+        [(9, "x1 x2 " + run12 + " y1")], "doc_id long, text string"
+    )
+    outl = dd.decontaminate_runs(trainl, benchl, min_run=12)
+    assert dict(outl.dtypes)["bench_id"] == "bigint"
+    assert {(r.bench_id, r.doc_id) for r in outl.collect()} == {(5, 9)}
+
+
+def test_lm_bigram_counts_dedupes_vocab_both_paths(spark, monkeypatch):
+    """ADVICE r10 #3: a caller-supplied vocab with duplicates must not
+    multiply bigram rows in the large-vocab broadcast-join path (the
+    small-vocab array path was immune) — both paths dedupe at entry
+    and produce identical counts."""
+    from sparksync.ext import textops
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "b a b")], "doc_id long, text string"
+    )
+    vocab = ["a", "b", "a", "b", "a"]  # duplicates on purpose
+    want = {
+        (r.w, r.w2): r.cnt
+        for r in textops.lm_bigram_counts(df, ["a", "b"]).collect()
+    }
+    arr = {
+        (r.w, r.w2): r.cnt
+        for r in textops.lm_bigram_counts(df, vocab).collect()
+    }
+    monkeypatch.setattr(textops, "LM_VOCAB_JOIN_THRESHOLD", 1)
+    joined = {
+        (r.w, r.w2): r.cnt
+        for r in textops.lm_bigram_counts(df, vocab).collect()
+    }
+    assert arr == want
+    assert joined == want
