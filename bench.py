@@ -98,6 +98,10 @@ HEADLINE = [
     # round-10: exact-span decontamination (benchmark = the src0
     # slice; detection exact at >= w+k-1 by the winnow guarantee)
     "q207_decontaminate",
+    # round-11: the removal half — cut every contaminated >= 12-token
+    # span from the training copy and rebuild the corpus (one more
+    # query vs BENCH_r10 — compare per-query)
+    "q208_decontaminate_trim",
 ]
 
 

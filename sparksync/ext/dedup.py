@@ -1767,8 +1767,6 @@ def trim_shared_runs(
     filter over token positions against the (tiny) merged-span array
     — no explode of the corpus. Output: (id, n_tokens, n_trimmed,
     new_text) for EVERY input document."""
-    from pyspark.sql import Window
-
     runs = _run_streaks(
         df, pairs, k, min_run, id_col, text_col, max_gram_freq
     )
@@ -1777,6 +1775,22 @@ def trim_shared_runs(
         F.col("_jmin").cast("long").alias("_s"),
         (F.col("_jmin") + F.col("_run") - 1).cast("long").alias("_e"),
     )
+    return _trim_by_spans(df, spans, id_col, text_col)
+
+
+def _trim_by_spans(
+    df: DataFrame, spans: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Shared decision engine of trim_shared_runs / decontaminate_trim:
+    island-merge the victim spans (0-based inclusive token ranges per
+    doc) and rebuild every input document from its surviving token
+    positions. One window partitioned by doc (bounded by
+    spans-per-doc), spans collected to ONE array row per victim doc,
+    LEFT-joined so untouched docs pass through with n_trimmed = 0; the
+    rebuild is an array-side filter — no corpus explode. Output:
+    (id, n_tokens, n_trimmed, new_text) for EVERY row of df."""
+    from pyspark.sql import Window
+
     # island merge: a span starts a new island iff it begins past the
     # running max end of everything before it (start-ordered)
     w_ord = Window.partitionBy(id_col).orderBy("_s", "_e")
@@ -1889,6 +1903,43 @@ def decontaminate_runs(
     integral ids."""
     bench_id_type = bench.schema[bench_id_col].dataType
     train_id_type = docs.schema[id_col].dataType
+    runs, _b, _t = _decontaminate_streaks(
+        docs, bench, k, w, min_shared, min_run, id_col, bench_id_col,
+        text_col, max_df, max_gram_freq,
+    )
+    out = runs.groupBy("d1", "d2").agg(
+        F.max("_run").alias("longest_run"),
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+    )
+    return out.select(
+        F.substring("d1", 3, 2**31 - 1).cast(bench_id_type).alias("bench_id"),
+        F.substring("d2", 3, 2**31 - 1).cast(train_id_type).alias(id_col),
+        "longest_run",
+        "n_runs",
+    )
+
+
+def _decontaminate_streaks(
+    docs: DataFrame,
+    bench: DataFrame,
+    k: int,
+    w: int,
+    min_shared: int,
+    min_run: int,
+    id_col: str,
+    bench_id_col: str,
+    text_col: str,
+    max_df: int | None,
+    max_gram_freq: int | None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared discovery engine of decontaminate_runs /
+    decontaminate_trim: namespace the two corpora ('b:'/'t:' so id
+    spaces can overlap), winnow-fingerprint each side, candidates from
+    the CROSS fp join only (bench side broadcast — test sets are
+    thousands of docs, the corpus billions), then the diagonal-streak
+    run verification. Returns (runs, b, t): runs has (d1=bench _nid,
+    d2=train _nid, _jmin, _run) with _jmin 0-based in the TRAIN doc;
+    b/t are the namespaced inputs for any follow-on per-doc pass."""
     b = bench.select(
         F.concat(F.lit("b:"), F.col(bench_id_col).cast("string")).alias(
             "_nid"
@@ -1918,7 +1969,7 @@ def decontaminate_runs(
                 f"decontaminate_runs: max_df={max_df} pruned {n_hot} hot "
                 "fingerprint(s) - contaminated pairs hiding entirely in "
                 "boilerplate may be missed",
-                stacklevel=2,
+                stacklevel=3,
             )
         fb = fb.join(hot, "fp", "left_anti")
         ft = ft.join(hot, "fp", "left_anti")
@@ -1933,15 +1984,62 @@ def decontaminate_runs(
     runs = _run_streaks(
         b.unionByName(t), pairs, k, min_run, "_nid", text_col, max_gram_freq
     )
-    out = runs.groupBy("d1", "d2").agg(
-        F.max("_run").alias("longest_run"),
-        F.count(F.lit(1)).cast("long").alias("n_runs"),
+    return runs, b, t
+
+
+def decontaminate_trim(
+    docs: DataFrame,
+    bench: DataFrame,
+    k: int = 5,
+    w: int = 8,
+    min_shared: int = 1,
+    min_run: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    max_df: int | None = None,
+    max_gram_freq: int | None = 64,
+) -> DataFrame:
+    """The REMOVAL half of decontamination — where decontaminate_runs
+    FLAGS every (benchmark, training) pair sharing a >= min_run-token
+    verbatim run, this CUTS those spans from the TRAINING documents
+    and keeps the rest of each document: the surgical alternative to
+    dropping flagged docs wholesale (Brown et al.'s GPT-3 appendix
+    removes overlapping WINDOWS, not whole documents, for exactly this
+    reason — a 10k-token doc quoting one benchmark question is 99%
+    good training data). The benchmark side is never modified.
+
+    Composition of the two proven engines: _decontaminate_streaks
+    (winnow candidates, cross-only, bench side broadcast; detection
+    EXACT for min_run >= w+k-1 at min_shared=1) finds the maximal
+    contaminated spans in each training doc; _trim_by_spans
+    (trim_shared_runs' island-merge + array-side rebuild) cuts them.
+    Spans from DIFFERENT benchmark docs merge into islands on the
+    victim, so overlapping quotes never double-trim.
+
+    Scale shape: everything pair-keyed or per-doc-bounded as in the
+    parents; the per-doc span arrays are bounded by contamination per
+    doc, never corpus size. Output: (id, n_tokens, n_trimmed,
+    new_text) for EVERY training document — untouched docs pass
+    through with n_trimmed = 0 and their text rebuilt verbatim
+    (single-space token join, the tokenizer's normal form). Ids come
+    back in the input's original dtype."""
+    train_id_type = docs.schema[id_col].dataType
+    runs, _b, t = _decontaminate_streaks(
+        docs, bench, k, w, min_shared, min_run, id_col, bench_id_col,
+        text_col, max_df, max_gram_freq,
     )
+    spans = runs.select(
+        F.col("d2").alias("_nid"),
+        F.col("_jmin").cast("long").alias("_s"),
+        (F.col("_jmin") + F.col("_run") - 1).cast("long").alias("_e"),
+    )
+    out = _trim_by_spans(t, spans, "_nid", text_col)
     return out.select(
-        F.substring("d1", 3, 2**31 - 1).cast(bench_id_type).alias("bench_id"),
-        F.substring("d2", 3, 2**31 - 1).cast(train_id_type).alias(id_col),
-        "longest_run",
-        "n_runs",
+        F.substring("_nid", 3, 2**31 - 1).cast(train_id_type).alias(id_col),
+        "n_tokens",
+        "n_trimmed",
+        "new_text",
     )
 
 

@@ -485,22 +485,26 @@ def hll_registers_stream(
     rows: DataFrame,
     group_col: str,
     value_col: str,
+    m: int | None = None,
 ) -> DataFrame:
     """Streaming HyperLogLog maintenance: the per-(group, register)
     max-rank table of ext/skew.approx_distinct_hll kept live as data
     lands — an always-current approximate-distinct per group (live
-    unique users per event type) whose STATE is <= 256 rows per group
-    by construction. max is commutative-mergeable, so no watermark is
-    needed and the drained register table is bit-identical to the
-    batch sketch over the same rows (parity-tested, including across
-    a restart from checkpoint); the estimate is the shared
-    skew.hll_estimate finisher over this tiny table at read time, so
-    stream and batch can never disagree on the estimator. The batch
-    gate q194 proves the estimator itself against the DuckDB oracle;
-    this twin only maintains its state."""
-    from .skew import hll_registers
+    unique users per event type) whose STATE is <= m rows per group
+    by construction (m defaults to skew.HLL_M = 256; since round 11
+    the register count is a parameter on BOTH sides — q48 gates the
+    m=64 point — and the twin mirrors it so stream state and batch
+    sketch stay one sketch). max is commutative-mergeable, so no
+    watermark is needed and the drained register table is
+    bit-identical to the batch sketch over the same rows
+    (parity-tested, including across a restart from checkpoint); the
+    estimate is the shared skew.hll_estimate finisher over this tiny
+    table at read time, so stream and batch can never disagree on the
+    estimator. The batch gates q194/q48 prove the estimator itself
+    against the DuckDB oracle; this twin only maintains its state."""
+    from .skew import HLL_M, hll_registers
 
-    return hll_registers(rows, group_col, value_col)
+    return hll_registers(rows, group_col, value_col, HLL_M if m is None else m)
 
 
 INTERARRIVAL_STATE_SCHEMA = "last_us long, last_id long"

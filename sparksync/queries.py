@@ -1306,8 +1306,8 @@ def q48_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     Round 11 (VERDICT r10 #5): this slot spent ten rounds as a
     rows-only gate demonstrating Spark's NATIVE HLL++
     (approx_count_distinct, engine-internal estimate) — that demo
-    lives on in pytest (test_skew_stress), and the gate slot now
-    earns a real oracle row."""
+    lives on in pytest (test_ext.test_approx_distinct_close_to_exact),
+    and the gate slot now earns a real oracle row."""
     from .ext import skew
 
     return skew.approx_distinct_hll(
@@ -7539,6 +7539,95 @@ group by 1, 2
 """
 
 
+def q208_decontaminate_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination REMOVAL (ext/dedup.decontaminate_trim, new in
+    round 11): q207 flags the contaminated (benchmark, training)
+    pairs; this executes the policy — every >= 12-token verbatim
+    benchmark span is CUT from the training copy (islands merged, the
+    GPT-3-appendix window-removal shape rather than whole-doc drops),
+    the benchmark side untouched. One row per TRAINING document
+    (doc_id, n_tokens, n_trimmed, new_text): the training corpus
+    AFTER decontamination."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("source") == "src0").select("doc_id", "text")
+    train = docs.where(F.col("source") != "src0").select("doc_id", "text")
+    return dedup.decontaminate_trim(train, bench, min_run=12)
+
+
+ORACLE_Q208 = """
+with
+docs as (
+  select doc_id, source,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') as toks
+  from documents),
+train as (select doc_id, toks from docs where source <> 'src0'),
+dk as (
+  select doc_id, source, toks, len(toks) - 4 as m
+  from docs where len(toks) >= 5),
+h as (
+  select doc_id, source, m, i as pos,
+         cast(cast('0x' || substring(md5(
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+             toks[i+3] || ' ' || toks[i+4]
+         ), 1, 15) as ubigint) as bigint) as h
+  from dk, unnest(range(1, m + 1)) t(i)),
+wmin as (
+  select doc_id, source, m, pos,
+         min(h) over (partition by doc_id order by pos
+                      rows between current row and 7 following) as fp
+  from h),
+fps as (
+  select distinct doc_id, source, fp
+  from wmin where pos <= greatest(m - 7, 1)),
+pairs as (
+  select distinct a.doc_id as bid, b.doc_id as tid
+  from fps a
+  join fps b on a.fp = b.fp
+  where a.source = 'src0' and b.source <> 'src0'),
+-- mirror of the engine's max_gram_freq=64 cap (see ORACLE_Q205)
+hc as (
+  select doc_id, pos, h from (
+    select doc_id, pos, h,
+           count(*) over (partition by doc_id, h) as gf
+    from h)
+  where gf <= 64),
+mtch as (
+  select p.bid, p.tid, h1.pos as i, h1.pos - h2.pos as diag
+  from pairs p
+  join hc h1 on h1.doc_id = p.bid
+  join hc h2 on h2.doc_id = p.tid and h2.h = h1.h),
+st as (
+  select bid, tid, diag, i,
+         i - row_number() over (partition by bid, tid, diag order by i)
+           as grp
+  from mtch),
+runs as (
+  select bid, tid, diag, grp, min(i) - diag as jmin,
+         cast(count(*) + 4 as bigint) as run
+  from st group by 1, 2, 3, 4),
+spans as (
+  select tid as doc_id, jmin as s, jmin + run - 1 as e
+  from runs where run >= 12),
+tokpos as (
+  select doc_id, i as pos, toks[i] as tok
+  from train, unnest(range(1, len(toks) + 1)) t(i)),
+kept as (
+  select t.doc_id, t.pos, t.tok
+  from tokpos t
+  where not exists (
+    select 1 from spans s
+    where s.doc_id = t.doc_id and t.pos between s.s and s.e)),
+agg as (
+  select doc_id, cast(count(*) as bigint) as n_kept,
+         string_agg(tok, ' ' order by pos) as new_text
+  from kept group by 1)
+select d.doc_id, cast(len(d.toks) as bigint) as n_tokens,
+       cast(len(d.toks) - coalesce(a.n_kept, 0) as bigint) as n_trimmed,
+       coalesce(a.new_text, '') as new_text
+from train d left join agg a using (doc_id)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -7747,6 +7836,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q205_shared_runs": q205_shared_runs,
     "q206_trim_shared_runs": q206_trim_shared_runs,
     "q207_decontaminate": q207_decontaminate,
+    "q208_decontaminate_trim": q208_decontaminate_trim,
 }
 
 ORACLES: dict[str, str] = {
@@ -7959,4 +8049,5 @@ ORACLES: dict[str, str] = {
     "q205_shared_runs": ORACLE_Q205,
     "q206_trim_shared_runs": ORACLE_Q206,
     "q207_decontaminate": ORACLE_Q207,
+    "q208_decontaminate_trim": ORACLE_Q208,
 }

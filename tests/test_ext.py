@@ -5175,7 +5175,11 @@ def test_run_oracles_mirror_gram_cap(spark, tmp_path):
     )
     import warnings as _w
 
-    for qname in ("q205_shared_runs", "q207_decontaminate"):
+    for qname in (
+        "q205_shared_runs",
+        "q207_decontaminate",
+        "q208_decontaminate_trim",
+    ):
         with _w.catch_warnings():
             # the degenerate pair MUST trip the engine's cap warning;
             # swallow it so the parity assert is the test's verdict
@@ -5186,9 +5190,16 @@ def test_run_oracles_mirror_gram_cap(spark, tmp_path):
         want = sorted(tuple(r) for r in con.sql(Q.ORACLES[qname]).fetchall())
         assert got == want, (qname, got, want)
         assert got, qname  # the planted normal runs are found
-        # the degenerate twin pair is pruned from BOTH engines
-        flat = {v for t in got for v in t}
-        assert 200 not in flat, (qname, got)
+        if qname == "q208_decontaminate_trim":
+            # the removal form: the degenerate TRAIN twin passes
+            # through UNTRIMMED in both engines (its grams are capped
+            # out of the match join on both sides)
+            trims = {r[0]: r[2] for r in got}
+            assert trims[2] == 0, got
+        else:
+            # the degenerate twin pair is pruned from BOTH engines
+            flat = {v for t in got for v in t}
+            assert 200 not in flat, (qname, got)
     con.close()
 
 
@@ -5258,3 +5269,73 @@ def test_lm_bigram_counts_dedupes_vocab_both_paths(spark, monkeypatch):
     }
     assert arr == want
     assert joined == want
+
+
+def test_decontaminate_trim_matches_python(spark):
+    """decontaminate_trim (X204/q208) equals a pure-Python replay of
+    the removal rule on constructed docs: every >= min_run-token
+    verbatim benchmark span is cut from the TRAINING copy, spans from
+    DIFFERENT benchmark docs island-merge on the victim (overlapping
+    quotes never double-trim), untouched docs pass through verbatim
+    with n_trimmed=0, and the benchmark side never appears in the
+    output. Also: trim_shared_runs is unchanged by the round-11
+    _trim_by_spans extraction (regression leg)."""
+    from sparksync.ext import dedup as dd
+
+    b1 = [f"b{i}" for i in range(12)]          # bench doc 1's run
+    b2 = [f"c{i}" for i in range(14)]          # bench doc 2's run
+    bench = spark.createDataFrame(
+        [(100, " ".join(b1) + " tailA"), (200, " ".join(b2) + " tailB")],
+        "doc_id long, text string",
+    )
+    # train doc 1: quotes b1 at positions 2..13 and b2 at 10..23 —
+    # wait, overlapping islands need overlapping spans: build doc 1 so
+    # the two quoted runs OVERLAP via a shared suffix/prefix layout:
+    # tokens 0..1 filler, 2..13 = b1, 14..27 = b2 (adjacent, distinct
+    # islands), and train doc 2 embeds b1 twice with a 1-token gap so
+    # its two spans stay separate islands from the SAME bench doc.
+    t1 = ["x0", "x1"] + b1 + b2 + ["y1"]
+    t2 = ["z0"] + b1 + ["gap"] + b1
+    t3 = ["clean", "doc", "nothing", "shared", "here", "ok"]
+    train = spark.createDataFrame(
+        [(1, " ".join(t1)), (2, " ".join(t2)), (3, " ".join(t3))],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.n_trimmed, r.new_text)
+        for r in dd.decontaminate_trim(train, bench, min_run=12).collect()
+    }
+    # pure-Python replay: cut the maximal shared spans
+    assert set(out) == {1, 2, 3}  # every train doc, no bench doc
+    assert out[1] == (
+        len(t1),
+        len(b1) + len(b2),
+        "x0 x1 y1",
+    )
+    assert out[2] == (len(t2), 2 * len(b1), "z0 gap")
+    assert out[3] == (len(t3), 0, " ".join(t3))
+    # adjacent-but-not-overlapping spans in doc 1 merged/not is
+    # indistinguishable in token count; force a TRUE overlap: one
+    # train doc embedding b2 where a 13-token window of it also
+    # repeats, so two runs overlap on the victim
+    tov = b2[:13] + ["mid"] + b2  # run A = 0..12 (13 toks), run B = 14..27
+    train_ov = spark.createDataFrame(
+        [(9, " ".join(tov))], "doc_id long, text string"
+    )
+    out_ov = {
+        r.doc_id: (r.n_trimmed, r.new_text)
+        for r in dd.decontaminate_trim(
+            train_ov, bench, min_run=12
+        ).collect()
+    }
+    assert out_ov[9] == (len(tov) - 1, "mid")
+    # regression leg: trim_shared_runs still trims the higher-id twin
+    docs = spark.createDataFrame(
+        [(1, " ".join(b1)), (2, " ".join(b1))], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "d1 long, d2 long")
+    trimmed = {
+        r.doc_id: (r.n_trimmed, r.new_text)
+        for r in dd.trim_shared_runs(docs, pairs, min_run=12).collect()
+    }
+    assert trimmed == {1: (0, " ".join(b1)), 2: (len(b1), "")}

@@ -906,6 +906,11 @@ def test_run_engine_query_plans(spark):
     p207 = plan_of(QUERIES["q207_decontaminate"](spark, SF_SMOKE))
     assert "LeftSemi" in p207 and "CartesianProduct" not in p207
     assert "BroadcastHashJoin" in p207
+    # q208 (the removal half) shares q207's discovery engine and adds
+    # the trim: same contracts — semi-join prune, broadcast bench side
+    p208 = plan_of(QUERIES["q208_decontaminate_trim"](spark, SF_SMOKE))
+    assert "LeftSemi" in p208 and "CartesianProduct" not in p208
+    assert "BroadcastHashJoin" in p208
     features.release_pinned()
 
 

@@ -1079,3 +1079,45 @@ def test_lm_score_against_drained_stream_model(spark, tmp_path):
         ).collect()
     }
     assert via_stream == via_batch and len(via_stream) == 20
+
+
+def test_hll_stream_matches_batch_m64(spark, tmp_path):
+    """The register-count parameter reaches the streaming twin too
+    (round 11, with q48's m=64 gate): drained m=64 registers are
+    bit-identical to the m=64 batch sketch, and the shared finisher at
+    m=64 reproduces the batch estimate — one sketch, two runtimes, two
+    accuracy points."""
+    from sparksync.ext import skew
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_type", "user_id")
+    src = str(tmp_path / "hll64_in")
+    ev.write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    s = spark.readStream.schema(schema).parquet(src)
+    q = (
+        stream.hll_registers_stream(s, "event_type", "user_id", m=64)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hllregs64")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    live = spark.sql("select * from hllregs64")
+    got = {tuple(r) for r in live.collect()}
+    batch = {
+        tuple(r)
+        for r in skew.hll_registers(ev, "event_type", "user_id", m=64).collect()
+    }
+    assert got == batch and len(got) > 0
+    assert max(r[1] for r in got) < 64  # register index bounded by m
+    est_live = {
+        tuple(r) for r in skew.hll_estimate(live, "event_type", m=64).collect()
+    }
+    est_batch = {
+        tuple(r)
+        for r in skew.approx_distinct_hll(
+            ev, "event_type", "user_id", m=64
+        ).collect()
+    }
+    assert est_live == est_batch

@@ -55,6 +55,10 @@ QUERIES_TO_PROBE = [
     "q204_winnow_dedup_report",
     "q205_shared_runs",
     "q206_trim_shared_runs",
+    # round-11 additions (VERDICT r10 #6): the rollups that moved to
+    # LSH pair discovery join the probe table
+    "q195_dedup_survivorship",
+    "q196_cluster_size_histogram",
 ]
 
 
@@ -175,7 +179,28 @@ def main() -> int:
             min_run=12,
         )
 
+    # q178 variant at PRODUCTION DEFAULTS (VERDICT r10 #1/#6): since
+    # round 11, n_planes=None auto-sizes the band width to the corpus
+    # via rp_lsh_params — this is the call every non-gate consumer
+    # (CLI audit, semantic_dedup_keeper default) actually makes, so
+    # ITS decade ratio is the repo's 100 TB posture claim. The gate's
+    # pinned-32-planes row above stays as the uncapped-regime
+    # documentation.
+    def q178_auto(spark, d):
+        from pyspark.sql import functions as FF
+
+        from sparksync.ext import similarity
+        from sparksync.source import load_table as lt
+
+        emb = lt(spark, d, "embeddings")
+        docs = lt(spark, d, "documents").select(
+            FF.col("doc_id").alias("vec_id"),
+            FF.col("n_chars").alias("quality"),
+        )
+        return similarity.semantic_dedup_keeper(emb, docs, threshold=0.42)
+
     extra = {
+        "q178_semantic_dedup_auto": q178_auto,
         "q178_semantic_dedup_cap64": q178_cap64,
         "q207_decontaminate_suffix": q207_suffix,
     }
