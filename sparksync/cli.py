@@ -123,8 +123,10 @@ def main(argv: list[str] | None = None) -> int:
             # exact-span benchmark decontamination (X203)
             "decision", "trim", "decontaminate",
             # round 11: semantic (embedding-space) dedup keeper with
-            # corpus-auto-sized RP-LSH bands (X170 / VERDICT r10 #1)
-            "semantic",
+            # corpus-auto-sized RP-LSH bands (X170 / VERDICT r10 #1),
+            # and decontamination TRIM — cut the contaminated spans
+            # from the training copies instead of flagging pairs (X204)
+            "semantic", "decontaminate-trim",
         ],
     )
     aud.add_argument("--table", help="pruning/quantile: table to audit")
@@ -647,6 +649,25 @@ def main(argv: list[str] | None = None) -> int:
                 docs.where(F.expr(args.target)),
                 max_df=1000,
             )
+        elif args.kind == "decontaminate-trim":
+            # X204: the removal half — cut every contaminated
+            # >= 12-token span from the training copies (benchmark =
+            # the --target slice, never modified). Bounded print: only
+            # the docs the trim TOUCHED; the full decontaminated
+            # corpus is a .write away in a pipeline.
+            from pyspark.sql import functions as F
+
+            from .ext.dedup import decontaminate_trim
+
+            for a in ("table", "target"):
+                if getattr(args, a) is None:
+                    p.error(f"audit --kind decontaminate-trim needs --{a}")
+            docs = job._read_source(args.table)
+            out = decontaminate_trim(
+                docs.where(~F.expr(args.target)),
+                docs.where(F.expr(args.target)),
+                max_df=1000,
+            ).where(F.col("n_trimmed") > 0)
         elif args.kind == "semantic":
             # X170: semantic dedup keeper. The CLI is the production
             # entry point, so n_planes stays None -> the band width

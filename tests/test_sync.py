@@ -1160,6 +1160,33 @@ def test_cli_audit_round10_dedup_kinds(tmp_path, capsys):
         assert r["longest_run"] >= 12 and r["n_runs"] >= 1
 
 
+def test_cli_audit_decontaminate_trim(tmp_path, capsys):
+    """`audit --kind decontaminate-trim` (X204, round 11): the removal
+    half as a production verb — benchmark = the --target slice,
+    training copies lose their contaminated >= 12-token spans, print
+    bounded to the docs the trim touched."""
+    import json as _json
+
+    from sparksync.cli import main
+
+    out = str(tmp_path / "dest")
+    base = ["--src", SF_SMOKE, "--dest", out]
+    assert main(base + ["audit", "--kind", "decontaminate-trim",
+                        "--table", "documents",
+                        "--target", "source = 'src0'"]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert rows  # src0 near-dups exist cross-source at fixture SF
+    for r in rows:
+        assert r["n_trimmed"] >= 12  # every printed doc lost >= one run
+        assert r["n_trimmed"] <= r["n_tokens"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(base + ["audit", "--kind", "decontaminate-trim",
+                     "--table", "documents"])  # needs --target
+
+
 def test_cli_audit_semantic_auto_sized(tmp_path, capsys):
     """`audit --kind semantic` (X170 / VERDICT r10 #1): the production
     semantic-dedup entry point runs with n_planes=None, i.e. RP-LSH
