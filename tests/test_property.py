@@ -342,3 +342,86 @@ def test_jpeg_progressive_baseline_parity_property(h, w, quality, seed, ss, dri)
         )
     )
     assert np.array_equal(base, prog)
+
+
+def test_decontaminate_trim_matches_python_model(spark):
+    """Seeded randomized corpora replayed against a pure-Python model
+    of the full decontamination-trim rule (X204/q208): plant random
+    benchmark snippets into random training docs, then — model side —
+    enumerate every (bench, train) diagonal streak of shared 5-grams,
+    keep maximal runs >= 12 tokens, union the victim spans per train
+    doc, and rebuild. The winnow guarantee (min_shared=1, w=8, k=5)
+    makes engine detection EXACT at min_run >= 12, so the Spark result
+    must equal the all-pairs model exactly — token counts, trim
+    counts, and rebuilt text."""
+    import random
+    from collections import defaultdict
+
+    from sparksync.ext.dedup import decontaminate_trim
+
+    K, MIN_RUN = 5, 12
+
+    def spans_between(B, T):
+        grams_b = defaultdict(list)
+        for i in range(len(B) - K + 1):
+            grams_b[tuple(B[i:i + K])].append(i)
+        diag = defaultdict(list)
+        for j in range(len(T) - K + 1):
+            for i in grams_b.get(tuple(T[j:j + K]), ()):
+                diag[i - j].append(j)
+        out = []
+        for js in diag.values():
+            js = sorted(js)
+            s = prev = js[0]
+            for j in js[1:] + [None]:
+                if j is not None and j == prev + 1:
+                    prev = j
+                    continue
+                run = prev - s + K  # streak length + k - 1 tokens
+                if run >= MIN_RUN:
+                    out.append((s, s + run - 1))
+                if j is not None:
+                    s = prev = j
+        return out
+
+    for seed in (5, 23, 77):
+        rng = random.Random(seed)
+        alpha = [f"w{i}" for i in range(9)]
+        bench_toks = {
+            bid: [rng.choice(alpha) for _ in range(rng.randrange(15, 40))]
+            for bid in (100, 200, 300)
+        }
+        train_toks = {}
+        for tid in range(12):
+            t = [rng.choice(alpha) for _ in range(rng.randrange(8, 50))]
+            # plant 0-2 benchmark snippets of random (incl. sub-run) size
+            for _ in range(rng.randrange(0, 3)):
+                b = bench_toks[rng.choice([100, 200, 300])]
+                ln = rng.randrange(6, len(b) + 1)
+                st = rng.randrange(0, len(b) - ln + 1)
+                pos = rng.randrange(0, len(t) + 1)
+                t = t[:pos] + b[st:st + ln] + t[pos:]
+            train_toks[tid] = t
+        bench = spark.createDataFrame(
+            [(i, " ".join(t)) for i, t in bench_toks.items()],
+            "doc_id long, text string",
+        )
+        train = spark.createDataFrame(
+            [(i, " ".join(t)) for i, t in train_toks.items()],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: (r.n_tokens, r.n_trimmed, r.new_text)
+            for r in decontaminate_trim(
+                train, bench, min_run=MIN_RUN
+            ).collect()
+        }
+        model = {}
+        for tid, t in train_toks.items():
+            cut = set()
+            for b in bench_toks.values():
+                for s, e in spans_between(b, t):
+                    cut.update(range(s, e + 1))
+            kept = [tok for p, tok in enumerate(t) if p not in cut]
+            model[tid] = (len(t), len(cut), " ".join(kept))
+        assert got == model, f"seed {seed}"
