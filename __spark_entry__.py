@@ -24,26 +24,28 @@ def _rotated(d: dict) -> dict:
     surface is len(QUERIES) (207 as of round 10 — test_meta asserts
     the exact count), so allocation is explicit and rotates each round
     toward the weakest external evidence (VERDICT r5 #4, by AGE).
-    Round 11 heads the 50 with the seven queries whose implementation
+    Round 11 heads the 50 with the eight queries whose implementation
     or gate changed this round: q48 (re-gated from rows-only native
     HLL++ to the oracle-checked portable m=64 sketch, VERDICT r10 #5),
     q32 and q178 (now pin n_planes=32 explicitly while the production
     default auto-sizes, VERDICT r10 #1 — outputs must be bit-identical
     to r10), q205/q206/q207 (oracles now mirror the engine's
     max_gram_freq=64 degenerate-doc cap, ADVICE r10 #1 — outputs
-    unchanged on non-degenerate fixtures), and q208 (NEW:
-    decontamination trim, the removal half of q207). Then q141 FIRST
-    among the stale (ten rounds with zero green driver evidence — its
-    only CORRECTNESS row is a long-fixed round-4 harness error;
-    VERDICT r10 #2 names it explicitly), then the q113-q152 band (33
-    queries whose newest driver evidence is r4), then q153+ (r7-era)
-    to fill the cap: 7 changed + q141 + 39 (q113-q152 minus q141) =
-    47, + q153-q155 = 50. Changed/new queries sort FIRST so the cap can never
+    unchanged on non-degenerate fixtures), q208 (NEW: decontamination
+    trim, the removal half of q207) and q209 (NEW: within-doc
+    exact-substring trim, the act twin of q54's repetition measure).
+    Then q141 FIRST among the stale (ten rounds with zero green driver
+    evidence — its only CORRECTNESS row is a long-fixed round-4
+    harness error; VERDICT r10 #2 names it explicitly), then the
+    q113-q152 band (33 queries whose newest driver evidence is r4),
+    then q153+ (r7-era) to fill the cap: 8 changed + q141 + 39
+    (q113-q152 minus q141) = 48, + q153-q154 = 50. Changed/new
+    queries sort FIRST so the cap can never
     silently drop a query with zero driver evidence; both committed
     selfcheck sweeps cover the full surface at 2 SFs regardless.
     Every key keeps its name — only dict insertion order changes."""
 
-    changed_r11 = {48, 32, 178, 205, 206, 207, 208}
+    changed_r11 = {48, 32, 178, 205, 206, 207, 208, 209}
 
     def key(name: str):
         n = int(name[1:].split("_", 1)[0])

@@ -99,9 +99,12 @@ HEADLINE = [
     # slice; detection exact at >= w+k-1 by the winnow guarantee)
     "q207_decontaminate",
     # round-11: the removal half — cut every contaminated >= 12-token
-    # span from the training copy and rebuild the corpus (one more
-    # query vs BENCH_r10 — compare per-query)
+    # span from the training copy and rebuild the corpus, and the
+    # within-doc trim (doc-vs-itself diagonal streaks, zero cross-doc
+    # shuffle). Totals grow by TWO queries vs BENCH_r10 — compare
+    # per-query
     "q208_decontaminate_trim",
+    "q209_self_trim_repeats",
 ]
 
 

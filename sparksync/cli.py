@@ -127,6 +127,11 @@ def main(argv: list[str] | None = None) -> int:
             # and decontamination TRIM — cut the contaminated spans
             # from the training copies instead of flagging pairs (X204)
             "semantic", "decontaminate-trim",
+            # round 11: within-doc exact-substring trim — remove later
+            # repeats of any span already seen earlier in the SAME
+            # document (X205, the act twin of the Gopher repetition
+            # measure)
+            "self-trim",
         ],
     )
     aud.add_argument("--table", help="pruning/quantile: table to audit")
@@ -667,6 +672,18 @@ def main(argv: list[str] | None = None) -> int:
                 docs.where(~F.expr(args.target)),
                 docs.where(F.expr(args.target)),
                 max_df=1000,
+            ).where(F.col("n_trimmed") > 0)
+        elif args.kind == "self-trim":
+            # X205: within-doc exact-substring trim. Bounded print:
+            # only the docs the trim touched.
+            from pyspark.sql import functions as F
+
+            from .ext.dedup import self_trim_repeats
+
+            if args.table is None:
+                p.error("audit --kind self-trim needs --table")
+            out = self_trim_repeats(
+                job._read_source(args.table), k=2, min_run=3
             ).where(F.col("n_trimmed") > 0)
         elif args.kind == "semantic":
             # X170: semantic dedup keeper. The CLI is the production

@@ -1919,6 +1919,99 @@ def decontaminate_runs(
     )
 
 
+def self_trim_repeats(
+    df: DataFrame,
+    k: int = 5,
+    min_run: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_gram_freq: int | None = 64,
+) -> DataFrame:
+    """WITHIN-document exact-substring trim — the intra-doc half of the
+    Lee et al. rule (their suffix-array dedup removes repeats inside a
+    document as well as across documents): every later occurrence of a
+    span of >= min_run tokens that already appeared EARLIER in the
+    same document is cut, the first occurrence kept, the document
+    rebuilt. Completes the measure/act pair with X33
+    (textops.repetition_stats measures dup-token/dup-2gram fractions;
+    this removes the repetition), mirroring X201/X202 and X203/X204.
+
+    Same diagonal-streak construction as shared_run_pairs, applied to
+    a document against ITSELF: a k-gram occurring at positions i < j
+    extends the diagonal j - i, maximal streaks of consecutive j's are
+    maximal repeated runs, and the VICTIM span is always the later
+    copy [jmin, jmin + run - 1] — so across an n-fold repeat every
+    copy after the first is covered (each later copy pairs with the
+    first), periodic repetition ('x y x y x y ...') collapses to one
+    period, and overlapping victim spans island-merge in
+    _trim_by_spans. No pair discovery stage is needed: the candidate
+    set is each doc against itself, one (doc, hash) self-join keyed by
+    the doc — embarrassingly parallel across the corpus, zero
+    cross-doc shuffle beyond the per-doc groupBys.
+
+    `max_gram_freq` keeps the family's degenerate-doc discipline: the
+    self-join costs C(occ, 2) per (doc, gram), so pathological
+    repetition ('spam' x 3000) is pruned with a warning rather than
+    joined quadratically — by design such docs are repetition_stats'
+    territory (flag and drop wholesale), not the span trimmer's; runs
+    through pruned grams are only ever MISSED, never invented. Output:
+    (id, n_tokens, n_trimmed, new_text) for EVERY input document."""
+    from pyspark.sql import Window
+
+    from .textops import _ngrams
+
+    base = df.select(
+        F.col(id_col), tokens(text_col).alias("toks")
+    ).where(F.size("toks") >= k)
+    grams = base.select(
+        F.col(id_col),
+        F.posexplode(_ngrams(F.col("toks"), k)).alias("_pos", "_g"),
+    ).select(id_col, "_pos", md5_token_hash(F.col("_g")).alias("_h"))
+    if max_gram_freq is not None:
+        hot = (
+            grams.groupBy(id_col, "_h")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .where(F.col("_c") > max_gram_freq)
+            .select(id_col, "_h")
+            .localCheckpoint(eager=True)
+        )
+        n_hot = hot.count()
+        if n_hot:
+            import warnings
+
+            warnings.warn(
+                f"self_trim_repeats: max_gram_freq={max_gram_freq} pruned "
+                f"{n_hot} degenerate (doc, gram) group(s) - repeats through "
+                "them may be missed (never invented); such docs are "
+                "repetition_stats' drop-wholesale territory",
+                stacklevel=2,
+            )
+        grams = grams.join(hot, [id_col, "_h"], "left_anti")
+    g1 = grams.select(F.col(id_col), F.col("_pos").alias("_i"), "_h")
+    g2 = grams.select(F.col(id_col), F.col("_pos").alias("_j"), "_h")
+    matches = (
+        g1.join(g2, [id_col, "_h"])
+        .where(F.col("_i") < F.col("_j"))
+        .select(id_col, "_j", (F.col("_j") - F.col("_i")).alias("_diag"))
+    )
+    w_diag = Window.partitionBy(id_col, "_diag").orderBy("_j")
+    spans = (
+        matches.withColumn("_grp", F.col("_j") - F.row_number().over(w_diag))
+        .groupBy(id_col, "_diag", "_grp")
+        .agg(
+            F.min("_j").alias("_jmin"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).cast("long").alias("_run"),
+        )
+        .where(F.col("_run") >= min_run)
+        .select(
+            F.col(id_col),
+            F.col("_jmin").cast("long").alias("_s"),
+            (F.col("_jmin") + F.col("_run") - 1).cast("long").alias("_e"),
+        )
+    )
+    return _trim_by_spans(df, spans, id_col, text_col)
+
+
 def _decontaminate_streaks(
     docs: DataFrame,
     bench: DataFrame,

@@ -7628,6 +7628,80 @@ from train d left join agg a using (doc_id)
 """
 
 
+def q209_self_trim_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document exact-substring trim (ext/dedup.
+    self_trim_repeats, X205): every later occurrence of a >= 3-token
+    span already seen EARLIER in the same document is cut, the first
+    occurrence kept — the intra-doc half of the Lee et al. rule and
+    the ACT twin of q54's repetition measurement. Params pinned at
+    k=2, min_run=3: the synthetic corpus's within-doc repetition is
+    short token stutter ('batch batch batch batch'), so this is the
+    signal range where the fixture actually exercises the trim
+    (production defaults are k=5, min_run=8, matching
+    trim_shared_runs). One row per input document."""
+    return dedup.self_trim_repeats(
+        load(spark, sf_dir, "documents"), k=2, min_run=3
+    )
+
+
+ORACLE_Q209 = """
+with
+docs as (
+  select doc_id,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') as toks
+  from documents),
+dk as (
+  select doc_id, toks, len(toks) - 1 as m
+  from docs where len(toks) >= 2),
+h as (
+  select doc_id, i as pos,
+         cast(cast('0x' || substring(md5(
+             toks[i] || ' ' || toks[i+1]
+         ), 1, 15) as ubigint) as bigint) as h
+  from dk, unnest(range(1, m + 1)) t(i)),
+-- mirror of the engine's max_gram_freq=64 cap (see ORACLE_Q205)
+hc as (
+  select doc_id, pos, h from (
+    select doc_id, pos, h,
+           count(*) over (partition by doc_id, h) as gf
+    from h)
+  where gf <= 64),
+mtch as (
+  select a.doc_id, b.pos as j, b.pos - a.pos as diag
+  from hc a
+  join hc b on a.doc_id = b.doc_id and a.h = b.h and a.pos < b.pos),
+st as (
+  select doc_id, diag, j,
+         j - row_number() over (partition by doc_id, diag order by j)
+           as grp
+  from mtch),
+runs as (
+  select doc_id, diag, grp, min(j) as jmin,
+         cast(count(*) + 1 as bigint) as run
+  from st group by 1, 2, 3),
+spans as (
+  select doc_id, jmin as s, jmin + run - 1 as e
+  from runs where run >= 3),
+tokpos as (
+  select doc_id, i as pos, toks[i] as tok
+  from docs, unnest(range(1, len(toks) + 1)) t(i)),
+kept as (
+  select t.doc_id, t.pos, t.tok
+  from tokpos t
+  where not exists (
+    select 1 from spans s
+    where s.doc_id = t.doc_id and t.pos between s.s and s.e)),
+agg as (
+  select doc_id, cast(count(*) as bigint) as n_kept,
+         string_agg(tok, ' ' order by pos) as new_text
+  from kept group by 1)
+select d.doc_id, cast(len(d.toks) as bigint) as n_tokens,
+       cast(len(d.toks) - coalesce(a.n_kept, 0) as bigint) as n_trimmed,
+       coalesce(a.new_text, '') as new_text
+from docs d left join agg a using (doc_id)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -7837,6 +7911,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q206_trim_shared_runs": q206_trim_shared_runs,
     "q207_decontaminate": q207_decontaminate,
     "q208_decontaminate_trim": q208_decontaminate_trim,
+    "q209_self_trim_repeats": q209_self_trim_repeats,
 }
 
 ORACLES: dict[str, str] = {
@@ -8050,4 +8125,5 @@ ORACLES: dict[str, str] = {
     "q206_trim_shared_runs": ORACLE_Q206,
     "q207_decontaminate": ORACLE_Q207,
     "q208_decontaminate_trim": ORACLE_Q208,
+    "q209_self_trim_repeats": ORACLE_Q209,
 }

@@ -5179,6 +5179,7 @@ def test_run_oracles_mirror_gram_cap(spark, tmp_path):
         "q205_shared_runs",
         "q207_decontaminate",
         "q208_decontaminate_trim",
+        "q209_self_trim_repeats",
     ):
         with _w.catch_warnings():
             # the degenerate pair MUST trip the engine's cap warning;
@@ -5196,6 +5197,11 @@ def test_run_oracles_mirror_gram_cap(spark, tmp_path):
             # out of the match join on both sides)
             trims = {r[0]: r[2] for r in got}
             assert trims[2] == 0, got
+        elif qname == "q209_self_trim_repeats":
+            # within-doc form: the degenerate docs' self-repeats are
+            # capped out in both engines (repetition_stats territory)
+            trims = {r[0]: r[2] for r in got}
+            assert trims[1] == 0 and trims[2] == 0, got
         else:
             # the degenerate twin pair is pruned from BOTH engines
             flat = {v for t in got for v in t}
@@ -5339,3 +5345,72 @@ def test_decontaminate_trim_matches_python(spark):
         for r in dd.trim_shared_runs(docs, pairs, min_run=12).collect()
     }
     assert trimmed == {1: (0, " ".join(b1)), 2: (len(b1), "")}
+
+
+def test_self_trim_repeats_matches_python(spark):
+    """self_trim_repeats (X205/q209) on constructed docs: n-fold
+    repeats keep exactly the first occurrence, periodic stutter
+    collapses to one period, a clean doc passes through verbatim, and
+    spans repeated from DIFFERENT earlier positions island-merge."""
+    from sparksync.ext import dedup as dd
+
+    run = [f"r{i}" for i in range(10)]
+    docs = {
+        # 3-fold repeat of a 10-token span with separators
+        1: run + ["sep1"] + run + ["sep2"] + run,
+        # periodic stutter: 'x y' * 6 -> one period survives
+        2: ["x", "y"] * 6,
+        # token stutter: 'batch' * 5 -> one token survives
+        3: ["batch"] * 5,
+        # clean doc
+        4: [f"c{i}" for i in range(15)],
+        # repeat with the copy OVERLAPPING new content boundaries:
+        # first 6 tokens repeat later, last 6 tokens also repeat later,
+        # the two victim spans adjacent
+        5: run[:6] + ["mid"] + run[:6] + run[4:10] + ["tail"],
+    }
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in docs.items()],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_trimmed, r.new_text)
+        for r in dd.self_trim_repeats(df, k=2, min_run=3).collect()
+    }
+    assert got[1] == (32, 20, " ".join(run) + " sep1 sep2")
+    assert got[2] == (12, 10, "x y")
+    assert got[3] == (5, 4, "batch")
+    assert got[4] == (15, 0, " ".join(docs[4]))
+    # doc 5: tokens 7..12 repeat run[:6] (seen at 0..5), tokens
+    # 13..18 = run[4:10] — r4 r5 already seen at 4..5 and again at
+    # 11..12; the maximal repeated span covers 13..18 only if r4..r9
+    # appeared earlier contiguously — r6..r9 did NOT appear earlier,
+    # so only the r4 r5 prefix (2 tokens < min_run 3 at k=2 ->
+    # streak of 1 match = run 2) stays. Verify against brute force:
+    toks = docs[5]
+    K, MIN_RUN = 2, 3
+    from collections import defaultdict
+
+    grams = defaultdict(list)
+    for i in range(len(toks) - K + 1):
+        grams[tuple(toks[i:i + K])].append(i)
+    diag = defaultdict(list)
+    for g, ps in grams.items():
+        for a in ps:
+            for b in ps:
+                if a < b:
+                    diag[b - a].append(b)
+    cut = set()
+    for js in diag.values():
+        js = sorted(set(js))
+        s = prev = js[0]
+        for j in js[1:] + [None]:
+            if j is not None and j == prev + 1:
+                prev = j
+                continue
+            if prev - s + K >= MIN_RUN:
+                cut.update(range(s, s + (prev - s + K)))
+            if j is not None:
+                s = prev = j
+    kept = [t for p, t in enumerate(toks) if p not in cut]
+    assert got[5] == (len(toks), len(cut), " ".join(kept))

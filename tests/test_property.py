@@ -425,3 +425,59 @@ def test_decontaminate_trim_matches_python_model(spark):
             kept = [tok for p, tok in enumerate(t) if p not in cut]
             model[tid] = (len(t), len(cut), " ".join(kept))
         assert got == model, f"seed {seed}"
+
+
+def test_self_trim_repeats_matches_python_model(spark):
+    """Seeded random docs from a tiny alphabet (dense with natural
+    short repeats) replayed against a pure-Python model of the
+    within-doc rule (X205/q209): enumerate every i<j diagonal streak
+    of shared 2-grams, keep maximal runs >= 3 tokens, union the
+    victim spans, rebuild — the Spark result must match exactly."""
+    import random
+    from collections import defaultdict
+
+    from sparksync.ext.dedup import self_trim_repeats
+
+    K, MIN_RUN = 2, 3
+
+    def model_trim(toks):
+        grams = defaultdict(list)
+        for i in range(len(toks) - K + 1):
+            grams[tuple(toks[i:i + K])].append(i)
+        diag = defaultdict(set)
+        for ps in grams.values():
+            for a in ps:
+                for b in ps:
+                    if a < b:
+                        diag[b - a].add(b)
+        cut = set()
+        for js in diag.values():
+            js = sorted(js)
+            s = prev = js[0]
+            for j in js[1:] + [None]:
+                if j is not None and j == prev + 1:
+                    prev = j
+                    continue
+                if prev - s + K >= MIN_RUN:
+                    cut.update(range(s, prev + K))
+                if j is not None:
+                    s = prev = j
+        kept = [t for p, t in enumerate(toks) if p not in cut]
+        return len(toks), len(cut), " ".join(kept)
+
+    for seed in (11, 42, 99):
+        rng = random.Random(seed)
+        alpha = ["a", "b", "c", "d"]  # tiny alphabet -> natural repeats
+        docs = {
+            i: [rng.choice(alpha) for _ in range(rng.randrange(4, 40))]
+            for i in range(15)
+        }
+        df = spark.createDataFrame(
+            [(i, " ".join(t)) for i, t in docs.items()],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: (r.n_tokens, r.n_trimmed, r.new_text)
+            for r in self_trim_repeats(df, k=K, min_run=MIN_RUN).collect()
+        }
+        assert got == {i: model_trim(t) for i, t in docs.items()}, seed

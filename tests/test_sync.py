@@ -1187,6 +1187,23 @@ def test_cli_audit_decontaminate_trim(tmp_path, capsys):
                      "--table", "documents"])  # needs --target
 
 
+def test_cli_audit_self_trim(tmp_path, capsys):
+    """`audit --kind self-trim` (X205, round 11): within-doc repeat
+    removal as a production verb, print bounded to touched docs."""
+    import json as _json
+
+    from sparksync.cli import main
+
+    out = str(tmp_path / "dest")
+    base = ["--src", SF_SMOKE, "--dest", out]
+    assert main(base + ["audit", "--kind", "self-trim",
+                        "--table", "documents"]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert rows  # token stutter exists at fixture SF
+    for r in rows:
+        assert 1 <= r["n_trimmed"] <= r["n_tokens"]
+
+
 def test_cli_audit_semantic_auto_sized(tmp_path, capsys):
     """`audit --kind semantic` (X170 / VERDICT r10 #1): the production
     semantic-dedup entry point runs with n_planes=None, i.e. RP-LSH
