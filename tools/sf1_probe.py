@@ -26,8 +26,12 @@ The LM probe (q200) sees a 10x corpus whose vocabulary is also 10x
 (prefixed copies) - the census cap still bounds the model, which is
 precisely the property the probe should exercise.
 
-Usage: python tools/sf1_probe.py [--skip-gen]
-Prints one JSON line per query and a summary with sf0.1-vs-sf1 ratios.
+Usage: python tools/sf1_probe.py [--skip-gen] [query-name ...]
+Optional query names restrict the run to that subset (exact names from
+QUERIES_TO_PROBE or the extra variants) — used to add rows for NEW
+capstones against the already-generated corpus without re-measuring
+the whole table. Prints one JSON line per query and a summary with
+sf0.1-vs-sf1 ratios.
 """
 
 from __future__ import annotations
@@ -59,6 +63,10 @@ QUERIES_TO_PROBE = [
     # LSH pair discovery join the probe table
     "q195_dedup_survivorship",
     "q196_cluster_size_histogram",
+    # round-11 new capstones: within-doc trim is source-independent so
+    # the gate runs directly; decontaminate-trim needs the suffix
+    # benchmark variant (see extra q208_suffix below)
+    "q209_self_trim_repeats",
 ]
 
 
@@ -199,13 +207,34 @@ def main() -> int:
         )
         return similarity.semantic_dedup_keeper(emb, docs, threshold=0.42)
 
+    # q208 variant: same suffix-matched benchmark predicate as the
+    # q207 variant (the probe corpus prefixes sources per replica)
+    def q208_suffix(spark, d):
+        from pyspark.sql import functions as FF
+
+        from sparksync.ext import dedup as dd
+        from sparksync.source import load_table as lt
+
+        docs = lt(spark, d, "documents")
+        is_bench = FF.col("source").endswith("src0")
+        return dd.decontaminate_trim(
+            docs.where(~is_bench).select("doc_id", "text"),
+            docs.where(is_bench).select("doc_id", "text"),
+            min_run=12,
+        )
+
     extra = {
         "q178_semantic_dedup_auto": q178_auto,
         "q178_semantic_dedup_cap64": q178_cap64,
         "q207_decontaminate_suffix": q207_suffix,
+        "q208_decontaminate_trim_suffix": q208_suffix,
     }
 
-    for name in QUERIES_TO_PROBE:
+    only = [a for a in sys.argv[1:] if not a.startswith("--")]
+    to_probe = [n for n in QUERIES_TO_PROBE if not only or n in only]
+    extra = {k: v for k, v in extra.items() if not only or k in only}
+
+    for name in to_probe:
         per = {}
         for label, d in (("sf0.1", SRC_DIR), ("sf1", PROBE_DIR)):
             samples = []
