@@ -181,6 +181,25 @@ def main(argv: list[str] | None = None) -> int:
         default="train:0.8,val:0.1,test:0.1",
         help="name:weight list for the deterministic split",
     )
+    # round 11: the exact-substring removal stages join the writing
+    # pipeline — within-doc repeat trim (X205) and benchmark
+    # decontamination trim (X204) — so `prep` runs the full
+    # state-of-practice order: lang -> quality -> self-trim -> exact
+    # dedup -> decontaminate-trim -> split
+    prep.add_argument(
+        "--self-trim",
+        action="store_true",
+        help="cut within-doc repeated spans (>= 3 tokens at k=2) "
+        "before dedup, keeping each first occurrence (X205)",
+    )
+    prep.add_argument(
+        "--decontaminate",
+        metavar="PREDICATE",
+        help="boolean SQL expression selecting the BENCHMARK slice of "
+        "the table (e.g. \"source = 'src0'\"); benchmark docs are "
+        "EXCLUDED from the output and every >= 12-token verbatim "
+        "benchmark span is cut from the surviving docs (X204)",
+    )
     args = p.parse_args(argv)
 
     cfg = None
@@ -429,14 +448,25 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.cmd == "prep":
         # the q50 corpus-prep composition as a WRITING pipeline: lang ->
-        # quality -> exact dedup -> deterministic split, one parquet
-        # output per split plus a summary line. All narrow stages fuse;
-        # the shuffles are the dedup groupBy and the per-split counts.
+        # quality -> [self-trim] -> exact dedup -> [decontaminate-trim]
+        # -> deterministic split, one parquet output per split plus a
+        # summary line. All narrow stages fuse; the shuffles are the
+        # dedup groupBy, the optional trim engines' per-doc/pair-keyed
+        # joins, and the per-split counts. Stage order is the
+        # state-of-practice one: within-doc trim BEFORE dedup (trimmed
+        # twins collapse to one row), decontamination AFTER dedup (the
+        # bench-side broadcast join touches the minimal surviving set).
         from pyspark.sql import functions as F
 
         from .ext import sampling, textops
 
         docs = job._read_source(args.table)
+        bench = None
+        if args.decontaminate:
+            bench = docs.where(F.expr(args.decontaminate)).select(
+                "doc_id", "text"
+            )
+            docs = docs.where(~F.expr(args.decontaminate))
         if args.lang:
             lang_ids = textops.language_id(docs).where(
                 F.col("pred_lang") == args.lang
@@ -444,9 +474,31 @@ def main(argv: list[str] | None = None) -> int:
             docs = docs.join(lang_ids.select("doc_id"), "doc_id")
         qual = textops.quality_score(docs).where(F.col("keep") == 1)
         kept = docs.join(qual.select("doc_id", "n_tokens"), "doc_id")
+        if args.self_trim:
+            from .ext.dedup import self_trim_repeats
+
+            t = self_trim_repeats(
+                kept.select("doc_id", "text"), k=2, min_run=3
+            )
+            kept = t.select(
+                "doc_id",
+                F.col("new_text").alias("text"),
+                (F.col("n_tokens") - F.col("n_trimmed")).alias("n_tokens"),
+            )
         deduped = kept.groupBy("text").agg(
             F.min("doc_id").alias("doc_id"), F.min("n_tokens").alias("n_tokens")
         )
+        if bench is not None:
+            from .ext.dedup import decontaminate_trim
+
+            d = decontaminate_trim(
+                deduped.select("doc_id", "text"), bench, min_run=12
+            )
+            deduped = d.select(
+                "doc_id",
+                F.col("new_text").alias("text"),
+                (F.col("n_tokens") - F.col("n_trimmed")).alias("n_tokens"),
+            )
         weights = {
             name: float(w)
             for name, w in (kv.split(":") for kv in args.splits.split(","))

@@ -726,6 +726,63 @@ def test_cli_prep_subcommand(spark, tmp_path, capsys):
         assert set(got.columns) == {"doc_id", "text", "n_tokens"}
 
 
+def test_cli_prep_trim_and_decontaminate_stages(spark, tmp_path, capsys):
+    """prep with the round-11 removal stages (--self-trim +
+    --decontaminate): benchmark docs are excluded from the output,
+    no surviving doc carries a >= 12-token verbatim benchmark span,
+    within-doc >= 3-token repeats are gone, n_tokens equals the
+    written text's real token count, and the stage order (self-trim
+    BEFORE dedup) collapses trimmed twins."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from sparksync.cli import main
+    from sparksync.ext.dedup import decontaminate_runs, self_trim_repeats
+
+    out = tmp_path / "prep_trim_out"
+    assert main([
+        "--src", SF_SMOKE, "--dest", str(out), "prep", "--lang", "",
+        "--splits", "all:1.0", "--self-trim",
+        "--decontaminate", "source = 'src0'",
+    ]) == 0
+    lines = [
+        _json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+        if line.startswith("{")
+    ]
+    assert {r["split"] for r in lines} == {"all"}
+    got = spark.read.parquet(str(out / "documents_all.parquet"))
+    n = got.count()
+    assert 0 < n == lines[0]["n_docs"]
+    # no benchmark doc ids survive (src0 was the benchmark slice)
+    src_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    bench_ids = {
+        r.doc_id for r in src_docs.where("source = 'src0'").collect()
+    }
+    assert not bench_ids & {r.doc_id for r in got.select("doc_id").collect()}
+    # n_tokens is the REAL token count of the written text
+    chk = got.select(
+        "doc_id",
+        "n_tokens",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("real"),
+    ).where(F.col("text") != "")
+    bad = chk.where(F.col("n_tokens") != F.col("real")).count()
+    assert bad == 0
+    # the output is repeat-free and contamination-free by its own rules
+    resid_self = (
+        self_trim_repeats(got.select("doc_id", "text"), k=2, min_run=3)
+        .where(F.col("n_trimmed") > 0)
+        .count()
+    )
+    assert resid_self == 0
+    bench = src_docs.where("source = 'src0'").select("doc_id", "text")
+    resid_dec = decontaminate_runs(
+        got.select("doc_id", "text"), bench, min_run=12
+    ).count()
+    assert resid_dec == 0
+
+
 def test_cli_cardinality_subcommand(spark, tmp_path, capsys):
     """cardinality prints one KMV row per group; small groups exact."""
     import json as _json
