@@ -37,10 +37,10 @@ def _rotated(d: dict) -> dict:
     Then q141 FIRST among the stale (ten rounds with zero green driver
     evidence — its only CORRECTNESS row is a long-fixed round-4
     harness error; VERDICT r10 #2 names it explicitly), then the
-    q113-q152 band (33 queries whose newest driver evidence is r4),
-    then q153+ (r7-era) to fill the cap: 8 changed + q141 + 39
-    (q113-q152 minus q141) = 48, + q153-q154 = 50. Changed/new
-    queries sort FIRST so the cap can never
+    FULL q113-q152 band — 40 queries, containing the 33 whose newest
+    driver evidence is r4 — then q153+ (r7-era) to fill the cap:
+    8 changed + q141 + 39 (the band minus q141) = 48, + q153-q154
+    = 50. Changed/new queries sort FIRST so the cap can never
     silently drop a query with zero driver evidence; both committed
     selfcheck sweeps cover the full surface at 2 SFs regardless.
     Every key keeps its name — only dict insertion order changes."""

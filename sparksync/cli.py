@@ -463,10 +463,12 @@ def main(argv: list[str] | None = None) -> int:
         docs = job._read_source(args.table)
         bench = None
         if args.decontaminate:
-            bench = docs.where(F.expr(args.decontaminate)).select(
-                "doc_id", "text"
-            )
-            docs = docs.where(~F.expr(args.decontaminate))
+            # NULL predicate = NOT benchmark: keep such rows as
+            # training docs (~expr alone would drop them from both
+            # sides and they would vanish from every split)
+            is_bench = F.coalesce(F.expr(args.decontaminate), F.lit(False))
+            bench = docs.where(is_bench).select("doc_id", "text")
+            docs = docs.where(~is_bench)
         if args.lang:
             lang_ids = textops.language_id(docs).where(
                 F.col("pred_lang") == args.lang
@@ -701,9 +703,13 @@ def main(argv: list[str] | None = None) -> int:
                 if getattr(args, a) is None:
                     p.error(f"audit --kind decontaminate needs --{a}")
             docs = job._read_source(args.table)
+            # a NULL predicate result means NOT benchmark — such rows
+            # must stay in the training corpus (plain ~expr would drop
+            # them from BOTH sides, silently losing documents)
+            is_bench = F.coalesce(F.expr(args.target), F.lit(False))
             out = decontaminate_runs(
-                docs.where(~F.expr(args.target)),
-                docs.where(F.expr(args.target)),
+                docs.where(~is_bench),
+                docs.where(is_bench),
                 max_df=1000,
             )
         elif args.kind == "decontaminate-trim":
@@ -720,9 +726,10 @@ def main(argv: list[str] | None = None) -> int:
                 if getattr(args, a) is None:
                     p.error(f"audit --kind decontaminate-trim needs --{a}")
             docs = job._read_source(args.table)
+            is_bench = F.coalesce(F.expr(args.target), F.lit(False))
             out = decontaminate_trim(
-                docs.where(~F.expr(args.target)),
-                docs.where(F.expr(args.target)),
+                docs.where(~is_bench),
+                docs.where(is_bench),
                 max_df=1000,
             ).where(F.col("n_trimmed") > 0)
         elif args.kind == "self-trim":

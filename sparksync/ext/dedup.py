@@ -1954,8 +1954,15 @@ def self_trim_repeats(
     repetition ('spam' x 3000) is pruned with a warning rather than
     joined quadratically — by design such docs are repetition_stats'
     territory (flag and drop wholesale), not the span trimmer's; runs
-    through pruned grams are only ever MISSED, never invented. Output:
-    (id, n_tokens, n_trimmed, new_text) for EVERY input document."""
+    through pruned grams are only ever MISSED, never invented.
+
+    Single-pass semantics (the paper's): cuts are computed against the
+    ORIGINAL token stream, so tokens spliced together by a cut can in
+    principle form a new repeated span — the pass is not guaranteed
+    idempotent (rerun to a fixpoint if one is required; on the fixture
+    corpora one pass reaches it, asserted in the prep CLI test).
+    Output: (id, n_tokens, n_trimmed, new_text) for EVERY input
+    document."""
     from pyspark.sql import Window
 
     from .textops import _ngrams

@@ -304,6 +304,7 @@ def _sized_lsh_params(
     n_planes: int | None,
     n_bands: int,
     bucket_cap: int | None,
+    n_vectors: int | None = None,
 ) -> tuple[int, int | None]:
     """Resolve (n_planes, bucket_cap) for the production RP-LSH paths.
 
@@ -314,13 +315,26 @@ def _sized_lsh_params(
     per-bucket verify cost is C(n/2^width, 2); width ~ log2(n/8) holds
     it at ~2.1x per decade. Explicit n_planes (the gate queries pin 32)
     bypasses the count so oracle replays stay bit-identical at any SF.
-    """
+
+    An EXPLICIT bucket_cap=None keeps its documented meaning — no
+    hot-bucket re-split — on the auto-sized path too (rp_lsh_params'
+    verify_budget=None default would otherwise silently re-cap at
+    10,000 and drop recall inside hot buckets with no warning).
+
+    The auto-sizing count is one Spark action over `emb`; on a bare
+    parquet load that is footer metadata only, but on a DERIVED
+    DataFrame it executes the upstream plan once — callers composing
+    pipelines can pass `n_vectors` to skip it."""
     if n_planes is not None:
         return n_planes, bucket_cap
+    if n_vectors is None:
+        n_vectors = emb.count()
     sized = rp_lsh_params(
-        max(1, emb.count()), n_bands=n_bands, verify_budget=bucket_cap
+        max(1, n_vectors), n_bands=n_bands, verify_budget=bucket_cap
     )
-    return sized["n_planes"], sized["bucket_cap"]
+    return sized["n_planes"], (
+        None if bucket_cap is None else sized["bucket_cap"]
+    )
 
 
 def neardup_pairs_lsh(
@@ -332,13 +346,18 @@ def neardup_pairs_lsh(
     bucket_cap: int | None = 10_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Top-n ranked near-dup pairs over the RP-LSH candidate set (see
     _lsh_scored_pairs for the bucketing/recall story). n_planes=None
     auto-sizes the bands to the corpus (see _sized_lsh_params); at
     n <= 2048 vectors the law reproduces the historical 32-plane
-    default exactly."""
-    n_planes, bucket_cap = _sized_lsh_params(emb, n_planes, n_bands, bucket_cap)
+    default exactly. `n_vectors` optionally supplies the corpus size
+    so auto-sizing skips its count action (useful when `emb` is a
+    derived DataFrame whose upstream plan a count would execute)."""
+    n_planes, bucket_cap = _sized_lsh_params(
+        emb, n_planes, n_bands, bucket_cap, n_vectors
+    )
     scored = _lsh_scored_pairs(
         emb, n_planes, n_bands, dim, bucket_cap, id_col, vec_col
     )
@@ -360,6 +379,7 @@ def semantic_dedup_keeper(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quality_col: str = "quality",
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """The embedding-space twin of dedup.near_dup_cluster_keeper: the
     full SEMANTIC dedup decision — RP-LSH candidate pairs scored by
@@ -381,7 +401,9 @@ def semantic_dedup_keeper(
     n_planes=32 explicitly so their DuckDB oracles replay bit-for-bit."""
     from .dedup import cluster_keeper_from_pairs
 
-    n_planes, bucket_cap = _sized_lsh_params(emb, n_planes, n_bands, bucket_cap)
+    n_planes, bucket_cap = _sized_lsh_params(
+        emb, n_planes, n_bands, bucket_cap, n_vectors
+    )
     scored = _lsh_scored_pairs(
         emb, n_planes, n_bands, dim, bucket_cap, id_col, vec_col
     )

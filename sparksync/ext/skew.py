@@ -169,16 +169,16 @@ def approx_distinct_kmv(
 
 
 HLL_M = 256  # default registers; standard error ~1.04/sqrt(m) = 6.5%
-# alpha_m (Flajolet et al. 2007): 0.7213 / (1 + 1.079/m) — the paper's
-# closed form for m >= 128; at m=64 it evaluates to 0.7093 vs the
-# paper's tabulated 0.709, well inside the sketch's own error band, so
-# this PORTABLE sketch uses the one formula at every register count.
-# Inlined as ONE Python float whose repr both the Spark expression and
-# the SQL oracle embed, so the constant is the identical double.
-HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
 
 
 def hll_alpha(m: int) -> float:
+    """alpha_m (Flajolet et al. 2007): 0.7213 / (1 + 1.079/m) — the
+    paper's closed form for m >= 128; at m=64 it evaluates to 0.7093
+    vs the paper's tabulated 0.709, well inside the sketch's own error
+    band, so this PORTABLE sketch uses the one formula at every
+    register count. Both the Spark expression (hll_estimate) and the
+    SQL oracle (_oracle_hll) embed the repr of THIS function's float,
+    so the constant is the identical double in both engines."""
     return 0.7213 / (1 + 1.079 / m)
 
 

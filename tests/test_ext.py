@@ -5414,3 +5414,39 @@ def test_self_trim_repeats_matches_python(spark):
                 s = prev = j
     kept = [t for p, t in enumerate(toks) if p not in cut]
     assert got[5] == (len(toks), len(cut), " ".join(kept))
+
+
+def test_lsh_auto_sizing_preserves_explicit_uncapped(spark, emb):
+    """code-review r11: an EXPLICIT bucket_cap=None (documented as 'no
+    hot-bucket re-split') must survive the auto-sized default path —
+    rp_lsh_params' own verify_budget=None default would silently
+    re-cap at 10,000. Uncapped + auto-sized planes must reproduce the
+    uncapped + pinned-32-plane pair set at gate scale (the sizing law
+    reproduces 32 planes for n <= 2048), and the n_vectors hint must
+    skip the count without changing the result."""
+    from sparksync.ext import similarity as sim
+
+    n_planes, cap = sim._sized_lsh_params(emb, None, 4, None)
+    assert cap is None
+    assert n_planes == 32  # the law at gate scale reproduces 32
+    n_planes_h, cap_h = sim._sized_lsh_params(
+        emb, None, 4, None, n_vectors=emb.count()
+    )
+    assert (n_planes_h, cap_h) == (n_planes, cap)
+    # capped default still sizes the cap
+    _, cap_d = sim._sized_lsh_params(emb, None, 4, 10_000)
+    assert cap_d == 10_000
+    # end-to-end: uncapped auto == uncapped pinned at this corpus size
+    auto = {
+        tuple(r)
+        for r in sim.neardup_pairs_lsh(
+            emb, top_n=5, bucket_cap=None
+        ).collect()
+    }
+    pinned = {
+        tuple(r)
+        for r in sim.neardup_pairs_lsh(
+            emb, top_n=5, n_planes=32, bucket_cap=None
+        ).collect()
+    }
+    assert auto == pinned and auto

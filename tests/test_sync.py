@@ -1216,6 +1216,14 @@ def test_cli_audit_round10_dedup_kinds(tmp_path, capsys):
     for r in rows:
         assert r["longest_run"] >= 12 and r["n_runs"] >= 1
 
+    # arg validation belongs to THIS test's kinds (restored here after
+    # a round-10 insertion orphaned it into the semantic test's tail)
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(base + ["audit", "--kind", "decontaminate",
+                     "--table", "documents"])  # needs --target
+
 
 def test_cli_audit_decontaminate_trim(tmp_path, capsys):
     """`audit --kind decontaminate-trim` (X204, round 11): the removal
@@ -1280,12 +1288,6 @@ def test_cli_audit_semantic_auto_sized(tmp_path, capsys):
     for r in rows:
         assert int(r["kept"]) == 0
         assert r["n_members"] >= 2  # a cut row always has a keeper peer
-
-    import pytest as _pytest
-
-    with _pytest.raises(SystemExit):
-        main(base + ["audit", "--kind", "decontaminate",
-                     "--table", "documents"])  # needs --target
 
 
 def test_cli_audit_layout_kind(tmp_path, capsys):
@@ -1366,3 +1368,82 @@ def test_cli_audit_round9_text_kinds(tmp_path, capsys):
     with _pytest.raises(SystemExit):
         main(base + ["audit", "--kind", "drift",
                      "--table", "documents"])  # --target required
+
+
+def test_cli_decontaminate_null_predicate_rows_stay_training(
+    spark, tmp_path, capsys
+):
+    """A NULL predicate result means NOT benchmark (code-review r11):
+    rows whose --decontaminate/--target expression evaluates to NULL
+    must stay in the TRAINING corpus — plain ~expr would drop them
+    from both sides and they would silently vanish. Craft a documents
+    table with a NULL source: prep must keep the doc in a split, and
+    audit --kind decontaminate-trim must still flag/trim it when it
+    quotes the benchmark."""
+    import json as _json
+
+    import duckdb as _duckdb
+
+    from sparksync.cli import main
+
+    run12 = " ".join(f"b{i}" for i in range(12))
+    # quality_score keeps 20..1000-token docs — pad past the gate
+    pad2 = " ".join(f"p{i}" for i in range(10))
+    pad3 = " ".join(f"q{i}" for i in range(10))
+    pad4 = " ".join(f"r{i}" for i in range(20))
+    src = tmp_path / "src"
+    src.mkdir()
+    con = _duckdb.connect()
+    con.execute(
+        f"""
+        copy (
+          select * from (values
+            (1::bigint, '{run12} tailA', 'en', 'src0', 0::bigint),
+            (2::bigint, 'x1 x2 {run12} y1 {pad2}', 'en', 'src1', 0::bigint),
+            (3::bigint, 'z1 z2 {run12} z3 {pad3}', 'en', NULL, 0::bigint),
+            (4::bigint, '{pad4}', 'en', 'src2', 0::bigint)
+          ) t(doc_id, text, lang, source, n_chars)
+        ) to '{src}/documents.parquet'
+        """
+    )
+    con.close()
+    out = tmp_path / "dest"
+    # prep: doc 3 (NULL source) must survive into the output splits
+    assert main([
+        "--src", str(src), "--dest", str(out), "prep", "--lang", "",
+        "--splits", "all:1.0", "--decontaminate", "source = 'src0'",
+    ]) == 0
+    capsys.readouterr()
+    got = spark.read.parquet(str(out / "documents_all.parquet"))
+    ids = {r.doc_id for r in got.select("doc_id").collect()}
+    assert 3 in ids, "NULL-source doc vanished from the prep output"
+    assert 1 not in ids  # the benchmark doc is excluded
+    # and its benchmark quote was trimmed
+    row3 = got.where("doc_id = 3").collect()[0]
+    pad3 = " ".join(f"q{i}" for i in range(10))
+    assert row3.text == f"z1 z2 z3 {pad3}"
+    # audit --kind decontaminate-trim: doc 3 appears as a TRIMMED
+    # training doc, not as benchmark, not dropped
+    assert main([
+        "--src", str(src), "--dest", str(out), "audit",
+        "--kind", "decontaminate-trim", "--table", "documents",
+        "--target", "source = 'src0'",
+    ]) == 0
+    rows = [
+        _json.loads(l)
+        for l in capsys.readouterr().out.splitlines()
+        if l.startswith("{")
+    ]
+    assert {r["doc_id"] for r in rows} == {2, 3}
+    # audit --kind decontaminate (the flag form) agrees
+    assert main([
+        "--src", str(src), "--dest", str(out), "audit",
+        "--kind", "decontaminate", "--table", "documents",
+        "--target", "source = 'src0'",
+    ]) == 0
+    rows = [
+        _json.loads(l)
+        for l in capsys.readouterr().out.splitlines()
+        if l.startswith("{")
+    ]
+    assert {r["doc_id"] for r in rows} == {2, 3}
