@@ -44,18 +44,16 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
 
 
 def _shingle_expr() -> F.Column:
-    """Distinct 3-gram shingle array over a `toks` column."""
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size("toks") - SHINGLE_N),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(F.col("toks"), i + 1),
-                F.element_at(F.col("toks"), i + 2),
-                F.element_at(F.col("toks"), i + 3),
-            ),
-        )
-    )
+    """Distinct SHINGLE_N-gram shingle array over a `toks` column —
+    textops._ngrams (the one n-gram constructor) + array_distinct, so
+    the gram width follows SHINGLE_N everywhere (the previous inline
+    copy hardcoded three element_at terms against a SHINGLE_N sequence
+    bound — a wrong-shingles bug waiting behind a one-line constant
+    edit, code-review r11). Callers pre-filter size >= SHINGLE_N
+    (_tokenized), and _ngrams is additionally guarded for short docs."""
+    from .textops import _ngrams
+
+    return F.array_distinct(_ngrams(F.col("toks"), SHINGLE_N))
 
 
 def _tokenized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -469,7 +467,15 @@ def minhash_pairs_from_signatures(
         .agg(
             F.min_by("sh", F.col(id_col)).alias("s1"),
             F.max_by("sh", F.col(id_col)).alias("s2"),
+            # BOTH docs must contribute a shingle row: when the
+            # signature table is a persisted snapshot, a candidate's
+            # partner may have been deleted or edited below the
+            # shingle minimum since — with one row, min_by and max_by
+            # would return the SAME doc's array and emit a phantom
+            # jacc=1.0 self-comparison (code-review r11)
+            F.count_distinct(F.col(id_col)).alias("_nsides"),
         )
+        .where(F.col("_nsides") == 2)
     )
     inter = F.size(F.array_intersect(F.col("s1"), F.col("s2"))).cast("double")
     union = (F.size("s1") + F.size("s2")).cast("double") - inter
@@ -672,9 +678,12 @@ def simhash_pairs(
             .cast("long")
         )
 
-    fp = simhash(df, id_col, text_col, hash_fn=hash_fn).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    from .features import _pin
+
+    # routed through the FIFO pin registry (not a bare persist) so
+    # repeated calls in one session cannot leak cached fingerprint
+    # tables — the same discipline the minhash paths use
+    fp = _pin(simhash(df, id_col, text_col, hash_fn=hash_fn))
     bands = F.array(
         *[
             F.struct(
@@ -694,7 +703,12 @@ def simhash_pairs(
         F.col("bk.key").alias("key"),
         F.col("bk.nxt").alias("nxt"),
     )
-    if bucket_cap is not None:
+    if bucket_cap is not None and n_bands >= 2:
+        # n_bands == 1 (max_hamming=0) has NO second band to refine
+        # with (nxt == key, so the re-split could never split; worse,
+        # (key+1)*2^48 overflows int64) — a >cap bucket of identical
+        # 48-bit fingerprints is genuine mass duplication, exact_dedup's
+        # territory, so the cap is skipped there (code-review r11)
         sizes = keyed.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_n"))
         keyed = keyed.join(F.broadcast(sizes), ["band", "key"]).select(
             id_col,
@@ -778,12 +792,16 @@ def hamming_pairs(
     # capped) and both join sides read it, and each read would otherwise
     # re-scan the source; the cached row is id + string + its segment
     # tiling (~3-4x the string), fine for record-linkage-sized columns
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(col).alias("_s"),
-        length.alias("_len"),
-        bands.alias("_bands"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    from .features import _pin
+
+    base = _pin(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(col).alias("_s"),
+            length.alias("_len"),
+            bands.alias("_bands"),
+        )
+    )
     keyed = base.select(
         "_id",
         "_s",
@@ -1114,6 +1132,7 @@ def containment_pairs(
     threshold: float = 0.9,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-SUBSET detection: pairs where the smaller document's
     shingles are >= threshold contained in the other's —
@@ -1123,14 +1142,40 @@ def containment_pairs(
     pre-training corpus wants collapsed toward the superset doc.
 
     Same scale shape as jaccard_pairs (shared-shingle inverted-index
-    join, per-doc distinct shingles, sizes broadcast back); only the
-    final ratio differs. Output: (d1, d2, containment, direction)
-    with d1 < d2; direction says which side is the contained one
+    join, per-doc distinct shingles, sizes joined back on the pair
+    keys — NOT force-broadcast: the size table is corpus-cardinality,
+    code-review r11); only the final ratio differs. `max_df` is
+    jaccard_pairs' boilerplate-shingle cap with the same one-sided
+    precision contract — here a pruned shingle can only LOWER the
+    computed intersection, so containment is under-counted, never
+    invented (pairs can be missed, default None keeps exact
+    semantics). Output: (d1, d2, containment, direction) with
+    d1 < d2; direction says which side is the contained one
     ('d1'/'d2'/'equal' by shingle-set size)."""
     sh = shingles(df, id_col, text_col)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col(id_col).alias("d1"), "shingle")
-    b = sh.select(F.col(id_col).alias("d2"), "shingle")
+    join_sh = sh
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_df)
+            .select("shingle")
+            .localCheckpoint(eager=True)
+        )
+        n_hot = hot.count()
+        if n_hot:
+            import warnings
+
+            warnings.warn(
+                f"containment_pairs: max_df={max_df} pruned {n_hot} hot "
+                "shingle(s) from the inverted index - containment is "
+                "under-counted through them (pairs missed, never invented)",
+                stacklevel=2,
+            )
+        join_sh = sh.join(hot, "shingle", "left_anti")
+    a = join_sh.select(F.col(id_col).alias("d1"), "shingle")
+    b = join_sh.select(F.col(id_col).alias("d2"), "shingle")
     common = (
         a.join(b, "shingle")
         .where(F.col("d1") < F.col("d2"))
@@ -1145,9 +1190,12 @@ def containment_pairs(
         .when(F.col("nb") < F.col("na"), F.lit("d2"))
         .otherwise(F.lit("equal"))
     )
+    # pair-keyed joins against the per-doc size table: AQE picks the
+    # strategy; forcing broadcast of a corpus-cardinality table is
+    # exactly the driver-memory bomb the 100 TB posture forbids
     return (
-        common.join(F.broadcast(na), "d1")
-        .join(F.broadcast(nb), "d2")
+        common.join(na, "d1")
+        .join(nb, "d2")
         .select("d1", "d2", cont.alias("containment"), direction.alias("direction"))
         .where(F.col("containment") >= threshold)
     )
@@ -1176,7 +1224,7 @@ def near_dup_cluster_keeper(
     against the (tiny) clustered-doc map."""
     pairs = minhash_dedup_pairs(df, threshold, id_col, text_col)
     quality = df.select(
-        F.col(id_col), F.col(quality_col).cast("long").alias("quality")
+        F.col(id_col), F.col(quality_col).alias("quality")
     )
     return cluster_keeper_from_pairs(pairs, quality, id_col)
 
@@ -1190,10 +1238,15 @@ def cluster_keeper_from_pairs(
     """The dedup DECISION shared by the lexical (near_dup_cluster_keeper)
     and semantic (similarity.semantic_dedup_keeper) capstones: duplicate
     pairs (d1, d2) -> connected components (transitive collapse) -> one
-    keeper per cluster by highest `quality` long, ties to the smallest
-    id; ids absent from every pair form singleton clusters and self-
-    keep. `quality` must carry (id_col, quality). Output: (id,
-    cluster_id, quality, n_members, kept).
+    keeper per cluster by highest NUMERIC `quality` (ranked as double,
+    so fractional scores like quality_score's [0,1] shape rank
+    correctly — code-review r11; the output column keeps the caller's
+    dtype), ties to the smallest id — via min_by over (-quality, id),
+    which orders correctly for ANY orderable id type, string/UUID ids
+    included (the previous -id tie-break was numeric-only). Ids absent
+    from every pair form singleton clusters and self-keep. `quality`
+    must carry (id_col, quality). Output: (id, cluster_id, quality,
+    n_members, kept).
 
     `components` (round 9, VERDICT r8 #2): pass an already-resolved
     (node, component) map — connected_components output over the SAME
@@ -1219,8 +1272,12 @@ def cluster_keeper_from_pairs(
     ).withColumn("cluster_id", F.coalesce("component", F.col(id_col)))
     keeper = labeled.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_members"),
-        F.max_by(
-            F.col(id_col), F.struct(F.col("quality"), -F.col(id_col))
+        F.min_by(
+            F.col(id_col),
+            F.struct(
+                (-F.col("quality").cast("double")).alias("_nq"),
+                F.col(id_col).alias("_id"),
+            ),
         ).alias("_keep"),
     )
     return (
@@ -1559,7 +1616,7 @@ def dedup_decision_report(
     pairs = pairs.select("d1", "d2").localCheckpoint(eager=True)
     comp = connected_components(pairs, "d1", "d2")
     quality = df.select(
-        F.col(id_col), F.col(quality_col).cast("long").alias("quality")
+        F.col(id_col), F.col(quality_col).alias("quality")
     )
     keeper = cluster_keeper_from_pairs(None, quality, id_col, components=comp)
     report = dedup_report(
@@ -1613,7 +1670,13 @@ def _run_streaks(
 
     from .textops import _ngrams
 
-    pairs = pairs.select("d1", "d2").localCheckpoint(eager=True)
+    # distinct() is load-bearing, not hygiene: a DUPLICATE candidate
+    # pair row duplicates every gram match, which breaks the
+    # _i - row_number() streak grouping (row_number increments twice
+    # per _i, so a true run fragments below min_run and is silently
+    # missed). Callers composing candidate sources (winnow + minhash
+    # unions) hit this; the pair set is tiny, the shuffle is cheap.
+    pairs = pairs.select("d1", "d2").distinct().localCheckpoint(eager=True)
     docs_in_play = (
         pairs.select(F.col("d1").alias(id_col))
         .unionByName(pairs.select(F.col("d2").alias(id_col)))
@@ -1810,7 +1873,11 @@ def _trim_by_spans(
     cuts = islands.groupBy(id_col).agg(
         F.collect_list(F.struct("_s", "_e")).alias("_cuts")
     )
-    toks = tokens(text_col)
+    # NULL text must honor the 'EVERY input document' contract as an
+    # empty doc (n_tokens=0, n_trimmed=0, new_text='') — tokens(NULL)
+    # is NULL and would cascade NULLs through the whole output row
+    # (code-review r11); crawled corpora carry NULL text routinely
+    toks = F.coalesce(tokens(text_col), F.array().cast("array<string>"))
     out = (
         df.select(F.col(id_col), toks.alias("_t"))
         .join(cuts, id_col, "left")

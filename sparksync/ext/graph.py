@@ -102,10 +102,13 @@ def connected_components(
         # rides along the aggregation so convergence needs no join:
         # each node's self row (exactly one per node) carries `old`;
         # message rows carry null, which min/max skip.
+        # `old`'s null literal must carry the LABEL's dtype — string/
+        # UUID node ids included (a hardcoded long here made the union
+        # coerce string labels to bigint and blow up, code-review r11)
         msgs = und.join(labels, und["b"] == labels["node"]).select(
             F.col("a").alias("node"),
             F.col("label"),
-            F.lit(None).cast("long").alias("old"),
+            F.lit(None).cast(labels.schema["label"].dataType).alias("old"),
         )
         stepped = (
             labels.select("node", "label", F.col("label").alias("old"))

@@ -412,7 +412,7 @@ def semantic_dedup_keeper(
     # wider corpus (at sf0.1 documents has 2.5x the embedded rows, the
     # exact row-count bug the scale sweep caught) — semi-restrict it
     quality = quality_df.select(
-        F.col(id_col), F.col(quality_col).cast("long").alias("quality")
+        F.col(id_col), F.col(quality_col).alias("quality")
     ).join(emb.select(F.col(id_col)).distinct(), id_col)
     return cluster_keeper_from_pairs(pairs, quality, id_col)
 

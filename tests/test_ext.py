@@ -5450,3 +5450,76 @@ def test_lsh_auto_sizing_preserves_explicit_uncapped(spark, emb):
         ).collect()
     }
     assert auto == pinned and auto
+
+
+def test_cluster_keeper_string_ids_and_fractional_quality(spark):
+    """code-review r11: the keeper rule must work for string/UUID ids
+    (the old -id tie-break was numeric-only) and must rank FRACTIONAL
+    quality scores (the old long cast truncated [0,1] scores to 0,
+    degenerating 'highest quality wins' to 'smallest id wins')."""
+    from sparksync.ext import dedup as dd
+
+    pairs = spark.createDataFrame(
+        [("doc-b", "doc-c"), ("doc-c", "doc-a")], "d1 string, d2 string"
+    )
+    quality = spark.createDataFrame(
+        [("doc-a", 0.91), ("doc-b", 0.95), ("doc-c", 0.10), ("solo", 0.5)],
+        "doc_id string, quality double",
+    )
+    out = {
+        r.doc_id: (r.cluster_id, r.quality, r.n_members, r.kept)
+        for r in dd.cluster_keeper_from_pairs(
+            pairs, quality, "doc_id"
+        ).collect()
+    }
+    # doc-b has the highest fractional quality -> keeper; the long
+    # cast would have tied everyone at 0 and kept doc-a instead
+    assert out["doc-b"][3] == 1 and out["doc-a"][3] == 0 and out["doc-c"][3] == 0
+    assert out["doc-b"][2] == 3
+    assert out["solo"] == ("solo", 0.5, 1, 1)
+    # quality keeps the caller's dtype
+    assert dict(
+        dd.cluster_keeper_from_pairs(pairs, quality, "doc_id").dtypes
+    )["quality"] == "double"
+    # tie on quality -> smallest STRING id wins
+    qtie = spark.createDataFrame(
+        [("doc-a", 1.0), ("doc-b", 1.0), ("doc-c", 1.0)],
+        "doc_id string, quality double",
+    )
+    out2 = {
+        r.doc_id: r.kept
+        for r in dd.cluster_keeper_from_pairs(pairs, qtie, "doc_id").collect()
+    }
+    assert out2 == {"doc-a": 1, "doc-b": 0, "doc-c": 0}
+
+
+def test_signatures_stale_partner_no_phantom_pair(spark, docs, tmp_path):
+    """code-review r11: when the persisted signature snapshot names a
+    candidate whose partner has since been deleted from the corpus
+    (or edited below the shingle minimum), the pair group has ONE
+    shingle row — min_by and max_by would both return the same doc's
+    array and emit a phantom jacc=1.0 self-comparison. Such one-sided
+    candidates must be dropped."""
+    from sparksync.ext import dedup
+
+    sig_path = str(tmp_path / "sig_stale.parquet")
+    dedup.minhash_signature_table(docs).write.parquet(sig_path)
+    sig = spark.read.parquet(sig_path)
+    inline = {
+        (r["d1"], r["d2"])
+        for r in dedup.minhash_dedup_pairs(docs, 0.8).collect()
+    }
+    assert inline  # fixtures contain planted near-dups
+    # delete every pair's d2 side from the fresh corpus
+    gone = {d2 for _, d2 in inline}
+    arrs = dedup.shingle_arrays(
+        docs.where(~F.col("doc_id").isin(*gone))
+    )
+    survived = {
+        (r["d1"], r["d2"], r["jacc"])
+        for r in dedup.minhash_pairs_from_signatures(sig, arrs, 0.0).collect()
+    }
+    # no pair may involve a deleted doc, and in particular no phantom
+    # jacc=1.0 row for a (present, deleted) candidate
+    for d1, d2, jacc in survived:
+        assert d1 not in gone and d2 not in gone, (d1, d2, jacc)
