@@ -27,39 +27,57 @@ def asof_join(
     right_vals: list[str],
 ) -> DataFrame:
     """left + for each right_val column, its value from the latest right
-    row at-or-before the left row's timestamp (NULL if none)."""
+    row at-or-before the left row's timestamp (NULL if none).
+
+    The right values ride as ONE struct (code-review r11): per-column
+    last(ignorenulls) would skip a NULL inside the latest right row —
+    returning a stale older value, and with several right_vals even
+    MIXING columns from different right rows into a row that never
+    existed. The struct is non-null exactly when the row is a right
+    row, so last(struct, ignorenulls) picks the latest right ROW and
+    carries its fields verbatim, NULLs included. Equal-(key, ts) right
+    rows are tie-broken by the value struct itself so the fill is
+    deterministic and engine-replayable, not partition-order luck."""
     lt = left.select(
         F.col(key),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_is_left"),
-        *[F.lit(None).cast(right.schema[v].dataType).alias(f"_r_{v}") for v in right_vals],
+        F.lit(None)
+        .cast(
+            "struct<"
+            + ", ".join(
+                f"{v}: {right.schema[v].dataType.simpleString()}"
+                for v in right_vals
+            )
+            + ">"
+        )
+        .alias("_rv"),
         F.struct(*left.columns).alias("_row"),
     )
     rt = right.select(
         F.col(key),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_is_left"),
-        *[F.col(v).alias(f"_r_{v}") for v in right_vals],
+        F.struct(*[F.col(v) for v in right_vals]).alias("_rv"),
         F.lit(None).cast(lt.schema["_row"].dataType).alias("_row"),
     )
     # right rows sort before left rows at equal timestamps so an exact-
-    # timestamp match is visible to the left row ("at or before")
+    # timestamp match is visible to the left row ("at or before");
+    # _rv in the order gives equal-(key, ts) right rows a deterministic
+    # winner (nulls first, so the LAST right row by struct order wins)
     u = lt.unionByName(rt)
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("_ts"), F.col("_is_left"))
+        .orderBy(F.col("_ts"), F.col("_is_left"), F.col("_rv"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.select(
         "*",
-        *[
-            F.last(F.col(f"_r_{v}"), ignorenulls=True).over(w).alias(f"_f_{v}")
-            for v in right_vals
-        ],
+        F.last(F.col("_rv"), ignorenulls=True).over(w).alias("_fv"),
     ).where(F.col("_is_left") == 1)
     return filled.select(
         F.col("_row.*"),
-        *[F.col(f"_f_{v}").alias(f"asof_{v}") for v in right_vals],
+        *[F.col("_fv").getField(v).alias(f"asof_{v}") for v in right_vals],
     )
 
 
@@ -525,7 +543,19 @@ def max_concurrency(
     sessions count as concurrent and zero-length (single-event)
     sessions contribute 1 at their instant; full tiebreak (key,
     session) makes the order total. Output: (day, max_concurrent,
-    n_sessions)."""
+    n_sessions).
+
+    Scope (code-review r11, stated rather than hidden): the per-day max
+    is the peak AT DELTA EVENTS within that day. A day whose only
+    activity is sessions carried in from previous days reports its max
+    at its first delta (which can undercount the pre-delta plateau by
+    the number of sessions that END as that first event), and a day
+    fully inside long sessions with no start/end rows does not appear
+    at all. For gap-based sessions (<= gap_minutes between events,
+    q137's shape) sessions rarely span day boundaries, so the
+    event-delta semantics and the continuous-time semantics coincide;
+    a midnight-spanning workload wanting the continuous answer should
+    split spans at day boundaries first."""
     from .features import global_cumsum
 
     s = sessionize(df, key_col, ts_col, gap_minutes)

@@ -23,11 +23,20 @@ _KNUTH_A = 2654435761
 
 
 def _bucket(id_col: str, method: str, salt: str) -> F.Column:
+    """Deterministic hash bucket in [0, BUCKETS). A NULL id lands in
+    bucket 0 (code-review r11): under knuth, NULL * A is NULL, which
+    made every `bucket < hi` test NULL — split_assign silently routed
+    NULL-id rows to the LAST split (usually the 1% eval slice) and
+    stratified_sample silently dropped them. Bucket 0 puts them in the
+    first split / keeps them whenever the stratum keeps anything —
+    deterministic and visible, never silent loss."""
     if method == "knuth":
-        return F.pmod(F.col(id_col) * F.lit(_KNUTH_A), F.lit(BUCKETS))
-    if method == "xxhash64":
-        return F.pmod(F.xxhash64(F.lit(salt), F.col(id_col)), F.lit(BUCKETS))
-    raise ValueError(f"unknown hash method {method!r}")
+        b = F.pmod(F.col(id_col) * F.lit(_KNUTH_A), F.lit(BUCKETS))
+    elif method == "xxhash64":
+        b = F.pmod(F.xxhash64(F.lit(salt), F.col(id_col)), F.lit(BUCKETS))
+    else:
+        raise ValueError(f"unknown hash method {method!r}")
+    return F.coalesce(b, F.lit(0))
 
 
 def split_assign(
@@ -110,9 +119,18 @@ def temperature_sample(
     raw = F.pow(F.col("_n").cast("double"), F.lit(alpha - 1.0))
     rates = counts.select(F.col(source_col).alias("_src"), raw.alias("_raw"))
     norm = rates.agg(F.max("_raw").alias("_mx"))
+    # greatest(..., 1): a keep rate below 1/BUCKETS must keep ~1 bucket,
+    # not ZERO — plain floor silently dropped an entire source once
+    # n_i/n_min exceeded BUCKETS^(1/(1-alpha)) (at alpha=0, a source
+    # 10,000x the smallest), exactly the power-law skew this operator
+    # exists to handle (code-review r11). The oracle mirrors the
+    # greatest(); at gate SF every rate is well above 1/BUCKETS so the
+    # clamp never binds there.
     rates = rates.crossJoin(F.broadcast(norm)).select(
         "_src",
-        F.floor(F.col("_raw") / F.col("_mx") * BUCKETS).alias("_keep_below"),
+        F.greatest(
+            F.floor(F.col("_raw") / F.col("_mx") * BUCKETS), F.lit(1)
+        ).alias("_keep_below"),
     )
     b = _bucket(id_col, method, salt)
     # eqNullSafe: a NULL source is a stratum of its own and must keep its
@@ -172,6 +190,8 @@ def interleave(
     union — the standard way to rebalance heterogeneous training
     corpora. Each source is sampled independently (narrow), the union
     is metadata-only; nothing shuffles until a downstream op asks."""
+    if not sources:
+        raise ValueError("interleave: sources must be non-empty")
     parts = []
     for i, (df, w) in enumerate(sources):
         if not 0.0 <= w <= 1.0:
@@ -194,6 +214,15 @@ def greedy_pack(costs, budget: int) -> tuple[list[int], list[int]]:
     offsets = [0] * len(costs)
     seq, fill = 0, 0
     for i, c in enumerate(costs):
+        if c != c or c is None:  # NaN (a NULL cost arrives as float64
+            # NaN through Arrow) — fail with an actionable message
+            # instead of int(NaN)'s ValueError deep in the executor
+            # (code-review r11); NaN > budget is False, so it would
+            # otherwise be 'placed' and then blow up on the int()
+            raise ValueError(
+                "pack_sequences: NULL/NaN cost encountered - filter or "
+                "impute the cost column before packing"
+            )
         if i > 0 and fill + c > budget:
             seq, fill = seq + 1, 0
         seq_ids[i], offsets[i] = seq, fill
@@ -301,7 +330,13 @@ def budget_mix(
     budgets map enters the plan as a literal CASE, not a join."""
     from .textops import tokens
 
-    n_tok = F.size(tokens(text_col)).cast("long")
+    # NULL text counts as an EMPTY doc (0 tokens): bare size(tokens())
+    # is -1 for NULL in non-ANSI Spark, which would make the running
+    # budget DECREASE at that row and re-admit docs past the budget
+    # (code-review r11)
+    n_tok = F.size(
+        F.coalesce(tokens(text_col), F.array().cast("array<string>"))
+    ).cast("long")
     bucket = _bucket(id_col, method, salt)
     budget = F.create_map(
         *[F.lit(x) for kv in budgets.items() for x in kv]
@@ -347,6 +382,10 @@ def chunk_documents(
     list slicing in DuckDB SQL."""
     from .textops import tokens
 
+    if overlap < 0:
+        # a negative overlap widens the step past the window and
+        # silently SKIPS the tokens in between (code-review r11)
+        raise ValueError("overlap must be >= 0")
     step = chunk_tokens - overlap
     if step <= 0:
         raise ValueError("overlap must be smaller than chunk_tokens")
@@ -392,7 +431,11 @@ def mixture_report(
     second data pass, nothing collects."""
     from .textops import tokens
 
-    n_tok = F.size(tokens(text_col)).cast("long")
+    # NULL text = 0 tokens (size(NULL) is -1 non-ANSI; it would
+    # silently subtract from every total, code-review r11)
+    n_tok = F.size(
+        F.coalesce(tokens(text_col), F.array().cast("array<string>"))
+    ).cast("long")
     per = df.select(F.col(group_col).alias("grp"), n_tok.alias("_t")).groupBy(
         "grp"
     ).agg(
@@ -547,10 +590,16 @@ def group_split_assign(
     """Leakage-safe train/val/test assignment: hash the GROUP (source,
     domain, author), not the document, so every doc of a group lands in
     the same split — the guard against near-duplicates of one source
-    straddling train and eval. Same cumulative-threshold recipe as
+    straddling train and eval. Same cumulative-threshold SHAPE as
     split_assign but over the portable md5 hash of the group string
-    (split_assign's Knuth hash needs an integer id). One narrow map;
-    no shuffle, no join. Output: input columns + split."""
+    (split_assign's Knuth hash needs an integer id); quantization
+    differs deliberately in one detail (code-review r11): boundaries
+    here round the CUMULATIVE fraction (round(cum * BUCKETS)) while
+    split_assign sums per-split rounds — the two can disagree by one
+    bucket when individual rounds and the cumulative round differ.
+    Each gate's oracle replays its own function's quantization, so
+    both stay bit-replayable. One narrow map; no shuffle, no join.
+    Output: input columns + split."""
     from .dedup import md5_token_hash
 
     fracs = fracs or {"train": 0.8, "val": 0.1, "test": 0.1}

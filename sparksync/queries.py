@@ -1610,7 +1610,9 @@ ORACLE_Q57 = """
 with c as (select lang, count(*) as n from documents group by lang),
 r as (select lang, pow(cast(n as double), -0.5) as raw from c),
 k as (select max(raw) as mx from r),
-rt as (select lang, cast(floor(raw / mx * 10000) as bigint) as keep_below
+rt as (select lang,
+              greatest(cast(floor(raw / mx * 10000) as bigint), 1)
+                as keep_below
        from r cross join k)
 select d.doc_id, d.lang
 from documents d join rt using (lang)
