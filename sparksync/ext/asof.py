@@ -18,6 +18,20 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _orderable(dt) -> bool:
+    """True when a DataType can appear in an ORDER BY — MapType cannot
+    (anywhere in the nesting); everything else Spark orders."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    if isinstance(dt, ArrayType):
+        return _orderable(dt.elementType)
+    return True
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -37,21 +51,23 @@ def asof_join(
     row, so last(struct, ignorenulls) picks the latest right ROW and
     carries its fields verbatim, NULLs included. Equal-(key, ts) right
     rows are tie-broken by the value struct itself so the fill is
-    deterministic and engine-replayable, not partition-order luck."""
+    deterministic and engine-replayable, not partition-order luck;
+    when any right_vals type is not orderable (MapType anywhere in it),
+    the tie-break falls back to xxhash64(to_json(struct)) — still
+    deterministic, just not value-ordered (ADVICE r11 #3)."""
+    from pyspark.sql.types import StructField, StructType
+
+    # the typed NULL struct is built from a DataType object, not a DDL
+    # string — simpleString() is unparseable for names needing backticks
+    # (spaces, dots, hyphens; ADVICE r11 #2)
+    rv_type = StructType(
+        [StructField(v, right.schema[v].dataType) for v in right_vals]
+    )
     lt = left.select(
         F.col(key),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_is_left"),
-        F.lit(None)
-        .cast(
-            "struct<"
-            + ", ".join(
-                f"{v}: {right.schema[v].dataType.simpleString()}"
-                for v in right_vals
-            )
-            + ">"
-        )
-        .alias("_rv"),
+        F.lit(None).cast(rv_type).alias("_rv"),
         F.struct(*left.columns).alias("_row"),
     )
     rt = right.select(
@@ -64,11 +80,18 @@ def asof_join(
     # right rows sort before left rows at equal timestamps so an exact-
     # timestamp match is visible to the left row ("at or before");
     # _rv in the order gives equal-(key, ts) right rows a deterministic
-    # winner (nulls first, so the LAST right row by struct order wins)
+    # winner (nulls first, so the LAST right row by struct order wins).
+    # Struct ordering requires orderable field types; maps are not, so
+    # those fall back to a deterministic hash surrogate.
+    tie = (
+        F.col("_rv")
+        if _orderable(rv_type)
+        else F.xxhash64(F.to_json(F.col("_rv")))
+    )
     u = lt.unionByName(rt)
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("_ts"), F.col("_is_left"), F.col("_rv"))
+        .orderBy(F.col("_ts"), F.col("_is_left"), tie)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.select(

@@ -1275,7 +1275,13 @@ def cluster_keeper_from_pairs(
         F.min_by(
             F.col(id_col),
             F.struct(
-                (-F.col("quality").cast("double")).alias("_nq"),
+                # NULL quality must LOSE the election: a bare negation
+                # yields NULL, and NULLs sort FIRST in Spark struct
+                # ordering, so a missing score would beat every real one
+                # (ADVICE r11 #1). Rank it +inf instead.
+                F.coalesce(
+                    -F.col("quality").cast("double"), F.lit(float("inf"))
+                ).alias("_nq"),
                 F.col(id_col).alias("_id"),
             ),
         ).alias("_keep"),

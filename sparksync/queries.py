@@ -7559,8 +7559,12 @@ def q208_decontaminate_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q208 = """
 with
 docs as (
+  -- coalesce mirrors the engine's NULL-text contract (_trim_by_spans
+  -- treats NULL text as zero tokens; ADVICE r11 #4) so a NULL-text row
+  -- yields n_tokens=0 rather than NULL
   select doc_id, source,
-         list_filter(string_split(trim(text), ' '), x -> x <> '') as toks
+         list_filter(string_split(trim(coalesce(text, '')), ' '),
+                     x -> x <> '') as toks
   from documents),
 train as (select doc_id, toks from docs where source <> 'src0'),
 dk as (
@@ -7649,8 +7653,10 @@ def q209_self_trim_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q209 = """
 with
 docs as (
+  -- coalesce mirrors the engine's NULL-text contract (ADVICE r11 #4)
   select doc_id,
-         list_filter(string_split(trim(text), ' '), x -> x <> '') as toks
+         list_filter(string_split(trim(coalesce(text, '')), ' '),
+                     x -> x <> '') as toks
   from documents),
 dk as (
   select doc_id, toks, len(toks) - 1 as m

@@ -5635,3 +5635,61 @@ def test_sampling_null_and_edge_hardening(spark):
     # interleave: empty sources is a clean error
     with _pytest.raises(ValueError, match="non-empty"):
         sp.interleave([], "doc_id")
+
+
+def test_cluster_keeper_null_quality_loses(spark):
+    """ADVICE r12: NULL quality negated is NULL, and NULLs sort FIRST
+    in Spark struct ordering — so before the coalesce fix a member
+    with a missing score WON the keeper election and every scored
+    duplicate was dropped. NULL-quality rows must lose to any real
+    score; an all-NULL cluster falls back to the smallest id."""
+    from sparksync.ext import dedup as dd
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "d1 long, d2 long"
+    )
+    quality = spark.createDataFrame(
+        [(1, 4.0), (2, None), (3, 10.0)], "doc_id long, quality double"
+    )
+    out = {
+        r.doc_id: r.kept
+        for r in dd.cluster_keeper_from_pairs(pairs, quality, "doc_id").collect()
+    }
+    assert out == {1: 0, 2: 0, 3: 1}, out  # quality=10 wins, NULL loses
+    # all-NULL cluster: deterministic fallback to the smallest id
+    qnull = spark.createDataFrame(
+        [(1, None), (2, None), (3, None)], "doc_id long, quality double"
+    )
+    out2 = {
+        r.doc_id: r.kept
+        for r in dd.cluster_keeper_from_pairs(pairs, qnull, "doc_id").collect()
+    }
+    assert out2 == {1: 1, 2: 0, 3: 0}, out2
+
+
+def test_asof_join_exotic_right_val_names_and_types(spark):
+    """ADVICE r12: the typed null struct is built from DataType objects,
+    not a DDL string — right_vals names needing backticks (spaces,
+    dots, hyphens) must work; and a MapType right value (not orderable,
+    so the struct tie-break is illegal) must fall back to the hash
+    surrogate instead of raising."""
+    from pyspark.sql import Row
+
+    from sparksync.ext.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100)], "k long, lts long")
+    # column names with a space and a hyphen: DDL simpleString cannot
+    # express these; the StructField path can
+    right = spark.createDataFrame(
+        [(1, 10, 7, "x")], "k long, rts long, `v al` long, `s-col` string"
+    )
+    out = asof_join(left, right, "k", "lts", "rts", ["v al", "s-col"]).collect()
+    assert out[0]["asof_v al"] == 7 and out[0]["asof_s-col"] == "x"
+    # MapType right value: orderable-struct tie-break would throw
+    # AnalysisException; the hash-surrogate fallback must fill it
+    rmap = spark.createDataFrame(
+        [Row(k=1, rts=10, m={"a": 1})],
+        "k long, rts long, m map<string,long>",
+    )
+    out2 = asof_join(left, rmap, "k", "lts", "rts", ["m"]).collect()
+    assert out2[0]["asof_m"] == {"a": 1}
