@@ -173,6 +173,21 @@ def main(argv: list[str] | None = None) -> int:
         help="dedup: keep ids with xxhash64(id) %% k == 0 (the 100 TB"
         " sampled form; exact pairs are quadratic)",
     )
+    aud.add_argument(
+        "--max-rows",
+        type=int,
+        default=2000,
+        help="cap on rows PRINTED to stdout (the cut lists for "
+        "semantic/dedup/decontaminate-trim/self-trim are duplicate-"
+        "volume-sized; at 100 TB an unbounded collect is a driver "
+        "OOM). The full result is written via --out",
+    )
+    aud.add_argument(
+        "--out",
+        default=None,
+        help="directory to write the FULL audit result as parquet "
+        "(executor-side; never passes through the driver)",
+    )
     prep = sub.add_parser("prep")  # corpus-prep pipeline to parquet (X-surface)
     prep.add_argument("--table", default="documents")
     prep.add_argument("--lang", default="en", help="pred_lang to keep ('' = all)")
@@ -817,8 +832,27 @@ def main(argv: list[str] | None = None) -> int:
                 threshold=args.threshold,
                 sample_mod=args.sample_mod,
             )
-        for r in out.collect():
+        if args.out:
+            # full result travels executor->parquet, never through the
+            # driver (VERDICT r11 #2: cut lists are duplicate-volume-
+            # sized — billions of rows at 100 TB with a 20-50% dup rate)
+            out.write.mode("overwrite").parquet(args.out)
+        # stdout is a bounded PREVIEW (limit pushes into the plan, so
+        # only max_rows+1 rows ever reach the driver)
+        shown = out.limit(args.max_rows + 1).collect()
+        for r in shown[: args.max_rows]:
             print(json.dumps(r.asDict(), default=str))
+        if len(shown) > args.max_rows:
+            print(
+                json.dumps(
+                    {
+                        "truncated": True,
+                        "shown": args.max_rows,
+                        "hint": "raise --max-rows or write the full "
+                        "result with --out <dir>",
+                    }
+                )
+            )
         return 0
     if args.cmd == "dump-ddl":
         from .sink import SqlScriptSink

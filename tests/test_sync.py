@@ -1447,3 +1447,36 @@ def test_cli_decontaminate_null_predicate_rows_stay_training(
         if l.startswith("{")
     ]
     assert {r["doc_id"] for r in rows} == {2, 3}
+
+
+def test_cli_audit_bounded_print_and_out(spark, tmp_path, capsys):
+    """VERDICT r11 #2: every audit kind's stdout is a bounded preview
+    (limit() pushes into the plan — max_rows+1 rows reach the driver,
+    never the duplicate-volume-sized cut list), and --out writes the
+    FULL result executor-side as parquet."""
+    import json as _json
+
+    from sparksync.cli import main
+
+    out = tmp_path / "dest"
+    full = tmp_path / "audit_full"
+    # l_partkey has ~200 distinct groups at sf0.001 -> >3 output rows
+    assert main(["--src", SF_SMOKE, "--dest", str(out), "audit",
+                 "--kind", "hll", "--table", "lineitem",
+                 "--group", "l_partkey", "--value", "l_orderkey",
+                 "--max-rows", "3", "--out", str(full)]) == 0
+    lines = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert len(lines) == 4  # 3 rows + the truncation marker
+    assert lines[-1]["truncated"] is True and lines[-1]["shown"] == 3
+    written = spark.read.parquet(str(full))
+    n_groups = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .select("l_partkey").distinct().count()
+    )
+    assert written.count() == n_groups > 3  # full result, not the preview
+    # under the cap: no truncation marker
+    assert main(["--src", SF_SMOKE, "--dest", str(out), "audit",
+                 "--kind", "hll", "--table", "orders",
+                 "--group", "o_orderstatus", "--value", "o_orderkey"]) == 0
+    lines = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert 0 < len(lines) <= 2000 and all("truncated" not in l for l in lines)
