@@ -208,6 +208,13 @@ def main(argv: list[str] | None = None) -> int:
         "before dedup, keeping each first occurrence (X205)",
     )
     prep.add_argument(
+        "--trim-fixpoint",
+        action="store_true",
+        help="iterate the trim stages until no pass cuts a token "
+        "(single-pass cuts can splice NEW repeated/contaminated "
+        "spans; capped at 5 passes with a warning)",
+    )
+    prep.add_argument(
         "--decontaminate",
         metavar="PREDICATE",
         help="boolean SQL expression selecting the BENCHMARK slice of "
@@ -495,7 +502,8 @@ def main(argv: list[str] | None = None) -> int:
             from .ext.dedup import self_trim_repeats
 
             t = self_trim_repeats(
-                kept.select("doc_id", "text"), k=2, min_run=3
+                kept.select("doc_id", "text"), k=2, min_run=3,
+                until_fixpoint=args.trim_fixpoint,
             )
             kept = t.select(
                 "doc_id",
@@ -509,7 +517,8 @@ def main(argv: list[str] | None = None) -> int:
             from .ext.dedup import decontaminate_trim
 
             d = decontaminate_trim(
-                deduped.select("doc_id", "text"), bench, min_run=12
+                deduped.select("doc_id", "text"), bench, min_run=12,
+                until_fixpoint=args.trim_fixpoint,
             )
             deduped = d.select(
                 "doc_id",

@@ -1815,6 +1815,8 @@ def trim_shared_runs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_gram_freq: int | None = 64,
+    until_fixpoint: bool = False,
+    max_passes: int = 5,
 ) -> DataFrame:
     """The DECISION half of the Lee et al. exact-substring rule:
     shared_run_pairs measures the duplicated spans, this CUTS them —
@@ -1835,7 +1837,25 @@ def trim_shared_runs(
     pass through with n_trimmed = 0; the rebuild is an array-side
     filter over token positions against the (tiny) merged-span array
     — no explode of the corpus. Output: (id, n_tokens, n_trimmed,
-    new_text) for EVERY input document."""
+    new_text) for EVERY input document.
+
+    `until_fixpoint` (VERDICT r11 #3): re-run the pass on the rebuilt
+    corpus until no pass cuts a token (capped at max_passes, warned) —
+    the single pass is not guaranteed idempotent because a cut can
+    splice a new qualifying run. The pair-keyed form re-runs the WHOLE
+    corpus each pass (a cut in d1 can create a run shared with an
+    untouched d2); `pairs` is re-used as given."""
+    if until_fixpoint:
+        return _trim_until_fixpoint(
+            df,
+            lambda d: trim_shared_runs(
+                d, pairs, k, min_run, id_col, text_col, max_gram_freq
+            ),
+            id_col,
+            text_col,
+            max_passes,
+            per_doc=False,
+        )
     runs = _run_streaks(
         df, pairs, k, min_run, id_col, text_col, max_gram_freq
     )
@@ -1931,6 +1951,82 @@ def _trim_by_spans(
     return out
 
 
+def _trim_until_fixpoint(
+    df: DataFrame,
+    trim_once,
+    id_col: str,
+    text_col: str,
+    max_passes: int,
+    per_doc: bool,
+) -> DataFrame:
+    """Fixpoint driver shared by the trim family (VERDICT r11 #3): the
+    single-pass semantics are the papers', but cuts are computed
+    against the ORIGINAL token stream, so tokens spliced together by a
+    cut can form a NEW qualifying span — a production pipeline wants
+    `until_fixpoint=True`. Re-runs `trim_once` on the rebuilt corpus
+    until a pass cuts zero tokens or max_passes is hit (warned).
+
+    `per_doc=True` (self-trim, decontaminate-trim): a doc's spans
+    depend only on its OWN text (plus a fixed benchmark side), so a
+    doc a pass left untouched is final — later passes re-trim only the
+    touched subset, which shrinks geometrically in practice. The
+    pair-keyed trim (trim_shared_runs) must re-run the whole corpus
+    (`per_doc=False`): a cut in d1 can splice a new run shared with an
+    otherwise-untouched d2.
+
+    Each pass is localCheckpoint'ed (eager): the loop's driver-side
+    convergence check would otherwise replay the whole lineage every
+    iteration, and the checkpoint bounds the plan for the next pass.
+    Output contract is the family's: n_tokens = ORIGINAL token count,
+    n_trimmed = TOTAL tokens cut across all passes, new_text = final."""
+    acc = trim_once(df).localCheckpoint(eager=True)
+    cur = acc
+    passes = 1
+    while passes < max_passes:
+        pass_trims = (
+            cur.agg(F.sum("n_trimmed")).first()[0] or 0
+        )
+        if pass_trims == 0:
+            return acc
+        redo_in = (acc if not per_doc else acc.join(
+            cur.where(F.col("n_trimmed") > 0).select(id_col),
+            id_col,
+        )).select(F.col(id_col), F.col("new_text").alias(text_col))
+        cur = trim_once(redo_in).localCheckpoint(eager=True)
+        acc = (
+            acc.join(
+                cur.select(
+                    F.col(id_col),
+                    F.col("n_trimmed").alias("_nt2"),
+                    F.col("new_text").alias("_txt2"),
+                ),
+                id_col,
+                "left",
+            )
+            .select(
+                F.col(id_col),
+                "n_tokens",
+                (
+                    F.col("n_trimmed") + F.coalesce("_nt2", F.lit(0))
+                ).cast("long").alias("n_trimmed"),
+                F.coalesce("_txt2", "new_text").alias("new_text"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        passes += 1
+    last = cur.agg(F.sum("n_trimmed")).first()[0] or 0
+    if last:
+        import warnings
+
+        warnings.warn(
+            f"trim fixpoint not reached in max_passes={max_passes} "
+            f"(last pass still cut {last} token(s)) - result is the "
+            "capped iterate",
+            stacklevel=3,
+        )
+    return acc
+
+
 def decontaminate_runs(
     docs: DataFrame,
     bench: DataFrame,
@@ -1999,6 +2095,8 @@ def self_trim_repeats(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_gram_freq: int | None = 64,
+    until_fixpoint: bool = False,
+    max_passes: int = 5,
 ) -> DataFrame:
     """WITHIN-document exact-substring trim — the intra-doc half of the
     Lee et al. rule (their suffix-array dedup removes repeats inside a
@@ -2032,10 +2130,23 @@ def self_trim_repeats(
     Single-pass semantics (the paper's): cuts are computed against the
     ORIGINAL token stream, so tokens spliced together by a cut can in
     principle form a new repeated span — the pass is not guaranteed
-    idempotent (rerun to a fixpoint if one is required; on the fixture
-    corpora one pass reaches it, asserted in the prep CLI test).
-    Output: (id, n_tokens, n_trimmed, new_text) for EVERY input
-    document."""
+    idempotent (on the fixture corpora one pass reaches it, asserted
+    in the prep CLI test). `until_fixpoint` (VERDICT r11 #3) re-runs
+    until a pass cuts nothing (capped at max_passes, warned); being
+    per-doc, later passes re-trim ONLY the docs the previous pass
+    touched. Output: (id, n_tokens, n_trimmed, new_text) for EVERY
+    input document."""
+    if until_fixpoint:
+        return _trim_until_fixpoint(
+            df,
+            lambda d: self_trim_repeats(
+                d, k, min_run, id_col, text_col, max_gram_freq
+            ),
+            id_col,
+            text_col,
+            max_passes,
+            per_doc=True,
+        )
     from pyspark.sql import Window
 
     from .textops import _ngrams
@@ -2172,6 +2283,8 @@ def decontaminate_trim(
     bench_id_col: str = "doc_id",
     max_df: int | None = None,
     max_gram_freq: int | None = 64,
+    until_fixpoint: bool = False,
+    max_passes: int = 5,
 ) -> DataFrame:
     """The REMOVAL half of decontamination — where decontaminate_runs
     FLAGS every (benchmark, training) pair sharing a >= min_run-token
@@ -2196,7 +2309,25 @@ def decontaminate_trim(
     new_text) for EVERY training document — untouched docs pass
     through with n_trimmed = 0 and their text rebuilt verbatim
     (single-space token join, the tokenizer's normal form). Ids come
-    back in the input's original dtype."""
+    back in the input's original dtype.
+
+    `until_fixpoint` (VERDICT r11 #3): a cut can splice together a new
+    >= min_run-token benchmark span; re-run until a pass cuts nothing
+    (capped at max_passes, warned). The benchmark side is FIXED and a
+    doc's spans depend only on its own text, so later passes re-trim
+    ONLY the docs the previous pass touched."""
+    if until_fixpoint:
+        return _trim_until_fixpoint(
+            docs,
+            lambda d: decontaminate_trim(
+                d, bench, k, w, min_shared, min_run, id_col, text_col,
+                bench_id_col, max_df, max_gram_freq,
+            ),
+            id_col,
+            text_col,
+            max_passes,
+            per_doc=True,
+        )
     train_id_type = docs.schema[id_col].dataType
     runs, _b, t = _decontaminate_streaks(
         docs, bench, k, w, min_shared, min_run, id_col, bench_id_col,

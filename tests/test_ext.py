@@ -5693,3 +5693,69 @@ def test_asof_join_exotic_right_val_names_and_types(spark):
     )
     out2 = asof_join(left, rmap, "k", "lts", "rts", ["m"]).collect()
     assert out2[0]["asof_m"] == {"a": 1}
+
+
+def test_trim_family_until_fixpoint(spark):
+    """VERDICT r11 #3: single-pass trim computes cuts against the
+    ORIGINAL stream, so a cut can splice a NEW qualifying span.
+    until_fixpoint must iterate to convergence (these fixtures need
+    exactly 2 cutting passes), keep the contract (n_tokens original,
+    n_trimmed cumulative, new_text final), and warn when the cap
+    stops it early."""
+    import pytest as _pytest
+
+    from sparksync.ext import dedup as dd
+
+    # self-trim: cutting the repeated 'd e f' splices a second 'p q r'
+    doc = spark.createDataFrame(
+        [(1, "d e f p q r x p q d e f r")], "doc_id long, text string"
+    )
+    one = dd.self_trim_repeats(doc, k=2, min_run=3).first()
+    assert (one.n_trimmed, one.new_text) == (3, "d e f p q r x p q r")
+    fix = dd.self_trim_repeats(
+        doc, k=2, min_run=3, until_fixpoint=True
+    ).first()
+    assert (fix.n_tokens, fix.n_trimmed, fix.new_text) == (
+        13, 6, "d e f p q r x"
+    )
+    # idempotence at the fixpoint: re-trimming the output cuts nothing
+    again = dd.self_trim_repeats(
+        spark.createDataFrame([(1, fix.new_text)], "doc_id long, text string"),
+        k=2, min_run=3,
+    ).first()
+    assert again.n_trimmed == 0
+    # cap reached while still cutting -> capped iterate + warning
+    with _pytest.warns(UserWarning, match="fixpoint not reached"):
+        capped = dd.self_trim_repeats(
+            doc, k=2, min_run=3, until_fixpoint=True, max_passes=2
+        ).first()
+    assert capped.n_trimmed == 6  # both passes ran; cap hit at verify
+    # decontaminate-trim: cutting bench1's 'a b c' splices bench2's
+    # 'u v w' -> the whole training doc is contamination
+    bench = spark.createDataFrame(
+        [(10, "a b c"), (11, "u v w")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [(1, "u v a b c w")], "doc_id long, text string"
+    )
+    onep = dd.decontaminate_trim(train, bench, k=2, w=2, min_run=3).first()
+    assert (onep.n_trimmed, onep.new_text) == (3, "u v w")
+    fixp = dd.decontaminate_trim(
+        train, bench, k=2, w=2, min_run=3, until_fixpoint=True
+    ).first()
+    assert (fixp.n_tokens, fixp.n_trimmed, fixp.new_text) == (6, 6, "")
+    # pair-keyed trim: cutting 'd e f' from the higher-id copy splices
+    # 'p q r', shared with the (unchanged) owner -> second pass
+    docs2 = spark.createDataFrame(
+        [(1, "s t d e f p q r"), (2, "p q d e f r")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "d1 long, d2 long")
+    fx = {
+        r.doc_id: (r.n_tokens, r.n_trimmed, r.new_text)
+        for r in dd.trim_shared_runs(
+            docs2, pairs, k=2, min_run=3, until_fixpoint=True
+        ).collect()
+    }
+    assert fx[1] == (8, 0, "s t d e f p q r")  # owner untouched
+    assert fx[2] == (6, 6, "")

@@ -1480,3 +1480,27 @@ def test_cli_audit_bounded_print_and_out(spark, tmp_path, capsys):
                  "--group", "o_orderstatus", "--value", "o_orderkey"]) == 0
     lines = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
     assert 0 < len(lines) <= 2000 and all("truncated" not in l for l in lines)
+
+
+def test_cli_prep_trim_fixpoint(spark, tmp_path, capsys):
+    """--trim-fixpoint threads until_fixpoint=True through both trim
+    stages; on the fixture corpus one pass is already the fixpoint, so
+    output must equal the single-pass run."""
+    import json as _json
+
+    from sparksync.cli import main
+
+    outs = {}
+    for flag, dest in (((), "d1"), (("--trim-fixpoint",), "d2")):
+        out = tmp_path / dest
+        assert main(["--src", SF_SMOKE, "--dest", str(out), "prep",
+                     "--self-trim", "--decontaminate", "source = 'src0'",
+                     "--splits", "train:1.0", *flag]) == 0
+        lines = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+        outs[dest] = {
+            tuple(r)
+            for r in spark.read.parquet(str(out / "documents_train.parquet"))
+            .collect()
+        }
+        assert lines  # summary printed
+    assert outs["d1"] == outs["d2"]
