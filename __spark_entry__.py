@@ -24,40 +24,35 @@ def _rotated(d: dict) -> dict:
     surface is len(QUERIES) (207 as of round 10 — test_meta asserts
     the exact count), so allocation is explicit and rotates each round
     toward the weakest external evidence (VERDICT r5 #4, by AGE).
-    Round 11 heads the 50 with the eight queries whose implementation
-    or gate changed this round: q48 (re-gated from rows-only native
-    HLL++ to the oracle-checked portable m=64 sketch, VERDICT r10 #5),
-    q32 and q178 (now pin n_planes=32 explicitly while the production
-    default auto-sizes, VERDICT r10 #1 — outputs must be bit-identical
-    to r10), q205/q206/q207 (oracles now mirror the engine's
-    max_gram_freq=64 degenerate-doc cap, ADVICE r10 #1 — outputs
-    unchanged on non-degenerate fixtures), q208 (NEW: decontamination
-    trim, the removal half of q207) and q209 (NEW: within-doc
-    exact-substring trim, the act twin of q54's repetition measure).
-    Then q141 FIRST among the stale (ten rounds with zero green driver
-    evidence — its only CORRECTNESS row is a long-fixed round-4
-    harness error; VERDICT r10 #2 names it explicitly), then the
-    FULL q113-q152 band — 40 queries, containing the 33 whose newest
-    driver evidence is r4 — then q153+ (r7-era) to fill the cap:
-    8 changed + q141 + 39 (the band minus q141) = 48, + q153-q154
-    = 50. Changed/new queries sort FIRST so the cap can never
-    silently drop a query with zero driver evidence; both committed
-    selfcheck sweeps cover the full surface at 2 SFs regardless.
-    Every key keeps its name — only dict insertion order changes."""
+    Round 12 heads the 50 with the seven queries whose implementation
+    or gate changed this round: q28 (asof_join's typed null struct is
+    now built from DataType objects and the tie-break falls back to a
+    hash surrogate for non-orderable right values — output identical
+    on the fixture), q145/q159/q178/q199 (the shared keeper election
+    now ranks NULL quality as +inf so it LOSES; fixtures are non-null
+    so outputs must be bit-identical), and q208/q209 (their oracles
+    now coalesce NULL text to mirror the engine's zero-token
+    contract; the shipped fixtures carry no NULL text so outputs are
+    unchanged). Then the ENTIRE q155-q193 band (VERDICT r11 #1: the
+    oldest third of the surface, last driver-checked r7-r8) and
+    q194-q198 + q200 (r9-era) to fill the cap: 7 changed + 37 band
+    keys not already heading + 6 = 50 exactly. Changed/new queries
+    sort FIRST so the cap can never silently drop a query with zero
+    fresh driver evidence; both committed selfcheck sweeps cover the
+    full surface at 2 SFs regardless. Every key keeps its name —
+    only dict insertion order changes."""
 
-    changed_r11 = {48, 32, 178, 205, 206, 207, 208, 209}
+    changed_r12 = {28, 145, 159, 178, 199, 208, 209}
 
     def key(name: str):
         n = int(name[1:].split("_", 1)[0])
-        if n in changed_r11:
+        if n in changed_r12:
             return (0, n)
-        if n == 141:
+        if 155 <= n <= 193:
             return (1, n)
-        if 113 <= n <= 152:
+        if 194 <= n <= 200:
             return (2, n)
-        if 153 <= n <= 187:
-            return (3, n)
-        return (4, n)
+        return (3, n)
 
     return {k: d[k] for k in sorted(d, key=key)}
 
