@@ -33,16 +33,19 @@ def _rotated(d: dict) -> dict:
     so outputs must be bit-identical), and q208/q209 (their oracles
     now coalesce NULL text to mirror the engine's zero-token
     contract; the shipped fixtures carry no NULL text so outputs are
-    unchanged). Then the ENTIRE q155-q193 band (VERDICT r11 #1: the
-    oldest third of the surface, last driver-checked r7-r8) and
-    q194-q198 + q200 (r9-era) to fill the cap: 7 changed + 37 band
-    keys not already heading + 6 = 50 exactly. Changed/new queries
-    sort FIRST so the cap can never silently drop a query with zero
-    fresh driver evidence; both committed selfcheck sweeps cover the
-    full surface at 2 SFs regardless. Every key keeps its name —
-    only dict insertion order changes."""
+    unchanged), plus the three NEW round-12 capstones: q210 (X206
+    per-benchmark contamination coverage), q211 (X207 leakage-safe
+    cluster split) and q212 (X208 soft dedup, the ceil(sqrt(n))
+    downweighting policy). Then the ENTIRE q155-q193 band (VERDICT
+    r11 #1: the oldest third of the surface, last driver-checked
+    r7-r8) and q194-q196 (r9-era) to fill the cap: 10 changed/new +
+    37 band keys not already heading + 3 = 50 exactly. Changed/new
+    queries sort FIRST so the cap can never silently drop a query
+    with zero fresh driver evidence; both committed selfcheck sweeps
+    cover the full surface at 2 SFs regardless. Every key keeps its
+    name — only dict insertion order changes."""
 
-    changed_r12 = {28, 145, 159, 178, 199, 208, 209}
+    changed_r12 = {28, 145, 159, 178, 199, 208, 209, 210, 211, 212, 213}
 
     def key(name: str):
         n = int(name[1:].split("_", 1)[0])

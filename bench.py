@@ -105,6 +105,14 @@ HEADLINE = [
     # per-query
     "q208_decontaminate_trim",
     "q209_self_trim_repeats",
+    # round-12: the three new capstones — per-benchmark contamination
+    # coverage (X206), leakage-safe cluster split (X207), soft dedup
+    # (X208). Totals grow by FOUR queries vs BENCH_r11 — compare
+    # per-query
+    "q210_benchmark_coverage",
+    "q211_leakage_safe_split",
+    "q212_soft_dedup",
+    "q213_split_leakage",
 ]
 
 

@@ -132,6 +132,12 @@ def main(argv: list[str] | None = None) -> int:
             # document (X205, the act twin of the Gopher repetition
             # measure)
             "self-trim",
+            # round 12: per-BENCHMARK-doc contamination coverage (X206),
+            # soft dedup — keep ceil(sqrt(n)) members per duplicate
+            # cluster instead of one keeper (X208) — and the
+            # split-leakage audit (X209: near-dup pairs straddling an
+            # existing doc-keyed split)
+            "coverage", "soft-dedup", "split-leakage",
         ],
     )
     aud.add_argument("--table", help="pruning/quantile: table to audit")
@@ -166,6 +172,19 @@ def main(argv: list[str] | None = None) -> int:
     aud.add_argument("--rows-per-file", type=int, default=256)
     aud.add_argument("--rate", type=float, default=0.2)
     aud.add_argument("--threshold", type=float, default=0.8)
+    aud.add_argument(
+        "--splits",
+        default="train:0.8,val:0.1,test:0.1",
+        help="split-leakage: name:weight list for the doc-keyed split "
+        "to audit",
+    )
+    aud.add_argument(
+        "--alpha",
+        type=float,
+        default=0.5,
+        help="soft-dedup: keep ceil(n^alpha) members per n-member "
+        "cluster (0 = hard dedup, 1 = keep all)",
+    )
     aud.add_argument(
         "--sample-mod",
         type=int,
@@ -206,6 +225,13 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="cut within-doc repeated spans (>= 3 tokens at k=2) "
         "before dedup, keeping each first occurrence (X205)",
+    )
+    prep.add_argument(
+        "--leakage-safe",
+        action="store_true",
+        help="assign splits by near-dup CLUSTER (MinHash+LSH pairs -> "
+        "connected components) so near-duplicate docs never straddle "
+        "train/val/test (X207)",
     )
     prep.add_argument(
         "--trim-fixpoint",
@@ -529,7 +555,23 @@ def main(argv: list[str] | None = None) -> int:
             name: float(w)
             for name, w in (kv.split(":") for kv in args.splits.split(","))
         }
-        split = sampling.split_assign(deduped, "doc_id", weights, method="knuth")
+        if args.leakage_safe:
+            # X207: the split unit is the near-dup CLUSTER — members
+            # never straddle a boundary, so val/test can't contain a
+            # near-twin of a train doc
+            from .ext.dedup import minhash_dedup_pairs
+
+            split = sampling.leakage_safe_split(
+                deduped,
+                minhash_dedup_pairs(deduped.select("doc_id", "text")),
+                "doc_id",
+                weights,
+                method="knuth",
+            )
+        else:
+            split = sampling.split_assign(
+                deduped, "doc_id", weights, method="knuth"
+            )
         for name in weights:
             part = split.where(F.col("split") == name).select(
                 "doc_id", "text", "n_tokens"
@@ -756,6 +798,66 @@ def main(argv: list[str] | None = None) -> int:
                 docs.where(is_bench),
                 max_df=1000,
             ).where(F.col("n_trimmed") > 0)
+        elif args.kind == "coverage":
+            # X206: per-benchmark-doc contamination coverage — the
+            # eval owner's view of q207's pair list (how burned is
+            # each benchmark item). Benchmark side broadcast as in
+            # decontaminate; output is benchmark-sized, tiny.
+            from pyspark.sql import functions as F
+
+            from .ext.dedup import benchmark_coverage
+
+            for a in ("table", "target"):
+                if getattr(args, a) is None:
+                    p.error(f"audit --kind coverage needs --{a}")
+            docs = job._read_source(args.table)
+            is_bench = F.coalesce(F.expr(args.target), F.lit(False))
+            out = benchmark_coverage(
+                docs.where(~is_bench),
+                docs.where(is_bench),
+                max_df=1000,
+            )
+        elif args.kind == "soft-dedup":
+            # X208: duplicate DOWNWEIGHTING — keep ceil(n^alpha)
+            # members per n-member near-dup cluster (alpha=0.5
+            # default; hard dedup is alpha=0). Bounded print: the CUT
+            # list only (kept=0), duplicate-volume-sized — rides the
+            # --max-rows cap / --out parquet path like every audit.
+            from pyspark.sql import functions as F
+
+            from .ext.dedup import minhash_dedup_pairs, soft_dedup
+
+            if args.table is None:
+                p.error("audit --kind soft-dedup needs --table")
+            docs = job._read_source(args.table)
+            out = soft_dedup(
+                minhash_dedup_pairs(docs, threshold=args.threshold),
+                docs,
+                alpha=args.alpha,
+            ).where(F.col("kept") == 0)
+        elif args.kind == "split-leakage":
+            # X209: how many near-dup pairs straddle the doc-keyed
+            # split — the number `prep --leakage-safe` drives to zero.
+            # Output is one row per split cell: tiny by construction.
+            from .ext.dedup import minhash_dedup_pairs
+            from .ext.sampling import split_assign, split_leakage_audit
+
+            if args.table is None:
+                p.error("audit --kind split-leakage needs --table")
+            docs = job._read_source(args.table)
+            weights = {
+                name: float(wt)
+                for name, wt in (
+                    kv.split(":") for kv in args.splits.split(",")
+                )
+            }
+            out = split_leakage_audit(
+                split_assign(docs, args.id or "doc_id", weights),
+                minhash_dedup_pairs(
+                    docs, threshold=args.threshold, id_col=args.id or "doc_id"
+                ),
+                id_col=args.id or "doc_id",
+            )
         elif args.kind == "self-trim":
             # X205: within-doc exact-substring trim. Bounded print:
             # only the docs the trim touched.

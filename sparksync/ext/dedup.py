@@ -1867,6 +1867,32 @@ def trim_shared_runs(
     return _trim_by_spans(df, spans, id_col, text_col)
 
 
+def _merge_islands(spans: DataFrame, id_col: str) -> DataFrame:
+    """Classic island merge over per-doc inclusive token ranges
+    (id, _s, _e): a span starts a new island iff it begins past the
+    running max end of everything before it (start-ordered). ONE
+    window partitioned by doc — bounded by spans-per-doc, never
+    corpus-wide. Shared by _trim_by_spans and benchmark_coverage.
+    Output: (id, _s, _e), one row per merged island."""
+    from pyspark.sql import Window
+
+    w_ord = Window.partitionBy(id_col).orderBy("_s", "_e")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        spans.withColumn("_pmax", F.max("_e").over(w_prev))
+        .withColumn(
+            "_new",
+            (F.col("_pmax").isNull() | (F.col("_s") > F.col("_pmax"))).cast(
+                "int"
+            ),
+        )
+        .withColumn("_isl", F.sum("_new").over(w_ord))
+        .groupBy(id_col, "_isl")
+        .agg(F.min("_s").alias("_s"), F.max("_e").alias("_e"))
+        .select(id_col, "_s", "_e")
+    )
+
+
 def _trim_by_spans(
     df: DataFrame, spans: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
@@ -1878,25 +1904,7 @@ def _trim_by_spans(
     LEFT-joined so untouched docs pass through with n_trimmed = 0; the
     rebuild is an array-side filter — no corpus explode. Output:
     (id, n_tokens, n_trimmed, new_text) for EVERY row of df."""
-    from pyspark.sql import Window
-
-    # island merge: a span starts a new island iff it begins past the
-    # running max end of everything before it (start-ordered)
-    w_ord = Window.partitionBy(id_col).orderBy("_s", "_e")
-    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
-    islands = (
-        spans.withColumn("_pmax", F.max("_e").over(w_prev))
-        .withColumn(
-            "_new",
-            (F.col("_pmax").isNull() | (F.col("_s") > F.col("_pmax"))).cast(
-                "int"
-            ),
-        )
-        .withColumn("_isl", F.sum("_new").over(w_ord))
-        .groupBy(id_col, "_isl")
-        .agg(F.min("_s").alias("_s"), F.max("_e").alias("_e"))
-    )
-    cuts = islands.groupBy(id_col).agg(
+    cuts = _merge_islands(spans, id_col).groupBy(id_col).agg(
         F.collect_list(F.struct("_s", "_e")).alias("_cuts")
     )
     # NULL text must honor the 'EVERY input document' contract as an
@@ -2344,6 +2352,159 @@ def decontaminate_trim(
         "n_tokens",
         "n_trimmed",
         "new_text",
+    )
+
+
+def benchmark_coverage(
+    docs: DataFrame,
+    bench: DataFrame,
+    k: int = 5,
+    w: int = 8,
+    min_shared: int = 1,
+    min_run: int = 12,
+    id_col: str = "doc_id",
+    bench_id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+    max_gram_freq: int | None = 64,
+) -> DataFrame:
+    """Per-BENCHMARK-document contamination report (X206) — the view
+    an eval owner needs: decontaminate_runs answers "which training
+    docs are dirty"; this answers "how burned is each benchmark item".
+    For every benchmark document: how many training documents share a
+    >= min_run-token verbatim run with it, the longest such run, and
+    the fraction of ITS OWN tokens covered by the union of all shared
+    runs (spans from different training docs island-merged, so
+    overlapping leaks never double-count). coverage ~ 1.0 means the
+    item is wholesale-memorizable from the corpus; a low coverage with
+    many partners means a famous quote, not a leak.
+
+    Same discovery engine as decontaminate_runs (_decontaminate_
+    streaks: winnow candidates, cross-join only, benchmark side
+    broadcast — detection EXACT for min_run >= w+k-1 at min_shared=1);
+    the bench-side span of each run is recovered from the diagonal
+    (_jmin is the run's start in the TRAIN doc; start in the bench doc
+    is _jmin + _diag), merged per bench doc by _merge_islands — ONE
+    window bounded by runs-per-bench-doc, never corpus-wide. Output:
+    (bench_id, n_tokens, n_train_docs, longest_run, covered_tokens,
+    coverage) for EVERY benchmark document, clean ones at zero."""
+    bench_id_type = bench.schema[bench_id_col].dataType
+    runs, b, _t = _decontaminate_streaks(
+        docs, bench, k, w, min_shared, min_run, id_col, bench_id_col,
+        text_col, max_df, max_gram_freq,
+    )
+    per_pair = runs.groupBy("d1", "d2").agg(F.max("_run").alias("_lr"))
+    stats = per_pair.groupBy("d1").agg(
+        F.count(F.lit(1)).cast("long").alias("n_train_docs"),
+        F.max("_lr").cast("long").alias("longest_run"),
+    )
+    spans = runs.select(
+        F.col("d1").alias("_nid"),
+        (F.col("_jmin") + F.col("_diag")).cast("long").alias("_s"),
+        (F.col("_jmin") + F.col("_diag") + F.col("_run") - 1)
+        .cast("long")
+        .alias("_e"),
+    )
+    cov = _merge_islands(spans, "_nid").groupBy("_nid").agg(
+        F.sum(F.col("_e") - F.col("_s") + 1).cast("long").alias(
+            "covered_tokens"
+        )
+    )
+    base = b.select(
+        "_nid",
+        F.size(
+            F.coalesce(tokens(text_col), F.array().cast("array<string>"))
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return (
+        base.join(stats.withColumnRenamed("d1", "_nid"), "_nid", "left")
+        .join(cov, "_nid", "left")
+        .select(
+            F.substring("_nid", 3, 2**31 - 1)
+            .cast(bench_id_type)
+            .alias("bench_id"),
+            "n_tokens",
+            F.coalesce("n_train_docs", F.lit(0)).cast("long").alias(
+                "n_train_docs"
+            ),
+            F.coalesce("longest_run", F.lit(0)).cast("long").alias(
+                "longest_run"
+            ),
+            F.coalesce("covered_tokens", F.lit(0)).cast("long").alias(
+                "covered_tokens"
+            ),
+            (
+                F.coalesce("covered_tokens", F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1))
+            )
+            .cast("double")
+            .alias("coverage"),
+        )
+    )
+
+
+def soft_dedup(
+    pairs: DataFrame | None,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    method: str = "xxhash64",
+    salt: str = "softdedup",
+    components: DataFrame | None = None,
+) -> DataFrame:
+    """SOFT deduplication (X208): instead of collapsing every duplicate
+    cluster to one keeper (cluster_keeper_from_pairs), keep
+    ceil(n^alpha) members of each n-member cluster — alpha=0 is hard
+    dedup, alpha=1 keeps everything, 0.5 keeps sqrt(n). This is the
+    duplicate-DOWNWEIGHTING policy (the D4 / SemDeDup line of work
+    observes that some repetition helps and full dedup over-prunes
+    popular content): an n-fold-duplicated page survives with weight
+    n^alpha instead of n (natural) or 1 (hard dedup).
+
+    Members are ranked by the same deterministic hash-bucket family as
+    ext.sampling (knuth for oracle replay, xxhash64 for arbitrary-width
+    keys at scale), ties by id — so the kept set is a pure function of
+    (cluster, id, salt): reruns, incremental loads, and different
+    cluster sizes agree. One shuffle on cluster_id (both window
+    functions share the partitioning); docs absent from every pair are
+    singleton clusters and always kept. Pass `components` (a resolved
+    (node, component) map over the SAME pair graph) to reuse an
+    existing components pass, as in cluster_keeper_from_pairs. Output:
+    (id, cluster_id, n_members, quota, kept 0/1)."""
+    from pyspark.sql import Window
+
+    from .sampling import _bucket
+
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"soft_dedup: alpha must be in [0, 1], got {alpha}")
+    if components is None and pairs is None:
+        raise ValueError(
+            "soft_dedup: supply pairs (a (d1, d2) graph) or components "
+            "(resolved labels) - got neither"
+        )
+    if components is not None:
+        comp = components
+    else:
+        from .graph import connected_components
+
+        comp = connected_components(pairs, "d1", "d2")
+    labeled = df.select(id_col).join(
+        comp.withColumnRenamed("node", id_col), id_col, "left"
+    ).withColumn("cluster_id", F.coalesce("component", F.col(id_col)))
+    w_cl = Window.partitionBy("cluster_id")
+    w_rnk = w_cl.orderBy(_bucket(id_col, method, salt), F.col(id_col))
+    n = F.count(F.lit(1)).over(w_cl).cast("long")
+    quota = F.least(
+        n, F.ceil(F.pow(n.cast("double"), F.lit(float(alpha)))).cast("long")
+    )
+    return labeled.select(
+        F.col(id_col),
+        "cluster_id",
+        n.alias("n_members"),
+        quota.alias("quota"),
+        (F.row_number().over(w_rnk) <= quota).cast("long").alias("kept"),
     )
 
 

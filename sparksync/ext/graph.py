@@ -43,12 +43,33 @@ def _release_checkpoint(df: DataFrame) -> None:
         df.unpersist()
 
 
+def _materialize(df: DataFrame, mode: str) -> DataFrame:
+    """Round materialization for the propagation loop. 'local' (the
+    default and the scale path) eagerly localCheckpoints: lineage is
+    TRUNCATED, so the per-round plan stays flat no matter how many
+    rounds run. 'persist' caches MEMORY_AND_DISK + count()s: no
+    checkpoint I/O, but lineage is kept — and each round references
+    the previous round's plan twice (self-rows + messages), so the
+    plan tree grows geometrically; only sane for shallow graphs
+    (near-dup clusters converge in 2-4 rounds). The knob exists so the
+    checkpoint-I/O share of the loop's wall time can be A/B-measured
+    (VERDICT r11 #4 watch item), not as a recommendation."""
+    if mode == "persist":
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()
+        return df
+    return df.localCheckpoint(eager=True)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "d1",
     dst: str = "d2",
     max_iter: int = 20,
     strict: bool = True,
+    ckpt_mode: str = "local",
 ) -> DataFrame:
     """(node, component) for every node appearing in `edges`, where
     component is the smallest node id reachable through the undirected
@@ -80,20 +101,20 @@ def connected_components(
     # via the round-6 bench: q159 spent ~6 of its 7.9 s re-deriving
     # pairs each iteration). Pair-graph rows are pair-cardinality, tiny
     # next to the corpus.
-    und = (
+    und = _materialize(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .localCheckpoint(eager=True)
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))),
+        ckpt_mode,
     )
     # init folds the FIRST propagation hop into label creation: every
     # node starts at min(self, min neighbor) — one groupBy instead of a
     # distinct + a full first round (round-7 fixed-cost trim: each
     # saved round is a checkpoint job + a convergence job, which
     # dominates wall time on the shallow graphs near-dup clusters form)
-    labels = (
+    labels = _materialize(
         und.groupBy(F.col("a").alias("node"))
-        .agg(F.least(F.min("b"), F.col("a")).alias("label"))
-        .localCheckpoint(eager=True)
+        .agg(F.least(F.min("b"), F.col("a")).alias("label")),
+        ckpt_mode,
     )
     ckpt = labels  # the df actually holding this round's blocks
     changed = 0
@@ -118,7 +139,7 @@ def connected_components(
         )
         # eager localCheckpoint truncates lineage: each round's plan is
         # flat (scan-of-blocks -> join -> agg), not 2^round deep
-        stepped = stepped.localCheckpoint(eager=True)
+        stepped = _materialize(stepped, ckpt_mode)
         # convergence scan runs over the materialized blocks — no
         # shuffle, no second derivation of the round
         changed = stepped.where(F.col("label") != F.col("old")).count()

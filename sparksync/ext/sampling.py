@@ -67,6 +67,88 @@ def split_assign(
     return df.withColumn("split", expr)
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    fractions: dict[str, float] | None = None,
+    method: str = "xxhash64",
+    salt: str = "split",
+) -> DataFrame:
+    """split_assign with a LEAKAGE GUARD (X207): near-duplicate
+    documents must never straddle train/val/test — a val doc whose
+    near-twin sits in train inflates every eval metric (the
+    train-test-contamination failure mode, Lee et al. §6 / the GPT-3
+    appendix's motivation, applied to the SPLIT boundary instead of an
+    external benchmark). The unit of assignment is therefore the
+    duplicate CLUSTER, not the document: connected components over the
+    near-dup pair graph (any discovery: minhash, simhash, embedding
+    LSH), then the same deterministic hash-bucket split keyed by the
+    cluster id — every member of a cluster lands in the same split,
+    docs in no pair split independently as singletons.
+
+    Costs one components pass over the PAIR graph only (pair-sized,
+    never corpus-sized) + one left join of the corpus against the
+    labels; the split itself stays a narrow map. Fraction semantics,
+    determinism, and the knuth/xxhash64 oracle story match
+    split_assign exactly. Output: df + split."""
+    from .graph import connected_components
+
+    comp = connected_components(pairs, "d1", "d2")
+    labeled = df.join(comp.withColumnRenamed("node", id_col), id_col, "left")
+    out = split_assign(
+        labeled.withColumn(
+            "_gid", F.coalesce(F.col("component"), F.col(id_col))
+        ),
+        "_gid",
+        fractions,
+        method,
+        salt,
+    )
+    return out.drop("component", "_gid")
+
+
+def split_leakage_audit(
+    df_with_split: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """The MEASURE twin of leakage_safe_split (X209, the audit-family
+    discipline: never trust a shortcut you haven't measured): given an
+    EXISTING split assignment and a near-dup pair graph, count pairs
+    per unordered (split_a, split_b) cell — off-diagonal rows are
+    LEAKS (a val doc whose near-twin sits in train), the diagonal is
+    benign within-split duplication. Run it on a doc-keyed split to
+    see what leakage_safe_split would fix; run it on leakage_safe_
+    split's own output and the off-diagonal must be empty (property-
+    tested).
+
+    Two id->split joins on the PAIR side (pair-sized, never corpus-
+    sized; the split map is corpus-sized but the join output is
+    pair-sized) + one count aggregate. Output: (split_a, split_b,
+    n_pairs), split_a <= split_b."""
+    s = df_with_split.select(F.col(id_col), F.col(split_col))
+    j = (
+        pairs.join(
+            s.select(F.col(id_col).alias("d1"), F.col(split_col).alias("_s1")),
+            "d1",
+        )
+        .join(
+            s.select(F.col(id_col).alias("d2"), F.col(split_col).alias("_s2")),
+            "d2",
+        )
+    )
+    return (
+        j.select(
+            F.least("_s1", "_s2").alias("split_a"),
+            F.greatest("_s1", "_s2").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -7710,6 +7710,284 @@ from docs d left join agg a using (doc_id)
 """
 
 
+def q210_benchmark_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-benchmark-doc contamination report (ext/dedup.
+    benchmark_coverage, X206): q207 flags the contaminated (benchmark,
+    training) pairs; this inverts the view to the EVAL OWNER's
+    question — for every benchmark document (the source='src0' slice),
+    how many training docs quote it verbatim (>= 12 tokens), the
+    longest quote, and the fraction of its own tokens covered by the
+    island-merged union of all quotes. One row per benchmark doc,
+    clean ones at zero."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("source") == "src0").select("doc_id", "text")
+    train = docs.where(F.col("source") != "src0").select("doc_id", "text")
+    return dedup.benchmark_coverage(train, bench, min_run=12)
+
+
+ORACLE_Q210 = """
+with
+docs as (
+  select doc_id, source,
+         list_filter(string_split(trim(coalesce(text, '')), ' '),
+                     x -> x <> '') as toks
+  from documents),
+dk as (
+  select doc_id, source, toks, len(toks) - 4 as m
+  from docs where len(toks) >= 5),
+h as (
+  select doc_id, source, m, i as pos,
+         cast(cast('0x' || substring(md5(
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+             toks[i+3] || ' ' || toks[i+4]
+         ), 1, 15) as ubigint) as bigint) as h
+  from dk, unnest(range(1, m + 1)) t(i)),
+wmin as (
+  select doc_id, source, m, pos,
+         min(h) over (partition by doc_id order by pos
+                      rows between current row and 7 following) as fp
+  from h),
+fps as (
+  select distinct doc_id, source, fp
+  from wmin where pos <= greatest(m - 7, 1)),
+pairs as (
+  select distinct a.doc_id as bid, b.doc_id as tid
+  from fps a
+  join fps b on a.fp = b.fp
+  where a.source = 'src0' and b.source <> 'src0'),
+-- mirror of the engine's max_gram_freq=64 cap (see ORACLE_Q205)
+hc as (
+  select doc_id, pos, h from (
+    select doc_id, pos, h,
+           count(*) over (partition by doc_id, h) as gf
+    from h)
+  where gf <= 64),
+mtch as (
+  select p.bid, p.tid, h1.pos as i, h1.pos - h2.pos as diag
+  from pairs p
+  join hc h1 on h1.doc_id = p.bid
+  join hc h2 on h2.doc_id = p.tid and h2.h = h1.h),
+st as (
+  select bid, tid, diag, i,
+         i - row_number() over (partition by bid, tid, diag order by i)
+           as grp
+  from mtch),
+runs as (
+  select bid, tid, diag, grp, min(i) as bmin,
+         cast(count(*) + 4 as bigint) as run
+  from st group by 1, 2, 3, 4),
+qruns as (select bid, tid, bmin, run from runs where run >= 12),
+stats as (
+  select bid, cast(count(*) as bigint) as n_train_docs,
+         cast(max(run) as bigint) as longest_run
+  from (select bid, tid, max(run) as run from qruns group by 1, 2)
+  group by 1),
+spans as (select bid, bmin as s, bmin + run - 1 as e from qruns),
+ord as (
+  select bid, s, e,
+         max(e) over (partition by bid order by s, e
+                      rows between unbounded preceding and 1 preceding)
+           as pmax
+  from spans),
+isl as (
+  select bid, s, e,
+         sum(case when pmax is null or s > pmax then 1 else 0 end)
+           over (partition by bid order by s, e) as g
+  from ord),
+merged as (select bid, g, min(s) as s, max(e) as e from isl group by 1, 2),
+cov as (
+  select bid, cast(sum(e - s + 1) as bigint) as covered_tokens
+  from merged group by 1)
+select d.doc_id as bench_id,
+       cast(len(d.toks) as bigint) as n_tokens,
+       coalesce(st.n_train_docs, 0) as n_train_docs,
+       coalesce(st.longest_run, 0) as longest_run,
+       coalesce(c.covered_tokens, 0) as covered_tokens,
+       cast(coalesce(c.covered_tokens, 0) as double)
+         / cast(greatest(len(d.toks), 1) as double) as coverage
+from docs d
+left join stats st on st.bid = d.doc_id
+left join cov c on c.bid = d.doc_id
+where d.source = 'src0'
+"""
+
+
+def q211_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-guarded train/val/test split (ext/sampling.
+    leakage_safe_split, X207): near-duplicate documents must never
+    straddle the split boundary, so the assignment unit is the
+    duplicate CLUSTER (exact-Jaccard pairs -> connected components),
+    keyed by the cluster's canonical id through the same knuth bucket
+    as q38. Docs in no pair split independently. One row per doc."""
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(d, threshold=0.8)
+    out = sampling.leakage_safe_split(
+        d,
+        pairs,
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        method="knuth",
+    )
+    return out.select("doc_id", "split")
+
+
+# same shingle/pair/component CTEs as ORACLE_Q49, then q38's knuth
+# split keyed by the component id instead of the doc id
+ORACLE_Q211 = """
+with recursive
+docs as (
+  select doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') as toks
+  from documents),
+docs3 as (select * from docs where len(toks) >= 3),
+sh as (
+  select distinct doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] as shingle
+  from docs3, unnest(range(1, len(toks) - 1)) t(i)),
+sizes as (select doc_id, count(*) as n from sh group by doc_id),
+common as (
+  select a.doc_id as d1, b.doc_id as d2, count(*) as c
+  from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+  group by 1, 2),
+pairs as (
+  select d1, d2 from common
+  join sizes na on na.doc_id = d1
+  join sizes nb on nb.doc_id = d2
+  where cast(c as double) / cast(na.n + nb.n - c as double) >= 0.8),
+edges as (select d1 as a, d2 as b from pairs
+          union all select d2, d1 from pairs),
+reach(a, b) as (
+  select a, b from edges
+  union
+  select r.a, e.b from reach r join edges e on r.b = e.a),
+nodes as (select distinct a as node from edges),
+comps as (
+  select n.node as doc_id, least(n.node, min(r.b)) as gid
+  from nodes n left join reach r on r.a = n.node
+  group by n.node)
+select d.doc_id,
+       case when mod(coalesce(c.gid, d.doc_id) * 2654435761, 10000) < 8000
+              then 'train'
+            when mod(coalesce(c.gid, d.doc_id) * 2654435761, 10000) < 9000
+              then 'val'
+            else 'test' end as split
+from documents d left join comps c using (doc_id)
+"""
+
+
+def q212_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication (ext/dedup.soft_dedup, X208): keep
+    ceil(sqrt(n)) members of every n-member duplicate cluster instead
+    of one keeper — the duplicate-DOWNWEIGHTING policy between hard
+    dedup (alpha=0) and no dedup (alpha=1). Members ranked by the
+    knuth hash bucket (oracle-replayable), ties by id. One row per
+    doc with its cluster, quota, and kept flag."""
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(d, threshold=0.8)
+    return dedup.soft_dedup(pairs, d, alpha=0.5, method="knuth")
+
+
+# same component CTEs as ORACLE_Q211, then the per-cluster
+# ceil(sqrt(n)) quota over the knuth-ranked members
+ORACLE_Q212 = """
+with recursive
+docs as (
+  select doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') as toks
+  from documents),
+docs3 as (select * from docs where len(toks) >= 3),
+sh as (
+  select distinct doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] as shingle
+  from docs3, unnest(range(1, len(toks) - 1)) t(i)),
+sizes as (select doc_id, count(*) as n from sh group by doc_id),
+common as (
+  select a.doc_id as d1, b.doc_id as d2, count(*) as c
+  from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+  group by 1, 2),
+pairs as (
+  select d1, d2 from common
+  join sizes na on na.doc_id = d1
+  join sizes nb on nb.doc_id = d2
+  where cast(c as double) / cast(na.n + nb.n - c as double) >= 0.8),
+edges as (select d1 as a, d2 as b from pairs
+          union all select d2, d1 from pairs),
+reach(a, b) as (
+  select a, b from edges
+  union
+  select r.a, e.b from reach r join edges e on r.b = e.a),
+nodes as (select distinct a as node from edges),
+comps as (
+  select n.node as doc_id, least(n.node, min(r.b)) as gid
+  from nodes n left join reach r on r.a = n.node
+  group by n.node),
+lab as (
+  select d.doc_id, coalesce(c.gid, d.doc_id) as cluster_id
+  from documents d left join comps c using (doc_id)),
+rk as (
+  select doc_id, cluster_id,
+         cast(count(*) over (partition by cluster_id) as bigint)
+           as n_members,
+         row_number() over (
+           partition by cluster_id
+           order by mod(doc_id * 2654435761, 10000), doc_id) as rn
+  from lab)
+select doc_id, cluster_id, n_members,
+       cast(least(n_members, ceil(pow(n_members, 0.5))) as bigint) as quota,
+       cast(case when rn <= least(n_members, ceil(pow(n_members, 0.5)))
+                 then 1 else 0 end as bigint) as kept
+from rk
+"""
+
+
+def q213_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit (ext/sampling.split_leakage_audit, X209):
+    measure how many near-dup pairs straddle the NAIVE doc-keyed
+    train/val/test split (q38's knuth assignment) — the number q211's
+    cluster-keyed split drives to zero (property-tested). Off-diagonal
+    rows are leaks; the diagonal is benign within-split duplication.
+    One row per unordered split pair that holds any near-dup pair."""
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(d, threshold=0.8)
+    naive = sampling.split_assign(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, method="knuth"
+    )
+    return sampling.split_leakage_audit(naive, pairs)
+
+
+# same shingle/pair CTEs as ORACLE_Q211 (no components needed), then
+# q38's knuth split on each pair end and the unordered-cell rollup
+ORACLE_Q213 = """
+with
+docs as (
+  select doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') as toks
+  from documents),
+docs3 as (select * from docs where len(toks) >= 3),
+sh as (
+  select distinct doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] as shingle
+  from docs3, unnest(range(1, len(toks) - 1)) t(i)),
+sizes as (select doc_id, count(*) as n from sh group by doc_id),
+common as (
+  select a.doc_id as d1, b.doc_id as d2, count(*) as c
+  from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+  group by 1, 2),
+pairs as (
+  select d1, d2 from common
+  join sizes na on na.doc_id = d1
+  join sizes nb on nb.doc_id = d2
+  where cast(c as double) / cast(na.n + nb.n - c as double) >= 0.8),
+sp as (
+  select doc_id,
+         case when mod(doc_id * 2654435761, 10000) < 8000 then 'train'
+              when mod(doc_id * 2654435761, 10000) < 9000 then 'val'
+              else 'test' end as split
+  from documents)
+select least(a.split, b.split) as split_a,
+       greatest(a.split, b.split) as split_b,
+       cast(count(*) as bigint) as n_pairs
+from pairs p
+join sp a on a.doc_id = p.d1
+join sp b on b.doc_id = p.d2
+group by 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -7920,6 +8198,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q207_decontaminate": q207_decontaminate,
     "q208_decontaminate_trim": q208_decontaminate_trim,
     "q209_self_trim_repeats": q209_self_trim_repeats,
+    "q210_benchmark_coverage": q210_benchmark_coverage,
+    "q211_leakage_safe_split": q211_leakage_safe_split,
+    "q212_soft_dedup": q212_soft_dedup,
+    "q213_split_leakage": q213_split_leakage,
 }
 
 ORACLES: dict[str, str] = {
@@ -8134,4 +8416,8 @@ ORACLES: dict[str, str] = {
     "q207_decontaminate": ORACLE_Q207,
     "q208_decontaminate_trim": ORACLE_Q208,
     "q209_self_trim_repeats": ORACLE_Q209,
+    "q210_benchmark_coverage": ORACLE_Q210,
+    "q211_leakage_safe_split": ORACLE_Q211,
+    "q212_soft_dedup": ORACLE_Q212,
+    "q213_split_leakage": ORACLE_Q213,
 }

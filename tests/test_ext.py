@@ -5759,3 +5759,188 @@ def test_trim_family_until_fixpoint(spark):
     }
     assert fx[1] == (8, 0, "s t d e f p q r")  # owner untouched
     assert fx[2] == (6, 6, "")
+
+
+def test_connected_components_persist_mode(spark):
+    """The ckpt_mode='persist' A/B knob (VERDICT r11 #4 watch) must
+    produce identical labels to the default localCheckpoint loop on a
+    multi-round graph (a 6-chain needs >1 propagation round)."""
+    from sparksync.ext.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11)],
+        "d1 long, d2 long",
+    )
+    want = {
+        (r.node, r.component)
+        for r in connected_components(chain).collect()
+    }
+    got = {
+        (r.node, r.component)
+        for r in connected_components(chain, ckpt_mode="persist").collect()
+    }
+    assert got == want
+    assert {c for _, c in got} == {1, 10}
+
+
+def test_benchmark_coverage_islands_and_clean_docs(spark):
+    """X206: coverage merges overlapping quotes from DIFFERENT train
+    docs into islands (never double-counts), reports the longest
+    single run, and emits zero rows for clean benchmark docs."""
+    from sparksync.ext import dedup as dd
+
+    toks = [f"w{i}" for i in range(20)]
+    bench = spark.createDataFrame(
+        [(100, " ".join(toks)), (101, " ".join(f"z{i}" for i in range(15)))],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # quotes bench tokens 0..11 (12 tokens)
+            (1, "x1 x2 " + " ".join(toks[0:12]) + " x3"),
+            # quotes bench tokens 5..17 (13 tokens) - overlaps the first
+            (2, " ".join(toks[5:18]) + " y1 y2"),
+            (3, "clean doc nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.bench_id: r
+        for r in dd.benchmark_coverage(train, bench, min_run=12).collect()
+    }
+    r = out[100]
+    # union of [0,11] and [5,17] is [0,17]: 18 tokens of 20
+    assert (r.n_tokens, r.n_train_docs, r.longest_run) == (20, 2, 13)
+    assert r.covered_tokens == 18 and abs(r.coverage - 0.9) < 1e-12
+    assert (out[101].n_train_docs, out[101].covered_tokens) == (0, 0)
+    assert out[101].coverage == 0.0
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    """X207: every member of a near-dup cluster lands in the SAME
+    split; singletons split independently via the same hash family."""
+    from sparksync.ext.sampling import leakage_safe_split, split_assign
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in (1, 2, 3, 4, 7, 9)], "doc_id long, x string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "d1 long, d2 long"
+    )
+    out = {
+        r.doc_id: r.split
+        for r in leakage_safe_split(
+            docs, pairs, "doc_id", {"train": 0.5, "val": 0.5}, method="knuth"
+        ).collect()
+    }
+    assert out[1] == out[2] == out[3]  # chain collapses to one split
+    assert out[7] == out[9]
+    # the cluster's split is split_assign's answer for its MIN id, and
+    # a singleton's split is split_assign's answer for itself
+    solo = {
+        r.doc_id: r.split
+        for r in split_assign(
+            docs, "doc_id", {"train": 0.5, "val": 0.5}, method="knuth"
+        ).collect()
+    }
+    assert out[1] == solo[1] and out[7] == solo[7] and out[4] == solo[4]
+    # schema: input columns preserved + split, no internals leaked
+    cols = leakage_safe_split(docs, pairs, "doc_id").columns
+    assert cols == ["doc_id", "x", "split"]
+
+
+def test_soft_dedup_quota_and_determinism(spark):
+    """X208: an n-member cluster keeps exactly ceil(n^alpha) members;
+    alpha=0 is hard dedup, alpha=1 keeps everything; the kept set is
+    layout-independent; bad alpha and missing graph raise."""
+    import pytest as _pytest
+
+    from sparksync.ext import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 8)], "doc_id long"
+    )
+    # one 4-cluster (1-2-3-4), one 2-cluster (5,6), singleton 7
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "d1 long, d2 long"
+    )
+    out = dd.soft_dedup(pairs, docs, alpha=0.5, method="knuth").collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    assert {c: len(v) for c, v in by_cluster.items()} == {1: 4, 5: 2, 7: 1}
+    assert sum(r.kept for r in by_cluster[1]) == 2  # ceil(sqrt(4))
+    assert sum(r.kept for r in by_cluster[5]) == 2  # ceil(sqrt(2))
+    assert by_cluster[7][0].kept == 1 and by_cluster[7][0].quota == 1
+    # alpha=0 -> one keeper per cluster; alpha=1 -> keep all
+    hard = dd.soft_dedup(pairs, docs, alpha=0.0, method="knuth").collect()
+    assert sum(r.kept for r in hard) == 3
+    keep_all = dd.soft_dedup(pairs, docs, alpha=1.0, method="knuth").collect()
+    assert all(r.kept == 1 for r in keep_all)
+    # layout-independence: kept set identical at any partitioning
+    kept_sets = {
+        frozenset(
+            r.doc_id
+            for r in dd.soft_dedup(
+                pairs, docs.repartition(n), alpha=0.5, method="knuth"
+            ).collect()
+            if r.kept
+        )
+        for n in (1, 4)
+    }
+    assert len(kept_sets) == 1
+    with _pytest.raises(ValueError, match="alpha"):
+        dd.soft_dedup(pairs, docs, alpha=1.5)
+    with _pytest.raises(ValueError, match="pairs"):
+        dd.soft_dedup(None, docs)
+    # components reuse path: same answer without re-propagating
+    from sparksync.ext.graph import connected_components
+
+    comp = connected_components(pairs, "d1", "d2")
+    via_comp = {
+        (r.doc_id, r.kept)
+        for r in dd.soft_dedup(
+            None, docs, alpha=0.5, method="knuth", components=comp
+        ).collect()
+    }
+    assert via_comp == {(r.doc_id, r.kept) for r in out}
+
+
+def test_split_leakage_audit_and_leakage_safe_zero(spark):
+    """X209: the audit counts near-dup pairs per unordered split cell;
+    a doc-keyed split leaks the crafted straddling pair, and
+    leakage_safe_split's own output audits to ZERO off-diagonal —
+    the measure/act pair must close."""
+    from pyspark.sql import functions as F
+
+    from sparksync.ext.sampling import (
+        leakage_safe_split,
+        split_assign,
+        split_leakage_audit,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 6, 9)], "doc_id long"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (6, 9)], "d1 long, d2 long")
+    naive = split_assign(
+        docs, "doc_id", {"train": 0.5, "val": 0.5}, method="knuth"
+    )
+    cells = {
+        (r.split_a, r.split_b): r.n_pairs
+        for r in split_leakage_audit(naive, pairs).collect()
+    }
+    assert sum(cells.values()) == 3  # every pair lands in exactly one cell
+    splits = {r.doc_id: r.split for r in naive.collect()}
+    want_leaks = sum(
+        1 for a, b in ((1, 2), (2, 3), (6, 9)) if splits[a] != splits[b]
+    )
+    got_leaks = sum(v for (a, b), v in cells.items() if a != b)
+    assert got_leaks == want_leaks > 0  # the crafted ids do straddle
+    safe = leakage_safe_split(
+        docs, pairs, "doc_id", {"train": 0.5, "val": 0.5}, method="knuth"
+    )
+    safe_cells = split_leakage_audit(safe, pairs).where(
+        F.col("split_a") != F.col("split_b")
+    )
+    assert safe_cells.count() == 0  # the guard drives leakage to zero

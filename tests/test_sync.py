@@ -1504,3 +1504,53 @@ def test_cli_prep_trim_fixpoint(spark, tmp_path, capsys):
         }
         assert lines  # summary printed
     assert outs["d1"] == outs["d2"]
+
+
+def test_cli_audit_coverage_softdedup_prep_leakage(spark, tmp_path, capsys):
+    """Round-12 verbs: audit --kind coverage (per-benchmark burn
+    report), audit --kind soft-dedup (cut list under the bounded
+    print), prep --leakage-safe (cluster-keyed split exits 0 and
+    writes every split)."""
+    import json as _json
+
+    from sparksync.cli import main
+
+    out = tmp_path / "dest"
+    assert main(["--src", SF_SMOKE, "--dest", str(out), "sync-data"]) == 0
+    capsys.readouterr()
+
+    assert main(["--src", SF_SMOKE, "--dest", str(out), "audit",
+                 "--kind", "coverage", "--table", "documents",
+                 "--target", "source = 'src0'"]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    n_bench = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .where("source = 'src0'").count()
+    )
+    assert len(rows) == n_bench  # one row per benchmark doc
+    assert all(0.0 <= r["coverage"] <= 1.0 for r in rows)
+
+    assert main(["--src", SF_SMOKE, "--dest", str(out), "audit",
+                 "--kind", "soft-dedup", "--table", "documents",
+                 "--alpha", "0.0"]) == 0
+    cut = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert cut and all(r["kept"] == 0 for r in cut)
+
+    assert main(["--src", SF_SMOKE, "--dest", str(out), "prep",
+                 "--leakage-safe", "--splits", "train:0.9,val:0.1"]) == 0
+    lines = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert {l["split"] for l in lines} == {"train", "val"}
+
+
+def test_cli_audit_split_leakage(tmp_path, capsys):
+    """X209 verb: one row per split cell, total pairs conserved."""
+    import json as _json
+
+    from sparksync.cli import main
+
+    out = tmp_path / "dest"
+    assert main(["--src", SF_SMOKE, "--dest", str(out), "audit",
+                 "--kind", "split-leakage", "--table", "documents"]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert rows and all(r["n_pairs"] > 0 for r in rows)
+    assert all(r["split_a"] <= r["split_b"] for r in rows)

@@ -69,6 +69,17 @@ QUERIES_TO_PROBE = [
     "q209_self_trim_repeats",
 ]
 
+# VERDICT r11 #7: rows whose measured regime is NOT the production
+# posture carry the label in the probe JSON itself, so a future reader
+# never mistakes the pinned form's ratio for the repo's 100 TB claim.
+NOTES = {
+    "q178_semantic_dedup": (
+        "oracle-replay form: n_planes pinned at 32 (uncapped-regime "
+        "documentation); the production posture is "
+        "q178_semantic_dedup_auto (n_planes=None auto-sized)"
+    ),
+}
+
 
 def generate(spark) -> None:
     from pyspark.sql import functions as F
@@ -223,11 +234,68 @@ def main() -> int:
             min_run=12,
         )
 
+    # round-12 capstones. q210 needs the suffix-matched benchmark
+    # predicate like q207/q208; q211/q212 are probed on the LSH pair
+    # graph (the 100 TB discovery plan) rather than the gates' exact
+    # jaccard_pairs, mirroring the q195/q196 probe discipline.
+    def q210_suffix(spark, d):
+        from pyspark.sql import functions as FF
+
+        from sparksync.ext import dedup as dd
+        from sparksync.source import load_table as lt
+
+        docs = lt(spark, d, "documents")
+        is_bench = FF.col("source").endswith("src0")
+        return dd.benchmark_coverage(
+            docs.where(~is_bench).select("doc_id", "text"),
+            docs.where(is_bench).select("doc_id", "text"),
+            min_run=12,
+        )
+
+    def q211_lsh(spark, d):
+        from sparksync.ext import dedup as dd
+        from sparksync.ext import sampling as sp
+        from sparksync.source import load_table as lt
+
+        docs = lt(spark, d, "documents")
+        return sp.leakage_safe_split(
+            docs,
+            dd.minhash_dedup_pairs(docs, 0.8),
+            "doc_id",
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+        )
+
+    def q212_lsh(spark, d):
+        from sparksync.ext import dedup as dd
+        from sparksync.source import load_table as lt
+
+        docs = lt(spark, d, "documents")
+        return dd.soft_dedup(
+            dd.minhash_dedup_pairs(docs, 0.8), docs, alpha=0.5
+        )
+
+    def q213_lsh(spark, d):
+        from sparksync.ext import dedup as dd
+        from sparksync.ext import sampling as sp
+        from sparksync.source import load_table as lt
+
+        docs = lt(spark, d, "documents")
+        naive = sp.split_assign(
+            docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+        )
+        return sp.split_leakage_audit(
+            naive, dd.minhash_dedup_pairs(docs, 0.8)
+        )
+
     extra = {
         "q178_semantic_dedup_auto": q178_auto,
         "q178_semantic_dedup_cap64": q178_cap64,
         "q207_decontaminate_suffix": q207_suffix,
         "q208_decontaminate_trim_suffix": q208_suffix,
+        "q210_benchmark_coverage_suffix": q210_suffix,
+        "q211_leakage_safe_split_lsh": q211_lsh,
+        "q212_soft_dedup_lsh": q212_lsh,
+        "q213_split_leakage_lsh": q213_lsh,
     }
 
     only = [a for a in sys.argv[1:] if not a.startswith("--")]
@@ -247,6 +315,8 @@ def main() -> int:
             per[label + "_cold"] = samples[0]
             per[label] = samples[1]
         per["ratio"] = round(per["sf1"] / per["sf0.1"], 2)
+        if name in NOTES:
+            per["note"] = NOTES[name]
         out[name] = per
         print(f"# {name}: {per}", file=sys.stderr)
 
