@@ -33,13 +33,16 @@ def _rotated(d: dict) -> dict:
     so outputs must be bit-identical), and q208/q209 (their oracles
     now coalesce NULL text to mirror the engine's zero-token
     contract; the shipped fixtures carry no NULL text so outputs are
-    unchanged), plus the three NEW round-12 capstones: q210 (X206
+    unchanged), plus the FOUR new round-12 capstones: q210 (X206
     per-benchmark contamination coverage), q211 (X207 leakage-safe
-    cluster split) and q212 (X208 soft dedup, the ceil(sqrt(n))
-    downweighting policy). Then the ENTIRE q155-q193 band (VERDICT
+    cluster split), q212 (X208 soft dedup, the ceil(sqrt(n))
+    downweighting policy) and q213 (X209 split-leakage audit, the
+    measure twin of q211). Then the ENTIRE q155-q193 band (VERDICT
     r11 #1: the oldest third of the surface, last driver-checked
-    r7-r8) and q194-q196 (r9-era) to fill the cap: 10 changed/new +
-    37 band keys not already heading + 3 = 50 exactly. Changed/new
+    r7-r8) and q194-q195 (r9-era) to fill the cap: 11 changed/new +
+    37 band keys not already heading + 2 = 50 exactly — q196 is the
+    one sub-r10 key the cap excludes this round (it has a fresh r10
+    driver row; it heads the fill tier next round). Changed/new
     queries sort FIRST so the cap can never silently drop a query
     with zero fresh driver evidence; both committed selfcheck sweeps
     cover the full surface at 2 SFs regardless. Every key keeps its

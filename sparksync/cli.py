@@ -815,6 +815,8 @@ def main(argv: list[str] | None = None) -> int:
             out = benchmark_coverage(
                 docs.where(~is_bench),
                 docs.where(is_bench),
+                id_col=args.id or "doc_id",
+                bench_id_col=args.id or "doc_id",
                 max_df=1000,
             )
         elif args.kind == "soft-dedup":
@@ -831,8 +833,11 @@ def main(argv: list[str] | None = None) -> int:
                 p.error("audit --kind soft-dedup needs --table")
             docs = job._read_source(args.table)
             out = soft_dedup(
-                minhash_dedup_pairs(docs, threshold=args.threshold),
+                minhash_dedup_pairs(
+                    docs, threshold=args.threshold, id_col=args.id or "doc_id"
+                ),
                 docs,
+                id_col=args.id or "doc_id",
                 alpha=args.alpha,
             ).where(F.col("kept") == 0)
         elif args.kind == "split-leakage":
@@ -851,8 +856,13 @@ def main(argv: list[str] | None = None) -> int:
                     kv.split(":") for kv in args.splits.split(",")
                 )
             }
+            # method="knuth" matches the split `prep` actually writes —
+            # auditing the xxhash64 default would report leak counts
+            # for a split that was never produced (code-review r12)
             out = split_leakage_audit(
-                split_assign(docs, args.id or "doc_id", weights),
+                split_assign(
+                    docs, args.id or "doc_id", weights, method="knuth"
+                ),
                 minhash_dedup_pairs(
                     docs, threshold=args.threshold, id_col=args.id or "doc_id"
                 ),
@@ -946,8 +956,12 @@ def main(argv: list[str] | None = None) -> int:
         if args.out:
             # full result travels executor->parquet, never through the
             # driver (VERDICT r11 #2: cut lists are duplicate-volume-
-            # sized — billions of rows at 100 TB with a 20-50% dup rate)
+            # sized — billions of rows at 100 TB with a 20-50% dup rate);
+            # the preview below then reads the WRITTEN files instead of
+            # re-deriving the plan (code-review r12: limit cannot push
+            # below the shuffles, so the old path ran the job twice)
             out.write.mode("overwrite").parquet(args.out)
+            out = job.spark.read.parquet(args.out)
         # stdout is a bounded PREVIEW (limit pushes into the plan, so
         # only max_rows+1 rows ever reach the driver)
         shown = out.limit(args.max_rows + 1).collect()

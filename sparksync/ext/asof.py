@@ -19,17 +19,19 @@ from pyspark.sql import functions as F
 
 
 def _orderable(dt) -> bool:
-    """True when a DataType can appear in an ORDER BY — MapType cannot
-    (anywhere in the nesting); everything else Spark orders."""
-    from pyspark.sql.types import ArrayType, MapType, StructType
+    """True when a DataType can appear in an ORDER BY. An ALLOWLIST,
+    not a MapType blocklist (code-review r12): atomic types (numeric/
+    string/binary/boolean/date/timestamp/interval) and arrays/structs
+    of them order; anything else — MapType, VariantType, UDTs without
+    ordering — must take the hash-surrogate tie-break, else the window
+    throws AnalysisException."""
+    from pyspark.sql.types import ArrayType, AtomicType, NullType, StructType
 
-    if isinstance(dt, MapType):
-        return False
     if isinstance(dt, StructType):
         return all(_orderable(f.dataType) for f in dt.fields)
     if isinstance(dt, ArrayType):
         return _orderable(dt.elementType)
-    return True
+    return isinstance(dt, (AtomicType, NullType))
 
 
 def asof_join(

@@ -1985,8 +1985,15 @@ def _trim_until_fixpoint(
     Each pass is localCheckpoint'ed (eager): the loop's driver-side
     convergence check would otherwise replay the whole lineage every
     iteration, and the checkpoint bounds the plan for the next pass.
-    Output contract is the family's: n_tokens = ORIGINAL token count,
-    n_trimmed = TOTAL tokens cut across all passes, new_text = final."""
+    Superseded pass checkpoints are released immediately (graph.py's
+    _release_checkpoint — the blocks here are CORPUS-sized, id +
+    full rebuilt text per doc, so leaving up to 2 block sets per pass
+    to the lazy ContextCleaner risks executor storage at scale;
+    code-review r12). Output contract is the family's: n_tokens =
+    ORIGINAL token count, n_trimmed = TOTAL tokens cut across all
+    passes, new_text = final."""
+    from .graph import _release_checkpoint
+
     acc = trim_once(df).localCheckpoint(eager=True)
     cur = acc
     passes = 1
@@ -2000,6 +2007,7 @@ def _trim_until_fixpoint(
             cur.where(F.col("n_trimmed") > 0).select(id_col),
             id_col,
         )).select(F.col(id_col), F.col("new_text").alias(text_col))
+        prev_acc, prev_cur = acc, cur
         cur = trim_once(redo_in).localCheckpoint(eager=True)
         acc = (
             acc.join(
@@ -2021,6 +2029,12 @@ def _trim_until_fixpoint(
             )
             .localCheckpoint(eager=True)
         )
+        # the new acc/cur are independently materialized; the previous
+        # pass's blocks are never read again (pass 1: prev_acc IS
+        # prev_cur, released once)
+        _release_checkpoint(prev_acc)
+        if prev_cur is not prev_acc:
+            _release_checkpoint(prev_cur)
         passes += 1
     last = cur.agg(F.sum("n_trimmed")).first()[0] or 0
     if last:
@@ -2467,7 +2481,10 @@ def soft_dedup(
     ext.sampling (knuth for oracle replay, xxhash64 for arbitrary-width
     keys at scale), ties by id — so the kept set is a pure function of
     (cluster, id, salt): reruns, incremental loads, and different
-    cluster sizes agree. One shuffle on cluster_id (both window
+    cluster sizes agree. Caveat inherited from _bucket: the knuth arm
+    is salt-FREE (pmod(id * A, BUCKETS) — that is what makes it
+    oracle-replayable), so varying `salt` changes the draw only under
+    method='xxhash64'. One shuffle on cluster_id (both window
     functions share the partitioning); docs absent from every pair are
     singleton clusters and always kept. Pass `components` (a resolved
     (node, component) map over the SAME pair graph) to reuse an

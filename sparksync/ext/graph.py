@@ -60,6 +60,11 @@ def _materialize(df: DataFrame, mode: str) -> DataFrame:
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
         df.count()
         return df
+    if mode != "local":
+        # the knob exists for A/B measurement — a typo'd mode silently
+        # measuring the wrong arm corrupts the comparison (code-review
+        # r12; matches sampling._bucket's unknown-method precedent)
+        raise ValueError(f"unknown ckpt_mode {mode!r} (local | persist)")
     return df.localCheckpoint(eager=True)
 
 

@@ -94,18 +94,23 @@ def leakage_safe_split(
     split_assign exactly. Output: df + split."""
     from .graph import connected_components
 
-    comp = connected_components(pairs, "d1", "d2")
-    labeled = df.join(comp.withColumnRenamed("node", id_col), id_col, "left")
+    # the label column rides under an internal name so an input df that
+    # already carries a 'component' column can't collide (code-review
+    # r12: the join would make F.col('component') ambiguous)
+    comp = connected_components(pairs, "d1", "d2").select(
+        F.col("node").alias(id_col), F.col("component").alias("_lss_comp")
+    )
+    labeled = df.join(comp, id_col, "left")
     out = split_assign(
         labeled.withColumn(
-            "_gid", F.coalesce(F.col("component"), F.col(id_col))
+            "_gid", F.coalesce(F.col("_lss_comp"), F.col(id_col))
         ),
         "_gid",
         fractions,
         method,
         salt,
     )
-    return out.drop("component", "_gid")
+    return out.drop("_lss_comp", "_gid")
 
 
 def split_leakage_audit(

@@ -5944,3 +5944,36 @@ def test_split_leakage_audit_and_leakage_safe_zero(spark):
         F.col("split_a") != F.col("split_b")
     )
     assert safe_cells.count() == 0  # the guard drives leakage to zero
+
+
+def test_r12_review_hardening(spark):
+    """code-review r12 pack: unknown ckpt_mode raises (a typo'd A/B
+    must not silently measure the wrong arm); leakage_safe_split
+    tolerates an input df that already carries a 'component' column;
+    asof's orderability check is an allowlist, so an array-of-map
+    right value takes the hash fallback instead of throwing."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from sparksync.ext.asof import asof_join
+    from sparksync.ext.graph import connected_components
+    from sparksync.ext.sampling import leakage_safe_split
+
+    pairs = spark.createDataFrame([(1, 2)], "d1 long, d2 long")
+    with _pytest.raises(ValueError, match="ckpt_mode"):
+        connected_components(pairs, ckpt_mode="Persist").collect()
+    docs = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "doc_id long, component string"
+    )
+    out = {
+        r.doc_id: (r.component, r.split)
+        for r in leakage_safe_split(docs, pairs, "doc_id").collect()
+    }
+    assert out[1][0] == "x" and out[1][1] == out[2][1]  # col preserved
+    left = spark.createDataFrame([(1, 100)], "k long, lts long")
+    ram = spark.createDataFrame(
+        [Row(k=1, rts=10, am=[{"a": 1}])],
+        "k long, rts long, am array<map<string,long>>",
+    )
+    got = asof_join(left, ram, "k", "lts", "rts", ["am"]).collect()
+    assert got[0]["asof_am"] == [{"a": 1}]
