@@ -107,12 +107,15 @@ HEADLINE = [
     "q209_self_trim_repeats",
     # round-12: the three new capstones — per-benchmark contamination
     # coverage (X206), leakage-safe cluster split (X207), soft dedup
-    # (X208). Totals grow by FOUR queries vs BENCH_r11 — compare
+    # (X208), split-leakage audit (X209), per-doc boilerplate fraction
+    # (X210), dedup threshold sweep (X211). Totals grow by SIX queries vs BENCH_r11 — compare
     # per-query
     "q210_benchmark_coverage",
     "q211_leakage_safe_split",
     "q212_soft_dedup",
     "q213_split_leakage",
+    "q214_boilerplate_score",
+    "q215_threshold_sweep",
 ]
 
 

@@ -138,6 +138,9 @@ def main(argv: list[str] | None = None) -> int:
             # split-leakage audit (X209: near-dup pairs straddling an
             # existing doc-keyed split)
             "coverage", "soft-dedup", "split-leakage",
+            # round 12: per-doc boilerplate fraction (X210) and the
+            # dedup threshold-sensitivity sweep (X211)
+            "boilerplate", "threshold-sweep",
         ],
     )
     aud.add_argument("--table", help="pruning/quantile: table to audit")
@@ -840,6 +843,35 @@ def main(argv: list[str] | None = None) -> int:
                 id_col=args.id or "doc_id",
                 alpha=args.alpha,
             ).where(F.col("kept") == 0)
+        elif args.kind == "boilerplate":
+            # X210: per-doc hot-gram fraction. Bounded print: only the
+            # docs above the --rate cutoff (the drop candidates) —
+            # corpus-sized output rides --max-rows/--out regardless.
+            from pyspark.sql import functions as F
+
+            from .ext.textops import boilerplate_score
+
+            if args.table is None:
+                p.error("audit --kind boilerplate needs --table")
+            out = boilerplate_score(
+                job._read_source(args.table), id_col=args.id or "doc_id"
+            ).where(F.col("boilerplate_frac") >= args.rate)
+        elif args.kind == "threshold-sweep":
+            # X211: pair/doc counts per candidate dedup threshold from
+            # ONE scored LSH discovery at the loosest candidate.
+            from .ext.dedup import dedup_threshold_sweep, minhash_dedup_pairs
+
+            if args.table is None:
+                p.error("audit --kind threshold-sweep needs --table")
+            cands = (0.7, 0.8, 0.9, 0.95)
+            out = dedup_threshold_sweep(
+                minhash_dedup_pairs(
+                    job._read_source(args.table),
+                    threshold=min(cands),
+                    id_col=args.id or "doc_id",
+                ),
+                thresholds=cands,
+            )
         elif args.kind == "split-leakage":
             # X209: how many near-dup pairs straddle the doc-keyed
             # split — the number `prep --leakage-safe` drives to zero.

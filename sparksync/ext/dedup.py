@@ -2525,6 +2525,55 @@ def soft_dedup(
     )
 
 
+def dedup_threshold_sweep(
+    pairs: DataFrame,
+    thresholds: tuple[float, ...] = (0.7, 0.8, 0.9, 0.95),
+    score_col: str = "jacc",
+) -> DataFrame:
+    """Threshold-sensitivity report (X211) — the audit-family answer to
+    "is 0.8 the right dedup threshold for THIS corpus": from ONE scored
+    pair discovery (jaccard_pairs / minhash verify output — any frame
+    with (d1, d2, score)), the pair count and distinct-doc count at
+    every candidate threshold. A cliff between two rows means the
+    corpus has a near-dup mode there; a flat curve means the choice
+    barely matters. Discovery runs ONCE at min(thresholds); the sweep
+    is an explode of a |thresholds|-literal array over PAIR-sized rows
+    (never corpus-sized) + two rollups, with a left join from the
+    threshold list so zero-pair thresholds still report 0/0.
+    Output: (threshold, n_pairs, n_docs), one row per threshold."""
+    if not thresholds:
+        raise ValueError("dedup_threshold_sweep: thresholds must be non-empty")
+    spark = pairs.sparkSession
+    tarr = F.array(*[F.lit(float(t)) for t in sorted(thresholds)])
+    tdf = spark.createDataFrame(
+        [(float(t),) for t in sorted(thresholds)], "threshold double"
+    )
+    e = pairs.select(
+        "d1",
+        "d2",
+        F.col(score_col).alias("_score"),
+        F.explode(tarr).alias("threshold"),
+    ).where(F.col("_score") >= F.col("threshold"))
+    n_pairs = e.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    ends = e.select("threshold", F.col("d1").alias("_doc")).unionByName(
+        e.select("threshold", F.col("d2").alias("_doc"))
+    )
+    n_docs = ends.groupBy("threshold").agg(
+        F.countDistinct("_doc").cast("long").alias("n_docs")
+    )
+    return (
+        tdf.join(n_pairs, "threshold", "left")
+        .join(n_docs, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+        )
+    )
+
+
 def minhash_recall_audit(
     df: DataFrame,
     threshold: float = 0.8,

@@ -170,6 +170,68 @@ def boilerplate_ngrams(
     )
 
 
+def boilerplate_score(
+    df: DataFrame,
+    k: int = 3,
+    min_df: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-DOCUMENT boilerplate fraction (X210) — the decision signal
+    boilerplate_ngrams' corpus-level ranking feeds: for every doc, the
+    fraction of its distinct k-grams whose document frequency exceeds
+    min_df (headers/footers/license blocks/navigation chrome repeat
+    across a crawl; novel prose does not). A doc near 1.0 is template
+    chrome and a drop candidate; the C4/RefinedWeb-style boilerplate
+    filter keyed by a number instead of a blacklist.
+
+    Scale shape: per-doc DISTINCT grams (explode bounded by unique-
+    grams-per-doc), ONE hash-partitioned df census with map-side
+    partial agg, hot set heavy-hitter-bounded (<= total postings /
+    min_df) joined back left-semi, two per-doc counts joined on the
+    doc key, LEFT join to the corpus so short docs (< k tokens) pass
+    through at zero. Gram identity is md5_token_hash for oracle
+    portability (the q205/q209 convention). Output: (id, n_grams,
+    n_hot, boilerplate_frac) for EVERY input document."""
+    from .dedup import md5_token_hash
+
+    grams = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(_ngrams(tokens(text_col), k))
+            ).alias("_g"),
+        )
+        .select(id_col, md5_token_hash(F.col("_g")).alias("_h"))
+    )
+    census = grams.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+    hot = census.where(F.col("_df") > min_df).select("_h")
+    n_all = grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    n_hot = (
+        grams.join(hot, "_h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hot"))
+    )
+    return (
+        df.select(id_col)
+        .join(n_all, id_col, "left")
+        .join(n_hot, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_hot", F.lit(0)).cast("long").alias("n_hot"),
+            (
+                F.coalesce("n_hot", F.lit(0))
+                / F.greatest(F.coalesce("n_grams", F.lit(0)), F.lit(1))
+            )
+            .cast("double")
+            .alias("boilerplate_frac"),
+        )
+    )
+
+
 def vocab_topk(
     df: DataFrame,
     k: int = 10,

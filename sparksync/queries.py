@@ -7988,6 +7988,106 @@ group by 1, 2
 """
 
 
+def q214_boilerplate_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate fraction (ext/textops.boilerplate_score,
+    X210): the fraction of each doc's distinct 3-grams whose corpus
+    document frequency exceeds 10 — the per-doc decision signal fed by
+    q34-family corpus ranking (a doc near 1.0 is template chrome).
+    One row per document, short docs at zero."""
+    return textops.boilerplate_score(
+        load(spark, sf_dir, "documents"), k=3, min_df=10
+    )
+
+
+ORACLE_Q214 = """
+with
+docs as (
+  select doc_id,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') as toks
+  from documents),
+dk as (
+  select doc_id, toks, len(toks) - 2 as m
+  from docs where len(toks) >= 3),
+g as (
+  select distinct doc_id,
+         cast(cast('0x' || substring(md5(
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         ), 1, 15) as ubigint) as bigint) as h
+  from dk, unnest(range(1, m + 1)) t(i)),
+census as (select h, count(*) as df from g group by h),
+hot as (select h from census where df > 10),
+n_all as (select doc_id, cast(count(*) as bigint) as n_grams from g group by 1),
+n_hot as (
+  select g.doc_id, cast(count(*) as bigint) as n_hot
+  from g join hot using (h) group by 1)
+select d.doc_id,
+       coalesce(a.n_grams, 0) as n_grams,
+       coalesce(h.n_hot, 0) as n_hot,
+       cast(coalesce(h.n_hot, 0) as double)
+         / cast(greatest(coalesce(a.n_grams, 0), 1) as double)
+         as boilerplate_frac
+from docs d
+left join n_all a using (doc_id)
+left join n_hot h using (doc_id)
+"""
+
+
+def q215_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold-sensitivity report (ext/dedup.
+    dedup_threshold_sweep, X211): pair and distinct-doc counts at
+    0.7/0.8/0.9/0.95 from ONE exact-Jaccard discovery at the loosest
+    threshold — the audit that justifies (or indicts) the corpus's
+    dedup threshold choice. Zero-pair thresholds still report 0/0."""
+    pairs = dedup.jaccard_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.7
+    )
+    return dedup.dedup_threshold_sweep(
+        pairs, thresholds=(0.7, 0.8, 0.9, 0.95)
+    )
+
+
+ORACLE_Q215 = """
+with
+docs as (
+  select doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') as toks
+  from documents),
+docs3 as (select * from docs where len(toks) >= 3),
+sh as (
+  select distinct doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] as shingle
+  from docs3, unnest(range(1, len(toks) - 1)) t(i)),
+sizes as (select doc_id, count(*) as n from sh group by doc_id),
+common as (
+  select a.doc_id as d1, b.doc_id as d2, count(*) as c
+  from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+  group by 1, 2),
+pairs as (
+  select d1, d2,
+         cast(c as double) / cast(na.n + nb.n - c as double) as jacc
+  from common
+  join sizes na on na.doc_id = d1
+  join sizes nb on nb.doc_id = d2
+  where cast(c as double) / cast(na.n + nb.n - c as double) >= 0.7),
+-- the cast matters: a bare decimal list would hash-mismatch Spark's
+-- double thresholds ('0.90' vs '0.9')
+th as (select cast(unnest([0.7, 0.8, 0.9, 0.95]) as double) as threshold),
+e as (
+  select t.threshold, p.d1, p.d2
+  from th t join pairs p on p.jacc >= t.threshold),
+np as (select threshold, cast(count(*) as bigint) as n_pairs from e group by 1),
+nd as (
+  select threshold, cast(count(distinct doc) as bigint) as n_docs
+  from (select threshold, d1 as doc from e
+        union all select threshold, d2 from e)
+  group by 1)
+select t.threshold,
+       coalesce(np.n_pairs, 0) as n_pairs,
+       coalesce(nd.n_docs, 0) as n_docs
+from th t
+left join np using (threshold)
+left join nd using (threshold)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -8202,6 +8302,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q211_leakage_safe_split": q211_leakage_safe_split,
     "q212_soft_dedup": q212_soft_dedup,
     "q213_split_leakage": q213_split_leakage,
+    "q214_boilerplate_score": q214_boilerplate_score,
+    "q215_threshold_sweep": q215_threshold_sweep,
 }
 
 ORACLES: dict[str, str] = {
@@ -8420,4 +8522,6 @@ ORACLES: dict[str, str] = {
     "q211_leakage_safe_split": ORACLE_Q211,
     "q212_soft_dedup": ORACLE_Q212,
     "q213_split_leakage": ORACLE_Q213,
+    "q214_boilerplate_score": ORACLE_Q214,
+    "q215_threshold_sweep": ORACLE_Q215,
 }

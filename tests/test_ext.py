@@ -5977,3 +5977,72 @@ def test_r12_review_hardening(spark):
     )
     got = asof_join(left, ram, "k", "lts", "rts", ["am"]).collect()
     assert got[0]["asof_am"] == [{"a": 1}]
+
+
+def test_boilerplate_score_counts(spark):
+    """X210: the hot-gram fraction counts DISTINCT grams per doc, a
+    gram is hot iff its doc frequency exceeds min_df, and short docs
+    (< k tokens) pass through at zero."""
+    from sparksync.ext import textops as tx
+
+    # 'a b c' appears in 3 docs (> min_df=2); each doc adds one
+    # private gram chain
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c x1 y1"),   # grams: abc, bcx1, cx1y1 -> 1 hot of 3
+            (2, "a b c x2 y2"),
+            (3, "a b c x3 y3"),
+            (4, "p q r s"),       # grams: pqr, qrs -> 0 hot of 2
+            (5, "t u"),           # < 3 tokens -> 0 grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_grams, r.n_hot, r.boilerplate_frac)
+        for r in tx.boilerplate_score(docs, k=3, min_df=2).collect()
+    }
+    assert out[1] == (3, 1, 1 / 3) and out[2] == (3, 1, 1 / 3)
+    assert out[4] == (2, 0, 0.0)
+    assert out[5] == (0, 0, 0.0)
+    # a repeated gram WITHIN one doc counts once toward df: 'a b c' in
+    # doc 6 twice does not push its df over a min_df of 3
+    docs2 = docs.unionByName(
+        spark.createDataFrame(
+            [(6, "a b c z a b c")], "doc_id long, text string"
+        )
+    )
+    out2 = {
+        r.doc_id: r.n_hot
+        for r in tx.boilerplate_score(docs2, k=3, min_df=3).collect()
+    }
+    # df('a b c') = 4 docs > 3 -> hot for all carriers
+    assert out2[1] == 1 and out2[6] >= 1
+
+
+def test_dedup_threshold_sweep_shapes(spark):
+    """X211: counts are monotonically non-increasing in the threshold,
+    zero-pair thresholds still report 0/0, endpoints are distinct-
+    counted, and an empty threshold list raises."""
+    import pytest as _pytest
+
+    from sparksync.ext import dedup as dd
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.72), (1, 3, 0.85), (2, 3, 0.91), (4, 5, 0.96)],
+        "d1 long, d2 long, jacc double",
+    )
+    out = {
+        r.threshold: (r.n_pairs, r.n_docs)
+        for r in dd.dedup_threshold_sweep(
+            pairs, thresholds=(0.7, 0.8, 0.9, 0.95, 0.99)
+        ).collect()
+    }
+    assert out[0.7] == (4, 5)
+    assert out[0.8] == (3, 5)   # 1-3, 2-3, 4-5 -> docs {1,2,3,4,5}
+    assert out[0.9] == (2, 4)   # 2-3, 4-5
+    assert out[0.95] == (1, 2)  # 4-5
+    assert out[0.99] == (0, 0)  # reported, not dropped
+    ps = [out[t][0] for t in sorted(out)]
+    assert ps == sorted(ps, reverse=True)
+    with _pytest.raises(ValueError, match="thresholds"):
+        dd.dedup_threshold_sweep(pairs, thresholds=())

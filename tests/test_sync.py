@@ -1554,3 +1554,25 @@ def test_cli_audit_split_leakage(tmp_path, capsys):
     rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
     assert rows and all(r["n_pairs"] > 0 for r in rows)
     assert all(r["split_a"] <= r["split_b"] for r in rows)
+
+
+def test_cli_audit_boilerplate_threshold_sweep(tmp_path, capsys):
+    """X210/X211 verbs: boilerplate prints only docs at/above --rate;
+    threshold-sweep reports every candidate threshold."""
+    import json as _json
+
+    from sparksync.cli import main
+
+    out = tmp_path / "dest"
+    assert main(["--src", SF_SMOKE, "--dest", str(out), "audit",
+                 "--kind", "boilerplate", "--table", "documents",
+                 "--rate", "0.5"]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert all(r["boilerplate_frac"] >= 0.5 for r in rows)
+
+    assert main(["--src", SF_SMOKE, "--dest", str(out), "audit",
+                 "--kind", "threshold-sweep", "--table", "documents"]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert [r["threshold"] for r in rows] == [0.7, 0.8, 0.9, 0.95]
+    ps = [r["n_pairs"] for r in rows]
+    assert ps == sorted(ps, reverse=True)

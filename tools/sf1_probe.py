@@ -67,6 +67,9 @@ QUERIES_TO_PROBE = [
     # the gate runs directly; decontaminate-trim needs the suffix
     # benchmark variant (see extra q208_suffix below)
     "q209_self_trim_repeats",
+    # round-12: per-doc boilerplate fraction (source-independent, the
+    # gate form IS the production form)
+    "q214_boilerplate_score",
 ]
 
 # VERDICT r11 #7: rows whose measured regime is NOT the production
@@ -274,6 +277,16 @@ def main() -> int:
             dd.minhash_dedup_pairs(docs, 0.8), docs, alpha=0.5
         )
 
+    def q215_lsh(spark, d):
+        from sparksync.ext import dedup as dd
+        from sparksync.source import load_table as lt
+
+        docs = lt(spark, d, "documents")
+        return dd.dedup_threshold_sweep(
+            dd.minhash_dedup_pairs(docs, 0.7),
+            thresholds=(0.7, 0.8, 0.9, 0.95),
+        )
+
     def q213_lsh(spark, d):
         from sparksync.ext import dedup as dd
         from sparksync.ext import sampling as sp
@@ -296,6 +309,7 @@ def main() -> int:
         "q211_leakage_safe_split_lsh": q211_lsh,
         "q212_soft_dedup_lsh": q212_lsh,
         "q213_split_leakage_lsh": q213_lsh,
+        "q215_threshold_sweep_lsh": q215_lsh,
     }
 
     only = [a for a in sys.argv[1:] if not a.startswith("--")]
