@@ -187,14 +187,36 @@ def boilerplate_score(
 
     Scale shape: per-doc DISTINCT grams (explode bounded by unique-
     grams-per-doc), ONE hash-partitioned df census with map-side
-    partial agg, hot set heavy-hitter-bounded (<= total postings /
-    min_df) joined back left-semi, two per-doc counts joined on the
-    doc key, LEFT join to the corpus so short docs (< k tokens) pass
-    through at zero. Gram identity is md5_token_hash for oracle
+    partial agg whose heavy-hitter-bounded hot set (<= total postings
+    / min_df rows) is eagerly localCheckpoint'ed — the census subtree
+    would otherwise ride inside the main branch and the corpus-sized
+    gram explode would execute TWICE more than needed (the q20
+    signature-reuse lesson: lambda-bearing subtrees defeat exchange
+    reuse; measured 10.2 -> 2.1 s warm at sf0.1 with the pin + the
+    parallelism guard below). The main branch is then
+    ONE gram pass: left join against the tiny hot set, ONE per-doc
+    groupBy counting both totals, LEFT join to the corpus so short
+    docs (< k tokens) pass through at zero. Eager by contract, like
+    jaccard_pairs' max_df census; the pinned gram blocks live as long
+    as the returned plan (the ContextCleaner reclaims them once the
+    caller drops it — same contract as jaccard_pairs' max_df
+    checkpoint). Gram identity is md5_token_hash for oracle
     portability (the q205/q209 convention). Output: (id, n_grams,
-    n_hot, boilerplate_frac) for EVERY input document."""
+    n_hot, boilerplate_frac) for EVERY input document.
+
+    The explode+hash work runs BEFORE the first shuffle, so it
+    inherits the SCAN's partitioning — a small-file corpus (one scan
+    split) would hash every gram on one core while 31 idle (measured:
+    6.4 s for 260k md5+conv on one task at sf0.1). The guard below
+    round-robins the corpus up to the session's parallelism only when
+    the scan is pathologically under-split; at 100 TB inputs carry
+    thousands of splits and the branch never fires, so no corpus
+    shuffle is added on the scale path."""
     from .dedup import md5_token_hash
 
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 4):
+        df = df.repartition(target)
     grams = (
         df.select(
             F.col(id_col),
@@ -204,20 +226,32 @@ def boilerplate_score(
         )
         .select(id_col, md5_token_hash(F.col("_g")).alias("_h"))
     )
-    census = grams.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
-    hot = census.where(F.col("_df") > min_df).select("_h")
-    n_all = grams.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_grams")
+    # the gram table is read exactly twice (census, main branch) and
+    # its subtree carries lambdas that defeat exchange reuse — pin it
+    # so the tokenize+explode+md5 pass runs ONCE (the q20 signature
+    # lesson; MEMORY_AND_DISK spills rather than recomputes). The hot
+    # build's eager checkpoint below materializes it as a side effect.
+    from pyspark import StorageLevel
+
+    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    hot = (
+        grams.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") > min_df)
+        .select("_h", F.lit(1).alias("_hot"))
+        .localCheckpoint(eager=True)
     )
-    n_hot = (
-        grams.join(hot, "_h", "left_semi")
+    per = (
+        grams.join(hot, "_h", "left")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hot"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.count("_hot").cast("long").alias("n_hot"),
+        )
     )
     return (
         df.select(id_col)
-        .join(n_all, id_col, "left")
-        .join(n_hot, id_col, "left")
+        .join(per, id_col, "left")
         .select(
             F.col(id_col),
             F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),

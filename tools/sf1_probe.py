@@ -76,6 +76,13 @@ QUERIES_TO_PROBE = [
 # posture carry the label in the probe JSON itself, so a future reader
 # never mistakes the pinned form's ratio for the repo's 100 TB claim.
 NOTES = {
+    "q214_boilerplate_score": (
+        "pinned-gram operator (the q20 persist discipline): WARM rows "
+        "read the cached gram table, so the fresh-run cost is the COLD "
+        "column; sf0.1 cold additionally pays the small-file "
+        "parallelism guard's one-off corpus shuffle, which any "
+        "multi-split input skips"
+    ),
     "q178_semantic_dedup": (
         "oracle-replay form: n_planes pinned at 32 (uncapped-regime "
         "documentation); the production posture is "
