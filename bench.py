@@ -105,7 +105,7 @@ HEADLINE = [
     # per-query
     "q208_decontaminate_trim",
     "q209_self_trim_repeats",
-    # round-12: the three new capstones — per-benchmark contamination
+    # round-12: the six new capstones — per-benchmark contamination
     # coverage (X206), leakage-safe cluster split (X207), soft dedup
     # (X208), split-leakage audit (X209), per-doc boilerplate fraction
     # (X210), dedup threshold sweep (X211). Totals grow by SIX queries vs BENCH_r11 — compare

@@ -863,7 +863,9 @@ def main(argv: list[str] | None = None) -> int:
 
             if args.table is None:
                 p.error("audit --kind threshold-sweep needs --table")
-            cands = (0.7, 0.8, 0.9, 0.95)
+            # --threshold joins the candidate list (and floors the
+            # discovery pass) instead of being silently ignored
+            cands = tuple(sorted({0.7, 0.8, 0.9, 0.95, args.threshold}))
             out = dedup_threshold_sweep(
                 minhash_dedup_pairs(
                     job._read_source(args.table),

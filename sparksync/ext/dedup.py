@@ -2543,34 +2543,34 @@ def dedup_threshold_sweep(
     Output: (threshold, n_pairs, n_docs), one row per threshold."""
     if not thresholds:
         raise ValueError("dedup_threshold_sweep: thresholds must be non-empty")
+    # dedupe: a repeated candidate would double every count AND emit
+    # duplicate output rows (code-review r12)
+    cand = sorted({float(t) for t in thresholds})
     spark = pairs.sparkSession
-    tarr = F.array(*[F.lit(float(t)) for t in sorted(thresholds)])
-    tdf = spark.createDataFrame(
-        [(float(t),) for t in sorted(thresholds)], "threshold double"
-    )
-    e = pairs.select(
-        "d1",
-        "d2",
-        F.col(score_col).alias("_score"),
-        F.explode(tarr).alias("threshold"),
-    ).where(F.col("_score") >= F.col("threshold"))
-    n_pairs = e.groupBy("threshold").agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs")
-    )
-    ends = e.select("threshold", F.col("d1").alias("_doc")).unionByName(
-        e.select("threshold", F.col("d2").alias("_doc"))
-    )
-    n_docs = ends.groupBy("threshold").agg(
-        F.countDistinct("_doc").cast("long").alias("n_docs")
-    )
-    return (
-        tdf.join(n_pairs, "threshold", "left")
-        .join(n_docs, "threshold", "left")
-        .select(
-            "threshold",
-            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
-            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+    tarr = F.array(*[F.lit(t) for t in cand])
+    tdf = spark.createDataFrame([(t,) for t in cand], "threshold double")
+    # ONE reference to the exploded frame: each qualifying pair emits
+    # its two endpoints per threshold, so n_pairs = rows/2 and n_docs =
+    # distinct endpoints from the SAME aggregation — referencing the
+    # pair subtree multiple times would recompute the (lambda-bearing,
+    # exchange-reuse-defeating) discovery once per consumer
+    # (code-review r12; the q20 lesson)
+    ends = (
+        pairs.select(
+            F.col(score_col).alias("_score"),
+            F.explode(F.array("d1", "d2")).alias("_doc"),
         )
+        .select("_doc", F.explode(tarr).alias("threshold"), "_score")
+        .where(F.col("_score") >= F.col("threshold"))
+    )
+    agg = ends.groupBy("threshold").agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_pairs"),
+        F.countDistinct("_doc").cast("long").alias("n_docs"),
+    )
+    return tdf.join(agg, "threshold", "left").select(
+        "threshold",
+        F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+        F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
     )
 
 

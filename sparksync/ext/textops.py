@@ -197,10 +197,10 @@ def boilerplate_score(
     ONE gram pass: left join against the tiny hot set, ONE per-doc
     groupBy counting both totals, LEFT join to the corpus so short
     docs (< k tokens) pass through at zero. Eager by contract, like
-    jaccard_pairs' max_df census; the pinned gram blocks live as long
-    as the returned plan (the ContextCleaner reclaims them once the
-    caller drops it — same contract as jaccard_pairs' max_df
-    checkpoint). Gram identity is md5_token_hash for oracle
+    jaccard_pairs' max_df census; the gram pin rides features._pin's
+    FIFO-capped registry (release_pinned() drops it between batch
+    runs), never a raw session-lifetime persist. Gram identity is
+    md5_token_hash for oracle
     portability (the q205/q209 convention). Output: (id, n_grams,
     n_hot, boilerplate_frac) for EVERY input document.
 
@@ -215,7 +215,8 @@ def boilerplate_score(
     from .dedup import md5_token_hash
 
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 4):
+    nparts = df.rdd.getNumPartitions()
+    if nparts < max(2, target // 4) and nparts < target:
         df = df.repartition(target)
     grams = (
         df.select(
@@ -229,11 +230,15 @@ def boilerplate_score(
     # the gram table is read exactly twice (census, main branch) and
     # its subtree carries lambdas that defeat exchange reuse — pin it
     # so the tokenize+explode+md5 pass runs ONCE (the q20 signature
-    # lesson; MEMORY_AND_DISK spills rather than recomputes). The hot
-    # build's eager checkpoint below materializes it as a side effect.
-    from pyspark import StorageLevel
+    # lesson; MEMORY_AND_DISK spills rather than recomputes). features.
+    # _pin, not a raw persist: persist registers in the CacheManager,
+    # which the ContextCleaner never reclaims, so repeated calls in a
+    # long session would leak one corpus-sized cache per call — the
+    # FIFO-capped pin registry exists for exactly this (code-review
+    # r12). The hot build's eager checkpoint materializes it.
+    from .features import _pin
 
-    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    grams = _pin(grams)
     hot = (
         grams.groupBy("_h")
         .agg(F.count(F.lit(1)).alias("_df"))

@@ -6046,3 +6046,17 @@ def test_dedup_threshold_sweep_shapes(spark):
     assert ps == sorted(ps, reverse=True)
     with _pytest.raises(ValueError, match="thresholds"):
         dd.dedup_threshold_sweep(pairs, thresholds=())
+
+
+def test_dedup_threshold_sweep_dedupes_candidates(spark):
+    """code-review r12: a repeated candidate must not double counts or
+    emit duplicate rows."""
+    from sparksync.ext import dedup as dd
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.85)], "d1 long, d2 long, jacc double"
+    )
+    out = dd.dedup_threshold_sweep(pairs, thresholds=(0.8, 0.8, 0.9)).collect()
+    assert [(r.threshold, r.n_pairs, r.n_docs) for r in sorted(out, key=lambda r: r.threshold)] == [
+        (0.8, 1, 2), (0.9, 0, 0)
+    ]

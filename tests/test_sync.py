@@ -1566,8 +1566,18 @@ def test_cli_audit_boilerplate_threshold_sweep(tmp_path, capsys):
     out = tmp_path / "dest"
     assert main(["--src", SF_SMOKE, "--dest", str(out), "audit",
                  "--kind", "boilerplate", "--table", "documents",
+                 "--rate", "0.0"]) == 0
+    all_rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert all_rows  # rate 0.0 keeps every doc - never vacuous
+    assert all(0.0 <= r["boilerplate_frac"] <= 1.0 for r in all_rows)
+    assert main(["--src", SF_SMOKE, "--dest", str(out), "audit",
+                 "--kind", "boilerplate", "--table", "documents",
                  "--rate", "0.5"]) == 0
     rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    # the cutoff path must agree with a client-side filter of the full set
+    assert len(rows) == sum(
+        1 for r in all_rows if r["boilerplate_frac"] >= 0.5
+    )
     assert all(r["boilerplate_frac"] >= 0.5 for r in rows)
 
     assert main(["--src", SF_SMOKE, "--dest", str(out), "audit",
