@@ -33,23 +33,23 @@ def _rotated(d: dict) -> dict:
     so outputs must be bit-identical), and q208/q209 (their oracles
     now coalesce NULL text to mirror the engine's zero-token
     contract; the shipped fixtures carry no NULL text so outputs are
-    unchanged), plus the SIX new round-12 capstones: q210 (X206
+    unchanged), plus the SEVEN new round-12 capstones: q210 (X206
     per-benchmark contamination coverage), q211 (X207 leakage-safe
     cluster split), q212 (X208 soft dedup, the ceil(sqrt(n))
     downweighting policy), q213 (X209 split-leakage audit, the
-    measure twin of q211), q214 (X210 per-doc boilerplate fraction)
-    and q215 (X211 dedup threshold sweep). Then the ENTIRE q155-q193
-    band (VERDICT r11 #1: the oldest third of the surface, last
-    driver-checked r7-r8): 13 changed/new + 37 band keys not already
-    heading = 50 exactly — the r9/r10-era q194-q196 are the sub-r11
-    keys the cap excludes this round (all three have r9+ driver
-    rows; they head the fill tier next round). Changed/new
+    measure twin of q211), q214 (X210 per-doc boilerplate fraction),
+    q215 (X211 dedup threshold sweep) and q216 (X212 per-source
+    document cap). Then the q155-q193 band (VERDICT r11 #1: the
+    oldest third of the surface, last driver-checked r7-r8): 14
+    changed/new + the first 36 band keys = 50 — the cap excludes
+    q193 (the band's last member, still r7/r8-stale: it heads next
+    round's rotation) and the r9/r10-era q194-q196. Changed/new
     queries sort FIRST so the cap can never silently drop a query
     with zero fresh driver evidence; both committed selfcheck sweeps
     cover the full surface at 2 SFs regardless. Every key keeps its
     name — only dict insertion order changes."""
 
-    changed_r12 = {28, 145, 159, 178, 199, 208, 209, 210, 211, 212, 213, 214, 215}
+    changed_r12 = {28, 145, 159, 178, 199, 208, 209, 210, 211, 212, 213, 214, 215, 216}
 
     def key(name: str):
         n = int(name[1:].split("_", 1)[0])

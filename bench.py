@@ -108,7 +108,7 @@ HEADLINE = [
     # round-12: the six new capstones — per-benchmark contamination
     # coverage (X206), leakage-safe cluster split (X207), soft dedup
     # (X208), split-leakage audit (X209), per-doc boilerplate fraction
-    # (X210), dedup threshold sweep (X211). Totals grow by SIX queries vs BENCH_r11 — compare
+    # (X210), dedup threshold sweep (X211), per-source cap (X212). Totals grow by SEVEN queries vs BENCH_r11 — compare
     # per-query
     "q210_benchmark_coverage",
     "q211_leakage_safe_split",
@@ -116,6 +116,7 @@ HEADLINE = [
     "q213_split_leakage",
     "q214_boilerplate_score",
     "q215_threshold_sweep",
+    "q216_source_cap",
 ]
 
 

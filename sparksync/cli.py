@@ -230,6 +230,13 @@ def main(argv: list[str] | None = None) -> int:
         "before dedup, keeping each first occurrence (X205)",
     )
     prep.add_argument(
+        "--cap-per-source",
+        type=int,
+        default=0,
+        help="keep at most N docs per source before dedup (0 = off; "
+        "the crawl-hygiene domain cap, X212)",
+    )
+    prep.add_argument(
         "--leakage-safe",
         action="store_true",
         help="assign splits by near-dup CLUSTER (MinHash+LSH pairs -> "
@@ -527,6 +534,10 @@ def main(argv: list[str] | None = None) -> int:
             docs = docs.join(lang_ids.select("doc_id"), "doc_id")
         qual = textops.quality_score(docs).where(F.col("keep") == 1)
         kept = docs.join(qual.select("doc_id", "n_tokens"), "doc_id")
+        if args.cap_per_source:
+            kept = sampling.cap_per_group(
+                kept, "source", args.cap_per_source, "doc_id"
+            )
         if args.self_trim:
             from .ext.dedup import self_trim_repeats
 

@@ -182,6 +182,42 @@ def stratified_sample(
     return df.where(b < thresh)
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str,
+    method: str = "xxhash64",
+    salt: str = "cap",
+) -> DataFrame:
+    """Deterministic per-group document cap (X212): keep at most k rows
+    per group, chosen as the k lowest hash buckets (ties by id) — the
+    RefinedWeb/crawl-hygiene "cap each domain at N documents" rule, a
+    uniform random-looking draw that is a pure function of
+    (group, id, salt) so reruns and incremental loads agree (unlike
+    any sample keyed by partition order). Groups smaller than k pass
+    through whole.
+
+    One shuffle on group_col (row_number over the group window);
+    skew note: a single mega-group routes to one task for ranking —
+    for web-crawl domains the biggest group is ~1e6-1e7 rows, a
+    single-task sort that is fine in practice; if a group can exceed
+    executor memory, pre-filter with a two-stage approx cap first.
+    Output: the kept rows of df, schema unchanged."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"cap_per_group: k must be >= 1, got {k}")
+    w = Window.partitionBy(group_col).orderBy(
+        _bucket(id_col, method, salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def temperature_sample(
     df: DataFrame,
     source_col: str,

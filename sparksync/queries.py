@@ -8088,6 +8088,37 @@ left join nd using (threshold)
 """
 
 
+def q216_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (ext/sampling.cap_per_group, X212): keep
+    at most 30 docs per source, chosen as the lowest knuth hash
+    buckets (ties by id) — the crawl-hygiene rule that stops any one
+    domain from dominating the mix, deterministic and oracle-
+    replayable. Per-source counts of the kept set."""
+    capped = sampling.cap_per_group(
+        load(spark, sf_dir, "documents"), "source", 30, "doc_id",
+        method="knuth",
+    )
+    return capped.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+ORACLE_Q216 = """
+with rk as (
+  select source, doc_id,
+         row_number() over (
+           partition by source
+           order by mod(doc_id * 2654435761, 10000), doc_id) as rn
+  from documents)
+select source, cast(count(*) as bigint) as n_kept,
+       min(doc_id) as min_id, max(doc_id) as max_id
+from rk where rn <= 30
+group by source
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_notin_filter": q02_notin_filter,
@@ -8304,6 +8335,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q213_split_leakage": q213_split_leakage,
     "q214_boilerplate_score": q214_boilerplate_score,
     "q215_threshold_sweep": q215_threshold_sweep,
+    "q216_source_cap": q216_source_cap,
 }
 
 ORACLES: dict[str, str] = {
@@ -8524,4 +8556,5 @@ ORACLES: dict[str, str] = {
     "q213_split_leakage": ORACLE_Q213,
     "q214_boilerplate_score": ORACLE_Q214,
     "q215_threshold_sweep": ORACLE_Q215,
+    "q216_source_cap": ORACLE_Q216,
 }

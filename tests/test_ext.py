@@ -6060,3 +6060,39 @@ def test_dedup_threshold_sweep_dedupes_candidates(spark):
     assert [(r.threshold, r.n_pairs, r.n_docs) for r in sorted(out, key=lambda r: r.threshold)] == [
         (0.8, 1, 2), (0.9, 0, 0)
     ]
+
+
+def test_cap_per_group_semantics(spark):
+    """X212: at most k rows per group, small groups pass whole, the
+    kept set is layout-independent and a pure function of
+    (group, id, salt); k < 1 raises."""
+    import pytest as _pytest
+
+    from sparksync.ext.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        [(i, "big") for i in range(1, 21)] + [(100, "small"), (101, "small")],
+        "doc_id long, source string",
+    )
+    out = cap_per_group(df, "source", 5, "doc_id", method="knuth").collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.source, set()).add(r.doc_id)
+    assert len(by["big"]) == 5 and by["small"] == {100, 101}
+    # layout-independence
+    kept_sets = {
+        frozenset(
+            r.doc_id
+            for r in cap_per_group(
+                df.repartition(n), "source", 5, "doc_id", method="knuth"
+            ).collect()
+        )
+        for n in (1, 7)
+    }
+    assert len(kept_sets) == 1
+    # schema unchanged, internal rank column not leaked
+    assert cap_per_group(df, "source", 5, "doc_id").columns == [
+        "doc_id", "source"
+    ]
+    with _pytest.raises(ValueError, match="k must be"):
+        cap_per_group(df, "source", 0, "doc_id")

@@ -1586,3 +1586,25 @@ def test_cli_audit_boilerplate_threshold_sweep(tmp_path, capsys):
     assert [r["threshold"] for r in rows] == [0.7, 0.8, 0.9, 0.95]
     ps = [r["n_pairs"] for r in rows]
     assert ps == sorted(ps, reverse=True)
+
+
+def test_cli_prep_cap_per_source(spark, tmp_path, capsys):
+    """X212 in prep: with --cap-per-source N, no source exceeds N docs
+    across the written splits."""
+    import json as _json
+
+    from sparksync.cli import main
+
+    out = tmp_path / "dest"
+    assert main(["--src", SF_SMOKE, "--dest", str(out), "prep",
+                 "--lang", "", "--cap-per-source", "7",
+                 "--splits", "train:1.0"]) == 0
+    capsys.readouterr()
+    written = spark.read.parquet(str(out / "documents_train.parquet"))
+    src = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    per = (
+        written.join(src, "doc_id").groupBy("source").count().collect()
+    )
+    assert per and all(r["count"] <= 7 for r in per)

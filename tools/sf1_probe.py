@@ -68,8 +68,11 @@ QUERIES_TO_PROBE = [
     # benchmark variant (see extra q208_suffix below)
     "q209_self_trim_repeats",
     # round-12: per-doc boilerplate fraction (source-independent, the
-    # gate form IS the production form)
+    # gate form IS the production form) and the per-source cap (the
+    # probe corpus has 10x the sources, each replica's capped set
+    # identical by the hash bijection)
     "q214_boilerplate_score",
+    "q216_source_cap",
 ]
 
 # VERDICT r11 #7: rows whose measured regime is NOT the production
