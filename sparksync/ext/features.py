@@ -31,28 +31,41 @@ def normalize_by_group(
     (ss - s^2/n) / (n-1); it is NULL when the group has fewer than two
     rows or zero variance (both guards replayable in plain SQL).
     minmax is (x - min) / (max - min), 0.0 for constant groups."""
-    # square in LONG, not the metric's native type: an int metric above
-    # ~46,341 would overflow int32 per-row under non-ANSI mode before
-    # the sum's implicit widening (ADVICE r3). Decimal(38,0) accumulation
-    # guards the sum itself for long metrics near the int64 edge.
+    # square in DECIMAL(38,0), not long: xl*xl wraps in int64 per-row
+    # under non-ANSI mode for metrics >= ~3.04e9 BEFORE any cast on the
+    # product could see it, and the old .cast('long') on the decimal
+    # sums silently NULLed the whole group's zscore once sum-of-squares
+    # passed 2^63 (code-review r12 — the in-code claim that decimal
+    # 'guards the sum' was defeated on both ends). Decimal end-to-end:
+    # the square fits 38 digits for any int64 metric, the sums stay
+    # decimal until the final double division.
     xl = F.col(metric_col).cast("long")
+    xd = xl.cast("decimal(38,0)")
     stats = df.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("long").alias("_n"),
-        F.sum(xl).cast("long").alias("_s"),
-        F.sum((xl * xl).cast("decimal(38,0)")).cast("long").alias("_ss"),
+        F.sum(xd).alias("_s"),
+        F.sum(xd * xd).alias("_ss"),
         F.min(xl).alias("_mn"),
         F.max(xl).alias("_mx"),
     )
     x = F.col(metric_col).cast("double")
     n = F.col("_n").cast("double")
     s = F.col("_s").cast("double")
-    ss = F.col("_ss").cast("double")
     mn = F.col("_mn").cast("double")
     mx = F.col("_mx").cast("double")
-    var_num = ss - (s * s) / n
+    # n*ss - s^2 stays EXACT in decimal before the one double cast:
+    # the old double-side subtraction ss - s^2/n catastrophically
+    # cancelled for large means (two ~1e19 doubles whose true
+    # difference is O(1)), silently NULLing the zscore via the var>0
+    # guard even though the sums themselves were exact (code-review
+    # r12). The oracle mirrors this with hugeint arithmetic.
+    var_num_dec = F.col("_ss") * F.col("_n").cast("decimal(38,0)") - (
+        F.col("_s") * F.col("_s")
+    )
+    var_num = var_num_dec.cast("double")
     z = F.when(
         (F.col("_n") > 1) & (var_num > 0),
-        (x - s / n) / F.sqrt(var_num / (n - F.lit(1.0))),
+        (x - s / n) / F.sqrt(var_num / (n * (n - F.lit(1.0)))),
     ).otherwise(F.lit(None).cast("double"))
     mm = F.when(F.col("_mx") > F.col("_mn"), (x - mn) / (mx - mn)).otherwise(
         F.lit(0.0)
@@ -804,8 +817,14 @@ def reference_percentile(
     back to the probe rows; ONE final division. All integers until
     the division. Output: df's (id, value) + (ref_n, pct)."""
     v = F.col(value_col).cast("long")
-    ref_counts = ref.select(v.alias("_v")).groupBy("_v").agg(
-        F.count(F.lit(1)).cast("long").alias("_c")
+    # NULL reference values would sort FIRST in the cumsum order and
+    # count as 'below every probe value', inflating every percentile
+    # (code-review r12) — they are not part of the distribution
+    ref_counts = (
+        ref.select(v.alias("_v"))
+        .where(F.col("_v").isNotNull())
+        .groupBy("_v")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
     )
     probe_vals = df.select(v.alias("_v")).distinct().withColumn(
         "_c", F.lit(0).cast("long")
@@ -817,7 +836,7 @@ def reference_percentile(
     pct_map = cum.where(F.col("_probe") == 1).select(
         F.col("_v"), F.col("_le").cast("long").alias("_le")
     )
-    ref_n = ref.agg(F.count(F.lit(1)).cast("long").alias("ref_n"))
+    ref_n = ref.agg(F.count(v).cast("long").alias("ref_n"))  # non-NULL
     return (
         df.select(F.col(id_col), v.alias(value_col))
         .join(pct_map.withColumnRenamed("_v", value_col), value_col)
@@ -905,13 +924,21 @@ def winsorized_stats(
         F.percentile(v, F.lit(lo)).alias("p_lo"),
         F.percentile(v, F.lit(hi)).alias("p_hi"),
     )
-    j = df.join(F.broadcast(bounds), group_col).select(
-        F.col(group_col),
-        F.least(F.greatest(v, F.col("p_lo")), F.col("p_hi")).alias("_c"),
-        (v < F.col("p_lo")).cast("long").alias("_below"),
-        (v > F.col("p_hi")).cast("long").alias("_above"),
-        F.col("p_lo"),
-        F.col("p_hi"),
+    # NULL values are outside the percentile population: the clipped
+    # sum would skip them while count(*) counted them, understating the
+    # mean (code-review r12) — drop them from every aggregate so n,
+    # n_clipped and the mean describe ONE population
+    j = (
+        df.where(v.isNotNull())
+        .join(F.broadcast(bounds), group_col)
+        .select(
+            F.col(group_col),
+            F.least(F.greatest(v, F.col("p_lo")), F.col("p_hi")).alias("_c"),
+            (v < F.col("p_lo")).cast("long").alias("_below"),
+            (v > F.col("p_hi")).cast("long").alias("_above"),
+            F.col("p_lo"),
+            F.col("p_hi"),
+        )
     )
     return j.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -1036,6 +1063,13 @@ def chisq_independence(
     `contribution` for the statistic; the per-cell table is the
     actionable part. Output: (a, b, observed, expected,
     contribution)."""
+    # NULL categories must be excluded up front: the equi-joins back to
+    # the marginals never match NULL=NULL, so a (NULL, b) cell would
+    # vanish from the output while its rows still inflated the marginals
+    # and the grand total — biasing every expected count (code-review
+    # r12; cooccurrence_lift filters the same way). A pipeline that
+    # wants NULL as a category should coalesce it to a sentinel first.
+    df = df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
     cells = df.groupBy(
         F.col(col_a).alias("a"), F.col(col_b).alias("b")
     ).agg(F.count(F.lit(1)).cast("long").alias("observed"))

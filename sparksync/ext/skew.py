@@ -100,7 +100,11 @@ def key_skew_stats(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
         F.col("_nkeys").alias("n_keys"),
         (F.col("cnt").cast("double") / F.col("_total").cast("double")).alias("share"),
         (
-            (F.col("cnt") * F.col("_nkeys")).cast("double")
+            # factors cast to double BEFORE the multiply: cnt * n_keys
+            # in long arithmetic wraps past 2^63 exactly at the table
+            # sizes this module targets (code-review r12; ks_statistic
+            # documents the same hazard)
+            F.col("cnt").cast("double") * F.col("_nkeys").cast("double")
             / F.col("_total").cast("double")
         ).alias("skew_factor"),
     )
@@ -786,10 +790,14 @@ def quantile_error_audit(
     edges = long_form.select(
         F.col(group_col).alias("_g"), "p", F.col("edge").alias("_e")
     )
+    # NULL values can never satisfy _v <= edge (the sum skips them),
+    # so they must not inflate the denominator either — the percentile
+    # population is non-NULL by definition (code-review r12: a 50%-NULL
+    # group read as ~0.25 'error' for a perfectly accurate edge)
     joined = df.select(
         F.col(group_col).alias("_g"),
         F.col(value_col).cast("double").alias("_v"),
-    ).join(F.broadcast(edges), "_g")
+    ).where(F.col("_v").isNotNull()).join(F.broadcast(edges), "_g")
     per = joined.groupBy("_g", "p", "_e").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum((F.col("_v") <= F.col("_e")).cast("long"))

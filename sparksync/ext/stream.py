@@ -29,17 +29,7 @@ def read_event_stream(
 def windowed_counts(events: DataFrame, window: str = "1 hour", late: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window counts per event_type — late rows
     beyond `late` are dropped, bounding state at scale."""
-    # Watermarks require TIMESTAMP (an instant); the batch loader emits
-    # NTZ for the fixture's naive nanos column. Pin wall-clock == UTC via
-    # epoch arithmetic — a plain cast would route through session tz.
-    if dict(events.dtypes).get("ts") == "timestamp_ntz":
-        events = events.withColumn(
-            "ts",
-            F.expr(
-                "timestamp_micros(timestampdiff(MICROSECOND,"
-                " timestamp_ntz '1970-01-01 00:00:00', ts))"
-            ),
-        )
+    events = _as_instant(events)
     return (
         events.withWatermark("ts", late)
         .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
@@ -98,12 +88,20 @@ def incremental_sync(
     key_cols: list[str] | None = None,
 ) -> StreamingQuery:
     """foreachBatch upsert loop: each micro-batch is deduped on the key
-    then appended; a JDBC target swaps the write body for an
-    INSERT .. ON DUPLICATE KEY UPDATE executed per batch."""
+    then written to its OWN hive-style partition (batch_id=N) with
+    overwrite — foreachBatch is only exactly-once when the sink is
+    idempotent per batch_id, and a plain append would duplicate every
+    row of a batch replayed after a crash between the write and the
+    checkpoint commit (code-review r12). Readers pick the partition
+    column up automatically (`spark.read.parquet(out_dir)`); a JDBC
+    target swaps the write body for an INSERT .. ON DUPLICATE KEY
+    UPDATE executed per batch (idempotent by the key constraint)."""
     keys = key_cols or ["event_id"]
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
-        batch.dropDuplicates(keys).write.mode("append").parquet(out_dir)
+        batch.dropDuplicates(keys).write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
 
     return (
         events.writeStream.foreachBatch(upsert)
@@ -127,23 +125,84 @@ def cdc_apply_stream(
     Oracle->lake replication lands on (the reference can only
     truncate-and-reload, cmd/root.go:268).
 
-    Each micro-batch runs merge_cdc(current snapshot, batch) and
-    atomically swaps the snapshot directory (write tmp -> rename), so
-    readers always see a complete snapshot and a crashed batch is
-    retried from the checkpoint by Structured Streaming's exactly-once
-    foreachBatch contract. Per-batch cost scales with the change batch
-    plus one snapshot rewrite — at scale, swap the rewrite for a
+    Each micro-batch runs merge_cdc(current snapshot, batch), writes
+    the result to a VERSIONED directory (snapshot.v<batch_id>) and
+    publishes it by atomically replacing a symlink at snapshot_path
+    (os.replace of a symlink is atomic on POSIX) — readers resolve the
+    link and always see one complete snapshot. The previous design
+    (rmtree old -> rename tmp) had a crash window that destroyed the
+    snapshot outright: the retried batch then took the initial-load
+    branch and silently rebuilt from ONE change batch (code-review
+    r12). Now every window is safe: a crash before publish leaves the
+    old link (the replayed batch overwrites the same version dir,
+    idempotent); a crash after a legacy real-dir was renamed aside is
+    healed by the recovery scan below (newest complete version wins);
+    superseded versions are garbage-collected best-effort on the next
+    batch. Per-batch cost scales with the change batch plus one
+    snapshot rewrite — at scale, swap the rewrite for a
     partition-pruned merge over changed_partitions (compare.py) or a
     MERGE INTO on a table format with row-level ops."""
+    import glob as _glob
     import os
     import shutil
 
     from ..compare import merge_cdc
 
+    def _versions() -> list[str]:
+        def vnum(p: str) -> int:
+            tail = p.rsplit(".v", 1)[-1]
+            return int(tail) if tail.isdigit() else -1
+
+        return sorted(
+            (
+                p
+                for p in _glob.glob(snapshot_path + ".v*")
+                # only COMPLETE snapshots count (parquet _SUCCESS marker)
+                if os.path.exists(os.path.join(p, "_SUCCESS"))
+            ),
+            key=vnum,
+        )
+
+    def _current() -> str | None:
+        # the link (or a legacy real dir) is authoritative when present
+        if os.path.lexists(snapshot_path) and os.path.exists(snapshot_path):
+            return snapshot_path
+        # recovery: the publish crashed mid-swap — newest complete
+        # version carries everything (it was fully written first)
+        vers = _versions()
+        return vers[-1] if vers else None
+
+    def _publish(new: str, batch_id: int) -> None:
+        # a legacy REAL directory at snapshot_path is renamed aside
+        # first (os.replace cannot replace a non-empty dir); a crash in
+        # that window is healed by _current()'s recovery scan — `new`
+        # is already complete
+        if os.path.isdir(snapshot_path) and not os.path.islink(snapshot_path):
+            os.rename(snapshot_path, snapshot_path + ".v-1")
+        tmp_link = snapshot_path + f".lnk_{batch_id}"
+        if os.path.lexists(tmp_link):
+            os.remove(tmp_link)
+        os.symlink(os.path.abspath(new), tmp_link)
+        os.replace(tmp_link, snapshot_path)
+        # GC superseded versions (best-effort; a crash here just leaves
+        # extra dirs for the next batch's sweep)
+        for p in _glob.glob(snapshot_path + ".v*"):
+            if os.path.abspath(p) != os.path.abspath(new):
+                shutil.rmtree(p, ignore_errors=True)
+
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        if os.path.exists(snapshot_path):
-            target = spark.read.parquet(snapshot_path)
+        new = snapshot_path + f".v{batch_id}"
+        cur = _current()
+        if cur is not None and os.path.realpath(cur) == os.path.abspath(new):
+            # replay of a batch whose merge ALREADY completed (crash
+            # landed between the version write and the checkpoint
+            # commit): merging the batch into its own output would read
+            # and overwrite the same directory — just (re)publish it
+            _publish(new, batch_id)
+            return
+        if cur is not None:
+            target = spark.read.parquet(cur)
             merged = merge_cdc(target, batch, keys, op_col, seq_col)
         else:
             latest = batch
@@ -159,11 +218,8 @@ def cdc_apply_stream(
             merged = latest.where(F.col(op_col) != "D").drop(
                 op_col, *([seq_col] if seq_col else [])
             )
-        tmp = snapshot_path + f".tmp_{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(snapshot_path):
-            shutil.rmtree(snapshot_path)
-        os.rename(tmp, snapshot_path)
+        merged.write.mode("overwrite").parquet(new)  # replay-idempotent
+        _publish(new, batch_id)
 
     return (
         changes.writeStream.foreachBatch(apply_batch)
@@ -178,14 +234,7 @@ def dedup_stream(events: DataFrame, keys: list[str] | None = None, late: str = "
     only for the watermark horizon, so distinct-key state is bounded —
     the streaming counterpart of dedup.exact_dedup (which would need
     unbounded state as a plain dropDuplicates on a stream)."""
-    if dict(events.dtypes).get("ts") == "timestamp_ntz":
-        events = events.withColumn(
-            "ts",
-            F.expr(
-                "timestamp_micros(timestampdiff(MICROSECOND,"
-                " timestamp_ntz '1970-01-01 00:00:00', ts))"
-            ),
-        )
+    events = _as_instant(events)
     return events.withWatermark("ts", late).dropDuplicatesWithinWatermark(
         keys or ["event_id"]
     )

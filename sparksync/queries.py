@@ -2206,25 +2206,25 @@ def q76_group_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_Q76 = """
+-- n*ss - sm^2 is computed EXACTLY in hugeint (mirroring the engine's
+-- decimal(38,0)) before the one double cast: the double-side
+-- subtraction catastrophically cancels for large means (code-review
+-- r12)
 with st as (
   select source,
-         cast(count(*) as bigint) as n,
-         cast(sum(n_chars) as bigint) as sm,
-         cast(sum(n_chars * n_chars) as bigint) as ss,
+         cast(count(*) as hugeint) as n,
+         cast(sum(cast(n_chars as hugeint)) as hugeint) as sm,
+         sum(cast(n_chars as hugeint) * cast(n_chars as hugeint)) as ss,
          cast(min(n_chars) as bigint) as mn,
          cast(max(n_chars) as bigint) as mx
   from documents group by source)
 select d.doc_id, d.source, d.n_chars,
-       case when st.n > 1
-             and (cast(st.ss as double)
-                  - (cast(st.sm as double) * cast(st.sm as double))
-                    / cast(st.n as double)) > 0
+       case when st.n > 1 and (st.ss * st.n - st.sm * st.sm) > 0
             then (cast(d.n_chars as double)
                   - cast(st.sm as double) / cast(st.n as double))
-                 / sqrt((cast(st.ss as double)
-                         - (cast(st.sm as double) * cast(st.sm as double))
-                           / cast(st.n as double))
-                        / (cast(st.n as double) - 1.0))
+                 / sqrt(cast(st.ss * st.n - st.sm * st.sm as double)
+                        / (cast(st.n as double)
+                           * (cast(st.n as double) - 1.0)))
        end as zscore,
        case when st.mx > st.mn
             then (cast(d.n_chars as double) - cast(st.mn as double))

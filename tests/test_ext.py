@@ -6096,3 +6096,67 @@ def test_cap_per_group_semantics(spark):
     ]
     with _pytest.raises(ValueError, match="k must be"):
         cap_per_group(df, "source", 0, "doc_id")
+
+
+def test_r12_latent_null_and_overflow_fixes(spark):
+    """code-review r12 latent-bug sweep over untouched modules:
+    normalize_by_group survives int64-edge metrics (xl*xl wrapped
+    per-row before any cast); chisq excludes NULL categories from the
+    marginals it can never join back; reference_percentile ignores
+    NULL reference values (they counted as below everything);
+    winsorized_stats counts the same non-NULL population its
+    percentiles use; quantile_error_audit's denominator matches the
+    non-NULL rank population."""
+    from sparksync.ext import features as ft
+    from sparksync.ext import skew as sk
+
+    # normalize_by_group at the overflow edge: two values ~4e9 whose
+    # squares exceed 2^63 -> old code wrapped and corrupted the variance
+    big = spark.createDataFrame(
+        [("g", 4_000_000_000), ("g", 4_000_000_002)], "grp string, m long"
+    )
+    zs = sorted(
+        r.zscore for r in ft.normalize_by_group(big, "grp", "m").collect()
+    )
+    assert abs(zs[0] + 0.7071067811865476) < 1e-9
+    assert abs(zs[1] - 0.7071067811865476) < 1e-9
+
+    # chisq: NULL category rows must not inflate totals of cells they
+    # can never appear in
+    cdf = spark.createDataFrame(
+        [("x", "u"), ("x", "v"), ("y", "u"), (None, "u"), ("x", None)],
+        "a string, b string",
+    )
+    cells = ft.chisq_independence(cdf, "a", "b").collect()
+    assert sum(r.observed for r in cells) == 3  # only fully-labeled rows
+    # expected counts derive from the SAME 3-row population
+    tot = {(r.a, r.b): r.expected for r in cells}
+    assert abs(tot[("x", "u")] - 2 * 2 / 3) < 1e-12
+
+    # reference_percentile: NULL ref values are not 'below everything'
+    ref = spark.createDataFrame(
+        [(10,), (20,), (None,), (None,)], "v long"
+    )
+    probe = spark.createDataFrame([(1, 10)], "id long, v long")
+    row = ft.reference_percentile(probe, ref, "v", "id").first()
+    assert (row.ref_n, row.pct) == (2, 0.5)  # not 4 and not 0.75
+
+    # winsorized_stats: NULLs out of every aggregate
+    wdf = spark.createDataFrame(
+        [("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", None), ("g", None)],
+        "grp string, v double",
+    )
+    w = ft.winsorized_stats(wdf, "grp", "v", lo=0.0, hi=1.0).first()
+    assert w.n == 3 and abs(w.winsorized_mean - 2.0) < 1e-9
+
+    # quantile_error_audit: a 50%-NULL group is not a 0.25 'error'
+    qdf = spark.createDataFrame(
+        [("g", i, float(i)) for i in range(1, 41)]
+        + [("g", 100 + i, None) for i in range(40)],
+        "grp string, id long, v double",
+    )
+    errs = [
+        r.rank_error
+        for r in sk.quantile_error_audit(qdf, "grp", "v", "id", rate=1.0).collect()
+    ]
+    assert errs and all(e <= 0.05 for e in errs), errs

@@ -1121,3 +1121,62 @@ def test_hll_stream_matches_batch_m64(spark, tmp_path):
         ).collect()
     }
     assert est_live == est_batch
+
+
+def test_cdc_apply_stream_recovers_mid_swap_crash(spark, tmp_path):
+    """code-review r12: the old rmtree->rename swap could destroy the
+    snapshot in a crash window and the retried batch rebuilt from ONE
+    change batch. Simulate the worst window (publish crashed after the
+    link vanished, versioned dir survives): the recovery scan must
+    resume from the newest COMPLETE version, losing nothing."""
+    import os
+
+    src = str(tmp_path / "changes")
+    snap = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "ckpt")
+
+    b1 = spark.createDataFrame(
+        [(1, "one", "I", 10), (2, "two", "I", 11)],
+        "id long, val string, op string, seq long",
+    )
+    b1.write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    s = stream.read_event_stream(spark, src, schema, max_files=10)
+    q = stream.cdc_apply_stream(s, snap, ckpt, ["id"], seq_col="seq")
+    q.awaitTermination(120)
+    assert os.path.islink(snap)  # published via the atomic link
+    # crash simulation: the link is gone, the complete version survives
+    os.remove(snap)
+    # an INCOMPLETE version (no _SUCCESS) must be ignored by recovery
+    os.makedirs(snap + ".v999")
+    b2 = spark.createDataFrame(
+        [(1, "one-v2", "U", 20), (3, "three", "I", 21)],
+        "id long, val string, op string, seq long",
+    )
+    b2.write.mode("append").parquet(src)
+    s2 = stream.read_event_stream(spark, src, schema, max_files=10)
+    q2 = stream.cdc_apply_stream(s2, snap, ckpt, ["id"], seq_col="seq")
+    q2.awaitTermination(120)
+    got = {(r["id"], r["val"]) for r in spark.read.parquet(snap).collect()}
+    # batch-1 rows survived the simulated crash; batch 2 applied on top
+    assert got == {(1, "one-v2"), (2, "two"), (3, "three")}
+
+
+def test_incremental_sync_replay_is_idempotent(spark, tmp_path):
+    """code-review r12: foreachBatch is at-least-once — a replayed
+    batch (same batch_id, e.g. after a crash before the checkpoint
+    commit) must not duplicate rows. Simulated by draining the same
+    source twice with a FRESH checkpoint (second run replays batch 0
+    over the same out_dir)."""
+    events = load_table(spark, SF_SMOKE, "events").where("event_id < 200")
+    src = str(tmp_path / "incoming")
+    out = str(tmp_path / "synced")
+    events.write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    for i, ckpt in enumerate(("ck_a", "ck_b")):
+        s = stream.read_event_stream(spark, src, schema, max_files=10)
+        q = stream.incremental_sync(s, out, str(tmp_path / ckpt))
+        q.awaitTermination(120)
+        got = spark.read.parquet(out)
+        assert got.count() == events.count(), f"run {i}"
+        assert got.select("event_id").distinct().count() == events.count()
