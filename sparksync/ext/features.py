@@ -654,8 +654,8 @@ def weighted_median(
 def global_cumsum(
     df: DataFrame,
     order_cols: list,
-    value_col: str,
-    out_col: str = "cum",
+    value_col: str | list[str],
+    out_col: str | list[str] = "cum",
     n_parts: int = 64,
 ) -> DataFrame:
     """Global running sum over a total order without a single-partition
@@ -665,7 +665,18 @@ def global_cumsum(
     rows). order_cols must be a total order; value_col should be an
     exact type (long/decimal) so the two-phase regrouping cannot drift.
     Same persist pinning as global_rank (range sampling is
-    plan-instance-specific), FIFO-capped via _pin."""
+    plan-instance-specific), FIFO-capped via _pin.
+
+    Accepts parallel LISTS of value/out columns to compute several
+    running sums over the SAME total order in one pass — one range
+    shuffle, one window, one pin instead of one of each per column
+    (code-review r12: ks_statistic paid the whole machinery twice)."""
+    vals = [value_col] if isinstance(value_col, str) else list(value_col)
+    outs = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(vals) != len(outs):
+        raise ValueError(
+            f"global_cumsum: {len(vals)} value cols vs {len(outs)} out cols"
+        )
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     part = _pin(
         df.repartitionByRange(n_parts, *cols).withColumn(
@@ -677,7 +688,9 @@ def global_cumsum(
         .orderBy(*cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    local = part.withColumn("_lc", F.sum(F.col(value_col)).over(wl))
+    local = part.select(
+        "*", *[F.sum(F.col(v)).over(wl).alias(f"_lc{i}") for i, v in enumerate(vals)]
+    )
     woff = (
         Window.partitionBy(F.pmod(F.xxhash64(F.col("_pid")), F.lit(1)))
         .orderBy("_pid")
@@ -685,14 +698,21 @@ def global_cumsum(
     )
     offsets = (
         part.groupBy("_pid")
-        .agg(F.sum(F.col(value_col)).alias("_t"))
-        .withColumn("_off", F.coalesce(F.sum("_t").over(woff), F.lit(0)))
-        .select("_pid", "_off")
+        .agg(*[F.sum(F.col(v)).alias(f"_t{i}") for i, v in enumerate(vals)])
+        .select(
+            "_pid",
+            *[
+                F.coalesce(F.sum(f"_t{i}").over(woff), F.lit(0)).alias(f"_off{i}")
+                for i in range(len(vals))
+            ],
+        )
     )
-    return (
-        local.join(F.broadcast(offsets), "_pid")
-        .withColumn(out_col, F.col("_lc") + F.col("_off"))
-        .drop("_pid", "_lc", "_off")
+    out = local.join(F.broadcast(offsets), "_pid")
+    for i, oc in enumerate(outs):
+        out = out.withColumn(oc, F.col(f"_lc{i}") + F.col(f"_off{i}"))
+    return out.drop(
+        "_pid", *[f"_lc{i}" for i in range(len(vals))],
+        *[f"_off{i}" for i in range(len(vals))],
     )
 
 
@@ -720,8 +740,10 @@ def ks_statistic(
         (F.col(group_col) == group_a).cast("long").alias("_ia"),
         (F.col(group_col) == group_b).cast("long").alias("_ib"),
     )
-    ca = global_cumsum(sub, ["_v", "_id"], "_ia", "_ca")
-    cb = global_cumsum(ca, ["_v", "_id"], "_ib", "_cb")
+    # both running counts in ONE global_cumsum pass: one range shuffle,
+    # one window, one pin — the back-to-back form paid each twice over
+    # the pooled relation (code-review r12)
+    cb = global_cumsum(sub, ["_v", "_id"], ["_ia", "_ib"], ["_ca", "_cb"])
     # ECDFs are step functions evaluated AFTER all rows of a tied
     # value: keep each distinct value's final running counts, or ties
     # straddling the two groups manufacture phantom differences

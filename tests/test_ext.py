@@ -6160,3 +6160,30 @@ def test_r12_latent_null_and_overflow_fixes(spark):
         for r in sk.quantile_error_audit(qdf, "grp", "v", "id", rate=1.0).collect()
     ]
     assert errs and all(e <= 0.05 for e in errs), errs
+
+
+def test_global_cumsum_multi_column_single_pass(spark):
+    """code-review r12: the multi-column form must equal two single-
+    column passes and reject mismatched lists."""
+    import pytest as _pytest
+
+    from sparksync.ext import features as ft
+
+    df = spark.createDataFrame(
+        [(i, i % 2, (i + 1) % 2) for i in range(1, 101)],
+        "k long, a long, b long",
+    )
+    multi = {
+        r.k: (r.ca, r.cb)
+        for r in ft.global_cumsum(df, ["k"], ["a", "b"], ["ca", "cb"]).collect()
+    }
+    single_a = {
+        r.k: r.ca for r in ft.global_cumsum(df, ["k"], "a", "ca").collect()
+    }
+    single_b = {
+        r.k: r.cb for r in ft.global_cumsum(df, ["k"], "b", "cb").collect()
+    }
+    assert multi == {k: (single_a[k], single_b[k]) for k in multi}
+    assert multi[100] == (50, 50)
+    with _pytest.raises(ValueError, match="value cols"):
+        ft.global_cumsum(df, ["k"], ["a", "b"], "only_one")
