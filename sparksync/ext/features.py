@@ -23,6 +23,7 @@ def normalize_by_group(
     df: DataFrame,
     group_col: str,
     metric_col: str,
+    overflow_col: str | None = None,
 ) -> DataFrame:
     """df + `zscore` and `minmax` columns for an integer metric, both
     computed within the row's group.
@@ -30,7 +31,14 @@ def normalize_by_group(
     zscore uses the sample variance from exact sums,
     (ss - s^2/n) / (n-1); it is NULL when the group has fewer than two
     rows or zero variance (both guards replayable in plain SQL).
-    minmax is (x - min) / (max - min), 0.0 for constant groups."""
+    minmax is (x - min) / (max - min), 0.0 for constant groups.
+
+    Pass overflow_col to ALSO emit a boolean column that is true when
+    the group's exact variance numerator overflowed the 38-digit
+    decimal ceiling (see the CEILING comment below) — the zscore is
+    NULL on those rows and the flag distinguishes that from the benign
+    <2-rows / zero-variance NULLs. Default None keeps the schema
+    unchanged."""
     # square in DECIMAL(38,0), not long: xl*xl wraps in int64 per-row
     # under non-ANSI mode for metrics >= ~3.04e9 BEFORE any cast on the
     # product could see it, and the old .cast('long') on the decimal
@@ -43,8 +51,9 @@ def normalize_by_group(
     xd = xl.cast("decimal(38,0)")
     stats = df.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("long").alias("_n"),
-        F.sum(xd).alias("_s"),
-        F.sum(xd * xd).alias("_ss"),
+        F.count(xl).alias("_nn"),
+        F.try_sum(xd).alias("_s"),
+        F.try_sum(xd * xd).alias("_ss"),
         F.min(xl).alias("_mn"),
         F.max(xl).alias("_mx"),
     )
@@ -59,8 +68,20 @@ def normalize_by_group(
     # difference is O(1)), silently NULLing the zscore via the var>0
     # guard even though the sums themselves were exact (code-review
     # r12). The oracle mirrors this with hugeint arithmetic.
-    var_num_dec = F.col("_ss") * F.col("_n").cast("decimal(38,0)") - (
-        F.col("_s") * F.col("_s")
+    # CEILING (ADVICE r12): the sums and the products _ss*_n / _s*_s
+    # are decimal(38,0)-capped; past ~1e38 (reachable at ~1e9 rows of
+    # ~3e9-magnitude metrics) plain arithmetic either NULLs (non-ANSI)
+    # or THROWS (Spark 4 ANSI default). try_sum/try_multiply/
+    # try_subtract pin the behavior to NULL under both modes, and a
+    # NULL var_num falls through the var>0 guard to a NULL zscore —
+    # the same visible degradation as a <2-row group, NOT a wrong
+    # number. overflow_col makes the ceiling observable: true exactly
+    # when non-NULL metrics existed but the 38-digit arithmetic
+    # overflowed, so callers can assert or rescale (e.g. pre-divide the
+    # metric by a constant) instead of reading NULL as zero-variance.
+    var_num_dec = F.try_subtract(
+        F.try_multiply(F.col("_ss"), F.col("_n").cast("decimal(38,0)")),
+        F.try_multiply(F.col("_s"), F.col("_s")),
     )
     var_num = var_num_dec.cast("double")
     z = F.when(
@@ -74,12 +95,19 @@ def normalize_by_group(
     # must match it too — a plain equi-join would silently drop every
     # null-group row from the output (ADVICE r3)
     stats = stats.withColumnRenamed(group_col, "_g")
-    return (
+    out = (
         df.join(stats, F.col(group_col).eqNullSafe(F.col("_g")))
         .withColumn("zscore", z)
         .withColumn("minmax", mm)
-        .drop("_g", "_n", "_s", "_ss", "_mn", "_mx")
     )
+    if overflow_col is not None:
+        # non-NULL metrics existed (_nn > 0) yet the exact numerator is
+        # NULL: that can only be 38-digit overflow — all-NULL-metric
+        # groups have _nn = 0 and are correctly false
+        out = out.withColumn(
+            overflow_col, (F.col("_nn") > 0) & var_num_dec.isNull()
+        )
+    return out.drop("_g", "_n", "_nn", "_s", "_ss", "_mn", "_mx")
 
 
 def mad_outliers(

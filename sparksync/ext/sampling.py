@@ -131,18 +131,27 @@ def split_leakage_audit(
 
     Two id->split joins on the PAIR side (pair-sized, never corpus-
     sized; the split map is corpus-sized but the join output is
-    pair-sized) + one count aggregate. Output: (split_a, split_b,
-    n_pairs), split_a <= split_b."""
+    pair-sized) + one count aggregate. The joins are LEFT joins with
+    missing endpoints bucketed under the '(missing)' sentinel split:
+    an inner join would silently EXCLUDE pairs whose endpoint is
+    absent from df_with_split (e.g. the split frame is a filtered
+    subset), undercounting leaks exactly where the audit matters most
+    (ADVICE r12) — now dropped coverage shows up as its own row.
+    Output: (split_a, split_b, n_pairs), split_a <= split_b."""
     s = df_with_split.select(F.col(id_col), F.col(split_col))
     j = (
         pairs.join(
             s.select(F.col(id_col).alias("d1"), F.col(split_col).alias("_s1")),
             "d1",
+            "left",
         )
         .join(
             s.select(F.col(id_col).alias("d2"), F.col(split_col).alias("_s2")),
             "d2",
+            "left",
         )
+        .withColumn("_s1", F.coalesce("_s1", F.lit("(missing)")))
+        .withColumn("_s2", F.coalesce("_s2", F.lit("(missing)")))
     )
     return (
         j.select(

@@ -92,7 +92,12 @@ def incremental_sync(
     overwrite — foreachBatch is only exactly-once when the sink is
     idempotent per batch_id, and a plain append would duplicate every
     row of a batch replayed after a crash between the write and the
-    checkpoint commit (code-review r12). Readers pick the partition
+    checkpoint commit (code-review r12). LAYOUT NOTE (ADVICE r12): this
+    hive-partitioned layout replaced round 11's flat-file append; an
+    out_dir already holding flat files from the old layout mixes files
+    and partition dirs and breaks `spark.read.parquet` — point new
+    deployments at a fresh out_dir (or move legacy files under
+    `batch_id=-1/` once). Readers pick the partition
     column up automatically (`spark.read.parquet(out_dir)`); a JDBC
     target swaps the write body for an INSERT .. ON DUPLICATE KEY
     UPDATE executed per batch (idempotent by the key constraint)."""
@@ -137,8 +142,10 @@ def cdc_apply_stream(
     old link (the replayed batch overwrites the same version dir,
     idempotent); a crash after a legacy real-dir was renamed aside is
     healed by the recovery scan below (newest complete version wins);
-    superseded versions are garbage-collected best-effort on the next
-    batch. Per-batch cost scales with the change batch plus one
+    superseded versions are garbage-collected best-effort, RETAINING
+    the most recent superseded version one batch longer (GC N-2) so a
+    concurrent reader that resolved the link just before the swap can
+    finish its scan (ADVICE r12). Per-batch cost scales with the change batch plus one
     snapshot rewrite — at scale, swap the rewrite for a
     partition-pruned merge over changed_partitions (compare.py) or a
     MERGE INTO on a table format with row-level ops."""
@@ -184,17 +191,34 @@ def cdc_apply_stream(
             os.remove(tmp_link)
         os.symlink(os.path.abspath(new), tmp_link)
         os.replace(tmp_link, snapshot_path)
-        # GC superseded versions (best-effort; a crash here just leaves
-        # extra dirs for the next batch's sweep)
-        for p in _glob.glob(snapshot_path + ".v*"):
-            if os.path.abspath(p) != os.path.abspath(new):
-                shutil.rmtree(p, ignore_errors=True)
+        # GC superseded versions, RETAINING the newest one besides
+        # `new` for one extra batch: a concurrent reader that resolved
+        # the link to the previous version before the swap must not
+        # lose files mid-scan (ADVICE r12 — immediate rmtree
+        # contradicted the one-complete-snapshot claim). Best-effort; a
+        # crash here just leaves extra dirs for the next batch's sweep.
+        new_real = os.path.realpath(new)
+        survivors = sorted(
+            (
+                p
+                for p in _glob.glob(snapshot_path + ".v*")
+                if os.path.realpath(p) != new_real
+            ),
+            key=lambda p: os.path.getmtime(p),
+        )
+        for p in survivors[:-1]:
+            shutil.rmtree(p, ignore_errors=True)
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         new = snapshot_path + f".v{batch_id}"
         cur = _current()
-        if cur is not None and os.path.realpath(cur) == os.path.abspath(new):
+        # realpath BOTH sides: if any parent of snapshot_path is a
+        # symlink (macOS /tmp -> /private/tmp), abspath(new) and
+        # realpath(cur) disagree on the prefix even when they name the
+        # same physical dir, the replay guard misses, and the merge
+        # would lazily read the directory it overwrites (ADVICE r12)
+        if cur is not None and os.path.realpath(cur) == os.path.realpath(new):
             # replay of a batch whose merge ALREADY completed (crash
             # landed between the version write and the checkpoint
             # commit): merging the batch into its own output would read

@@ -6187,3 +6187,58 @@ def test_global_cumsum_multi_column_single_pass(spark):
     assert multi[100] == (50, 50)
     with _pytest.raises(ValueError, match="value cols"):
         ft.global_cumsum(df, ["k"], ["a", "b"], "only_one")
+
+
+def test_r13_advice_fixes(spark):
+    """ADVICE r12 pack: split_leakage_audit must SURFACE pairs whose
+    endpoints are missing from the split frame (the old inner joins
+    silently excluded them, undercounting leaks when the split map is
+    a filtered subset); normalize_by_group's opt-in overflow flag is
+    true exactly when the 38-digit decimal ceiling NULLed the variance
+    numerator, distinguishing that from benign zero-variance NULLs."""
+    from sparksync.ext import features as ft
+    from sparksync.ext.sampling import split_assign, split_leakage_audit
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 6, 9)], "doc_id long"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (6, 9)], "d1 long, d2 long")
+    full = split_assign(docs, "doc_id", {"train": 0.5, "val": 0.5}, method="knuth")
+    # filtered subset: doc 9 has no split row -> its pair must land in
+    # a '(missing)' cell, not vanish
+    subset = full.where("doc_id <> 9")
+    cells = {
+        (r.split_a, r.split_b): r.n_pairs
+        for r in split_leakage_audit(subset, pairs).collect()
+    }
+    assert sum(cells.values()) == 3  # nothing dropped
+    missing = {c: n for c, n in cells.items() if "(missing)" in c}
+    assert sum(missing.values()) == 1  # exactly the (6,9) pair
+    # full-coverage map: no sentinel rows, behavior as before
+    cells_full = {
+        (r.split_a, r.split_b): r.n_pairs
+        for r in split_leakage_audit(full, pairs).collect()
+    }
+    assert sum(cells_full.values()) == 3
+    assert not any("(missing)" in c for c in cells_full)
+
+    # overflow flag: squares of two ~9.2e18 metrics sum past 1e38
+    big = spark.createDataFrame(
+        [
+            ("o", 9_200_000_000_000_000_000),
+            ("o", 9_100_000_000_000_000_000),
+            ("k", 10),
+            ("k", 20),
+        ],
+        "grp string, m long",
+    )
+    rows = ft.normalize_by_group(big, "grp", "m", overflow_col="ovf").collect()
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault(r.grp, []).append(r)
+    assert all(r.ovf for r in by_grp["o"])
+    assert all(r.zscore is None for r in by_grp["o"])  # NULL, not wrong
+    assert all(not r.ovf for r in by_grp["k"])
+    assert all(r.zscore is not None for r in by_grp["k"])
+    # default call keeps the schema unchanged
+    assert "ovf" not in ft.normalize_by_group(big, "grp", "m").columns

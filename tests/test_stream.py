@@ -1180,3 +1180,39 @@ def test_incremental_sync_replay_is_idempotent(spark, tmp_path):
         got = spark.read.parquet(out)
         assert got.count() == events.count(), f"run {i}"
         assert got.select("event_id").distinct().count() == events.count()
+
+
+def test_cdc_gc_retains_previous_version(spark, tmp_path):
+    """ADVICE r12: the publish GC must retain the most recent
+    SUPERSEDED version one batch longer (GC N-2) so a concurrent
+    reader that resolved the symlink just before the swap can finish
+    its scan. After batch N publishes, version N-1 still exists;
+    versions older than N-1 are gone."""
+    import glob
+    import os
+
+    src = str(tmp_path / "changes")
+    snap = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "ckpt")
+
+    schema = None
+    for i in range(3):
+        b = spark.createDataFrame(
+            [(100 + i, f"v{i}", "I", i)],
+            "id long, val string, op string, seq long",
+        )
+        b.write.mode("append").parquet(src)
+        if schema is None:
+            schema = spark.read.parquet(src).schema
+        s = stream.read_event_stream(spark, src, schema, max_files=10)
+        q = stream.cdc_apply_stream(s, snap, ckpt, ["id"], seq_col="seq")
+        q.awaitTermination(120)
+
+    vers = sorted(glob.glob(snap + ".v*"))
+    live = os.path.realpath(snap)
+    assert live in (os.path.realpath(v) for v in vers)
+    # exactly two versions on disk: the live one + its predecessor
+    assert len(vers) == 2, vers
+    # and the snapshot itself reads complete
+    got = {r["id"] for r in spark.read.parquet(snap).collect()}
+    assert got == {100, 101, 102}
