@@ -119,6 +119,20 @@ HEADLINE = [
     "q216_source_cap",
 ]
 
+# The original BENCH_r03 subset (16 queries + sync): their sum is
+# directly comparable to the 22.576 s driver anchor and to every prior
+# round regardless of how much the headline list has grown since —
+# the bench JSON carries it as `baseline16_sum` (VERDICT r12 #3) so a
+# load-adjudicating reader never has to reconstruct the subset by hand.
+BASELINE16 = [
+    "q01_pricing_summary", "q07_index_synthesis", "q09_count_compare",
+    "q10_checksum", "q11_topk_window", "q16_shipping_priority",
+    "q17_local_supplier", "q28_asof_join", "q29_sessionize",
+    "q18_dedup_exact", "q20_dedup_minhash", "q22_knn_cosine",
+    "q25_quality_score", "q27_fingerprint", "q36_simhash_pairs",
+    "q50_corpus_prep", "sync_lineitem_orders",
+]
+
 
 def _calibration(spark, runs: int = 3) -> float:
     """Fixed all-core reference measurement (VERDICT r6 #2): the median
@@ -244,6 +258,13 @@ def main() -> int:
             "loadavg_before": [round(x, 2) for x in load_before],
             "loadavg_after": [round(x, 2) for x in os.getloadavg()],
             "calibration_range_sum_sec": calibration,
+            # fixed-subset anchor (VERDICT r12 #3): sum of the original
+            # BENCH_r03 16-query+sync medians — compare directly to the
+            # 22.576 s r03 driver record and across rounds; divide by
+            # the calibration ratio to normalize ambient load
+            "baseline16_sum": round(
+                sum(times[k] for k in BASELINE16 if k in times), 3
+            ),
         }
     )
     # VERDICT r10 #4: BENCH_r10's committed artifact clipped the JSON
