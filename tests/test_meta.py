@@ -40,7 +40,11 @@ def test_no_dark_ext_functions():
     or transitively called by a function that is. A function nothing
     gates, tests, or uses is dark code by this repo's standard
     (VERDICT r5 'What's wrong' #2)."""
-    corpus = (REPO / "sparksync" / "queries.py").read_text()
+    # queries became a package in round 13 (VERDICT r12 #4) — the gate
+    # corpus is every module in it
+    corpus = "".join(
+        p.read_text() for p in sorted((REPO / "sparksync" / "queries").glob("*.py"))
+    )
     for t in (REPO / "tests").glob("test_*.py"):
         if t.name == "test_meta.py":
             continue
