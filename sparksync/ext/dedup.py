@@ -1817,6 +1817,7 @@ def trim_shared_runs(
     max_gram_freq: int | None = 64,
     until_fixpoint: bool = False,
     max_passes: int = 5,
+    pass_stats: list | None = None,
 ) -> DataFrame:
     """The DECISION half of the Lee et al. exact-substring rule:
     shared_run_pairs measures the duplicated spans, this CUTS them —
@@ -1855,6 +1856,7 @@ def trim_shared_runs(
             text_col,
             max_passes,
             per_doc=False,
+            pass_stats=pass_stats,
         )
     runs = _run_streaks(
         df, pairs, k, min_run, id_col, text_col, max_gram_freq
@@ -1966,6 +1968,7 @@ def _trim_until_fixpoint(
     text_col: str,
     max_passes: int,
     per_doc: bool,
+    pass_stats: list | None = None,
 ) -> DataFrame:
     """Fixpoint driver shared by the trim family (VERDICT r11 #3): the
     single-pass semantics are the papers', but cuts are computed
@@ -1991,7 +1994,14 @@ def _trim_until_fixpoint(
     to the lazy ContextCleaner risks executor storage at scale;
     code-review r12). Output contract is the family's: n_tokens =
     ORIGINAL token count, n_trimmed = TOTAL tokens cut across all
-    passes, new_text = final."""
+    passes, new_text = final.
+
+    `pass_stats` (VERDICT r12 #7): pass a list and the driver appends
+    the tokens-cut total of each CONVERGENCE-CHECKED pass (ending with
+    the 0 that proves the fixpoint, or the residual if max_passes was
+    hit) — the sf1 probe reads len()/values to put n_passes and
+    per-pass cost at a measured decade on record. Driver-side only;
+    the counts come from the aggs the loop already runs."""
     from .graph import _release_checkpoint
 
     acc = trim_once(df).localCheckpoint(eager=True)
@@ -2001,6 +2011,8 @@ def _trim_until_fixpoint(
         pass_trims = (
             cur.agg(F.sum("n_trimmed")).first()[0] or 0
         )
+        if pass_stats is not None:
+            pass_stats.append(pass_trims)
         if pass_trims == 0:
             return acc
         redo_in = (acc if not per_doc else acc.join(
@@ -2037,6 +2049,8 @@ def _trim_until_fixpoint(
             _release_checkpoint(prev_cur)
         passes += 1
     last = cur.agg(F.sum("n_trimmed")).first()[0] or 0
+    if pass_stats is not None:
+        pass_stats.append(last)
     if last:
         import warnings
 
@@ -2119,6 +2133,7 @@ def self_trim_repeats(
     max_gram_freq: int | None = 64,
     until_fixpoint: bool = False,
     max_passes: int = 5,
+    pass_stats: list | None = None,
 ) -> DataFrame:
     """WITHIN-document exact-substring trim — the intra-doc half of the
     Lee et al. rule (their suffix-array dedup removes repeats inside a
@@ -2168,6 +2183,7 @@ def self_trim_repeats(
             text_col,
             max_passes,
             per_doc=True,
+            pass_stats=pass_stats,
         )
     from pyspark.sql import Window
 
@@ -2307,6 +2323,7 @@ def decontaminate_trim(
     max_gram_freq: int | None = 64,
     until_fixpoint: bool = False,
     max_passes: int = 5,
+    pass_stats: list | None = None,
 ) -> DataFrame:
     """The REMOVAL half of decontamination — where decontaminate_runs
     FLAGS every (benchmark, training) pair sharing a >= min_run-token
@@ -2349,6 +2366,7 @@ def decontaminate_trim(
             text_col,
             max_passes,
             per_doc=True,
+            pass_stats=pass_stats,
         )
     train_id_type = docs.schema[id_col].dataType
     runs, _b, t = _decontaminate_streaks(

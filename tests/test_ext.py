@@ -6242,3 +6242,25 @@ def test_r13_advice_fixes(spark):
     assert all(r.zscore is not None for r in by_grp["k"])
     # default call keeps the schema unchanged
     assert "ovf" not in ft.normalize_by_group(big, "grp", "m").columns
+
+
+def test_trim_fixpoint_pass_stats(spark):
+    """VERDICT r12 #7: pass_stats exposes the fixpoint loop's per-pass
+    cut totals. A crafted splice corpus (T H1 T H2 where H1+H2 == T)
+    needs TWO cutting passes; stats end with the proving zero and the
+    final text is the fixpoint."""
+    from sparksync.ext.dedup import self_trim_repeats
+
+    T = [f"t{i}" for i in range(1, 9)]
+    doc = " ".join(T + T[:4] + T + T[4:])
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    stats = []
+    out = self_trim_repeats(
+        df, k=5, min_run=8, until_fixpoint=True, pass_stats=stats
+    ).collect()
+    assert stats == [8, 8, 0]
+    assert out[0].new_text == " ".join(T)
+    assert out[0].n_trimmed == 16 and out[0].n_tokens == 24
+    # default None: no stats side-channel, same result
+    out2 = self_trim_repeats(df, k=5, min_run=8, until_fixpoint=True).collect()
+    assert out2[0].new_text == out[0].new_text

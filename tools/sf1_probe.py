@@ -310,6 +310,48 @@ def main() -> int:
             naive, dd.minhash_dedup_pairs(docs, 0.8)
         )
 
+    # VERDICT r12 #7: the trim family's until_fixpoint mode at a
+    # measured decade, on a PATHOLOGICAL-SPLICE corpus (each doc is
+    # prefixed with T H1 T H2 built from its own first 8 tokens: pass
+    # 1 cuts the later T, splicing H1+H2 == T which pass 2 cuts — a
+    # guaranteed multi-pass corpus, worst-case for the per-doc re-trim
+    # because EVERY doc is touched every pass). pass_stats records the
+    # per-pass cut totals; the probe emits n_passes alongside the
+    # ratio.
+    fixpoint_info: dict[str, list] = {}
+
+    def q209_fixpoint_splice(spark, d):
+        from pyspark.sql import functions as FF
+
+        from sparksync.ext import dedup as dd
+        from sparksync.source import load_table as lt
+
+        docs = lt(spark, d, "documents").select("doc_id", "text")
+        toks = FF.split(FF.trim(FF.col("text")), " +")
+        t8 = FF.slice(toks, 1, 8)
+        # rest EXCLUDES the first 8 tokens: if the doc restarted with
+        # T, pass 1's diagonal streaks would cut H2 together with the
+        # repeats and no splice would survive to pass 2 (measured)
+        rest = FF.expr("slice(split(trim(text), ' +'), 9, size(split(trim(text), ' +')))")
+        spliced = FF.concat_ws(
+            " ",
+            FF.concat(
+                t8, FF.slice(t8, 1, 4), t8, FF.slice(t8, 5, 4), rest
+            ),
+        )
+        patho = docs.select(
+            "doc_id",
+            FF.when(FF.size(toks) >= 8, spliced)
+            .otherwise(FF.col("text"))
+            .alias("text"),
+        )
+        stats: list = []
+        out = dd.self_trim_repeats(
+            patho, k=5, min_run=8, until_fixpoint=True, pass_stats=stats
+        )
+        fixpoint_info[d] = stats
+        return out
+
     extra = {
         "q178_semantic_dedup_auto": q178_auto,
         "q178_semantic_dedup_cap64": q178_cap64,
@@ -320,6 +362,7 @@ def main() -> int:
         "q212_soft_dedup_lsh": q212_lsh,
         "q213_split_leakage_lsh": q213_lsh,
         "q215_threshold_sweep_lsh": q215_lsh,
+        "q209_self_trim_fixpoint_splice": q209_fixpoint_splice,
     }
 
     only = [a for a in sys.argv[1:] if not a.startswith("--")]
@@ -355,6 +398,13 @@ def main() -> int:
             per[label + "_cold"] = samples[0]
             per[label] = samples[1]
         per["ratio"] = round(per["sf1"] / per["sf0.1"], 2)
+        if name == "q209_self_trim_fixpoint_splice" and fixpoint_info:
+            # cut-totals per convergence-checked pass, per corpus; the
+            # fixpoint loop runs eagerly inside the call, so the stats
+            # are complete by the time the frame is materialized
+            per["pass_trims_sf0.1"] = fixpoint_info.get(SRC_DIR)
+            per["pass_trims_sf1"] = fixpoint_info.get(PROBE_DIR)
+            per["n_passes"] = len(fixpoint_info.get(PROBE_DIR) or [])
         out[name] = per
         print(f"# {name}: {per}", file=sys.stderr)
 
