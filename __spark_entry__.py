@@ -21,43 +21,38 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _rotated(d: dict) -> dict:
     """The driver's CORRECTNESS report samples at most 50 queries; the
-    surface is len(QUERIES) (207 as of round 10 — test_meta asserts
+    surface is len(QUERIES) (219 as of round 13 — test_meta asserts
     the exact count), so allocation is explicit and rotates each round
     toward the weakest external evidence (VERDICT r5 #4, by AGE).
-    Round 12 heads the 50 with the queries whose implementation
-    or gate changed this round: q28 (asof_join's typed null struct is
-    now built from DataType objects and the tie-break falls back to a
-    hash surrogate for non-orderable right values — output identical
-    on the fixture), q145/q159/q178/q199 (the shared keeper election
-    now ranks NULL quality as +inf so it LOSES; fixtures are non-null
-    so outputs must be bit-identical), and q208/q209 (their oracles
-    now coalesce NULL text to mirror the engine's zero-token
-    contract; the shipped fixtures carry no NULL text so outputs are
-    unchanged), plus the SEVEN new round-12 capstones: q210 (X206
-    per-benchmark contamination coverage), q211 (X207 leakage-safe
-    cluster split), q212 (X208 soft dedup, the ceil(sqrt(n))
-    downweighting policy), q213 (X209 split-leakage audit, the
-    measure twin of q211), q214 (X210 per-doc boilerplate fraction),
-    q215 (X211 dedup threshold sweep) and q216 (X212 per-source
-    document cap). Then the q155-q193 band (VERDICT r11 #1: the
-    oldest third of the surface, last driver-checked r7-r8): 14
-    changed/new + the first 36 band keys = 50 — the cap excludes
-    q193 (the band's last member, still r7/r8-stale: it heads next
-    round's rotation) and the r9/r10-era q194-q196. Changed/new
-    queries sort FIRST so the cap can never silently drop a query
-    with zero fresh driver evidence; both committed selfcheck sweeps
-    cover the full surface at 2 SFs regardless. Every key keeps its
-    name — only dict insertion order changes."""
+    Round 13 heads the 50 with the queries whose implementation or
+    gate changed this round: the THREE new capstones q217 (X213
+    filter attrition waterfall), q218 (X214 token-budget epoch
+    recipe) and q219 (X215 IVF recall audit); q76 (normalize_by_group
+    moved to try_sum/try_multiply/try_subtract so the decimal-38
+    ceiling NULLs under ANSI instead of throwing — fixture outputs
+    identical); q213 (split_leakage_audit left-joins the split map
+    with a '(missing)' sentinel — full-coverage gate output
+    identical); and q206/q208/q209 (the trim family gained the
+    optional pass_stats hook — default None, output identical). Then
+    exactly what VERDICT r12 #1 ordered: q193 (the stalest driver
+    evidence, cut from r12's cap), q194-q196 (r9/r10-era), then the
+    oldest of the q100-q154 band (last driver-checked r6-r7) — the 8
+    changed/new + q193-q196 + the first 38 band keys (q100-q137)
+    = 50. Changed/new queries sort FIRST so the cap can never
+    silently drop a query with zero fresh driver evidence; both
+    committed selfcheck sweeps cover the full surface at 2 SFs
+    regardless. Every key keeps its name — only dict insertion order
+    changes."""
 
-    changed_r12 = {28, 145, 159, 178, 199, 208, 209, 210, 211, 212, 213, 214, 215, 216}
+    changed_r13 = {76, 206, 208, 209, 213, 217, 218, 219}
 
     def key(name: str):
         n = int(name[1:].split("_", 1)[0])
-        if n in changed_r12:
+        if n in changed_r13:
             return (0, n)
-        if 155 <= n <= 193:
+        if n in (193, 194, 195, 196):
             return (1, n)
-        if 194 <= n <= 200:
+        if 100 <= n <= 154:
             return (2, n)
         return (3, n)
 

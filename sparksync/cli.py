@@ -124,6 +124,13 @@ def main(argv: list[str] | None = None) -> int:
     for _p in (rfm_p,):
         _p.add_argument("--max-rows", type=int, default=2000)
         _p.add_argument("--out", default=None)
+    rcp = sub.add_parser("recipe")  # X214 token-budget epoch planning
+    rcp.add_argument("--table", default="documents")
+    rcp.add_argument("--budget", type=int, required=True,
+                     help="total training token budget")
+    rcp.add_argument("--max-epochs", type=float, default=4.0,
+                     help="per-source repeat ceiling")
+    rcp.add_argument("--group", default="source")
     res = sub.add_parser("resolve")  # X114 entity resolution (ed<=1 linkage)
     res.add_argument("--table", required=True)
     res.add_argument("--key", required=True)
@@ -177,6 +184,9 @@ def main(argv: list[str] | None = None) -> int:
             # round 12: per-doc boilerplate fraction (X210) and the
             # dedup threshold-sensitivity sweep (X211)
             "boilerplate", "threshold-sweep",
+            # round 13: the filter-pipeline attrition waterfall (X213)
+            # and the IVF recall audit vs exact kNN (X215)
+            "attrition", "ann-recall",
         ],
     )
     aud.add_argument("--table", help="pruning/quantile: table to audit")
@@ -211,6 +221,16 @@ def main(argv: list[str] | None = None) -> int:
     aud.add_argument("--rows-per-file", type=int, default=256)
     aud.add_argument("--rate", type=float, default=0.2)
     aud.add_argument("--threshold", type=float, default=0.8)
+    aud.add_argument(
+        "--queries",
+        help="ann-recall: comma-separated query vector ids",
+    )
+    aud.add_argument(
+        "--nprobe",
+        type=int,
+        default=2,
+        help="ann-recall: clusters probed per query",
+    )
     aud.add_argument(
         "--splits",
         default="train:0.8,val:0.1,test:0.1",
@@ -525,6 +545,24 @@ def main(argv: list[str] | None = None) -> int:
             k=args.tiles,
         ).orderBy("segment", args.key)
         _print_bounded(job.spark, out, args.max_rows, args.out)
+        return 0
+    if args.cmd == "recipe":
+        # X214: per-source token/epoch allocation (water-filling with
+        # repeat ceilings); output is n_sources rows — bounded by
+        # construction, no --max-rows needed
+        from .ext.sampling import epoch_recipe
+
+        for r in (
+            epoch_recipe(
+                job._read_source(args.table),
+                budget_tokens=args.budget,
+                max_epochs=args.max_epochs,
+                group_col=args.group,
+            )
+            .orderBy(args.group)
+            .collect()
+        ):
+            print(json.dumps(r.asDict()))
         return 0
     if args.cmd == "resolve":
         # entity resolution: ed<=1 linkage pairs -> connected components
@@ -934,6 +972,30 @@ def main(argv: list[str] | None = None) -> int:
                     id_col=args.id or "doc_id",
                 ),
                 thresholds=cands,
+            )
+        elif args.kind == "attrition":
+            # X213: the per-rule waterfall (fail / fail-only / cut /
+            # surviving) a curator reads before tuning filter rules
+            from .ext.textops import filter_attrition
+
+            if args.table is None:
+                p.error("audit --kind attrition needs --table")
+            out = filter_attrition(job._read_source(args.table))
+        elif args.kind == "ann-recall":
+            # X215: recall@k of the IVF index vs exact kNN on a query
+            # sample — the number that justifies an nprobe setting.
+            # --queries is a comma-separated id list; --nprobe the
+            # probed-cluster count
+            from .ext.similarity import ivf_recall_audit
+
+            for a in ("table", "queries"):
+                if getattr(args, a) is None:
+                    p.error(f"audit --kind ann-recall needs --{a}")
+            out = ivf_recall_audit(
+                job._read_source(args.table),
+                query_ids=[int(x) for x in args.queries.split(",") if x],
+                k=args.k,
+                nprobe=args.nprobe,
             )
         elif args.kind == "split-leakage":
             # X209: how many near-dup pairs straddle the doc-keyed

@@ -869,3 +869,104 @@ def topk_with_other(
         )
     )
     return top.select(group_col, key_col, "n_rows", "rnk").unionByName(other)
+
+
+def epoch_recipe(
+    df: DataFrame,
+    budget_tokens: int,
+    max_epochs: float = 4.0,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget EPOCH planning (X214): given a total training
+    budget and a repeat ceiling, decide how many tokens (and therefore
+    how many epochs/repeats) each source contributes — the "data
+    recipe" step that turns "2T tokens, nothing repeated more than 4x"
+    into per-source numbers a mix loader (budget_mix) can execute.
+    Scaling-laws practice caps repetition (repeating past ~4 epochs
+    yields rapidly diminishing returns — Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models"), so small high-quality
+    sources repeat up to the cap and the remaining budget spreads over
+    the bigger sources.
+
+    Semantics are classic WATER-FILLING with per-source ceilings:
+    alloc_s = min(cap_s, lam) where cap_s = max_epochs * n_tokens_s
+    and the water level lam makes the allocations sum to the budget
+    (every source gets an equal absolute share until its ceiling
+    binds). Closed form via one ordered prefix scan — sort sources by
+    cap ascending; source r (1-based, n total) is CAPPED iff
+    cap_r * (n - r + 1) <= budget - prefix_cap_{r-1}, the capped set
+    is a prefix of that order, and lam spreads what they left behind
+    over the n - m uncapped sources. If the budget exceeds the total
+    ceiling, every source caps and the shortfall is visible as
+    epochs = max_epochs everywhere with sum(allocated) < budget.
+
+    Scale shape: ONE per-source aggregate (map-side partial over the
+    corpus scan), then windows over the AGGREGATED frame — n_sources
+    rows (dozens), so the single-partition window exchange here is a
+    few-row driver-scale sort, the same documented exception as
+    mixture_report's total join; the corpus itself is touched exactly
+    once. Deterministic and engine-replayable: token counts are the
+    shared whitespace tokenizer, caps/levels are doubles derived from
+    exact bigint sums in a fixed operation order, ties in the cap
+    order break on the group value.
+
+    Output: (group, n_tokens, cap_tokens, allocated_tokens, epochs,
+    capped), one row per source, epochs <= max_epochs."""
+    from .textops import tokens
+
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be > 0, got {budget_tokens}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
+    n_tok = F.size(
+        F.coalesce(tokens(text_col), F.array().cast("array<string>"))
+    ).cast("long")
+    per = df.groupBy(group_col).agg(F.sum(n_tok).alias("n_tokens"))
+    cap = F.col("n_tokens").cast("double") * F.lit(float(max_epochs))
+    b = F.lit(float(budget_tokens))
+    w_ord = Window.orderBy(F.col("cap_tokens").asc(), F.col(group_col).asc())
+    w_prefix = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()
+    ranked = (
+        per.withColumn("cap_tokens", cap)
+        .withColumn("_rn", F.row_number().over(w_ord).cast("long"))
+        .withColumn(
+            "_prefix", F.coalesce(F.sum("cap_tokens").over(w_prefix), F.lit(0.0))
+        )
+        .withColumn("_n", F.count(F.lit(1)).over(w_all).cast("long"))
+        .withColumn(
+            "capped",
+            F.col("cap_tokens")
+            * (F.col("_n") - F.col("_rn") + 1).cast("double")
+            <= b - F.col("_prefix"),
+        )
+    )
+    lam_stats = ranked.withColumn(
+        "_capped_cap", F.when(F.col("capped"), F.col("cap_tokens")).otherwise(F.lit(0.0))
+    ).withColumn(
+        "_capped_n", F.when(F.col("capped"), F.lit(1)).otherwise(F.lit(0)).cast("long")
+    )
+    lam_stats = lam_stats.withColumn(
+        "_sum_capped", F.sum("_capped_cap").over(w_all)
+    ).withColumn("_m", F.sum("_capped_n").over(w_all))
+    lam = F.when(
+        F.col("_n") > F.col("_m"),
+        (b - F.col("_sum_capped"))
+        / (F.col("_n") - F.col("_m")).cast("double"),
+    ).otherwise(F.lit(None).cast("double"))
+    alloc = F.when(F.col("capped"), F.col("cap_tokens")).otherwise(lam)
+    return (
+        lam_stats.withColumn("allocated_tokens", alloc)
+        .withColumn(
+            "epochs",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("allocated_tokens") / F.col("n_tokens").cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select(
+            group_col, "n_tokens", "cap_tokens",
+            "allocated_tokens", "epochs", "capped",
+        )
+    )

@@ -1069,3 +1069,55 @@ def quantization_error_audit(
         (sqerr / F.size("v")).alias("mse"),
         cosine(F.col("v"), F.col("dq")).alias("cos_orig_deq"),
     )
+
+
+def ivf_recall_audit(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Measure the IVF shortcut instead of trusting it (X215): per
+    query, recall@k of ivf_search_batch (nprobe clusters scanned)
+    against knn_batch's exact top-k — the ANN member of the audit
+    family (minhash recall X176, LSH precision X182, quantization
+    error X?): nprobe/n_centroids is the knob that trades corpus-scan
+    fraction for recall, and this is the number that justifies a
+    setting before a 100 TB index rollout. Ties in cosine are broken
+    identically on both sides (cos desc, id), so recall is exact, not
+    tie-blurred.
+
+    Two corpus passes (one exact, one pruned — both broadcast the
+    query set and rank per-query in parallel), then a pair-of-top-k
+    join that is |queries| x k sized. Output: (query_id, n_hits,
+    recall_at_k), one row per query; the mean over queries is the
+    headline the caller reads."""
+    truth = knn_batch(emb, query_ids, k, id_col, vec_col)
+    approx = ivf_search_batch(
+        emb, query_ids, k, n_centroids, nprobe, id_col, vec_col,
+        centroids=centroids,
+    )
+    hits = truth.join(
+        approx.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    per_q = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    base = truth.select("query_id").distinct()
+    return (
+        base.join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / F.lit(float(k))
+            ).alias("recall_at_k"),
+        )
+    )

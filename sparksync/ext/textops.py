@@ -2022,3 +2022,51 @@ def lm_score_against_model(
         n_salts,
         [id_col, "n_tokens", "n_unk", "n_bigrams", "lm_surprisal"],
     )
+
+
+def filter_attrition(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The ATTRITION WATERFALL over corpus_filter_report's gates
+    (X213): per rule, in pipeline order (lang -> quality ->
+    repetition), how many docs fail it at all, how many fail ONLY it
+    (the marginal cost of keeping the rule), how many are actually cut
+    at its stage (fail it having passed every earlier gate — the
+    number the pipeline's logs show), and how many docs survive after
+    it. This is the table every corpus paper publishes (C4's table 1,
+    Gopher appendix A, RefinedWeb fig. 2) and the first thing a
+    curator reads when deciding which rule to tune: a rule with a big
+    n_fail but a near-zero n_fail_only is redundant with its
+    neighbors; a big n_cut at a late stage means the earlier gates are
+    leaking.
+
+    One codegen map over the scan (the per-doc flags, re-derived via
+    corpus_filter_report) + ONE global aggregate -> 3 rows; the
+    stack() unpivot runs on the single aggregate row. Counts are exact
+    bigints — fully engine-replayable. Output: (stage, rule, n_fail,
+    n_fail_only, n_cut, n_surviving), stage 1..3."""
+    rep = corpus_filter_report(df, text_col)
+    lng = F.col("is_en") == 1
+    qua = F.col("q_keep") == 1
+    repk = F.col("rep_keep") == 1
+
+    def cnt(cond) -> F.Column:
+        return F.sum(cond.cast("long"))
+
+    agg = rep.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        cnt(~lng).alias("f1"),
+        cnt(~lng & qua & repk).alias("o1"),
+        cnt(~qua).alias("f2"),
+        cnt(lng & ~qua & repk).alias("o2"),
+        cnt(lng & ~qua).alias("c2"),
+        cnt(~repk).alias("f3"),
+        cnt(lng & qua & ~repk).alias("o3"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(3,"
+            " cast(1 as bigint), 'lang', f1, o1, f1, n - f1,"
+            " cast(2 as bigint), 'quality', f2, o2, c2, n - f1 - c2,"
+            " cast(3 as bigint), 'repetition', f3, o3, o3, n - f1 - c2 - o3"
+            ") as (stage, rule, n_fail, n_fail_only, n_cut, n_surviving)"
+        )
+    )

@@ -1,0 +1,211 @@
+"""Round-13 curation-planning band: the attrition waterfall every
+corpus paper publishes, the token-budget epoch recipe (water-filling
+with repeat ceilings), and the IVF member of the ANN audit family.
+
+Same conventions as every band: each gate def returns a DataFrame whose
+columns are aliased identically in the DuckDB oracle below it.
+"""
+
+from __future__ import annotations
+
+from ._base import *  # noqa: F401,F403 — shared fixture/session surface
+from ._base import _dec, _register_views  # noqa: F401
+
+
+def q217_filter_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attrition waterfall over the filter pipeline's gates
+    (ext/textops.filter_attrition, X213): per rule in pipeline order,
+    docs failing it, failing ONLY it (the marginal cost of the rule),
+    cut at its stage, and surviving after it — one codegen map + one
+    global aggregate, 3 output rows."""
+    return textops.filter_attrition(load(spark, sf_dir, "documents"))
+
+
+# the flags CTE mirrors ORACLE_Q84 (corpus_filter_report's per-doc
+# verdicts); the waterfall is one aggregate + a 3-row union
+ORACLE_Q217 = """
+with m as (
+  select doc_id, text,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') as toks
+  from documents),
+f as (
+  select doc_id,
+         len(toks) as n,
+         len(list_filter(toks, x -> x in ('the','a','of'))) as stop_cnt,
+         len(list_distinct(toks)) as uniq,
+         case when len(toks) >= 2
+              then len(toks) - 1 else 0 end as n2,
+         case when len(toks) >= 2
+              then len(list_distinct(list_transform(
+                     generate_series(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i + 1])))
+              else 0 end as uniq2,
+         (text like '% the %' or text like 'the %' or text like '% the')
+           as en
+  from m),
+v as (
+  select doc_id,
+         case when en then 1 else 0 end as is_en,
+         case when n >= 20 and n <= 1000
+                    and (case when n > 0
+                         then cast(stop_cnt as double) / n else 0.0 end) < 0.5
+              then 1 else 0 end as q_keep,
+         case when
+                (case when n > 0
+                      then 1.0 - cast(uniq as double) / n else 0.0 end) <= 0.6
+                and
+                (case when n2 > 0
+                      then 1.0 - cast(uniq2 as double) / n2 else 0.0 end) <= 0.05
+              then 1 else 0 end as rep_keep
+  from v_src),
+a as (
+  select count(*) as n,
+         sum(case when is_en = 0 then 1 else 0 end) as f1,
+         sum(case when is_en = 0 and q_keep = 1 and rep_keep = 1
+                  then 1 else 0 end) as o1,
+         sum(case when q_keep = 0 then 1 else 0 end) as f2,
+         sum(case when is_en = 1 and q_keep = 0 and rep_keep = 1
+                  then 1 else 0 end) as o2,
+         sum(case when is_en = 1 and q_keep = 0 then 1 else 0 end) as c2,
+         sum(case when rep_keep = 0 then 1 else 0 end) as f3,
+         sum(case when is_en = 1 and q_keep = 1 and rep_keep = 0
+                  then 1 else 0 end) as o3
+  from v)
+select cast(1 as bigint) as stage, 'lang' as rule,
+       cast(f1 as bigint) as n_fail, cast(o1 as bigint) as n_fail_only,
+       cast(f1 as bigint) as n_cut, cast(n - f1 as bigint) as n_surviving
+from a
+union all
+select 2, 'quality', cast(f2 as bigint), cast(o2 as bigint),
+       cast(c2 as bigint), cast(n - f1 - c2 as bigint) from a
+union all
+select 3, 'repetition', cast(f3 as bigint), cast(o3 as bigint),
+       cast(o3 as bigint), cast(n - f1 - c2 - o3 as bigint) from a
+""".replace("from v_src", "from f")
+
+
+def q218_epoch_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget epoch planning (ext/sampling.epoch_recipe, X214):
+    water-filling allocation with a 2-epoch repeat ceiling over a
+    fixed 50k-token budget — small sources cap at 2 epochs, the rest
+    split the remainder evenly. All doubles derive
+    from exact bigint sums with integer-valued caps (max_epochs=2.0),
+    so every sum is exact and DuckDB replays the allocation
+    bit-for-bit."""
+    # 50k tokens: at sf0.01 (~27k corpus tokens, caps 2.2-3.1k) the
+    # smallest sources CAP while the rest share the water level — both
+    # branches of the allocation exercise at the driver's gate SF; at
+    # sf0.1 no source caps (level far below every cap), covering the
+    # uniform branch
+    docs = load(spark, sf_dir, "documents")
+    return sampling.epoch_recipe(
+        docs, budget_tokens=50_000, max_epochs=2.0
+    ).orderBy("source")
+
+
+ORACLE_Q218 = """
+with per as (
+  select source as grp,
+         cast(sum(len(list_filter(string_split(trim(text), ' '),
+                                  x -> x <> ''))) as bigint) as n_tokens
+  from documents group by source),
+r as (
+  select grp, n_tokens,
+         cast(n_tokens as double) * 2.0 as cap,
+         row_number() over (order by cast(n_tokens as double) * 2.0 asc,
+                            grp asc) as rn,
+         count(*) over () as n,
+         coalesce(sum(cast(n_tokens as double) * 2.0)
+                    over (order by cast(n_tokens as double) * 2.0 asc,
+                          grp asc
+                          rows between unbounded preceding
+                                   and 1 preceding), 0.0) as prefix
+  from per),
+c as (
+  select *,
+         cap * cast(n - rn + 1 as double) <= 50000.0 - prefix as capped
+  from r),
+s as (
+  select sum(case when capped then cap else 0.0 end) as sum_capped,
+         sum(case when capped then 1 else 0 end) as m,
+         max(n) as n
+  from c)
+select grp as source, n_tokens, cap as cap_tokens,
+       case when capped then cap
+            else (50000.0 - s.sum_capped) / cast(s.n - s.m as double)
+       end as allocated_tokens,
+       case when n_tokens > 0
+            then (case when capped then cap
+                       else (50000.0 - s.sum_capped)
+                            / cast(s.n - s.m as double) end)
+                 / cast(n_tokens as double)
+            else 0.0 end as epochs,
+       capped
+from c, s
+order by source
+"""
+
+
+def q219_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall audit (ext/similarity.ivf_recall_audit, X215):
+    recall@10 of the nprobe=2-of-8 IVF search against exact brute
+    kNN for 5 query vectors — the ANN member of the audit family
+    (the number that justifies an nprobe setting before a 100 TB
+    index rollout). One row per query."""
+    return similarity.ivf_recall_audit(
+        load(spark, sf_dir, "embeddings"),
+        query_ids=[200, 201, 202, 203, 204],
+        k=10,
+        n_centroids=8,
+        nprobe=2,
+    )
+
+
+# IVF replay mirrors ORACLE_Q86 (seed centroids vec_id < 8, cosine
+# assignment, nprobe probes, per-query rank), truth is the brute-force
+# window; recall joins the two top-k sets
+ORACLE_Q219 = """
+with c as (select vec_id as cid,
+                  list_transform(embedding, x -> cast(x as double)) as cv
+           from embeddings where vec_id < 8),
+v as (select vec_id, list_transform(embedding, x -> cast(x as double)) as vv
+      from embeddings),
+assign as (
+  select vec_id, cid as centroid_id from (
+    select v.vec_id, c.cid,
+           row_number() over (partition by v.vec_id
+                              order by list_cosine_similarity(vv, cv) desc, c.cid) rn
+    from v, c) where rn = 1),
+q as (select vec_id as query_id, vv as qv from v
+      where vec_id in (200, 201, 202, 203, 204)),
+truth as (
+  select query_id, vec_id from (
+    select q.query_id, v.vec_id,
+           row_number() over (partition by q.query_id
+                              order by list_cosine_similarity(v.vv, q.qv) desc,
+                                       v.vec_id) rn
+    from v, q where v.vec_id <> q.query_id) where rn <= 10),
+probes as (
+  select query_id, qv, cid from (
+    select q.query_id, q.qv, c.cid,
+           row_number() over (partition by q.query_id
+                              order by list_cosine_similarity(qv, cv) desc, c.cid) pr
+    from q, c) where pr <= 2),
+approx as (
+  select query_id, vec_id as neighbor_id from (
+    select p.query_id, v.vec_id,
+           row_number() over (partition by p.query_id
+                              order by list_cosine_similarity(v.vv, p.qv) desc,
+                                       v.vec_id) rn
+    from v join assign a using (vec_id)
+           join probes p on a.centroid_id = p.cid
+    where v.vec_id <> p.query_id) where rn <= 10)
+select t.query_id,
+       cast(sum(case when a.neighbor_id is not null then 1 else 0 end)
+            as bigint) as n_hits,
+       cast(sum(case when a.neighbor_id is not null then 1 else 0 end)
+            as double) / 10.0 as recall_at_k
+from truth t
+left join approx a on a.query_id = t.query_id and a.neighbor_id = t.vec_id
+group by t.query_id
+"""

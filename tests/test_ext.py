@@ -6264,3 +6264,85 @@ def test_trim_fixpoint_pass_stats(spark):
     # default None: no stats side-channel, same result
     out2 = self_trim_repeats(df, k=5, min_run=8, until_fixpoint=True).collect()
     assert out2[0].new_text == out[0].new_text
+
+
+def test_filter_attrition_waterfall_invariants(spark):
+    """X213: the attrition rows must be internally consistent with
+    corpus_filter_report on the same corpus — survivors decrease
+    monotonically, the final survivor count equals the report's keep
+    sum, n_cut partitions the dropped docs, and n_fail_only <= n_fail
+    <= n_docs."""
+    from sparksync.ext.textops import corpus_filter_report, filter_attrition
+    from sparksync.source import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    rows = {r.rule: r for r in filter_attrition(docs).collect()}
+    rep = corpus_filter_report(docs).collect()
+    n = len(rep)
+    kept = sum(r.keep for r in rep)
+    assert set(rows) == {"lang", "quality", "repetition"}
+    surv = [rows["lang"].n_surviving, rows["quality"].n_surviving,
+            rows["repetition"].n_surviving]
+    assert surv[0] >= surv[1] >= surv[2] == kept
+    assert sum(r.n_cut for r in rows.values()) == n - kept
+    for r in rows.values():
+        assert 0 <= r.n_fail_only <= r.n_fail <= n
+        assert r.n_cut <= r.n_fail
+    # reasons from the per-doc report agree with the cut counts
+    reasons = {}
+    for r in rep:
+        if r.reason:
+            reasons[r.reason] = reasons.get(r.reason, 0) + 1
+    for rule, row in rows.items():
+        assert reasons.get(rule, 0) == row.n_cut, rule
+
+
+def test_epoch_recipe_water_filling(spark):
+    """X214: allocations sum to the budget when any source is
+    uncapped, respect the per-source ceiling, fill to a COMMON level
+    across uncapped sources, and degrade to all-capped (sum < budget)
+    when the budget exceeds the total ceiling. Errors on nonsense
+    budgets."""
+    import pytest as _pytest
+
+    from sparksync.ext.sampling import epoch_recipe
+
+    df = spark.createDataFrame(
+        [("a", "x y z w v"), ("b", " ".join(f"t{i}" for i in range(50))),
+         ("c", " ".join(f"u{i}" for i in range(20)))],
+        "source string, text string",
+    )  # tokens: a=5, b=50, c=20; caps(2.0) = 10, 100, 40
+    out = {r.source: r for r in epoch_recipe(df, 60, 2.0).collect()}
+    # a caps (10*3=30<=60); level = (60-10)/2 = 25 -> b=25, c=25
+    assert out["a"].capped and out["a"].allocated_tokens == 10.0
+    assert not out["b"].capped and out["b"].allocated_tokens == 25.0
+    assert not out["c"].capped and out["c"].allocated_tokens == 25.0
+    assert abs(sum(r.allocated_tokens for r in out.values()) - 60.0) < 1e-9
+    assert all(r.epochs <= 2.0 + 1e-12 for r in out.values())
+    # budget above the total ceiling: everything caps, shortfall visible
+    out2 = {r.source: r for r in epoch_recipe(df, 1000, 2.0).collect()}
+    assert all(r.capped for r in out2.values())
+    assert sum(r.allocated_tokens for r in out2.values()) == 150.0 < 1000
+    assert all(abs(r.epochs - 2.0) < 1e-12 for r in out2.values())
+    with _pytest.raises(ValueError, match="budget_tokens"):
+        epoch_recipe(df, 0, 2.0)
+    with _pytest.raises(ValueError, match="max_epochs"):
+        epoch_recipe(df, 10, 0.0)
+
+
+def test_ivf_recall_audit_bounds_and_full_probe(spark):
+    """X215: recall is in [0,1] with n_hits = |ivf topk ∩ exact topk|,
+    every query id gets a row, and probing ALL centroids makes IVF
+    exhaustive -> recall exactly 1.0 for every query."""
+    from sparksync.ext.similarity import ivf_recall_audit
+    from sparksync.source import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qids = [200, 201, 202]
+    rows = {r.query_id: r for r in ivf_recall_audit(emb, qids, k=10, nprobe=2).collect()}
+    assert set(rows) == set(qids)
+    for r in rows.values():
+        assert 0 <= r.n_hits <= 10
+        assert abs(r.recall_at_k - r.n_hits / 10.0) < 1e-15
+    full = ivf_recall_audit(emb, qids, k=10, n_centroids=8, nprobe=8).collect()
+    assert all(r.recall_at_k == 1.0 for r in full)

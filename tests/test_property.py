@@ -481,3 +481,52 @@ def test_self_trim_repeats_matches_python_model(spark):
             for r in self_trim_repeats(df, k=K, min_run=MIN_RUN).collect()
         }
         assert got == {i: model_trim(t) for i, t in docs.items()}, seed
+
+
+def test_epoch_recipe_matches_python_model(spark):
+    """Water-filling model check (X214): for a spread of corpus shapes
+    and budgets, epoch_recipe's allocation equals a brute-force Python
+    water-filler (binary search on the level), allocations sum to
+    min(budget, total ceiling), and every source respects its cap."""
+    import random
+
+    from sparksync.ext.sampling import epoch_recipe
+
+    rng = random.Random(13)
+    for case in range(6):
+        n_sources = rng.randint(1, 9)
+        toks = {f"s{i}": rng.randint(1, 40) for i in range(n_sources)}
+        max_epochs = rng.choice([1.0, 2.0, 4.0])
+        budget = rng.randint(1, int(sum(toks.values()) * max_epochs * 1.5) + 1)
+        rows = [
+            (src, " ".join(f"w{src}_{j}" for j in range(n)))
+            for src, n in toks.items()
+        ]
+        df = spark.createDataFrame(rows, "source string, text string")
+        got = {
+            r.source: r
+            for r in epoch_recipe(df, budget, max_epochs).collect()
+        }
+        caps = {s: max_epochs * n for s, n in toks.items()}
+        total_cap = sum(caps.values())
+        if budget >= total_cap:
+            want = dict(caps)
+        else:
+            lo, hi = 0.0, max(caps.values())
+            for _ in range(200):  # binary search the water level
+                mid = (lo + hi) / 2
+                if sum(min(c, mid) for c in caps.values()) < budget:
+                    lo = mid
+                else:
+                    hi = mid
+            want = {s: min(c, hi) for s, c in caps.items()}
+        assert set(got) == set(want), case
+        for s in want:
+            assert abs(got[s].allocated_tokens - want[s]) < 1e-6, (
+                case, s, got[s].allocated_tokens, want[s])
+            assert got[s].allocated_tokens <= caps[s] + 1e-9
+            assert got[s].epochs <= max_epochs + 1e-9
+        assert abs(
+            sum(r.allocated_tokens for r in got.values())
+            - min(budget, total_cap)
+        ) < 1e-6, case

@@ -1651,3 +1651,35 @@ def test_cli_rfm_resolve_bounded_print_and_out(spark, tmp_path, capsys):
                  "--key", "s_suppkey", "--column", "s_name"]) == 0
     lines = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
     assert len(lines) == 10 and all("truncated" not in l for l in lines)
+
+
+def test_cli_recipe_and_round13_audit_kinds(tmp_path, capsys):
+    """recipe prints one allocation row per source summing to the
+    budget (when any source is uncapped); audit --kind attrition
+    prints the 3-row waterfall; audit --kind ann-recall prints one
+    recall row per query id."""
+    import json as _json
+
+    from sparksync.cli import main
+
+    dest = tmp_path / "dest"
+    assert main(["--src", SF_SMOKE, "--dest", str(dest),
+                 "recipe", "--budget", "5000", "--max-epochs", "2"]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert len(rows) == 20  # one per source
+    assert abs(sum(r["allocated_tokens"] for r in rows) - 5000) < 1e-6
+    assert all(r["epochs"] <= 2.0 + 1e-12 for r in rows)
+
+    assert main(["--src", SF_SMOKE, "--dest", str(dest),
+                 "audit", "--kind", "attrition", "--table", "documents"]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert [r["rule"] for r in rows] == ["lang", "quality", "repetition"]
+    assert rows[0]["n_surviving"] >= rows[2]["n_surviving"]
+
+    assert main(["--src", SF_SMOKE, "--dest", str(dest),
+                 "audit", "--kind", "ann-recall", "--table", "embeddings",
+                 "--queries", "200,201,202", "--k", "10",
+                 "--nprobe", "8"]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert {r["query_id"] for r in rows} == {200, 201, 202}
+    assert all(r["recall_at_k"] == 1.0 for r in rows)  # nprobe=all
