@@ -119,12 +119,14 @@ HEADLINE = [
     "q216_source_cap",
     # round-13 additions: the filter attrition waterfall (one codegen
     # map + one agg), the token-budget epoch recipe (per-source agg +
-    # few-row window), and the IVF recall audit (two corpus passes).
-    # Totals grow by THREE queries vs BENCH_r12 — compare per-query or
+    # few-row window), the IVF recall audit (two corpus passes), and
+    # the packing-efficiency sweep (one scan into one agg row).
+    # Totals grow by FOUR queries vs BENCH_r12 — compare per-query or
     # via baseline16_sum
     "q217_filter_attrition",
     "q218_epoch_recipe",
     "q219_ivf_recall",
+    "q220_packing_efficiency",
 ]
 
 # The original BENCH_r03 subset (16 queries + sync): their sum is

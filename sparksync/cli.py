@@ -184,9 +184,10 @@ def main(argv: list[str] | None = None) -> int:
             # round 12: per-doc boilerplate fraction (X210) and the
             # dedup threshold-sensitivity sweep (X211)
             "boilerplate", "threshold-sweep",
-            # round 13: the filter-pipeline attrition waterfall (X213)
-            # and the IVF recall audit vs exact kNN (X215)
-            "attrition", "ann-recall",
+            # round 13: the filter-pipeline attrition waterfall (X213),
+            # the IVF recall audit vs exact kNN (X215), and the
+            # context-length packing-waste sweep (X216)
+            "attrition", "ann-recall", "packing",
         ],
     )
     aud.add_argument("--table", help="pruning/quantile: table to audit")
@@ -981,6 +982,14 @@ def main(argv: list[str] | None = None) -> int:
             if args.table is None:
                 p.error("audit --kind attrition needs --table")
             out = filter_attrition(job._read_source(args.table))
+        elif args.kind == "packing":
+            # X216: doc-aligned padding waste vs the cross-doc packing
+            # bound per candidate context length
+            from .ext.sampling import packing_efficiency
+
+            if args.table is None:
+                p.error("audit --kind packing needs --table")
+            out = packing_efficiency(job._read_source(args.table))
         elif args.kind == "ann-recall":
             # X215: recall@k of the IVF index vs exact kNN on a query
             # sample — the number that justifies an nprobe setting.

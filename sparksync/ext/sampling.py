@@ -970,3 +970,69 @@ def epoch_recipe(
             "allocated_tokens", "epochs", "capped",
         )
     )
+
+
+def packing_efficiency(
+    df: DataFrame,
+    ctx_lens: tuple[int, ...] = (64, 128, 256, 512),
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-length PLANNING sweep (X216): for each candidate context
+    length, the cost of doc-aligned packing (every document chunked to
+    ctx_len pieces, final partial chunk padded — chunk_documents'
+    semantics) against the cross-doc lower bound (ceil(total/ctx), what
+    pack_sequences approaches): chunk count, padding tokens, padding
+    fraction, and the overhead multiple vs the bound. truncation_loss
+    answers "what does a HARD CUT at L lose"; this answers "what does
+    PADDING at L cost" — together they are the two numbers a pretrain
+    config reads before fixing seq_len, and a pad_frac cliff between
+    rows tells you which context length your length distribution
+    actually fits.
+
+    ONE corpus scan (per-doc token counts, map-side partial agg into
+    one row of sums — sum(ceil(t/L)) computed per L in the same agg),
+    then a |ctx_lens|-literal stack on the single aggregate row. Exact
+    bigint arithmetic end to end; two double divisions per output row.
+    Output: (ctx_len, n_docs, total_tokens, doc_chunks, min_sequences,
+    pad_tokens, pad_frac, overhead), one row per candidate length."""
+    from .textops import tokens
+
+    if not ctx_lens or any(int(c) <= 0 for c in ctx_lens):
+        raise ValueError(f"ctx_lens must be positive, got {ctx_lens!r}")
+    lens = [int(c) for c in ctx_lens]
+    t = F.size(
+        F.coalesce(tokens(text_col), F.array().cast("array<string>"))
+    ).cast("long")
+    # coalesce: an EMPTY corpus aggregates to NULL sums, which would
+    # ripple NULL through every stacked row — zeros are the honest
+    # answer (identical output for any non-empty corpus)
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum(t), F.lit(0)).cast("long").alias("total"),
+    ]
+    for c in lens:
+        # ceil(t/c) for t>0 == floor((t + c - 1) / c); 0-token docs
+        # contribute no chunk
+        aggs.append(
+            F.coalesce(
+                F.sum(F.floor((t + F.lit(c - 1)) / F.lit(c))), F.lit(0)
+            ).cast("long").alias(f"_ch{c}")
+        )
+    one = df.agg(*aggs)
+    rows = ", ".join(
+        f"cast({c} as bigint), n_docs, total, _ch{c},"
+        # cross-doc lower bound: ceil(total / c), exact bigints
+        f" cast(floor((total + {c - 1}) / {c}) as bigint),"
+        f" _ch{c} * {c} - total,"
+        f" cast(_ch{c} * {c} - total as double)"
+        f" / cast(greatest(_ch{c} * {c}, 1) as double),"
+        f" cast(_ch{c} as double)"
+        f" / cast(greatest(floor((total + {c - 1}) / {c}), 1) as double)"
+        for c in lens
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(lens)}, {rows}) as (ctx_len, n_docs, total_tokens,"
+            " doc_chunks, min_sequences, pad_tokens, pad_frac, overhead)"
+        )
+    )

@@ -209,3 +209,37 @@ from truth t
 left join approx a on a.query_id = t.query_id and a.neighbor_id = t.vec_id
 group by t.query_id
 """
+
+
+def q220_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length packing sweep (ext/sampling.packing_efficiency,
+    X216): per candidate ctx length, doc-aligned chunk count and
+    padding waste vs the cross-doc packing lower bound — one corpus
+    scan, a 4-literal stack on the single aggregate row."""
+    return sampling.packing_efficiency(load(spark, sf_dir, "documents"))
+
+
+ORACLE_Q220 = """
+with per as (
+  select len(list_filter(string_split(trim(text), ' '), x -> x <> '')) as t
+  from documents),
+a as (
+  select cast(count(*) as bigint) as n_docs,
+         cast(sum(t) as bigint) as total,
+         cast(sum(floor((t + 63) / 64)) as bigint) as ch64,
+         cast(sum(floor((t + 127) / 128)) as bigint) as ch128,
+         cast(sum(floor((t + 255) / 256)) as bigint) as ch256,
+         cast(sum(floor((t + 511) / 512)) as bigint) as ch512
+  from per)
+select cast(c as bigint) as ctx_len, n_docs, total as total_tokens,
+       ch as doc_chunks,
+       cast(floor((total + c - 1) / c) as bigint) as min_sequences,
+       ch * c - total as pad_tokens,
+       cast(ch * c - total as double)
+         / cast(greatest(ch * c, 1) as double) as pad_frac,
+       cast(ch as double)
+         / cast(greatest(floor((total + c - 1) / c), 1) as double) as overhead
+from a, (values (64), (128), (256), (512)) l(c),
+     lateral (select case c when 64 then ch64 when 128 then ch128
+                            when 256 then ch256 else ch512 end as ch) x
+"""

@@ -6346,3 +6346,37 @@ def test_ivf_recall_audit_bounds_and_full_probe(spark):
         assert abs(r.recall_at_k - r.n_hits / 10.0) < 1e-15
     full = ivf_recall_audit(emb, qids, k=10, n_centroids=8, nprobe=8).collect()
     assert all(r.recall_at_k == 1.0 for r in full)
+
+
+def test_packing_efficiency_invariants(spark):
+    """X216: chunk counts respect the per-doc ceiling arithmetic,
+    doc_chunks >= min_sequences (the cross-doc bound), pad accounting
+    closes exactly (doc_chunks*ctx = total + pad), fractions bounded,
+    and a ctx length longer than every doc makes doc_chunks == n_docs
+    (one padded chunk per doc). Rejects nonsense lengths."""
+    import math
+
+    import pytest as _pytest
+
+    from sparksync.ext.sampling import packing_efficiency
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, " ".join(f"t{i}" for i in range(130))), (3, None),
+         (4, "x")],
+        "doc_id long, text string",
+    )
+    toks = [3, 130, 0, 1]
+    rows = {r.ctx_len: r for r in packing_efficiency(docs, (4, 64, 1000)).collect()}
+    total = sum(toks)
+    for c, r in rows.items():
+        want_chunks = sum(math.ceil(t / c) for t in toks)
+        assert r.doc_chunks == want_chunks, c
+        assert r.min_sequences == math.ceil(total / c)
+        assert r.doc_chunks >= r.min_sequences
+        assert r.doc_chunks * c == total + r.pad_tokens
+        assert 0.0 <= r.pad_frac < 1.0
+        assert r.overhead >= 1.0
+        assert r.total_tokens == total and r.n_docs == 4
+    assert rows[1000].doc_chunks == 3  # one chunk per non-empty doc
+    with _pytest.raises(ValueError, match="ctx_lens"):
+        packing_efficiency(docs, (0,))

@@ -1683,3 +1683,9 @@ def test_cli_recipe_and_round13_audit_kinds(tmp_path, capsys):
     rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
     assert {r["query_id"] for r in rows} == {200, 201, 202}
     assert all(r["recall_at_k"] == 1.0 for r in rows)  # nprobe=all
+
+    assert main(["--src", SF_SMOKE, "--dest", str(dest),
+                 "audit", "--kind", "packing", "--table", "documents"]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert [r["ctx_len"] for r in rows] == [64, 128, 256, 512]
+    assert all(r["doc_chunks"] >= r["min_sequences"] for r in rows)

@@ -73,6 +73,13 @@ QUERIES_TO_PROBE = [
     # identical by the hash bijection)
     "q214_boilerplate_score",
     "q216_source_cap",
+    # round-13: attrition (one scan + one agg), epoch recipe (one scan
+    # + few-row window), IVF recall (two corpus passes) — all
+    # source-independent, the gate forms ARE the production forms
+    "q217_filter_attrition",
+    "q218_epoch_recipe",
+    "q219_ivf_recall",
+    "q220_packing_efficiency",
 ]
 
 # VERDICT r11 #7: rows whose measured regime is NOT the production
