@@ -121,9 +121,8 @@ def main(argv: list[str] | None = None) -> int:
     # executor-side (VERDICT r12 #2: rfm output is customer-sized,
     # resolve output is corpus-sized — an unbounded collect through
     # the driver is an OOM at 100 TB; same pattern as `audit`)
-    for _p in (rfm_p,):
-        _p.add_argument("--max-rows", type=int, default=2000)
-        _p.add_argument("--out", default=None)
+    rfm_p.add_argument("--max-rows", type=int, default=2000)
+    rfm_p.add_argument("--out", default=None)
     rcp = sub.add_parser("recipe")  # X214 token-budget epoch planning
     rcp.add_argument("--table", default="documents")
     rcp.add_argument("--budget", type=int, required=True,

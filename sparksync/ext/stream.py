@@ -197,6 +197,12 @@ def cdc_apply_stream(
         # lose files mid-scan (ADVICE r12 — immediate rmtree
         # contradicted the one-complete-snapshot claim). Best-effort; a
         # crash here just leaves extra dirs for the next batch's sweep.
+        def _mtime(p: str) -> float:
+            try:  # a dir can vanish mid-sweep; best-effort means
+                return os.path.getmtime(p)  # never raising here
+            except OSError:
+                return 0.0
+
         new_real = os.path.realpath(new)
         survivors = sorted(
             (
@@ -204,7 +210,7 @@ def cdc_apply_stream(
                 for p in _glob.glob(snapshot_path + ".v*")
                 if os.path.realpath(p) != new_real
             ),
-            key=lambda p: os.path.getmtime(p),
+            key=_mtime,
         )
         for p in survivors[:-1]:
             shutil.rmtree(p, ignore_errors=True)
