@@ -1091,18 +1091,26 @@ def ivf_recall_audit(
     identically on both sides (cos desc, id), so recall is exact, not
     tie-blurred.
 
-    Two corpus passes (one exact, one pruned — both broadcast the
-    query set and rank per-query in parallel), then a pair-of-top-k
-    join that is |queries| x k sized. Output: (query_id, n_hits,
-    recall_at_k), one row per query; the mean over queries is the
-    headline the caller reads."""
+    Two LOGICAL corpus passes (one exact, one pruned — both broadcast
+    the query set and rank per-query in parallel); the input is PINNED
+    (features._pin, the FIFO registry) because the exact and pruned
+    sides re-derive corpus/centroid/query frames from `emb`
+    independently — unpinned, the physical plan reads the source NINE
+    times (plan-audited r13), and at 100 TB nine corpus scans vs one
+    is the whole game. The pair-of-top-k joins are |queries| x k sized
+    and broadcast. Output: (query_id, n_hits, recall_at_k), one row
+    per query; the mean over queries is the headline the caller
+    reads."""
+    from .features import _pin
+
+    emb = _pin(emb)
     truth = knn_batch(emb, query_ids, k, id_col, vec_col)
     approx = ivf_search_batch(
         emb, query_ids, k, n_centroids, nprobe, id_col, vec_col,
         centroids=centroids,
     )
     hits = truth.join(
-        approx.select("query_id", "neighbor_id"),
+        F.broadcast(approx.select("query_id", "neighbor_id")),
         ["query_id", "neighbor_id"],
         "left_semi",
     )
@@ -1111,7 +1119,7 @@ def ivf_recall_audit(
     )
     base = truth.select("query_id").distinct()
     return (
-        base.join(per_q, "query_id", "left")
+        base.join(F.broadcast(per_q), "query_id", "left")
         .select(
             "query_id",
             F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),

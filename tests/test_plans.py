@@ -973,3 +973,30 @@ def test_decision_report_single_fingerprint_pass(spark, monkeypatch):
     # topline's min-id canonical and the keeper's max-quality pick)
     assert top.n3 == kept_drop
     features.release_pinned()
+
+
+def test_round13_new_queries_plan_shapes(spark):
+    """Round-13 additions, the shapes that matter at 100 TB: the three
+    single-aggregate planners (attrition / epoch recipe / packing)
+    read the corpus EXACTLY once with partial+final aggregation and at
+    most the one inherent tiny-exchange (global agg or few-row
+    window); the IVF recall audit pins its input so the exact and
+    pruned sides share ONE materialization (unpinned, the plan read
+    the source nine times — plan-audited r13) and joins its
+    |queries|*k top-k sets broadcast, never sort-merge."""
+    from sparksync.ext import features
+
+    for q in ("q217_filter_attrition", "q218_epoch_recipe",
+              "q220_packing_efficiency"):
+        plan = plan_of(QUERIES[q](spark, SF_SMOKE))
+        assert plan.count("Scan parquet") == 1, q
+        assert "HashAggregate" in plan, q
+        assert "SortMergeJoin" not in plan, q
+        assert plan.count("SinglePartition") <= 1, q
+
+    features.release_pinned()
+    plan = plan_of(QUERIES["q219_ivf_recall"](spark, SF_SMOKE))
+    assert plan.count("InMemoryTableScan") >= 8, "emb input not pinned"
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    features.release_pinned()
