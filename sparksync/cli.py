@@ -95,6 +95,8 @@ def main(argv: list[str] | None = None) -> int:
     card.add_argument("--group", required=True)
     card.add_argument("--value", required=True)
     card.add_argument("--k", type=int, default=64)
+    card.add_argument("--max-rows", type=int, default=2000)
+    card.add_argument("--out", default=None)
     hot = sub.add_parser("hot-values")  # X78 CMS heavy hitters
     hot.add_argument("--table", required=True)
     hot.add_argument("--column", required=True)
@@ -105,6 +107,9 @@ def main(argv: list[str] | None = None) -> int:
     quant.add_argument("--value", required=True)
     quant.add_argument("--id", required=True)
     quant.add_argument("--rate", type=float, default=0.2)
+    # group-cardinality output: same bounded contract as rfm/resolve
+    quant.add_argument("--max-rows", type=int, default=2000)
+    quant.add_argument("--out", default=None)
     srch = sub.add_parser("search")  # X108 BM25 lexical retrieval
     srch.add_argument("--table", default="documents")
     srch.add_argument("--terms", required=True, help="comma-separated query")
@@ -480,17 +485,14 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.cmd == "cardinality":
         # per-group distinct-count profile via the portable KMV sketch
-        # (exact below k, estimated above) — fixed memory per group
+        # (exact below k, estimated above) — fixed memory per group;
+        # group-cardinality output rides the bounded contract
         from .ext.skew import approx_distinct_kmv
 
-        for r in (
-            approx_distinct_kmv(
-                job._read_source(args.table), args.group, args.value, k=args.k
-            )
-            .orderBy(args.group)
-            .collect()
-        ):
-            print(json.dumps(r.asDict()))
+        out = approx_distinct_kmv(
+            job._read_source(args.table), args.group, args.value, k=args.k
+        ).orderBy(args.group)
+        _print_bounded(job.spark, out, args.max_rows, args.out)
         return 0
     if args.cmd == "hot-values":
         # heavy hitters via the portable count-min sketch; exact counts
@@ -503,21 +505,19 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(r.asDict()))
         return 0
     if args.cmd == "quantiles":
-        # per-group quantile profile on the deterministic hash sample
+        # per-group quantile profile on the deterministic hash sample;
+        # output is GROUP-cardinality-sized (corpus-scale for a
+        # high-cardinality group column) -> bounded preview + --out
         from .ext.skew import sampled_quantiles
 
-        for r in (
-            sampled_quantiles(
-                job._read_source(args.table),
-                args.group,
-                args.value,
-                args.id,
-                rate=args.rate,
-            )
-            .orderBy(args.group)
-            .collect()
-        ):
-            print(json.dumps(r.asDict()))
+        out = sampled_quantiles(
+            job._read_source(args.table),
+            args.group,
+            args.value,
+            args.id,
+            rate=args.rate,
+        ).orderBy(args.group)
+        _print_bounded(job.spark, out, args.max_rows, args.out)
         return 0
     if args.cmd == "search":
         # BM25 over the corpus (standard ln idf); score + doc length

@@ -1689,3 +1689,17 @@ def test_cli_recipe_and_round13_audit_kinds(tmp_path, capsys):
     rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
     assert [r["ctx_len"] for r in rows] == [64, 128, 256, 512]
     assert all(r["doc_chunks"] >= r["min_sequences"] for r in rows)
+
+    # group-cardinality verbs share the bounded contract (r13)
+    assert main(["--src", SF_SMOKE, "--dest", str(dest),
+                 "cardinality", "--table", "events", "--group",
+                 "event_type", "--value", "user_id",
+                 "--max-rows", "2"]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert len(rows) == 3 and rows[-1]["truncated"] is True
+    assert main(["--src", SF_SMOKE, "--dest", str(dest),
+                 "quantiles", "--table", "orders", "--group",
+                 "o_orderpriority", "--value", "o_totalprice",
+                 "--id", "o_orderkey", "--max-rows", "3"]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert len(rows) == 4 and rows[-1]["truncated"] is True
