@@ -120,13 +120,15 @@ HEADLINE = [
     # round-13 additions: the filter attrition waterfall (one codegen
     # map + one agg), the token-budget epoch recipe (per-source agg +
     # few-row window), the IVF recall audit (two corpus passes), and
-    # the packing-efficiency sweep (one scan into one agg row).
-    # Totals grow by FOUR queries vs BENCH_r12 — compare per-query or
+    # the packing-efficiency sweep (one scan into one agg row), and
+    # the signal-AUC audit (three value-groupBys + global_cumsum).
+    # Totals grow by FIVE queries vs BENCH_r12 — compare per-query or
     # via baseline16_sum
     "q217_filter_attrition",
     "q218_epoch_recipe",
     "q219_ivf_recall",
     "q220_packing_efficiency",
+    "q221_signal_auc",
 ]
 
 # The original BENCH_r03 subset (16 queries + sync): their sum is

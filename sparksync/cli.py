@@ -189,9 +189,10 @@ def main(argv: list[str] | None = None) -> int:
             # dedup threshold-sensitivity sweep (X211)
             "boilerplate", "threshold-sweep",
             # round 13: the filter-pipeline attrition waterfall (X213),
-            # the IVF recall audit vs exact kNN (X215), and the
-            # context-length packing-waste sweep (X216)
-            "attrition", "ann-recall", "packing",
+            # the IVF recall audit vs exact kNN (X215), the
+            # context-length packing-waste sweep (X216), and the
+            # signal-discrimination AUC audit (X217)
+            "attrition", "ann-recall", "packing", "signal-auc",
         ],
     )
     aud.add_argument("--table", help="pruning/quantile: table to audit")
@@ -229,6 +230,10 @@ def main(argv: list[str] | None = None) -> int:
     aud.add_argument(
         "--queries",
         help="ann-recall: comma-separated query vector ids",
+    )
+    aud.add_argument(
+        "--signals",
+        help="signal-auc: comma-separated signal column names",
     )
     aud.add_argument(
         "--nprobe",
@@ -989,6 +994,22 @@ def main(argv: list[str] | None = None) -> int:
             if args.table is None:
                 p.error("audit --kind packing needs --table")
             out = packing_efficiency(job._read_source(args.table))
+        elif args.kind == "signal-auc":
+            # X217: tie-corrected ROC-AUC of each --signals column
+            # against the --target label expression
+            from pyspark.sql import functions as F
+
+            from .ext.features import signal_auc
+
+            for a in ("table", "target", "signals"):
+                if getattr(args, a) is None:
+                    p.error(f"audit --kind signal-auc needs --{a}")
+            t = job._read_source(args.table)
+            out = signal_auc(
+                t.withColumn("_y", F.expr(args.target).cast("long")),
+                "_y",
+                [c for c in args.signals.split(",") if c],
+            )
         elif args.kind == "ann-recall":
             # X215: recall@k of the IVF index vs exact kNN on a query
             # sample — the number that justifies an nprobe setting.

@@ -1145,3 +1145,78 @@ def chisq_independence(
             ).alias("contribution"),
         )
     )
+
+
+def signal_auc(
+    df: DataFrame,
+    label_col: str,
+    signal_cols: list[str],
+) -> DataFrame:
+    """ROC-AUC of each candidate SIGNAL against a binary label (X217)
+    — "which cheap signal best discriminates quality" is the question
+    every filter-tuning session starts with, and AUC is its canonical
+    answer: the probability a random positive outranks a random
+    negative, computed exactly via the Mann-Whitney rank-sum identity
+    AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg) with AVERAGE
+    ranks for ties (the standard tie correction), higher signal =
+    predicts label 1. One row per signal; 0.5 = uninformative, NULL
+    when a class is empty (AUC undefined).
+
+    Scale shape, per signal: one groupBy on the signal VALUE
+    (map-side partial; distinct-value-sized output), then
+    global_cumsum's two-phase distributed running count over the value
+    order — no single-partition window anywhere, the q45/q167
+    machinery. Doubled rank sums keep everything in exact integers
+    (avg rank of a tied block = (2*cum_before + n + 1)/2, so 2*R_pos =
+    sum(npos * (2*(cum - n) + n + 1))); products ride decimal(38,0)
+    (rank ~ corpus size, npos * rank overflows int64 past ~3e9 rows)
+    and the ONE double division happens at the end — bit-replayable.
+    NULL signal values are excluded (rank undefined), visible via
+    n_pos + n_neg < corpus count."""
+    outs = []
+    for s in signal_cols:
+        d = df.select(
+            F.col(s).alias("_v"),
+            (F.col(label_col).cast("long") > 0).cast("long").alias("_y"),
+        ).where(F.col("_v").isNotNull() & F.col("_y").isNotNull())
+        g = d.groupBy("_v").agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum("_y").cast("long").alias("_npos"),
+        )
+        c = global_cumsum(g, ["_v"], "_n", "_cum")
+        dec = "decimal(38,0)"
+        two_rpos = (
+            F.col("_npos").cast(dec)
+            * (
+                F.lit(2).cast(dec) * (F.col("_cum") - F.col("_n")).cast(dec)
+                + F.col("_n").cast(dec)
+                + F.lit(1).cast(dec)
+            )
+        )
+        agg = c.agg(
+            F.sum(two_rpos).alias("_2rpos"),
+            F.sum("_npos").cast("long").alias("n_pos"),
+            (F.sum("_n") - F.sum("_npos")).cast("long").alias("n_neg"),
+        )
+        auc = F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            (
+                F.col("_2rpos")
+                - F.col("n_pos").cast(dec)
+                * (F.col("n_pos").cast(dec) + F.lit(1).cast(dec))
+            ).cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_pos").cast("double")
+                * F.col("n_neg").cast("double")
+            ),
+        ).otherwise(F.lit(None).cast("double"))
+        outs.append(
+            agg.select(
+                F.lit(s).alias("signal"), "n_pos", "n_neg", auc.alias("auc")
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

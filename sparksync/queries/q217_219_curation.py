@@ -243,3 +243,108 @@ from a, (values (64), (128), (256), (512)) l(c),
      lateral (select case c when 64 then ch64 when 128 then ch128
                             when 256 then ch256 else ch512 end as ch) x
 """
+
+
+def q221_signal_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signal-discrimination audit (ext/features.signal_auc, X217):
+    exact tie-corrected ROC-AUC of three cheap signals (n_chars,
+    n_tokens, stop_ratio) against the quality keep label — rank sums
+    via the distributed global_cumsum, doubled ranks in exact
+    decimals, one double division per signal. 3 rows."""
+    from ..ext import features
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " +")
+    toks = F.filter(toks, lambda x: x != "")
+    n = F.size(toks).cast("long")
+    stop_arr = F.array(F.lit("the"), F.lit("a"), F.lit("of"))
+    stop_cnt = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    stop_ratio = F.when(
+        n > 0, stop_cnt.cast("double") / n.cast("double")
+    ).otherwise(F.lit(0.0))
+    labeled = d.select(
+        "n_chars",
+        n.alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        (
+            (n >= 20) & (n <= 1000) & (stop_ratio < 0.5)
+        ).cast("long").alias("keep"),
+    )
+    return features.signal_auc(
+        labeled, "keep", ["n_chars", "n_tokens", "stop_ratio"]
+    )
+
+
+# one AUC block per signal (rank sums over a value-grouped window
+# cumsum — ties get average ranks by construction), identical
+# arithmetic order to the engine: doubled integer rank sums, one
+# double division
+ORACLE_Q221 = """
+with f as (
+  select n_chars,
+         len(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+           as n_tokens,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') as toks
+  from documents),
+l as (
+  select n_chars, n_tokens,
+         case when n_tokens > 0
+              then cast(len(list_filter(toks, x -> x in ('the','a','of')))
+                        as double) / n_tokens
+              else 0.0 end as stop_ratio,
+         case when n_tokens >= 20 and n_tokens <= 1000
+                   and (case when n_tokens > 0
+                        then cast(len(list_filter(toks, x -> x in ('the','a','of')))
+                                  as double) / n_tokens
+                        else 0.0 end) < 0.5
+              then 1 else 0 end as y
+  from f),
+auc_nc as (
+  select 'n_chars' as signal, n_pos, n_neg,
+         case when n_pos > 0 and n_neg > 0
+              then cast(rs2 - np_h * (np_h + 1) as double)
+                   / (2.0 * n_pos * n_neg) end as auc
+  from (
+    select sum(npos * (2 * (cum - n) + n + 1)) as rs2,
+           cast(sum(npos) as bigint) as n_pos,
+           cast(sum(n) - sum(npos) as bigint) as n_neg,
+           cast(sum(npos) as hugeint) as np_h
+    from (
+      select n, npos, sum(n) over (order by v rows unbounded preceding) as cum
+      from (select n_chars as v, cast(count(*) as hugeint) as n,
+                   cast(sum(y) as hugeint) as npos
+            from l where n_chars is not null group by n_chars)))),
+auc_nt as (
+  select 'n_tokens' as signal, n_pos, n_neg,
+         case when n_pos > 0 and n_neg > 0
+              then cast(rs2 - np_h * (np_h + 1) as double)
+                   / (2.0 * n_pos * n_neg) end as auc
+  from (
+    select sum(npos * (2 * (cum - n) + n + 1)) as rs2,
+           cast(sum(npos) as bigint) as n_pos,
+           cast(sum(n) - sum(npos) as bigint) as n_neg,
+           cast(sum(npos) as hugeint) as np_h
+    from (
+      select n, npos, sum(n) over (order by v rows unbounded preceding) as cum
+      from (select n_tokens as v, cast(count(*) as hugeint) as n,
+                   cast(sum(y) as hugeint) as npos
+            from l group by n_tokens)))),
+auc_sr as (
+  select 'stop_ratio' as signal, n_pos, n_neg,
+         case when n_pos > 0 and n_neg > 0
+              then cast(rs2 - np_h * (np_h + 1) as double)
+                   / (2.0 * n_pos * n_neg) end as auc
+  from (
+    select sum(npos * (2 * (cum - n) + n + 1)) as rs2,
+           cast(sum(npos) as bigint) as n_pos,
+           cast(sum(n) - sum(npos) as bigint) as n_neg,
+           cast(sum(npos) as hugeint) as np_h
+    from (
+      select n, npos, sum(n) over (order by v rows unbounded preceding) as cum
+      from (select stop_ratio as v, cast(count(*) as hugeint) as n,
+                   cast(sum(y) as hugeint) as npos
+            from l group by stop_ratio))))
+select * from auc_nc
+union all select * from auc_nt
+union all select * from auc_sr
+"""

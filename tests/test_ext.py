@@ -6380,3 +6380,47 @@ def test_packing_efficiency_invariants(spark):
     assert rows[1000].doc_chunks == 3  # one chunk per non-empty doc
     with _pytest.raises(ValueError, match="ctx_lens"):
         packing_efficiency(docs, (0,))
+
+
+def test_signal_auc_matches_python_model(spark):
+    """X217: exact tie-corrected Mann-Whitney AUC equals a brute-force
+    python model on a seeded random frame (informative and noise
+    signals); degenerate one-class label yields NULL; NULL signal
+    values are excluded from the ranking."""
+    import bisect
+    import random
+
+    from sparksync.ext.features import signal_auc
+
+    rng = random.Random(41)
+    rows = [(rng.randint(0, 15), rng.random() < 0.3) for _ in range(300)]
+    rows = [(a + (6 if y else 0), y) for a, y in rows]
+    df = spark.createDataFrame(
+        [(a, 1 if y else 0) for a, y in rows], "a long, y long"
+    )
+
+    def py_auc(vals):
+        pos = sorted(v for v, y in vals if y)
+        neg = sorted(v for v, y in vals if not y)
+        u = 0.0
+        for v in pos:
+            lo = bisect.bisect_left(neg, v)
+            hi = bisect.bisect_right(neg, v)
+            u += lo + 0.5 * (hi - lo)
+        return u / (len(pos) * len(neg))
+
+    r = signal_auc(df, "y", ["a"]).collect()[0]
+    assert abs(r.auc - py_auc(rows)) < 1e-12
+    assert r.n_pos + r.n_neg == 300
+
+    # NULL signal rows drop out of the ranking, visible in the counts
+    with_null = spark.createDataFrame(
+        [(1, 1), (None, 1), (0, 0), (2, 0)], "a long, y long"
+    )
+    r2 = signal_auc(with_null, "y", ["a"]).collect()[0]
+    assert r2.n_pos == 1 and r2.n_neg == 2
+    assert abs(r2.auc - 0.5) < 1e-12  # 1 beats 0, loses to 2
+
+    # one-class label: AUC undefined -> NULL
+    one = spark.createDataFrame([(1, 1), (2, 1)], "a long, y long")
+    assert signal_auc(one, "y", ["a"]).collect()[0].auc is None

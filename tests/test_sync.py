@@ -1703,3 +1703,12 @@ def test_cli_recipe_and_round13_audit_kinds(tmp_path, capsys):
                  "--id", "o_orderkey", "--max-rows", "3"]) == 0
     rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
     assert len(rows) == 4 and rows[-1]["truncated"] is True
+
+    assert main(["--src", SF_SMOKE, "--dest", str(dest),
+                 "audit", "--kind", "signal-auc", "--table", "documents",
+                 "--target", "n_chars >= 200",
+                 "--signals", "n_chars,doc_id"]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    by = {r["signal"]: r for r in rows}
+    assert by["n_chars"]["auc"] == 1.0  # the label IS the signal
+    assert abs(by["doc_id"]["auc"] - 0.5) < 0.2  # ids are noise

@@ -80,6 +80,7 @@ QUERIES_TO_PROBE = [
     "q218_epoch_recipe",
     "q219_ivf_recall",
     "q220_packing_efficiency",
+    "q221_signal_auc",
 ]
 
 # VERDICT r11 #7: rows whose measured regime is NOT the production
