@@ -1103,7 +1103,9 @@ def ivf_recall_audit(
     reads."""
     from .features import _pin
 
-    emb = _pin(emb)
+    # pin the PROJECTION, not the input row: the audit only ever reads
+    # (id, vector), and at corpus scale the cached bytes are the cost
+    emb = _pin(emb.select(F.col(id_col), F.col(vec_col)))
     truth = knn_batch(emb, query_ids, k, id_col, vec_col)
     approx = ivf_search_batch(
         emb, query_ids, k, n_centroids, nprobe, id_col, vec_col,
