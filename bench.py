@@ -270,6 +270,13 @@ def main() -> int:
             "loadavg_before": [round(x, 2) for x in load_before],
             "loadavg_after": [round(x, 2) for x in os.getloadavg()],
             "calibration_range_sum_sec": calibration,
+            # self-labeling (VERDICT r13 #4): records taken under
+            # ambient load flag THEMSELVES so every future reader can
+            # discount mechanically — the r12/r13 protocol observation
+            # is that calibration >= ~0.3 reads medians ~2x the idle
+            # floor (idle runs measure 0.19-0.21)
+            "contamination_threshold": 0.25,
+            "contaminated": calibration > 0.25,
             # fixed-subset anchor (VERDICT r12 #3): sum of the original
             # BENCH_r03 16-query+sync medians — compare directly to the
             # 22.576 s r03 driver record and across rounds; divide by

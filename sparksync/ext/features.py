@@ -685,6 +685,7 @@ def global_cumsum(
     value_col: str | list[str],
     out_col: str | list[str] = "cum",
     n_parts: int = 64,
+    partition_by: list[str] | None = None,
 ) -> DataFrame:
     """Global running sum over a total order without a single-partition
     window — global_rank's trick generalized from counts to values:
@@ -698,7 +699,18 @@ def global_cumsum(
     Accepts parallel LISTS of value/out columns to compute several
     running sums over the SAME total order in one pass — one range
     shuffle, one window, one pin instead of one of each per column
-    (code-review r12: ks_statistic paid the whole machinery twice)."""
+    (code-review r12: ks_statistic paid the whole machinery twice).
+
+    `partition_by` (VERDICT r13 #1) restarts the running sum at each
+    distinct value of the listed columns — MANY independent cumsums in
+    the SAME single range shuffle: the range partitioner keys on
+    (partition cols, order cols) so each group's order still spans
+    physical partitions contiguously, the local window adds the group
+    key, and the offset table (one row per (physical partition, group)
+    — n_parts * n_groups rows, broadcastable for the distinct-value-
+    sized groups this serves) accumulates per group over _pid. Within
+    each group, order_cols must still be a total order."""
+    pby = list(partition_by) if partition_by else []
     vals = [value_col] if isinstance(value_col, str) else list(value_col)
     outs = [out_col] if isinstance(out_col, str) else list(out_col)
     if len(vals) != len(outs):
@@ -706,36 +718,44 @@ def global_cumsum(
             f"global_cumsum: {len(vals)} value cols vs {len(outs)} out cols"
         )
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    pcols = [F.col(c) for c in pby]
     part = _pin(
-        df.repartitionByRange(n_parts, *cols).withColumn(
+        df.repartitionByRange(n_parts, *pcols, *cols).withColumn(
             "_pid", F.spark_partition_id()
         )
     )
     wl = (
-        Window.partitionBy("_pid")
+        Window.partitionBy("_pid", *pby)
         .orderBy(*cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     local = part.select(
         "*", *[F.sum(F.col(v)).over(wl).alias(f"_lc{i}") for i, v in enumerate(vals)]
     )
+    # offset accumulation: per group when partitioned, else the
+    # constant-key trick collapses the n_parts counter rows into one
+    # ordered frame (n_parts rows total — never a real single-partition
+    # exchange over data)
     woff = (
-        Window.partitionBy(F.pmod(F.xxhash64(F.col("_pid")), F.lit(1)))
+        Window.partitionBy(
+            *(pby if pby else [F.pmod(F.xxhash64(F.col("_pid")), F.lit(1))])
+        )
         .orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = (
-        part.groupBy("_pid")
+        part.groupBy("_pid", *pby)
         .agg(*[F.sum(F.col(v)).alias(f"_t{i}") for i, v in enumerate(vals)])
         .select(
             "_pid",
+            *pby,
             *[
                 F.coalesce(F.sum(f"_t{i}").over(woff), F.lit(0)).alias(f"_off{i}")
                 for i in range(len(vals))
             ],
         )
     )
-    out = local.join(F.broadcast(offsets), "_pid")
+    out = local.join(F.broadcast(offsets), ["_pid", *pby])
     for i, oc in enumerate(outs):
         out = out.withColumn(oc, F.col(f"_lc{i}") + F.col(f"_off{i}"))
     return out.drop(
@@ -1162,61 +1182,66 @@ def signal_auc(
     predicts label 1. One row per signal; 0.5 = uninformative, NULL
     when a class is empty (AUC undefined).
 
-    Scale shape, per signal: one groupBy on the signal VALUE
-    (map-side partial; distinct-value-sized output), then
-    global_cumsum's two-phase distributed running count over the value
-    order — no single-partition window anywhere, the q45/q167
+    Scale shape (VERDICT r13 #1 — the r13 per-signal loop cost s full
+    corpus scans): ONE scan stack-unpivots the signal columns into
+    (signal, value, label) rows, ONE groupBy on (signal, value)
+    (map-side partial; distinct-value-sized output per signal), then
+    global_cumsum's two-phase distributed running count runs PER
+    SIGNAL via partition_by=["signal"] — one range shuffle for all
+    signals, no single-partition window anywhere, the q45/q167
     machinery. Doubled rank sums keep everything in exact integers
     (avg rank of a tied block = (2*cum_before + n + 1)/2, so 2*R_pos =
     sum(npos * (2*(cum - n) + n + 1))); products ride decimal(38,0)
     (rank ~ corpus size, npos * rank overflows int64 past ~3e9 rows)
     and the ONE double division happens at the end — bit-replayable.
     NULL signal values are excluded (rank undefined), visible via
-    n_pos + n_neg < corpus count."""
-    outs = []
-    for s in signal_cols:
-        d = df.select(
-            F.col(s).alias("_v"),
-            (F.col(label_col).cast("long") > 0).cast("long").alias("_y"),
-        ).where(F.col("_v").isNotNull() & F.col("_y").isNotNull())
-        g = d.groupBy("_v").agg(
-            F.count(F.lit(1)).cast("long").alias("_n"),
-            F.sum("_y").cast("long").alias("_npos"),
-        )
-        c = global_cumsum(g, ["_v"], "_n", "_cum")
-        dec = "decimal(38,0)"
-        two_rpos = (
-            F.col("_npos").cast(dec)
-            * (
-                F.lit(2).cast(dec) * (F.col("_cum") - F.col("_n")).cast(dec)
-                + F.col("_n").cast(dec)
-                + F.lit(1).cast(dec)
-            )
-        )
-        agg = c.agg(
-            F.sum(two_rpos).alias("_2rpos"),
-            F.sum("_npos").cast("long").alias("n_pos"),
-            (F.sum("_n") - F.sum("_npos")).cast("long").alias("n_neg"),
-        )
-        auc = F.when(
-            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
-            (
-                F.col("_2rpos")
-                - F.col("n_pos").cast(dec)
-                * (F.col("n_pos").cast(dec) + F.lit(1).cast(dec))
-            ).cast("double")
-            / (
-                F.lit(2.0)
-                * F.col("n_pos").cast("double")
-                * F.col("n_neg").cast("double")
+    n_pos + n_neg < corpus count. The unpivot casts every signal to
+    double (one shared value column), which preserves ordering and
+    equality for integral signals up to 2^53 — past that, ties would
+    merge; curation signals (counts, ratios) never get there."""
+    if not signal_cols:
+        raise ValueError("signal_cols must be non-empty")
+    stack = F.expr(
+        "stack({}, {}) as (signal, _v)".format(
+            len(signal_cols),
+            ", ".join(
+                f"'{s}', cast(`{s}` as double)" for s in signal_cols
             ),
-        ).otherwise(F.lit(None).cast("double"))
-        outs.append(
-            agg.select(
-                F.lit(s).alias("signal"), "n_pos", "n_neg", auc.alias("auc")
-            )
         )
-    res = outs[0]
-    for o in outs[1:]:
-        res = res.unionByName(o)
-    return res
+    )
+    d = df.select(
+        (F.col(label_col).cast("long") > 0).cast("long").alias("_y"), stack
+    ).where(F.col("_v").isNotNull() & F.col("_y").isNotNull())
+    g = d.groupBy("signal", "_v").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_y").cast("long").alias("_npos"),
+    )
+    c = global_cumsum(g, ["_v"], "_n", "_cum", partition_by=["signal"])
+    dec = "decimal(38,0)"
+    two_rpos = (
+        F.col("_npos").cast(dec)
+        * (
+            F.lit(2).cast(dec) * (F.col("_cum") - F.col("_n")).cast(dec)
+            + F.col("_n").cast(dec)
+            + F.lit(1).cast(dec)
+        )
+    )
+    agg = c.groupBy("signal").agg(
+        F.sum(two_rpos).alias("_2rpos"),
+        F.sum("_npos").cast("long").alias("n_pos"),
+        (F.sum("_n") - F.sum("_npos")).cast("long").alias("n_neg"),
+    )
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        (
+            F.col("_2rpos")
+            - F.col("n_pos").cast(dec)
+            * (F.col("n_pos").cast(dec) + F.lit(1).cast(dec))
+        ).cast("double")
+        / (
+            F.lit(2.0)
+            * F.col("n_pos").cast("double")
+            * F.col("n_neg").cast("double")
+        ),
+    ).otherwise(F.lit(None).cast("double"))
+    return agg.select("signal", "n_pos", "n_neg", auc.alias("auc"))

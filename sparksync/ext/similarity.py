@@ -1100,7 +1100,11 @@ def ivf_recall_audit(
     is the whole game. The pair-of-top-k joins are |queries| x k sized
     and broadcast. Output: (query_id, n_hits, recall_at_k), one row
     per query; the mean over queries is the headline the caller
-    reads."""
+    reads. recall_at_k divides by the per-query TRUTH count (= least(k,
+    candidate corpus size)), not the literal k, so a perfect search on
+    a corpus smaller than k still reads 1.0 instead of a phantom
+    recall deficit (ADVICE r13 — matches the minhash-recall audit's
+    convention)."""
     from .features import _pin
 
     # pin the PROJECTION, not the input row: the audit only ever reads
@@ -1119,7 +1123,9 @@ def ivf_recall_audit(
     per_q = hits.groupBy("query_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_hits")
     )
-    base = truth.select("query_id").distinct()
+    base = truth.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("_n_truth")
+    )
     return (
         base.join(F.broadcast(per_q), "query_id", "left")
         .select(
@@ -1127,7 +1133,7 @@ def ivf_recall_audit(
             F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
             (
                 F.coalesce("n_hits", F.lit(0)).cast("double")
-                / F.lit(float(k))
+                / F.col("_n_truth").cast("double")
             ).alias("recall_at_k"),
         )
     )

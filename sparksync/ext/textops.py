@@ -101,7 +101,18 @@ def _ngrams(toks: Column, n: int) -> Column:
     one concat each measure ~3.5x faster than one transform doing n
     random accesses per element (round-13 profile: 4.0 s -> 1.2 s for
     the distinct-bigram pass at sf0.1; output verified identical
-    corpus-wide). zip_with null-pads the shorter side and concat_ws
+    corpus-wide FOR THE tokens() CONTRACT — see precondition below).
+
+    PRECONDITION (ADVICE r13): elements must be non-NULL and non-empty,
+    which every in-repo caller guarantees via tokens() (filters empty
+    strings; split never yields NULL elements). A raw array column
+    violating this diverges from the old transform+get form: n=1 passes
+    NULL through where get-based concat_ws emitted "", and for n>=3 a
+    NULL token is promoted to "" mid-chain, injecting an extra
+    separator space (' c' vs 'c'). Normalize NULLs/empties before
+    calling with arrays from any other source.
+
+    zip_with null-pads the shorter side and concat_ws
     skips NULLs, so positions past size-j hold short grams — the final
     slice to the first size-n+1 entries drops exactly those. Guarded
     for <n tokens (the old sequence(0, size-n) would descend and emit

@@ -1,6 +1,8 @@
-"""Round-13 curation-planning band: the attrition waterfall every
-corpus paper publishes, the token-budget epoch recipe (water-filling
-with repeat ceilings), and the IVF member of the ANN audit family.
+"""Round-13 curation-planning band, q217-q221: the attrition
+waterfall every corpus paper publishes (q217), the token-budget epoch
+recipe — water-filling with repeat ceilings (q218), the IVF member of
+the ANN audit family (q219), the context-length packing-efficiency
+sweep (q220), and the signal-discrimination AUC audit (q221).
 
 Same conventions as every band: each gate def returns a DataFrame whose
 columns are aliased identically in the DuckDB oracle below it.
@@ -204,7 +206,7 @@ select t.query_id,
        cast(sum(case when a.neighbor_id is not null then 1 else 0 end)
             as bigint) as n_hits,
        cast(sum(case when a.neighbor_id is not null then 1 else 0 end)
-            as double) / 10.0 as recall_at_k
+            as double) / count(*) as recall_at_k
 from truth t
 left join approx a on a.query_id = t.query_id and a.neighbor_id = t.vec_id
 group by t.query_id
@@ -278,14 +280,20 @@ def q221_signal_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # one AUC block per signal (rank sums over a value-grouped window
 # cumsum — ties get average ranks by construction), identical
 # arithmetic order to the engine: doubled integer rank sums, one
-# double division
+# double division. NULL-text docs are excluded up front (`n_tokens is
+# not null` ⟺ text is not null): the engine's keep label evaluates
+# NULL there and signal_auc drops NULL-label rows, whereas a bare
+# CASE...ELSE 0 would coerce them to label 0 (ADVICE r13 — same class
+# as the r12 ORACLE_Q208/Q209 fix)
 ORACLE_Q221 = """
 with f as (
   select n_chars,
          len(list_filter(string_split(trim(text), ' '), x -> x <> ''))
            as n_tokens,
          list_filter(string_split(trim(text), ' '), x -> x <> '') as toks
-  from documents),
+  from documents
+  where len(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+        is not null),
 l as (
   select n_chars, n_tokens,
          case when n_tokens > 0

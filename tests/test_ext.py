@@ -6347,6 +6347,16 @@ def test_ivf_recall_audit_bounds_and_full_probe(spark):
     full = ivf_recall_audit(emb, qids, k=10, n_centroids=8, nprobe=8).collect()
     assert all(r.recall_at_k == 1.0 for r in full)
 
+    # corpus smaller than k (ADVICE r13): truth has only corpus-1 rows
+    # per query, so an exhaustive probe must still read recall 1.0 —
+    # the divisor is least(k, truth count), not the literal k
+    tiny = emb.where(F.col("vec_id") < 6)
+    small = ivf_recall_audit(
+        tiny, [0, 1], k=10, n_centroids=2, nprobe=2
+    ).collect()
+    assert all(r.n_hits == 5 for r in small)
+    assert all(r.recall_at_k == 1.0 for r in small)
+
 
 def test_packing_efficiency_invariants(spark):
     """X216: chunk counts respect the per-doc ceiling arithmetic,
@@ -6424,3 +6434,81 @@ def test_signal_auc_matches_python_model(spark):
     # one-class label: AUC undefined -> NULL
     one = spark.createDataFrame([(1, 1), (2, 1)], "a long, y long")
     assert signal_auc(one, "y", ["a"]).collect()[0].auc is None
+
+
+def test_signal_auc_multi_signal_one_scan_semantics(spark):
+    """VERDICT r13 #1: the one-scan stack-unpivot form must score each
+    signal independently — per-signal NULL exclusion, per-signal tie
+    structure — exactly as the r13 per-signal loop did. Mixed-type
+    signals (long count, double ratio) share the double value column;
+    a signal that is NULL on some rows ranks only its non-NULL rows
+    while its siblings keep the full corpus. Empty signal list raises
+    (ADVICE r13: the CLI can feed an empty --signals)."""
+    import bisect
+
+    import pytest as _pytest
+
+    from sparksync.ext.features import signal_auc
+
+    rows = [
+        # (a: informative long, b: ratio double w/ NULLs, y)
+        (10, 0.9, 1), (12, None, 1), (11, 0.8, 1), (2, 0.1, 0),
+        (3, None, 0), (1, 0.2, 0), (12, 0.15, 0), (2, 0.85, 1),
+    ]
+    df = spark.createDataFrame(rows, "a long, b double, y long")
+
+    def py_auc(vals):
+        pos = sorted(v for v, y in vals if y)
+        neg = sorted(v for v, y in vals if not y)
+        u = 0.0
+        for v in pos:
+            lo = bisect.bisect_left(neg, v)
+            hi = bisect.bisect_right(neg, v)
+            u += lo + 0.5 * (hi - lo)
+        return u / (len(pos) * len(neg))
+
+    out = {r.signal: r for r in signal_auc(df, "y", ["a", "b"]).collect()}
+    assert set(out) == {"a", "b"}
+    assert out["a"].n_pos == 4 and out["a"].n_neg == 4
+    assert abs(out["a"].auc - py_auc([(a, y) for a, b, y in rows])) < 1e-12
+    # b drops its two NULL rows (one per class) — independent of a
+    assert out["b"].n_pos == 3 and out["b"].n_neg == 3
+    assert abs(
+        out["b"].auc
+        - py_auc([(b, y) for a, b, y in rows if b is not None])
+    ) < 1e-12
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        signal_auc(df, "y", [])
+
+
+def test_global_cumsum_partition_by_matches_per_group_model(spark):
+    """partition_by= (VERDICT r13 #1) restarts the running sum at each
+    group in ONE range shuffle; per-group results must equal the
+    unpartitioned call run group-by-group, including groups whose rows
+    straddle physical range partitions (forced via tiny n_parts)."""
+    import random
+
+    from sparksync.ext import features
+
+    rng = random.Random(14)
+    rows = [
+        (g, i, rng.randint(-5, 50))
+        for g in ("x", "y", "z")
+        for i in range(40)
+    ]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    got = {
+        (r.g, r.id): r.cum
+        for r in features.global_cumsum(
+            df, ["id"], "v", "cum", n_parts=5, partition_by=["g"]
+        ).collect()
+    }
+    for g in ("x", "y", "z"):
+        sub = sorted((i, v) for gg, i, v in rows if gg == g)
+        c = 0
+        for i, v in sub:
+            c += v
+            assert got[(g, i)] == c, (g, i)
+    features.release_pinned()

@@ -1000,3 +1000,32 @@ def test_round13_new_queries_plan_shapes(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     features.release_pinned()
+
+
+def test_signal_auc_one_scan_all_signals(spark):
+    """VERDICT r13 #1: signal_auc must read the corpus ONCE for all
+    signals (the r13 per-signal loop cost one full scan per signal —
+    the only 100 TB-hostile shape that round). The stack-unpivot +
+    partition_by global_cumsum form pins ONE grouped frame; both
+    consumers (the local running sum and the offset table) render that
+    same cached subtree, so every rangepartitioning line in the plan
+    carries the SAME plan_id, and both parquet renders sit under
+    InMemoryTableScan — one physical scan at cache build."""
+    import re
+
+    from sparksync.ext import features
+
+    features.release_pinned()
+    plan = plan_of(QUERIES["q221_signal_auc"](spark, SF_SMOKE))
+    ids = {
+        m.group(1)
+        for ln in plan.splitlines()
+        if "rangepartitioning" in ln
+        for m in [re.search(r"plan_id=(\d+)", ln)]
+        if m
+    }
+    assert len(ids) == 1, f"pinned grouped frame not shared: {ids}"
+    assert plan.count("InMemoryTableScan") == 2
+    assert "SortMergeJoin" not in plan
+    assert "SinglePartition" not in plan
+    features.release_pinned()
