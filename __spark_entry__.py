@@ -21,37 +21,38 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _rotated(d: dict) -> dict:
     """The driver's CORRECTNESS report samples at most 50 queries; the
-    surface is len(QUERIES) (221 as of round 13 — test_meta asserts
+    surface is len(QUERIES) (222 as of round 14 — test_meta asserts
     the exact count), so allocation is explicit and rotates each round
     toward the weakest external evidence (VERDICT r5 #4, by AGE).
-    Round 13 heads the 50 with the queries whose implementation or
-    gate changed this round: the FIVE new capstones q217 (X213
-    filter attrition waterfall), q218 (X214 token-budget epoch
-    recipe), q219 (X215 IVF recall audit), q220 (X216 packing-efficiency sweep) and q221 (X217 signal-AUC audit); q76 (normalize_by_group
-    moved to try_sum/try_multiply/try_subtract so the decimal-38
-    ceiling NULLs under ANSI instead of throwing — fixture outputs
-    identical); q213 (split_leakage_audit left-joins the split map
-    with a '(missing)' sentinel — full-coverage gate output
-    identical); and q206/q208/q209 (the trim family gained the
-    optional pass_stats hook — default None, output identical). Then
-    exactly what VERDICT r12 #1 ordered: q193 (the stalest driver
-    evidence, cut from r12's cap), q194-q196 (r9/r10-era), then the
-    oldest of the q100-q154 band (last driver-checked r6-r7) — the 10
-    changed/new + q193-q196 + the first 36 band keys = 50. Changed/new queries sort FIRST so the cap can never
+
+    Round 14 heads the 50 with the round's changed/new queries: q222
+    (X218 recipe_mix, NEW — epoch_recipe's allocation executed through
+    budget_mix), q221 (signal_auc rewritten one-scan: stack-unpivot +
+    partition_by global_cumsum, VERDICT r13 #1) and q219 (ivf_recall
+    divisor is now the per-query truth count, ADVICE r13). Then
+    strictly by age of last driver check. NOTE — VERDICT r13 #2 named
+    q136-q154 as the stalest band, but CORRECTNESS_r11.json shows that
+    whole band was driver-checked in round 11; the genuinely stalest
+    evidence (the rule VERDICT r5 #4 actually states: by AGE) is the
+    round-8-era band q01-q15 + q66-q75 + q197-q198 (27 keys, last
+    checked r8), then the oldest of the round-9 band q16-q37 (20 keys
+    fill the cap; q28 and q32 are excluded — they were re-checked in
+    r12/r11 and are fresher than the band around them). Changed/new queries sort FIRST so the cap can never
     silently drop a query with zero fresh driver evidence; both
     committed selfcheck sweeps cover the full surface at 2 SFs
     regardless. Every key keeps its name — only dict insertion order
     changes."""
 
-    changed_r13 = {76, 206, 208, 209, 213, 217, 218, 219, 220, 221}
+    changed_r14 = {219, 221, 222}
+    r8_era = set(range(1, 16)) | set(range(66, 76)) | {197, 198}
 
     def key(name: str):
         n = int(name[1:].split("_", 1)[0])
-        if n in changed_r13:
+        if n in changed_r14:
             return (0, n)
-        if n in (193, 194, 195, 196):
+        if n in r8_era:
             return (1, n)
-        if 100 <= n <= 154:
+        if 16 <= n <= 37 and n not in (28, 32):
             return (2, n)
         return (3, n)
 

@@ -67,6 +67,10 @@ def main(argv: list[str] | None = None) -> int:
         help="comma-separated table names to skip (the reference's exclude list)",
     )
     sub = p.add_subparsers(dest="cmd", required=True)
+    # the reference's cobra `version` subcommand (cmd/version.go:1-51
+    # prints "your version v0.1.3" and exits 0); ours adds the PySpark
+    # runtime the engine rides on. No session, no --src/--dest.
+    sub.add_parser("version")
     sub.add_parser("full-sync")  # EP1
     sub.add_parser("create-tables")  # EP3 createTable
     sub.add_parser("sync-data")  # EP3 onlyData
@@ -135,6 +139,14 @@ def main(argv: list[str] | None = None) -> int:
     rcp.add_argument("--max-epochs", type=float, default=4.0,
                      help="per-source repeat ceiling")
     rcp.add_argument("--group", default="source")
+    # X218: --execute materializes the planned mix (recipe_mix) —
+    # admitted docs are corpus-sized, so the bounded-preview contract
+    rcp.add_argument("--execute", action="store_true",
+                     help="run the allocation through budget_mix and "
+                          "emit the admitted docs (first epoch)")
+    rcp.add_argument("--id", default="doc_id")
+    rcp.add_argument("--max-rows", type=int, default=2000)
+    rcp.add_argument("--out", default=None)
     res = sub.add_parser("resolve")  # X114 entity resolution (ed<=1 linkage)
     res.add_argument("--table", required=True)
     res.add_argument("--key", required=True)
@@ -325,6 +337,14 @@ def main(argv: list[str] | None = None) -> int:
         "benchmark span is cut from the surviving docs (X204)",
     )
     args = p.parse_args(argv)
+
+    if args.cmd == "version":
+        import pyspark
+
+        from . import __version__
+
+        print(f"sparksync v{__version__} (pyspark {pyspark.__version__})")
+        return 0
 
     cfg = None
     if args.config:
@@ -554,9 +574,21 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "recipe":
         # X214: per-source token/epoch allocation (water-filling with
         # repeat ceilings); output is n_sources rows — bounded by
-        # construction, no --max-rows needed
-        from .ext.sampling import epoch_recipe
+        # construction, no --max-rows needed. With --execute (X218)
+        # the allocation feeds budget_mix and the admitted-doc set is
+        # corpus-sized -> bounded preview + --out.
+        from .ext.sampling import epoch_recipe, recipe_mix
 
+        if args.execute:
+            out = recipe_mix(
+                job._read_source(args.table),
+                budget_tokens=args.budget,
+                max_epochs=args.max_epochs,
+                group_col=args.group,
+                id_col=args.id,
+            ).orderBy(args.group, args.id)
+            _print_bounded(job.spark, out, args.max_rows, args.out)
+            return 0
         for r in (
             epoch_recipe(
                 job._read_source(args.table),

@@ -1036,3 +1036,56 @@ def packing_efficiency(
             " doc_chunks, min_sequences, pad_tokens, pad_frac, overhead)"
         )
     )
+
+
+def recipe_mix(
+    df: DataFrame,
+    budget_tokens: int,
+    max_epochs: float = 4.0,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    method: str = "knuth",
+    salt: str = "mix",
+) -> DataFrame:
+    """Recipe EXECUTION (X218, VERDICT r13 #5): close the loop SURVEY's
+    X214 row promises — epoch_recipe's water-filling allocation feeds
+    budget_mix the per-source budgets it executes, end-to-end in one
+    call. The planner decides "this source contributes N tokens", the
+    mixer admits that source's documents in deterministic Knuth-hash
+    order until N is spent; what comes back is the materialized first
+    epoch of the training mix.
+
+    Composition semantics: budgets are floor(allocated_tokens) (the
+    mixer's contract is integer budgets; flooring never over-admits).
+    A source whose allocation exceeds one epoch (epochs > 1 — the
+    repeat ceiling let it recycle) admits ALL its documents here;
+    the repeats themselves are a loader-time concern, visible as
+    cum_tokens < budget on the source's last admitted doc. Sources
+    allocated less than one epoch cut mid-stream exactly where the
+    running total crosses the allocation.
+
+    Scale shape: TWO corpus scans, inherently — the allocation must be
+    known before admission can start (plan aggregate, then mix window);
+    the handoff between them is an n_sources-row collect (dozens —
+    the same bounded-by-construction exception as epoch_recipe's own
+    window). Deterministic end-to-end: every stage is hash-ordered /
+    exact-arithmetic, so the admitted set is reproducible across
+    engines and cluster sizes."""
+    import math
+
+    recipe = epoch_recipe(
+        df, budget_tokens, max_epochs, group_col=group_col, text_col=text_col
+    )
+    # n_sources rows — bounded collect by construction
+    rows = recipe.select(group_col, "allocated_tokens").collect()
+    budgets = {
+        r[group_col]: int(math.floor(r["allocated_tokens"]))
+        for r in rows
+        if r["allocated_tokens"] is not None and r["allocated_tokens"] > 0
+    }
+    if not budgets:
+        raise ValueError("epoch_recipe allocated no tokens to any source")
+    return budget_mix(
+        df, group_col, budgets, id_col, text_col, method=method, salt=salt
+    )

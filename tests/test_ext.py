@@ -6512,3 +6512,64 @@ def test_global_cumsum_partition_by_matches_per_group_model(spark):
             c += v
             assert got[(g, i)] == c, (g, i)
     features.release_pinned()
+
+
+def test_recipe_mix_composition(spark):
+    """X218 (VERDICT r13 #5): recipe_mix == epoch_recipe's allocations
+    hand-floored into budget_mix — the composition adds NOTHING beyond
+    the handoff. A capped source (allocation >= one epoch) admits all
+    its docs; an uncapped one cuts exactly where the running total
+    crosses its allocation; an all-empty corpus (nothing to allocate)
+    raises."""
+    import math
+
+    import pytest as _pytest
+
+    from sparksync.ext import sampling
+    from sparksync.source import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    got = sampling.recipe_mix(
+        docs, budget_tokens=30_000, max_epochs=2.0
+    ).collect()
+
+    recipe = {
+        r.source: r
+        for r in sampling.epoch_recipe(
+            docs, budget_tokens=30_000, max_epochs=2.0
+        ).collect()
+    }
+    budgets = {
+        s: int(math.floor(r.allocated_tokens))
+        for s, r in recipe.items()
+        if r.allocated_tokens and r.allocated_tokens > 0
+    }
+    want = sampling.budget_mix(docs, "source", budgets, "doc_id").collect()
+    key = lambda r: (r.doc_id, r.source)  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, want))
+
+    # per-source invariants against the plan
+    per_source_docs = {
+        s: docs.where(F.col("source") == s).count() for s in recipe
+    }
+    admitted: dict[str, list] = {}
+    for r in got:
+        admitted.setdefault(r.source, []).append(r)
+    saw_capped_full = saw_cut = False
+    for s, rec in recipe.items():
+        rows = admitted.get(s, [])
+        toks = max((r.cum_tokens for r in rows), default=0)
+        assert toks <= budgets.get(s, 0)
+        if rec.epochs >= 1.0 and s in budgets:
+            # allocation covers >= one epoch: every doc admitted
+            assert len(rows) == per_source_docs[s], s
+            saw_capped_full = True
+        elif s in budgets and len(rows) < per_source_docs[s]:
+            saw_cut = True
+    assert saw_capped_full or saw_cut  # fixture exercises >= one branch
+
+    empty = spark.createDataFrame(
+        [(1, "a", ""), (2, "b", "")], "doc_id long, source string, text string"
+    )
+    with _pytest.raises(ValueError, match="allocated no tokens"):
+        sampling.recipe_mix(empty, budget_tokens=100)

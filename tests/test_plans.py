@@ -1029,3 +1029,16 @@ def test_signal_auc_one_scan_all_signals(spark):
     assert "SortMergeJoin" not in plan
     assert "SinglePartition" not in plan
     features.release_pinned()
+
+
+def test_q222_recipe_mix_plan_shape(spark):
+    """X218: the returned plan is budget_mix's — ONE corpus scan, the
+    per-group admission window, no joins, no single-partition exchange
+    (epoch_recipe's few-row planning pass runs eagerly at construction
+    and hands over an n_sources-sized literal budget map, so the
+    executed mix plan carries none of the planner's machinery)."""
+    plan = plan_of(QUERIES["q222_recipe_mix"](spark, SF_SMOKE))
+    assert plan.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan

@@ -1712,3 +1712,51 @@ def test_cli_recipe_and_round13_audit_kinds(tmp_path, capsys):
     by = {r["signal"]: r for r in rows}
     assert by["n_chars"]["auc"] == 1.0  # the label IS the signal
     assert abs(by["doc_id"]["auc"] - 0.5) < 0.2  # ids are noise
+
+
+def test_cli_recipe_execute(tmp_path, capsys):
+    """recipe --execute (X218): the planned allocation runs through
+    budget_mix; stdout is the bounded preview, --out round-trips the
+    full admitted set, and every source's admitted tokens stay within
+    floor(its allocation)."""
+    import json as _json
+    import math
+
+    from sparksync.cli import main
+
+    dest = tmp_path / "dest"
+    out_dir = str(tmp_path / "mix_out")
+    assert main(["--src", SF_SMOKE, "--dest", str(dest),
+                 "recipe", "--budget", "5000", "--max-epochs", "2",
+                 "--execute", "--max-rows", "5", "--out", out_dir]) == 0
+    lines = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert len(lines) == 6 and lines[-1]["truncated"] is True
+
+    # plan the same budget to bound the written mix per source
+    assert main(["--src", SF_SMOKE, "--dest", str(dest),
+                 "recipe", "--budget", "5000", "--max-epochs", "2"]) == 0
+    alloc = {
+        r["source"]: int(math.floor(r["allocated_tokens"]))
+        for r in map(_json.loads, capsys.readouterr().out.splitlines())
+    }
+    from sparksync.session import get_spark
+
+    spark = get_spark("test-cli-recipe-exec")
+    full = spark.read.parquet(out_dir).collect()
+    per = {}
+    for r in full:
+        per[r.source] = max(per.get(r.source, 0), r.cum_tokens)
+    assert per and all(per[s] <= alloc[s] for s in per)
+
+
+def test_cli_version(capsys):
+    """Reference cmd/version.go:1-51 parity: `version` needs no
+    --src/--dest, prints the package + pyspark versions, exits 0."""
+    import pyspark
+
+    import sparksync
+    from sparksync.cli import main
+
+    assert main(["version"]) == 0
+    out = capsys.readouterr().out
+    assert sparksync.__version__ in out and pyspark.__version__ in out
