@@ -205,6 +205,9 @@ def main(argv: list[str] | None = None) -> int:
             # context-length packing-waste sweep (X216), and the
             # signal-discrimination AUC audit (X217)
             "attrition", "ann-recall", "packing", "signal-auc",
+            # round 14: closed-form per-group embedding diversity
+            # (X219) and MWU domain reweighting (X220)
+            "diversity", "reweight",
         ],
     )
     aud.add_argument("--table", help="pruning/quantile: table to audit")
@@ -246,6 +249,17 @@ def main(argv: list[str] | None = None) -> int:
     aud.add_argument(
         "--signals",
         help="signal-auc: comma-separated signal column names",
+    )
+    aud.add_argument(
+        "--loss",
+        help="reweight: SQL expression for the per-doc difficulty/"
+        "loss proxy (e.g. n_chars, or a held-out LM loss column)",
+    )
+    aud.add_argument(
+        "--eta",
+        type=float,
+        default=0.5,
+        help="reweight: MWU step size",
     )
     aud.add_argument(
         "--nprobe",
@@ -1026,6 +1040,33 @@ def main(argv: list[str] | None = None) -> int:
             if args.table is None:
                 p.error("audit --kind packing needs --table")
             out = packing_efficiency(job._read_source(args.table))
+        elif args.kind == "diversity":
+            # X219: per-group mean pairwise cosine in closed form —
+            # no pair join; --group defaults to label on embeddings
+            from .ext.similarity import diversity_score
+
+            if args.table is None:
+                p.error("audit --kind diversity needs --table")
+            out = diversity_score(
+                job._read_source(args.table),
+                group_col=args.group or "label",
+            ).orderBy(args.group or "label")
+        elif args.kind == "reweight":
+            # X220: one MWU round over per-domain mean of the --loss
+            # expression; output is domains-sized (bounded)
+            from pyspark.sql import functions as F
+
+            from .ext.sampling import domain_reweight
+
+            for a in ("table", "loss"):
+                if getattr(args, a) is None:
+                    p.error(f"audit --kind reweight needs --{a}")
+            t = job._read_source(args.table).withColumn(
+                "_loss", F.expr(args.loss).cast("double")
+            )
+            out = domain_reweight(
+                t, "_loss", group_col=args.group or "source", eta=args.eta
+            ).orderBy(args.group or "source")
         elif args.kind == "signal-auc":
             # X217: tie-corrected ROC-AUC of each --signals column
             # against the --target label expression

@@ -1089,3 +1089,94 @@ def recipe_mix(
     return budget_mix(
         df, group_col, budgets, id_col, text_col, method=method, salt=salt
     )
+
+
+def domain_reweight(
+    df: DataFrame,
+    loss_col: str,
+    group_col: str = "source",
+    eta: float = 0.5,
+    priors: dict[str, float] | None = None,
+) -> DataFrame:
+    """Multiplicative-weights domain reweighting (X220) — the
+    DoReMi-shaped step that turns per-domain difficulty into an
+    updated mixture: domains with higher mean loss (harder, more
+    informative for training) get their mixture weight multiplied up,
+    easier domains drift down, and the result renormalizes to a
+    distribution budget_mix / epoch_recipe can execute. One round of
+    the classic MWU update with the LINEAR rule
+        w'_i  propto  prior_i * (1 + eta * z_i)
+    where z_i is the domain's mean loss min-max normalized to [0, 1]
+    across domains. The textbook exponentiated form exp(eta * z) is
+    deliberately NOT used in the gate arithmetic: JVM Math.exp and
+    DuckDB libm disagree by 1 ulp (the q189 entropy lesson, VERDICT
+    r7 #2), while (1 + eta*z) is the standard small-eta MWU variant
+    (exp's first-order expansion) and is fully rational — the update
+    replays bit-identically cross-engine.
+
+    Exactness: per-domain loss sums accumulate as decimal(38,12)
+    (order-insensitive), mean/normalize/update are double ops in a
+    fixed order, and the normalizer re-accumulates the raw weights
+    through the same decimal cast. Cross-domain stats ride one-row
+    broadcast crossJoins (the chisq_independence pattern) — never a
+    data-sized single partition. NULL losses are excluded from the
+    mean (visible via n_docs); a domain with no non-NULL loss drops.
+    `priors` defaults to uniform over the surviving domains; passed
+    priors enter as a literal CASE map (no join) and domains missing
+    from it are dropped, mirroring budget_mix's contract.
+
+    Scale shape: ONE corpus scan into a partial-agg groupBy(domain) —
+    the domains-sized result is PINNED (features._pin) because four
+    downstream consumers (the prior count, the min/max range, the
+    normalizer and the final projection) each re-derive it; unpinned,
+    the physical plan read the corpus EIGHT times (plan-audited round
+    14, the q219 lesson). Everything after the pin is domains-sized.
+    Output: (group, n_docs, mean_loss, prior_w, weight), weights
+    summing to 1."""
+    from .features import _pin
+
+    if eta < 0:
+        raise ValueError(f"eta must be >= 0, got {eta}")
+    d = df.where(F.col(loss_col).isNotNull())
+    per = d.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col(loss_col).cast("decimal(38,12)")).alias("_ls"),
+    )
+    per = _pin(
+        per.withColumn(
+            "mean_loss",
+            F.col("_ls").cast("double") / F.col("n_docs").cast("double"),
+        )
+    )
+    if priors is not None:
+        pw = F.create_map(
+            *[F.lit(x) for kv in priors.items() for x in (kv[0], float(kv[1]))]
+        )[F.col("grp")]
+        per = per.withColumn("prior_w", pw).where(F.col("prior_w").isNotNull())
+    else:
+        n_g = per.agg(F.count(F.lit(1)).cast("long").alias("_ng"))
+        per = per.crossJoin(F.broadcast(n_g)).withColumn(
+            "prior_w", F.lit(1.0) / F.col("_ng").cast("double")
+        )
+    rng = per.agg(
+        F.min("mean_loss").alias("_lo"), F.max("mean_loss").alias("_hi")
+    )
+    z = F.when(
+        F.col("_hi") > F.col("_lo"),
+        (F.col("mean_loss") - F.col("_lo")) / (F.col("_hi") - F.col("_lo")),
+    ).otherwise(F.lit(0.0))
+    raw = F.col("prior_w") * (F.lit(1.0) + F.lit(float(eta)) * z)
+    scored = per.crossJoin(F.broadcast(rng)).withColumn("_raw", raw)
+    tot = scored.agg(
+        F.sum(F.col("_raw").cast("decimal(38,12)")).alias("_tot")
+    )
+    return (
+        scored.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            "mean_loss",
+            "prior_w",
+            (F.col("_raw") / F.col("_tot").cast("double")).alias("weight"),
+        )
+    )

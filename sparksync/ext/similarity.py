@@ -1137,3 +1137,83 @@ def ivf_recall_audit(
             ).alias("recall_at_k"),
         )
     )
+
+
+def diversity_score(
+    emb: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group embedding-space diversity WITHOUT a pair join (X219):
+    the mean pairwise cosine similarity of a group's normalized
+    vectors, computed in closed form from the identity
+    ||sum(v_hat)||^2 = n + 2 * sum_{i<j} cos_ij — so mean pairwise
+    cos = (||S||^2 - n) / (n * (n - 1)). A brute pairwise pass is
+    n^2 per group (the exact shape every dedup operator here works to
+    avoid); this is ONE narrow normalize map, ONE posexplode +
+    partial-agg groupBy(group, pos) whose shuffle carries groups x dim
+    aggregate rows (not vectors, not pairs), and a groups-sized
+    finisher. The number a curator reads: near 1.0 = the source is
+    semantically collapsed (template spam, mirror crawl), near 0 =
+    diverse; the complement of dedup (which finds the duplicates, not
+    the concentration).
+
+    Exactness discipline — integer grid, NOT decimal casts: a first
+    cut accumulated the normalized components as decimal(38,12), but
+    double->decimal conversion itself disagrees across engines in the
+    last ulp (DuckDB scales by 10^12 in floating point; JVM BigDecimal
+    rounds the exact binary expansion — measured 1e-15 drift on 3 of
+    10 fixture labels). Instead each normalized component is snapped
+    to the 2^-24 grid with floor(x * 2^24 + 0.5): the power-of-two
+    multiply and the +0.5 are EXACT IEEE ops for |x| <= 1, floor is
+    exact, so both engines produce the identical integer — and every
+    cross-row sum after that is pure integer arithmetic
+    (order-insensitive by construction). The squared sums ride
+    decimal(38,0): per-component |S_p| < n * 2^24, so S_p^2 * dim
+    stays under 10^38 for n*sqrt(dim) up to ~2^55 — far past any real
+    group. Quantization perturbs each pairwise term by O(dim * 2^-24)
+    ~ 4e-6 at dim 64: noise for a [0,1]-scale score, and
+    deterministic. Zero-norm vectors are excluded (cosine undefined
+    with them); groups of one get NULL (no pairs). Output: (group,
+    n_vectors, mean_pairwise_cos)."""
+    scale = float(1 << 24)
+    v = _to_double(F.col(vec_col))
+    nrm = norm(v)
+    e = (
+        emb.select(F.col(group_col).alias("grp"), v.alias("_v"), nrm.alias("_n"))
+        .where(F.col("_n") > 0)
+        .select(
+            "grp",
+            # try_divide, not /: ANSI evaluates the projection on the
+            # zero-norm rows before the filter prunes them (plan
+            # collapse) and throws DIVIDE_BY_ZERO; surviving rows get
+            # the bit-identical quotient
+            F.transform(
+                "_v",
+                lambda x: F.floor(
+                    F.try_divide(x, F.col("_n")) * F.lit(scale) + F.lit(0.5)
+                ),
+            ).alias("_vq"),
+        )
+    )
+    elems = e.select("grp", F.posexplode("_vq").alias("pos", "q"))
+    sums = elems.groupBy("grp", "pos").agg(
+        F.sum("q").alias("_s"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+    )
+    dec = "decimal(38,0)"
+    sq = F.col("_s").cast(dec) * F.col("_s").cast(dec)
+    g = sums.groupBy("grp").agg(
+        F.sum(sq).alias("_s2"),
+        F.max("_n").alias("n_vectors"),
+    )
+    n_d = F.col("n_vectors").cast("double")
+    return g.select(
+        F.col("grp").alias(group_col),
+        "n_vectors",
+        F.when(
+            F.col("n_vectors") > 1,
+            (F.col("_s2").cast("double") / F.lit(scale * scale) - n_d)
+            / (n_d * (n_d - F.lit(1.0))),
+        ).otherwise(F.lit(None).cast("double")).alias("mean_pairwise_cos"),
+    )

@@ -6573,3 +6573,83 @@ def test_recipe_mix_composition(spark):
     )
     with _pytest.raises(ValueError, match="allocated no tokens"):
         sampling.recipe_mix(empty, budget_tokens=100)
+
+
+def test_diversity_score_matches_brute_pairwise(spark):
+    """X219: the closed-form (||sum(v_hat)||^2 - n)/(n(n-1)) equals the
+    brute all-pairs mean cosine within the documented 2^-24
+    quantization bound; identical vectors read ~1.0, a group of one is
+    NULL, zero-norm vectors are excluded from n_vectors."""
+    import itertools
+    import math
+    import random
+
+    from sparksync.ext.similarity import diversity_score
+
+    rng = random.Random(14)
+    rows = []
+    vecs = {"a": [], "b": []}
+    for g, cnt in (("a", 7), ("b", 5)):
+        for i in range(cnt):
+            v = [rng.uniform(-1, 1) for _ in range(16)]
+            vecs[g].append(v)
+            rows.append((g, v))
+    rows.append(("c", [0.5] * 16))          # singleton -> NULL
+    rows.append(("a", [0.0] * 16))          # zero norm -> excluded
+    df = spark.createDataFrame(rows, "label string, embedding array<double>")
+    out = {r.label: r for r in diversity_score(df, "label").collect()}
+
+    def brute(vs):
+        def cos(x, y):
+            d = sum(a * b for a, b in zip(x, y))
+            nx = math.sqrt(sum(a * a for a in x))
+            ny = math.sqrt(sum(a * a for a in y))
+            return d / (nx * ny)
+        pairs = list(itertools.combinations(vs, 2))
+        return sum(cos(x, y) for x, y in pairs) / len(pairs)
+
+    assert out["a"].n_vectors == 7  # zero-norm row dropped
+    assert abs(out["a"].mean_pairwise_cos - brute(vecs["a"])) < 1e-5
+    assert abs(out["b"].mean_pairwise_cos - brute(vecs["b"])) < 1e-5
+    assert out["c"].mean_pairwise_cos is None and out["c"].n_vectors == 1
+
+    same = spark.createDataFrame(
+        [("x", [1.0, 2.0, 3.0])] * 4, "label string, embedding array<double>"
+    )
+    r = diversity_score(same, "label").collect()[0]
+    assert abs(r.mean_pairwise_cos - 1.0) < 1e-5
+
+
+def test_domain_reweight_semantics(spark):
+    """X220: weights form a distribution, order follows mean loss
+    (higher loss -> higher weight under uniform priors), eta=0 returns
+    the priors unchanged, a priors map drops unlisted domains, NULL
+    losses are excluded visibly via n_docs, negative eta raises."""
+    import pytest as _pytest
+
+    from sparksync.ext.sampling import domain_reweight
+
+    rows = [
+        ("easy", 1.0), ("easy", 1.2), ("easy", None),
+        ("mid", 2.0), ("mid", 2.2),
+        ("hard", 4.0), ("hard", 4.4),
+    ]
+    df = spark.createDataFrame(rows, "source string, loss double")
+    out = {r.source: r for r in domain_reweight(df, "loss").collect()}
+    assert abs(sum(r.weight for r in out.values()) - 1.0) < 1e-12
+    assert out["easy"].n_docs == 2  # NULL loss excluded
+    assert out["easy"].weight < out["mid"].weight < out["hard"].weight
+    assert all(abs(r.prior_w - 1 / 3) < 1e-12 for r in out.values())
+
+    flat = {r.source: r for r in domain_reweight(df, "loss", eta=0.0).collect()}
+    assert all(abs(r.weight - r.prior_w) < 1e-12 for r in flat.values())
+
+    pri = {r.source: r for r in domain_reweight(
+        df, "loss", priors={"easy": 0.9, "hard": 0.1}).collect()}
+    assert set(pri) == {"easy", "hard"}
+    assert abs(sum(r.weight for r in pri.values()) - 1.0) < 1e-12
+    # hard's multiplier is larger, so its share grows past the prior
+    assert pri["hard"].weight > 0.1 and pri["easy"].weight < 0.9
+
+    with _pytest.raises(ValueError, match="eta"):
+        domain_reweight(df, "loss", eta=-0.1)

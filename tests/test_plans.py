@@ -1042,3 +1042,44 @@ def test_q222_recipe_mix_plan_shape(spark):
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
     assert "SinglePartition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round14_new_queries_plan_shapes(spark):
+    """Round-14 additions: diversity (q223) is ONE corpus scan into a
+    partial-agg groupBy whose shuffle carries groups x dim rows — no
+    pair join, no single-partition exchange; reweight (q224) is ONE
+    corpus scan plus domains-sized one-row broadcast crossJoins (the
+    chisq pattern — BroadcastNestedLoopJoin, never CartesianProduct,
+    and the only SinglePartition exchanges are the one-row stats
+    aggregates)."""
+    plan = plan_of(QUERIES["q223_diversity_score"](spark, SF_SMOKE))
+    assert plan.count("Scan parquet") == 1
+    assert "HashAggregate" in plan
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
+
+    import re
+
+    from sparksync.ext import features
+
+    features.release_pinned()
+    plan = plan_of(QUERIES["q224_domain_reweight"](spark, SF_SMOKE))
+    # the domains-sized aggregate is pinned; all its renders (the
+    # group-by exchange above the parquet scan) must be the SAME
+    # cached subtree -> one physical corpus scan (unpinned: 8 scans)
+    ids = {
+        m.group(1)
+        for ln in plan.splitlines()
+        if "hashpartitioning(source" in ln
+        for m in [re.search(r"plan_id=(\d+)", ln)]
+        if m
+    }
+    assert len(ids) == 1, f"per-domain aggregate not shared: {ids}"
+    assert plan.count("InMemoryTableScan") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the only SinglePartition exchanges are the one-row stats
+    # aggregates (prior count / min-max range / normalizer) over the
+    # pinned domains-sized frame
+    assert "BroadcastNestedLoopJoin" in plan
+    features.release_pinned()

@@ -1760,3 +1760,29 @@ def test_cli_version(capsys):
     assert main(["version"]) == 0
     out = capsys.readouterr().out
     assert sparksync.__version__ in out and pyspark.__version__ in out
+
+
+def test_cli_audit_diversity_and_reweight(tmp_path, capsys):
+    """audit --kind diversity prints one closed-form row per label;
+    audit --kind reweight prints a weight distribution over sources
+    summing to 1 (higher mean loss -> higher weight)."""
+    import json as _json
+
+    from sparksync.cli import main
+
+    dest = tmp_path / "dest"
+    assert main(["--src", SF_SMOKE, "--dest", str(dest),
+                 "audit", "--kind", "diversity",
+                 "--table", "embeddings"]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert len(rows) == 10  # one per label
+    assert all(-1.0 <= r["mean_pairwise_cos"] <= 1.0 for r in rows)
+
+    assert main(["--src", SF_SMOKE, "--dest", str(dest),
+                 "audit", "--kind", "reweight", "--table", "documents",
+                 "--loss", "n_chars", "--eta", "1.0"]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert len(rows) == 20  # one per source
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-9
+    hardest = max(rows, key=lambda r: r["mean_loss"])
+    assert hardest["weight"] == max(r["weight"] for r in rows)
