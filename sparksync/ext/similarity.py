@@ -1175,8 +1175,34 @@ def diversity_score(
     ~ 4e-6 at dim 64: noise for a [0,1]-scale score, and
     deterministic. Zero-norm vectors are excluded (cosine undefined
     with them); groups of one get NULL (no pairs). Output: (group,
-    n_vectors, mean_pairwise_cos)."""
-    scale = float(1 << 24)
+    n_vectors, mean_pairwise_cos).
+
+    Split as STATE (diversity_state: per-(group, pos) integer sums —
+    plain sum/count, commutative-mergeable) + FINISHER
+    (diversity_finish over the groups x dim table), the
+    hll_registers/hll_estimate pattern, so the streaming twin
+    (ext/stream.diversity_state_stream) maintains the same state and
+    reads the same finisher — stream and batch cannot disagree by
+    construction."""
+    return diversity_finish(
+        diversity_state(emb, group_col, vec_col), group_col
+    )
+
+
+DIVERSITY_SCALE = float(1 << 24)
+
+
+def diversity_state(
+    emb: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """diversity_score's mergeable state: (grp, pos, s_q, n_vec) — the
+    2^-24-grid integer component sums and vector count per (group,
+    position). sum/count are commutative-mergeable, so this same
+    expression runs unchanged over a stream in complete mode (no
+    watermark); state is groups x dim rows BY CONSTRUCTION."""
+    scale = DIVERSITY_SCALE
     v = _to_double(F.col(vec_col))
     nrm = norm(v)
     e = (
@@ -1197,15 +1223,22 @@ def diversity_score(
         )
     )
     elems = e.select("grp", F.posexplode("_vq").alias("pos", "q"))
-    sums = elems.groupBy("grp", "pos").agg(
-        F.sum("q").alias("_s"),
-        F.count(F.lit(1)).cast("long").alias("_n"),
+    return elems.groupBy("grp", "pos").agg(
+        F.sum("q").alias("s_q"),
+        F.count(F.lit(1)).cast("long").alias("n_vec"),
     )
+
+
+def diversity_finish(state: DataFrame, group_col: str = "label") -> DataFrame:
+    """Shared finisher over the tiny (grp, pos, s_q, n_vec) state table
+    — the closed-form mean pairwise cosine. Reads groups x dim rows,
+    so it costs the same at any corpus size."""
+    scale = DIVERSITY_SCALE
     dec = "decimal(38,0)"
-    sq = F.col("_s").cast(dec) * F.col("_s").cast(dec)
-    g = sums.groupBy("grp").agg(
+    sq = F.col("s_q").cast(dec) * F.col("s_q").cast(dec)
+    g = state.groupBy("grp").agg(
         F.sum(sq).alias("_s2"),
-        F.max("_n").alias("n_vectors"),
+        F.max("n_vec").alias("n_vectors"),
     )
     n_d = F.col("n_vectors").cast("double")
     return g.select(

@@ -685,3 +685,25 @@ def lm_counts_stream(
     from .textops import lm_bigram_counts
 
     return lm_bigram_counts(docs, vocab, text_col)
+
+
+def diversity_state_stream(
+    emb: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Streaming corpus-diversity maintenance (X221): keep
+    similarity.diversity_state's (grp, pos, s_q, n_vec) table live as
+    embedding rows land — an always-current semantic-collapse monitor
+    per source/label. sum/count are commutative-mergeable, so no
+    watermark is needed and the drained state is bit-identical to the
+    batch state over the same rows; STATE is groups x dim rows BY
+    CONSTRUCTION (never corpus-sized). The shared
+    similarity.diversity_finish reads the tiny table at query time,
+    so stream and batch can never disagree on the score — the
+    hll_registers_stream pattern. The batch gate q223 proves the
+    closed-form score against the DuckDB oracle; this twin only
+    maintains its state."""
+    from .similarity import diversity_state
+
+    return diversity_state(emb, group_col, vec_col)

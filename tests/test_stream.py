@@ -1216,3 +1216,82 @@ def test_cdc_gc_retains_previous_version(spark, tmp_path):
     # and the snapshot itself reads complete
     got = {r["id"] for r in spark.read.parquet(snap).collect()}
     assert got == {100, 101, 102}
+
+
+def test_diversity_stream_matches_batch(spark, tmp_path):
+    """X221: the drained streaming diversity state table is
+    BIT-IDENTICAL to the batch state over the same rows (integer
+    sums/counts are commutative-mergeable), and the shared finisher
+    over it reproduces the batch score exactly — stream and batch
+    cannot disagree by construction."""
+    from sparksync.ext import similarity
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("label", "embedding")
+    src = str(tmp_path / "div_in")
+    emb.write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    s = spark.readStream.schema(schema).parquet(src)
+    q = (
+        stream.diversity_state_stream(s, "label")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("divstate")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    live = spark.sql("select * from divstate")
+    got = {tuple(r) for r in live.collect()}
+    batch = {
+        tuple(r)
+        for r in similarity.diversity_state(emb, "label").collect()
+    }
+    assert got == batch and len(got) > 0
+    score_live = {
+        tuple(r) for r in similarity.diversity_finish(live, "label").collect()
+    }
+    score_batch = {
+        tuple(r)
+        for r in similarity.diversity_score(emb, "label").collect()
+    }
+    assert score_live == score_batch
+
+
+def test_diversity_stream_restart_recovers_state(spark, tmp_path):
+    """Restart for the diversity twin: drain half the corpus, stop,
+    land the second half, restart from the same checkpoint — the
+    complete-mode state equals the batch state over ALL rows."""
+    from sparksync.ext import similarity
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    src = str(tmp_path / "div_in2")
+    ckpt = str(tmp_path / "div_ckpt")
+    emb.where("vec_id % 2 = 0").drop("vec_id").write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def drain(name):
+        s = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream.diversity_state_stream(s, "label")
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain("divr1")
+    emb.where("vec_id % 2 = 1").drop("vec_id").write.mode("append").parquet(src)
+    drain("divr2")
+    got = {tuple(r) for r in spark.sql("select * from divr2").collect()}
+    batch = {
+        tuple(r)
+        for r in similarity.diversity_state(
+            emb.drop("vec_id"), "label"
+        ).collect()
+    }
+    assert got == batch
