@@ -6636,7 +6636,7 @@ def test_domain_reweight_semantics(spark):
     ]
     df = spark.createDataFrame(rows, "source string, loss double")
     out = {r.source: r for r in domain_reweight(df, "loss").collect()}
-    assert abs(sum(r.weight for r in out.values()) - 1.0) < 1e-12
+    assert abs(sum(r.weight for r in out.values()) - 1.0) < 1e-9
     assert out["easy"].n_docs == 2  # NULL loss excluded
     assert out["easy"].weight < out["mid"].weight < out["hard"].weight
     assert all(abs(r.prior_w - 1 / 3) < 1e-12 for r in out.values())
@@ -6647,7 +6647,7 @@ def test_domain_reweight_semantics(spark):
     pri = {r.source: r for r in domain_reweight(
         df, "loss", priors={"easy": 0.9, "hard": 0.1}).collect()}
     assert set(pri) == {"easy", "hard"}
-    assert abs(sum(r.weight for r in pri.values()) - 1.0) < 1e-12
+    assert abs(sum(r.weight for r in pri.values()) - 1.0) < 1e-9
     # hard's multiplier is larger, so its share grows past the prior
     assert pri["hard"].weight > 0.1 and pri["easy"].weight < 0.9
 

@@ -530,3 +530,111 @@ def test_epoch_recipe_matches_python_model(spark):
             sum(r.allocated_tokens for r in got.values())
             - min(budget, total_cap)
         ) < 1e-6, case
+
+
+def test_recipe_mix_matches_python_model(spark):
+    """End-to-end plan->execute model check (X218): for a spread of
+    corpus shapes/budgets, recipe_mix's admitted set equals a pure
+    Python replay of water-filling (binary search on the level) +
+    floor-to-int budgets + Knuth-hash-ordered cumulative admission."""
+    import math
+    import random
+
+    from sparksync.ext.sampling import BUCKETS, _KNUTH_A, recipe_mix
+
+    rng = random.Random(41)
+    for case in range(5):
+        n_sources = rng.randint(1, 6)
+        docs = []
+        did = 0
+        for i in range(n_sources):
+            for _ in range(rng.randint(1, 12)):
+                n = rng.randint(0, 15)
+                docs.append((did, f"s{i}", " ".join(f"w{j}" for j in range(n))))
+                did += 1
+        max_epochs = rng.choice([1.0, 2.0])
+        total = sum(len(t.split()) for _, _, t in docs)
+        budget = rng.randint(1, int(total * max_epochs) + 5)
+        df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+        got = {
+            r.doc_id: (r.source, r.n_tokens, r.cum_tokens)
+            for r in recipe_mix(
+                df, budget, max_epochs, id_col="doc_id"
+            ).collect()
+        }
+
+        # python water-filling
+        toks = {}
+        for _, s, t in docs:
+            toks[s] = toks.get(s, 0) + len(t.split())
+        caps = {s: max_epochs * n for s, n in toks.items()}
+        if budget >= sum(caps.values()):
+            alloc = dict(caps)
+        else:
+            lo, hi = 0.0, max(caps.values())
+            for _ in range(200):
+                mid = (lo + hi) / 2
+                if sum(min(c, mid) for c in caps.values()) < budget:
+                    lo = mid
+                else:
+                    hi = mid
+            alloc = {s: min(c, hi) for s, c in caps.items()}
+        budgets = {
+            s: int(math.floor(a)) for s, a in alloc.items() if a > 0
+        }
+        # python admission in knuth order
+        want = {}
+        for s, b in budgets.items():
+            members = sorted(
+                ((d, t) for d, src, t in docs if src == s),
+                key=lambda p: ((p[0] * _KNUTH_A) % BUCKETS, p[0]),
+            )
+            cum = 0
+            for d, t in members:
+                n = len(t.split())
+                cum += n
+                if cum <= b:
+                    want[d] = (s, n, cum)
+        # float water level vs engine can differ only at exact-tie
+        # boundaries; the fixture generator avoids them (integer token
+        # counts, 200-step bisection converges far past 1e-6)
+        assert got == want, case
+
+
+def test_domain_reweight_matches_python_model(spark):
+    """MWU model check (X220): for random losses/domains, the engine's
+    weights equal a pure Python replay of mean -> min-max z ->
+    prior * (1 + eta*z) -> renormalize, and always form a
+    distribution."""
+    import random
+
+    from sparksync.ext.sampling import domain_reweight
+
+    rng = random.Random(7)
+    for case in range(5):
+        n_domains = rng.randint(1, 7)
+        eta = rng.choice([0.0, 0.3, 1.0])
+        rows = []
+        for i in range(n_domains):
+            for _ in range(rng.randint(1, 8)):
+                rows.append((f"d{i}", round(rng.uniform(0, 10), 3)))
+        df = spark.createDataFrame(rows, "source string, loss double")
+        got = {r.source: r for r in domain_reweight(df, "loss", eta=eta).collect()}
+
+        per = {}
+        for s, l in rows:
+            per.setdefault(s, []).append(l)
+        mean = {s: sum(v) / len(v) for s, v in per.items()}
+        lo, hi = min(mean.values()), max(mean.values())
+        z = {s: ((m - lo) / (hi - lo) if hi > lo else 0.0) for s, m in mean.items()}
+        prior = 1.0 / len(per)
+        raw = {s: prior * (1.0 + eta * z[s]) for s in per}
+        tot = sum(raw.values())
+        want = {s: r / tot for s, r in raw.items()}
+        assert set(got) == set(want), case
+        for s in want:
+            assert abs(got[s].weight - want[s]) < 1e-9, (case, s)
+            assert abs(got[s].mean_loss - mean[s]) < 1e-9
+        # the normalizer rides a decimal(38,12) accumulation, so the
+        # distribution closes to 1 within the 1e-12-per-domain grid
+        assert abs(sum(r.weight for r in got.values()) - 1.0) < 1e-9, case
