@@ -129,6 +129,18 @@ HEADLINE = [
     "q219_ivf_recall",
     "q220_packing_efficiency",
     "q221_signal_auc",
+    # round-14 additions: recipe execution (plan + Knuth admission,
+    # two scans by construction), closed-form embedding diversity
+    # (one scan, groups x dim shuffle), MWU domain reweight (one scan
+    # into a pinned domains-sized agg), deterministic training order
+    # (two-phase global rank), and the length-bucket padding audit
+    # (one scan into a pinned <=64-row agg). Totals grow by FIVE
+    # queries vs BENCH_r13 — compare per-query or via baseline16_sum
+    "q222_recipe_mix",
+    "q223_diversity_score",
+    "q224_domain_reweight",
+    "q225_shuffle_order",
+    "q226_length_buckets",
 ]
 
 # The original BENCH_r03 subset (16 queries + sync): their sum is

@@ -132,6 +132,14 @@ def main(argv: list[str] | None = None) -> int:
     # the driver is an OOM at 100 TB; same pattern as `audit`)
     rfm_p.add_argument("--max-rows", type=int, default=2000)
     rfm_p.add_argument("--out", default=None)
+    ord_p = sub.add_parser("order")  # X222 deterministic training order
+    ord_p.add_argument("--table", required=True)
+    ord_p.add_argument("--id", required=True)
+    ord_p.add_argument("--method", default="xxhash64",
+                       choices=["xxhash64", "knuth"])
+    ord_p.add_argument("--salt", default="shuffle")
+    ord_p.add_argument("--max-rows", type=int, default=2000)
+    ord_p.add_argument("--out", default=None)
     rcp = sub.add_parser("recipe")  # X214 token-budget epoch planning
     rcp.add_argument("--table", default="documents")
     rcp.add_argument("--budget", type=int, required=True,
@@ -206,8 +214,9 @@ def main(argv: list[str] | None = None) -> int:
             # signal-discrimination AUC audit (X217)
             "attrition", "ann-recall", "packing", "signal-auc",
             # round 14: closed-form per-group embedding diversity
-            # (X219) and MWU domain reweighting (X220)
-            "diversity", "reweight",
+            # (X219), MWU domain reweighting (X220), and the
+            # length-bucketed batching padding audit (X223)
+            "diversity", "reweight", "length-buckets",
         ],
     )
     aud.add_argument("--table", help="pruning/quantile: table to audit")
@@ -583,6 +592,20 @@ def main(argv: list[str] | None = None) -> int:
             args.amount,
             k=args.tiles,
         ).orderBy("segment", args.key)
+        _print_bounded(job.spark, out, args.max_rows, args.out)
+        return 0
+    if args.cmd == "order":
+        # X222: the order table is corpus-sized -> bounded preview +
+        # --out; rank ascends in hash order, so the preview IS the
+        # first max_rows of the training order
+        from .ext.sampling import shuffle_order
+
+        out = shuffle_order(
+            job._read_source(args.table),
+            id_col=args.id,
+            method=args.method,
+            salt=args.salt,
+        ).orderBy("rank")
         _print_bounded(job.spark, out, args.max_rows, args.out)
         return 0
     if args.cmd == "recipe":
@@ -1040,6 +1063,16 @@ def main(argv: list[str] | None = None) -> int:
             if args.table is None:
                 p.error("audit --kind packing needs --table")
             out = packing_efficiency(job._read_source(args.table))
+        elif args.kind == "length-buckets":
+            # X223: padding price of power-of-two length-bucketed
+            # batching vs global-max batching; <=64 rows
+            from .ext.sampling import length_bucket_packing
+
+            if args.table is None:
+                p.error("audit --kind length-buckets needs --table")
+            out = length_bucket_packing(
+                job._read_source(args.table)
+            ).orderBy("bucket_bits")
         elif args.kind == "diversity":
             # X219: per-group mean pairwise cosine in closed form —
             # no pair join; --group defaults to label on embeddings

@@ -1180,3 +1180,112 @@ def domain_reweight(
             (F.col("_raw") / F.col("_tot").cast("double")).alias("weight"),
         )
     )
+
+
+def shuffle_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    method: str = "knuth",
+    salt: str = "shuffle",
+    n_parts: int = 64,
+) -> DataFrame:
+    """Deterministic global TRAINING ORDER (X222): a dense 1-based rank
+    over (hash_bucket(id), id) — the reproducible shuffle every
+    training run needs (epoch order must not depend on file layout,
+    partition count, or engine, or a rerun trains on a different
+    curriculum). The order of a given id never changes as the corpus
+    grows within a bucket-stable id space, and two engines replay it
+    bit-identically.
+
+    method='knuth' orders by the shared multiplicative-hash bucket
+    (split_assign's recipe, BUCKETS-coarse: ids within one of the
+    10,000 buckets stay in id order — fine dispersion for epoch
+    mixing, and fully oracle-replayable). method='xxhash64' orders by
+    the full 64-bit salted hash (essentially tie-free dispersion; not
+    DuckDB-replayable, the production default for real runs — the
+    same gate-vs-production split as split_assign).
+
+    Scale shape: global_rank's two-phase machinery — one range shuffle
+    + per-partition sorts + an n_parts-row offset window; NEVER a
+    single-partition global sort. Output: (id, rank)."""
+    from .features import global_rank
+
+    if method == "xxhash64":
+        key = F.xxhash64(F.lit(salt), F.col(id_col))
+    elif method == "knuth":
+        key = _bucket(id_col, "knuth", salt)
+    else:
+        raise ValueError(f"unknown hash method {method!r}")
+    return global_rank(
+        df.select(F.col(id_col), key.alias("_k")),
+        ["_k", id_col],
+        "rank",
+        n_parts=n_parts,
+    ).select(id_col, "rank")
+
+
+def length_bucket_packing(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Length-bucketed batching audit (X223): the padding price of
+    batching docs by power-of-two token-length buckets (bucket =
+    bit_length(n_tokens), i.e. docs of 2^k..2^(k+1)-1 tokens batch
+    together, each batch padded to the bucket's observed max) versus
+    naive global batching (everything padded to the corpus max) — the
+    planner's number for dynamic batching: pad_global - pad_bucket is
+    exactly the compute the bucketing recovers. Complements
+    packing_efficiency (X216), which prices CONCATENATIVE packing at a
+    fixed context length; this prices PADDED batching at the corpus's
+    own length distribution.
+
+    Exact and replayable: the bucket index is length(conv(n, 10, 2)) —
+    the binary-string width, pure integer/string ops on both engines
+    (floor(log2(n)) would ride libm and can land on the wrong side of
+    a power of two); counts/sums/maxes are bigints; the two pad
+    fractions are single divisions of exact ints. Tokenless docs (0
+    tokens, incl. NULL text) land in bucket 0 and cost nothing.
+
+    Scale shape: one narrow token-count map + ONE partial-agg groupBy
+    (<= 64 bucket rows, PINNED — the corpus-max aggregate and the
+    final projection both consume it; unpinned the plan read the
+    corpus twice, the q219/q224 lesson) + a one-row broadcast corpus
+    max. Output per bucket: (bucket_bits, n_docs, total_tokens,
+    max_len, pad_bucket, pad_global, pad_frac_bucket)."""
+    from .features import _pin
+    from .textops import tokens
+
+    n_tok = F.size(
+        F.coalesce(tokens(text_col), F.array().cast("array<string>"))
+    ).cast("long")
+    bits = F.when(n_tok > 0, F.length(F.conv(n_tok, 10, 2))).otherwise(
+        F.lit(0)
+    ).cast("long")
+    per = _pin(
+        df.select(bits.alias("bucket_bits"), n_tok.alias("_n"))
+        .groupBy("bucket_bits")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_n").cast("long").alias("total_tokens"),
+            F.max("_n").cast("long").alias("max_len"),
+        )
+    )
+    gmax = per.agg(F.max("max_len").alias("_gmax"))
+    pad_b = F.col("n_docs") * F.col("max_len") - F.col("total_tokens")
+    pad_g = F.col("n_docs") * F.col("_gmax") - F.col("total_tokens")
+    return (
+        per.crossJoin(F.broadcast(gmax))
+        .select(
+            "bucket_bits",
+            "n_docs",
+            "total_tokens",
+            "max_len",
+            pad_b.alias("pad_bucket"),
+            pad_g.alias("pad_global"),
+            F.when(
+                F.col("n_docs") * F.col("max_len") > 0,
+                pad_b.cast("double")
+                / (F.col("n_docs") * F.col("max_len")).cast("double"),
+            ).otherwise(F.lit(0.0)).alias("pad_frac_bucket"),
+        )
+    )

@@ -108,8 +108,9 @@ def q218_epoch_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q218 = """
 with per as (
   select source as grp,
-         cast(sum(len(list_filter(string_split(trim(text), ' '),
-                                  x -> x <> ''))) as bigint) as n_tokens
+         cast(sum(coalesce(len(list_filter(string_split(trim(text), ' '),
+                                           x -> x <> '')), 0)) as bigint)
+           as n_tokens
   from documents group by source),
 r as (
   select grp, n_tokens,

@@ -1,11 +1,13 @@
-"""Round-14 band, q222-q224: recipe EXECUTION — epoch_recipe's
+"""Round-14 band, q222-q226: recipe EXECUTION — epoch_recipe's
 water-filling allocation (X214) feeding budget_mix (X62) the per-source
 token budgets it was designed to execute (X218, VERDICT r13 #5: SURVEY's
 X214 row promises the composition; this gate proves it end-to-end) —
 plus closed-form per-group embedding diversity (X219, q223: mean
 pairwise cosine with NO pair join) and multiplicative-weights domain
 reweighting (X220, q224: the DoReMi-shaped mixture update, linear MWU
-so the arithmetic replays cross-engine).
+so the arithmetic replays cross-engine), the deterministic global
+training order (X222, q225: global_rank over the hash order) and the
+length-bucketed batching padding audit (X223, q226).
 
 Same conventions as every band: each gate def returns a DataFrame whose
 columns are aliased identically in the DuckDB oracle below it.
@@ -40,8 +42,9 @@ def q222_recipe_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q222 = """
 with per as (
   select source as grp,
-         cast(sum(len(list_filter(string_split(trim(text), ' '),
-                                  x -> x <> ''))) as bigint) as n_tokens
+         cast(sum(coalesce(len(list_filter(string_split(trim(text), ' '),
+                                           x -> x <> '')), 0)) as bigint)
+           as n_tokens
   from documents group by source),
 r as (
   select grp, n_tokens,
@@ -72,8 +75,9 @@ alloc as (
   from c, s),
 base as (
   select d.doc_id, d.source,
-         cast(len(list_filter(string_split(trim(d.text), ' '),
-                              x -> x <> '')) as bigint) as n_tokens,
+         cast(coalesce(len(list_filter(string_split(trim(d.text), ' '),
+                                       x -> x <> '')), 0) as bigint)
+           as n_tokens,
          (d.doc_id * 2654435761) % 10000 as bucket,
          cast(floor(a.allocated) as bigint) as budget
   from documents d join alloc a using (source)
@@ -189,4 +193,69 @@ select source, n_docs, mean_loss, prior_w,
        raw / cast(t.tot as double) as weight
 from s, t
 order by source
+"""
+
+
+def q225_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training order (ext/sampling.shuffle_order,
+    X222): dense 1-based rank over (knuth bucket, id) via global_rank's
+    two-phase machinery — reproducible epoch order independent of file
+    layout, partition count, or engine. One row per doc."""
+    return sampling.shuffle_order(
+        load(spark, sf_dir, "documents"), id_col="doc_id", method="knuth"
+    )
+
+
+# the oracle's one window IS the semantics (a global row_number over
+# the hash order); the ENGINE side must reproduce it without the
+# single-partition sort — that's what global_rank's two-phase
+# range/offset machinery is for (plan-guarded)
+ORACLE_Q225 = """
+select doc_id,
+       row_number() over (order by (doc_id * 2654435761) % 10000, doc_id)
+         as rank
+from documents
+"""
+
+
+def q226_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit (ext/sampling
+    .length_bucket_packing, X223): per power-of-two token-length
+    bucket, the padding cost of batching at the bucket's max vs the
+    corpus max — the dynamic-batching planner's number. One row per
+    occupied bucket."""
+    return sampling.length_bucket_packing(
+        load(spark, sf_dir, "documents")
+    ).orderBy("bucket_bits")
+
+
+# bucket index is the binary-string width (length(bin(n)) ==
+# length(conv(n,10,2))) — exact integer/string ops; floor(log2) would
+# ride libm and can land on the wrong side of a power of two
+ORACLE_Q226 = """
+with t as (
+  select coalesce(len(list_filter(string_split(trim(text), ' '),
+                                  x -> x <> '')), 0) as n
+  from documents),
+b as (
+  select cast(case when n > 0 then length(bin(n)) else 0 end as bigint)
+           as bucket_bits,
+         n
+  from t),
+per as (
+  select bucket_bits,
+         cast(count(*) as bigint) as n_docs,
+         cast(sum(n) as bigint) as total_tokens,
+         cast(max(n) as bigint) as max_len
+  from b group by bucket_bits),
+g as (select max(max_len) as gmax from per)
+select bucket_bits, n_docs, total_tokens, max_len,
+       cast(n_docs * max_len - total_tokens as bigint) as pad_bucket,
+       cast(n_docs * g.gmax - total_tokens as bigint) as pad_global,
+       case when n_docs * max_len > 0
+            then cast(n_docs * max_len - total_tokens as double)
+                 / cast(n_docs * max_len as double)
+            else 0.0 end as pad_frac_bucket
+from per, g
+order by bucket_bits
 """

@@ -6653,3 +6653,83 @@ def test_domain_reweight_semantics(spark):
 
     with _pytest.raises(ValueError, match="eta"):
         domain_reweight(df, "loss", eta=-0.1)
+
+
+def test_recipe_mix_null_text_is_zero_tokens(spark):
+    """budget_mix's NULL-text contract carries through the composition
+    (and ORACLE_Q222 mirrors it with coalesce, the ADVICE-r13 latent
+    class): a NULL-text doc counts 0 tokens, is still admitted in hash
+    order, and never decrements the running budget."""
+    from sparksync.ext.sampling import recipe_mix
+
+    rows = [
+        (1, "a", "w1 w2 w3"),
+        (2, "a", None),
+        (3, "a", "w4 w5"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r.doc_id: r for r in recipe_mix(df, budget_tokens=100).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[2].n_tokens == 0
+    assert max(r.cum_tokens for r in got.values()) == 5
+
+
+def test_shuffle_order_is_deterministic_permutation(spark):
+    """X222: rank is a dense permutation of 1..n, equals the Python
+    replay of the (knuth bucket, id) order, reruns are identical, the
+    xxhash64 production method is also a permutation (different
+    order), and an unknown method raises."""
+    import pytest as _pytest
+
+    from sparksync.ext import features
+    from sparksync.ext.sampling import BUCKETS, _KNUTH_A, shuffle_order
+
+    ids = [3, 11, 7, 42, 100, 5, 777, 12, 9001, 2]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r.doc_id: r.rank for r in shuffle_order(df, "doc_id").collect()}
+    want_order = sorted(ids, key=lambda i: ((i * _KNUTH_A) % BUCKETS, i))
+    want = {i: k + 1 for k, i in enumerate(want_order)}
+    assert got == want
+    features.release_pinned()
+    again = {r.doc_id: r.rank for r in shuffle_order(df, "doc_id").collect()}
+    assert again == got
+
+    features.release_pinned()
+    xx = {r.doc_id: r.rank for r in shuffle_order(
+        df, "doc_id", method="xxhash64").collect()}
+    assert sorted(xx.values()) == list(range(1, len(ids) + 1))
+    assert xx != got  # different hash, different order
+
+    with _pytest.raises(ValueError, match="unknown hash method"):
+        shuffle_order(df, "doc_id", method="md5")
+    features.release_pinned()
+
+
+def test_length_bucket_packing_matches_python_model(spark):
+    """X223: bucket widths, counts, maxes and both pad accountings
+    equal a Python replay; 0-token (incl. NULL-text) docs land in
+    bucket 0 at zero cost; bucketing never pads more than global."""
+    from sparksync.ext.sampling import length_bucket_packing
+
+    texts = ["w", "a b c", None, "", " ".join(f"t{i}" for i in range(17)),
+             "x y", "p q r s t u v w"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    out = {r.bucket_bits: r for r in length_bucket_packing(df).collect()}
+
+    ns = [len([w for w in (t or "").split() if w]) for t in texts]
+    per = {}
+    for n in ns:
+        b = n.bit_length() if n > 0 else 0
+        d = per.setdefault(b, [0, 0, 0])
+        d[0] += 1
+        d[1] += n
+        d[2] = max(d[2], n)
+    gmax = max(d[2] for d in per.values())
+    assert set(out) == set(per)
+    for b, (cnt, tot, mx) in per.items():
+        r = out[b]
+        assert (r.n_docs, r.total_tokens, r.max_len) == (cnt, tot, mx), b
+        assert r.pad_bucket == cnt * mx - tot
+        assert r.pad_global == cnt * gmax - tot
+        assert r.pad_bucket <= r.pad_global
+    assert out[0].pad_bucket == 0 and out[0].pad_frac_bucket == 0.0

@@ -1083,3 +1083,39 @@ def test_round14_new_queries_plan_shapes(spark):
     # pinned domains-sized frame
     assert "BroadcastNestedLoopJoin" in plan
     features.release_pinned()
+
+
+def test_q225_q226_plan_shapes(spark):
+    """X222/X223: the shuffle-order rank rides global_rank's two-phase
+    machinery (range partition + n_parts-row offset window) — a global
+    row_number with NO single-partition exchange over data; the
+    length-bucket audit is one scan into a <=64-row aggregate plus a
+    one-row broadcast max."""
+    from sparksync.ext import features
+
+    features.release_pinned()
+    plan = plan_of(QUERIES["q225_shuffle_order"](spark, SF_SMOKE))
+    assert "rangepartitioning" in plan
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    features.release_pinned()
+
+    plan = plan_of(QUERIES["q226_length_buckets"](spark, SF_SMOKE))
+    # the <=64-row bucket aggregate is pinned: both consumers (corpus
+    # max + final projection) render the same cached subtree -> one
+    # physical corpus scan
+    import re
+
+    ids = {
+        m.group(1)
+        for ln in plan.splitlines()
+        if "hashpartitioning(bucket_bits" in ln
+        for m in [re.search(r"plan_id=(\d+)", ln)]
+        if m
+    }
+    assert len(ids) == 1, f"bucket aggregate not shared: {ids}"
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("SinglePartition") <= 1  # the one-row corpus max
+    features.release_pinned()

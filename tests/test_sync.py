@@ -1786,3 +1786,31 @@ def test_cli_audit_diversity_and_reweight(tmp_path, capsys):
     assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-9
     hardest = max(rows, key=lambda r: r["mean_loss"])
     assert hardest["weight"] == max(r["weight"] for r in rows)
+
+
+def test_cli_order_and_length_buckets(tmp_path, capsys):
+    """order prints the first max_rows of the deterministic training
+    order (rank ascending, dense from 1) with the bounded contract;
+    audit --kind length-buckets prints the per-bucket padding table
+    with closed accounting."""
+    import json as _json
+
+    from sparksync.cli import main
+
+    dest = tmp_path / "dest"
+    assert main(["--src", SF_SMOKE, "--dest", str(dest),
+                 "order", "--table", "documents", "--id", "doc_id",
+                 "--method", "knuth", "--max-rows", "4"]) == 0
+    lines = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert lines[-1]["truncated"] is True
+    assert [r["rank"] for r in lines[:-1]] == [1, 2, 3, 4]
+
+    assert main(["--src", SF_SMOKE, "--dest", str(dest),
+                 "audit", "--kind", "length-buckets",
+                 "--table", "documents"]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert rows and all(
+        r["pad_bucket"] == r["n_docs"] * r["max_len"] - r["total_tokens"]
+        for r in rows
+    )
+    assert all(r["pad_bucket"] <= r["pad_global"] for r in rows)

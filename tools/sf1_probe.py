@@ -81,12 +81,35 @@ QUERIES_TO_PROBE = [
     "q219_ivf_recall",
     "q220_packing_efficiency",
     "q221_signal_auc",
+    # round-14: recipe execution (plan + admit, 2 scans), closed-form
+    # diversity (1 scan, groups x dim shuffle), MWU reweight (1 scan,
+    # pinned domains-sized agg) — all source-independent, the gate
+    # forms ARE the production forms; the probe corpus has 10x the
+    # sources/labels so the aggregate tables grow 10x with the data
+    "q222_recipe_mix",
+    "q223_diversity_score",
+    "q224_domain_reweight",
+    "q225_shuffle_order",
+    "q226_length_buckets",
 ]
 
 # VERDICT r11 #7: rows whose measured regime is NOT the production
 # posture carry the label in the probe JSON itself, so a future reader
 # never mistakes the pinned form's ratio for the repo's 100 TB claim.
 NOTES = {
+    "q223_diversity_score": (
+        "overhead-dominated at probe scale: the whole computation is "
+        "one narrow pass + a groups x dim aggregate, sub-second of "
+        "real work at 20k vectors, so the wall time is Spark's fixed "
+        "stage cost at BOTH scales (ratio ~ 1 or below); the scaling "
+        "claim rests on the plan shape (no pair join, shuffle carries "
+        "groups x dim rows)"
+    ),
+    "q224_domain_reweight": (
+        "overhead-dominated at probe scale, same reading as q223: one "
+        "scan into a pinned domains-sized aggregate; the one-row "
+        "broadcast stats are fixed cost at any corpus size"
+    ),
     "q214_boilerplate_score": (
         "pinned-gram operator (the q20 persist discipline): WARM rows "
         "read the cached gram table, so the fresh-run cost is the COLD "
