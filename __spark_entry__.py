@@ -30,7 +30,8 @@ def _rotated(d: dict) -> dict:
     budget_mix), q223 (X219 closed-form embedding diversity, NEW),
     q224 (X220 MWU domain reweighting, NEW), q225 (X222 deterministic
     training order, NEW), q226 (X223 length-bucket padding audit,
-    NEW), q221 (signal_auc
+    NEW), q218 (ORACLE_Q218 gained the coalesce NULL-text guard — a
+    gate change, so it re-earns driver evidence), q221 (signal_auc
     rewritten one-scan: stack-unpivot + partition_by global_cumsum,
     VERDICT r13 #1) and q219 (ivf_recall divisor is now the per-query
     truth count, ADVICE r13). Then
@@ -39,7 +40,7 @@ def _rotated(d: dict) -> dict:
     whole band was driver-checked in round 11; the genuinely stalest
     evidence (the rule VERDICT r5 #4 actually states: by AGE) is the
     round-8-era band q01-q15 + q66-q75 + q197-q198 (27 keys, last
-    checked r8), then the oldest of the round-9 band q16-q33 (16 keys
+    checked r8), then the oldest of the round-9 band q16-q33 (15 of its 16 keys
     fill the cap; q28 and q32 are excluded — they were re-checked in
     r12/r11 and are fresher than the band around them). Changed/new queries sort FIRST so the cap can never
     silently drop a query with zero fresh driver evidence; both
@@ -47,7 +48,7 @@ def _rotated(d: dict) -> dict:
     regardless. Every key keeps its name — only dict insertion order
     changes."""
 
-    changed_r14 = {219, 221, 222, 223, 224, 225, 226}
+    changed_r14 = {218, 219, 221, 222, 223, 224, 225, 226}
     r8_era = set(range(1, 16)) | set(range(66, 76)) | {197, 198}
 
     def key(name: str):
@@ -56,7 +57,7 @@ def _rotated(d: dict) -> dict:
             return (0, n)
         if n in r8_era:
             return (1, n)
-        if 16 <= n <= 37 and n not in (28, 32):
+        if 16 <= n <= 33 and n not in (28, 32):
             return (2, n)
         return (3, n)
 

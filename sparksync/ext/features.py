@@ -1201,11 +1201,33 @@ def signal_auc(
     merge; curation signals (counts, ratios) never get there."""
     if not signal_cols:
         raise ValueError("signal_cols must be non-empty")
+    # the unpivot shares one double value column, so every signal must
+    # be numeric — a string/timestamp signal that the r13 per-signal
+    # loop ranked lexically now fails LOUDLY here instead of throwing
+    # an opaque ANSI CAST error mid-plan (code-review r14); and the
+    # names are embedded in a stack() SQL string, so quote/backtick
+    # characters are escaped rather than injected (CLI --signals is
+    # user input)
+    from pyspark.sql.types import NumericType
+
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    for s in signal_cols:
+        if s not in dtypes:
+            raise ValueError(f"signal column {s!r} not in dataframe")
+        if not isinstance(dtypes[s], NumericType):
+            raise ValueError(
+                f"signal column {s!r} has non-numeric type "
+                f"{dtypes[s].simpleString()}; signal_auc ranks on a "
+                "shared double column — cast or encode it first"
+            )
     stack = F.expr(
         "stack({}, {}) as (signal, _v)".format(
             len(signal_cols),
             ", ".join(
-                f"'{s}', cast(`{s}` as double)" for s in signal_cols
+                "'{}', cast(`{}` as double)".format(
+                    s.replace("'", "''"), s.replace("`", "``")
+                )
+                for s in signal_cols
             ),
         )
     )

@@ -6733,3 +6733,25 @@ def test_length_bucket_packing_matches_python_model(spark):
         assert r.pad_global == cnt * gmax - tot
         assert r.pad_bucket <= r.pad_global
     assert out[0].pad_bucket == 0 and out[0].pad_frac_bucket == 0.0
+
+
+def test_signal_auc_validates_and_escapes_names(spark):
+    """code-review r14: weird-but-legal column names (quotes,
+    backticks) rank instead of injecting into the stack() SQL;
+    non-numeric and missing signals fail loudly with the real
+    constraint named."""
+    import pytest as _pytest
+
+    from sparksync.ext.features import signal_auc
+
+    df = spark.createDataFrame(
+        [(1.0, "x", 1), (2.0, "y", 0), (3.0, "z", 1)],
+        ["a'b`c", "s", "y"],
+    )
+    r = signal_auc(df, "y", ["a'b`c"]).collect()[0]
+    assert r.signal == "a'b`c" and r.n_pos == 2 and r.n_neg == 1
+
+    with _pytest.raises(ValueError, match="non-numeric"):
+        signal_auc(df, "y", ["s"])
+    with _pytest.raises(ValueError, match="not in dataframe"):
+        signal_auc(df, "y", ["nope"])
