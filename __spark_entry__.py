@@ -21,7 +21,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _rotated(d: dict) -> dict:
     """The driver's CORRECTNESS report samples at most 50 queries; the
-    surface is len(QUERIES) (226 as of round 14 — test_meta asserts
+    surface is len(QUERIES) (227 as of round 14 — test_meta asserts
     the exact count), so allocation is explicit and rotates each round
     toward the weakest external evidence (VERDICT r5 #4, by AGE).
 
@@ -30,7 +30,7 @@ def _rotated(d: dict) -> dict:
     budget_mix), q223 (X219 closed-form embedding diversity, NEW),
     q224 (X220 MWU domain reweighting, NEW), q225 (X222 deterministic
     training order, NEW), q226 (X223 length-bucket padding audit,
-    NEW), q218 (ORACLE_Q218 gained the coalesce NULL-text guard — a
+    NEW), q227 (X224 curriculum staging, NEW), q218 (ORACLE_Q218 gained the coalesce NULL-text guard — a
     gate change, so it re-earns driver evidence), q221 (signal_auc
     rewritten one-scan: stack-unpivot + partition_by global_cumsum,
     VERDICT r13 #1) and q219 (ivf_recall divisor is now the per-query
@@ -40,7 +40,7 @@ def _rotated(d: dict) -> dict:
     whole band was driver-checked in round 11; the genuinely stalest
     evidence (the rule VERDICT r5 #4 actually states: by AGE) is the
     round-8-era band q01-q15 + q66-q75 + q197-q198 (27 keys, last
-    checked r8), then the oldest of the round-9 band q16-q33 (15 of its 16 keys
+    checked r8), then the oldest of the round-9 band q16-q33 (14 of its 16 keys
     fill the cap; q28 and q32 are excluded — they were re-checked in
     r12/r11 and are fresher than the band around them). Changed/new queries sort FIRST so the cap can never
     silently drop a query with zero fresh driver evidence; both
@@ -48,7 +48,7 @@ def _rotated(d: dict) -> dict:
     regardless. Every key keeps its name — only dict insertion order
     changes."""
 
-    changed_r14 = {218, 219, 221, 222, 223, 224, 225, 226}
+    changed_r14 = {218, 219, 221, 222, 223, 224, 225, 226, 227}
     r8_era = set(range(1, 16)) | set(range(66, 76)) | {197, 198}
 
     def key(name: str):

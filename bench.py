@@ -141,6 +141,7 @@ HEADLINE = [
     "q224_domain_reweight",
     "q225_shuffle_order",
     "q226_length_buckets",
+    "q227_curriculum_stages",
 ]
 
 # The original BENCH_r03 subset (16 queries + sync): their sum is

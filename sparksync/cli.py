@@ -132,6 +132,14 @@ def main(argv: list[str] | None = None) -> int:
     # the driver is an OOM at 100 TB; same pattern as `audit`)
     rfm_p.add_argument("--max-rows", type=int, default=2000)
     rfm_p.add_argument("--out", default=None)
+    stg = sub.add_parser("stages")  # X224 global curriculum staging
+    stg.add_argument("--table", required=True)
+    stg.add_argument("--signal", required=True,
+                     help="difficulty column (negate for hard-first)")
+    stg.add_argument("--id", required=True)
+    stg.add_argument("--stages", type=int, default=4)
+    stg.add_argument("--max-rows", type=int, default=2000)
+    stg.add_argument("--out", default=None)
     ord_p = sub.add_parser("order")  # X222 deterministic training order
     ord_p.add_argument("--table", required=True)
     ord_p.add_argument("--id", required=True)
@@ -592,6 +600,18 @@ def main(argv: list[str] | None = None) -> int:
             args.amount,
             k=args.tiles,
         ).orderBy("segment", args.key)
+        _print_bounded(job.spark, out, args.max_rows, args.out)
+        return 0
+    if args.cmd == "stages":
+        # X224: corpus-sized stage table -> bounded preview + --out
+        from .ext.sampling import curriculum_stages
+
+        out = curriculum_stages(
+            job._read_source(args.table),
+            args.signal,
+            id_col=args.id,
+            n_stages=args.stages,
+        ).orderBy("rank")
         _print_bounded(job.spark, out, args.max_rows, args.out)
         return 0
     if args.cmd == "order":

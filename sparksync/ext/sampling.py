@@ -1289,3 +1289,56 @@ def length_bucket_packing(
             ).otherwise(F.lit(0.0)).alias("pad_frac_bucket"),
         )
     )
+
+
+def curriculum_stages(
+    df: DataFrame,
+    signal_col: str,
+    id_col: str = "doc_id",
+    n_stages: int = 4,
+    n_parts: int = 64,
+) -> DataFrame:
+    """Global curriculum staging (X224): assign every doc its stage in
+    an easy-to-hard training schedule — stage s = the s-th global
+    n-tile of the difficulty signal's total order (signal asc, id
+    tiebreak; negate the signal for hard-first). Exact SQL ntile
+    semantics, reproduced arithmetically: with n rows and k stages,
+    the first n % k stages hold floor(n/k)+1 rows and the rest
+    floor(n/k) — so the output is bit-identical to `ntile(k) over
+    (order by signal, id)` while the PLAN never sorts the corpus in
+    one task: global_rank's two-phase range/offset machinery produces
+    the rank, a one-row broadcast count finishes the stage arithmetic
+    in pure bigints (ceil(a/b) as (a+b-1) div b).
+
+    NULL signals are excluded (difficulty undefined — visible as
+    missing ids, the signal_auc convention). Output: (id, signal,
+    rank, stage), 1-based; a loader trains stage 1 first."""
+    from .features import global_rank
+
+    if n_stages < 1:
+        raise ValueError(f"n_stages must be >= 1, got {n_stages}")
+    ranked = global_rank(
+        df.select(F.col(id_col), F.col(signal_col)).where(
+            F.col(signal_col).isNotNull()
+        ),
+        [signal_col, id_col],
+        "rank",
+        n_parts=n_parts,
+    )
+    tot = ranked.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    # pure-bigint ntile arithmetic (Spark's `/` on longs is a double
+    # divide — `div` keeps it exact at any corpus size): sz = floor(
+    # n/k), the first n%k stages hold sz+1 rows, ceil(a/b) = (a+b-1)
+    # div b; the else-branch divisor is never 0 when reached (sz == 0
+    # implies every rank falls in the big stages)
+    k = int(n_stages)
+    stage = F.expr(
+        f"CASE WHEN rank <= (_n % {k}) * ((_n div {k}) + 1) "
+        f"THEN (rank + (_n div {k})) div ((_n div {k}) + 1) "
+        f"ELSE (_n % {k}) + ((rank - (_n % {k}) * ((_n div {k}) + 1) "
+        f"+ (_n div {k}) - 1) div greatest(_n div {k}, 1)) END"
+    ).cast("long")
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(id_col, signal_col, "rank", stage.alias("stage"))
+    )

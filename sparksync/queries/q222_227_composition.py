@@ -1,4 +1,4 @@
-"""Round-14 band, q222-q226: recipe EXECUTION — epoch_recipe's
+"""Round-14 band, q222-q227: recipe EXECUTION — epoch_recipe's
 water-filling allocation (X214) feeding budget_mix (X62) the per-source
 token budgets it was designed to execute (X218, VERDICT r13 #5: SURVEY's
 X214 row promises the composition; this gate proves it end-to-end) —
@@ -7,7 +7,9 @@ pairwise cosine with NO pair join) and multiplicative-weights domain
 reweighting (X220, q224: the DoReMi-shaped mixture update, linear MWU
 so the arithmetic replays cross-engine), the deterministic global
 training order (X222, q225: global_rank over the hash order) and the
-length-bucketed batching padding audit (X223, q226).
+length-bucketed batching padding audit (X223, q226), and global
+curriculum staging with exact SQL-ntile semantics and no
+single-partition sort (X224, q227).
 
 Same conventions as every band: each gate def returns a DataFrame whose
 columns are aliased identically in the DuckDB oracle below it.
@@ -258,4 +260,26 @@ select bucket_bits, n_docs, total_tokens, max_len,
             else 0.0 end as pad_frac_bucket
 from per, g
 order by bucket_bits
+"""
+
+
+def q227_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global curriculum staging (ext/sampling.curriculum_stages,
+    X224): every doc's stage in a 4-stage easy-to-hard schedule by
+    n_chars — exact SQL ntile semantics over the global (signal, id)
+    order, computed WITHOUT a single-partition sort (two-phase
+    global_rank + pure-bigint stage arithmetic). One row per doc."""
+    return sampling.curriculum_stages(
+        load(spark, sf_dir, "documents"), "n_chars", "doc_id", n_stages=4
+    )
+
+
+# the oracle's single ntile window IS the semantics; the engine must
+# reproduce it rank-arithmetically off the two-phase machinery
+ORACLE_Q227 = """
+select doc_id, n_chars,
+       row_number() over (order by n_chars, doc_id) as rank,
+       cast(ntile(4) over (order by n_chars, doc_id) as bigint) as stage
+from documents
+where n_chars is not null
 """

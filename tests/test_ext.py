@@ -6755,3 +6755,42 @@ def test_signal_auc_validates_and_escapes_names(spark):
         signal_auc(df, "y", ["s"])
     with _pytest.raises(ValueError, match="not in dataframe"):
         signal_auc(df, "y", ["nope"])
+
+
+def test_curriculum_stages_matches_sql_ntile(spark):
+    """X224: stage assignment equals SQL ntile semantics (first n%k
+    stages hold floor(n/k)+1 rows) across shapes — n<k (one row per
+    stage), n%k != 0, k=1 (everything stage 1); NULL signals excluded;
+    k<1 raises."""
+    import pytest as _pytest
+
+    from sparksync.ext import features
+    from sparksync.ext.sampling import curriculum_stages
+
+    def py_ntile(n, k):
+        sz, big = divmod(n, k)
+        out = []
+        for r in range(1, n + 1):
+            if r <= big * (sz + 1):
+                out.append((r + sz) // (sz + 1))
+            else:
+                out.append(big + (r - big * (sz + 1) + sz - 1) // max(sz, 1))
+        return out
+
+    rows = [(i, (i * 37) % 13) for i in range(23)] + [(99, None)]
+    df = spark.createDataFrame(rows, "doc_id long, sig long")
+    order = sorted((s, i) for i, s in rows if s is not None)
+    for k in (1, 4, 5, 23, 40):
+        features.release_pinned()
+        got = {
+            r.doc_id: (r.rank, r.stage)
+            for r in curriculum_stages(df, "sig", "doc_id", n_stages=k).collect()
+        }
+        stages = py_ntile(len(order), k)
+        want = {i: (r + 1, stages[r]) for r, (s, i) in enumerate(order)}
+        assert got == want, k
+    assert 99 not in got  # NULL signal excluded
+
+    with _pytest.raises(ValueError, match="n_stages"):
+        curriculum_stages(df, "sig", "doc_id", n_stages=0)
+    features.release_pinned()

@@ -1119,3 +1119,19 @@ def test_q225_q226_plan_shapes(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("SinglePartition") <= 1  # the one-row corpus max
     features.release_pinned()
+
+
+def test_q227_plan_shape(spark):
+    """X224: the stage assignment rides global_rank's two-phase
+    machinery — range partition + offset window, one broadcast
+    count; NEVER a single-partition sort over the corpus."""
+    from sparksync.ext import features
+
+    features.release_pinned()
+    plan = plan_of(QUERIES["q227_curriculum_stages"](spark, SF_SMOKE))
+    assert "rangepartitioning" in plan
+    # the ONE allowed tiny exchange is the one-row total-count
+    # aggregate the stage arithmetic broadcasts
+    assert plan.count("SinglePartition") <= 1
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    features.release_pinned()

@@ -1814,3 +1814,22 @@ def test_cli_order_and_length_buckets(tmp_path, capsys):
         for r in rows
     )
     assert all(r["pad_bucket"] <= r["pad_global"] for r in rows)
+
+
+def test_cli_stages(tmp_path, capsys):
+    """stages prints the first max_rows of the curriculum order (rank
+    ascending from 1, stage non-decreasing) with the bounded
+    contract."""
+    import json as _json
+
+    from sparksync.cli import main
+
+    dest = tmp_path / "dest"
+    assert main(["--src", SF_SMOKE, "--dest", str(dest),
+                 "stages", "--table", "documents", "--signal", "n_chars",
+                 "--id", "doc_id", "--stages", "4", "--max-rows", "5"]) == 0
+    lines = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert lines[-1]["truncated"] is True
+    rows = lines[:-1]
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+    assert all(r["stage"] == 1 for r in rows)  # first quartile first

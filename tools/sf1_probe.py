@@ -91,6 +91,7 @@ QUERIES_TO_PROBE = [
     "q224_domain_reweight",
     "q225_shuffle_order",
     "q226_length_buckets",
+    "q227_curriculum_stages",
 ]
 
 # VERDICT r11 #7: rows whose measured regime is NOT the production
