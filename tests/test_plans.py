@@ -1025,7 +1025,12 @@ def test_signal_auc_one_scan_all_signals(spark):
         if m
     }
     assert len(ids) == 1, f"pinned grouped frame not shared: {ids}"
-    assert plan.count("InMemoryTableScan") == 2
+    # >= 2, not == 2: when an earlier test leaves the base documents
+    # relation cached, its InMemoryTableScan renders inside the pinned
+    # subtree too (4 total) — the shared-plan_id assertion above is
+    # what proves the one-scan property (full-suite order dependence,
+    # caught in the round-14 final suite run)
+    assert plan.count("InMemoryTableScan") >= 2
     assert "SortMergeJoin" not in plan
     assert "SinglePartition" not in plan
     features.release_pinned()
