@@ -1251,8 +1251,24 @@ def length_bucket_packing(
     final projection both consume it; unpinned the plan read the
     corpus twice, the q219/q224 lesson) + a one-row broadcast corpus
     max. Output per bucket: (bucket_bits, n_docs, total_tokens,
-    max_len, pad_bucket, pad_global, pad_frac_bucket)."""
+    max_len, pad_bucket, pad_global, pad_frac_bucket).
+
+    Split as STATE (length_bucket_state: count/sum/max per bucket —
+    commutative-mergeable) + FINISHER (length_bucket_finish over the
+    <=64-row table), the diversity/HLL pattern, so the streaming twin
+    (ext/stream.length_bucket_stream) maintains the same state and
+    reads the same finisher."""
     from .features import _pin
+
+    return length_bucket_finish(_pin(length_bucket_state(df, text_col)))
+
+
+def length_bucket_state(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """length_bucket_packing's mergeable state: (bucket_bits, n_docs,
+    total_tokens, max_len) — count/sum/max are commutative-mergeable,
+    so this same expression runs unchanged over a stream in complete
+    mode (no watermark); state is <= 64 rows BY CONSTRUCTION (one per
+    occupied power-of-two length bucket)."""
     from .textops import tokens
 
     n_tok = F.size(
@@ -1261,7 +1277,7 @@ def length_bucket_packing(
     bits = F.when(n_tok > 0, F.length(F.conv(n_tok, 10, 2))).otherwise(
         F.lit(0)
     ).cast("long")
-    per = _pin(
+    return (
         df.select(bits.alias("bucket_bits"), n_tok.alias("_n"))
         .groupBy("bucket_bits")
         .agg(
@@ -1270,6 +1286,12 @@ def length_bucket_packing(
             F.max("_n").cast("long").alias("max_len"),
         )
     )
+
+
+def length_bucket_finish(per: DataFrame) -> DataFrame:
+    """Shared finisher over the tiny (bucket_bits, n_docs,
+    total_tokens, max_len) state table — both pad accountings and the
+    bucket pad fraction. Costs the same at any corpus size."""
     gmax = per.agg(F.max("max_len").alias("_gmax"))
     pad_b = F.col("n_docs") * F.col("max_len") - F.col("total_tokens")
     pad_g = F.col("n_docs") * F.col("_gmax") - F.col("total_tokens")

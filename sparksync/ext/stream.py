@@ -707,3 +707,24 @@ def diversity_state_stream(
     from .similarity import diversity_state
 
     return diversity_state(emb, group_col, vec_col)
+
+
+def length_bucket_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming length-distribution maintenance (X225): keep
+    sampling.length_bucket_state's per-power-of-two-bucket
+    (count, token sum, max length) table live as documents land — an
+    always-current dynamic-batching planner input (a feed whose length
+    profile drifts silently re-prices every batch). count/sum/max are
+    commutative-mergeable, so no watermark and the drained state is
+    bit-identical to the batch state over the same rows; STATE is
+    <= 64 rows BY CONSTRUCTION. The shared
+    sampling.length_bucket_finish reads the tiny table at query time —
+    stream and batch cannot disagree on the padding numbers (the
+    hll/diversity pattern). The batch gate q226 proves the accounting
+    against the DuckDB oracle; this twin only maintains its state."""
+    from .sampling import length_bucket_state
+
+    return length_bucket_state(docs, text_col)

@@ -1295,3 +1295,74 @@ def test_diversity_stream_restart_recovers_state(spark, tmp_path):
         ).collect()
     }
     assert got == batch
+
+
+def test_length_bucket_stream_matches_batch(spark, tmp_path):
+    """X225: the drained streaming length-bucket state is BIT-IDENTICAL
+    to the batch state over the same rows, and the shared finisher over
+    it reproduces q226's padding numbers exactly."""
+    from sparksync.ext import sampling
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("text")
+    src = str(tmp_path / "lb_in")
+    docs.write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    s = spark.readStream.schema(schema).parquet(src)
+    q = (
+        stream.length_bucket_stream(s)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("lbstate")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    live = spark.sql("select * from lbstate")
+    got = {tuple(r) for r in live.collect()}
+    batch = {
+        tuple(r) for r in sampling.length_bucket_state(docs).collect()
+    }
+    assert got == batch and len(got) > 0
+    fin_live = {
+        tuple(r) for r in sampling.length_bucket_finish(live).collect()
+    }
+    fin_batch = {
+        tuple(r) for r in sampling.length_bucket_packing(docs).collect()
+    }
+    assert fin_live == fin_batch
+
+
+def test_length_bucket_stream_restart_recovers_state(spark, tmp_path):
+    """Restart for the length-bucket twin: drain half, stop, land the
+    rest, restart from the same checkpoint — state equals batch over
+    ALL rows."""
+    from sparksync.ext import sampling
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    src = str(tmp_path / "lb_in2")
+    ckpt = str(tmp_path / "lb_ckpt")
+    docs.where("doc_id % 2 = 0").select("text").write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def drain(name):
+        s = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream.length_bucket_stream(s)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain("lbr1")
+    docs.where("doc_id % 2 = 1").select("text").write.mode("append").parquet(src)
+    drain("lbr2")
+    got = {tuple(r) for r in spark.sql("select * from lbr2").collect()}
+    batch = {
+        tuple(r)
+        for r in sampling.length_bucket_state(docs.select("text")).collect()
+    }
+    assert got == batch
