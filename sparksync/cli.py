@@ -13,17 +13,27 @@ from .session import get_spark
 from .sync import SyncJob, render_report, write_report
 
 
-def _print_bounded(spark, out, max_rows: int, out_dir: str | None) -> None:
+def _print_bounded(
+    spark, out, max_rows: int, out_dir: str | None, order_by=None
+) -> None:
     """Bounded stdout for per-row-output verbs: the full result travels
     executor->parquet via out_dir (never through the driver), stdout is
     a limit-pushed preview of max_rows rows plus a truncation notice.
     When out_dir is given the preview reads the WRITTEN files, so the
     plan runs once (the audit verb's VERDICT r11 #2 / code-review r12
     pattern, shared by rfm/resolve per VERDICT r12 #2 — the reference
-    never prints row data at all, cmd/root.go:140-200)."""
+    never prints row data at all, cmd/root.go:140-200).
+
+    `order_by` (code-review r14): parquet re-read loses the writer's
+    sort (Spark orders splits by size), so verbs whose preview IS an
+    ordered head (order/stages print ranks 1..max_rows) name their
+    sort columns and the preview re-applies them after the re-read —
+    a TakeOrderedAndProject over the written files, still bounded."""
     if out_dir:
         out.write.mode("overwrite").parquet(out_dir)
         out = spark.read.parquet(out_dir)
+        if order_by:
+            out = out.orderBy(*order_by)
     shown = out.limit(max_rows + 1).collect()
     for r in shown[:max_rows]:
         print(json.dumps(r.asDict(), default=str))
@@ -135,7 +145,9 @@ def main(argv: list[str] | None = None) -> int:
     stg = sub.add_parser("stages")  # X224 global curriculum staging
     stg.add_argument("--table", required=True)
     stg.add_argument("--signal", required=True,
-                     help="difficulty column (negate for hard-first)")
+                     help="difficulty column, staged ascending; for "
+                          "hard-first pre-derive a negated column — a "
+                          "column name cannot encode descending order")
     stg.add_argument("--id", required=True)
     stg.add_argument("--stages", type=int, default=4)
     stg.add_argument("--max-rows", type=int, default=2000)
@@ -612,7 +624,8 @@ def main(argv: list[str] | None = None) -> int:
             id_col=args.id,
             n_stages=args.stages,
         ).orderBy("rank")
-        _print_bounded(job.spark, out, args.max_rows, args.out)
+        _print_bounded(job.spark, out, args.max_rows, args.out,
+                       order_by=["rank"])
         return 0
     if args.cmd == "order":
         # X222: the order table is corpus-sized -> bounded preview +
@@ -626,7 +639,8 @@ def main(argv: list[str] | None = None) -> int:
             method=args.method,
             salt=args.salt,
         ).orderBy("rank")
-        _print_bounded(job.spark, out, args.max_rows, args.out)
+        _print_bounded(job.spark, out, args.max_rows, args.out,
+                       order_by=["rank"])
         return 0
     if args.cmd == "recipe":
         # X214: per-source token/epoch allocation (water-filling with

@@ -406,6 +406,7 @@ def global_rank(
     order_cols: list,
     out_col: str = "rank",
     n_parts: int = 64,
+    with_total: str | None = None,
 ) -> DataFrame:
     """df + a 1-based GLOBAL row_number over `order_cols` without ever
     sorting the whole input in one task: range-repartition on the sort
@@ -423,7 +424,13 @@ def global_rank(
     the offset subtree could draw different partition bounds and
     misalign `spark_partition_id`. The cache holds exactly one pass of
     the (usually post-aggregation) input, FIFO-capped via _pin;
-    release_pinned() frees them between batch runs."""
+    release_pinned() frees them between batch runs.
+
+    `with_total` (code-review r14): name a column to ALSO carry the
+    global row count — it rides the same broadcast counter table (one
+    more window over the n_parts rows), so callers that need n (ntile
+    arithmetic, curriculum staging) don't re-execute the ranking
+    subtree or re-scan the source just to count rows."""
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     part = _pin(
         df.repartitionByRange(n_parts, *cols).withColumn(
@@ -435,19 +442,26 @@ def global_rank(
     # the offset cumsum runs over n_parts COUNTER rows — constant
     # partition key (non-optimizer-removable, see similarity._ranked_topk)
     # names that tiny partition so WindowExec stays quiet
+    ck = F.pmod(F.xxhash64(F.col("_pid")), F.lit(1))
     woff = (
-        Window.partitionBy(F.pmod(F.xxhash64(F.col("_pid")), F.lit(1)))
+        Window.partitionBy(ck)
         .orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = (
-        part.groupBy("_pid")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .withColumn(
-            "_off", F.coalesce(F.sum("_cnt").over(woff), F.lit(0)).cast("long")
-        )
-        .select("_pid", "_off")
+    offsets = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    keep = ["_pid", "_off"]
+    offsets = offsets.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(woff), F.lit(0)).cast("long")
     )
+    if with_total is not None:
+        wall = Window.partitionBy(ck).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        offsets = offsets.withColumn(
+            with_total, F.sum("_cnt").over(wall).cast("long")
+        )
+        keep.append(with_total)
+    offsets = offsets.select(*keep)
     return (
         ranked.join(F.broadcast(offsets), "_pid")
         .withColumn(out_col, (F.col("_lrank") + F.col("_off")).cast("long"))
@@ -460,13 +474,28 @@ def ntile_from_rank(rank: F.Column, n: F.Column, k: int) -> F.Column:
     bit-identical to SQL NTILE's split rule (the first n%k tiles take
     the extra row), so a rank produced by global_rank yields the exact
     tile a single-partition NTILE window would have, without the
-    single-partition window. All integer arithmetic."""
-    q = F.floor(n / F.lit(k)).cast("long")
+    single-partition window.
+
+    Exact at ANY count since round 14 (code-review: curriculum_stages
+    had re-implemented this rule inline to dodge the old double
+    divides — now all callers share one exact helper): quotients ride
+    decimal(38,0) division + floor/ceil instead of long `/` (a double
+    divide, exact only below 2^53); identical results in the entire
+    sub-2^53 range, exact beyond it. The else-branch divisor is
+    guarded with greatest(q, 1) — q == 0 means every rank falls in
+    the big tiles so the branch is unreached, but the guard keeps the
+    expression total."""
+    dec = "decimal(38,0)"
+    q = F.floor(n.cast(dec) / F.lit(k).cast(dec)).cast("long")
     r0 = (n - F.lit(k) * q).cast("long")
     big = r0 * (q + F.lit(1))
     in_big = rank <= big
-    tile_big = F.floor((rank + q) / (q + F.lit(1)))
-    tile_rest = r0 + F.ceil((rank - big).cast("double") / q.cast("double"))
+    tile_big = F.floor(
+        (rank + q).cast(dec) / (q + F.lit(1)).cast(dec)
+    ).cast("long")
+    tile_rest = r0 + F.ceil(
+        (rank - big).cast(dec) / F.greatest(q, F.lit(1)).cast(dec)
+    ).cast("long")
     return F.when(in_big, tile_big).otherwise(tile_rest).cast("long")
 
 

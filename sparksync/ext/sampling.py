@@ -1323,7 +1323,7 @@ def curriculum_stages(
     """Global curriculum staging (X224): assign every doc its stage in
     an easy-to-hard training schedule — stage s = the s-th global
     n-tile of the difficulty signal's total order (signal asc, id
-    tiebreak; negate the signal for hard-first). Exact SQL ntile
+    tiebreak; hard-first needs a pre-derived negated column). Exact SQL ntile
     semantics, reproduced arithmetically: with n rows and k stages,
     the first n % k stages hold floor(n/k)+1 rows and the rest
     floor(n/k) — so the output is bit-identical to `ntile(k) over
@@ -1333,34 +1333,37 @@ def curriculum_stages(
     in pure bigints (ceil(a/b) as (a+b-1) div b).
 
     NULL signals are excluded (difficulty undefined — visible as
-    missing ids, the signal_auc convention). Output: (id, signal,
-    rank, stage), 1-based; a loader trains stage 1 first."""
-    from .features import global_rank
+    missing ids, the signal_auc convention); NULL ids sort LAST within
+    a signal value (asc_nulls_last — Spark's default NULLS FIRST would
+    silently diverge from SQL engines' NULLS LAST, code-review r14).
+    For hard-first, pass a pre-derived negated column — a column NAME
+    cannot encode descending order. Output: (id, signal, rank, stage),
+    1-based; a loader trains stage 1 first."""
+    from .features import global_rank, ntile_from_rank
 
     if n_stages < 1:
         raise ValueError(f"n_stages must be >= 1, got {n_stages}")
+    reserved = {"rank", "stage", "_n", "_pid", "_lrank", "_off", "_cnt"}
+    for c in (signal_col, id_col):
+        if c in reserved:
+            raise ValueError(
+                f"column name {c!r} collides with curriculum_stages "
+                f"internals ({sorted(reserved)}); rename it first"
+            )
+    # with_total rides global_rank's broadcast counter table — no
+    # second pass over the ranked frame just to count it (code-review
+    # r14); the stage rule is the SHARED exact ntile_from_rank (X99),
+    # not a private re-implementation
     ranked = global_rank(
         df.select(F.col(id_col), F.col(signal_col)).where(
             F.col(signal_col).isNotNull()
         ),
-        [signal_col, id_col],
+        [F.col(signal_col).asc(), F.col(id_col).asc_nulls_last()],
         "rank",
         n_parts=n_parts,
+        with_total="_n",
     )
-    tot = ranked.agg(F.count(F.lit(1)).cast("long").alias("_n"))
-    # pure-bigint ntile arithmetic (Spark's `/` on longs is a double
-    # divide — `div` keeps it exact at any corpus size): sz = floor(
-    # n/k), the first n%k stages hold sz+1 rows, ceil(a/b) = (a+b-1)
-    # div b; the else-branch divisor is never 0 when reached (sz == 0
-    # implies every rank falls in the big stages)
-    k = int(n_stages)
-    stage = F.expr(
-        f"CASE WHEN rank <= (_n % {k}) * ((_n div {k}) + 1) "
-        f"THEN (rank + (_n div {k})) div ((_n div {k}) + 1) "
-        f"ELSE (_n % {k}) + ((rank - (_n % {k}) * ((_n div {k}) + 1) "
-        f"+ (_n div {k}) - 1) div greatest(_n div {k}, 1)) END"
-    ).cast("long")
-    return (
-        ranked.crossJoin(F.broadcast(tot))
-        .select(id_col, signal_col, "rank", stage.alias("stage"))
+    stage = ntile_from_rank(F.col("rank"), F.col("_n"), int(n_stages))
+    return ranked.select(
+        id_col, signal_col, "rank", stage.alias("stage")
     )

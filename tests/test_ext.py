@@ -6794,3 +6794,19 @@ def test_curriculum_stages_matches_sql_ntile(spark):
     with _pytest.raises(ValueError, match="n_stages"):
         curriculum_stages(df, "sig", "doc_id", n_stages=0)
     features.release_pinned()
+
+
+def test_curriculum_stages_rejects_reserved_names(spark):
+    """code-review r14: a signal/id column named after an internal
+    (rank/_n/...) would be silently overwritten — fail loudly instead,
+    the signal_auc convention."""
+    import pytest as _pytest
+
+    from sparksync.ext.sampling import curriculum_stages
+
+    df = spark.createDataFrame([(1, 2)], "rank long, sig long")
+    with _pytest.raises(ValueError, match="collides"):
+        curriculum_stages(df, "sig", "rank")
+    df2 = spark.createDataFrame([(1, 2)], "doc_id long, _n long")
+    with _pytest.raises(ValueError, match="collides"):
+        curriculum_stages(df2, "_n", "doc_id")

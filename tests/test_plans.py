@@ -1015,6 +1015,12 @@ def test_signal_auc_one_scan_all_signals(spark):
 
     from sparksync.ext import features
 
+    # clearCache, not just release_pinned: an earlier suite test can
+    # leave the base documents relation cached, and its
+    # InMemoryTableScan then renders inside the pinned subtree too —
+    # the exact == 2 count below needs a clean cache (full-suite order
+    # dependence, caught in the round-14 final suite run)
+    spark.catalog.clearCache()
     features.release_pinned()
     plan = plan_of(QUERIES["q221_signal_auc"](spark, SF_SMOKE))
     ids = {
@@ -1025,12 +1031,7 @@ def test_signal_auc_one_scan_all_signals(spark):
         if m
     }
     assert len(ids) == 1, f"pinned grouped frame not shared: {ids}"
-    # >= 2, not == 2: when an earlier test leaves the base documents
-    # relation cached, its InMemoryTableScan renders inside the pinned
-    # subtree too (4 total) — the shared-plan_id assertion above is
-    # what proves the one-scan property (full-suite order dependence,
-    # caught in the round-14 final suite run)
-    assert plan.count("InMemoryTableScan") >= 2
+    assert plan.count("InMemoryTableScan") == 2
     assert "SortMergeJoin" not in plan
     assert "SinglePartition" not in plan
     features.release_pinned()

@@ -1833,3 +1833,22 @@ def test_cli_stages(tmp_path, capsys):
     rows = lines[:-1]
     assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
     assert all(r["stage"] == 1 for r in rows)  # first quartile first
+
+
+def test_cli_stages_out_preview_keeps_rank_order(tmp_path, capsys):
+    """code-review r14: with --out, the preview re-reads the written
+    parquet (file-split order, not writer order) — the verb must
+    re-apply the rank sort so the printed head is still ranks 1..n."""
+    import json as _json
+
+    from sparksync.cli import main
+
+    dest = tmp_path / "dest"
+    out_dir = str(tmp_path / "stage_out")
+    assert main(["--src", SF_SMOKE, "--dest", str(dest),
+                 "stages", "--table", "documents", "--signal", "n_chars",
+                 "--id", "doc_id", "--max-rows", "4",
+                 "--out", out_dir]) == 0
+    lines = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert lines[-1]["truncated"] is True
+    assert [r["rank"] for r in lines[:-1]] == [1, 2, 3, 4]
