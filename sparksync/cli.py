@@ -658,7 +658,10 @@ def main(argv: list[str] | None = None) -> int:
                 group_col=args.group,
                 id_col=args.id,
             ).orderBy(args.group, args.id)
-            _print_bounded(job.spark, out, args.max_rows, args.out)
+            # order_by so a --out re-read prints deterministically, the
+            # same fix stages/order got (ADVICE r14)
+            _print_bounded(job.spark, out, args.max_rows, args.out,
+                           order_by=[args.group, args.id])
             return 0
         for r in (
             epoch_recipe(

@@ -476,26 +476,38 @@ def ntile_from_rank(rank: F.Column, n: F.Column, k: int) -> F.Column:
     tile a single-partition NTILE window would have, without the
     single-partition window.
 
-    Exact at ANY count since round 14 (code-review: curriculum_stages
-    had re-implemented this rule inline to dodge the old double
-    divides — now all callers share one exact helper): quotients ride
-    decimal(38,0) division + floor/ceil instead of long `/` (a double
-    divide, exact only below 2^53); identical results in the entire
-    sub-2^53 range, exact beyond it. The else-branch divisor is
-    guarded with greatest(q, 1) — q == 0 means every rank falls in
-    the big tiles so the branch is unreached, but the guard keeps the
-    expression total."""
+    Exact at ANY count since round 15 (ADVICE r14: Spark rounds a
+    decimal(38,0)/decimal(38,0) quotient to decimal(38,6) HALF_UP, so
+    the round-14 floor/ceil-over-decimal form went off-by-one once a
+    tile held more than ~2e6 rows — n=8000004, k=4, rank=2000002 read
+    tile 1 where SQL NTILE(4) says 2). Every division here now
+    subtracts its pmod remainder first, so the decimal quotient is
+    integral BEFORE the scale-6 rounding and HALF_UP has nothing to
+    round; ceil(a/b) rides the (a + b - 1) div b rule. The else-branch
+    divisor is guarded with greatest(q, 1) — q == 0 means every rank
+    falls in the big tiles so the branch is unreached, but the guard
+    keeps the expression total."""
     dec = "decimal(38,0)"
-    q = F.floor(n.cast(dec) / F.lit(k).cast(dec)).cast("long")
+
+    def idiv(a: F.Column, b: F.Column) -> F.Column:
+        # exact a div b (b >= 1) over decimal(38,0) operands: with the
+        # remainder gone the true quotient is an integer, so the
+        # decimal(38,6) result is exact
+        return ((a - F.pmod(a, b)) / b).cast("long")
+
+    # the ceil numerators (rank + q, rank - big + g - 1) can exceed
+    # long max when n is near 2^63 with small k, so they're formed in
+    # decimal, not long, before dividing
+    rd, nd, kd = rank.cast(dec), n.cast(dec), F.lit(k).cast(dec)
+    q = idiv(nd, kd)
     r0 = (n - F.lit(k) * q).cast("long")
     big = r0 * (q + F.lit(1))
     in_big = rank <= big
-    tile_big = F.floor(
-        (rank + q).cast(dec) / (q + F.lit(1)).cast(dec)
-    ).cast("long")
-    tile_rest = r0 + F.ceil(
-        (rank - big).cast(dec) / F.greatest(q, F.lit(1)).cast(dec)
-    ).cast("long")
+    tile_big = idiv(rd + q.cast(dec), (q + F.lit(1)).cast(dec))
+    g = F.greatest(q, F.lit(1))
+    tile_rest = r0 + idiv(
+        rd - big.cast(dec) + g.cast(dec) - F.lit(1).cast(dec), g.cast(dec)
+    )
     return F.when(in_big, tile_big).otherwise(tile_rest).cast("long")
 
 
@@ -1230,13 +1242,19 @@ def signal_auc(
     merge; curation signals (counts, ratios) never get there."""
     if not signal_cols:
         raise ValueError("signal_cols must be non-empty")
+    dupes = {s for s in signal_cols if signal_cols.count(s) > 1}
+    if dupes:
+        # a repeated name would silently double its rows in the unpivot
+        # and skew every signal's n_pos/n_neg readout (ADVICE r14)
+        raise ValueError(f"duplicate signal columns: {sorted(dupes)}")
     # the unpivot shares one double value column, so every signal must
     # be numeric — a string/timestamp signal that the r13 per-signal
     # loop ranked lexically now fails LOUDLY here instead of throwing
     # an opaque ANSI CAST error mid-plan (code-review r14); and the
-    # names are embedded in a stack() SQL string, so quote/backtick
-    # characters are escaped rather than injected (CLI --signals is
-    # user input)
+    # names are embedded in a stack() SQL string, so quote, backtick
+    # AND backslash characters are escaped rather than injected or
+    # mangled (CLI --signals is user input), and duplicates are
+    # rejected above rather than silently double-counted
     from pyspark.sql.types import NumericType
 
     dtypes = {f.name: f.dataType for f in df.schema.fields}
@@ -1254,7 +1272,15 @@ def signal_auc(
             len(signal_cols),
             ", ".join(
                 "'{}', cast(`{}` as double)".format(
-                    s.replace("'", "''"), s.replace("`", "``")
+                    # the literal side needs backslashes doubled too:
+                    # with escapedStringLiterals=false (the default) a
+                    # name like a\nb would otherwise round-trip as a
+                    # real newline in the emitted signal label
+                    # (ADVICE r14); identifiers in backticks do not
+                    # process backslash escapes, so only backticks are
+                    # doubled there
+                    s.replace("\\", "\\\\").replace("'", "''"),
+                    s.replace("`", "``"),
                 )
                 for s in signal_cols
             ),

@@ -1785,6 +1785,52 @@ def test_ntile_from_rank_matches_sql_ntile(spark):
             assert got == want, (n, k)
 
 
+def test_ntile_from_rank_exact_at_scale(spark):
+    """ADVICE r14 regression: the decimal(38,6) HALF_UP rounding of
+    Spark's decimal division went off-by-one once a tile held >~2e6
+    rows (n=8000004, k=4, rank=2000002 read tile 1, SQL says 2). The
+    expression is pure, so probe it with literal (rank, n) pairs —
+    including counts beyond 2^53 where double arithmetic also fails —
+    against the Python-exact NTILE split rule."""
+    from sparksync.ext import features
+
+    def py_ntile(rank, n, k):
+        q, r0 = divmod(n, k)
+        big = r0 * (q + 1)
+        if rank <= big:
+            return (rank + q) // (q + 1)
+        return r0 + (rank - big + q - 1) // q
+
+    cases = []
+    for n, k in [
+        (8_000_004, 4),          # the live-verified r14 failure shape
+        (10_000_001, 3),
+        (2**53 + 37, 7),         # beyond double-exact territory
+        (2**60 + 11, 5),
+        (9_223_372_036_854_775_806, 9),  # near long max
+        (9_223_372_036_854_775_806, 2),  # rank-big+g-1 exceeds long max
+    ]:
+        q = n // k
+        for rank in {min(n, max(1, r))
+                     for r in (1, q, q + 1, q + 2, 2 * q + 1, 2 * q + 2,
+                               n - 1, n, n // 2, n // 2 + 1)}:
+            cases.append((rank, n, k, py_ntile(rank, n, k)))
+    df = spark.createDataFrame(
+        [(r, n, k) for r, n, k, _ in cases], "r long, n long, k int"
+    )
+    for k in sorted({k for _, _, k, _ in cases}):
+        got = {
+            (row.r, row.n): row.t
+            for row in df.filter(F.col("k") == k).select(
+                "r", "n",
+                features.ntile_from_rank(F.col("r"), F.col("n"), k).alias("t"),
+            ).collect()
+        }
+        for rank, n, kk, want in cases:
+            if kk == k:
+                assert got[(rank, n)] == want, (rank, n, k)
+
+
 def test_pareto_front_planted(spark):
     """Planted frontier: duplicates collapse, dominated points drop,
     ties on one axis resolve by strict dominance on the other."""
@@ -6755,6 +6801,19 @@ def test_signal_auc_validates_and_escapes_names(spark):
         signal_auc(df, "y", ["s"])
     with _pytest.raises(ValueError, match="not in dataframe"):
         signal_auc(df, "y", ["nope"])
+
+    # ADVICE r14: a backslash in the name must round-trip verbatim
+    # (with escapedStringLiterals=false the unescaped form emitted a
+    # real newline as the label), and duplicates must be rejected
+    # rather than silently double-counted
+    weird = "a\\nb"
+    df2 = spark.createDataFrame(
+        [(1.0, 1), (2.0, 0), (3.0, 1)], [weird, "y"]
+    )
+    r2 = signal_auc(df2, "y", [weird]).collect()[0]
+    assert r2.signal == weird and r2.n_pos == 2 and r2.n_neg == 1
+    with _pytest.raises(ValueError, match="duplicate"):
+        signal_auc(df2, "y", [weird, weird])
 
 
 def test_curriculum_stages_matches_sql_ntile(spark):

@@ -1731,6 +1731,11 @@ def test_cli_recipe_execute(tmp_path, capsys):
                  "--execute", "--max-rows", "5", "--out", out_dir]) == 0
     lines = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
     assert len(lines) == 6 and lines[-1]["truncated"] is True
+    # ADVICE r14: with --out the preview re-reads parquet, which drops
+    # the writer's sort — the verb must re-apply (group, id) so the
+    # printed head is deterministic like stages/order
+    keys = [(l["source"], l["doc_id"]) for l in lines[:-1]]
+    assert keys == sorted(keys)
 
     # plan the same budget to bound the written mix per source
     assert main(["--src", SF_SMOKE, "--dest", str(dest),
