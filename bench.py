@@ -142,6 +142,16 @@ HEADLINE = [
     "q225_shuffle_order",
     "q226_length_buckets",
     "q227_curriculum_stages",
+    # round-15 additions: the full BPE trainer loop (ONE corpus scan
+    # into the checkpointed vocabulary, then 6 vocab-sized argmax-merge
+    # iterations), the composed curriculum loader order (two two-phase
+    # global ranks + arithmetic stage_rank), and the BPE apply half
+    # (train + ONE narrow chained-replace segmentation pass). Totals
+    # grow by THREE queries vs BENCH_r14 — compare per-query or via
+    # baseline16_sum
+    "q228_bpe_train",
+    "q229_curriculum_order",
+    "q230_bpe_segment",
 ]
 
 # The original BENCH_r03 subset (16 queries + sync): their sum is

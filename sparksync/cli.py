@@ -152,6 +152,29 @@ def main(argv: list[str] | None = None) -> int:
     stg.add_argument("--stages", type=int, default=4)
     stg.add_argument("--max-rows", type=int, default=2000)
     stg.add_argument("--out", default=None)
+    cur = sub.add_parser("curriculum")  # X227 composed loader order
+    cur.add_argument("--table", required=True)
+    cur.add_argument("--signal", required=True,
+                     help="difficulty column, staged ascending (see "
+                          "stages --signal)")
+    cur.add_argument("--id", required=True)
+    cur.add_argument("--stages", type=int, default=4)
+    cur.add_argument("--method", default="xxhash64",
+                     choices=["xxhash64", "knuth"])
+    cur.add_argument("--salt", default="shuffle")
+    cur.add_argument("--max-rows", type=int, default=2000)
+    cur.add_argument("--out", default=None)
+    bpe = sub.add_parser("bpe")  # X226/X228 BPE tokenizer train/apply
+    bpe.add_argument("--table", default="documents")
+    bpe.add_argument("--text", default="text")
+    bpe.add_argument("--merges", type=int, default=32,
+                     help="number of merge steps to learn")
+    bpe.add_argument("--segment", action="store_true",
+                     help="after training, emit the segmented "
+                          "vocabulary (w, wf, n_pieces, pieces) "
+                          "instead of the merge table")
+    bpe.add_argument("--max-rows", type=int, default=2000)
+    bpe.add_argument("--out", default=None)
     ord_p = sub.add_parser("order")  # X222 deterministic training order
     ord_p.add_argument("--table", required=True)
     ord_p.add_argument("--id", required=True)
@@ -626,6 +649,41 @@ def main(argv: list[str] | None = None) -> int:
         ).orderBy("rank")
         _print_bounded(job.spark, out, args.max_rows, args.out,
                        order_by=["rank"])
+        return 0
+    if args.cmd == "curriculum":
+        # X227: the composed loader artifact is corpus-sized -> bounded
+        # preview + --out; position ascends stage-major, so the preview
+        # IS the first max_rows of the training order
+        from .ext.sampling import curriculum_order
+
+        out = curriculum_order(
+            job._read_source(args.table),
+            args.signal,
+            id_col=args.id,
+            n_stages=args.stages,
+            method=args.method,
+            salt=args.salt,
+        ).orderBy("position")
+        _print_bounded(job.spark, out, args.max_rows, args.out,
+                       order_by=["position"])
+        return 0
+    if args.cmd == "bpe":
+        # X226: the merge table is --merges rows — bounded by
+        # construction; --segment (X228) emits the vocabulary-sized
+        # segmentation instead -> bounded preview + --out
+        from .ext.textops import bpe_segment, bpe_train
+
+        src = job._read_source(args.table)
+        merges = bpe_train(
+            src, text_col=args.text, num_merges=args.merges
+        )
+        if args.segment:
+            out = bpe_segment(src, merges, text_col=args.text).orderBy("w")
+            _print_bounded(job.spark, out, args.max_rows, args.out,
+                           order_by=["w"])
+            return 0
+        for r in merges.collect():
+            print(json.dumps(r.asDict()))
         return 0
     if args.cmd == "order":
         # X222: the order table is corpus-sized -> bounded preview +

@@ -469,6 +469,20 @@ def global_rank(
     )
 
 
+def exact_div(a: F.Column, b: F.Column) -> F.Column:
+    """Exact floor(a / b) for non-negative a and b >= 1, as a long.
+
+    Spark has no bigint `div` in the Column API; long `/` is a double
+    divide (exact only below 2^53) and a bare decimal(38,0) division is
+    rounded by Spark to decimal(38,6) HALF_UP (the ADVICE r14 ntile
+    off-by-one). Subtracting the pmod remainder first makes the true
+    quotient an integer, so the rounded decimal result is exact at any
+    count. Operands should already be decimal(38,0) (or safely castable
+    longs); form any numerator that could exceed long max in decimal
+    BEFORE calling."""
+    return ((a - F.pmod(a, b)) / b).cast("long")
+
+
 def ntile_from_rank(rank: F.Column, n: F.Column, k: int) -> F.Column:
     """NTILE(k) reconstructed from a global rank and the total count —
     bit-identical to SQL NTILE's split rule (the first n%k tiles take
@@ -488,13 +502,7 @@ def ntile_from_rank(rank: F.Column, n: F.Column, k: int) -> F.Column:
     falls in the big tiles so the branch is unreached, but the guard
     keeps the expression total."""
     dec = "decimal(38,0)"
-
-    def idiv(a: F.Column, b: F.Column) -> F.Column:
-        # exact a div b (b >= 1) over decimal(38,0) operands: with the
-        # remainder gone the true quotient is an integer, so the
-        # decimal(38,6) result is exact
-        return ((a - F.pmod(a, b)) / b).cast("long")
-
+    idiv = exact_div
     # the ceil numerators (rank + q, rank - big + g - 1) can exceed
     # long max when n is near 2^63 with small k, so they're formed in
     # decimal, not long, before dividing

@@ -1367,3 +1367,93 @@ def curriculum_stages(
     return ranked.select(
         id_col, signal_col, "rank", stage.alias("stage")
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    signal_col: str,
+    id_col: str = "doc_id",
+    n_stages: int = 4,
+    method: str = "knuth",
+    salt: str = "shuffle",
+    n_parts: int = 64,
+) -> DataFrame:
+    """The composed curriculum LOADER ARTIFACT (X227, VERDICT r14 #5 —
+    X224 assigns stages and X222 orders docs, but a training loader
+    consumes ONE table): every doc's global training position,
+    stage-major (all of stage 1 before any of stage 2) and
+    hash-dispersed within each stage, plus the doc's 1-based rank
+    within its stage. The same "SURVEY row promises the composition,
+    prove it end-to-end" standard recipe_mix (X218) set for the recipe
+    loop.
+
+    Rides exactly the machinery its parts already own: stage = the
+    X224 rule (two-phase global_rank over (signal asc, id) + exact
+    ntile_from_rank); position = the X222 rule applied stage-major
+    (ONE more two-phase global_rank over (stage, hash_bucket(id), id),
+    the only shuffle q225 itself costs — never a single-partition sort
+    and never a per-stage window, which would sort corpus/k rows in
+    ONE task per stage). stage_rank needs NO third pass: stage sizes
+    are fully determined by (n, k) — stage s starts at offset
+    (s-1)*floor(n/k) + min(s-1, n % k), pure bigint arithmetic off the
+    same broadcast total the stage rule already carries (exact_div,
+    the remainder-subtracted decimal division).
+
+    NULL signals are excluded and NULL ids sort last, the X224
+    conventions; method/salt follow shuffle_order (knuth =
+    oracle-replayable bucket order, xxhash64 = production dispersion).
+    Output: (id, signal, stage, position, stage_rank), position
+    1..n_kept dense."""
+    from .features import exact_div, global_rank, ntile_from_rank
+
+    if n_stages < 1:
+        raise ValueError(f"n_stages must be >= 1, got {n_stages}")
+    reserved = {"rank", "stage", "position", "stage_rank",
+                "_n", "_k", "_pid", "_lrank", "_off", "_cnt"}
+    for c in (signal_col, id_col):
+        if c in reserved:
+            raise ValueError(
+                f"column name {c!r} collides with curriculum_order "
+                f"internals ({sorted(reserved)}); rename it first"
+            )
+    if method == "xxhash64":
+        key = F.xxhash64(F.lit(salt), F.col(id_col))
+    elif method == "knuth":
+        key = _bucket(id_col, method, salt)
+    else:
+        raise ValueError(f"unknown hash method {method!r}")
+    staged = global_rank(
+        df.select(F.col(id_col), F.col(signal_col)).where(
+            F.col(signal_col).isNotNull()
+        ),
+        [F.col(signal_col).asc(), F.col(id_col).asc_nulls_last()],
+        "rank",
+        n_parts=n_parts,
+        with_total="_n",
+    ).select(
+        id_col,
+        signal_col,
+        "_n",
+        ntile_from_rank(F.col("rank"), F.col("_n"), int(n_stages)).alias(
+            "stage"
+        ),
+    )
+    ordered = global_rank(
+        staged.select(id_col, signal_col, "_n", "stage", key.alias("_k")),
+        ["stage", "_k", id_col],
+        "position",
+        n_parts=n_parts,
+    )
+    dec = "decimal(38,0)"
+    nd = F.col("_n").cast(dec)
+    q = exact_div(nd, F.lit(int(n_stages)).cast(dec))
+    r0 = (F.col("_n") - F.lit(int(n_stages)) * q).cast("long")
+    prev = (F.col("stage") - F.lit(1)).cast("long")
+    offset = prev * q + F.least(prev, r0)
+    return ordered.select(
+        id_col,
+        signal_col,
+        "stage",
+        "position",
+        (F.col("position") - offset).alias("stage_rank"),
+    )

@@ -986,6 +986,171 @@ def bpe_pair_counts(
     )
 
 
+_BPE_SEP = "\x1f"
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 8,
+) -> DataFrame:
+    """The full BPE trainer loop (X226, VERDICT r14 #2 — X111's
+    bpe_pair_counts computes ONE merge step; tokenizer training is the
+    iterated argmax-merge-recount loop, the Sennrich/GPT-2 recipe):
+    repeat `num_merges` times — count adjacent symbol pairs weighted by
+    word frequency, pick the most frequent pair (ties by lexicographic
+    (left, right), the mode_by_group tiebreak discipline), merge it
+    greedily left-to-right in every word, recount. Output: the learned
+    merge table (step, left_sym, right_sym, merged, cnt), `step`
+    ascending — the artifact a tokenizer loads.
+
+    Scale shape: ONE word-count groupBy collapses the corpus to its
+    vocabulary (the only pass over raw text, same as bpe_pair_counts);
+    every iteration then runs on VOCAB-sized data — a pair-explode +
+    groupBy + argmax (a ONE-row driver collect, the n_sources-row
+    handoff discipline) + a narrow literal string replace. Each round's
+    vocabulary is localCheckpoint'ed (eager) with the previous round's
+    blocks explicitly released, the ext/graph.py iterative-loop
+    pattern, so lineage stays flat at any merge count.
+
+    Greedy-merge encoding (exactness, both engines): a word's symbol
+    sequence is kept as a string with DOUBLED \\x1f separators at every
+    boundary ("\\x1f\\x1fa\\x1f\\x1fb\\x1f\\x1f"); merging (a, b)
+    replaces "\\x1fa\\x1f\\x1fb\\x1f" with "\\x1fab\\x1f". The search
+    key takes exactly one separator from each flanking boundary and
+    the replacement restores it, so adjacent occurrences never compete
+    for a shared delimiter and the engine's leftmost-nonoverlapping
+    replace() IS exact greedy BPE ("a a a a a" merging (a,a) gives
+    [aa, aa, a] in both Spark and DuckDB — probed, not assumed). Words
+    containing \\x1f are excluded (they would corrupt the encoding;
+    the oracle applies the same filter). Symbols are Java chars on the
+    Spark side — fine for the ASCII/BMP fixture text; non-BMP corpora
+    would need a codepoint split on both engines."""
+    if num_merges < 1:
+        raise ValueError(f"num_merges must be >= 1, got {num_merges}")
+    from .graph import _release_checkpoint
+
+    sep = _BPE_SEP
+    dd = sep + sep
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .where(~F.col("w").contains(sep))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+    vocab = words.select(
+        F.concat(
+            F.lit(dd),
+            F.concat_ws(
+                dd, F.filter(F.split("w", ""), lambda x: x != F.lit(""))
+            ),
+            F.lit(dd),
+        ).alias("s"),
+        "wf",
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, str, int]] = []
+    try:
+        for step in range(1, num_merges + 1):
+            syms = F.filter(F.split("s", dd), lambda x: x != F.lit(""))
+            pair_arr = F.when(
+                F.size(syms) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(syms) - 1),
+                    lambda i: F.struct(
+                        F.element_at(syms, i).alias("l"),
+                        F.element_at(syms, i + 1).alias("r"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+            best = (
+                vocab.select("wf", F.explode(pair_arr).alias("p"))
+                .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.sum("wf").cast("long").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), "l", "r")
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            left, right, cnt = best[0].l, best[0].r, int(best[0].cnt)
+            merges.append((step, left, right, left + right, cnt))
+            nxt = vocab.select(
+                F.replace(
+                    F.col("s"),
+                    F.lit(sep + left + dd + right + sep),
+                    F.lit(sep + left + right + sep),
+                ).alias("s"),
+                "wf",
+            ).localCheckpoint(eager=True)
+            _release_checkpoint(vocab)
+            vocab = nxt
+    finally:
+        _release_checkpoint(vocab)
+    return df.sparkSession.createDataFrame(
+        merges,
+        "step int, left_sym string, right_sym string, merged string, cnt long",
+    )
+
+
+def bpe_segment(
+    df: DataFrame,
+    merges,
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned BPE merge table (X228 — bpe_train's other
+    half): segment every vocabulary word with the trained merges and
+    report its piece count — the artifact that tells you what the
+    tokenizer DOES to your corpus (fertility per word, weighted by
+    frequency) before you commit to it.
+
+    `merges` is bpe_train's output DataFrame (consumed via a
+    num_merges-row collect, the k-row handoff discipline) or a
+    pre-collected [(left, right), ...] list in step order.
+
+    Scale shape — the train/apply asymmetry is the point: training
+    needs one Spark job per merge (each argmax depends on the previous
+    merge), but APPLYING a frozen merge list is k chained literal
+    replaces folded into ONE narrow projection — a single job with
+    exactly one exchange (the word-count groupBy, plan-guarded), no
+    iteration, no checkpoint (the HOF char-split runs interpreted, not
+    codegen'd — measured, and irrelevant next to the scan: it touches
+    vocab rows once). Same doubled-separator encoding as
+    bpe_train, so chained replace() is exact greedy merge application
+    in training order (how a BPE tokenizer encodes at inference).
+    Output: (w, wf, n_pieces, pieces), pieces space-joined."""
+    if hasattr(merges, "collect"):
+        merges = [
+            (r.left_sym, r.right_sym)
+            for r in merges.orderBy("step").collect()
+        ]
+    sep = _BPE_SEP
+    dd = sep + sep
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .where(~F.col("w").contains(sep))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("wf"))
+    )
+    s = F.concat(
+        F.lit(dd),
+        F.concat_ws(dd, F.filter(F.split("w", ""), lambda x: x != F.lit(""))),
+        F.lit(dd),
+    )
+    for left, right in merges:
+        s = F.replace(
+            s,
+            F.lit(sep + left + dd + right + sep),
+            F.lit(sep + left + right + sep),
+        )
+    syms = F.filter(F.split(s, dd), lambda x: x != F.lit(""))
+    return words.select(
+        "w",
+        "wf",
+        F.size(syms).cast("long").alias("n_pieces"),
+        F.concat_ws(" ", syms).alias("pieces"),
+    )
+
+
 def extract_matches(
     df: DataFrame,
     pattern: str,

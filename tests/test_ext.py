@@ -6869,3 +6869,197 @@ def test_curriculum_stages_rejects_reserved_names(spark):
     df2 = spark.createDataFrame([(1, 2)], "doc_id long, _n long")
     with _pytest.raises(ValueError, match="collides"):
         curriculum_stages(df2, "_n", "doc_id")
+
+
+def test_bpe_train_matches_python_model(spark):
+    """X226: the full trainer loop equals the canonical Sennrich BPE
+    recipe replayed in pure Python — greedy left-to-right merges (the
+    'banana'/'a a a a a' overlap shapes), frequency-weighted pair
+    counts, lexicographic (left, right) ties, multi-char merges in
+    later steps, loop break when pairs run dry; \\x1f-bearing words are
+    excluded; num_merges < 1 raises."""
+    import collections
+
+    import pytest as _pytest
+
+    from sparksync.ext.textops import bpe_train
+
+    docs = [
+        ("low low low lower lowest newer newer wider new new",),
+        ("a a a a a aaa banana bandana bad\x1fword",),
+    ]
+
+    def py_bpe(texts, k):
+        words = collections.Counter(
+            w for t in texts for w in t.split() if "\x1f" not in w
+        )
+        vocab = {tuple(w): f for w, f in words.items()}
+        merges = []
+        for step in range(1, k + 1):
+            c = collections.Counter()
+            for syms, f in vocab.items():
+                for i in range(len(syms) - 1):
+                    c[(syms[i], syms[i + 1])] += f
+            if not c:
+                break
+            (a, b), cnt = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((step, a, b, a + b, cnt))
+            nxt = {}
+            for syms, f in vocab.items():
+                res, i = [], 0
+                while i < len(syms):
+                    if (
+                        i < len(syms) - 1
+                        and syms[i] == a
+                        and syms[i + 1] == b
+                    ):
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                nxt[tuple(res)] = nxt.get(tuple(res), 0) + f
+            vocab = nxt
+        return merges
+
+    df = spark.createDataFrame(docs, ["text"])
+    for k in (1, 4, 9):
+        got = [tuple(r) for r in bpe_train(df, num_merges=k).collect()]
+        assert got == py_bpe([t for t, in docs], k), k
+
+    # loop break: a corpus whose pairs run dry before num_merges
+    tiny = spark.createDataFrame([("ab ab cd",)], ["text"])
+    got = [tuple(r) for r in bpe_train(tiny, num_merges=10).collect()]
+    assert got == py_bpe(["ab ab cd"], 10) and len(got) == 2
+
+    with _pytest.raises(ValueError, match="num_merges"):
+        bpe_train(df, num_merges=0)
+
+
+def test_bpe_train_one_corpus_scan(spark):
+    """X226 scale shape: the corpus is read ONCE (the word-count
+    groupBy into the checkpointed v0); every merge iteration runs on
+    vocabulary rows only. An accumulator-bearing UDF in the text
+    pipeline counts corpus-row executions across a 5-merge train —
+    exactly n_rows ticks, the components-loop guard pattern."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    from sparksync.ext.textops import bpe_train
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def _tick(x):
+        acc.add(1)
+        return x
+
+    tick = F.udf(_tick, StringType())
+    n = 40
+    base = spark.range(n).select(
+        tick(
+            F.concat(F.lit("word"), (F.col("id") % 7).cast("string"))
+        ).alias("text")
+    )
+    out = bpe_train(base, num_merges=5).collect()
+    assert len(out) == 5
+    assert acc.value == n, (
+        f"corpus pipeline executed {acc.value / n:.1f}x - vocabulary "
+        "is not checkpoint-backed"
+    )
+
+
+def test_curriculum_order_matches_composed_model(spark):
+    """X227: the composed loader order equals curriculum_stages +
+    shuffle_order composed by hand — stage-major (every stage-s
+    position below every stage-(s+1) position), knuth-bucket dispersion
+    within stage, stage_rank dense 1..stage_size from pure offset
+    arithmetic; NULL signals excluded; reserved names and bad method
+    raise."""
+    import pytest as _pytest
+
+    from sparksync.ext.sampling import (
+        BUCKETS,
+        _KNUTH_A,
+        curriculum_order,
+        curriculum_stages,
+    )
+
+    rows = [(i, (i * 37) % 13) for i in range(47)] + [(99, None)]
+    df = spark.createDataFrame(rows, "doc_id long, sig long")
+    for k in (1, 4, 7):
+        got = {
+            r.doc_id: (r.stage, r.position, r.stage_rank)
+            for r in curriculum_order(
+                df, "sig", "doc_id", n_stages=k
+            ).collect()
+        }
+        stages = {
+            r.doc_id: r.stage
+            for r in curriculum_stages(df, "sig", "doc_id", n_stages=k).collect()
+        }
+        order = sorted(
+            (stages[i], (i * _KNUTH_A) % BUCKETS, i)
+            for i, s in rows
+            if s is not None
+        )
+        want = {}
+        seen_per_stage: dict[int, int] = {}
+        for pos, (st, _b, i) in enumerate(order, start=1):
+            seen_per_stage[st] = seen_per_stage.get(st, 0) + 1
+            want[i] = (st, pos, seen_per_stage[st])
+        assert got == want, k
+        assert 99 not in got
+
+    with _pytest.raises(ValueError, match="n_stages"):
+        curriculum_order(df, "sig", "doc_id", n_stages=0)
+    with _pytest.raises(ValueError, match="collides"):
+        curriculum_order(
+            df.withColumnRenamed("sig", "position"), "position", "doc_id"
+        )
+    with _pytest.raises(ValueError, match="unknown hash method"):
+        curriculum_order(df, "sig", "doc_id", method="md5")
+
+
+def test_bpe_segment_matches_python_apply(spark):
+    """X228: segmenting with a frozen merge list equals the canonical
+    apply loop (each merge applied greedily left-to-right in training
+    order) replayed in pure Python; accepts both bpe_train's DataFrame
+    and a pre-collected pair list; n_pieces is len(pieces.split());
+    zero merges = character segmentation."""
+    from sparksync.ext.textops import bpe_segment, bpe_train
+
+    docs = [("low low low lower lowest newer newer wider new new",),
+            ("a a a a a aaa banana bandana",)]
+    df = spark.createDataFrame(docs, ["text"])
+    merges_df = bpe_train(df, num_merges=6)
+    merges = [(r.left_sym, r.right_sym) for r in merges_df.collect()]
+
+    def py_apply(word, pairs):
+        syms = list(word)
+        for a, b in pairs:
+            res, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            syms = res
+        return syms
+
+    import collections
+
+    wf = collections.Counter(w for t, in docs for w in t.split())
+    for m in (merges_df, merges):
+        got = {r.w: (r.wf, r.n_pieces, r.pieces)
+               for r in bpe_segment(df, m).collect()}
+        want = {
+            w: (f, len(py_apply(w, merges)), " ".join(py_apply(w, merges)))
+            for w, f in wf.items()
+        }
+        assert got == want
+
+    # zero merges -> pure character segmentation
+    got0 = {r.w: r.pieces for r in bpe_segment(df, []).collect()}
+    assert got0["banana"] == "b a n a n a"

@@ -6,7 +6,8 @@ drop-if-exists). This container has no MySQL/MariaDB server, no H2 or
 HSQLDB jar anywhere on disk (exhaustive `find` over /, including the
 coursier cache: only Derby ships with Spark), and NO network (DNS
 resolution fails, so `spark.jars.packages` cannot fetch a jar either
-— probed 2026-08-14). Derby cannot stand in: it rejects backtick
+— probed 2026-08-14, re-probed 2026-08-16: still no jar on disk, port
+3306 refuses, DNS still fails). Derby cannot stand in: it rejects backtick
 quoting and `auto_increment` syntactically.
 
 So this module IS the probe, kept live in the suite instead of only in

@@ -1141,3 +1141,36 @@ def test_q227_plan_shape(spark):
     assert plan.count("SinglePartition") <= 1
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
     features.release_pinned()
+
+
+def test_q230_plan_shape(spark):
+    """X228: applying a frozen merge list is ONE job — one word-count
+    exchange and an all-narrow chained-replace projection after it;
+    no join of any kind, no single-partition exchange (the train half
+    that produced the merges ran before this plan was built, its cost
+    measured separately by q228)."""
+    from sparksync.ext import features
+
+    features.release_pinned()
+    plan = plan_of(QUERIES["q230_bpe_segment"](spark, SF_SMOKE))
+    assert plan.count("Exchange") == 1  # the vocabulary groupBy, hash
+    assert "SinglePartition" not in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    features.release_pinned()
+
+
+def test_q229_plan_shape(spark):
+    """X227: the composed loader order is TWO two-phase global_ranks
+    (signal order for the stage, stage-major hash order for the
+    position) with broadcast offset tables and pure-arithmetic
+    stage_rank — ZERO single-partition exchanges (no global sort, no
+    per-stage corpus/k window task), no sort-merge join, no cartesian
+    (probed at build time: 0 SinglePartition on the executed plan)."""
+    from sparksync.ext import features
+
+    features.release_pinned()
+    plan = plan_of(QUERIES["q229_curriculum_order"](spark, SF_SMOKE))
+    assert "rangepartitioning" in plan
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    features.release_pinned()

@@ -1857,3 +1857,43 @@ def test_cli_stages_out_preview_keeps_rank_order(tmp_path, capsys):
     lines = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
     assert lines[-1]["truncated"] is True
     assert [r["rank"] for r in lines[:-1]] == [1, 2, 3, 4]
+
+
+def test_cli_curriculum_and_bpe(tmp_path, capsys):
+    """curriculum prints the first max_rows of the composed loader
+    order (position ascending from 1, stage non-decreasing, stage_rank
+    dense within stage) with the bounded contract; bpe prints the
+    learned merge table (one row per step, steps dense from 1)."""
+    import json as _json
+
+    from sparksync.cli import main
+
+    dest = tmp_path / "dest"
+    assert main(["--src", SF_SMOKE, "--dest", str(dest),
+                 "curriculum", "--table", "documents",
+                 "--signal", "n_chars", "--id", "doc_id",
+                 "--method", "knuth", "--max-rows", "5"]) == 0
+    lines = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert lines[-1]["truncated"] is True
+    rows = lines[:-1]
+    assert [r["position"] for r in rows] == [1, 2, 3, 4, 5]
+    assert all(r["stage"] == 1 for r in rows)  # stage-major
+    assert [r["stage_rank"] for r in rows] == [1, 2, 3, 4, 5]
+
+    assert main(["--src", SF_SMOKE, "--dest", str(dest),
+                 "bpe", "--table", "documents", "--merges", "3"]) == 0
+    merges = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert [m["step"] for m in merges] == [1, 2, 3]
+    assert all(m["merged"] == m["left_sym"] + m["right_sym"] for m in merges)
+
+    # --segment (X228): vocabulary segmentation, bounded, w-ordered
+    assert main(["--src", SF_SMOKE, "--dest", str(dest),
+                 "bpe", "--table", "documents", "--merges", "3",
+                 "--segment", "--max-rows", "4"]) == 0
+    lines = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert lines[-1]["truncated"] is True
+    segs = lines[:-1]
+    assert [s["w"] for s in segs] == sorted(s["w"] for s in segs)
+    assert all(
+        s["n_pieces"] == len(s["pieces"].split(" ")) for s in segs
+    )
