@@ -1899,12 +1899,21 @@ def lm_target_affinity(
 # Above this vocab size the '<unk>' mapping in lm_bigram_counts (and
 # therefore the streaming twin, which shares the expression) switches
 # from the literal-array scan (O(|vocab|) comparisons per token, cheap
-# and codegen-friendly at census-cap sizes) to broadcast hash joins
-# (O(1) probes per token; the right call for the tens-of-thousands
-# vocabularies where the scan silently turns every token into 50k
-# comparisons). Both shapes are parity-tested against each other and
-# a pure-Python replay.
-LM_VOCAB_JOIN_THRESHOLD = 1024
+# at tiny-vocab sizes) to broadcast hash joins (O(1) probes per token;
+# the right call for the tens-of-thousands vocabularies where the scan
+# silently turns every token into 50k comparisons). Both shapes are
+# parity-tested against each other and a pure-Python replay.
+#
+# 64, lowered from 1024 in round 15: the q203 decade adjudication
+# measured the crossover directly (interleaved idle A/B of the score
+# pass against a frozen model, BASELINE.md round-15) — at 31 tokens
+# the two forms tie (2.69 vs 2.55 s medians, inside noise), at 310
+# tokens the join form already wins 1.19x (3.97 vs 3.34 s), and the
+# array form's per-token cost keeps growing linearly with the vocab
+# while the hash probe stays O(1). 64 keeps genuinely tiny
+# vocabularies on the simpler array plan and hands everything else to
+# the join form BEFORE the linear term can dominate a score pass.
+LM_VOCAB_JOIN_THRESHOLD = 64
 
 
 def lm_bigram_counts(
