@@ -7063,3 +7063,68 @@ def test_bpe_segment_matches_python_apply(spark):
     # zero merges -> pure character segmentation
     got0 = {r.w: r.pieces for r in bpe_segment(df, []).collect()}
     assert got0["banana"] == "b a n a n a"
+
+
+def test_bpe_train_seeded_random_corpora(spark):
+    """X226 breadth sweep: seeded random tiny-alphabet corpora maximize
+    merge collisions, overlap runs (aaa...) and lexicographic ties —
+    trainer AND segmenter must equal the pure-Python Sennrich replay on
+    every one (deterministic seeds, no flakiness; hypothesis-style
+    coverage without a function-scoped-fixture clash)."""
+    import collections
+    import random
+
+    from sparksync.ext.textops import bpe_segment, bpe_train
+
+    def py_bpe(texts, k):
+        wc = collections.Counter(w for t in texts for w in t.split())
+        vocab = {tuple(w): f for w, f in wc.items()}
+        merges = []
+        for step in range(1, k + 1):
+            c = collections.Counter()
+            for syms, f in vocab.items():
+                for i in range(len(syms) - 1):
+                    c[(syms[i], syms[i + 1])] += f
+            if not c:
+                break
+            (a, b), cnt = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((step, a, b, a + b, cnt))
+            nxt = {}
+            for syms, f in vocab.items():
+                res, i = [], 0
+                while i < len(syms):
+                    if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                nxt[tuple(res)] = nxt.get(tuple(res), 0) + f
+            vocab = nxt
+        return merges, vocab
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        words = [
+            "".join(rng.choice("abxy") for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(3, 20))
+        ]
+        k = rng.randint(1, 5)
+        text = " ".join(words)
+        df = spark.createDataFrame([(text,)], ["text"])
+        got = [tuple(r) for r in bpe_train(df, num_merges=k).collect()]
+        want_merges, want_vocab = py_bpe([text], k)
+        assert got == want_merges, (seed, k, text)
+
+        got_seg = {
+            r.w: (r.wf, r.pieces)
+            for r in bpe_segment(
+                df, [(m[1], m[2]) for m in want_merges]
+            ).collect()
+        }
+        want_seg: dict = {}
+        for syms, f in want_vocab.items():
+            w = "".join(syms)
+            pf = want_seg.get(w, (0, " ".join(syms)))[0] + f
+            want_seg[w] = (pf, " ".join(syms))
+        assert got_seg == want_seg, (seed, k, text)
