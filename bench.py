@@ -146,12 +146,16 @@ HEADLINE = [
     # into the checkpointed vocabulary, then 6 vocab-sized argmax-merge
     # iterations), the composed curriculum loader order (two two-phase
     # global ranks + arithmetic stage_rank), and the BPE apply half
-    # (train + ONE narrow chained-replace segmentation pass). Totals
-    # grow by THREE queries vs BENCH_r14 — compare per-query or via
-    # baseline16_sum
+    # (train + ONE narrow chained-replace segmentation pass), plus the
+    # PQ pair: seed-codebook encode (broadcast join + partitioned
+    # argmin window) and the ADC top-k read path (broadcast distance
+    # table + ordered per-vector fold). Totals grow by FIVE queries vs
+    # BENCH_r14 — compare per-query or via baseline16_sum
     "q228_bpe_train",
     "q229_curriculum_order",
     "q230_bpe_segment",
+    "q231_pq_encode",
+    "q232_pq_adc",
 ]
 
 # The original BENCH_r03 subset (16 queries + sync): their sum is

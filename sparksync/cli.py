@@ -260,6 +260,9 @@ def main(argv: list[str] | None = None) -> int:
             # (X219), MWU domain reweighting (X220), and the
             # length-bucketed batching padding audit (X223)
             "diversity", "reweight", "length-buckets",
+            # round 15: PQ distortion per subspace (X229) — the
+            # codebook-quality number before an index rollout
+            "pq",
         ],
     )
     aud.add_argument("--table", help="pruning/quantile: table to audit")
@@ -1168,6 +1171,26 @@ def main(argv: list[str] | None = None) -> int:
             out = length_bucket_packing(
                 job._read_source(args.table)
             ).orderBy("bucket_bits")
+        elif args.kind == "pq":
+            # X229: per-subspace PQ distortion off the encode table —
+            # M rows (count, mean/max squared reconstruction error);
+            # the number that says whether the codebooks are usable
+            from pyspark.sql import functions as F
+
+            from .ext.similarity import pq_encode
+
+            if args.table is None:
+                p.error("audit --kind pq needs --table")
+            out = (
+                pq_encode(job._read_source(args.table))
+                .groupBy("subspace")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_vectors"),
+                    F.avg("d2").alias("mean_d2"),
+                    F.max("d2").alias("max_d2"),
+                )
+                .orderBy("subspace")
+            )
         elif args.kind == "diversity":
             # X219: per-group mean pairwise cosine in closed form —
             # no pair join; --group defaults to label on embeddings

@@ -1139,6 +1139,248 @@ def ivf_recall_audit(
     )
 
 
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Squared L2 distance with ORDERED left-to-right accumulation
+    (zip_with then a sequential fold) — bit-identical to DuckDB's
+    list_sum(list_transform(...)) on the same operands (probed on all
+    500 sf0.01 vectors, round 15), so PQ assignments and ADC sums are
+    hash-replayable. No sqrt: argmin and rank order are monotone in
+    the square, and dropping the root removes a rounding step."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_dims(emb: DataFrame, m_subspaces: int, vec_col: str) -> int:
+    first = emb.select(vec_col).first()
+    if first is None or first[0] is None:
+        raise ValueError("pq: empty embeddings input")
+    d = len(first[0])
+    if m_subspaces < 1 or d % m_subspaces != 0:
+        raise ValueError(
+            f"pq: dim {d} not divisible by m_subspaces {m_subspaces}"
+        )
+    return d // m_subspaces
+
+
+def _pq_subvectors(e: DataFrame, m: int, sd: int, id_col: str) -> DataFrame:
+    """(id, v) -> (id, j, sv): one narrow posexplode of the M
+    contiguous sd-dim subvector slices — no shuffle, corpus x M rows
+    (the PQ representation's inherent size)."""
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.slice(F.col("v"), j * F.lit(sd) + F.lit(1), sd),
+    )
+    return e.select(F.col(id_col), F.posexplode(subs).alias("j", "sv"))
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic seed codebooks for product quantization: subspace
+    j's codebook is the j-th subvector of the first n_codes vectors by
+    id — the _default_centroids/q23 discipline (determinism matters
+    more than seeding quality here because the SQL oracle replays the
+    same choice; pq_train refines these with per-subspace Lloyd's).
+    Output: (j, code, cv), M x n_codes rows — tiny model state."""
+    e = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
+    sd = _pq_dims(emb, m_subspaces, vec_col)
+    return _pq_subvectors(
+        e.where(F.col(id_col) < n_codes), m_subspaces, sd, id_col
+    ).select("j", F.col(id_col).alias("code"), F.col("sv").alias("cv"))
+
+
+def pq_encode(
+    emb: DataFrame,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """Product-quantization encode (X229) — the memory side of the
+    100 TB ANN stack: each d-dim vector becomes M small integer codes
+    (one per contiguous d/M-dim subspace, nearest codebook entry by
+    squared L2, ties to the lowest code), shrinking a float corpus
+    ~d*4/M bytes per vector while ADC search still reads meaningful
+    distances. IVF (X22) prunes WHICH vectors are scanned; PQ shrinks
+    WHAT is scanned — production indexes compose both.
+
+    Scale shape: codebooks are M x n_codes rows, BROADCAST; encode is
+    one narrow subvector posexplode (corpus x M rows, the PQ
+    representation's inherent size), a broadcast join on the subspace
+    id, and the argmin as min(struct(d2, code)) under a (vec,
+    subspace) groupBy — struct ordering IS the (d2 asc, code asc)
+    tie-break, and the map-side partial min collapses the n_codes
+    factor BEFORE the exchange, so the shuffle carries corpus x M
+    rows, not corpus x M x n_codes (a window argmin would shuffle the
+    whole scored relation first — the round-15 self-review catch). d2
+    rides the ordered-fold squared L2, so every row is
+    hash-replayable. Output: (vec_id, subspace, code, d2) — d2 is the
+    subspace's squared reconstruction error, sum it per vector for
+    the vector's total PQ distortion."""
+    e = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
+    sd = _pq_dims(emb, m_subspaces, vec_col)
+    cb = (
+        codebooks
+        if codebooks is not None
+        else pq_codebooks(emb, m_subspaces, n_codes, id_col, vec_col)
+    )
+    sub = _pq_subvectors(e, m_subspaces, sd, id_col)
+    scored = sub.join(F.broadcast(cb), "j").select(
+        F.col(id_col),
+        "j",
+        F.struct(
+            _sq_l2(F.col("sv"), F.col("cv")).alias("d2"),
+            F.col("code").cast("long").alias("code"),
+        ).alias("_s"),
+    )
+    return (
+        scored.groupBy(id_col, "j")
+        .agg(F.min("_s").alias("_m"))
+        .select(
+            F.col(id_col),
+            F.col("j").alias("subspace"),
+            F.col("_m.code").alias("code"),
+            F.col("_m.d2").alias("d2"),
+        )
+    )
+
+
+def pq_train(
+    emb: DataFrame,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace Lloyd's k-means over the subvectors (the ivf_train
+    pattern, M independent codebooks trained in the SAME jobs): assign
+    by squared L2, recompute each (subspace, code) cell as its members'
+    mean via applyInPandas (Arrow-batched mean-of-arrays), collect the
+    M x n_codes model and rebroadcast each iteration — the corpus
+    never moves beyond one assignment shuffle per iteration. Empty
+    cells keep their previous centroid (no respawn — deterministic).
+    Float means are not cross-engine bit-portable, so trained codebooks
+    are pytest-gated (monotone distortion + python replay) while the
+    oracle gate q231 replays the deterministic SEED codebooks, the
+    ivf_train/q23 split. Output: (j, code, cv) trained codebooks."""
+    import pandas as pd
+
+    e = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
+    sd = _pq_dims(emb, m_subspaces, vec_col)
+    cb = pq_codebooks(emb, m_subspaces, n_codes, id_col, vec_col)
+    sub = _pq_subvectors(e, m_subspaces, sd, id_col)
+    spark = emb.sparkSession
+
+    def mean_sub(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        m = np.stack(pdf["sv"].to_numpy()).mean(axis=0)
+        return pd.DataFrame(
+            {
+                "j": [int(pdf["j"].iloc[0])],
+                "code": [int(pdf["code"].iloc[0])],
+                "cv": [m.tolist()],
+            }
+        )
+
+    for _ in range(n_iters):
+        assigned = pq_encode(
+            emb, m_subspaces, n_codes, id_col, vec_col, codebooks=cb
+        ).select(F.col(id_col), F.col("subspace").alias("j"), "code")
+        members = sub.join(assigned, [id_col, "j"]).select("j", "code", "sv")
+        new_rows = (
+            members.groupBy("j", "code")
+            .applyInPandas(mean_sub, "j int, code long, cv array<double>")
+            .collect()
+        )
+        trained = {(r["j"], r["code"]): r["cv"] for r in new_rows}
+        full = [
+            (row.j, row.code, trained.get((row.j, row.code), list(row.cv)))
+            for row in cb.collect()
+        ]
+        cb = spark.createDataFrame(
+            full, "j int, code long, cv array<double>"
+        )
+    return cb
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: DataFrame | None = None,
+    encoded: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over the PQ codes (X230): build
+    the query's M x n_codes distance TABLE (squared L2 from each of
+    the query's subvectors to every codebook entry — tiny, broadcast),
+    then every vector's approximate distance is the sum of M table
+    lookups keyed by its codes — the read path that makes a
+    PQ-compressed corpus searchable without touching a single float of
+    it. Recall is graded against exact kNN the same way the IVF audit
+    (X215) grades nprobe.
+
+    The per-vector sum folds an array_sort'ed (subspace, d2) list in
+    subspace order — a groupBy SUM of doubles would be
+    accumulation-order-nondeterministic across engines AND runs, the
+    exact trap the decimal-sum discipline exists for, solved here with
+    an ordered fold since the addends are inherently floating. Top-k
+    via TakeOrderedAndProject (the _ranked_topk discipline). Output:
+    (neighbor_id, rnk, approx_d2), nearest first, ties to lowest id.
+    Pass `encoded`/`codebooks` to reuse a stored index; the defaults
+    rebuild the deterministic seed index for the oracle gate."""
+    cb = (
+        codebooks
+        if codebooks is not None
+        else pq_codebooks(emb, m_subspaces, n_codes, id_col, vec_col)
+    )
+    enc = (
+        encoded
+        if encoded is not None
+        else pq_encode(emb, m_subspaces, n_codes, id_col, vec_col, codebooks=cb)
+    )
+    sd = _pq_dims(emb, m_subspaces, vec_col)
+    e = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
+    qsub = _pq_subvectors(
+        e.where(F.col(id_col) == query_id), m_subspaces, sd, id_col
+    ).select("j", F.col("sv").alias("qsv"))
+    dtab = cb.join(F.broadcast(qsub), "j").select(
+        "j", "code", _sq_l2(F.col("cv"), F.col("qsv")).alias("qd2")
+    )
+    approx = (
+        enc.where(F.col(id_col) != query_id)
+        .select(F.col(id_col), F.col("subspace").alias("j"), "code")
+        .join(F.broadcast(dtab), ["j", "code"])
+        .groupBy(id_col)
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("j", "qd2"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["qd2"],
+            ).alias("approx_d2")
+        )
+    )
+    return _ranked_topk(
+        approx.select(F.col(id_col).alias("neighbor_id"), "approx_d2"),
+        k,
+        [F.col("approx_d2").asc(), F.col("neighbor_id").asc()],
+        ["neighbor_id", "rnk", "approx_d2"],
+    )
+
+
 def diversity_score(
     emb: DataFrame,
     group_col: str = "label",

@@ -7128,3 +7128,155 @@ def test_bpe_train_seeded_random_corpora(spark):
             pf = want_seg.get(w, (0, " ".join(syms)))[0] + f
             want_seg[w] = (pf, " ".join(syms))
         assert got_seg == want_seg, (seed, k, text)
+
+
+def test_pq_encode_and_adc_match_python_model(spark):
+    """X229/X230: encode (per-subspace argmin by squared L2, ties to
+    the lowest code) and the ADC read path (distance-table sum in
+    subspace order) equal a pure-Python replay on planted vectors,
+    including a tie between two identical codebook entries; dim not
+    divisible by M raises; empty input raises."""
+    import pytest as _pytest
+
+    from sparksync.ext import similarity as sim
+
+    # 6 vectors of dim 4, M=2 subspaces, n_codes=2 (vec 0 and 1);
+    # vec 5 ties exactly between codes on subspace 0 -> lowest code
+    vecs = {
+        0: [0.0, 0.0, 1.0, 1.0],
+        1: [2.0, 2.0, 3.0, 3.0],
+        2: [0.1, 0.1, 2.9, 2.9],
+        3: [1.9, 2.1, 1.2, 0.8],
+        4: [5.0, -5.0, 0.5, 0.5],
+        5: [1.0, 1.0, 2.0, 2.0],  # equidistant to both codes everywhere
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    M, NC, SD = 2, 2, 2
+
+    def sq(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += (x - y) * (x - y)
+        return s
+
+    cbs = {
+        (j, c): vecs[c][j * SD:(j + 1) * SD]
+        for c in range(NC)
+        for j in range(M)
+    }
+    want = {}
+    for vid, v in vecs.items():
+        for j in range(M):
+            d2, code = min(
+                (sq(v[j * SD:(j + 1) * SD], cbs[(j, c)]), c)
+                for c in range(NC)
+            )
+            want[(vid, j)] = (code, d2)
+    got = {
+        (r.vec_id, r.subspace): (r.code, r.d2)
+        for r in sim.pq_encode(df, m_subspaces=M, n_codes=NC).collect()
+    }
+    assert got == want
+    assert got[(5, 0)][0] == 0 and got[(5, 1)][0] == 0  # tie -> low code
+
+    top = sim.pq_adc_topk(df, 0, k=3, m_subspaces=M, n_codes=NC).collect()
+    qd = {(j, c): sq(vecs[0][j * SD:(j + 1) * SD], cbs[(j, c)])
+          for j in range(M) for c in range(NC)}
+    ad = {
+        vid: sum(qd[(j, want[(vid, j)][0])] for j in range(M))
+        for vid in vecs if vid != 0
+    }
+    py = sorted(ad.items(), key=lambda kv: (kv[1], kv[0]))[:3]
+    assert [(r.neighbor_id, r.approx_d2) for r in top] == py
+
+    with _pytest.raises(ValueError, match="not divisible"):
+        sim.pq_encode(df, m_subspaces=3)
+    with _pytest.raises(ValueError, match="empty"):
+        sim.pq_encode(df.where("vec_id < 0"))
+
+
+def test_pq_train_reduces_distortion_and_replays(spark):
+    """X229 training: per-subspace Lloyd's must be monotone (total
+    squared distortion after training <= the seed codebooks') and the
+    trained assignment must equal a pure-Python Lloyd's replay with
+    the same empty-cell-keeps-centroid rule."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sparksync.ext import similarity as sim
+
+    rng = random.Random(15)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(40)}
+    df = spark.createDataFrame(
+        [(k, v) for k, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    M, NC, SD, IT = 2, 4, 4, 3
+
+    def sq(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += (x - y) * (x - y)
+        return s
+
+    def assign(cbs):
+        out = {}
+        for vid, v in vecs.items():
+            for j in range(M):
+                d2, code = min(
+                    (sq(v[j * SD:(j + 1) * SD], cbs[(j, c)]), c)
+                    for c in range(NC)
+                )
+                out[(vid, j)] = (code, d2)
+        return out
+
+    cbs = {
+        (j, c): vecs[c][j * SD:(j + 1) * SD]
+        for c in range(NC)
+        for j in range(M)
+    }
+    seed_distortion = sum(d for _, d in assign(cbs).values())
+    for _ in range(IT):
+        a = assign(cbs)
+        for j in range(M):
+            for c in range(NC):
+                members = [
+                    vecs[vid][j * SD:(j + 1) * SD]
+                    for (vid, jj), (code, _) in a.items()
+                    if jj == j and code == c
+                ]
+                if members:
+                    import numpy as np
+
+                    cbs[(j, c)] = np.stack(members).mean(axis=0).tolist()
+    trained = sim.pq_train(df, m_subspaces=M, n_codes=NC, n_iters=IT)
+    enc = sim.pq_encode(
+        df, m_subspaces=M, n_codes=NC, codebooks=trained
+    )
+    got_distortion = enc.agg(F.sum("d2")).collect()[0][0]
+    py = assign(cbs)
+    py_distortion = sum(d for _, d in py.values())
+    assert got_distortion <= seed_distortion + 1e-9
+    assert abs(got_distortion - py_distortion) < 1e-9
+    got_codes = {
+        (r.vec_id, r.subspace): r.code for r in enc.collect()
+    }
+    assert got_codes == {k: v[0] for k, v in py.items()}
+
+
+def test_pq_adc_recall_against_exact_knn(spark):
+    """X230 sanity: on the fixture corpus, ADC top-10 must overlap
+    exact cosine kNN meaningfully (the PQ index is an approximation,
+    not a hash of noise) — recall@10 >= 0.3 with 16 seed codebooks on
+    the correlated fixture embeddings, and the ADC list is 10 unique
+    real neighbors."""
+    from sparksync.ext import similarity as sim
+    from sparksync.source import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    exact = {r.neighbor_id for r in sim.knn_brute(emb, 0, k=10).collect()}
+    adc = [r.neighbor_id for r in sim.pq_adc_topk(emb, 0, k=10).collect()]
+    assert len(adc) == len(set(adc)) == 10 and 0 not in adc
+    assert len(exact & set(adc)) >= 3

@@ -1159,6 +1159,26 @@ def test_q230_plan_shape(spark):
     features.release_pinned()
 
 
+def test_q231_q232_plan_shapes(spark):
+    """X229/X230: PQ encode is a broadcast codebook join + a
+    (vec, subspace)-partitioned window argmin — no sort-merge join, no
+    cartesian, ZERO single-partition exchanges; the ADC read path is
+    broadcast table lookups ending in TakeOrderedAndProject top-k
+    (never a global sort)."""
+    from sparksync.ext import features
+
+    features.release_pinned()
+    plan = plan_of(QUERIES["q231_pq_encode"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+    plan = plan_of(QUERIES["q232_pq_adc"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+    features.release_pinned()
+
+
 def test_q229_plan_shape(spark):
     """X227: the composed loader order is TWO two-phase global_ranks
     (signal order for the stage, stage-major hash order for the

@@ -1897,3 +1897,20 @@ def test_cli_curriculum_and_bpe(tmp_path, capsys):
     assert all(
         s["n_pieces"] == len(s["pieces"].split(" ")) for s in segs
     )
+
+
+def test_cli_audit_pq(tmp_path, capsys):
+    """audit --kind pq prints one row per subspace (M=8 over the 64-dim
+    fixture embeddings) with closed accounting: n_vectors = the corpus
+    count in every subspace, mean_d2 <= max_d2, d2 non-negative."""
+    import json as _json
+
+    from sparksync.cli import main
+
+    dest = tmp_path / "dest"
+    assert main(["--src", SF_SMOKE, "--dest", str(dest),
+                 "audit", "--kind", "pq", "--table", "embeddings"]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert [r["subspace"] for r in rows] == list(range(8))
+    assert len({r["n_vectors"] for r in rows}) == 1
+    assert all(0.0 <= r["mean_d2"] <= r["max_d2"] for r in rows)

@@ -98,6 +98,10 @@ QUERIES_TO_PROBE = [
     # the composed curriculum order (two two-phase ranks)
     "q228_bpe_train",
     "q229_curriculum_order",
+    # round-15b: PQ encode (broadcast codebooks, corpus x M rows) and
+    # the ADC read path (broadcast distance table + ordered fold)
+    "q231_pq_encode",
+    "q232_pq_adc",
 ]
 
 # VERDICT r11 #7: rows whose measured regime is NOT the production
