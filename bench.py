@@ -149,13 +149,17 @@ HEADLINE = [
     # (train + ONE narrow chained-replace segmentation pass), plus the
     # PQ pair: seed-codebook encode (broadcast join + partitioned
     # argmin window) and the ADC top-k read path (broadcast distance
-    # table + ordered per-vector fold). Totals grow by FIVE queries vs
+    # table + ordered per-vector fold), the composed IVF-PQ search
+    # (probe-pruned ADC), and the PQ recall audit (exact L2 top-k vs
+    # ADC, pinned one-scan input). Totals grow by SEVEN queries vs
     # BENCH_r14 — compare per-query or via baseline16_sum
     "q228_bpe_train",
     "q229_curriculum_order",
     "q230_bpe_segment",
     "q231_pq_encode",
     "q232_pq_adc",
+    "q233_ivf_pq",
+    "q234_pq_recall",
 ]
 
 # The original BENCH_r03 subset (16 queries + sync): their sum is

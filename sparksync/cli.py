@@ -260,9 +260,10 @@ def main(argv: list[str] | None = None) -> int:
             # (X219), MWU domain reweighting (X220), and the
             # length-bucketed batching padding audit (X223)
             "diversity", "reweight", "length-buckets",
-            # round 15: PQ distortion per subspace (X229) — the
-            # codebook-quality number before an index rollout
-            "pq",
+            # round 15: PQ distortion per subspace (X229) and PQ
+            # recall vs exact same-metric kNN (X232) — the numbers
+            # before a compressed-index rollout
+            "pq", "pq-recall",
         ],
     )
     aud.add_argument("--table", help="pruning/quantile: table to audit")
@@ -1234,6 +1235,20 @@ def main(argv: list[str] | None = None) -> int:
                 "_y",
                 [c for c in args.signals.split(",") if c],
             )
+        elif args.kind == "pq-recall":
+            # X232: recall@k of the ADC read path vs exact full-vector
+            # squared-L2 top-k on a query sample — the number that
+            # justifies an (m_subspaces, n_codes) setting
+            from .ext.similarity import pq_recall_audit
+
+            for a in ("table", "queries"):
+                if getattr(args, a) is None:
+                    p.error(f"audit --kind pq-recall needs --{a}")
+            out = pq_recall_audit(
+                job._read_source(args.table),
+                query_ids=[int(x) for x in args.queries.split(",") if x],
+                k=args.k,
+            ).orderBy("query_id")
         elif args.kind == "ann-recall":
             # X215: recall@k of the IVF index vs exact kNN on a query
             # sample — the number that justifies an nprobe setting.

@@ -1381,6 +1381,207 @@ def pq_adc_topk(
     )
 
 
+def pq_adc_batch(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: DataFrame | None = None,
+    encoded: DataFrame | None = None,
+) -> DataFrame:
+    """ADC top-k for MANY queries in one pass (the knn_batch shape the
+    retrieval service actually runs): ALL queries' distance tables are
+    built together (|Q| x M x n_codes rows, broadcast), the encoded
+    corpus is scanned once, per-(query, vector) sums ride the same
+    ordered fold as pq_adc_topk, and ranking is a window PARTITIONED
+    by query id — every query's top-k in parallel, no global sort.
+    Output: (query_id, neighbor_id, rnk, approx_d2)."""
+    cb = (
+        codebooks
+        if codebooks is not None
+        else pq_codebooks(emb, m_subspaces, n_codes, id_col, vec_col)
+    )
+    enc = (
+        encoded
+        if encoded is not None
+        else pq_encode(emb, m_subspaces, n_codes, id_col, vec_col, codebooks=cb)
+    )
+    sd = _pq_dims(emb, m_subspaces, vec_col)
+    e = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
+    qsub = _pq_subvectors(
+        e.where(F.col(id_col).isin([int(x) for x in query_ids])),
+        m_subspaces,
+        sd,
+        id_col,
+    ).select(
+        F.col(id_col).alias("query_id"), "j", F.col("sv").alias("qsv")
+    )
+    dtab = cb.join(F.broadcast(qsub), "j").select(
+        "query_id", "j", "code", _sq_l2(F.col("cv"), F.col("qsv")).alias("qd2")
+    )
+    approx = (
+        enc.select(F.col(id_col), F.col("subspace").alias("j"), "code")
+        .join(F.broadcast(dtab), ["j", "code"])
+        .where(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("j", "qd2"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["qd2"],
+            ).alias("approx_d2")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col(id_col).asc()
+    )
+    return (
+        approx.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select(
+            "query_id", F.col(id_col).alias("neighbor_id"), "rnk", "approx_d2"
+        )
+    )
+
+
+def pq_recall_audit(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """Measure the PQ shortcut instead of trusting it (the
+    ivf_recall_audit / X215 discipline, X232): per query, recall@k of
+    the ADC read path against EXACT full-vector squared-L2 top-k —
+    both sides use the SAME metric and the same ordered-fold
+    arithmetic, so recall reads pure quantization loss, never a
+    cosine-vs-L2 metric disagreement (the fixture vectors are
+    unit-norm only to float32 rounding, which is exactly enough to
+    flip near-ties). n_codes/m_subspaces are the knobs that trade
+    memory for recall, and this is the number that justifies a setting
+    before a 100 TB compressed-index rollout.
+
+    The input projection is PINNED (the q219 lesson: the exact and
+    ADC sides re-derive corpus/codebook/query frames independently —
+    unpinned, the plan reads the source many times). recall divides
+    by the per-query TRUTH count, not the literal k (the ADVICE r13
+    convention). Output: (query_id, n_hits, recall_at_k)."""
+    from .features import _pin
+
+    emb = _pin(emb.select(F.col(id_col), F.col(vec_col)))
+    e = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
+    q = e.where(F.col(id_col).isin([int(x) for x in query_ids])).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col),
+            _sq_l2(F.col("v"), F.col("qv")).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col(id_col).asc()
+    )
+    truth = (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+    )
+    approx = pq_adc_batch(
+        emb, query_ids, k, m_subspaces, n_codes, id_col, vec_col,
+        codebooks=codebooks,
+    )
+    hits = truth.join(
+        F.broadcast(approx.select("query_id", "neighbor_id")),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    per_q = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    base = truth.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("_n_truth")
+    )
+    return (
+        base.join(F.broadcast(per_q), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / F.col("_n_truth").cast("double")
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """The composed production index (X231): IVF prunes WHICH vectors
+    are scanned (nprobe nearest clusters by cosine, the ivf_search
+    recipe), ADC shrinks WHAT is read for the survivors (PQ codes +
+    the query's distance table) — the IVF-PQ pairing every large-scale
+    ANN deployment runs, proven end-to-end the way recipe_mix proved
+    the recipe loop. The cluster filter is a broadcast semi-join of
+    the probed centroid ids against the assignment, the ADC half is
+    pq_adc_topk over the filtered code table — nothing new moves at
+    corpus scale beyond what the two halves already shuffle.
+    Deterministic seed centroids AND seed codebooks by default, so the
+    SQL oracle replays the whole composition. Output:
+    (neighbor_id, rnk, approx_d2)."""
+    e = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
+    cent = (
+        centroids
+        if centroids is not None
+        else _default_centroids(e, n_centroids, id_col)
+    )
+    assign = ivf_assign(
+        emb, n_centroids, id_col, vec_col, centroids=cent
+    )
+    q = e.where(F.col(id_col) == query_id).select(F.col("v").alias("qv"))
+    probe = (
+        cent.crossJoin(F.broadcast(q))
+        .select("cid", cosine(F.col("cv"), F.col("qv")).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("cid"))
+        .limit(nprobe)
+        .select(F.col("cid").alias("centroid_id"))
+    )
+    # probe is nprobe rows -> broadcast; members is CORPUS-sized
+    # (~corpus * nprobe / n_centroids) so the enc-side semi-join gets
+    # NO broadcast hint — the planner/AQE picks the strategy by size
+    members = assign.join(
+        F.broadcast(probe), "centroid_id", "left_semi"
+    ).select(id_col)
+    enc = pq_encode(
+        emb, m_subspaces, n_codes, id_col, vec_col, codebooks=codebooks
+    ).join(members, id_col, "left_semi")
+    return pq_adc_topk(
+        emb, query_id, k, m_subspaces, n_codes, id_col, vec_col,
+        codebooks=codebooks, encoded=enc,
+    )
+
+
 def diversity_score(
     emb: DataFrame,
     group_col: str = "label",

@@ -7280,3 +7280,105 @@ def test_pq_adc_recall_against_exact_knn(spark):
     adc = [r.neighbor_id for r in sim.pq_adc_topk(emb, 0, k=10).collect()]
     assert len(adc) == len(set(adc)) == 10 and 0 not in adc
     assert len(exact & set(adc)) >= 3
+
+
+def test_pq_adc_batch_and_recall_audit(spark):
+    """X232: pq_adc_batch equals pq_adc_topk run per query (same
+    ordered-fold sums, per-query partitioned ranking); pq_recall_audit
+    equals the hand-computed intersection of exact squared-L2 top-k
+    and ADC top-k, divided by the per-query truth count."""
+    from sparksync.ext import similarity as sim
+    from sparksync.source import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qids = [0, 7, 13]
+    batch = {
+        (r.query_id, r.neighbor_id): (r.rnk, r.approx_d2)
+        for r in sim.pq_adc_batch(emb, qids, k=5).collect()
+    }
+    for qid in qids:
+        single = sim.pq_adc_topk(emb, qid, k=5).collect()
+        for r in single:
+            assert batch[(qid, r.neighbor_id)] == (r.rnk, r.approx_d2)
+    assert len(batch) == 15
+
+    # recall audit: replay by hand off the engine's own halves
+    import math
+
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in emb.collect()}
+
+    def sq(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += (x - y) * (x - y)
+        return s
+
+    got = {r.query_id: (r.n_hits, r.recall_at_k)
+           for r in sim.pq_recall_audit(emb, qids, k=5).collect()}
+    adc5 = {
+        qid: {r.neighbor_id for r in sim.pq_adc_topk(emb, qid, k=5).collect()}
+        for qid in qids
+    }
+    for qid in qids:
+        exact = sorted(
+            ((sq(vecs[v], vecs[qid]), v) for v in vecs if v != qid)
+        )[:5]
+        truth = {v for _, v in exact}
+        hits = len(truth & adc5[qid])
+        assert got[qid][0] == hits
+        assert math.isclose(got[qid][1], hits / len(truth), rel_tol=0, abs_tol=0)
+
+
+def test_ivf_pq_topk_matches_python_model(spark):
+    """X231: the composed index equals the python replay — nprobe
+    nearest seed clusters by cosine (ties to the low centroid id),
+    then ADC restricted to members of the probed clusters."""
+    import math
+
+    from sparksync.ext import similarity as sim
+    from sparksync.source import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in emb.collect()}
+    M, NC, SD, NCENT, NPROBE, K = 8, 16, 8, 8, 2, 10
+
+    def sq(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += (x - y) * (x - y)
+        return s
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a))
+                    * math.sqrt(sum(y * y for y in b)))
+
+    # python: assignment, probe, members, ADC
+    cents = {c: vecs[c] for c in range(NCENT)}
+    assign = {
+        v: min(((-cos(vecs[v], cents[c]), c) for c in cents))[1]
+        for v in vecs
+    }
+    probe = [c for _, c in sorted(((-cos(cents[c], vecs[0]), c)
+                                   for c in cents))[:NPROBE]]
+    members = {v for v, c in assign.items() if c in set(probe)}
+    cbs = {(j, c): vecs[c][j * SD:(j + 1) * SD]
+           for c in range(NC) for j in range(M)}
+    codes = {
+        (v, j): min(((sq(vecs[v][j * SD:(j + 1) * SD], cbs[(j, c)]), c)
+                     for c in range(NC)))[1]
+        for v in vecs for j in range(M)
+    }
+    qd = {(j, c): sq(vecs[0][j * SD:(j + 1) * SD], cbs[(j, c)])
+          for j in range(M) for c in range(NC)}
+    ad = {
+        v: sum(qd[(j, codes[(v, j)])] for j in range(M))
+        for v in members if v != 0
+    }
+    want = sorted(ad.items(), key=lambda kv: (kv[1], kv[0]))[:K]
+    got = [(r.neighbor_id, r.approx_d2)
+           for r in sim.ivf_pq_topk(emb, 0, k=K).collect()]
+    assert got == want
+    # the composition prunes: every result is a member of a probed
+    # cluster, and membership is a strict subset of the corpus
+    assert {v for v, _ in got} <= members and len(members) < len(vecs)

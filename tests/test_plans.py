@@ -1179,6 +1179,31 @@ def test_q231_q232_plan_shapes(spark):
     features.release_pinned()
 
 
+def test_q233_q234_plan_shapes(spark):
+    """X231/X232: the composed IVF-PQ search broadcasts the probe set
+    and the distance table and ends in TakeOrderedAndProject; its ONE
+    allowed SortMergeJoin is the members semi-join — corpus-sized
+    assignment vs corpus-sized code table, deliberately UNhinted so
+    the planner/AQE picks by size (a forced broadcast of a
+    corpus-sized id list is the bug, not the join). The recall audit
+    pins its input (InMemoryTableScan on both sides) and runs
+    all-broadcast. Neither plans a cartesian or a single-partition
+    exchange."""
+    from sparksync.ext import features
+
+    features.release_pinned()
+    plan = plan_of(QUERIES["q233_ivf_pq"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("SortMergeJoin") <= 1
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+    plan = plan_of(QUERIES["q234_pq_recall"](spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+    assert plan.count("InMemoryTableScan") >= 2  # the pinned projection
+    features.release_pinned()
+
+
 def test_q229_plan_shape(spark):
     """X227: the composed loader order is TWO two-phase global_ranks
     (signal order for the stage, stage-major hash order for the

@@ -1914,3 +1914,26 @@ def test_cli_audit_pq(tmp_path, capsys):
     assert [r["subspace"] for r in rows] == list(range(8))
     assert len({r["n_vectors"] for r in rows}) == 1
     assert all(0.0 <= r["mean_d2"] <= r["max_d2"] for r in rows)
+
+
+def test_cli_audit_pq_recall(tmp_path, capsys):
+    """audit --kind pq-recall prints one row per query with recall in
+    [0, 1] and n_hits <= k; missing --queries errors loudly."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from sparksync.cli import main
+
+    dest = tmp_path / "dest"
+    assert main(["--src", SF_SMOKE, "--dest", str(dest),
+                 "audit", "--kind", "pq-recall", "--table", "embeddings",
+                 "--queries", "0,5,9", "--k", "5"]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert [r["query_id"] for r in rows] == [0, 5, 9]
+    assert all(0 <= r["n_hits"] <= 5 and 0.0 <= r["recall_at_k"] <= 1.0
+               for r in rows)
+
+    with _pytest.raises(SystemExit):
+        main(["--src", SF_SMOKE, "--dest", str(dest),
+              "audit", "--kind", "pq-recall", "--table", "embeddings"])

@@ -102,6 +102,8 @@ QUERIES_TO_PROBE = [
     # the ADC read path (broadcast distance table + ordered fold)
     "q231_pq_encode",
     "q232_pq_adc",
+    "q233_ivf_pq",
+    "q234_pq_recall",
 ]
 
 # VERDICT r11 #7: rows whose measured regime is NOT the production
