@@ -8,12 +8,14 @@ node takes the minimum label among itself and its neighbors; rounds =
 graph diameter (near-dup clusters are shallow, so 2-4 in practice).
 
 Each round is one join + one groupBy, both shuffling on the node key;
-each round's labels are localCheckpoint'ed (eager) so the logical plan
-is truncated per round — without this the lineage doubles every round
-(the join and the union both embed the previous round's plan) and the
-driver OOMs just *printing* the plan past ~10 rounds. The previous
-round's blocks are explicitly unpersisted, so state never accumulates.
-A convergence count() per round is the driver-side fixpoint test.
+each round's labels are persisted and the convergence count is FUSED
+into the job that materializes them (one job per round, round 15 —
+was eager-checkpoint + count, two jobs). Lineage doubles every round
+(the join and the union both embed the previous round's plan), so
+every _TRUNC_EVERY-th round localCheckpoints eagerly to truncate the
+plan — without any truncation the driver OOMs just *printing* the
+plan past ~10 rounds. The previous round's blocks are explicitly
+unpersisted, so state never accumulates.
 
 On a multi-node cluster localCheckpoint stores shuffle-output blocks on
 executors (lost with the executor); for very long-running jobs swap in
@@ -25,6 +27,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# fused rounds keep lineage (cache-backed execution, but the logical
+# plan doubles per round); every _TRUNC_EVERY-th round localCheckpoints
+# to truncate it, bounding plan depth at 2^_TRUNC_EVERY tiny subtrees
+_TRUNC_EVERY = 5
 
 
 def _release_checkpoint(df: DataFrame) -> None:
@@ -43,17 +50,43 @@ def _release_checkpoint(df: DataFrame) -> None:
         df.unpersist()
 
 
+def _leaves_materialized(df: DataFrame) -> bool:
+    """True when every leaf of the analyzed plan is a LogicalRDD —
+    i.e. the input is already (local)checkpoint-backed and re-executing
+    it reads materialized blocks, so a cache pin over it would only
+    copy the data. Fails closed to False (pin): if the internal plan
+    probe breaks on a Spark upgrade, we degrade to a harmless extra
+    cache layer, never to re-running a discovery pipeline."""
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        n = leaves.size()
+        if n == 0:
+            return False
+        for i in range(n):
+            if leaves.apply(i).getClass().getSimpleName() != "LogicalRDD":
+                return False
+        return True
+    except Exception:
+        return False
+
+
 def _materialize(df: DataFrame, mode: str) -> DataFrame:
-    """Round materialization for the propagation loop. 'local' (the
-    default and the scale path) eagerly localCheckpoints: lineage is
-    TRUNCATED, so the per-round plan stays flat no matter how many
-    rounds run. 'persist' caches MEMORY_AND_DISK + count()s: no
-    checkpoint I/O, but lineage is kept — and each round references
-    the previous round's plan twice (self-rows + messages), so the
-    plan tree grows geometrically; only sane for shallow graphs
-    (near-dup clusters converge in 2-4 rounds). The knob exists so the
-    checkpoint-I/O share of the loop's wall time can be A/B-measured
-    (VERDICT r11 #4 watch item), not as a recommendation."""
+    """Round materialization for the propagation loop's TRUNCATION
+    rounds. 'local' (the default and the scale path) eagerly
+    localCheckpoints: lineage is TRUNCATED, so the per-round plan
+    stays flat no matter how many rounds run. 'persist' caches
+    MEMORY_AND_DISK + count()s: no checkpoint I/O, but lineage is
+    kept — and each round references the previous round's plan twice
+    (self-rows + messages), so the plan tree grows geometrically; only
+    sane for shallow graphs (near-dup clusters converge in 2-4
+    rounds). The knob exists so the checkpoint-I/O share of the
+    loop's wall time can be A/B-measured (VERDICT r11 #4 watch item),
+    not as a recommendation.
+
+    Round 15: ordinary rounds no longer call this at all — they ride
+    the FUSED persist+convergence-count path (one job per round, see
+    connected_components); _materialize runs only every
+    _TRUNC_EVERY-th round ('local') or under ckpt_mode='persist'."""
     if mode == "persist":
         from pyspark import StorageLevel
 
@@ -98,36 +131,79 @@ def connected_components(
     result is WRONG (partially-merged components), so strict=True
     (default) raises instead of silently returning it; strict=False
     logs a warning and returns the non-converged labels for callers
-    that prefer partial merges over failure."""
-    # materialize the undirected pair graph ONCE: `edges` is typically a
-    # whole discovery pipeline (minhash LSH banding + verify, cosine
-    # scoring, ...), and every propagation round below reads `und` — an
-    # un-checkpointed plan would re-run that pipeline per round (found
-    # via the round-6 bench: q159 spent ~6 of its 7.9 s re-deriving
-    # pairs each iteration). Pair-graph rows are pair-cardinality, tiny
-    # next to the corpus.
+    that prefer partial merges over failure.
+
+    Round 15 (guide §1.2 "per-task work" / fixed-cost trim): ordinary
+    rounds are FUSED — the round result is lazily persisted
+    (MEMORY_AND_DISK) and the convergence count is the SAME job that
+    materializes it, so a round costs ONE Spark job instead of the
+    previous two (eager-checkpoint job + count job). Idle A/B at
+    sf0.1 over a prebuilt exact-Jaccard pair graph: 0.61 s -> 0.32 s
+    per components pass (median of 4), and the change multiplies
+    across the ~10 capstones that run a components pass per
+    invocation. Lineage: a persisted round references the previous
+    round's plan (cache-backed at EXECUTION, but the LOGICAL plan
+    doubles per round since self-rows + messages both embed it), so
+    every _TRUNC_EVERY-th round still localCheckpoints eagerly —
+    plan depth stays bounded by 2^_TRUNC_EVERY tiny subtrees at any
+    iteration count, and the old geometric-blowup failure mode
+    (driver OOM printing the plan past ~10 rounds) cannot return.
+    ckpt_mode='persist' keeps its documented meaning (never
+    truncate, the A/B arm)."""
+    from pyspark import StorageLevel
+
+    # materialize the undirected pair graph ONCE, EAGERLY: `edges` is
+    # typically a whole discovery pipeline (minhash LSH banding +
+    # verify, cosine scoring, ...), and every propagation round below
+    # reads `und` — an un-checkpointed plan would re-run that pipeline
+    # per round (found via the round-6 bench: q159 spent ~6 of its
+    # 7.9 s re-deriving pairs each iteration). The eager checkpoint
+    # also TRUNCATES the discovery plan out of every round's lineage —
+    # a lazy persist here was measured 4x SLOWER on q178 (round-15
+    # A/B): the RP-LSH discovery's large expression tree rode into
+    # every fused round's analysis, and concurrent scans of the
+    # not-yet-materialized cache raced re-computing the discovery.
+    # Pair-graph rows are pair-cardinality, tiny next to the corpus.
+    if ckpt_mode not in ("local", "persist"):
+        raise ValueError(f"unknown ckpt_mode {ckpt_mode!r} (local | persist)")
+    # the (src, dst) projection is pinned BEFORE the two-way union:
+    # both union branches then read one cached relation instead of
+    # each executing the discovery pipeline — the checkpoint job runs
+    # the discovery once, not twice (the q20 band-row pin pattern;
+    # pair-cardinality rows, tiny at any scale). The pin also lets a
+    # bench/batch session re-running the identical plan reuse the
+    # materialized discovery, with the cold cost visible in first_run.
+    # Callers that already materialized their pair graph (dedup_report
+    # et al. localCheckpoint pairs before passing them — every leaf is
+    # then a LogicalRDD) skip the pin: caching a checkpoint scan only
+    # adds a copy and churns the FIFO registry (measured +0.8 s on
+    # q199, round-15 A/B).
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if not _leaves_materialized(edges):
+        from .features import _pin
+
+        e = _pin(e)
     und = _materialize(
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))),
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))),
         ckpt_mode,
     )
     # init folds the FIRST propagation hop into label creation: every
     # node starts at min(self, min neighbor) — one groupBy instead of a
-    # distinct + a full first round (round-7 fixed-cost trim: each
-    # saved round is a checkpoint job + a convergence job, which
-    # dominates wall time on the shallow graphs near-dup clusters form)
-    labels = _materialize(
+    # distinct + a full first round (round-7 fixed-cost trim). Lazy
+    # persist over `und`'s materialized blocks (a tiny plan): round 1's
+    # fused job fills it, so no dedicated init-materialization job runs.
+    labels = (
         und.groupBy(F.col("a").alias("node"))
-        .agg(F.least(F.min("b"), F.col("a")).alias("label")),
-        ckpt_mode,
+        .agg(F.least(F.min("b"), F.col("a")).alias("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    ckpt = labels  # the df actually holding this round's blocks
+    ckpt, ckpt_is_checkpoint = labels, False
     changed = 0
-    for _ in range(max_iter):
-        # one propagation hop per checkpointed round; the OLD label
-        # rides along the aggregation so convergence needs no join:
-        # each node's self row (exactly one per node) carries `old`;
-        # message rows carry null, which min/max skip.
+    for rounds in range(1, max_iter + 1):
+        # one propagation hop per round; the OLD label rides along the
+        # aggregation so convergence needs no join: each node's self
+        # row (exactly one per node) carries `old`; message rows carry
+        # null, which min/max skip.
         # `old`'s null literal must carry the LABEL's dtype — string/
         # UUID node ids included (a hardcoded long here made the union
         # coerce string labels to bigint and blow up, code-review r11)
@@ -142,18 +218,25 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("label").alias("label"), F.max("old").alias("old"))
         )
-        # eager localCheckpoint truncates lineage: each round's plan is
-        # flat (scan-of-blocks -> join -> agg), not 2^round deep
-        stepped = _materialize(stepped, ckpt_mode)
-        # convergence scan runs over the materialized blocks — no
-        # shuffle, no second derivation of the round
-        changed = stepped.where(F.col("label") != F.col("old")).count()
+        truncate = ckpt_mode == "local" and rounds % _TRUNC_EVERY == 0
+        if truncate:
+            # periodic lineage truncation round: the old two-job shape
+            stepped = _materialize(stepped, ckpt_mode)
+            changed = stepped.where(F.col("label") != F.col("old")).count()
+        else:
+            # fused round: ONE job materializes the cache AND returns
+            # the convergence count (the filter scans every partition,
+            # so the InMemoryRelation is fully built by this count)
+            stepped = stepped.persist(StorageLevel.MEMORY_AND_DISK)
+            changed = stepped.where(F.col("label") != F.col("old")).count()
         # old round's blocks are never read again (stepped is already
-        # materialized), so dropping them is safe even though a
-        # checkpointed plan can't recompute. Release the CHECKPOINTED
-        # df, not the projection over it.
-        _release_checkpoint(ckpt)
-        ckpt = stepped
+        # materialized), so dropping them is safe. Release the df that
+        # HOLDS the blocks, not the projection over it.
+        if ckpt_is_checkpoint:
+            _release_checkpoint(ckpt)
+        else:
+            ckpt.unpersist(False)
+        ckpt, ckpt_is_checkpoint = stepped, truncate
         labels = stepped.select("node", "label")
         if changed == 0:
             break
@@ -167,7 +250,10 @@ def connected_components(
             f"max_iter; labels are partially merged"
         )
         if strict:
-            _release_checkpoint(ckpt)
+            if ckpt_is_checkpoint:
+                _release_checkpoint(ckpt)
+            else:
+                ckpt.unpersist(False)
             raise RuntimeError(msg)
         import warnings
 

@@ -693,11 +693,19 @@ def test_components_input_checkpoint_backed(spark):
     # correctness: one component labeled by the minimum node (0)
     assert len(rows) == n + 1
     assert {r.component for r in rows} == {0}
-    # the guard: edge pipeline executed exactly once (2 reads per edge
-    # from the undirected union), despite the multi-round iteration
-    assert acc.value == 2 * n, (
-        f"edge pipeline executed {acc.value / (2 * n):.1f}x - pair graph "
-        "is not checkpoint-backed (und localCheckpoint removed?)"
+    # the guard: edge pipeline executed ONCE despite the multi-round
+    # iteration. Round 15: the (src, dst) projection is pinned before
+    # the undirected union, so the nominal count is n (one read per
+    # edge, the union's second branch reads the cache); concurrent
+    # union tasks can race the cache materialization and recompute a
+    # partition ("Block already exists" warnings), so up to 2n ticks
+    # are legitimate. The failure mode this guard exists for — a
+    # propagation round re-running the edge pipeline — reads 2n PER
+    # ROUND (>= 8n on this >=4-round chain), far above the ceiling.
+    assert n <= acc.value <= 2 * n, (
+        f"edge pipeline executed {acc.value / n:.1f} reads/edge "
+        "(expected 1-2) - pair graph re-derived per round "
+        "(und materialization removed?)"
     )
 
 
@@ -735,12 +743,16 @@ def test_cluster_keeper_single_discovery_pass(spark):
     )
     out = dedup.cluster_keeper_from_pairs(counted, quality, "doc_id")
     out.write.format("noop").mode("overwrite").save()
-    # undirected union reads the pair pipeline twice in ONE
-    # materialization; any factor above 2 means a propagation round (or
-    # the keeper join) re-ran discovery
-    assert acc.value == 2 * n_pairs, (
+    # Round 15: connected_components pins the (src, dst) projection
+    # before the undirected union, so discovery nominally executes
+    # ONCE (n_pairs ticks); concurrent union tasks racing the cache
+    # materialization may recompute partitions, so up to 2*n_pairs is
+    # legitimate. Per-round re-derivation (the round-6 bug) reads
+    # 2*n_pairs per round — >= 3 rounds on this fixture, far above
+    # the ceiling.
+    assert n_pairs <= acc.value <= 2 * n_pairs, (
         f"discovery pipeline executed {acc.value / max(1, n_pairs):.1f} "
-        "reads/pair (expected 2) - pair graph re-derived downstream"
+        "reads/pair (expected 1-2) - pair graph re-derived downstream"
     )
     features.release_pinned()
 
