@@ -120,10 +120,23 @@ def jaccard_pairs(
     the life of the returned plan because the anti-join reads it.
     Only compose this path into pipelines you will actually execute;
     the default (max_df=None) builds fully lazily."""
-    # no .cache(): shingles are a narrow recompute from the scan, and
-    # pinning a ~10x-text-size exploded set in executor memory is the
-    # wrong trade at 100 TB (and leaks across calls in one session)
+    # Round 15 (guide §2.4 "two operations keyed the same way share
+    # one exchange"): the exploded index is repartitioned by the join
+    # key ONCE and pinned (features._pin, MEMORY_AND_DISK), so the
+    # self-join's two sides are co-partitioned reads of one cached
+    # relation — no per-side exchange, no per-consumer re-derivation
+    # (previously `sh` was derived 3x: both join sides + sizes).
+    # Interleaved idle A/B at sf0.1 (t=0.7, cache cleared per arm):
+    # 3.27 s -> 1.57 s median. This supersedes the earlier "no
+    # .cache()" note: the pin's storage cost equals the shuffle files
+    # the removed second exchange would have written anyway, it
+    # spills to disk past memory, and the FIFO registry bounds
+    # session accumulation; the trade now buys one exchange AND two
+    # tokenize passes per run.
     sh = shingles(df, id_col, text_col)
+    from .features import _pin
+
+    sh = _pin(sh.repartition(F.col("shingle")))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     join_sh = sh
     if max_df is not None:
@@ -1697,6 +1710,17 @@ def _run_streaks(
         F.col(id_col),
         F.posexplode(_ngrams(F.col("toks"), k)).alias("_pos", "_g"),
     ).select(id_col, "_pos", md5_token_hash(F.col("_g")).alias("_h"))
+    # Round 15 (guide §2.4, the jaccard_pairs/self_trim discipline):
+    # candidate-doc grams are repartitioned by (doc, hash) ONCE and
+    # pinned — the degenerate-gram census groupBy needs no further
+    # exchange, the g2 join side is already partitioned on its
+    # (d2, _h) key, and the tokenize+posexplode+md5 pipeline executes
+    # once instead of once per consumer. Pin size is bounded by the
+    # candidate docs' token count (the semi-join prune above), never
+    # the corpus.
+    from .features import _pin
+
+    grams = _pin(grams.repartition(F.col(id_col), F.col("_h")))
     if max_gram_freq is not None:
         hot = (
             grams.groupBy(id_col, "_h")
@@ -2196,6 +2220,16 @@ def self_trim_repeats(
         F.col(id_col),
         F.posexplode(_ngrams(F.col("toks"), k)).alias("_pos", "_g"),
     ).select(id_col, "_pos", md5_token_hash(F.col("_g")).alias("_h"))
+    # Round 15 (guide §2.4, the jaccard_pairs discipline): the gram
+    # table is repartitioned by the self-join key ONCE and pinned —
+    # the (doc, hash) census groupBy and both join sides consume the
+    # same partitioning, so the gram stream crosses one exchange
+    # instead of three, and the tokenize+posexplode+md5 pipeline
+    # executes once, not 3x. (The streak window re-keys on
+    # (doc, diag) — match-cardinality rows, far fewer than grams.)
+    from .features import _pin
+
+    grams = _pin(grams.repartition(F.col(id_col), F.col("_h")))
     if max_gram_freq is not None:
         hot = (
             grams.groupBy(id_col, "_h")
@@ -2733,7 +2767,18 @@ def winnow_overlap_pairs(
     Output: (d1, d2, n_shared), d1 < d2, all exact integers."""
     from pyspark.sql import Window
 
-    fps = winnow_fingerprints(df, k, w, id_col, text_col)
+    # Round 15 (guide §2.4, the jaccard_pairs discipline): the
+    # fingerprint table is repartitioned by the self-join key ONCE and
+    # pinned — both join sides (and the max_df census) read one cached
+    # co-partitioned relation instead of each re-running the
+    # tokenize -> gram -> window-min -> distinct pipeline (the q201
+    # plan previously carried the whole winnow subtree TWICE with zero
+    # exchange reuse).
+    from .features import _pin
+
+    fps = _pin(
+        winnow_fingerprints(df, k, w, id_col, text_col).repartition(F.col("fp"))
+    )
     join_fps = fps
     if max_df is not None:
         hot = (
