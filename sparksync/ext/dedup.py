@@ -465,7 +465,12 @@ def minhash_pairs_from_signatures(
     )
     l = buckets.select(F.col(id_col).alias("d1"), "band", "key")
     r = buckets.select(F.col(id_col).alias("d2"), "band", "key")
-    cand = (
+    # cand feeds TWO consumers since round 15 (the pair join and the
+    # verify-side semi-prune below); unpinned, each would re-run the
+    # banding join. Candidate pairs are two longs per row — tiny. This
+    # mirrors minhash_dedup_pairs_cross, which has pinned its cand and
+    # semi-pruned both verify sides since round 12.
+    cand = _pin(
         l.join(r, ["band", "key"])
         .where(F.col("d1") < F.col("d2"))
         .select("d1", "d2")
@@ -474,8 +479,15 @@ def minhash_pairs_from_signatures(
     pair_ids = cand.select(
         "d1", "d2", F.explode(F.array("d1", "d2")).alias(id_col)
     )
+    # semi-prune the shingle arrays to candidate docs BEFORE the pair
+    # join (round 15, guide §8: only candidate docs' arrays should
+    # ever be computed or shuffled — the optimizer pushes the LeftSemi
+    # below arrs' shingle-building projection, so non-candidate docs
+    # never tokenize on the verify side at all)
+    cand_ids = cand.select(F.explode(F.array("d1", "d2")).alias(id_col)).distinct()
     per_pair = (
-        arrs.join(pair_ids, id_col)
+        arrs.join(cand_ids, id_col, "left_semi")
+        .join(pair_ids, id_col)
         .groupBy("d1", "d2")
         .agg(
             F.min_by("sh", F.col(id_col)).alias("s1"),
@@ -736,6 +748,12 @@ def simhash_pairs(
             .otherwise(F.col("key"))
             .alias("key"),
         )
+    # Round 15 (guide §2.4, the jaccard_pairs discipline): the banded
+    # rows are repartitioned by the self-join key once and pinned, so
+    # both join sides are co-partitioned reads of one cached relation
+    # (previously each side re-ran the band explode and paid its own
+    # exchange).
+    keyed = _pin(keyed.repartition(F.col("band"), F.col("key")))
     a = keyed.select(F.col(id_col).alias("d1"), F.col("simhash").alias("f1"), "band", "key")
     b = keyed.select(F.col(id_col).alias("d2"), F.col("simhash").alias("f2"), "band", "key")
     return (
@@ -2459,6 +2477,13 @@ def benchmark_coverage(
         docs, bench, k, w, min_shared, min_run, id_col, bench_id_col,
         text_col, max_df, max_gram_freq,
     )
+    # runs feeds THREE consumers (per-pair stats, bench-side spans,
+    # coverage) — pinned so the whole streak pipeline executes once,
+    # not once per consumer (round 15; run rows are span-cardinality,
+    # tiny at any scale)
+    from .features import _pin
+
+    runs = _pin(runs)
     per_pair = runs.groupBy("d1", "d2").agg(F.max("_run").alias("_lr"))
     stats = per_pair.groupBy("d1").agg(
         F.count(F.lit(1)).cast("long").alias("n_train_docs"),
