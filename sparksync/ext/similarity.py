@@ -1168,11 +1168,28 @@ def _sq_l2(a: Column, b: Column) -> Column:
     )
 
 
+# vector-dim probe memo, keyed on the DataFrame OBJECT (weak, so frames
+# are never kept alive): the composed PQ paths (pq_adc_topk ->
+# pq_codebooks + pq_encode, ivf_pq_topk, pq_recall_audit) all thread
+# the SAME emb frame down, and each layer's dim probe was a separate
+# `.first()` Spark job over an identical input — up to 4 limit-1 scans
+# per query for one constant (round 15, guide §1.2 fixed-cost trim).
+_PQ_DIM_MEMO: "weakref.WeakKeyDictionary" = None  # set below
+
+
 def _pq_dims(emb: DataFrame, m_subspaces: int, vec_col: str) -> int:
-    first = emb.select(vec_col).first()
-    if first is None or first[0] is None:
-        raise ValueError("pq: empty embeddings input")
-    d = len(first[0])
+    global _PQ_DIM_MEMO
+    if _PQ_DIM_MEMO is None:
+        import weakref
+
+        _PQ_DIM_MEMO = weakref.WeakKeyDictionary()
+    d = _PQ_DIM_MEMO.get(emb, {}).get(vec_col)
+    if d is None:
+        first = emb.select(vec_col).first()
+        if first is None or first[0] is None:
+            raise ValueError("pq: empty embeddings input")
+        d = len(first[0])
+        _PQ_DIM_MEMO.setdefault(emb, {})[vec_col] = d
     if m_subspaces < 1 or d % m_subspaces != 0:
         raise ValueError(
             f"pq: dim {d} not divisible by m_subspaces {m_subspaces}"

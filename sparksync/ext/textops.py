@@ -988,6 +988,12 @@ def bpe_pair_counts(
 
 _BPE_SEP = "\x1f"
 
+# bpe_train lineage bound: merges apply as chained lazy replaces over
+# the checkpointed base vocabulary; a real checkpoint every this-many
+# merges keeps the plan shallow at any num_merges (graph._TRUNC_EVERY's
+# role in the components loop)
+_BPE_TRUNC_EVERY = 5
+
 
 def bpe_train(
     df: DataFrame,
@@ -1008,10 +1014,13 @@ def bpe_train(
     vocabulary (the only pass over raw text, same as bpe_pair_counts);
     every iteration then runs on VOCAB-sized data — a pair-explode +
     groupBy + argmax (a ONE-row driver collect, the n_sources-row
-    handoff discipline) + a narrow literal string replace. Each round's
-    vocabulary is localCheckpoint'ed (eager) with the previous round's
-    blocks explicitly released, the ext/graph.py iterative-loop
-    pattern, so lineage stays flat at any merge count.
+    handoff discipline) + a narrow literal string replace. The replaces
+    accumulate as chained lazy projections over the ONE checkpointed
+    base vocabulary (one Spark job per merge, round 15 — was argmax +
+    an eager per-round checkpoint, two jobs); every _BPE_TRUNC_EVERY
+    merges a real localCheckpoint (previous blocks explicitly released,
+    the ext/graph.py iterative-loop pattern) truncates the chain, so
+    lineage stays bounded at any merge count.
 
     Greedy-merge encoding (exactness, both engines): a word's symbol
     sequence is kept as a string with DOUBLED \\x1f separators at every
@@ -1049,6 +1058,18 @@ def bpe_train(
         "wf",
     ).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, str, int]] = []
+    # Fused loop (round 15, guide §1.2 fixed-cost trim): the merge
+    # replace is a NARROW vocab-row projection, so instead of eagerly
+    # checkpointing the merged vocabulary every round (one extra Spark
+    # job per merge), the accumulated merges ride each argmax job as
+    # chained lazy replace()s over the ONE checkpointed base — exactly
+    # bpe_segment's chained-replace form, which is exact greedy merge
+    # application in step order. One job per merge instead of two;
+    # lineage is truncated by a real checkpoint every
+    # _BPE_TRUNC_EVERY merges so plan depth stays bounded at any
+    # num_merges. The argmax each step reads the identical
+    # post-(step-1)-merges vocabulary either way — same merge table.
+    cur, pending = vocab, 0
     try:
         for step in range(1, num_merges + 1):
             syms = F.filter(F.split("s", dd), lambda x: x != F.lit(""))
@@ -1063,7 +1084,7 @@ def bpe_train(
                 ),
             ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
             best = (
-                vocab.select("wf", F.explode(pair_arr).alias("p"))
+                cur.select("wf", F.explode(pair_arr).alias("p"))
                 .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
                 .agg(F.sum("wf").cast("long").alias("cnt"))
                 .orderBy(F.col("cnt").desc(), "l", "r")
@@ -1074,16 +1095,19 @@ def bpe_train(
                 break
             left, right, cnt = best[0].l, best[0].r, int(best[0].cnt)
             merges.append((step, left, right, left + right, cnt))
-            nxt = vocab.select(
+            cur = cur.select(
                 F.replace(
                     F.col("s"),
                     F.lit(sep + left + dd + right + sep),
                     F.lit(sep + left + right + sep),
                 ).alias("s"),
                 "wf",
-            ).localCheckpoint(eager=True)
-            _release_checkpoint(vocab)
-            vocab = nxt
+            )
+            pending += 1
+            if pending >= _BPE_TRUNC_EVERY and step < num_merges:
+                nxt = cur.localCheckpoint(eager=True)
+                _release_checkpoint(vocab)
+                vocab, cur, pending = nxt, nxt, 0
     finally:
         _release_checkpoint(vocab)
     return df.sparkSession.createDataFrame(
