@@ -404,14 +404,14 @@ def minhash_dedup_pairs(
     if persist_signatures:
         sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     # banded join + exact verify live in minhash_pairs_from_signatures
-    # (shared with the precomputed-signature deployment path). The
-    # verify joins the exploded candidate ids into ONE pass over the
-    # shingle arrays and pairs each candidate's arrays with
-    # min_by/max_by; only candidate docs' arrays shuffle, and the
-    # data-dependent candidate set carries no broadcast hint — AQE
-    # decides at runtime.
+    # (shared with the precomputed-signature deployment path). `df` is
+    # passed as the raw verify source so candidate ids prune the
+    # (id, text) rows BEFORE tokenization — only candidate docs ever
+    # shingle on the verify side; the data-dependent candidate set
+    # carries no broadcast hint, AQE decides at runtime.
     return minhash_pairs_from_signatures(
-        sig, arrs, threshold, id_col, bands, rows, bucket_cap
+        sig, arrs, threshold, id_col, bands, rows, bucket_cap,
+        raw=df, text_col=text_col,
     )
 
 
@@ -439,6 +439,8 @@ def minhash_pairs_from_signatures(
     bands: int = LSH_BANDS,
     rows: int = LSH_ROWS,
     bucket_cap: int | None = 10_000,
+    raw: DataFrame | None = None,
+    text_col: str = "text",
 ) -> DataFrame:
     """minhash_dedup_pairs' banded-join + exact-verify tail, starting
     from a PRECOMPUTED signature table (minhash_signature_table, read
@@ -457,7 +459,18 @@ def minhash_pairs_from_signatures(
     but under concurrent load — the driver's 4.17 s vs self-measured
     2.7 s gap — and at 100 TB, 4 corpus scans vs 1 is the whole game).
     Pinned rows are ~16x(id,band,2 keys) per doc (~600 B/doc, same
-    order as the signature table); the tail spills to disk."""
+    order as the signature table); the tail spills to disk.
+
+    raw (round 15, guide §8): the pre-shingle (id_col, text_col) frame.
+    When given (minhash_dedup_pairs passes its input), the verify side
+    is rebuilt from raw semi-pruned by candidate ids BEFORE tokenizing,
+    so only candidate docs ever tokenize or shingle for verification.
+    The earlier `arrs.join(cand_ids, left_semi)` form relied on the
+    optimizer pushing the semi below arrs' shingle projection; the
+    executed plan shows it does NOT (the full corpus shingled, then
+    joined), so the prune is applied to the raw rows explicitly. When
+    raw is None (the precomputed-arrays deployment path) the semi
+    still prunes which arrays the pair joins read."""
     from .features import _pin
 
     buckets = _cap_buckets(
@@ -465,8 +478,8 @@ def minhash_pairs_from_signatures(
     )
     l = buckets.select(F.col(id_col).alias("d1"), "band", "key")
     r = buckets.select(F.col(id_col).alias("d2"), "band", "key")
-    # cand feeds TWO consumers since round 15 (the pair join and the
-    # verify-side semi-prune below); unpinned, each would re-run the
+    # cand feeds THREE consumers (the verify-side id prune + the two
+    # array-attach joins below); unpinned, each would re-run the
     # banding join. Candidate pairs are two longs per row — tiny. This
     # mirrors minhash_dedup_pairs_cross, which has pinned its cand and
     # semi-pruned both verify sides since round 12.
@@ -476,32 +489,26 @@ def minhash_pairs_from_signatures(
         .select("d1", "d2")
         .distinct()
     )
-    pair_ids = cand.select(
-        "d1", "d2", F.explode(F.array("d1", "d2")).alias(id_col)
-    )
-    # semi-prune the shingle arrays to candidate docs BEFORE the pair
-    # join (round 15, guide §8: only candidate docs' arrays should
-    # ever be computed or shuffled — the optimizer pushes the LeftSemi
-    # below arrs' shingle-building projection, so non-candidate docs
-    # never tokenize on the verify side at all)
     cand_ids = cand.select(F.explode(F.array("d1", "d2")).alias(id_col)).distinct()
-    per_pair = (
-        arrs.join(cand_ids, id_col, "left_semi")
-        .join(pair_ids, id_col)
-        .groupBy("d1", "d2")
-        .agg(
-            F.min_by("sh", F.col(id_col)).alias("s1"),
-            F.max_by("sh", F.col(id_col)).alias("s2"),
-            # BOTH docs must contribute a shingle row: when the
-            # signature table is a persisted snapshot, a candidate's
-            # partner may have been deleted or edited below the
-            # shingle minimum since — with one row, min_by and max_by
-            # would return the SAME doc's array and emit a phantom
-            # jacc=1.0 self-comparison (code-review r11)
-            F.count_distinct(F.col(id_col)).alias("_nsides"),
+    if raw is not None:
+        va = shingle_arrays(
+            raw.join(cand_ids, id_col, "left_semi"), id_col, text_col
         )
-        .where(F.col("_nsides") == 2)
-    )
+    else:
+        va = arrs.join(cand_ids, id_col, "left_semi")
+    # the candidate-pruned arrays feed both attach joins: pin them so
+    # candidate docs shingle once, not once per side
+    va = _pin(va)
+    # attach each side's array with a plain inner join (candidate-sized
+    # inputs, no broadcast hint — AQE decides): a pair whose partner
+    # was deleted or edited below the shingle minimum since a persisted
+    # snapshot simply finds no array row and drops out, the same
+    # guarantee the previous min_by/max_by + count_distinct==2 form
+    # gave (code-review r11) without its three-level sort aggregate
+    # and (d1, d2, doc_id) exchange.
+    s1 = va.select(F.col(id_col).alias("d1"), F.col("sh").alias("s1"))
+    s2 = va.select(F.col(id_col).alias("d2"), F.col("sh").alias("s2"))
+    per_pair = cand.join(s1, "d1").join(s2, "d2")
     inter = F.size(F.array_intersect(F.col("s1"), F.col("s2"))).cast("double")
     union = (F.size("s1") + F.size("s2")).cast("double") - inter
     return per_pair.select("d1", "d2", (inter / union).alias("jacc")).where(
@@ -575,18 +582,23 @@ def minhash_dedup_pairs_cross(
     cand = _pin(
         bn.join(bc, ["band", "key"]).select("new_id", "corpus_id").distinct()
     )
-    a1 = shingle_arrays(new, id_col, text_col).select(
-        F.col(id_col).alias("new_id"), F.col("sh").alias("s1")
-    )
-    a2 = shingle_arrays(corpus, id_col, text_col).select(
-        F.col(id_col).alias("corpus_id"), F.col("sh").alias("s2")
-    )
-    # prune BOTH sides to candidate docs before anything shuffles: only
-    # candidate docs' arrays ever leave the scan, and the final pair
-    # join runs over candidate-sized inputs. No broadcast hints — the
-    # candidate set is data-dependent; AQE broadcasts when it is small.
-    a2p = a2.join(cand.select("corpus_id").distinct(), "corpus_id")
-    paired = a1.join(cand, "new_id").join(a2p, "corpus_id")
+    # prune BOTH sides to candidate docs BEFORE tokenizing (round 15,
+    # guide §8): the semi applies to the raw (id, text) rows — the
+    # optimizer does not push a semi below the shingle projection (see
+    # minhash_pairs_from_signatures), so pruning the array frames
+    # would still tokenize every doc. Only candidate docs ever
+    # shingle, and the final pair join runs over candidate-sized
+    # inputs. No broadcast hints — the candidate set is
+    # data-dependent; AQE broadcasts when it is small.
+    new_ids = cand.select(F.col("new_id").alias(id_col)).distinct()
+    corpus_ids = cand.select(F.col("corpus_id").alias(id_col)).distinct()
+    a1 = shingle_arrays(
+        new.join(new_ids, id_col, "left_semi"), id_col, text_col
+    ).select(F.col(id_col).alias("new_id"), F.col("sh").alias("s1"))
+    a2 = shingle_arrays(
+        corpus.join(corpus_ids, id_col, "left_semi"), id_col, text_col
+    ).select(F.col(id_col).alias("corpus_id"), F.col("sh").alias("s2"))
+    paired = a1.join(cand, "new_id").join(a2, "corpus_id")
     inter = F.size(F.array_intersect(F.col("s1"), F.col("s2"))).cast("double")
     union = (F.size("s1") + F.size("s2")).cast("double") - inter
     return paired.select(
