@@ -33,6 +33,73 @@ from pyspark.sql import functions as F
 # to truncate it, bounding plan depth at 2^_TRUNC_EVERY tiny subtrees
 _TRUNC_EVERY = 5
 
+# Size switch for the driver-local propagation path (round 15, guide
+# §1.2: the distributed loop costs ~12 Spark jobs under AQE per pass —
+# join + groupBy + fused count per round — which is pure fixed cost on
+# a small pair graph; a 256-edge graph measured ~1.0-1.2 s/pass at 32
+# cores). Graphs at or below this many edges are collected (bounded by
+# construction: the cap bounds the collect) and resolved by the SAME
+# synchronous min-label propagation in plain Python — identical
+# labels, identical round arithmetic, identical strict/max_iter
+# semantics — then returned as a local relation. Larger graphs take
+# the distributed loop unchanged. 2^16 edges ≈ 1 MB collected; scale
+# deployments can raise/lower via SPARKSYNC_CC_LOCAL_MAX_EDGES
+# (0 disables the local path entirely).
+import os as _os
+
+_CC_LOCAL_MAX_EDGES = int(
+    _os.environ.get("SPARKSYNC_CC_LOCAL_MAX_EDGES", str(1 << 16))
+)
+
+
+def _local_components(
+    edge_rows, max_iter: int, strict: bool, label_type, spark
+) -> DataFrame:
+    """Driver-local twin of the distributed loop below: synchronous
+    min-label propagation with the SAME init (every node starts at
+    min(self, neighbors)), one hop per round, and the same
+    strict/max_iter contract — so the two paths are interchangeable
+    row-for-row, including the partial labels a non-converged
+    strict=False run returns. Only called for graphs under
+    _CC_LOCAL_MAX_EDGES."""
+    from pyspark.sql.types import StructField, StructType
+
+    adj: dict = {}
+    for a, b in edge_rows:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {v: min(v, min(ns)) for v, ns in adj.items()}
+    changed = 0
+    for _ in range(1, max_iter + 1):
+        new = {
+            v: min(labels[v], min(labels[n] for n in ns))
+            for v, ns in adj.items()
+        }
+        changed = sum(1 for v in adj if new[v] != labels[v])
+        labels = new
+        if changed == 0:
+            break
+    if changed > 0:
+        msg = (
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) - graph diameter exceeds "
+            f"max_iter; labels are partially merged"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=3)
+    schema = StructType(
+        [
+            StructField("node", label_type, True),
+            StructField("component", label_type, True),
+        ]
+    )
+    return spark.createDataFrame(
+        sorted(labels.items()), schema=schema
+    )
+
 
 def _release_checkpoint(df: DataFrame) -> None:
     """Free a localCheckpoint'ed DataFrame's storage blocks NOW.
@@ -183,10 +250,35 @@ def connected_components(
         from .features import _pin
 
         e = _pin(e)
-    und = _materialize(
-        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))),
-        ckpt_mode,
+    und_plan = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
+    if ckpt_mode == "local" and _CC_LOCAL_MAX_EDGES > 0:
+        # the count doubles as the pin/checkpoint materialization the
+        # und checkpoint below would otherwise perform, so the big-graph
+        # path pays only a cached-count probe for the size switch
+        n_edges = e.count()
+        if n_edges <= _CC_LOCAL_MAX_EDGES:
+            rows = [(r[0], r[1]) for r in e.collect()]
+            if not any(a is None or b is None for a, b in rows):
+                # label dtype = the union's coerced type, matching what
+                # the distributed loop's labels would carry. Broadcast
+                # hint: the relation is bounded by the cap (≤ ~2 MB), and
+                # without it consumers' INITIAL plans pick SortMergeJoin
+                # against the LocalRelation — AQE converts back to
+                # broadcast at runtime but only after the corpus side's
+                # shuffle map stage already ran (measured +0.2-0.3 s on
+                # q204, round-15 A/B)
+                return F.broadcast(
+                    _local_components(
+                        rows,
+                        max_iter,
+                        strict,
+                        und_plan.schema["a"].dataType,
+                        edges.sparkSession,
+                    ).select("node", "component")
+                )
+    und = _materialize(und_plan, ckpt_mode)
     # init folds the FIRST propagation hop into label creation: every
     # node starts at min(self, min neighbor) — one groupBy instead of a
     # distinct + a full first round (round-7 fixed-cost trim). Lazy

@@ -5829,6 +5829,63 @@ def test_connected_components_persist_mode(spark):
     assert {c for _, c in got} == {1, 10}
 
 
+def test_connected_components_local_path_parity(spark, monkeypatch):
+    """Round-15 size switch: graphs at or below _CC_LOCAL_MAX_EDGES are
+    resolved by the driver-local propagation twin (_local_components).
+    The two paths must be interchangeable row-for-row — same labels on
+    multi-round graphs (long AND string ids), same strict
+    non-convergence contract — and the switch must respect the cap."""
+    import random
+
+    import pytest
+
+    from sparksync.ext import graph
+
+    rnd = random.Random(41)
+    long_edges = [
+        (rnd.randrange(60), rnd.randrange(60)) for _ in range(80)
+    ] + [(1, 2), (2, 3), (3, 4), (100, 101)]
+    str_edges = [(f"d{a:03d}", f"d{b:03d}") for a, b in long_edges]
+    by_schema = {}
+    for rows, schema in (
+        (long_edges, "d1 long, d2 long"),
+        (str_edges, "d1 string, d2 string"),
+    ):
+        edges = spark.createDataFrame(rows, schema)
+        monkeypatch.setattr(graph, "_CC_LOCAL_MAX_EDGES", 1 << 16)
+        local = {
+            (r.node, r.component)
+            for r in graph.connected_components(edges).collect()
+        }
+        monkeypatch.setattr(graph, "_CC_LOCAL_MAX_EDGES", 0)
+        dist = {
+            (r.node, r.component)
+            for r in graph.connected_components(edges).collect()
+        }
+        assert local == dist
+        by_schema[schema] = dist
+    # strict non-convergence raises on BOTH paths (6-chain, 1 round =
+    # 2 hops < the 5 needed); strict=False returns partial labels
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 7)], "d1 long, d2 long"
+    )
+    for cap in (1 << 16, 0):
+        monkeypatch.setattr(graph, "_CC_LOCAL_MAX_EDGES", cap)
+        with pytest.raises(RuntimeError, match="did not converge"):
+            graph.connected_components(chain, max_iter=1).collect()
+    # a graph just OVER the cap takes the distributed path: cap at
+    # n_edges-1 and assert _local_components is never entered
+    monkeypatch.setattr(graph, "_CC_LOCAL_MAX_EDGES", len(long_edges) - 1)
+    def boom(*a, **kw):  # pragma: no cover
+        raise AssertionError("local path entered above the cap")
+    monkeypatch.setattr(graph, "_local_components", boom)
+    edges = spark.createDataFrame(long_edges, "d1 long, d2 long")
+    assert {
+        (r.node, r.component)
+        for r in graph.connected_components(edges).collect()
+    } == by_schema["d1 long, d2 long"]
+
+
 def test_benchmark_coverage_islands_and_clean_docs(spark):
     """X206: coverage merges overlapping quotes from DIFFERENT train
     docs into islands (never double-counts), reports the longest
