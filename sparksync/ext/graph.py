@@ -137,6 +137,18 @@ def _leaves_materialized(df: DataFrame) -> bool:
         return False
 
 
+def _plan_cached(df: DataFrame) -> bool:
+    """True when this exact plan is already a cache-manager entry (a
+    caller-side pin: dedup_report et al. pin their pair graph before
+    passing it down, round 15): re-executing it reads cached batches,
+    so the edge-projection pin below would only copy pair-cardinality
+    rows and churn the FIFO registry — the same reason the
+    checkpoint-backed case skips it. Fails closed to False (pin)."""
+    from .features import _cached_data
+
+    return _cached_data(df) is not None
+
+
 def _materialize(df: DataFrame, mode: str) -> DataFrame:
     """Round materialization for the propagation loop's TRUNCATION
     rounds. 'local' (the default and the scale path) eagerly
@@ -246,7 +258,7 @@ def connected_components(
     # adds a copy and churns the FIFO registry (measured +0.8 s on
     # q199, round-15 A/B).
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    if not _leaves_materialized(edges):
+    if not (_leaves_materialized(edges) or _plan_cached(edges)):
         from .features import _pin
 
         e = _pin(e)
