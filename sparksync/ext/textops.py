@@ -1673,6 +1673,11 @@ def lm_vocab_census(
     )
 
 
+# A/B switch for _lm_base's round-15 pin (True = production shape).
+# Flipped only by tools/ab harnesses to reproduce the old all-lazy arm.
+_LM_PIN = True
+
+
 def _lm_base(
     df: DataFrame,
     text_col: str,
@@ -1686,17 +1691,34 @@ def _lm_base(
     `vocab_k` corpus tokens (salted two-phase top-k — never one global
     sort of the whole vocabulary; ties by token asc), map everything
     else to '<unk>' via an explicit vocab broadcast, and assemble
-    bigrams with one window shuffle partitioned by doc (the per-doc
-    stats branch needs no window at all — Catalyst prunes the unused
-    lead, leaving a plain token-level aggregate). Docs with < 2 tokens
-    drop out (no bigram evidence).
+    bigrams with one window shuffle partitioned by doc. Docs with
+    < 2 tokens drop out (no bigram evidence).
 
     `flag` optionally carries a per-doc boolean through as `_tgt`
     (constant within a doc, so adding it to the grouping keys changes
     no group). Returns (stats, types, veff): per-doc
     (id[, _tgt], n_tokens, n_unk); per-doc bigram types
     (id[, _tgt], _w, _w2, _k); and the one-row smoothing denominator
-    |vocab| + 1."""
+    |vocab| + 1.
+
+    Round 15 (guide §5 persist-when-reused; the change-2 shingle-pin
+    discipline): the mapped-bigram table (`big`) feeds THREE
+    aggregations in ngram_lm_score (stats, the c12 model build, and
+    the scoring join's types side) and the census feeds two more (the
+    membership broadcast + veff) — all lazy, so one run executed the
+    tokenize + census + vocab-map + window pipeline ~3x and the
+    census ~2x (lambda-bearing subtrees defeat exchange reuse,
+    plan-audited: zero ReusedExchange). Both are now pinned
+    (features._pin: MEMORY_AND_DISK, FIFO-capped registry) and `big`
+    is materialized with a count() so the three consumers cannot race
+    an unmaterialized cache into recomputing the pass (the change-1
+    gotcha). Pin storage is bigram-row-scale — the same order as the
+    shuffle the c12 aggregation writes from those rows anyway (the
+    change-2 trade) — and the census is <= vocab_k rows. Warm runs
+    (the bench's median-of-3, or any session re-scoring the same
+    corpus) reuse both pins; cold cost stays visible in first_run.
+    `_LM_PIN` exists for the A/B harness (False = the old all-lazy
+    shape)."""
     keep = [F.col(id_col)]
     gcols = [id_col]
     if flag is not None:
@@ -1709,6 +1731,12 @@ def _lm_base(
     vocab = lm_vocab_census(df, vocab_k, text_col, n_salts).select(
         F.col("tok").alias("_tok")
     )
+    if _LM_PIN:
+        from .features import _pin
+
+        # materialized as a side effect of big.count() below (the
+        # census is a subtree of `big`'s plan), so no dedicated job
+        vocab = _pin(vocab)
     mapped = tok.join(
         F.broadcast(vocab.withColumn("_v", F.lit(1))), "_tok", "left"
     ).select(
@@ -1720,6 +1748,11 @@ def _lm_base(
     )
     w_doc = Window.partitionBy(id_col).orderBy("_pos")
     big = mapped.withColumn("_w2", F.lead("_w").over(w_doc))
+    if _LM_PIN:
+        from .features import _pin
+
+        big = _pin(big)
+        big.count()
     stats = big.groupBy(*gcols).agg(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.sum((F.col("_w") == "<unk>").cast("long")).cast("long").alias("n_unk"),
