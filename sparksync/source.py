@@ -24,6 +24,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+# Schema memo for load_table (round 15, guide §1.2 fixed costs):
+# DataFrameReader.parquet() resolves the schema EAGERLY, which runs a
+# 1-task footer-read job on every call — one to two such jobs per query
+# per bench run, pure fixed cost. The memo holds METADATA only (a
+# StructType, never data) and is keyed on (path, mtime_ns, size), so a
+# rewritten file — the CLI tamper probe, a re-synced dest — re-infers.
+# Any stat failure (remote path, racing writer) falls back to inference.
+_SCHEMA_MEMO: dict = {}
+
+
+def _memo_key(path: str):
+    import os
+
+    st = os.stat(path)
+    return (path, st.st_mtime_ns, st.st_size)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Handles the events.ts TIMESTAMP(NANOS)
     column, which Spark 4 only reads as a raw long
@@ -37,7 +54,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        key = _memo_key(path)
+    except OSError:
+        key = None
+    if key is not None and key in _SCHEMA_MEMO:
+        df = spark.read.schema(_SCHEMA_MEMO[key]).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        if key is not None:
+            _SCHEMA_MEMO[key] = df.schema
     if "ts" in df.columns and dict(df.dtypes).get("ts") == "bigint":
         # NTZ, not LTZ: the parquet column is TIMESTAMP(NANOS, adjusted=false)
         # i.e. a wall-clock value, and Spark reads the sibling MILLIS/MICROS

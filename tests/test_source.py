@@ -106,3 +106,40 @@ def test_file_source_orc_sync(spark, tmp_path):
     job.data_phase(job.plan())
     back = job.sink.read("nation").select(*nation.columns)
     assert compare_checksum(nation, back, "nation").is_ok
+
+
+def test_load_table_schema_memo_hits_and_invalidates(spark, tmp_path):
+    """Round-15 fixed-cost trim: load_table memoizes the inferred
+    parquet schema keyed on (path, mtime_ns, size) so repeat loads in
+    one session skip the eager footer-read job. The memo must (a) hit
+    on an unchanged file, (b) re-infer when the file is REPLACED —
+    schema changes included (the CLI tamper/re-sync case)."""
+    from sparksync import source
+    from sparksync.source import _SCHEMA_MEMO, load_table
+
+    d = str(tmp_path)
+    spark.range(5).selectExpr("id AS a", "id * 2 AS b").coalesce(
+        1
+    ).write.parquet(d + "/t.parquet")
+    before = dict(_SCHEMA_MEMO)
+    df1 = load_table(spark, d, "t")
+    key1 = source._memo_key(d + "/t.parquet")
+    assert key1 in _SCHEMA_MEMO and key1 not in before
+    # unchanged file: second load reuses the memo entry and reads the
+    # same rows
+    df2 = load_table(spark, d, "t")
+    assert df2.schema == df1.schema
+    assert sorted(r.a for r in df2.collect()) == [0, 1, 2, 3, 4]
+    # replace the file with a DIFFERENT schema: the stat key changes,
+    # so the memo must re-infer, not serve the stale schema
+    import shutil
+    import time
+
+    shutil.rmtree(d + "/t.parquet")
+    time.sleep(0.01)  # ensure a distinct mtime_ns on coarse filesystems
+    spark.range(3).selectExpr(
+        "cast(id AS string) AS c", "id AS a"
+    ).coalesce(1).write.parquet(d + "/t.parquet")
+    df3 = load_table(spark, d, "t")
+    assert set(df3.columns) == {"c", "a"}
+    assert df3.count() == 3
