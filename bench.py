@@ -5,12 +5,21 @@ local[$SPARK_GRAFT_CPUS].
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-`value` is total wall time of the headline set. Per-query times let
-BENCH_r{N}.json diffs show which operator regressed.
+`value` is the COLD total: the sum of each query's FIRST sample
+(round 16, VERDICT r15 #1). Earlier rounds headlined the sum of warm
+medians, but pinned intermediates survive across a query's 3 samples,
+so runs 2-3 of any pin-bearing query partially measure cache reads —
+~5.5 s of the 74.2 s r15 headline was cross-run reuse, and for a
+once-per-run 100 TB pipeline the cold number is the real cost
+(BASELINE.md "Cold vs warm"). The warm per-query medians stay in
+`queries` (same field, same methodology — round-over-round per-query
+comparisons remain valid) and their sum moves to `warm_total`; the
+cold per-query samples stay in `first_run`.
 
-Each query runs $SPARK_GRAFT_BENCH_RUNS times (default 3) and reports
-the MEDIAN, so the ±6% ambient-load band documented in BASELINE.md
-stops reading as per-round regression. The sync stage also runs 3x.
+Each query runs $SPARK_GRAFT_BENCH_RUNS times (default 3); `queries`
+reports the MEDIAN, so the ±6% ambient-load band documented in
+BASELINE.md stops reading as per-round regression. The sync stage
+also runs 3x.
 """
 
 from __future__ import annotations
@@ -200,9 +209,12 @@ def main(argv: list[str] | None = None) -> int:
         "--out",
         default=None,
         metavar="PATH",
-        help="also write the JSON payload to PATH (e.g. BENCH_SELF.json "
-        "when refreshing the committed self-record). Default: stdout "
-        "only — VERDICT r14 #1: the old unconditional BENCH_SELF.json "
+        help="also write the JSON payload to PATH. The committed "
+        "self-record convention is ONE NEW FILE PER ROUND "
+        "(BENCH_SELF_r{N}.json, VERDICT r15 #2 — the single-slot "
+        "BENCH_SELF.json lost the r14 record forever when r15 "
+        "refreshed it); never overwrite a prior round's snapshot. "
+        "Default: stdout only — VERDICT r14 #1: the old unconditional "
         "write meant every driver bench run clobbered the committed "
         "clean record with whatever load happened to be ambient.",
     )
@@ -295,12 +307,18 @@ def main(argv: list[str] | None = None) -> int:
         file=sys.stderr,
     )
 
-    total = round(sum(times.values()), 3)
+    # COLD headline (round 16, VERDICT r15 #1): the sum of first
+    # samples. Warm medians' sum is kept as `warm_total` — the r15
+    # headline (74.196 s) compares against THAT field, and the r15
+    # `first_run` sum (113.30 s) against `value`.
+    total = round(sum(first_runs.values()), 3)
     payload = json.dumps(
         {
             "metric": "headline_queries_plus_sync_wall",
             "value": total,
             "unit": "sec",
+            "headline_is_cold_first_run_sum": True,
+            "warm_total": round(sum(times.values()), 3),
             "queries": times,
             # first (cold) sample per query, next to the median:
             # pin/persist materialization runs 3-5x the warm
@@ -328,6 +346,12 @@ def main(argv: list[str] | None = None) -> int:
             # the calibration ratio to normalize ambient load
             "baseline16_sum": round(
                 sum(times[k] for k in BASELINE16 if k in times), 3
+            ),
+            # the cold twin of the anchor subset (round 16): sums the
+            # same 16+sync queries' FIRST samples, for cold-vs-cold
+            # round comparisons under the new headline
+            "baseline16_cold_sum": round(
+                sum(first_runs[k] for k in BASELINE16 if k in first_runs), 3
             ),
         }
     )
