@@ -1487,9 +1487,18 @@ def dup_cluster_histogram(
 def _histogram_rollup(groups: DataFrame) -> DataFrame:
     """The cluster-size histogram given a resolved (doc_id, keep_id)
     map — shared with dedup_report (one components pass)."""
-    sizes = groups.groupBy("keep_id").agg(
-        F.count(F.lit(1)).cast("long").alias("_sz")
+    return _histogram_from_sizes(
+        groups.groupBy("keep_id").agg(
+            F.count(F.lit(1)).cast("long").alias("_sz")
+        )
     )
+
+
+def _histogram_from_sizes(sizes: DataFrame) -> DataFrame:
+    """The bucket half of the histogram, given per-cluster `_sz` rows —
+    split out (round 16) so dedup_report can feed it the (keep_id)
+    grouping-set rows of its fused aggregate instead of re-grouping the
+    label table."""
     b = F.lit(">10")
     for ub, label in reversed(_CLUSTER_SIZE_BUCKETS):
         b = F.when(F.col("_sz") <= ub, F.lit(label)).otherwise(b)
@@ -1578,30 +1587,81 @@ def dedup_report(
         # union re-analyzes it several times per run, a measured
         # reproducible regression (pin 4.30 s vs ckpt 3.24 s median,
         # 4-round interleaved A/B, round 15). The checkpoint truncates
-        # the plan to an ExistingRDD leaf (guide §3.3).
-        pairs = pairs.select("d1", "d2").localCheckpoint(eager=True)
-        groups = dedup_groups(pairs)  # one components pass, checkpoint-backed
-    # survivorship is source-cardinality — checkpoint it so the topline
-    # sums its rows instead of re-running the corpus join
-    surv = _survivorship_rollup(df, groups, id_col, source_col).localCheckpoint(
-        eager=True
+        # the plan to an ExistingRDD leaf (guide §3.3). Round 16: the
+        # checkpoint is LAZY and the size-probe count() materializes it
+        # — one job does both (the count cannot prune through the RDD
+        # barrier, so the blocks hold every column), and the count is
+        # forwarded so connected_components skips its own probe job.
+        # (A pin UNDER the checkpoint — cross-run reuse of the
+        # discovery with consumers still truncated — was A/B'd in
+        # round 16 and regressed q199 warm ~20% (3.2 -> 4.0 s): the
+        # per-run InMemoryRelation scan+copy costs more than
+        # re-executing the banding join off the already-pinned bases.)
+        pairs = pairs.select("d1", "d2").localCheckpoint(eager=False)
+        n_pairs = pairs.count()  # materializes the checkpoint blocks
+        groups = dedup_groups(pairs, n_edges=n_pairs)
+    # ONE long-format aggregation pass for survivorship + topline +
+    # cluster sizes (round 16, VERDICT r15 #3, guide §2.4): all three
+    # derive from the same (doc, source, keep_id) left join, so a
+    # grouping-sets aggregate computes the per-source survivorship rows
+    # ((source) set) and the per-cluster cardinalities ((keep_id) set)
+    # in one corpus pass and one exchange — the old shape paid a
+    # survivorship join+aggregate+checkpoint, a topline re-aggregate
+    # AND a histogram groupBy over the labels, each its own pass/
+    # exchange. The aggregate is (sources + clusters)-cardinality;
+    # its eager localCheckpoint (replacing the old survivorship
+    # checkpoint) lets the three report branches below read
+    # materialized rows. The topline still sums the survivorship rows
+    # (not a () grouping set: on an empty corpus the old global
+    # aggregate — and the DuckDB oracle — emit one all-NULL topline
+    # row, which a grouping set would not).
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(source_col))
+    joined = base.join(groups, "doc_id", "left")
+    ag = (
+        joined.groupingSets(
+            [[F.col(source_col)], [F.col("keep_id")]],
+            F.col(source_col),
+            F.col("keep_id"),
+        )
+        .agg(
+            F.grouping_id().alias("_gid"),
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum(F.col("keep_id").isNotNull().cast("long"))
+            .cast("long")
+            .alias("_dup"),
+            F.sum(
+                (
+                    F.col("keep_id").isNotNull()
+                    & (F.col("keep_id") != F.col("doc_id"))
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("_drop"),
+        )
+        .localCheckpoint(eager=True)
     )
+    # grouping_id over (source, keep_id): (source) rows = 0b01, and
+    # (keep_id) rows = 0b10 — a nulled grouping column is flag 1
+    surv_rows = ag.where(F.col("_gid") == 1)
+    size_rows = ag.where((F.col("_gid") == 2) & F.col("keep_id").isNotNull())
     nul_s = F.lit(None).cast("string")
     nul_l = F.lit(None).cast("long")
     nul_d = F.lit(None).cast("double")
-    sec_surv = surv.select(
+    sec_surv = surv_rows.select(
         F.lit("survivorship").alias("section"),
         F.col(source_col).cast("string").alias("key_a"),
         nul_s.alias("key_b"),
-        F.col("n_docs").alias("n1"),
-        F.col("dup_members").alias("n2"),
-        F.col("dropped").alias("n3"),
-        F.col("drop_share").alias("share"),
+        F.col("_n").alias("n1"),
+        F.col("_dup").alias("n2"),
+        F.col("_drop").alias("n3"),
+        (F.col("_drop").cast("double") / F.col("_n").cast("double")).alias(
+            "share"
+        ),
     )
-    sec_top = surv.agg(
-        F.sum("n_docs").cast("long").alias("n1"),
-        F.sum("dup_members").cast("long").alias("n2"),
-        F.sum("dropped").cast("long").alias("n3"),
+    sec_top = surv_rows.agg(
+        F.sum("_n").cast("long").alias("n1"),
+        F.sum("_dup").cast("long").alias("n2"),
+        F.sum("_drop").cast("long").alias("n3"),
     ).select(
         F.lit("topline").alias("section"),
         F.lit("corpus").alias("key_a"),
@@ -1611,7 +1671,9 @@ def dedup_report(
         "n3",
         (F.col("n3").cast("double") / F.col("n1").cast("double")).alias("share"),
     )
-    sec_hist = _histogram_rollup(groups).select(
+    sec_hist = _histogram_from_sizes(
+        size_rows.select(F.col("_n").alias("_sz"))
+    ).select(
         F.lit("cluster_histogram").alias("section"),
         F.col("size_bucket").alias("key_a"),
         nul_s.alias("key_b"),
@@ -1678,8 +1740,8 @@ def dedup_decision_report(
     # where the same pin regressed planning time and the checkpoint
     # stays (see dedup_report). connected_components recognizes the
     # pinned graph (_plan_cached) and skips its redundant edge pin.
-    pairs = _materialize_pairs(pairs.select("d1", "d2"))
-    comp = connected_components(pairs, "d1", "d2")
+    pairs, n_pairs = _materialize_pairs(pairs.select("d1", "d2"))
+    comp = connected_components(pairs, "d1", "d2", n_edges=n_pairs)
     quality = df.select(
         F.col(id_col), F.col(quality_col).alias("quality")
     )
@@ -1704,8 +1766,11 @@ def dedup_decision_report(
     return report.unionByName(sec_keeper)
 
 
-def _materialize_pairs(pairs: DataFrame) -> DataFrame:
+def _materialize_pairs(pairs: DataFrame) -> tuple[DataFrame, int]:
     """Materialize a candidate-pair set for multi-consumer reuse.
+    Returns (pairs, n_rows) — the materializing count() is surfaced
+    (round 16) so callers that run connected components over the graph
+    can forward it and skip the loop's own size-probe job.
 
     Round 15 (guide §5 persist-when-reused): PINNED instead of the old
     eager localCheckpoint — identical logical plans share one
@@ -1728,8 +1793,7 @@ def _materialize_pairs(pairs: DataFrame) -> DataFrame:
     from .features import _pin
 
     pairs = _pin(pairs)
-    pairs.count()
-    return pairs
+    return pairs, pairs.count()
 
 
 def _run_streaks(
@@ -1769,7 +1833,7 @@ def _run_streaks(
     # per _i, so a true run fragments below min_run and is silently
     # missed). Callers composing candidate sources (winnow + minhash
     # unions) hit this; the pair set is tiny, the shuffle is cheap.
-    pairs = _materialize_pairs(pairs.select("d1", "d2").distinct())
+    pairs, _ = _materialize_pairs(pairs.select("d1", "d2").distinct())
     docs_in_play = (
         pairs.select(F.col("d1").alias(id_col))
         .unionByName(pairs.select(F.col("d2").alias(id_col)))

@@ -187,6 +187,7 @@ def connected_components(
     max_iter: int = 20,
     strict: bool = True,
     ckpt_mode: str = "local",
+    n_edges: int | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in `edges`, where
     component is the smallest node id reachable through the undirected
@@ -268,8 +269,16 @@ def connected_components(
     if ckpt_mode == "local" and _CC_LOCAL_MAX_EDGES > 0:
         # the count doubles as the pin/checkpoint materialization the
         # und checkpoint below would otherwise perform, so the big-graph
-        # path pays only a cached-count probe for the size switch
-        n_edges = e.count()
+        # path pays only a cached-count probe for the size switch.
+        # n_edges (round 16): callers that already counted the
+        # materialized pair graph (dedup_report fuses its checkpoint
+        # materialization with a count; _materialize_pairs counts to
+        # pin) pass the number in and this probe job is skipped — a
+        # WRONG hint would only mis-route between two label-identical
+        # paths, but the collect bound below still depends on it, so
+        # it must be the real row count of `edges`.
+        if n_edges is None:
+            n_edges = e.count()
         if n_edges <= _CC_LOCAL_MAX_EDGES:
             rows = [(r[0], r[1]) for r in e.collect()]
             if not any(a is None or b is None for a, b in rows):
@@ -372,12 +381,15 @@ def dedup_groups(
     pairs: DataFrame,
     id_col: str = "d1",
     id2_col: str = "d2",
+    n_edges: int | None = None,
 ) -> DataFrame:
     """(doc_id, keep_id): for every document in a near-dup pair, the
     canonical (minimum-id) member of its duplicate group. Feed any pair
     list (jaccard, minhash, simhash, embedding LSH); docs absent from
-    `pairs` are their own canonical and need no row."""
-    cc = connected_components(pairs, id_col, id2_col)
+    `pairs` are their own canonical and need no row. `n_edges`: the
+    known row count of `pairs`, forwarded to connected_components so
+    its size-switch probe job is skipped."""
+    cc = connected_components(pairs, id_col, id2_col, n_edges=n_edges)
     return cc.select(F.col("node").alias("doc_id"), F.col("component").alias("keep_id"))
 
 
