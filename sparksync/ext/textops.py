@@ -2122,8 +2122,14 @@ def lm_score_against_model(
                 F.lit("<unk>")
             ),
         )
-        base = df.select(F.col(id_col), mapped.alias("_m")).where(
-            F.size("_m") >= 2
+        # filter on the RAW token count: transform() preserves array
+        # length, so size(mapped) == size(tokens), and filtering on
+        # size(_m) made the Filter node evaluate the full O(|vocab|)
+        # per-token mapping a second time just to measure it (round-16
+        # plan audit: array_contains appeared in both Filter and
+        # Project)
+        base = df.where(F.size(toks) >= 2).select(
+            F.col(id_col), mapped.alias("_m")
         )
         n = F.size("_m")
         pairs = F.zip_with(
@@ -2131,22 +2137,37 @@ def lm_score_against_model(
             F.slice(F.col("_m"), 2, n - 1),
             lambda a, b: F.struct(a.alias("w"), b.alias("w2")),
         )
-        stats = base.select(
-            F.col(id_col),
-            n.cast("long").alias("n_tokens"),
-            F.size(F.filter(F.col("_m"), lambda x: x == F.lit("<unk>")))
-            .cast("long")
-            .alias("n_unk"),
-        )
+        # Fused stats+types (round 16, guide §2.4/VERDICT r15 #4): the
+        # old shape ran a second full tokenize+vocab-map pass just for
+        # (n_tokens, n_unk) and joined it back at the end. Both stats
+        # are recoverable from the bigram types themselves, almost for
+        # free: n_tokens = n_bigrams + 1 (every doc here has >= 2
+        # tokens), and n_unk = (number of bigram LEFT elements that are
+        # '<unk>' — positions 1..n-1 each appear exactly once as w) +
+        # (1 if the LAST token is '<unk>'). Only the last-token bit
+        # rides the explode (one boolean; a first fusion carried the
+        # two longs through the shuffle and the wider aggregate state
+        # measurably regressed the run). CollapseProject will not
+        # inline the non-cheap `mapped` HOF into multiple consumers,
+        # so `_m` still evaluates once per row.
+        stats = None
         types = (
-            base.select(F.col(id_col), F.explode(pairs).alias("_p"))
+            base.select(
+                F.col(id_col),
+                (F.element_at(F.col("_m"), -1) == F.lit("<unk>")).alias("_lu"),
+                F.explode(pairs).alias("_p"),
+            )
             .select(
                 F.col(id_col),
+                "_lu",
                 F.col("_p.w").alias("w"),
                 F.col("_p.w2").alias("w2"),
             )
             .groupBy(id_col, "w", "w2")
-            .agg(F.count(F.lit(1)).cast("long").alias("_k"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("_k"),
+                F.max("_lu").alias("_lu"),
+            )
         )
     else:
         # large-vocab form (same auto-switch as lm_bigram_counts): the
@@ -2245,11 +2266,29 @@ def lm_score_against_model(
             ).otherwise(F.coalesce(F.col("_c1"), F.lit(0)) + F.lit(veff)),
         )
     )
+    # fused form (stats is None): the per-doc stats are reconstructed
+    # inside the final aggregate — n_tokens from the bigram count,
+    # n_unk from the unk left-elements plus the carried last-token
+    # flag — and the stats join disappears with the second corpus pass
+    carry = (
+        []
+        if stats is not None
+        else [
+            (F.sum("_k") + F.lit(1)).cast("long").alias("n_tokens"),
+            (
+                F.sum(F.when(F.col("w") == "<unk>", F.col("_k")).otherwise(F.lit(0)))
+                + F.max(F.col("_lu").cast("long"))
+            )
+            .cast("long")
+            .alias("n_unk"),
+        ]
+    )
     if mode == "fixed":
         term = F.expr(f"_k * ((_num * {scale}L) div (_c12f + 1L))")
         per_doc = scored.groupBy(id_col).agg(
             _lm_sum_fp(term, "lm_score_against_model").alias("_sum_fp"),
             F.sum("_k").cast("long").alias("n_bigrams"),
+            *carry,
         )
         surprisal = F.col("_sum_fp").cast("double") / (
             F.col("n_bigrams") * F.lit(scale)
@@ -2262,10 +2301,13 @@ def lm_score_against_model(
         per_doc = scored.groupBy(id_col).agg(
             F.sum(term).alias("_sum_ln"),
             F.sum("_k").cast("long").alias("n_bigrams"),
+            *carry,
         )
         surprisal = F.exp(F.col("_sum_ln") / F.col("n_bigrams").cast("double"))
 
-    full = stats.join(per_doc, id_col).withColumn("lm_surprisal", surprisal)
+    full = (
+        per_doc if stats is None else stats.join(per_doc, id_col)
+    ).withColumn("lm_surprisal", surprisal)
     return _lm_topk_docs(
         full,
         "lm_surprisal",
