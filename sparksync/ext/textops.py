@@ -994,6 +994,59 @@ _BPE_SEP = "\x1f"
 # role in the components loop)
 _BPE_TRUNC_EVERY = 5
 
+# Size switch for the driver-local BPE merge loop (round 16, VERDICT
+# r15 #5; the graph._CC_LOCAL_MAX_EDGES pattern): the distributed loop
+# costs one argmax job + a 1-row collect PER MERGE — pure fixed cost
+# when the encoded vocabulary is small. Vocabularies at or below this
+# many rows are collected once (bounded by the cap; the encoded string
+# is ~3x the word, so 2^16 rows is a few MB) and the SAME
+# argmax-merge-recount loop runs in plain Python: identical pair
+# counts (exact integer sums), identical (cnt desc, l, r) tie-break
+# (Python's code-point string order == Spark's UTF8_BINARY byte
+# order), identical greedy application (str.replace and F.replace are
+# both leftmost-nonoverlapping on the doubled-separator encoding).
+# Larger vocabularies take the distributed loop unchanged; at 100 TB
+# the word vocabulary exceeds the cap and the local path is inert.
+# Env-tunable; 0 disables.
+import os as _os
+
+_BPE_LOCAL_MAX_VOCAB = int(
+    _os.environ.get("SPARKSYNC_BPE_LOCAL_MAX_VOCAB", str(1 << 16))
+)
+
+
+def _local_bpe_merges(
+    rows, num_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """Driver-local twin of bpe_train's distributed loop, operating on
+    the SAME already-encoded (s, wf) vocabulary rows the distributed
+    argmax would read — the encoding (char split, separator doubling,
+    \\x1f word filter) stays on the Spark side, so Java-vs-Python
+    character-splitting differences (UTF-16 units vs code points)
+    cannot arise here. Parity is pinned by
+    test_bpe_train_local_path_parity."""
+    sep = _BPE_SEP
+    dd = sep + sep
+    vocab = [(s, int(wf)) for s, wf in rows]
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, num_merges + 1):
+        counts: dict = {}
+        for s, wf in vocab:
+            syms = [x for x in s.split(dd) if x]
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                counts[k] = counts.get(k, 0) + wf
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, left, right, left + right, cnt))
+        pat = sep + left + dd + right + sep
+        rep = sep + left + right + sep
+        vocab = [(s.replace(pat, rep), wf) for s, wf in vocab]
+    return merges
+
 
 def bpe_train(
     df: DataFrame,
@@ -1047,6 +1100,10 @@ def bpe_train(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wf"))
     )
+    # lazy checkpoint + count (round 16, the dedup_report fusion): one
+    # job materializes the vocabulary AND reports its size for the
+    # local-loop switch below (the count cannot prune through the RDD
+    # barrier, so the blocks hold both columns)
     vocab = words.select(
         F.concat(
             F.lit(dd),
@@ -1056,7 +1113,18 @@ def bpe_train(
             F.lit(dd),
         ).alias("s"),
         "wf",
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
+    n_vocab = vocab.count()
+    if 0 < _BPE_LOCAL_MAX_VOCAB and n_vocab <= _BPE_LOCAL_MAX_VOCAB:
+        # driver-local loop: one collect of the (bounded) encoded
+        # vocabulary replaces num_merges argmax jobs + 1-row collects
+        rows = [(r[0], r[1]) for r in vocab.collect()]
+        _release_checkpoint(vocab)
+        return df.sparkSession.createDataFrame(
+            _local_bpe_merges(rows, num_merges),
+            "step int, left_sym string, right_sym string, merged string,"
+            " cnt long",
+        )
     merges: list[tuple[int, str, str, str, int]] = []
     # Fused loop (round 15, guide §1.2 fixed-cost trim): the merge
     # replace is a NARROW vocab-row projection, so instead of eagerly

@@ -6993,6 +6993,35 @@ def test_bpe_train_matches_python_model(spark):
         bpe_train(df, num_merges=0)
 
 
+def test_bpe_train_local_path_parity(spark, monkeypatch):
+    """Round 16: the driver-local merge loop (vocabularies under
+    SPARKSYNC_BPE_LOCAL_MAX_VOCAB are collected and merged in Python)
+    returns the IDENTICAL merge table to the distributed argmax loop —
+    including greedy-overlap shapes ('a a a a a'), lexicographic ties,
+    multi-char later merges and the pairs-run-dry break. Over-cap (or
+    cap=0) inputs must take the distributed loop."""
+    from sparksync.ext import textops
+
+    docs = [
+        ("low low low lower lowest newer newer wider new new",),
+        ("a a a a a aaa banana bandana bañana",),
+        ("ab ab cd",),
+    ]
+    df = spark.createDataFrame(docs, ["text"])
+    for k in (1, 5, 12):
+        monkeypatch.setattr(textops, "_BPE_LOCAL_MAX_VOCAB", 1 << 16)
+        local = [tuple(r) for r in textops.bpe_train(df, num_merges=k).collect()]
+        monkeypatch.setattr(textops, "_BPE_LOCAL_MAX_VOCAB", 0)
+        dist = [tuple(r) for r in textops.bpe_train(df, num_merges=k).collect()]
+        assert local == dist, (k, local, dist)
+    # a cap between 0 and the vocab size routes to the distributed loop
+    monkeypatch.setattr(textops, "_BPE_LOCAL_MAX_VOCAB", 2)
+    dist2 = [tuple(r) for r in textops.bpe_train(df, num_merges=3).collect()]
+    monkeypatch.setattr(textops, "_BPE_LOCAL_MAX_VOCAB", 1 << 16)
+    local2 = [tuple(r) for r in textops.bpe_train(df, num_merges=3).collect()]
+    assert dist2 == local2
+
+
 def test_bpe_train_one_corpus_scan(spark):
     """X226 scale shape: the corpus is read ONCE (the word-count
     groupBy into the checkpointed v0); every merge iteration runs on
