@@ -1197,6 +1197,86 @@ def _pq_dims(emb: DataFrame, m_subspaces: int, vec_col: str) -> int:
     return d // m_subspaces
 
 
+def _pq_dims_put(emb: DataFrame, vec_col: str, d: int) -> None:
+    """Seed the dim memo from a vector some caller already collected,
+    so no layer of the composed PQ paths pays the `.first()` probe job
+    (round 16; the memo itself is round 15)."""
+    global _PQ_DIM_MEMO
+    if _PQ_DIM_MEMO is None:
+        import weakref
+
+        _PQ_DIM_MEMO = weakref.WeakKeyDictionary()
+    _PQ_DIM_MEMO.setdefault(emb, {}).setdefault(vec_col, d)
+
+
+def _py_sq_l2(a, b):
+    """Driver-side twin of _sq_l2: the same (x-y)*(x-y) terms folded
+    left-to-right in binary64 — every op is correctly rounded in both
+    runtimes, so the sums are bit-identical to the JVM's. Length
+    mismatches and NULL elements return None, exactly as zip_with's
+    null padding nulls the JVM fold."""
+    if len(a) != len(b):
+        return None
+    acc = 0.0
+    for x, y in zip(a, b):
+        if x is None or y is None:
+            return None
+        d = x - y
+        acc = acc + d * d
+    return acc
+
+
+def _py_cosine(a, b):
+    """Driver-side twin of cosine(): dot/(norm*norm) with the same
+    fold order and sqrt, with Spark's divide-by-zero semantics (NaN
+    for 0/0, signed infinity otherwise — Python float division would
+    raise instead). Length mismatches / NULL elements return None,
+    exactly as zip_with's null padding nulls the JVM fold."""
+    import math
+
+    if len(a) != len(b) or any(x is None for x in a) or any(
+        y is None for y in b
+    ):
+        return None
+    s = 0.0
+    for x, y in zip(a, b):
+        s = s + x * y
+    na = 0.0
+    for x in a:
+        na = na + x * x
+    nb = 0.0
+    for y in b:
+        nb = nb + y * y
+    den = math.sqrt(na) * math.sqrt(nb)
+    if den == 0.0:
+        return float("nan") if s == 0.0 else math.copysign(math.inf, s)
+    return s / den
+
+
+def _collect_vectors(
+    e: DataFrame, id_col: str, ids=None, below: int | None = None
+) -> dict:
+    """ONE bounded collect of {id: vector}: rows with id in `ids`
+    and/or id < `below`. This is model-state, not data — seed
+    codebooks/centroids are n_codes/n_centroids rows by construction
+    and queries are |Q| rows — the same bounded driver handoff
+    ivf_train's per-iteration centroid collect already performs. The
+    predicate pushes to the scan, so at corpus scale this reads the
+    id-pruned row groups, never the table."""
+    conds = []
+    if ids is not None:
+        conds.append(F.col(id_col).isin([int(x) for x in ids]))
+    if below is not None:
+        conds.append(F.col(id_col) < below)
+    pred = conds[0]
+    for c in conds[1:]:
+        pred = pred | c
+    return {
+        r[0]: list(r[1])
+        for r in e.where(pred).select(F.col(id_col), "v").collect()
+    }
+
+
 def _pq_subvectors(e: DataFrame, m: int, sd: int, id_col: str) -> DataFrame:
     """(id, v) -> (id, j, sv): one narrow posexplode of the M
     contiguous sd-dim subvector slices — no shuffle, corpus x M rows
@@ -1345,6 +1425,101 @@ def pq_train(
     return cb
 
 
+def _adc_local_model(
+    emb: DataFrame,
+    e: DataFrame,
+    query_ids,
+    m_subspaces: int,
+    n_codes: int,
+    id_col: str,
+    vec_col: str,
+    codebooks: DataFrame | None,
+    vecs: dict | None = None,
+):
+    """The ADC read path's bounded model state, collected in ONE job
+    (round 16, guide §1.2/VERDICT r15 #6): the seed codebook vectors
+    (ids < n_codes — M x n_codes rows by construction) and the query
+    vectors together, or just the queries when a codebook table is
+    supplied (itself bounded, collected job-free when it is already a
+    local relation). The collected sample also seeds the dim memo, so
+    no layer of a composed PQ path pays the `.first()` probe job.
+    Returns (cb_df, cb_rows, qvecs, sd): the codebook as a DataFrame
+    (a LocalRelation in the default case — broadcasting one launches
+    no Spark job) and as rows for the driver-side distance table,
+    the {query_id: vector} map, and the subspace width."""
+    qids = [int(x) for x in query_ids]
+    if codebooks is None:
+        if vecs is None:
+            vecs = _collect_vectors(e, id_col, ids=qids, below=n_codes)
+        some = next(iter(vecs.values()), None)
+        if some is not None:
+            _pq_dims_put(emb, vec_col, len(some))
+        sd = _pq_dims(emb, m_subspaces, vec_col)
+        cb_rows = [
+            (j, int(i), vecs[i][j * sd : (j + 1) * sd])
+            for i in sorted(i for i in vecs if i < n_codes)
+            for j in range(m_subspaces)
+        ]
+        cb_df = emb.sparkSession.createDataFrame(
+            cb_rows, "j int, code long, cv array<double>"
+        )
+    else:
+        if vecs is None:
+            vecs = _collect_vectors(e, id_col, ids=qids)
+        some = next(iter(vecs.values()), None)
+        if some is not None:
+            _pq_dims_put(emb, vec_col, len(some))
+        sd = _pq_dims(emb, m_subspaces, vec_col)
+        cb_rows = [
+            (int(r[0]), int(r[1]), list(r[2])) for r in codebooks.collect()
+        ]
+        cb_df = codebooks
+    qvecs = {i: vecs[i] for i in qids if i in vecs}
+    return cb_df, cb_rows, qvecs, sd
+
+
+def _adc_tail(
+    enc: DataFrame, dtab: DataFrame, query_id: int, k: int, id_col: str
+) -> DataFrame:
+    """The distributed half of single-query ADC: table lookups over the
+    encoded corpus, the ordered per-vector fold, TakeOrdered top-k —
+    shared by pq_adc_topk and ivf_pq_topk (which inlines it so the
+    composed path collects its model state exactly once)."""
+    approx = (
+        enc.where(F.col(id_col) != query_id)
+        .select(F.col(id_col), F.col("subspace").alias("j"), "code")
+        .join(F.broadcast(dtab), ["j", "code"])
+        .groupBy(id_col)
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("j", "qd2"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["qd2"],
+            ).alias("approx_d2")
+        )
+    )
+    return _ranked_topk(
+        approx.select(F.col(id_col).alias("neighbor_id"), "approx_d2"),
+        k,
+        [F.col("approx_d2").asc(), F.col("neighbor_id").asc()],
+        ["neighbor_id", "rnk", "approx_d2"],
+    )
+
+
+def _local_dtab(cb_rows, qvecs, m_subspaces: int, sd: int):
+    """Per-query ADC distance tables computed driver-side: |Q| x M x
+    n_codes rows of _py_sq_l2 (bit-identical to the JVM fold), exactly
+    what the old cb x qsub broadcast join produced — without the two
+    broadcast-build jobs."""
+    rows = []
+    for qid in sorted(qvecs):
+        qv = qvecs[qid]
+        qsubs = [qv[j * sd : (j + 1) * sd] for j in range(m_subspaces)]
+        for j, code, cv in cb_rows:
+            rows.append((qid, j, code, _py_sq_l2(cv, qsubs[j])))
+    return rows
+
+
 def pq_adc_topk(
     emb: DataFrame,
     query_id: int,
@@ -1374,43 +1549,28 @@ def pq_adc_topk(
     (neighbor_id, rnk, approx_d2), nearest first, ties to lowest id.
     Pass `encoded`/`codebooks` to reuse a stored index; the defaults
     rebuild the deterministic seed index for the oracle gate."""
-    cb = (
-        codebooks
-        if codebooks is not None
-        else pq_codebooks(emb, m_subspaces, n_codes, id_col, vec_col)
+    # Round 16 (guide §1.2, VERDICT r15 #6): the codebook and the
+    # query vector are bounded model state — collected in one job and
+    # turned into the ADC distance table driver-side (_py_sq_l2 is
+    # bit-identical to the JVM fold). The old shape derived both from
+    # corpus scans and paid serialized broadcast-build jobs for qsub
+    # and the cb x qsub join; a LocalRelation broadcast launches none.
+    e = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
+    cb_df, cb_rows, qvecs, sd = _adc_local_model(
+        emb, e, [query_id], m_subspaces, n_codes, id_col, vec_col, codebooks
     )
     enc = (
         encoded
         if encoded is not None
-        else pq_encode(emb, m_subspaces, n_codes, id_col, vec_col, codebooks=cb)
-    )
-    sd = _pq_dims(emb, m_subspaces, vec_col)
-    e = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
-    qsub = _pq_subvectors(
-        e.where(F.col(id_col) == query_id), m_subspaces, sd, id_col
-    ).select("j", F.col("sv").alias("qsv"))
-    dtab = cb.join(F.broadcast(qsub), "j").select(
-        "j", "code", _sq_l2(F.col("cv"), F.col("qsv")).alias("qd2")
-    )
-    approx = (
-        enc.where(F.col(id_col) != query_id)
-        .select(F.col(id_col), F.col("subspace").alias("j"), "code")
-        .join(F.broadcast(dtab), ["j", "code"])
-        .groupBy(id_col)
-        .agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("j", "qd2"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["qd2"],
-            ).alias("approx_d2")
+        else pq_encode(
+            emb, m_subspaces, n_codes, id_col, vec_col, codebooks=cb_df
         )
     )
-    return _ranked_topk(
-        approx.select(F.col(id_col).alias("neighbor_id"), "approx_d2"),
-        k,
-        [F.col("approx_d2").asc(), F.col("neighbor_id").asc()],
-        ["neighbor_id", "rnk", "approx_d2"],
+    dtab = emb.sparkSession.createDataFrame(
+        [r[1:] for r in _local_dtab(cb_rows, qvecs, m_subspaces, sd)],
+        "j int, code long, qd2 double",
     )
+    return _adc_tail(enc, dtab, query_id, k, id_col)
 
 
 def pq_adc_batch(
@@ -1423,36 +1583,37 @@ def pq_adc_batch(
     vec_col: str = "embedding",
     codebooks: DataFrame | None = None,
     encoded: DataFrame | None = None,
+    vecs: dict | None = None,
 ) -> DataFrame:
     """ADC top-k for MANY queries in one pass (the knn_batch shape the
     retrieval service actually runs): ALL queries' distance tables are
-    built together (|Q| x M x n_codes rows, broadcast), the encoded
-    corpus is scanned once, per-(query, vector) sums ride the same
-    ordered fold as pq_adc_topk, and ranking is a window PARTITIONED
-    by query id — every query's top-k in parallel, no global sort.
+    built together (|Q| x M x n_codes rows, a driver-built local
+    relation), the encoded corpus is scanned once, per-(query, vector)
+    sums ride the same ordered fold as pq_adc_topk, and ranking is a
+    window PARTITIONED by query id — every query's top-k in parallel,
+    no global sort. `vecs` optionally passes a pre-collected
+    {id: vector} map covering the queries (and ids < n_codes when the
+    seed codebook is being built) so a composing caller
+    (pq_recall_audit) pays the bounded model collect exactly once.
     Output: (query_id, neighbor_id, rnk, approx_d2)."""
-    cb = (
-        codebooks
-        if codebooks is not None
-        else pq_codebooks(emb, m_subspaces, n_codes, id_col, vec_col)
+    # same round-16 driver-side distance-table construction as
+    # pq_adc_topk, with the per-query tables stacked in one local
+    # relation (|Q| x M x n_codes rows)
+    e = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
+    cb_df, cb_rows, qvecs, sd = _adc_local_model(
+        emb, e, query_ids, m_subspaces, n_codes, id_col, vec_col, codebooks,
+        vecs=vecs,
     )
     enc = (
         encoded
         if encoded is not None
-        else pq_encode(emb, m_subspaces, n_codes, id_col, vec_col, codebooks=cb)
+        else pq_encode(
+            emb, m_subspaces, n_codes, id_col, vec_col, codebooks=cb_df
+        )
     )
-    sd = _pq_dims(emb, m_subspaces, vec_col)
-    e = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
-    qsub = _pq_subvectors(
-        e.where(F.col(id_col).isin([int(x) for x in query_ids])),
-        m_subspaces,
-        sd,
-        id_col,
-    ).select(
-        F.col(id_col).alias("query_id"), "j", F.col("sv").alias("qsv")
-    )
-    dtab = cb.join(F.broadcast(qsub), "j").select(
-        "query_id", "j", "code", _sq_l2(F.col("cv"), F.col("qsv")).alias("qd2")
+    dtab = emb.sparkSession.createDataFrame(
+        _local_dtab(cb_rows, qvecs, m_subspaces, sd),
+        "query_id long, j int, code long, qd2 double",
     )
     approx = (
         enc.select(F.col(id_col), F.col("subspace").alias("j"), "code")
@@ -1509,8 +1670,20 @@ def pq_recall_audit(
 
     emb = _pin(emb.select(F.col(id_col), F.col(vec_col)))
     e = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
-    q = e.where(F.col(id_col).isin([int(x) for x in query_ids])).select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    # ONE bounded collect serves the exact side's query relation (a
+    # LocalRelation broadcast launches no job) AND the ADC side's
+    # model layer (passed through pq_adc_batch's vecs) — round 16
+    vecs = _collect_vectors(
+        e, id_col, ids=query_ids,
+        below=n_codes if codebooks is None else None,
+    )
+    q = emb.sparkSession.createDataFrame(
+        [
+            (i, vecs[i])
+            for i in sorted({int(x) for x in query_ids})
+            if i in vecs
+        ],
+        "query_id long, qv array<double>",
     )
     scored = (
         e.crossJoin(F.broadcast(q))
@@ -1531,7 +1704,7 @@ def pq_recall_audit(
     )
     approx = pq_adc_batch(
         emb, query_ids, k, m_subspaces, n_codes, id_col, vec_col,
-        codebooks=codebooks,
+        codebooks=codebooks, vecs=vecs,
     )
     hits = truth.join(
         F.broadcast(approx.select("query_id", "neighbor_id")),
@@ -1582,23 +1755,61 @@ def ivf_pq_topk(
     Deterministic seed centroids AND seed codebooks by default, so the
     SQL oracle replays the whole composition. Output:
     (neighbor_id, rnk, approx_d2)."""
+    import math
+
     e = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
-    cent = (
-        centroids
-        if centroids is not None
-        else _default_centroids(e, n_centroids, id_col)
+    spark = emb.sparkSession
+    # Round 16 (guide §1.2, VERDICT r15 #6): centroids, seed-codebook
+    # vectors and the query are bounded model state — ONE collect
+    # covers all of them, the probe (top-nprobe centroids by cosine)
+    # is computed driver-side with the bit-identical fold twins, and
+    # the probe/codebook relations become LocalRelations whose
+    # broadcasts launch no Spark jobs. The corpus-sized work (assign,
+    # encode, the ADC aggregate) is unchanged.
+    below = max(
+        n_centroids if centroids is None else 0,
+        n_codes if codebooks is None else 0,
+    )
+    vecs = _collect_vectors(e, id_col, ids=[int(query_id)], below=below or None)
+    some = next(iter(vecs.values()), None)
+    if some is not None:
+        _pq_dims_put(emb, vec_col, len(some))
+    if centroids is None:
+        cent_rows = [
+            (int(i), vecs[i]) for i in sorted(i for i in vecs if i < n_centroids)
+        ]
+        cent = spark.createDataFrame(cent_rows, "cid long, cv array<double>")
+    else:
+        cent = centroids
+        cent_rows = [(int(r[0]), list(r[1])) for r in centroids.collect()]
+    # the one collect above covers the codebook range (below >=
+    # n_codes when the seed codebook is being built) and the query, so
+    # the ADC model layer never re-collects
+    cb_df, cb_rows, qvecs, sd = _adc_local_model(
+        emb, e, [query_id], m_subspaces, n_codes, id_col, vec_col,
+        codebooks, vecs=vecs,
     )
     assign = ivf_assign(
         emb, n_centroids, id_col, vec_col, centroids=cent
     )
-    q = e.where(F.col(id_col) == query_id).select(F.col("v").alias("qv"))
-    probe = (
-        cent.crossJoin(F.broadcast(q))
-        .select("cid", cosine(F.col("cv"), F.col("qv")).alias("cos"))
-        .orderBy(F.col("cos").desc(), F.col("cid"))
-        .limit(nprobe)
-        .select(F.col("cid").alias("centroid_id"))
-    )
+    qv = vecs.get(int(query_id))
+    if qv is None:
+        probe_rows: list = []
+    else:
+        scored = [(cid, _py_cosine(cv, qv)) for cid, cv in cent_rows]
+        # Spark's (cos DESC, cid ASC) with desc_nulls_last and NaN
+        # ordered greater than any double: NaN first, then numbers
+        # descending, NULL cosines (ragged/null vectors) last
+        scored.sort(
+            key=lambda t: (
+                t[1] is None,
+                not (t[1] is not None and math.isnan(t[1])),
+                -(t[1] if t[1] is not None and not math.isnan(t[1]) else 0.0),
+                t[0],
+            )
+        )
+        probe_rows = [(cid,) for cid, _ in scored[:nprobe]]
+    probe = spark.createDataFrame(probe_rows, "centroid_id long")
     # probe is nprobe rows -> broadcast; members is CORPUS-sized
     # (~corpus * nprobe / n_centroids) so the enc-side semi-join gets
     # NO broadcast hint — the planner/AQE picks the strategy by size
@@ -1606,12 +1817,13 @@ def ivf_pq_topk(
         F.broadcast(probe), "centroid_id", "left_semi"
     ).select(id_col)
     enc = pq_encode(
-        emb, m_subspaces, n_codes, id_col, vec_col, codebooks=codebooks
+        emb, m_subspaces, n_codes, id_col, vec_col, codebooks=cb_df
     ).join(members, id_col, "left_semi")
-    return pq_adc_topk(
-        emb, query_id, k, m_subspaces, n_codes, id_col, vec_col,
-        codebooks=codebooks, encoded=enc,
+    dtab = spark.createDataFrame(
+        [r[1:] for r in _local_dtab(cb_rows, qvecs, m_subspaces, sd)],
+        "j int, code long, qd2 double",
     )
+    return _adc_tail(enc, dtab, query_id, k, id_col)
 
 
 def diversity_score(
