@@ -19,6 +19,8 @@ Scale posture (100 TB):
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -133,10 +135,20 @@ def jaccard_pairs(
     # spills to disk past memory, and the FIFO registry bounds
     # session accumulation; the trade now buys one exchange AND two
     # tokenize passes per run.
+    # ADVICE r15 scale guard: the exploded index is ~10x the text, so
+    # at large corpora the pin would occupy the block manager and
+    # evict other FIFO-registered pins — gate it on the same
+    # env-parameterised pattern as graph._CC_LOCAL_MAX_EDGES
+    # (SPARKSYNC_JACCARD_INDEX_PIN=0 keeps the co-partitioning
+    # repartition but skips the cache; default on, the measured local
+    # win). jaccard_pairs itself is the gate-SF oracle form — the
+    # documented 100 TB pair path is MinHash LSH.
     sh = shingles(df, id_col, text_col)
     from .features import _pin
 
-    sh = _pin(sh.repartition(F.col("shingle")))
+    sh = sh.repartition(F.col("shingle"))
+    if _os.environ.get("SPARKSYNC_JACCARD_INDEX_PIN", "1") != "0":
+        sh = _pin(sh)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     join_sh = sh
     if max_df is not None:

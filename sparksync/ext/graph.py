@@ -52,6 +52,27 @@ _CC_LOCAL_MAX_EDGES = int(
 )
 
 
+def _cc_local_label_type_ok(dt) -> bool:
+    """The driver-local path replicates Spark's min-label ordering with
+    Python comparisons, which is exact ONLY for integral ids and
+    default-collation (UTF8_BINARY) strings — UTF-8 byte order equals
+    code-point order, and Python ints compare like int64. Everything
+    else (floats carrying NaN, collated strings that compare
+    case-insensitively in Spark 4, decimals, binary) falls through to
+    the distributed loop (ADVICE r15)."""
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
+    if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        return True
+    return isinstance(dt, StringType) and dt == StringType()
+
+
 def _local_components(
     edge_rows, max_iter: int, strict: bool, label_type, spark
 ) -> DataFrame:
@@ -259,10 +280,12 @@ def connected_components(
     # adds a copy and churns the FIFO registry (measured +0.8 s on
     # q199, round-15 A/B).
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e_pinned = False
     if not (_leaves_materialized(edges) or _plan_cached(edges)):
         from .features import _pin
 
         e = _pin(e)
+        e_pinned = True
     und_plan = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
@@ -279,7 +302,9 @@ def connected_components(
         # it must be the real row count of `edges`.
         if n_edges is None:
             n_edges = e.count()
-        if n_edges <= _CC_LOCAL_MAX_EDGES:
+        if n_edges <= _CC_LOCAL_MAX_EDGES and _cc_local_label_type_ok(
+            und_plan.schema["a"].dataType
+        ):
             rows = [(r[0], r[1]) for r in e.collect()]
             if not any(a is None or b is None for a, b in rows):
                 # label dtype = the union's coerced type, matching what
@@ -290,7 +315,7 @@ def connected_components(
                 # broadcast at runtime but only after the corpus side's
                 # shuffle map stage already ran (measured +0.2-0.3 s on
                 # q204, round-15 A/B)
-                return F.broadcast(
+                local = F.broadcast(
                     _local_components(
                         rows,
                         max_iter,
@@ -299,6 +324,14 @@ def connected_components(
                         edges.sparkSession,
                     ).select("node", "component")
                 )
+                # the pinned edge projection was only probed/collected;
+                # nothing reads it again — drop the cache blocks now
+                # instead of waiting for the FIFO registry to age them
+                # out (ADVICE r15; the registry's later unpersist of
+                # the same df is a no-op)
+                if e_pinned:
+                    e.unpersist(False)
+                return local
     und = _materialize(und_plan, ckpt_mode)
     # init folds the FIRST propagation hop into label creation: every
     # node starts at min(self, min neighbor) — one groupBy instead of a

@@ -1635,12 +1635,19 @@ def ngram_lm_score(
     vocab top-k via the salted two-phase window (vocab_topk's
     discipline — never a single global sort of the whole vocabulary);
     the vocab membership join is an explicit broadcast (vocab_k rows);
-    bigram assembly is one window shuffle partitioned by doc (the
-    per-doc stats branch needs no window at all — Catalyst prunes the
-    unused lead, leaving a plain token-level aggregate); the scoring
-    join keys on (w, w2) against the model table, explicitly broadcast
-    when its (vocab_k+1)^2 ceiling is provably broadcast-sized and
-    left to AQE's runtime stats otherwise. Overflow guard:
+    bigram assembly is one window shuffle partitioned by doc; the
+    scoring join keys on (w, w2) against the model table, explicitly
+    broadcast when its (vocab_k+1)^2 ceiling is provably
+    broadcast-sized and left to AQE's runtime stats otherwise.
+
+    EAGER by contract since round 15 (ADVICE r15): building this plan
+    materializes the shared mapped-bigram table (_lm_base pins it and
+    count()s — the tokenize+census+window pipeline runs ONCE at call
+    time and its three consumers read the pin), so the per-doc stats
+    branch pays the window shuffle that the old all-lazy shape let
+    Catalyst prune for stats-only consumers. Only compose this into
+    pipelines you will actually execute (the jaccard_pairs max_df
+    precedent). Overflow guard:
     (c1 + V_eff) << scale_bits must fit int64;
     the guard is folded into the used term column (a free-standing
     guard would be pruned) and raises with advice instead of wrapping.
@@ -1939,6 +1946,10 @@ def lm_target_affinity(
     Scale shape: identical to ngram_lm_score (shared _lm_base) plus
     one conditional-sum column; the overflow guard rides the raw
     context count, which bounds the target one (c1_t <= c1_r always).
+    EAGER by contract since round 15, like ngram_lm_score (ADVICE
+    r15): building the plan materializes _lm_base's pinned
+    mapped-bigram table with a count() — only compose this into
+    pipelines you will actually execute.
     Output: top `limit` docs by (affinity desc, id asc) —
     (id, is_target, n_bigrams, target_affinity)."""
     if mode not in ("ln", "fixed"):

@@ -30,15 +30,32 @@ from pyspark.sql import functions as F
 # per bench run, pure fixed cost. The memo holds METADATA only (a
 # StructType, never data) and is keyed on (path, mtime_ns, size), so a
 # rewritten file — the CLI tamper probe, a re-synced dest — re-infers.
-# Any stat failure (remote path, racing writer) falls back to inference.
+# For a Spark-written table the path is a DIRECTORY whose mtime/size
+# do not change when a part file is rewritten in place (ADVICE r15),
+# so the key additionally folds in the newest part file's
+# (name, mtime_ns, size) and the file count — an in-place part rewrite
+# bumps that mtime and misses the memo. Any stat failure (remote path,
+# racing writer) falls back to inference. The memo is bounded: one
+# entry per (table path x file state) actually loaded, evicted
+# oldest-first past _SCHEMA_MEMO_CAP so a long session scanning many
+# snapshots cannot grow it without bound.
 _SCHEMA_MEMO: dict = {}
+_SCHEMA_MEMO_CAP = 256
 
 
 def _memo_key(path: str):
     import os
 
     st = os.stat(path)
-    return (path, st.st_mtime_ns, st.st_size)
+    key = (path, st.st_mtime_ns, st.st_size)
+    if os.path.isdir(path):
+        parts = []
+        for e in os.scandir(path):
+            if e.is_file():
+                es = e.stat()
+                parts.append((es.st_mtime_ns, es.st_size, e.name))
+        key = key + (len(parts), max(parts) if parts else None)
+    return key
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -65,6 +82,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         if key is not None:
             _SCHEMA_MEMO[key] = df.schema
+            while len(_SCHEMA_MEMO) > _SCHEMA_MEMO_CAP:
+                _SCHEMA_MEMO.pop(next(iter(_SCHEMA_MEMO)))
     if "ts" in df.columns and dict(df.dtypes).get("ts") == "bigint":
         # NTZ, not LTZ: the parquet column is TIMESTAMP(NANOS, adjusted=false)
         # i.e. a wall-clock value, and Spark reads the sibling MILLIS/MICROS

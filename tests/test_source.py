@@ -143,3 +143,45 @@ def test_load_table_schema_memo_hits_and_invalidates(spark, tmp_path):
     df3 = load_table(spark, d, "t")
     assert set(df3.columns) == {"c", "a"}
     assert df3.count() == 3
+
+
+def test_load_table_schema_memo_sees_in_place_part_rewrite(spark, tmp_path):
+    """ADVICE r16: for a Spark-written TABLE DIRECTORY, rewriting a
+    part file's contents in place changes neither the directory's
+    mtime nor its size — the memo key must fold in the newest part
+    file's stat so the rewrite misses the memo and re-infers instead
+    of silently serving a stale schema over spark.read.schema()."""
+    import glob
+    import os
+    import time
+
+    from sparksync import source
+    from sparksync.source import load_table
+
+    d = str(tmp_path)
+    spark.range(4).selectExpr("id AS a").coalesce(1).write.parquet(
+        d + "/t.parquet"
+    )
+    load_table(spark, d, "t")
+    key1 = source._memo_key(d + "/t.parquet")
+    assert key1 in source._SCHEMA_MEMO
+    # rewrite the part file IN PLACE with a different schema, keeping
+    # the directory entry itself untouched
+    part = glob.glob(d + "/t.parquet/part-*.parquet")[0]
+    dir_stat = os.stat(d + "/t.parquet")
+    spark.range(2).selectExpr("cast(id AS string) AS z").coalesce(
+        1
+    ).write.parquet(d + "/tmp2.parquet")
+    newpart = glob.glob(d + "/tmp2.parquet/part-*.parquet")[0]
+    time.sleep(0.01)
+    os.replace(newpart, part)
+    for crc in glob.glob(d + "/t.parquet/.*.crc"):
+        os.remove(crc)  # stale Hadoop local-FS checksums of the old bytes
+    os.utime(
+        d + "/t.parquet", ns=(dir_stat.st_atime_ns, dir_stat.st_mtime_ns)
+    )
+    key2 = source._memo_key(d + "/t.parquet")
+    assert key2 != key1  # the part-file stat moved the key
+    df = load_table(spark, d, "t")
+    assert set(df.columns) == {"z"}
+    assert df.count() == 2
