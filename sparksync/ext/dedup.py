@@ -150,6 +150,67 @@ def jaccard_pairs(
     if _os.environ.get("SPARKSYNC_JACCARD_INDEX_PIN", "1") != "0":
         sh = _pin(sh)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    if (
+        _os.environ.get("SPARKSYNC_JACCARD_PREFIX", "0") == "1"
+        and max_df is None
+    ):
+        # A/B arm (round 16, VERDICT r15 #7): PPJoin-style prefix
+        # filtering — EXACT. Order every doc's shingles by (global
+        # document frequency asc, shingle asc); a pair with
+        # jacc >= t has overlap c >= t*n on each side, so indexing
+        # only each doc's first n - ceil(t*n) + 1 shingles under the
+        # shared total order still catches every qualifying pair
+        # (pigeonhole); candidates are verified against the full
+        # shingle sets with the same division, so values are
+        # identical. The -1e-9 keeps a float-inflated ceil(t*n) from
+        # shortening the prefix below the exact bound (prefix too
+        # LONG only costs candidates; too short loses pairs). The
+        # count join's sum(|posting|^2) term is replaced by
+        # sum(|rare-prefix posting|^2) + candidate verification —
+        # the trade that wins only at high posting-list density (the
+        # round-16 density probe rejected it as a default; see
+        # OPTIMIZATION_r16.md).
+        from pyspark.sql import Window
+
+        fr = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_gdf"))
+        w_doc = Window.partitionBy(id_col).orderBy("_gdf", "shingle")
+        pre = (
+            sh.join(fr, "shingle")
+            .withColumn("_rn", F.row_number().over(w_doc))
+            .join(sizes, id_col)
+            .where(
+                F.col("_rn")
+                <= F.col("n")
+                - F.ceil(F.col("n") * F.lit(threshold) - F.lit(1e-9))
+                + 1
+            )
+            .select(id_col, "shingle")
+        )
+        cand = _pin(
+            pre.select(F.col(id_col).alias("d1"), "shingle")
+            .join(pre.select(F.col(id_col).alias("d2"), "shingle"), "shingle")
+            .where(F.col("d1") < F.col("d2"))
+            .select("d1", "d2")
+            .distinct()
+        )
+        cand_ids = cand.select(
+            F.explode(F.array("d1", "d2")).alias(id_col)
+        ).distinct()
+        va = _pin(
+            sh.join(cand_ids, id_col, "left_semi")
+            .groupBy(id_col)
+            .agg(F.collect_list("shingle").alias("_sh"))
+        )
+        s1 = va.select(F.col(id_col).alias("d1"), F.col("_sh").alias("_s1"))
+        s2 = va.select(F.col(id_col).alias("d2"), F.col("_sh").alias("_s2"))
+        inter = F.size(F.array_intersect("_s1", "_s2")).cast("double")
+        union = (F.size("_s1") + F.size("_s2")).cast("double") - inter
+        return (
+            cand.join(s1, "d1")
+            .join(s2, "d2")
+            .select("d1", "d2", (inter / union).alias("jacc"))
+            .where(F.col("jacc") >= threshold)
+        )
     join_sh = sh
     if max_df is not None:
         # hot set is heavy-hitter-bounded (<= total postings / max_df

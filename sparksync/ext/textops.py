@@ -1752,6 +1752,18 @@ def lm_vocab_census(
 # Flipped only by tools/ab harnesses to reproduce the old all-lazy arm.
 _LM_PIN = True
 
+# A/B arm (round 16, VERDICT r15 #7): _lm_base's bigram table built
+# from array-side adjacent pairs + two broadcast vocab joins instead
+# of the per-token lead() window — the form round 15 rejected at
+# sf0.1 (2.39 -> 2.91 s) with the note that its shuffle is per-doc
+# bigram TYPES while the window's is the raw token stream, so it
+# could win at real scale. Round 16 re-adjudicated it on the
+# synthesized sf1 decade (interleaved, committed table in
+# OPTIMIZATION_r16.md) — it LOST there too, so the window form stays
+# production and this flag exists only for the env-driven A/B
+# (SPARKSYNC_LM_ARRAY_BIGRAMS=1).
+_LM_ARRAY_BIGRAMS = _os.environ.get("SPARKSYNC_LM_ARRAY_BIGRAMS", "0") == "1"
+
 
 def _lm_base(
     df: DataFrame,
@@ -1812,6 +1824,66 @@ def _lm_base(
         # materialized as a side effect of big.count() below (the
         # census is a subtree of `big`'s plan), so no dedicated job
         vocab = _pin(vocab)
+    if _LM_ARRAY_BIGRAMS:
+        # A/B arm (see the flag note): bigrams assembled array-side and
+        # '<unk>'-mapped by two broadcast vocab joins over the exploded
+        # PAIRS — no per-doc window shuffle; stats come from a separate
+        # token-explode aggregate (two tokenize passes instead of one
+        # pinned table, the arm's structural cost)
+        from .features import _pin as _pin_b
+
+        nn = F.size("_toks")
+        raw = F.zip_with(
+            F.slice(F.col("_toks"), 1, nn - 1),
+            F.slice(F.col("_toks"), 2, nn - 1),
+            lambda a, b: F.struct(a.alias("rw"), b.alias("rw2")),
+        )
+        ex = d2.select(*gcols, F.explode(raw).alias("_p")).select(
+            *gcols,
+            F.col("_p.rw").alias("_rw"),
+            F.col("_p.rw2").alias("_rw2"),
+        )
+        m1 = F.broadcast(
+            vocab.select(F.col("_tok").alias("_rw"), F.lit(1).alias("_v1"))
+        )
+        m2 = F.broadcast(
+            vocab.select(F.col("_tok").alias("_rw2"), F.lit(1).alias("_v2"))
+        )
+        big2 = (
+            ex.join(m1, "_rw", "left")
+            .join(m2, "_rw2", "left")
+            .select(
+                *gcols,
+                F.when(F.col("_v1") == 1, F.col("_rw"))
+                .otherwise(F.lit("<unk>"))
+                .alias("_w"),
+                F.when(F.col("_v2") == 1, F.col("_rw2"))
+                .otherwise(F.lit("<unk>"))
+                .alias("_w2"),
+            )
+        )
+        if _LM_PIN:
+            big2 = _pin_b(big2)
+            big2.count()
+        types = big2.groupBy(*gcols, "_w", "_w2").agg(
+            F.count(F.lit(1)).cast("long").alias("_k")
+        )
+        stats = (
+            tok.join(
+                F.broadcast(vocab.withColumn("_v", F.lit(1))), "_tok", "left"
+            )
+            .groupBy(*gcols)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                F.sum(F.col("_v").isNull().cast("long"))
+                .cast("long")
+                .alias("n_unk"),
+            )
+        )
+        veff = vocab.groupBy().agg(
+            (F.count(F.lit(1)) + F.lit(1)).cast("long").alias("_veff")
+        )
+        return stats, types, veff
     mapped = tok.join(
         F.broadcast(vocab.withColumn("_v", F.lit(1))), "_tok", "left"
     ).select(

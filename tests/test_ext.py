@@ -3781,6 +3781,43 @@ def test_jaccard_pairs_max_df_hostile(spark):
     assert set(exact) == {(n, n + 1)}
 
 
+def test_jaccard_pairs_prefix_filter_exact(spark, monkeypatch):
+    """Round 16 (VERDICT r15 #7): the env-gated PPJoin prefix-filter
+    arm (SPARKSYNC_JACCARD_PREFIX=1) is EXACT — row-identical to the
+    inverted-index count join, jacc values included — on a
+    boilerplate-heavy corpus (the pathology it exists for: common
+    shingles' posting lists are the whole corpus, but freq-ordered
+    prefixes never index them) at two thresholds. max_df composes with
+    the base arm only; the flag is ignored when max_df is set."""
+    from sparksync.ext import dedup as dd
+    from sparksync.ext import features
+
+    n = 60
+    rows = [
+        (i, f"hot1 hot2 hot3 hot4 hot5 hot6 u{i}a u{i}b u{i}c u{i}d", "s")
+        for i in range(n)
+    ]
+    twin = "hot1 hot2 hot3 " + " ".join(f"tw{j}" for j in range(16))
+    rows += [(n, twin, "s"), (n + 1, twin + " extra", "s")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    for t in (0.7, 0.8):
+        monkeypatch.delenv("SPARKSYNC_JACCARD_PREFIX", raising=False)
+        base = sorted(map(tuple, dd.jaccard_pairs(df, t).collect()))
+        features.release_pinned()
+        monkeypatch.setenv("SPARKSYNC_JACCARD_PREFIX", "1")
+        pre = sorted(map(tuple, dd.jaccard_pairs(df, t).collect()))
+        features.release_pinned()
+        assert pre == base, t
+        assert len(base) >= 1  # the twins qualify at both thresholds
+    # with max_df set, the flag must not change the capped semantics
+    import pytest as pt
+
+    with pt.warns(UserWarning, match="pruned"):
+        capped = {(r.d1, r.d2) for r in dd.jaccard_pairs(df, 0.8, max_df=10).collect()}
+    assert capped == {(n, n + 1)}
+    features.release_pinned()
+
+
 def test_mp3_mp4_metadata_parsers(spark):
     """Round-8 metadata tier: MP3 frame-header walk and MP4 box walk
     parse real numbers from spec-valid synthesized containers, reject
