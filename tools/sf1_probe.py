@@ -97,6 +97,12 @@ QUERIES_TO_PROBE = [
     # too, so the per-iteration pair tables grow with the data) and
     # the composed curriculum order (two two-phase ranks)
     "q228_bpe_train",
+    # round-16: the BPE apply half joins the table now that the
+    # trainer's loop is size-switched (the sf1 corpus's 10x vocabulary
+    # exceeds nothing — both scales stay under the 2^16 local cap, so
+    # the decade reads the corpus scan + the local loop's linear pair
+    # counting)
+    "q230_bpe_segment",
     "q229_curriculum_order",
     # round-15b: PQ encode (broadcast codebooks, corpus x M rows) and
     # the ADC read path (broadcast distance table + ordered fold)
