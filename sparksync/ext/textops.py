@@ -2257,7 +2257,13 @@ def lm_score_against_model(
     window — the lm_bigram_counts pair expression), one groupBy to
     per-doc bigram types, one join against the bounded model, salted
     two-phase top-k. Output: (id, n_tokens, n_unk, n_bigrams,
-    lm_surprisal), most surprising first."""
+    lm_surprisal), most surprising first.
+
+    EAGER at composition time (round 16): `counts` is materialized
+    with one localCheckpoint when the plan is BUILT, so a lazy counts
+    pipeline executes once here instead of once per consumer (context
+    table + model projection) — the same build-time contract as
+    ngram_lm_score / lm_target_affinity."""
     if mode not in ("ln", "fixed"):
         raise ValueError(f"lm_score_against_model: unknown mode {mode!r}")
     scale = 1 << scale_bits
@@ -2323,32 +2329,29 @@ def lm_score_against_model(
     else:
         # large-vocab form (same auto-switch as lm_bigram_counts): the
         # literal-array scan is O(|vocab|) per token, so map via
-        # broadcast hash joins instead — stats from one token explode
-        # (n_unk = unmatched rows), types from raw array-side pairs
-        # joined per side. Same number of corpus passes as the array
-        # form (stats and types are separate aggregations either way).
+        # broadcast hash joins instead. Fused stats (round 16, guide
+        # §2.4 — the same fusion the small-vocab branch got, which was
+        # blocked here only by the '<unk>' membership needing a join
+        # instead of array_contains): the old shape ran a SECOND full
+        # tokenize + explode + broadcast-join + groupBy corpus pass
+        # just for (n_tokens, n_unk). Both stats are recoverable from
+        # the bigram types: n_tokens = n_bigrams + 1 (every doc here
+        # has >= 2 tokens), n_unk = '<unk>' bigram LEFT elements
+        # (positions 1..n-1 appear exactly once as w) + a last-token
+        # membership boolean, which costs ONE extra broadcast hash
+        # join on the un-exploded doc rows (no shuffle) instead of a
+        # corpus pass. At real vocabularies (> 64 tokens — i.e. every
+        # production corpus; the gate fixtures stay under the
+        # threshold) this removes one of the branch's two full scans.
         vdf = df.sparkSession.createDataFrame(
             [(t,) for t in vocab], "tok string"
         )
         base = df.select(F.col(id_col), toks.alias("_t")).where(
             F.size("_t") >= 2
         )
-        stats = (
-            base.select(F.col(id_col), F.explode("_t").alias("_tok"))
-            .join(
-                F.broadcast(
-                    vdf.select(F.col("tok").alias("_tok"), F.lit(1).alias("_v"))
-                ),
-                "_tok",
-                "left",
-            )
-            .groupBy(id_col)
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_tokens"),
-                F.sum(F.col("_v").isNull().cast("long"))
-                .cast("long")
-                .alias("n_unk"),
-            )
+        stats = None
+        mL = F.broadcast(
+            vdf.select(F.col("tok").alias("_lt"), F.lit(1).alias("_vL"))
         )
         n = F.size("_t")
         raw = F.zip_with(
@@ -2363,9 +2366,16 @@ def lm_score_against_model(
             vdf.select(F.col("tok").alias("_rw2"), F.lit(1).alias("_v2"))
         )
         types = (
-            base.select(F.col(id_col), F.explode(raw).alias("_p"))
+            base.withColumn("_lt", F.element_at(F.col("_t"), -1))
+            .join(mL, "_lt", "left")
             .select(
                 F.col(id_col),
+                F.col("_vL").isNull().alias("_lu"),
+                F.explode(raw).alias("_p"),
+            )
+            .select(
+                F.col(id_col),
+                "_lu",
                 F.col("_p.rw").alias("_rw"),
                 F.col("_p.rw2").alias("_rw2"),
             )
@@ -2373,6 +2383,7 @@ def lm_score_against_model(
             .join(m2, "_rw2", "left")
             .select(
                 F.col(id_col),
+                "_lu",
                 F.when(F.col("_v1") == 1, F.col("_rw"))
                 .otherwise(F.lit("<unk>"))
                 .alias("w"),
@@ -2381,13 +2392,30 @@ def lm_score_against_model(
                 .alias("w2"),
             )
             .groupBy(id_col, "w", "w2")
-            .agg(F.count(F.lit(1)).cast("long").alias("_k"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("_k"),
+                F.max("_lu").alias("_lu"),
+            )
         )
     # the context aggregate re-aliases its input columns FIRST: c1 and
     # the model projection both descend from `counts`, and when that
     # is a streaming-sink-backed view (a drained lm_counts_stream
     # memory table) Spark cannot deduplicate the self-join's shared
-    # attribute ids — the fresh Aliases break the reference sharing
+    # attribute ids — the fresh Aliases break the reference sharing.
+    #
+    # Round 16 (guide §2.4/§5): counts is materialized ONCE with an
+    # eager localCheckpoint before its two consumers (c1, model)
+    # render it. When the caller passes a LAZY counts plan — q203
+    # passes the full lm_bigram_counts train-side pipeline — both
+    # consumers previously re-executed that tokenize+pairs+groupBy
+    # corpus pass (its zip_with/transform lambdas defeat
+    # ReusedExchange; plan-audited: two 'Scan parquet documents'
+    # subtrees under model and c1). The checkpointed table is the
+    # bounded model state itself (<= (len(vocab)+1)^2 rows, the same
+    # bound that makes it broadcastable), computed once per call —
+    # this makes plan COMPOSITION eager for the model side, same
+    # documented contract as ngram_lm_score's _lm_base pin.
+    counts = counts.localCheckpoint(eager=True)
     c1 = (
         counts.select(F.col("w").alias("w"), F.col("cnt").alias("cnt"))
         .groupBy("w")

@@ -4959,6 +4959,52 @@ def test_lm_score_against_model_held_out_drift(spark):
     assert ppl[101] > ppl[100] >= 1.0
 
 
+def test_lm_score_against_model_branch_parity_large_vocab(docs, monkeypatch):
+    """Round 16: the large-vocab (broadcast-join) branch derives
+    (n_tokens, n_unk) from the fused bigram types + a last-token
+    membership join instead of a second full tokenize+explode corpus
+    pass. Both branches must emit ROW-IDENTICAL output for the same
+    >threshold vocabulary (mode='fixed' is exact int64 arithmetic, so
+    set equality is bit equality); padding the vocab with tokens that
+    never occur exercises the join-miss '<unk>' mapping and keeps the
+    real mapping identical across branches. One real token is dropped
+    from the vocab so unk rows exist mid-doc AND at doc ends."""
+    from collections import Counter
+
+    from sparksync.ext import textops
+
+    uni: Counter = Counter()
+    for r in docs.select("text").collect():
+        uni.update(t for t in r.text.split() if t)
+    real = sorted(uni, key=lambda t: (-uni[t], t))
+    vocab = real[:-1] + [
+        f"__pad{i}__"
+        for i in range(textops.LM_VOCAB_JOIN_THRESHOLD + 8 - (len(real) - 1))
+    ]
+    assert len(vocab) > textops.LM_VOCAB_JOIN_THRESHOLD
+
+    counts = textops.lm_bigram_counts(docs, vocab)
+    big = {
+        tuple(r)
+        for r in textops.lm_score_against_model(
+            docs, counts, vocab, mode="fixed", limit=50
+        ).collect()
+    }
+    monkeypatch.setattr(
+        textops, "LM_VOCAB_JOIN_THRESHOLD", len(vocab) + 1
+    )
+    small = {
+        tuple(r)
+        for r in textops.lm_score_against_model(
+            docs, counts, vocab, mode="fixed", limit=50
+        ).collect()
+    }
+    assert big == small and len(big) > 0
+    # the fused stats must include unk evidence (the dropped real
+    # token occurs somewhere) or the case proves nothing
+    assert any(r[2] > 0 for r in big)  # n_unk column
+
+
 def test_lm_score_against_model_seen_context_unseen_bigram(spark):
     """The LEFT join's distinguishing case: a NOVEL continuation of a
     FREQUENT in-vocab context. c1(w) must come from the context table
