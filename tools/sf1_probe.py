@@ -139,7 +139,21 @@ NOTES = {
     "q178_semantic_dedup": (
         "oracle-replay form: n_planes pinned at 32 (uncapped-regime "
         "documentation); the production posture is "
-        "q178_semantic_dedup_auto (n_planes=None auto-sized)"
+        "q178_semantic_dedup_auto (n_planes=None auto-sized). WARM "
+        "rows are NOT comparable across the round-16 pin-release "
+        "boundary (ADVICE r15 / commit 5e2b874): pre-release warm "
+        "runs re-read the leaked components edge pin (whole LSH "
+        "discovery from cache), post-release warm honestly recomputes "
+        "the discovery — compare the COLD columns across rounds "
+        "(sf1 cold standalone improved 30.4 -> 19.8 s)"
+    ),
+    "q159_cluster_keeper": (
+        "same pin-release regime note as q178: warm columns before/"
+        "after round 16 measure different cache semantics "
+        "(cluster_keeper_from_pairs routes unpinned pairs through "
+        "connected_components, whose internal pin is now released on "
+        "the local-path return); cross-round comparisons must use "
+        "COLD"
     ),
     "q216_source_cap": (
         "overhead-dominated at probe scale (VERDICT r14 #3's missing "
